@@ -1,13 +1,62 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries.{GraphEtl, Relational}
+
+/** Driver contract — see SURVEY.md §2 for the operator inventory. Each
+  * implemented operator has an entry in [[queries]]; those with an ANSI-SQL
+  * twin also appear in [[oracleSql]] (DuckDB-verified at sf0.01).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf0.001; driver smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.q1Agg(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A: graph-ETL surface
+    "tabmap_nodes"  -> (GraphEtl.tabmapNodes(_, _)),
+    "tabmap_edges"  -> (GraphEtl.tabmapEdges(_, _)),
+    "tabmap_chain"  -> (GraphEtl.tabmapChain(_, _)),
+    "tabmap_prefix" -> (GraphEtl.tabmapPrefix(_, _)),
+    "pg_nodes"      -> (GraphEtl.pgNodes(_, _)),
+    "pg_edges"      -> (GraphEtl.pgEdges(_, _)),
+    "pg_jsonl"      -> (GraphEtl.pgJsonl(_, _)),
+    "union_by_name" -> (GraphEtl.unionByName(_, _)),
+    "cast_columns"  -> (GraphEtl.castColumns(_, _)),
+    "neo_cypher"    -> (GraphEtl.neoCypher(_, _)),
+    // B: relational core
+    "q1_agg"        -> (Relational.q1Agg(_, _)),
+    "q3_join_agg"   -> (Relational.q3JoinAgg(_, _)),
+    "q5_multijoin"  -> (Relational.q5MultiJoin(_, _)),
+    "q_topk"        -> (Relational.qTopK(_, _)),
+    "q_window"      -> (Relational.qWindow(_, _)),
+    "q_rollup"      -> (Relational.qRollup(_, _)),
+    "q_distinct"    -> (Relational.qDistinct(_, _)),
+    "q_semijoin"    -> (Relational.qSemiJoin(_, _)),
+    "q_antijoin"    -> (Relational.qAntiJoin(_, _)),
+    "events_window" -> (Relational.eventsWindow(_, _))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "tabmap_nodes"  -> GraphEtl.tabmapNodesSql,
+    "tabmap_edges"  -> GraphEtl.tabmapEdgesSql,
+    "tabmap_chain"  -> GraphEtl.tabmapChainSql,
+    "tabmap_prefix" -> GraphEtl.tabmapPrefixSql,
+    "pg_nodes"      -> GraphEtl.pgNodesSql,
+    "pg_edges"      -> GraphEtl.pgEdgesSql,
+    "union_by_name" -> GraphEtl.unionByNameSql,
+    "cast_columns"  -> GraphEtl.castColumnsSql,
+    "q1_agg"        -> Relational.q1AggSql,
+    "q3_join_agg"   -> Relational.q3JoinAggSql,
+    "q5_multijoin"  -> Relational.q5MultiJoinSql,
+    "q_topk"        -> Relational.qTopKSql,
+    "q_window"      -> Relational.qWindowSql,
+    "q_rollup"      -> Relational.qRollupSql,
+    "q_distinct"    -> Relational.qDistinctSql,
+    "q_semijoin"    -> Relational.qSemiJoinSql,
+    "q_antijoin"    -> Relational.qAntiJoinSql,
+    "events_window" -> Relational.eventsWindowSql
+  )
 }

@@ -1,0 +1,91 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.model.Graph
+
+/** PG rows → batched Cypher UNWIND statements (reference:
+  * src/ketl/io/neoloader.py:362-445).
+  *
+  * The reference drives a live Neo4j driver; no database exists in this
+  * container, so the loader is re-expressed as the *statement stream*: a
+  * `Dataset[String]` of UNWIND batches (default 2500 elements per statement,
+  * reference: src/ketl/io/neoloader.py:131), ready to be piped to any Cypher
+  * endpoint. Batching happens per partition (mapPartitions — genuine
+  * imperative chunking), so the operator stays fully distributed; no
+  * driver-side collect.
+  */
+object NeoCypher {
+
+  /** Reference: src/ketl/io/neoloader.py:164 — every node gets this label. */
+  val CommonNodeLabel = "Node"
+
+  val NodeQueryTemplate: String =
+    """UNWIND $nodes AS node_js
+      |WITH node_js.id AS nid, node_js.labels AS nlabels, node_js.properties AS nprops
+      |CREATE (n)
+      |SET n.id = nid
+      |SET n += nprops
+      |SET n :$(nlabels)""".stripMargin
+
+  val EdgeQueryTemplate: String =
+    s"""UNWIND $$edges AS edge_js
+       |WITH edge_js.id AS eid, edge_js.labels[0] AS etype,
+       |  edge_js.properties AS eprops, edge_js.from AS from_id, edge_js.to AS to_id
+       |MATCH (from:$CommonNodeLabel{ id: from_id })
+       |MATCH (to:$CommonNodeLabel{ id: to_id })
+       |CREATE (from)-[e:$$(etype)]->(to)
+       |SET e.id = eid
+       |SET e += eprops""".stripMargin
+
+  /** Index on node ids created between the node and edge phases
+    * (reference: src/ketl/io/neoloader.py:384-394).
+    */
+  val NodeIndexStatement: String =
+    s"CREATE INDEX all_node_ids IF NOT EXISTS FOR (n:$CommonNodeLabel) ON (n.id)"
+
+  /** Emits one Cypher statement per batch of `batchSize` PG elements of the
+    * requested kind ('node' or 'edge'). The element payload is inlined as a
+    * JSON array in place of the `$nodes`/`$edges` parameter. Nodes get
+    * [[CommonNodeLabel]] appended (reference: src/ketl/io/neoloader.py:768-774).
+    */
+  def statements(pg: DataFrame, elementType: String, batchSize: Int = 2500): Dataset[String] = {
+    import pg.sparkSession.implicits._
+    val isNodes = elementType == Graph.NodeType
+    val labels = if (isNodes)
+      array_union(col("labels"), array(lit(CommonNodeLabel)))
+    else col("labels")
+
+    val elemJson = {
+      val q = (c: org.apache.spark.sql.Column) => Triples.jsonSerialize(c)
+      val labelsJson = concat(lit("["), array_join(transform(labels, q), ","), lit("]"))
+      val propsJson = concat(lit("{"),
+        array_join(
+          transform(map_entries(col("properties")), e =>
+            concat(q(e.getField("key")), lit(":["),
+              array_join(e.getField("value"), ","), lit("]"))),
+          ","),
+        lit("}"))
+      val base = concat(
+        lit("""{"id":"""), q(col("id")),
+        lit(""","labels":"""), labelsJson,
+        lit(""","properties":"""), propsJson)
+      if (isNodes) concat(base, lit("}"))
+      else concat(base, lit(""","from":"""), q(col("from")),
+        lit(""","to":"""), q(col("to")), lit("}"))
+    }
+
+    val template = if (isNodes) NodeQueryTemplate else EdgeQueryTemplate
+    val param = if (isNodes) "$nodes" else "$edges"
+
+    pg.where(col("type") === elementType)
+      .select(elemJson.as("elem"))
+      .as[String]
+      .mapPartitions { it =>
+        it.grouped(batchSize).map { batch =>
+          template.replace(param, batch.mkString("[", ",", "]"))
+        }
+      }
+  }
+}

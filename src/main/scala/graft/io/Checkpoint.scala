@@ -1,0 +1,55 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Workflow-checkpoint save/load (reference: src/ketl/spark/utils.py:31-142).
+  *
+  * The reference estimates DataFrame size by sampling the RDD with Python
+  * `sys.getsizeof` and repartitions to ~256 MB files — an extra job over the
+  * data before every save. Here sizing is delegated to the engine: the
+  * optimised plan's statistics (already maintained by Catalyst, zero extra
+  * passes) pick the partition count, and `maxRecordsPerFile`-style splitting
+  * is left to the writer. Same outcome — ~target-sized files — without
+  * scanning the data twice.
+  */
+object Checkpoint {
+
+  val TargetPartitionBytes: Long = 256L * 1024 * 1024
+
+  /** `${base}/_SUCCESS`, the existence-check path for workflow engines
+    * (reference: src/ketl/spark/utils.py:111 df_check_path).
+    */
+  def checkPath(basePath: String): String = s"$basePath/_SUCCESS"
+
+  /** Strips a `/_SUCCESS` suffix back to the parquet base path
+    * (reference: src/ketl/spark/utils.py:126 df_path).
+    */
+  def basePath(path: String): String =
+    if (path != null && path.endsWith("/_SUCCESS")) path.dropRight("/_SUCCESS".length)
+    else path
+
+  /** Saves a checkpoint, choosing the partition count from the optimised
+    * plan's size estimate (reference behaviour: src/ketl/spark/utils.py:31
+    * df_save). Returns the possibly-repartitioned frame.
+    */
+  def save(df: DataFrame, path: String,
+           targetPartitionBytes: Long = TargetPartitionBytes): DataFrame = {
+    val p = basePath(path)
+    val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val target = BigInt(targetPartitionBytes)
+    val wanted = ((estBytes + target - 1) / target).max(1)
+    val current = df.rdd.getNumPartitions
+    val out =
+      if (wanted < current) df.coalesce(wanted.toInt)
+      else if (wanted > current) df.repartition(wanted.toInt)
+      else df
+    out.write.mode("overwrite").parquet(p)
+    out
+  }
+
+  /** Loads a checkpoint saved by [[save]] (reference: src/ketl/spark/utils.py:78
+    * df_load). Accepts a check path or base path.
+    */
+  def load(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(basePath(path))
+}

@@ -1,0 +1,41 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.DataType
+
+/** DataFrame-level IO/combination utilities (reference: src/ketl/spark/utils.py). */
+object DataFrames {
+
+  /** Union N frames by column name, optionally tolerating missing columns
+    * (reference: src/ketl/spark/utils.py:265 df_union_all_by_name).
+    */
+  def unionAllByName(dfs: Seq[DataFrame], allowMissingColumns: Boolean = false): DataFrame = {
+    require(dfs.nonEmpty, "No DataFrames to union")
+    dfs.reduce(_.unionByName(_, allowMissingColumns))
+  }
+
+  /** Casts the listed columns to the requested types; columns absent from the
+    * frame are ignored, so one spec can serve several frames
+    * (reference: src/ketl/core.py:334-373 SparkDataFrameTypes.cast_df).
+    */
+  def castColumns(df: DataFrame, specs: Map[String, DataType]): DataFrame = {
+    val applicable = df.columns.filter(specs.contains)
+    if (applicable.isEmpty) df
+    else df.withColumns(applicable.map(c => c -> df(c).cast(specs(c))).toMap)
+  }
+
+  /** Reads a TSV/CSV with the reference's defaults: header, tab delimiter,
+    * schema inference, '#' comments (reference: src/ketl/tabmap/core.py:462-467
+    * DEFAULT_SPARK_OPTIONS). Files without headers are rejected, like the
+    * reference (src/ketl/tabmap/core.py:524).
+    */
+  def readTable(spark: SparkSession, path: String,
+                options: Map[String, String] = Map.empty): DataFrame = {
+    val defaults = Map(
+      "header" -> "true", "delimiter" -> "\t",
+      "inferSchema" -> "true", "comment" -> "#")
+    val opts = defaults ++ options
+    require(opts("header") == "true", "readTable: headerless files are not supported")
+    spark.read.options(opts).csv(path)
+  }
+}

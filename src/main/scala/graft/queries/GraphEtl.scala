@@ -1,0 +1,205 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, StringType}
+
+import graft.etl.{NeoCypher, PgGraph, Prop, Triples}
+import graft.io.DataFrames
+import graft.model.Graph
+
+/** Graph-ETL query surface (SURVEY.md §2 A-block) — each query exercises one
+  * reference capability over the TPC-H-ish test tables, with a DuckDB oracle
+  * reproducing the exact triple/PG semantics in ANSI SQL.
+  */
+object GraphEtl {
+
+  // ---- A1: table → node triples ------------------------------------------
+
+  def tabmapNodes(spark: SparkSession, dir: String): DataFrame =
+    Triples.nodes(Tables.load(spark, dir, "part"),
+      Triples.wrap(col("p_partkey"), "part:"),
+      Seq(
+        Prop.column("p_name", "hasName"),
+        Prop.column("p_brand", "brand"),
+        Prop.column("p_size", "size"),
+        Prop.column("p_retailprice", "retailPrice"),
+        Prop.tpe("Part"),
+        Prop.constant("source", "TPCH")))
+
+  val tabmapNodesSql: String =
+    """WITH p AS (SELECT 'part:' || p_partkey AS id, * FROM part)
+      |SELECT id, 'hasName' AS key, to_json(p_name)::VARCHAR AS value FROM p
+      |UNION ALL SELECT id, 'brand', to_json(p_brand)::VARCHAR FROM p
+      |UNION ALL SELECT id, 'size', to_json(p_size)::VARCHAR FROM p
+      |UNION ALL SELECT id, 'retailPrice', to_json(p_retailprice)::VARCHAR FROM p
+      |UNION ALL SELECT id, '@type', 'Part' FROM p
+      |UNION ALL SELECT id, 'source', '"TPCH"' FROM p""".stripMargin
+
+  // ---- A2: table → edge triples (auto edge id type:from-to) ---------------
+
+  def tabmapEdges(spark: SparkSession, dir: String): DataFrame =
+    Triples.edges(Tables.load(spark, dir, "orders"),
+      "placed",
+      Triples.wrap(col("o_custkey"), "cust:"),
+      Triples.wrap(col("o_orderkey"), "order:"),
+      Seq(Prop.column("o_totalprice", "totalPrice")))
+
+  val tabmapEdgesSql: String =
+    """WITH e AS (SELECT 'placed:cust:' || o_custkey || '-order:' || o_orderkey AS id,
+      |  'cust:' || o_custkey AS f, 'order:' || o_orderkey AS t, o_totalprice FROM orders)
+      |SELECT id, '@type' AS key, 'placed' AS value FROM e
+      |UNION ALL SELECT id, '@from', f FROM e
+      |UNION ALL SELECT id, '@to', t FROM e
+      |UNION ALL SELECT id, 'totalPrice', to_json(o_totalprice)::VARCHAR FROM e""".stripMargin
+
+  // ---- A3: chained node + edge mappers over one table ---------------------
+
+  private def nationTriples(spark: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.load(spark, dir, "nation")
+    Triples.chain(
+      Triples.nodes(nation, Triples.wrap(col("n_nationkey"), "nation:"),
+        Seq(Prop.column("n_name", "hasName"), Prop.tpe("Nation"),
+          Prop.constant("source", "TPCH"))),
+      Triples.edges(nation, "inRegion",
+        Triples.wrap(col("n_nationkey"), "nation:"),
+        Triples.wrap(col("n_regionkey"), "region:")))
+  }
+
+  def tabmapChain(spark: SparkSession, dir: String): DataFrame =
+    nationTriples(spark, dir)
+
+  val nationTriplesSql: String =
+    """WITH n AS (SELECT 'nation:' || n_nationkey AS id,
+      |    'inRegion:nation:' || n_nationkey || '-region:' || n_regionkey AS eid,
+      |    'nation:' || n_nationkey AS f, 'region:' || n_regionkey AS t, n_name FROM nation)
+      |SELECT id, 'hasName' AS key, to_json(n_name)::VARCHAR AS value FROM n
+      |UNION ALL SELECT id, '@type', 'Nation' FROM n
+      |UNION ALL SELECT id, 'source', '"TPCH"' FROM n
+      |UNION ALL SELECT eid, '@type', 'inRegion' FROM n
+      |UNION ALL SELECT eid, '@from', f FROM n
+      |UNION ALL SELECT eid, '@to', t FROM n""".stripMargin
+
+  val tabmapChainSql: String = nationTriplesSql
+
+  // ---- A4: id/value prefix wrappers ---------------------------------------
+
+  def tabmapPrefix(spark: SparkSession, dir: String): DataFrame =
+    Triples.nodes(Tables.load(spark, dir, "supplier"),
+      Triples.wrap(col("s_suppkey"), "sup:"),
+      Seq(
+        Prop("acct", Triples.wrap(col("s_acctbal"), "USD ")),
+        Prop.tpe("Supplier")))
+
+  val tabmapPrefixSql: String =
+    """WITH s AS (SELECT 'sup:' || s_suppkey AS id, 'USD ' || s_acctbal::VARCHAR AS acct FROM supplier)
+      |SELECT id, 'acct' AS key, to_json(acct)::VARCHAR AS value FROM s
+      |UNION ALL SELECT id, '@type', 'Supplier' FROM s""".stripMargin
+
+  // ---- A5/A6: triples → PG aggregation ------------------------------------
+
+  /** Two chained node mappers over nation, producing multi-label nodes with a
+    * multi-valued property — exercises collect-set label/property merging
+    * (reference: src/ketl/io/core.py:56-85).
+    */
+  private def multiSourceNationTriples(spark: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.load(spark, dir, "nation")
+    val id = Triples.wrap(col("n_nationkey"), "nation:")
+    Triples.chain(
+      Triples.nodes(nation, id,
+        Seq(Prop.column("n_name", "hasName"), Prop.tpe("Nation"),
+          Prop.constant("dataSources", "TPCH"))),
+      Triples.nodes(nation, id,
+        Seq(Prop.tpe("Place"), Prop.constant("dataSources", "GEO"))))
+  }
+
+  /** PG nodes flattened to hash-comparable rows: the properties map is
+    * exploded and value-sets joined as sorted strings.
+    */
+  def pgNodes(spark: SparkSession, dir: String): DataFrame = {
+    val pg = PgGraph.toPg(multiSourceNationTriples(spark, dir))
+    pg.select(col("id"), array_join(col("labels"), ",").as("labels"),
+        explode(col("properties")).as(Seq("key", "vals")))
+      .select(col("id"), col("labels"), col("key"),
+        array_join(col("vals"), "|").as("vals"))
+  }
+
+  val pgNodesSql: String =
+    """WITH n AS (SELECT 'nation:' || n_nationkey AS id, n_name FROM nation),
+      |t AS (
+      |  SELECT id, 'hasName' AS key, to_json(n_name)::VARCHAR AS value FROM n
+      |  UNION ALL SELECT id, '@type', 'Nation' FROM n
+      |  UNION ALL SELECT id, 'dataSources', '"TPCH"' FROM n
+      |  UNION ALL SELECT id, '@type', 'Place' FROM n
+      |  UNION ALL SELECT id, 'dataSources', '"GEO"' FROM n),
+      |labels AS (SELECT id, array_to_string(list_sort(list_distinct(list(value))), ',') AS labels
+      |  FROM t WHERE key = '@type' GROUP BY id),
+      |props AS (SELECT id, key, array_to_string(list_sort(list_distinct(list(value))), '|') AS vals
+      |  FROM t WHERE key NOT IN ('@type','@from','@to') GROUP BY id, key)
+      |SELECT p.id, l.labels, p.key, p.vals FROM props p JOIN labels l USING (id)""".stripMargin
+
+  /** PG rows over mixed node+edge triples: node/edge type detection plus
+    * endpoint extraction (reference: src/ketl/io/core.py:97-113).
+    */
+  def pgEdges(spark: SparkSession, dir: String): DataFrame =
+    PgGraph.toPg(nationTriples(spark, dir))
+      .select(col("type").as("etype"), col("id"),
+        array_join(col("labels"), ",").as("labels"),
+        col("from").as("src"), col("to").as("dst"))
+
+  val pgEdgesSql: String =
+    s"""WITH t AS ($nationTriplesSql)
+       |SELECT CASE WHEN max(CASE WHEN key = '@from' THEN value END) IS NOT NULL
+       |         THEN 'edge' ELSE 'node' END AS etype,
+       |  id,
+       |  array_to_string(list_sort(list_distinct(list(value) FILTER (key = '@type'))), ',') AS labels,
+       |  max(CASE WHEN key = '@from' THEN value END) AS src,
+       |  max(CASE WHEN key = '@to' THEN value END) AS dst
+       |FROM t GROUP BY id""".stripMargin
+
+  // ---- A7: PG → JSONL lines (rows-only oracle; exact text in ScalaTest) ----
+
+  def pgJsonl(spark: SparkSession, dir: String): DataFrame =
+    PgGraph.toJsonl(PgGraph.toPg(nationTriples(spark, dir)))
+
+  // ---- A8: unionByName with missing columns -------------------------------
+
+  def unionByName(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+      .select(lit("customer").as("src"), col("c_custkey").as("id"),
+        col("c_name").as("name"), col("c_acctbal").as("bal"))
+    val supp = Tables.load(spark, dir, "supplier")
+      .select(lit("supplier").as("src"), col("s_suppkey").as("id"),
+        col("s_name").as("name"))
+    DataFrames.unionAllByName(Seq(cust, supp), allowMissingColumns = true)
+      .orderBy("src", "id")
+  }
+
+  val unionByNameSql: String =
+    """SELECT * FROM (
+      |  SELECT 'customer' AS src, c_custkey AS id, c_name AS name, c_acctbal AS bal FROM customer
+      |  UNION ALL BY NAME
+      |  SELECT 'supplier' AS src, s_suppkey AS id, s_name AS name FROM supplier
+      |) ORDER BY src, id""".stripMargin
+
+  // ---- A9: typed column casting -------------------------------------------
+
+  def castColumns(spark: SparkSession, dir: String): DataFrame =
+    DataFrames.castColumns(Tables.load(spark, dir, "part"),
+        Map("p_partkey" -> DoubleType, "p_size" -> StringType))
+      .select("p_partkey", "p_name", "p_size")
+      .orderBy("p_partkey")
+
+  val castColumnsSql: String =
+    """SELECT p_partkey::DOUBLE AS p_partkey, p_name, p_size::VARCHAR AS p_size
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  // ---- A10: PG → Cypher batch statements (rows-only oracle + spec) --------
+
+  def neoCypher(spark: SparkSession, dir: String): DataFrame = {
+    val pg = PgGraph.toPg(nationTriples(spark, dir))
+    NeoCypher.statements(pg, Graph.NodeType, batchSize = 10)
+      .union(NeoCypher.statements(pg, Graph.EdgeType, batchSize = 10))
+      .toDF("statement")
+  }
+}

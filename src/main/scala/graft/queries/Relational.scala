@@ -1,0 +1,201 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational/analytic core (SURVEY.md §2 B-block).
+  *
+  * Money aggregates: doubles are cast per-row to DECIMAL before summing so the
+  * sum is exact and order-independent — a distributed FP sum would differ from
+  * the oracle's (and from itself, run to run) in the last bits. The per-row
+  * cast is deterministic across engines because the IEEE value is identical
+  * and never sits exactly on a rounding boundary for real data.
+  */
+object Relational {
+
+  private def dec(c: org.apache.spark.sql.Column, scale: Int = 2) =
+    c.cast(DecimalType(18, scale))
+
+  /** B1: TPC-H-Q1-style pricing summary over lineitem. */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)).cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val q1AggSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+      |  count(*) AS count_order
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** B2: customer ⋈ orders ⋈ lineitem revenue per order, top 20.
+    * orders⋈lineitem shuffles on the join key; customer side is
+    * broadcast-able at any SF where customers ≪ facts — Spark's AQE picks
+    * broadcast from stats; we don't force it here because customer grows
+    * with SF.
+    */
+  def q3JoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+    val ord  = Tables.load(spark, dir, "orders")
+    val li   = Tables.load(spark, dir, "lineitem")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .where(col("c_mktsegment") === "BUILDING")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(20)
+  }
+
+  val q3JoinAggSql: String =
+    """SELECT l_orderkey,
+      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 20""".stripMargin
+
+  /** B3: 5-way join region→nation→customer→orders→lineitem; the three dim
+    * tables are tiny at every SF and explicitly broadcast.
+    */
+  def q5MultiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val region = broadcast(Tables.load(spark, dir, "region"))
+    val nation = broadcast(Tables.load(spark, dir, "nation"))
+    val cust = Tables.load(spark, dir, "customer")
+    val ord  = Tables.load(spark, dir, "orders")
+    val li   = Tables.load(spark, dir, "lineitem")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .join(nation, cust("c_nationkey") === nation("n_nationkey"))
+      .join(region, nation("n_regionkey") === region("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("r_name", "n_name")
+  }
+
+  val q5MultiJoinSql: String =
+    """SELECT r_name, n_name,
+      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
+
+  /** B4: top-k with deterministic tiebreak. */
+  def qTopK(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(25)
+
+  val qTopKSql: String =
+    "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25"
+
+  /** B5: window rank — top-3 orders per customer by price. */
+  def qWindow(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.load(spark, dir, "orders")
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+      .orderBy("o_custkey", "rk")
+  }
+
+  val qWindowSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      |  FROM orders) WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin
+
+  /** B6: rollup aggregate over return flag/status. */
+  def qRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  val qRollupSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, count(*) AS n
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  /** B7: distinct counts per group. */
+  def qDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"))
+      .orderBy("l_returnflag")
+
+  val qDistinctSql: String =
+    """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+      |  count(DISTINCT l_suppkey) AS n_supps
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** B8: left-semi join (EXISTS) — customers having at least one urgent order. */
+  def qSemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+    val urgent = Tables.load(spark, dir, "orders").where(col("o_orderpriority") === "1-URGENT")
+    cust.join(urgent, cust("c_custkey") === urgent("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  val qSemiJoinSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** B9: left-anti join (NOT EXISTS) — parts never shipped in bulk (>45). */
+  def qAntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.load(spark, dir, "part")
+    val li = Tables.load(spark, dir, "lineitem").where(col("l_quantity") > 45)
+    part.join(li, part("p_partkey") === li("l_partkey"), "left_anti")
+      .select("p_partkey", "p_name")
+      .orderBy("p_partkey")
+  }
+
+  val qAntiJoinSql: String =
+    """SELECT p_partkey, p_name FROM part
+      |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey AND l_quantity > 45)
+      |ORDER BY p_partkey""".stripMargin
+
+  /** B10: tumbling-window event aggregation (batch twin of the streaming
+    * pipeline in graft.streaming). Hour buckets via date_trunc — identical
+    * semantics to `window(ts, "1 hour")` but hash-comparable to the oracle.
+    *
+    * events.ts is TIMESTAMP(NANOS) parquet, which Spark reads as epoch-nano
+    * longs under `spark.sql.legacy.parquet.nanosAsLong` (set by
+    * Verify/Bench); it is converted to a micros timestamp here.
+    */
+  def eventsWindow(spark: SparkSession, dir: String): DataFrame = {
+    val ts = timestamp_micros((col("ts") / 1000L).cast("long"))
+    Tables.load(spark, dir, "events")
+      .groupBy(date_trunc("hour", ts).as("bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec(col("value"), 6)).cast("double").as("sum_value"))
+      .orderBy("bucket", "event_type")
+  }
+
+  val eventsWindowSql: String =
+    """SELECT date_trunc('hour', ts)::TIMESTAMP AS bucket, event_type, count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin
+}

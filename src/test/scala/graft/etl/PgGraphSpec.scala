@@ -1,0 +1,100 @@
+package graft.etl
+
+import graft.SparkSpec
+import graft.model.Graph
+
+/** Mirrors the reference's io tests (reference: tests/ketl/io/test_io.py). */
+class PgGraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val nodeTriples = Seq(
+    ("N001", "name", "\"Node 1\""),
+    ("N001", Graph.TypeKey, "TestNode"),
+    ("N002", "name", "\"Node 2\""),
+    ("N002", Graph.TypeKey, "TestNode"),
+    ("N003", "name", "\"Node 3\""),
+    ("N003", Graph.TypeKey, "TestNode"),
+    ("N003", "nickname", "\"Noddy\""),
+    ("N003", "nickname", "\"Noddy2\""),
+    ("N003", Graph.TypeKey, "NoddyNode"),
+    ("N004", Graph.TypeKey, "EmptyNode")
+  ).toDF("id", "key", "value")
+
+  private lazy val edgeTriples = Seq(
+    ("E001", Graph.FromKey, "N001"), ("E001", Graph.ToKey, "N002"),
+    ("E001", Graph.TypeKey, "links"), ("E001", "weight", "0.75"),
+    ("E002", Graph.FromKey, "N002"), ("E002", Graph.ToKey, "N003"),
+    ("E002", Graph.TypeKey, "links"),
+    ("E002", "weight", "0.85"), ("E002", "weight", "0.95"),
+    ("E003", Graph.FromKey, "N003"), ("E003", Graph.ToKey, "N001"),
+    ("E003", Graph.TypeKey, "inferredLink"),
+    ("E003", "description", "\"Inferred relationship\""),
+    ("E004", Graph.FromKey, "N004"), ("E004", Graph.ToKey, "N001"),
+    ("E004", Graph.TypeKey, "links")
+  ).toDF("id", "key", "value")
+
+  private def pgMap(df: org.apache.spark.sql.DataFrame) =
+    PgGraph.toPg(df).collect().map { r =>
+      r.getAs[String]("id") -> ((r.getAs[String]("type"),
+        r.getAs[scala.collection.Seq[String]]("labels").toSet,
+        Option(r.getAs[String]("from")), Option(r.getAs[String]("to")),
+        r.getAs[Map[String, scala.collection.Seq[String]]]("properties")
+          .map { case (k, v) => k -> v.toSet }))
+    }.toMap
+
+  test("node PG aggregation (ref TestTriples2PgDf node tests)") {
+    val pg = pgMap(nodeTriples)
+    assert(pg.size === 4)
+    assert(pg.values.forall(_._1 == Graph.NodeType))
+    assert(pg("N001")._2 === Set("TestNode"))
+    assert(pg("N003")._2 === Set("TestNode", "NoddyNode"))
+    assert(pg("N004")._2 === Set("EmptyNode"))
+    assert(pg("N001")._5 === Map("name" -> Set("\"Node 1\"")))
+    assert(pg("N003")._5("nickname") === Set("\"Noddy\"", "\"Noddy2\""))
+    assert(pg("N004")._5 === Map.empty)
+  }
+
+  test("edge PG aggregation (ref TestTriples2PgDf edge tests)") {
+    val pg = pgMap(edgeTriples)
+    assert(pg.size === 4)
+    assert(pg.values.forall(_._1 == Graph.EdgeType))
+    assert(pg("E001")._3 === Some("N001") && pg("E001")._4 === Some("N002"))
+    assert(pg("E001")._5("weight") === Set("0.75"))
+    assert(pg("E002")._5("weight") === Set("0.85", "0.95"))
+    assert(pg("E003")._2 === Set("inferredLink"))
+    assert(pg("E004")._5 === Map.empty)
+  }
+
+  test("JSONL serialisation round-trips (ref TestPgDf2PgJSONL)") {
+    val lines = PgGraph.toJsonl(PgGraph.toPg(nodeTriples.union(edgeTriples)))
+      .as[String].collect()
+    assert(lines.length === 8)
+    // Each line must be valid JSON with unserialised property values.
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val parsed = lines.map(mapper.readTree)
+    val byId = parsed.map(n => n.get("id").asText() -> n).toMap
+    assert(byId("N001").get("type").asText() === "node")
+    assert(byId("N001").get("properties").get("name").get(0).asText() === "Node 1")
+    assert(byId("E001").get("from").asText() === "N001")
+    assert(byId("E001").get("to").asText() === "N002")
+    assert(byId("E001").get("properties").get("weight").get(0).asDouble() === 0.75)
+    assert(byId("E003").get("labels").get(0).asText() === "inferredLink")
+    val nick = byId("N003").get("properties").get("nickname")
+    assert(Set(nick.get(0).asText(), nick.get(1).asText()) === Set("Noddy", "Noddy2"))
+    assert(byId("N004").get("properties").size() === 0)
+  }
+
+  test("Cypher statement batches (ref neoloader batching)") {
+    val pg = PgGraph.toPg(nodeTriples.union(edgeTriples))
+    val nodeStmts = NeoCypher.statements(pg, Graph.NodeType, batchSize = 3).collect()
+    assert(nodeStmts.forall(_.startsWith("UNWIND [")))
+    assert(nodeStmts.forall(_.contains("SET n :$(nlabels)")))
+    // every node carries the common label
+    assert(nodeStmts.forall(_.contains("\"Node\"")))
+    val edgeStmts = NeoCypher.statements(pg, Graph.EdgeType, batchSize = 3).collect()
+    assert(edgeStmts.forall(_.contains("CREATE (from)-[e:$(etype)]->(to)")))
+    // batches respect size: 4 edges with batchSize 3 in one partition → ≤2 stmts/partition
+    val totalEdges = edgeStmts.map(s => "\"from\":".r.findAllIn(s).length).sum
+    assert(totalEdges === 4)
+  }
+}

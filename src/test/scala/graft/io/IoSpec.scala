@@ -1,0 +1,45 @@
+package graft.io
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StringType}
+
+import graft.SparkSpec
+
+/** Mirrors reference spark-utils tests (reference:
+  * tests/ketl/spark/utils/test_spark_utils.py).
+  */
+class IoSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("unionAllByName tolerates missing columns") {
+    val a = Seq((1, "x")).toDF("id", "name")
+    val b = Seq((2, 9.5)).toDF("id", "score")
+    val u = DataFrames.unionAllByName(Seq(a, b), allowMissingColumns = true)
+    assert(u.columns.toSet === Set("id", "name", "score"))
+    assert(u.count() === 2)
+    val r2 = u.where(col("id") === 2).collect()(0)
+    assert(r2.isNullAt(r2.fieldIndex("name")))
+  }
+
+  test("castColumns casts listed columns, ignores absent ones") {
+    val df = Seq(("1", "a")).toDF("n", "s")
+    val out = DataFrames.castColumns(df, Map("n" -> IntegerType, "missing" -> StringType))
+    assert(out.schema("n").dataType === IntegerType)
+    assert(out.schema("s").dataType === StringType)
+  }
+
+  test("checkpoint path helpers (ref df_path/df_check_path)") {
+    assert(Checkpoint.checkPath("/tmp/x.parquet") === "/tmp/x.parquet/_SUCCESS")
+    assert(Checkpoint.basePath("/tmp/x.parquet/_SUCCESS") === "/tmp/x.parquet")
+    assert(Checkpoint.basePath("/tmp/x.parquet") === "/tmp/x.parquet")
+  }
+
+  test("checkpoint save/load round-trip (ref df_save/df_load)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString + "/out.parquet"
+    val df = spark.range(1000).withColumn("v", col("id") * 2)
+    Checkpoint.save(df, dir)
+    val back = Checkpoint.load(spark, Checkpoint.checkPath(dir))
+    assert(back.count() === 1000)
+    assert(back.agg(sum("v")).collect()(0).getLong(0) === 999000L)
+  }
+}
