@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{GraphEtl, Relational}
+import graft.queries.{GraphEtl, Pipeline, Relational}
 
 /** Driver contract — see SURVEY.md §2 for the operator inventory. Each
   * implemented operator has an entry in [[queries]]; those with an ANSI-SQL
@@ -36,7 +36,20 @@ object SparkEntry {
     "q_distinct"    -> (Relational.qDistinct(_, _)),
     "q_semijoin"    -> (Relational.qSemiJoin(_, _)),
     "q_antijoin"    -> (Relational.qAntiJoin(_, _)),
-    "events_window" -> (Relational.eventsWindow(_, _))
+    "events_window" -> (Relational.eventsWindow(_, _)),
+    // C: LLM-training-data pipeline
+    "dedup_exact"         -> (Pipeline.dedupExact(_, _)),
+    "dedup_ngram_jaccard" -> (Pipeline.dedupNgramJaccard(_, _)),
+    "dedup_minhash"       -> (Pipeline.dedupMinhash(_, _)),
+    "dedup_simhash"       -> (Pipeline.dedupSimhash(_, _)),
+    "dedup_embedding"     -> (Pipeline.dedupEmbedding(_, _)),
+    "ann_topk"            -> (Pipeline.annTopK(_, _)),
+    "ann_lsh"             -> (Pipeline.annLsh(_, _)),
+    "text_lang_id"        -> (Pipeline.textLangId(_, _)),
+    "text_quality"        -> (Pipeline.textQuality(_, _)),
+    "token_count"         -> (Pipeline.tokenCount(_, _)),
+    "doc_fingerprint"     -> (Pipeline.docFingerprint(_, _)),
+    "multimodal_meta"     -> (Pipeline.multimodalMeta(_, _))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -57,6 +70,16 @@ object SparkEntry {
     "q_distinct"    -> Relational.qDistinctSql,
     "q_semijoin"    -> Relational.qSemiJoinSql,
     "q_antijoin"    -> Relational.qAntiJoinSql,
-    "events_window" -> Relational.eventsWindowSql
+    "events_window" -> Relational.eventsWindowSql,
+    "dedup_exact"         -> Pipeline.dedupExactSql,
+    "dedup_ngram_jaccard" -> Pipeline.dedupNgramJaccardSql,
+    "dedup_minhash"       -> Pipeline.dedupMinhashSql,
+    "dedup_embedding"     -> Pipeline.dedupEmbeddingSql,
+    "ann_topk"            -> Pipeline.annTopKSql,
+    "text_lang_id"        -> Pipeline.textLangIdSql,
+    "text_quality"        -> Pipeline.textQualitySql,
+    "token_count"         -> Pipeline.tokenCountSql,
+    "doc_fingerprint"     -> Pipeline.docFingerprintSql,
+    "multimodal_meta"     -> Pipeline.multimodalMetaSql
   )
 }

@@ -1,0 +1,90 @@
+package graft.ops.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines.
+  *
+  * Everything here is a pure Column expression over a text column: narrow,
+  * whole-stage-codegen, no UDFs, no shuffle — at 100 TB these run at scan
+  * speed with pushdown intact.
+  */
+object TextOps {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Distinct word-bigram shingles, the unit for Jaccard/MinHash dedup. */
+  def bigrams(text: Column): Column = {
+    val ws = tokens(text)
+    array_distinct(
+      transform(slice(ws, lit(1), size(ws) - 1),
+        (w, i) => concat(w, lit(" "), element_at(ws, i + 2))))
+  }
+
+  /** Language profiles: stopword lists per language (classic n-gram-free
+    * heuristic — count profile hits, argmax wins, ties broken by profile
+    * order).
+    */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "ein"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "est", "dans"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2", "you3", "wo3"))
+
+  /** Per-language stopword hit count (occurrences, not distinct). */
+  def langScore(text: Column, profile: Seq[String]): Column =
+    size(filter(tokens(text), w => array_contains(typedLit(profile), w)))
+
+  /** Predicted language: argmax of profile scores, first-profile tiebreak. */
+  def langPredict(text: Column): Column =
+    LangProfiles.tail.foldLeft(
+      (lit(LangProfiles.head._1), langScore(text, LangProfiles.head._2))) {
+        case ((bestLang, bestScore), (lang, profile)) =>
+          val s = langScore(text, profile)
+          (when(s > bestScore, lit(lang)).otherwise(bestLang),
+            when(s > bestScore, s).otherwise(bestScore))
+      }._1
+
+  /** Quality metrics: token count, mean token length, stopword ratio,
+    * punctuation ratio, uppercase-start ratio. All doubles are single
+    * divisions of exact integers — cross-engine deterministic.
+    */
+  def qualityColumns(text: Column): Seq[(String, Column)] = {
+    val ws = tokens(text)
+    val n = size(ws)
+    val en = typedLit(LangProfiles.head._2)
+    Seq(
+      "n_tokens" -> n.cast("long"),
+      "mean_token_len" -> (sum_agg(transform(ws, w => length(w))).cast("double") / n),
+      "stopword_ratio" -> (size(filter(ws, w => array_contains(en, w))).cast("double") / n),
+      "punct_ratio" -> ((length(text) - length(regexp_replace(text, "[^A-Za-z0-9 ]", ""))).cast("double")
+        / length(text)),
+      "upper_ratio" -> (size(filter(ws, w => w.rlike("^[A-Z]"))).cast("double") / n))
+  }
+
+  private def sum_agg(arr: Column): Column =
+    aggregate(arr, lit(0L), (acc, x) => acc + x.cast("long"))
+
+  /** Token-count columns: whitespace tokens, BPE-ish regex pieces
+    * (letter-runs / digit-runs / single symbols), chars-per-4 subword
+    * estimate.
+    */
+  def tokenCountColumns(text: Column): Seq[(String, Column)] = Seq(
+    "ws_tokens" -> size(tokens(text)).cast("long"),
+    "bpe_pieces" -> regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]")).cast("long"),
+    "subword_est" -> ceil(length(text).cast("double") / 4.0).cast("long"))
+
+  /** Polynomial rolling-hash fingerprint over the token stream:
+    * `h := (h*1000003 + ascii(w)*256 + len(w)) mod (2^31-1)`, plus the md5
+    * of the full text. The modular fold keeps every intermediate < 2^52, so
+    * the arithmetic is exact in any engine.
+    */
+  def fingerprintColumns(text: Column): Seq[(String, Column)] = {
+    val tokvals = transform(tokens(text), w => (ascii(w) * 256 + length(w)).cast("long"))
+    val rolling = aggregate(tokvals, lit(0L),
+      (acc, x) => (acc * 1000003L + x) % 2147483647L)
+    Seq("rolling_fp" -> rolling, "md5_fp" -> md5(text))
+  }
+}

@@ -1,0 +1,191 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.ann.Ann
+import graft.ops.dedup.Dedup
+import graft.ops.multimodal.Multimodal
+import graft.ops.text.TextOps
+
+/** LLM-training-data pipeline query surface (SURVEY.md §2 C-block) over the
+  * documents/embeddings tables.
+  */
+object Pipeline {
+
+  private def docs(spark: SparkSession, dir: String) = Tables.load(spark, dir, "documents")
+  private def embs(spark: SparkSession, dir: String) = Tables.load(spark, dir, "embeddings")
+
+  // ---- C1: exact (normalised) dedup ---------------------------------------
+
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(docs(spark, dir))
+
+  val dedupExactSql: String =
+    """WITH d AS (SELECT doc_id,
+      |  md5(array_to_string(string_split(text, ' ')[1:10], ' ')) AS kh FROM documents)
+      |SELECT kh AS key_hash, min(doc_id) AS canonical_id, count(*) AS n_dups,
+      |  array_to_string(list_sort(list(doc_id::VARCHAR)), ',') AS members
+      |FROM d GROUP BY kh HAVING count(*) > 1 ORDER BY canonical_id""".stripMargin
+
+  // ---- C2: exact bigram-Jaccard similarity join ---------------------------
+
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccard(docs(spark, dir), minJaccard = 0.5)
+
+  val jaccardPairsSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+      |s AS (SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) sh FROM t),
+      |p AS (SELECT a.doc_id AS a, b.doc_id AS b,
+      |  len(list_intersect(a.sh, b.sh))::DOUBLE /
+      |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+      |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+      |SELECT a, b, jaccard FROM p WHERE jaccard >= 0.5 ORDER BY a, b""".stripMargin
+
+  val dedupNgramJaccardSql: String = jaccardPairsSql
+
+  // ---- C3: MinHash+LSH (exactly verified, so it shares C2's oracle) -------
+
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLsh(docs(spark, dir), minJaccard = 0.5)
+
+  val dedupMinhashSql: String = jaccardPairsSql
+
+  // ---- C4: SimHash hamming near-dup (rows-only oracle + spec) -------------
+
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(docs(spark, dir), maxHamming = 3)
+
+  // ---- C5: embedding-cosine near-dup pairs --------------------------------
+
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
+    Ann.cosinePairs(embs(spark, dir), minCosine = 0.45)
+
+  val dedupEmbeddingSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) nrm FROM e),
+      |p AS (SELECT a.vec_id AS a, b.vec_id AS b,
+      |  round(list_sum([pr[1]*pr[2] for pr in list_zip(a.v, b.v)]) / (a.nrm*b.nrm), 6) AS cosine
+      |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+      |SELECT a, b, cosine FROM p WHERE cosine >= 0.45 ORDER BY a, b""".stripMargin
+
+  // ---- C6: brute-force cosine top-k ---------------------------------------
+
+  def annTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    Ann.bruteForceTopK(e.where(col("vec_id") < 20), e.where(col("vec_id") >= 20), k = 5)
+      .withColumnRenamed("rank", "rnk")
+  }
+
+  val annTopKSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) nrm FROM e),
+      |s AS (SELECT q.vec_id qid, c.vec_id cid,
+      |  round(list_sum([pr[1]*pr[2] for pr in list_zip(q.v, c.v)]) / (q.nrm*c.nrm), 6) cosine
+      |  FROM n q JOIN n c ON q.vec_id < 20 AND c.vec_id >= 20),
+      |r AS (SELECT qid, cid, cosine,
+      |  row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) rnk FROM s)
+      |SELECT qid, cid, cosine, rnk FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+
+  // ---- C7: LSH-bucketed ANN (rows-only oracle + recall spec) --------------
+
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    Ann.lshTopK(e.where(col("vec_id") < 20), e.where(col("vec_id") >= 20), k = 5)
+      .withColumnRenamed("rank", "rnk")
+  }
+
+  // ---- C8: language id ----------------------------------------------------
+
+  def textLangId(spark: SparkSession, dir: String): DataFrame = {
+    val scoreCols = TextOps.LangProfiles.map { case (lang, profile) =>
+      TextOps.langScore(col("text"), profile).cast("long").as(s"${lang}_hits")
+    }
+    docs(spark, dir)
+      .select(col("doc_id") +: scoreCols :+ TextOps.langPredict(col("text")).as("pred"): _*)
+      .orderBy("doc_id")
+  }
+
+  val textLangIdSql: String = {
+    val scores = TextOps.LangProfiles.map { case (lang, profile) =>
+      val list = profile.map(w => s"'$w'").mkString("[", ",", "]")
+      s"len(list_filter(string_split(text, ' '), w -> list_contains($list, w)))::BIGINT AS ${lang}_hits"
+    }.mkString(",\n  ")
+    val langs = TextOps.LangProfiles.map(_._1)
+    val greatest = langs.map(l => s"${l}_hits").mkString("greatest(", ", ", ")")
+    val caseChain = langs.map(l => s"WHEN ${l}_hits = g THEN '$l'").mkString(" ")
+    s"""WITH s AS (SELECT doc_id,
+       |  $scores
+       |FROM documents)
+       |SELECT doc_id, ${langs.map(l => s"${l}_hits").mkString(", ")},
+       |  CASE $caseChain END AS pred
+       |FROM (SELECT *, $greatest AS g FROM s) ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- C9: quality scores -------------------------------------------------
+
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    val cols = TextOps.qualityColumns(col("text")).map { case (n, c) => c.as(n) }
+    docs(spark, dir).select(col("doc_id") +: cols: _*).orderBy("doc_id")
+  }
+
+  val textQualitySql: String = {
+    val en = TextOps.LangProfiles.head._2.map(w => s"'$w'").mkString("[", ",", "]")
+    s"""SELECT doc_id,
+       |  len(string_split(text, ' '))::BIGINT AS n_tokens,
+       |  list_sum([length(w) for w in string_split(text, ' ')])::DOUBLE
+       |    / len(string_split(text, ' ')) AS mean_token_len,
+       |  len(list_filter(string_split(text, ' '), w -> list_contains($en, w)))::DOUBLE
+       |    / len(string_split(text, ' ')) AS stopword_ratio,
+       |  (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))::DOUBLE
+       |    / length(text) AS punct_ratio,
+       |  len(list_filter(string_split(text, ' '), w -> regexp_matches(w, '^[A-Z]')))::DOUBLE
+       |    / len(string_split(text, ' ')) AS upper_ratio
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- C10: token counting ------------------------------------------------
+
+  def tokenCount(spark: SparkSession, dir: String): DataFrame = {
+    val cols = TextOps.tokenCountColumns(col("text")).map { case (n, c) => c.as(n) }
+    docs(spark, dir).select(col("doc_id") +: cols: _*).orderBy("doc_id")
+  }
+
+  val tokenCountSql: String =
+    """SELECT doc_id,
+      |  len(string_split(text, ' '))::BIGINT AS ws_tokens,
+      |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))::BIGINT AS bpe_pieces,
+      |  ceil(length(text) / 4.0)::BIGINT AS subword_est
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- C11: document fingerprinting ---------------------------------------
+
+  def docFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val cols = TextOps.fingerprintColumns(col("text")).map { case (n, c) => c.as(n) }
+    docs(spark, dir).select(col("doc_id") +: cols: _*).orderBy("doc_id")
+  }
+
+  val docFingerprintSql: String =
+    """SELECT doc_id,
+      |  list_reduce([(ascii(w)*256 + length(w))::BIGINT for w in string_split(text, ' ')],
+      |    (acc, x) -> (acc*1000003 + x) % 2147483647) AS rolling_fp,
+      |  md5(text) AS md5_fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- C12: multimodal binary columns -------------------------------------
+
+  def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.withMediaMetadata(docs(spark, dir), "doc_id", "text")
+      .select(col("doc_id"), col("meta.n_bytes").as("n_bytes"),
+        col("meta.width").as("width"), col("meta.height").as("height"),
+        col("meta.format").as("format"))
+      .orderBy("doc_id")
+
+  val multimodalMetaSql: String =
+    """SELECT doc_id,
+      |  octet_length(encode(text))::BIGINT AS n_bytes,
+      |  (octet_length(encode(text)) % 640)::INTEGER AS width,
+      |  ((octet_length(encode(text))::BIGINT * 31) % 480)::INTEGER AS height,
+      |  'img/fake' AS format
+      |FROM documents ORDER BY doc_id""".stripMargin
+}

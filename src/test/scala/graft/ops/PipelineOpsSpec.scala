@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ops.ann.Ann
+import graft.ops.dedup.Dedup
+import graft.ops.multimodal.Multimodal
+
+/** Cross-validates the non-SQL-expressible pipeline ops against their exact
+  * counterparts on the driver-generated documents/embeddings tables.
+  */
+class PipelineOpsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$dir/documents.parquet")
+  private lazy val embs = spark.read.parquet(s"$dir/embeddings.parquet")
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("minhash LSH finds exactly the exact-Jaccard pairs") {
+    val exact = pairs(Dedup.ngramJaccard(docs, 0.5))
+    val lsh = pairs(Dedup.minhashLsh(docs, 0.5))
+    assert(exact.nonEmpty)
+    assert(lsh === exact)
+  }
+
+  test("simhash catches most planted near-identical pairs") {
+    val sim = pairs(Dedup.simhash(docs, maxHamming = 3))
+    // simhash is token-frequency based: near-identical shingle SETS usually
+    // land within a few bits, but repetition-heavy dups can drift — expect
+    // high coverage, not containment (and extra frequency-profile pairs are
+    // its legitimate semantics, not errors).
+    val planted = pairs(Dedup.ngramJaccard(docs, 0.95))
+    assert(planted.nonEmpty)
+    val coverage = (planted intersect sim).size.toDouble / planted.size
+    assert(coverage >= 0.6, s"coverage $coverage below 0.6")
+  }
+
+  test("exact dedup groups contain genuinely identical normalisation keys") {
+    val groups = Dedup.exact(docs, prefixTokens = 10).collect()
+    assert(groups.nonEmpty)
+    assert(groups.forall(_.getAs[Long]("n_dups") >= 2))
+  }
+
+  test("LSH ANN reaches decent recall of brute-force top-5") {
+    val q = embs.where(col("vec_id") < 20)
+    val c = embs.where(col("vec_id") >= 20)
+    val exact = Ann.bruteForceTopK(q, c, 5)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Ann.lshTopK(q, c, 5)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.4, s"recall $recall below 0.4")
+  }
+
+  test("multimodal metadata is deterministic from bytes") {
+    val out = Multimodal.withMediaMetadata(docs, "doc_id", "text")
+    val r = out.orderBy("doc_id").limit(1).collect()(0)
+    val bytes = r.getAs[Array[Byte]]("media")
+    val meta = r.getStruct(r.fieldIndex("meta"))
+    assert(meta.getLong(0) === bytes.length.toLong)
+    assert(meta.getInt(1) === (bytes.length % 640))
+    assert(meta.getInt(2) === ((bytes.length.toLong * 31) % 480).toInt)
+    assert(meta.getString(3) === "img/fake")
+  }
+}
