@@ -1,0 +1,179 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Dot product of two `array<double>` columns as a native Catalyst
+  * expression with whole-stage codegen.
+  *
+  * The `aggregate`/`zip_with` higher-order-function formulation evaluates a
+  * lambda per element through the interpreter — ~30× slower on the 2M-pair
+  * similarity joins. This compiles to a tight primitive loop instead, with
+  * identical left-to-right double accumulation (bit-compatible results).
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<double> arguments, " +
+        s"got ${left.dataType.sql} and ${right.dataType.sql}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    DotProduct.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.DotProduct.dot($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotProduct {
+  /** Shared by interpreted eval and generated code (static forwarder). */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    s
+  }
+}
+
+/** 64-bit SimHash of a token array (`array<string>`) as a native expression:
+  * one pass over the tokens, FNV-1a 64 per token, ±1 vote per bit, sign bits
+  * packed into a long. Replaces an interpreted `aggregate(zip_with(...))`
+  * over 64-element vote arrays (~tokens×64 lambda calls per row).
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash64"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.sql}")
+  }
+
+  override def nullSafeEval(tokens: Any): Any =
+    SimHash64.simhash(tokens.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.SimHash64.simhash($t)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** Sign-random-projection LSH codes for a vector: `bands` codes, each from
+  * `planes` sign bits of projections onto deterministic ±1 hyperplanes
+  * (splitmix64 parity of (seed, band, plane, dim)). One tight pass instead
+  * of bands×planes interpreted HOF reductions.
+  */
+case class SrpCodes(child: Expression, planes: Int, bands: Int, seed: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_srp_codes"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got ${other.sql}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    SrpCodes.codes(v.asInstanceOf[ArrayData], planes, bands, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      v => s"graft.functions.SrpCodes.codes($v, $planes, $bands, $seed)")
+
+  override protected def withNewChildInternal(newChild: Expression): SrpCodes =
+    copy(child = newChild)
+}
+
+object SrpCodes {
+  def mix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  def codes(v: ArrayData, planes: Int, bands: Int, seed: Int): ArrayData = {
+    val dims = v.numElements()
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var code = 0L
+      var p = 0
+      while (p < planes) {
+        var proj = 0.0
+        var i = 0
+        while (i < dims) {
+          val key = seed.toLong * 1000003L + b.toLong * 262144L + p.toLong * 4096L + i
+          val s = if ((mix64(key) & 1L) == 1L) 1.0 else -1.0
+          proj += s * v.getDouble(i)
+          i += 1
+        }
+        if (proj > 0) code |= (1L << p)
+        p += 1
+      }
+      out(b) = code
+      b += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
+object SimHash64 {
+  /** FNV-1a 64 over the token's UTF-8 bytes — self-contained and stable. */
+  def hash64(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  def simhash(tokens: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = tokens.numElements()
+    var t = 0
+    while (t < n) {
+      if (!tokens.isNullAt(t)) {
+        val h = hash64(tokens.getUTF8String(t))
+        var i = 0
+        while (i < 64) {
+          if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+          i += 1
+        }
+      }
+      t += 1
+    }
+    var code = 0L
+    var i = 0
+    while (i < 64) { if (votes(i) > 0) code |= (1L << i); i += 1 }
+    code
+  }
+}

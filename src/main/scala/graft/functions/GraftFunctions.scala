@@ -1,0 +1,43 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Registration of graft's native expressions.
+  *
+  * Two routes, same builders:
+  *  - [[GraftFunctions.register]] for an existing session (idempotent) —
+  *    used internally by the operators that need the functions;
+  *  - [[GraftExtensions]] for `spark.sql.extensions=graft.functions.GraftExtensions`
+  *    so SQL users get them in every session of a cluster.
+  */
+object GraftFunctions {
+
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_dot" -> { exprs => DotProduct(exprs(0), exprs(1)) },
+    "graft_simhash64" -> { exprs => SimHash64(exprs(0)) },
+    "graft_srp_codes" -> { exprs =>
+      SrpCodes(exprs(0),
+        planes = exprs(1).eval().asInstanceOf[Int],
+        bands = exprs(2).eval().asInstanceOf[Int],
+        seed = exprs(3).eval().asInstanceOf[Int])
+    })
+
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    builders.foreach { case (name, builder) =>
+      if (!registry.functionExists(FunctionIdentifier(name)))
+        registry.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+  }
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.builders.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name), builder))
+    }
+}

@@ -38,20 +38,32 @@ object Dedup {
 
   /** Exact bigram-shingle Jaccard similarity join: all pairs with
     * `J(a,b) >= minJaccard`. Inverted-index candidate generation keeps this
-    * exact AND sub-quadratic: a qualifying pair must share a shingle.
+    * exact and sub-quadratic: a qualifying pair must share a shingle, so the
+    * self-join on the shingle key only materialises co-occurring pairs and
+    * one groupBy counts each pair's true intersection directly (no second
+    * verification pass).
+    *
+    * Plan shape: shingles travel as 64-bit xxhash64 keys (long-keyed
+    * shuffle/join, no string comparisons) and each posting carries its doc's
+    * set size, so the Jaccard falls straight out of the pair aggregation —
+    * one shuffle join + one groupBy total. Hot shingles are bounded skew
+    * (df² rows per shingle) that AQE skew-splitting handles at scale.
+    *
+    * Scale note: this is the exact baseline; its cost is inherently the
+    * co-occurrence volume Σ_sh df(sh)². At 100 TB run [[minhashLsh]] —
+    * same output (verified candidates), an order of magnitude cheaper.
     */
   def ngramJaccard(docs: DataFrame, minJaccard: Double,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val base = docs.select(col(idCol).as("id"), TextOps.bigrams(col(textCol)).as("sh"))
-    val sizes = base.select(col("id"), size(col("sh")).as("n"))
-    val inv = base.select(col("id"), explode(col("sh")).as("sh"))
-    val candidates = inv.as("x").join(inv.as("y"),
-        col("x.sh") === col("y.sh") && col("x.id") < col("y.id"))
-      .groupBy(col("x.id").as("a"), col("y.id").as("b"))
+    val base = docs.select(col(idCol).as("id"),
+      transform(TextOps.bigrams(col(textCol)), sh => xxhash64(sh)).as("sh"))
+    val inv = base.select(col("id"), size(col("sh")).as("n"), explode(col("sh")).as("h"))
+    val pairs = inv.as("x").join(inv.as("y"),
+        col("x.h") === col("y.h") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("a"), col("y.id").as("b"),
+        col("x.n").as("na"), col("y.n").as("nb"))
       .agg(count(lit(1)).as("inter"))
-    candidates
-      .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("n", "na"), "a")
-      .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("n", "nb"), "b")
+    pairs
       .select(col("a"), col("b"),
         (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
       .where(col("jaccard") >= minJaccard)
@@ -94,56 +106,39 @@ object Dedup {
       .orderBy("a", "b")
   }
 
-  /** 64-bit SimHash as an array of per-bit vote sums (±1 per token),
-    * folded over the token stream as a per-row expression.
-    */
-  def simhashBits(tokens: Column): Column =
-    aggregate(tokens,
-      array_repeat(lit(0L), 64),
-      (acc, w) => {
-        val h = xxhash64(w)
-        // variable-distance bit test without shift-by-column: AND with 2^i
-        // (exact as double for i ≤ 62; bit 63 is the sign)
-        zip_with(acc, sequence(lit(0), lit(63)),
-          (a, i) => {
-            val isSet = when(i === 63, h < 0)
-              .otherwise(h.bitwiseAND(pow(lit(2.0), i).cast("long")) =!= 0)
-            a + when(isSet, 1L).otherwise(-1L)
-          })
-      })
-
   /** SimHash near-dup pairs with hamming distance ≤ `maxHamming` (≤ 31).
-    * Pigeonhole banding: the 64 sign bits split into the smallest
-    * power-of-two chunk count strictly above `maxHamming` — a pair within
-    * the threshold must then agree on ≥1 full chunk, so the join on
-    * (chunk index, chunk code) is exhaustive. Verified with the true
-    * hamming distance.
+    *
+    * The 64-bit signature comes from the native codegen expression
+    * graft.functions.SimHash64 (one pass over the tokens — the interpreted
+    * HOF formulation cost tokens×64 lambda calls per row). Pigeonhole
+    * banding: the 64 bits split into the smallest power-of-two chunk count
+    * strictly above `maxHamming` — a pair within the threshold must agree
+    * on ≥1 full chunk, so the join on (chunk index, chunk code) is
+    * exhaustive. Chunk extraction and the final hamming check are plain
+    * bit ops (`shiftrightunsigned`/`bit_count`), all codegen'd.
     */
   def simhash(docs: DataFrame, maxHamming: Int = 3,
               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(maxHamming <= 31, "banding needs chunks > maxHamming; 64 bits cap this at 31")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val nChunks = Seq(4, 8, 16, 32).find(_ > maxHamming).get
     val chunkLen = 64 / nChunks
-    val bits = simhashBits(TextOps.tokens(col(textCol)))
+    val mask = (1L << chunkLen) - 1
     val base = docs.select(col(idCol).as("id"),
-      transform(bits, b => when(b > 0, 1L).otherwise(0L)).as("bits"))
-    // chunk codes: sum bit_i * 2^i within the chunk (exact in long)
-    val chunks = base.select(col("id"), col("bits"),
-      posexplode(transform(sequence(lit(0), lit(nChunks - 1)), c => {
-        val chunkBits = slice(col("bits"), c * chunkLen + 1, lit(chunkLen))
-        aggregate(zip_with(chunkBits, sequence(lit(0), lit(chunkLen - 1)),
-          (b, i) => b * pow(lit(2.0), i).cast("long")), lit(0L), (acc, x) => acc + x)
-      })).as(Seq("cidx", "code")))
+      call_function("graft_simhash64", TextOps.tokens(col(textCol))).as("code64"))
+    val chunks = base.select(col("id"), col("code64"),
+      posexplode(array((0 until nChunks).map(c =>
+        shiftrightunsigned(col("code64"), c * chunkLen).bitwiseAND(mask)): _*))
+        .as(Seq("cidx", "code")))
     val candidates = chunks.as("x").join(chunks.as("y"),
         col("x.cidx") === col("y.cidx") && col("x.code") === col("y.code")
           && col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"),
-        col("x.bits").as("ba"), col("y.bits").as("bb"))
+        col("x.code64").as("ca"), col("y.code64").as("cb"))
       .dropDuplicates("a", "b")
     candidates
       .select(col("a"), col("b"),
-        aggregate(zip_with(col("ba"), col("bb"), (x, y) => when(x =!= y, 1L).otherwise(0L)),
-          lit(0L), (acc, x) => acc + x).as("hamming"))
+        bit_count(col("ca").bitwiseXOR(col("cb"))).cast("long").as("hamming"))
       .where(col("hamming") <= maxHamming)
       .orderBy("a", "b")
   }
