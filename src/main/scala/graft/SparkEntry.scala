@@ -37,6 +37,7 @@ object SparkEntry {
     "q_semijoin"    -> (Relational.qSemiJoin(_, _)),
     "q_antijoin"    -> (Relational.qAntiJoin(_, _)),
     "events_window" -> (Relational.eventsWindow(_, _)),
+    "sessionize_events" -> (Relational.sessionizeEvents(_, _)),
     // C: LLM-training-data pipeline
     "dedup_exact"         -> (Pipeline.dedupExact(_, _)),
     "dedup_ngram_jaccard" -> (Pipeline.dedupNgramJaccard(_, _)),
@@ -71,6 +72,7 @@ object SparkEntry {
     "q_semijoin"    -> Relational.qSemiJoinSql,
     "q_antijoin"    -> Relational.qAntiJoinSql,
     "events_window" -> Relational.eventsWindowSql,
+    "sessionize_events" -> Relational.sessionizeEventsSql,
     "dedup_exact"         -> Pipeline.dedupExactSql,
     "dedup_ngram_jaccard" -> Pipeline.dedupNgramJaccardSql,
     "dedup_minhash"       -> Pipeline.dedupMinhashSql,

@@ -186,7 +186,7 @@ object Relational {
     * Verify/Bench); it is converted to a micros timestamp here.
     */
   def eventsWindow(spark: SparkSession, dir: String): DataFrame = {
-    val ts = timestamp_micros((col("ts") / 1000L).cast("long"))
+    val ts = timestamp_micros(expr("ts div 1000"))
     Tables.load(spark, dir, "events")
       .groupBy(date_trunc("hour", ts).as("bucket"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
@@ -198,4 +198,32 @@ object Relational {
     """SELECT date_trunc('hour', ts)::TIMESTAMP AS bucket, event_type, count(*) AS n_events,
       |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin
+
+  /** B11/D3: gap-based sessionisation — runs the custom stateful operator
+    * (graft.streaming.Streaming.sessionize, flatMapGroupsWithState) in batch
+    * mode; the oracle reproduces the semantics independently via lag/cumsum
+    * window SQL, cross-validating the state logic.
+    */
+  def sessionizeEvents(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val events = Tables.load(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[graft.streaming.Streaming.Event]
+    graft.streaming.Streaming.sessionize(events, gapMinutes = 30)
+      .toDF()
+      .orderBy("user_id", "session_start")
+  }
+
+  val sessionizeEventsSql: String =
+    """WITH g AS (SELECT user_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |    ROWS UNBOUNDED PRECEDING) AS sid FROM g)
+      |SELECT user_id, min(ts)::TIMESTAMP AS session_start,
+      |  max(ts)::TIMESTAMP AS session_end, count(*)::INTEGER AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
 }

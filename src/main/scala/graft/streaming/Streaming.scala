@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming operators (SURVEY.md §2 D-block).
+  *
+  * The transforms are written once against a DataFrame and run identically
+  * under `read` and `readStream` — the streaming-vs-batch split lives only
+  * in the source/sink wiring, which is the Spark-native way to keep the two
+  * paths provably consistent (the batch twin IS the oracle for the stream).
+  */
+object Streaming {
+
+  /** events.parquet schema under `nanosAsLong` (ts arrives as epoch nanos). */
+  val EventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Streaming source over the events table. The file-stream source
+    * monitors directories, so the sf dir is the source path with a glob
+    * filter selecting the events file(s) — works for single-file test
+    * layouts and partitioned production layouts alike.
+    */
+  def eventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(EventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** D1: tumbling 1-hour window aggregation with a 10-minute watermark.
+    * Works on both batch and streaming frames; late data beyond the
+    * watermark is dropped by the engine in streaming mode.
+    */
+  def windowAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
+      .select(col("window.start").as("bucket"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** D2: streaming dedup on event_id within the watermark horizon —
+    * exactly-once semantics over an at-least-once source.
+    */
+  def dedup(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+  final case class UserSession(user_id: Long, session_start: java.sql.Timestamp,
+                               session_end: java.sql.Timestamp, n_events: Int,
+                               sum_value: Double)
+
+  /** D3: gap-based sessionisation via flatMapGroupsWithState — the custom
+    * stateful path for semantics `window()` can't express. A user's events
+    * are split into sessions wherever the time gap exceeds `gapMinutes`;
+    * gap comparison is between CONSECUTIVE events.
+    *
+    * The state carries events of the still-open trailing session between
+    * invocations. In batch mode each group arrives complete in one call, so
+    * every session (including the trailing one, flushed by `emitOpen`)
+    * closes; a production stream would flip `emitOpen` off and pair the
+    * buffered state with an event-time timeout to flush quiet users.
+    */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30,
+                 emitOpen: Boolean = true): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60 * 1000L
+
+    def toSession(userId: Long, es: List[Event]): UserSession = {
+      // per-event 6dp decimal quantisation before summing: the session sum is
+      // then exact and order-independent (a plain double sum would drift from
+      // any engine-independent oracle in the last bits)
+      val sum = es.foldLeft(java.math.BigDecimal.ZERO) { (acc, e) =>
+        acc.add(new java.math.BigDecimal(e.value).setScale(6, java.math.RoundingMode.HALF_UP))
+      }.doubleValue
+      UserSession(userId, es.head.ts, es.last.ts, es.size, sum)
+    }
+
+    def fn(userId: Long, it: Iterator[Event],
+           state: GroupState[List[Event]]): Iterator[UserSession] = {
+      val sorted = (state.getOption.getOrElse(Nil) ++ it).sortBy(_.ts.getTime)
+      if (sorted.isEmpty) return Iterator.empty
+      // consecutive-gap split, sessions in order, each session in order
+      val sessions = sorted.tail.foldLeft(List(List(sorted.head))) { (acc, e) =>
+        if (e.ts.getTime - acc.head.head.ts.getTime > gapMs) List(e) :: acc
+        else (e :: acc.head) :: acc.tail
+      }.map(_.reverse).reverse
+      if (emitOpen) {
+        state.remove()
+        sessions.iterator.map(toSession(userId, _))
+      } else {
+        state.update(sessions.last)
+        sessions.init.iterator.map(toSession(userId, _))
+      }
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+}

@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def batchEvents = spark.read.parquet(s"$dir/events.parquet")
+    .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  test("D1: stream window agg equals the batch twin (end-to-end memory sink)") {
+    val stream = Streaming.windowAgg(Streaming.eventStream(spark, dir))
+    val query = stream.writeStream
+      .format("memory").queryName("win_agg").outputMode("complete").start()
+    try query.processAllAvailable() finally query.stop()
+    val streamed = spark.table("win_agg")
+      .select("bucket", "event_type", "n_events", "sum_value")
+      .collect().map(_.toSeq).toSet
+
+    val batch = Streaming.windowAgg(batchEvents)
+      .select("bucket", "event_type", "n_events", "sum_value")
+      .collect().map(_.toSeq).toSet
+
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("D2: streaming dedup drops re-delivered events") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val ev = spark.read.schema(Streaming.EventsSchema).parquet(s"$dir/events.parquet")
+    ev.limit(100).write.parquet(s"$tmp/batch1")
+    // re-deliver the same 100 events plus 50 new ones
+    ev.limit(150).write.parquet(s"$tmp/batch2")
+    val src = spark.readStream.schema(Streaming.EventsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$tmp/*/")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val query = Streaming.dedup(src).writeStream
+      .format("memory").queryName("dedup_sink").outputMode("append").start()
+    try query.processAllAvailable() finally query.stop()
+    val ids = spark.table("dedup_sink").select("event_id").as[Long].collect()
+    assert(ids.length === ids.distinct.length)
+    assert(ids.length === 150)
+  }
+
+  test("D3: sessionize splits on gaps > 30min and aggregates per session") {
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val events = Seq(
+      Streaming.Event(1, ts(0), 7L, "click", 1.0),
+      Streaming.Event(2, ts(10), 7L, "click", 2.0),
+      Streaming.Event(3, ts(100), 7L, "view", 4.0),  // gap 90min → new session
+      Streaming.Event(4, ts(120), 7L, "click", 8.0),
+      Streaming.Event(5, ts(0), 9L, "view", 16.0)
+    ).toDS()
+    val sessions = Streaming.sessionize(events, gapMinutes = 30)
+      .collect().sortBy(s => (s.user_id, s.session_start.getTime))
+    assert(sessions.length === 3)
+    val s1 = sessions(0)
+    assert(s1.user_id === 7L && s1.n_events === 2 && s1.sum_value === 3.0)
+    assert(s1.session_start === ts(0) && s1.session_end === ts(10))
+    val s2 = sessions(1)
+    assert(s2.n_events === 2 && s2.sum_value === 12.0)
+    val s3 = sessions(2)
+    assert(s3.user_id === 9L && s3.n_events === 1 && s3.sum_value === 16.0)
+  }
+}
