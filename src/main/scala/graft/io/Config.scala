@@ -1,0 +1,64 @@
+package graft.io
+
+import org.apache.spark.sql.SparkSession
+
+/** Configuration loading (reference: src/ketl/config.py + spark/utils.py:239
+  * create_spark_session_from_config).
+  *
+  * The reference reads YAML with `${ENV_VAR}` / `${ENV_VAR:default}`
+  * interpolation. No YAML library ships in this build, so this parses the
+  * indentation-nested key/value subset the reference's configs actually use
+  * (see its tests/resources yml files) into dotted keys, with the same
+  * interpolation syntax.
+  */
+object Config {
+
+  private val EnvVar = """\$\{([^}:]+)(?::([^}]*))?\}""".r
+
+  /** `${VAR}` → env value (empty if unset); `${VAR:default}` → default when
+    * unset (reference: src/ketl/config.py:36-45).
+    */
+  def interpolate(s: String, env: Map[String, String] = sys.env): String =
+    EnvVar.replaceAllIn(s, m =>
+      scala.util.matching.Regex.quoteReplacement(
+        env.getOrElse(m.group(1), Option(m.group(2)).getOrElse(""))))
+
+  /** Parses the indented `key: value` subset into dotted keys:
+    * {{{
+    * spark:
+    *   master: local[4]     ->  Map("spark.master" -> "local[4]", ...)
+    *   config:
+    *     spark.ui.enabled: "false"
+    * }}}
+    */
+  def parse(text: String, env: Map[String, String] = sys.env): Map[String, String] = {
+    val lines = interpolate(text, env).linesIterator
+      .map(l => (l.takeWhile(_ == ' ').length, l.trim))
+      .filter { case (_, t) => t.nonEmpty && !t.startsWith("#") }
+      .toList
+    var stack = List.empty[(Int, String)] // (indent, key-prefix)
+    val out = Map.newBuilder[String, String]
+    lines.foreach { case (indent, line) =>
+      val (key, value) = line.span(_ != ':') match {
+        case (k, v) => (k.trim, v.drop(1).trim.stripPrefix("\"").stripSuffix("\""))
+      }
+      stack = stack.dropWhile(_._1 >= indent)
+      val path = (stack.reverse.map(_._2) :+ key).mkString(".")
+      if (value.isEmpty) stack = (indent, key) :: stack
+      else out += path -> value
+    }
+    out.result()
+  }
+
+  /** Builds a SparkSession from a parsed config: `master`, `appName`, and
+    * every `config.*` entry (reference: src/ketl/spark/utils.py:239-262).
+    */
+  def sparkSession(conf: Map[String, String]): SparkSession = {
+    var b = SparkSession.builder()
+    conf.get("master").foreach(m => b = b.master(m))
+    conf.get("appName").foreach(a => b = b.appName(a))
+    conf.collect { case (k, v) if k.startsWith("config.") => (k.drop("config.".length), v) }
+      .foreach { case (k, v) => b = b.config(k, v) }
+    b.getOrCreate()
+  }
+}
