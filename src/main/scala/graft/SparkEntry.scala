@@ -42,6 +42,8 @@ object SparkEntry {
     "dedup_exact"         -> (Pipeline.dedupExact(_, _)),
     "dedup_ngram_jaccard" -> (Pipeline.dedupNgramJaccard(_, _)),
     "dedup_minhash"       -> (Pipeline.dedupMinhash(_, _)),
+    "dedup_clusters"      -> (Pipeline.dedupClusters(_, _)),
+    "pg_degrees"          -> (GraphEtl.pgDegrees(_, _)),
     "dedup_simhash"       -> (Pipeline.dedupSimhash(_, _)),
     "dedup_embedding"     -> (Pipeline.dedupEmbedding(_, _)),
     "ann_topk"            -> (Pipeline.annTopK(_, _)),
@@ -76,6 +78,8 @@ object SparkEntry {
     "dedup_exact"         -> Pipeline.dedupExactSql,
     "dedup_ngram_jaccard" -> Pipeline.dedupNgramJaccardSql,
     "dedup_minhash"       -> Pipeline.dedupMinhashSql,
+    "dedup_clusters"      -> Pipeline.dedupClustersSql,
+    "pg_degrees"          -> GraphEtl.pgDegreesSql,
     "dedup_embedding"     -> Pipeline.dedupEmbeddingSql,
     "ann_topk"            -> Pipeline.annTopKSql,
     "text_lang_id"        -> Pipeline.textLangIdSql,

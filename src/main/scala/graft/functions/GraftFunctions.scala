@@ -35,9 +35,13 @@ object GraftFunctions {
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.builders.foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft.functions", name), builder))
     }
+    // window-rank-filter → bounded-heap top-k (graft.plans.TopKPerKey)
+    ext.injectOptimizerRule(spark => new graft.plans.TopKRewrite(spark))
+    ext.injectPlannerStrategy(spark => new graft.plans.TopKStrategy(spark))
+  }
 }

@@ -194,6 +194,22 @@ object GraphEtl {
     """SELECT p_partkey::DOUBLE AS p_partkey, p_name, p_size::VARCHAR AS p_size
       |FROM part ORDER BY p_partkey""".stripMargin
 
+  /** A5b: node degrees of the PG edge set via GraphX degree aggregation;
+    * oracle counts edge endpoints in SQL.
+    */
+  def pgDegrees(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.graph.GraphOps.degrees(
+      PgGraph.toPg(nationTriples(spark, dir)).where(col("type") === Graph.EdgeType))
+
+  val pgDegreesSql: String =
+    s"""WITH t AS ($nationTriplesSql),
+       |e AS (SELECT max(CASE WHEN key = '@from' THEN value END) AS f,
+       |        max(CASE WHEN key = '@to' THEN value END) AS tt
+       |      FROM t GROUP BY id
+       |      HAVING f IS NOT NULL AND tt IS NOT NULL),
+       |ends AS (SELECT f AS node FROM e UNION ALL SELECT tt FROM e)
+       |SELECT node, count(*)::INTEGER AS degree FROM ends GROUP BY node ORDER BY node""".stripMargin
+
   // ---- A10: PG → Cypher batch statements (rows-only oracle + spec) --------
 
   def neoCypher(spark: SparkSession, dir: String): DataFrame = {

@@ -51,6 +51,34 @@ object Pipeline {
 
   val dedupMinhashSql: String = jaccardPairsSql
 
+  /** C3b: near-dup pairs → dedup clusters via GraphX connected components
+    * (canonical representative = min doc_id of the component). Oracle:
+    * recursive-CTE transitive closure + min-reachable-id in SQL —
+    * independent semantics, same result.
+    */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.graph.GraphOps.connectedComponents(
+      Dedup.ngramJaccard(docs(spark, dir), minJaccard = 0.5))
+
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE
+       |t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+       |s AS (SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) sh FROM t),
+       |p AS (SELECT a.doc_id AS a, b.doc_id AS b,
+       |  len(list_intersect(a.sh, b.sh))::DOUBLE /
+       |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+       |  FROM s a JOIN s b ON a.doc_id < b.doc_id),
+       |pairs AS (SELECT a, b FROM p WHERE jaccard >= 0.5),
+       |e AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT a, b FROM e
+       |  UNION
+       |  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a),
+       |verts AS (SELECT a AS id FROM pairs UNION SELECT b FROM pairs)
+       |SELECT v.id, least(v.id, min(r.dst)) AS component
+       |FROM verts v LEFT JOIN reach r ON r.src = v.id
+       |GROUP BY v.id ORDER BY v.id""".stripMargin
+
   // ---- C4: SimHash hamming near-dup (rows-only oracle + spec) -------------
 
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
