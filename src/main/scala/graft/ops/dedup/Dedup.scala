@@ -37,24 +37,46 @@ object Dedup {
   }
 
   /** Exact bigram-shingle Jaccard similarity join: all pairs with
-    * `J(a,b) >= minJaccard`. Inverted-index candidate generation keeps this
-    * exact and sub-quadratic: a qualifying pair must share a shingle, so the
-    * self-join on the shingle key only materialises co-occurring pairs and
-    * one groupBy counts each pair's true intersection directly (no second
-    * verification pass).
+    * `J(a,b) >= minJaccard`. Shingle sets travel as SORTED arrays of
+    * xxhash64 keys; pair enumeration is a broadcast nested-loop join and the
+    * intersection size comes from the native merge-scan expression
+    * graft_intersect_count — no shuffle at all, O(n²·d) with tiny constants
+    * (tight primitive loops, zero per-pair allocation).
     *
-    * Plan shape: shingles travel as 64-bit xxhash64 keys (long-keyed
-    * shuffle/join, no string comparisons) and each posting carries its doc's
-    * set size, so the Jaccard falls straight out of the pair aggregation —
-    * one shuffle join + one groupBy total. Hot shingles are bounded skew
-    * (df² rows per shingle) that AQE skew-splitting handles at scale.
-    *
-    * Scale note: this is the exact baseline; its cost is inherently the
-    * co-occurrence volume Σ_sh df(sh)². At 100 TB run [[minhashLsh]] —
-    * same output (verified candidates), an order of magnitude cheaper.
+    * Scale notes: the broadcast loop is right when one side fits in memory
+    * (dedup within a partition/bucket, or a dense small-vocab corpus where
+    * inverted indexes degenerate). For large zipfian corpora use
+    * [[ngramJaccardSparse]] (shuffle on the shingle key, cost Σ df²); at
+    * 100 TB use [[minhashLsh]] — same verified output, cheapest by far.
     */
   def ngramJaccard(docs: DataFrame, minJaccard: Double,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val base = docs.select(col(idCol).as("id"),
+        array_sort(transform(TextOps.bigrams(col(textCol)), sh => xxhash64(sh))).as("sh"))
+      .withColumn("n", size(col("sh")))
+    // spread the probe side across all cores: the source is often a single
+    // input split, which would otherwise serialise the whole O(n²) loop
+    val a = base.select(col("id").as("a"), col("sh").as("sha"), col("n").as("na"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    val b = base.select(col("id").as("b"), col("sh").as("shb"), col("n").as("nb"))
+    a.join(broadcast(b), col("a") < col("b"))
+      .withColumn("inter",
+        call_function("graft_intersect_count", col("sha"), col("shb")).cast("long"))
+      .select(col("a"), col("b"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+      .orderBy("a", "b")
+  }
+
+  /** Inverted-index variant of [[ngramJaccard]] — identical output, shuffle
+    * on the shingle key instead of a broadcast loop. The right choice when
+    * the shingle vocabulary is large and zipfian (most shingles rare →
+    * co-occurrence volume Σ df² ≪ n²); on dense small-vocab corpora the
+    * broadcast path wins. Both are exact; pick by corpus shape.
+    */
+  def ngramJaccardSparse(docs: DataFrame, minJaccard: Double,
+                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val base = docs.select(col(idCol).as("id"),
       transform(TextOps.bigrams(col(textCol)), sh => xxhash64(sh)).as("sh"))
     val inv = base.select(col("id"), size(col("sh")).as("n"), explode(col("sh")).as("h"))

@@ -19,6 +19,13 @@ class PipelineOpsSpec extends SparkSpec {
   private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
     df.select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  test("dense (broadcast+merge-scan) and sparse (inverted-index) jaccard joins agree") {
+    val dense = pairs(Dedup.ngramJaccard(docs, 0.5))
+    val sparse = pairs(Dedup.ngramJaccardSparse(docs, 0.5))
+    assert(dense.nonEmpty)
+    assert(dense === sparse)
+  }
+
   test("minhash LSH finds exactly the exact-Jaccard pairs") {
     val exact = pairs(Dedup.ngramJaccard(docs, 0.5))
     val lsh = pairs(Dedup.minhashLsh(docs, 0.5))
