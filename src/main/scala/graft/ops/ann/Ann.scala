@@ -39,7 +39,10 @@ object Ann {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val base = emb.select(col(idCol).as("id"), vec(col(vecCol)).as("v"))
       .withColumn("nrm", norm(col("v")))
-    base.as("x").join(base.as("y"), col("x.id") < col("y.id"))
+    // broadcast one side and spread the other across all cores — a
+    // single-split source would otherwise serialise the O(n²) loop
+    base.repartition(emb.sparkSession.sparkContext.defaultParallelism).as("x")
+      .join(broadcast(base).as("y"), col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"),
         round(cosine(col("x.v"), col("y.v"), col("x.nrm"), col("y.nrm")), 6).as("cosine"))
       .where(col("cosine") >= minCosine)

@@ -57,8 +57,10 @@ object Pipeline {
     * independent semantics, same result.
     */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    // minhash candidates verified with exact Jaccard == the exact pair set,
+    // at a fraction of the cost — the production shape of this pipeline
     graft.ops.graph.GraphOps.connectedComponents(
-      Dedup.ngramJaccard(docs(spark, dir), minJaccard = 0.5))
+      Dedup.minhashLsh(docs(spark, dir), minJaccard = 0.5))
 
   val dedupClustersSql: String =
     s"""WITH RECURSIVE
