@@ -38,6 +38,12 @@ object SparkEntry {
     "q_antijoin"    -> (Relational.qAntiJoin(_, _)),
     "events_window" -> (Relational.eventsWindow(_, _)),
     "sessionize_events" -> (Relational.sessionizeEvents(_, _)),
+    "q6_sql"        -> (Relational.q6Sql(_, _)),
+    "q_cube"        -> (Relational.qCube(_, _)),
+    "q_median"      -> (Relational.qMedian(_, _)),
+    "q_pivot"       -> (Relational.qPivot(_, _)),
+    "q_regex"       -> (Relational.qRegex(_, _)),
+    "q_datetime"    -> (Relational.qDatetime(_, _)),
     // C: LLM-training-data pipeline
     "dedup_exact"         -> (Pipeline.dedupExact(_, _)),
     "dedup_ngram_jaccard" -> (Pipeline.dedupNgramJaccard(_, _)),
@@ -75,6 +81,12 @@ object SparkEntry {
     "q_antijoin"    -> Relational.qAntiJoinSql,
     "events_window" -> Relational.eventsWindowSql,
     "sessionize_events" -> Relational.sessionizeEventsSql,
+    "q6_sql"        -> Relational.q6SqlSql,
+    "q_cube"        -> Relational.qCubeSql,
+    "q_median"      -> Relational.qMedianSql,
+    "q_pivot"       -> Relational.qPivotSql,
+    "q_regex"       -> Relational.qRegexSql,
+    "q_datetime"    -> Relational.qDatetimeSql,
     "dedup_exact"         -> Pipeline.dedupExactSql,
     "dedup_ngram_jaccard" -> Pipeline.dedupNgramJaccardSql,
     "dedup_minhash"       -> Pipeline.dedupMinhashSql,
