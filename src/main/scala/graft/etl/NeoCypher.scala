@@ -21,6 +21,25 @@ object NeoCypher {
   /** Reference: src/ketl/io/neoloader.py:164 — every node gets this label. */
   val CommonNodeLabel = "Node"
 
+  /** Multi-value handling per property (reference:
+    * src/ketl/io/neoloader.py:56-92 MultiValueMode): PG-JSONL always stores
+    * arrays; `Single` unwraps (and it is an error to feed it >1 value),
+    * `Multiple` keeps the array, `Auto` unwraps singletons only.
+    */
+  sealed trait MultiValueMode
+  case object Single extends MultiValueMode
+  case object Multiple extends MultiValueMode
+  case object Auto extends MultiValueMode
+
+  /** Per-property modes + the default for unlisted properties (reference:
+    * src/ketl/io/neoloader.py:117-131 NeoLoaderConfig).
+    */
+  final case class PropertyConfig(
+      modes: Map[String, MultiValueMode] = Map.empty,
+      default: MultiValueMode = Auto) {
+    def modeOf(key: String): MultiValueMode = modes.getOrElse(key, default)
+  }
+
   val NodeQueryTemplate: String =
     """UNWIND $nodes AS node_js
       |WITH node_js.id AS nid, node_js.labels AS nlabels, node_js.properties AS nprops
@@ -48,9 +67,12 @@ object NeoCypher {
   /** Emits one Cypher statement per batch of `batchSize` PG elements of the
     * requested kind ('node' or 'edge'). The element payload is inlined as a
     * JSON array in place of the `$nodes`/`$edges` parameter. Nodes get
-    * [[CommonNodeLabel]] appended (reference: src/ketl/io/neoloader.py:768-774).
+    * [[CommonNodeLabel]] appended (reference: src/ketl/io/neoloader.py:768-774);
+    * property arrays are shaped by `config` (reference:
+    * src/ketl/io/neoloader.py:779-815 _parse_pg_elem_property).
     */
-  def statements(pg: DataFrame, elementType: String, batchSize: Int = 2500): Dataset[String] = {
+  def statements(pg: DataFrame, elementType: String, batchSize: Int = 2500,
+                 config: PropertyConfig = PropertyConfig()): Dataset[String] = {
     import pg.sparkSession.implicits._
     val isNodes = elementType == Graph.NodeType
     val labels = if (isNodes)
@@ -60,11 +82,25 @@ object NeoCypher {
     val elemJson = {
       val q = (c: org.apache.spark.sql.Column) => Triples.jsonSerialize(c)
       val labelsJson = concat(lit("["), array_join(transform(labels, q), ","), lit("]"))
+      def valueJson(key: org.apache.spark.sql.Column,
+                    arr: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+        val arrJson = concat(lit("["), array_join(arr, ","), lit("]"))
+        def byMode(m: MultiValueMode) = m match {
+          case Multiple => arrJson
+          case Single => when(size(arr) > 1,
+              raise_error(concat(lit("multiple values aren't allowed for property "), key)))
+            .otherwise(element_at(arr, 1))
+          case Auto => when(size(arr) === 1, element_at(arr, 1)).otherwise(arrJson)
+        }
+        config.modes.foldLeft(byMode(config.default)) { case (acc, (k, m)) =>
+          when(key === k, byMode(m)).otherwise(acc)
+        }
+      }
       val propsJson = concat(lit("{"),
         array_join(
           transform(map_entries(col("properties")), e =>
-            concat(q(e.getField("key")), lit(":["),
-              array_join(e.getField("value"), ","), lit("]"))),
+            concat(q(e.getField("key")), lit(":"),
+              valueJson(e.getField("key"), e.getField("value")))),
           ","),
         lit("}"))
       val base = concat(

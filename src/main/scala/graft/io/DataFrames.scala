@@ -24,6 +24,15 @@ object DataFrames {
     else df.withColumns(applicable.map(c => c -> df(c).cast(specs(c))).toMap)
   }
 
+  /** Multiset equality of two frames, order-insensitive (reference:
+    * src/ketl/spark/utils.py:219 areDataFramesEqual). Distributed — a
+    * double-sided except-all, no driver collect.
+    */
+  def areEqual(df1: DataFrame, df2: DataFrame): Boolean =
+    df1.schema.fields.map(f => (f.name, f.dataType))
+      .sameElements(df2.schema.fields.map(f => (f.name, f.dataType))) &&
+      df1.exceptAll(df2).isEmpty && df2.exceptAll(df1).isEmpty
+
   /** Reads a TSV/CSV with the reference's defaults: header, tab delimiter,
     * schema inference, '#' comments (reference: src/ketl/tabmap/core.py:462-467
     * DEFAULT_SPARK_OPTIONS). Files without headers are rejected, like the

@@ -33,6 +33,32 @@ object Multimodal {
     Row(n, w, h, "img/fake")
   }
 
+  /** Feature extraction from a binary media column: a deterministic
+    * pseudo-embedding (splitmix64 of a byte-content hash per dimension,
+    * scaled to [-1,1]) standing in for a real vision/audio encoder — the
+    * downstream plumbing (array<float> column feeding graft.ops.ann) is the
+    * real contract. Runs per partition like the decode, so a real encoder
+    * batches the same way.
+    */
+  def fakeEmbed(df: DataFrame, binCol: String, dims: Int): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("embedding", ArrayType(FloatType, containsNull = false), nullable = false))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        var h = 0xcbf29ce484222325L
+        bytes.foreach { b => h ^= (b & 0xffL); h *= 0x100000001b3L }
+        val v = Array.tabulate(dims) { i =>
+          val m = graft.functions.SrpCodes.mix64(h + i)
+          (m.toDouble / Long.MaxValue.toDouble).toFloat
+        }
+        Row.fromSeq(r.toSeq :+ v.toSeq)
+      }
+    }(encoder)
+  }
+
   /** Attaches a binary `media` column (UTF-8 bytes of `textCol` — the test
     * stand-in for real media payloads) plus decoded metadata.
     *

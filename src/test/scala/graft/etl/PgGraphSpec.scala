@@ -84,6 +84,26 @@ class PgGraphSpec extends SparkSpec {
     assert(byId("N004").get("properties").size() === 0)
   }
 
+  test("Cypher multi-value modes (ref neoloader _parse_pg_elem_property)") {
+    val pg = PgGraph.toPg(edgeTriples)
+    // default Auto: singleton unwrapped, multi kept as array
+    val auto = NeoCypher.statements(pg, Graph.EdgeType, batchSize = 100).collect().mkString
+    assert(auto.contains("\"weight\":0.75"))       // E001 singleton unwrapped
+    assert(auto.contains("\"weight\":[0.85,0.95]")) // E002 stays an array
+    // Multiple: everything stays an array
+    val multi = NeoCypher.statements(pg, Graph.EdgeType, batchSize = 100,
+      config = NeoCypher.PropertyConfig(default = NeoCypher.Multiple)).collect().mkString
+    assert(multi.contains("\"weight\":[0.75]"))
+    // Single on a multi-valued property raises
+    val err = intercept[Exception] {
+      NeoCypher.statements(pg, Graph.EdgeType, batchSize = 100,
+        config = NeoCypher.PropertyConfig(modes = Map("weight" -> NeoCypher.Single)))
+        .collect()
+    }
+    assert(err.getMessage.contains("weight") ||
+      err.getCause != null && err.getCause.getMessage.contains("weight"))
+  }
+
   test("Cypher statement batches (ref neoloader batching)") {
     val pg = PgGraph.toPg(nodeTriples.union(edgeTriples))
     val nodeStmts = NeoCypher.statements(pg, Graph.NodeType, batchSize = 3).collect()

@@ -62,6 +62,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(recall >= 0.4, s"recall $recall below 0.4")
   }
 
+  test("multimodal feature-extract composes with ANN search") {
+    val withBin = Multimodal.withMediaMetadata(docs.limit(50), "doc_id", "text")
+    val embedded = Multimodal.fakeEmbed(withBin, "media", dims = 16)
+      .select(col("doc_id").as("vec_id"), col("embedding"))
+    val q = embedded.where(col("vec_id") < 5)
+    val c = embedded.where(col("vec_id") >= 5)
+    val topk = graft.ops.ann.Ann.bruteForceTopK(q, c, k = 3).collect()
+    assert(topk.length === 5 * 3)
+    // determinism: same bytes → same embedding → same neighbours on re-run
+    val again = graft.ops.ann.Ann.bruteForceTopK(q, c, k = 3).collect()
+    assert(topk.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+
+  test("areEqual helper (ref areDataFramesEqual)") {
+    val a = docs.limit(20)
+    val b = docs.limit(20).orderBy(org.apache.spark.sql.functions.col("doc_id").desc)
+    assert(graft.io.DataFrames.areEqual(a, b))
+    assert(!graft.io.DataFrames.areEqual(a, docs.limit(19)))
+  }
+
   test("multimodal metadata is deterministic from bytes") {
     val out = Multimodal.withMediaMetadata(docs, "doc_id", "text")
     val r = out.orderBy("doc_id").limit(1).collect()(0)
