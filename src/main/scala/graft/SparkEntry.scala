@@ -58,7 +58,8 @@ object SparkEntry {
     "text_quality"        -> (Pipeline.textQuality(_, _)),
     "token_count"         -> (Pipeline.tokenCount(_, _)),
     "doc_fingerprint"     -> (Pipeline.docFingerprint(_, _)),
-    "multimodal_meta"     -> (Pipeline.multimodalMeta(_, _))
+    "multimodal_meta"     -> (Pipeline.multimodalMeta(_, _)),
+    "source_similarity"   -> (Pipeline.sourceSimilarity(_, _))
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -125,6 +125,26 @@ object Pipeline {
       .withColumnRenamed("rank", "rnk")
   }
 
+  /** C13: corpus-source similarity via the MinHash sketch AGGREGATE
+    * (graft.functions.MinHashSketch): one 64-position signature per source
+    * (mergeable, map-side combined), pairwise Jaccard estimated from
+    * matching signature positions — set similarity between groups without
+    * materialising the sets. Estimate accuracy is spec-checked against the
+    * exact token-set Jaccard (rows-only oracle).
+    */
+  def sourceSimilarity(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val toks = docs(spark, dir)
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("tok"))
+    val sigs = toks.groupBy("source")
+      .agg(call_function("graft_minhash_sketch", col("tok"), lit(64)).as("sig"))
+    sigs.as("x").join(sigs.as("y"), col("x.source") < col("y.source"))
+      .select(col("x.source").as("src_a"), col("y.source").as("src_b"),
+        (size(filter(zip_with(col("x.sig"), col("y.sig"), (a, b) => a === b),
+          b => b)).cast("double") / 64.0).as("est_jaccard"))
+      .orderBy("src_a", "src_b")
+  }
+
   // ---- C8: language id ----------------------------------------------------
 
   def textLangId(spark: SparkSession, dir: String): DataFrame = {

@@ -82,6 +82,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!graft.io.DataFrames.areEqual(a, docs.limit(19)))
   }
 
+  test("minhash sketch aggregate estimates group-level jaccard") {
+    import org.apache.spark.sql.functions._
+    val est = graft.queries.Pipeline.sourceSimilarity(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    // exact token-set jaccard per source pair
+    val sets = docs.select(col("source"), col("text")).collect()
+      .groupBy(_.getString(0))
+      .map { case (s, rows) => s -> rows.flatMap(_.getString(1).split(" ")).toSet }
+    val exact = for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+    } yield (a, b) -> (sa.intersect(sb).size.toDouble / sa.union(sb).size)
+    assert(est.nonEmpty && est.size === exact.size)
+    exact.foreach { case (k, j) =>
+      assert(math.abs(est(k) - j) <= 0.25, s"pair $k: estimate ${est(k)} vs exact $j")
+    }
+  }
+
   test("multimodal metadata is deterministic from bytes") {
     val out = Multimodal.withMediaMetadata(docs, "doc_id", "text")
     val r = out.orderBy("doc_id").limit(1).collect()(0)
