@@ -59,7 +59,10 @@ object SparkEntry {
     "token_count"         -> (Pipeline.tokenCount(_, _)),
     "doc_fingerprint"     -> (Pipeline.docFingerprint(_, _)),
     "multimodal_meta"     -> (Pipeline.multimodalMeta(_, _)),
-    "source_similarity"   -> (Pipeline.sourceSimilarity(_, _))
+    "source_similarity"   -> (Pipeline.sourceSimilarity(_, _)),
+    "pipeline_filter"     -> (Pipeline.pipelineFilter(_, _)),
+    "q_setops"            -> (Relational.qSetOps(_, _)),
+    "q_scalar_subq"       -> (Relational.qScalarSubq(_, _))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -99,6 +102,9 @@ object SparkEntry {
     "text_quality"        -> Pipeline.textQualitySql,
     "token_count"         -> Pipeline.tokenCountSql,
     "doc_fingerprint"     -> Pipeline.docFingerprintSql,
-    "multimodal_meta"     -> Pipeline.multimodalMetaSql
+    "multimodal_meta"     -> Pipeline.multimodalMetaSql,
+    "pipeline_filter"     -> Pipeline.pipelineFilterSql,
+    "q_setops"            -> Relational.qSetOpsSql,
+    "q_scalar_subq"       -> Relational.qScalarSubqSql
   )
 }

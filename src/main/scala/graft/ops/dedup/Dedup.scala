@@ -55,6 +55,7 @@ object Dedup {
     val base = docs.select(col(idCol).as("id"),
         array_sort(transform(TextOps.bigrams(col(textCol)), sh => xxhash64(sh))).as("sh"))
       .withColumn("n", size(col("sh")))
+      .where(col("n") > 0) // shingle-less docs can't be near-dups (and would 0-divide)
     // spread the probe side across all cores: the source is often a single
     // input split, which would otherwise serialise the whole O(n²) loop
     val a = base.select(col("id").as("a"), col("sh").as("sha"), col("n").as("na"))

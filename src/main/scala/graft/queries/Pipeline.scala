@@ -222,6 +222,41 @@ object Pipeline {
       |  md5(text) AS md5_fp
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** C14: end-to-end curation pipeline — quality gates, then drop
+    * non-canonical members of exact-dup groups (the composition a training
+    * pipeline actually runs: score → filter → dedup → emit survivors).
+    */
+  def pipelineFilter(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val quality = d.select(col("doc_id") +:
+      TextOps.qualityColumns(col("text")).map { case (n, c) => c.as(n) }: _*)
+    val kept = quality.where(col("n_tokens") >= 20 && col("n_tokens") <= 80)
+    val dupLosers = Dedup.exact(d, prefixTokens = 10)
+      .select(explode(split(col("members"), ",")).as("member"), col("canonical_id"))
+      .select(col("member").cast("long").as("doc_id"), col("canonical_id"))
+      .where(col("doc_id") =!= col("canonical_id"))
+      .select("doc_id")
+    kept.join(dupLosers, Seq("doc_id"), "left_anti")
+      .select("doc_id", "n_tokens", "mean_token_len")
+      .orderBy("doc_id")
+  }
+
+  val pipelineFilterSql: String =
+    """WITH q AS (SELECT doc_id,
+      |    len(string_split(text, ' '))::BIGINT AS n_tokens,
+      |    list_sum([length(w) for w in string_split(text, ' ')])::DOUBLE
+      |      / len(string_split(text, ' ')) AS mean_token_len,
+      |    md5(array_to_string(string_split(text, ' ')[1:10], ' ')) AS kh
+      |  FROM documents),
+      |losers AS (SELECT doc_id FROM (
+      |    SELECT doc_id, min(doc_id) OVER (PARTITION BY kh) AS canon,
+      |      count(*) OVER (PARTITION BY kh) AS n FROM q)
+      |  WHERE n > 1 AND doc_id != canon)
+      |SELECT doc_id, n_tokens, mean_token_len FROM q
+      |WHERE n_tokens BETWEEN 20 AND 80
+      |  AND doc_id NOT IN (SELECT doc_id FROM losers)
+      |ORDER BY doc_id""".stripMargin
+
   // ---- C12: multimodal binary columns -------------------------------------
 
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame =

@@ -283,6 +283,46 @@ object Relational {
       |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       |FROM orders GROUP BY 1, 2 ORDER BY y, m""".stripMargin
 
+  /** B18: set operations — priority profiles shared/distinct between order
+    * status classes (INTERSECT / EXCEPT).
+    */
+  def qSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    val f = o.where(col("o_orderstatus") === "F").select("o_orderpriority")
+    val p = o.where(col("o_orderstatus") === "P").select("o_orderpriority")
+    f.intersect(p).withColumn("op", lit("both"))
+      .unionAll(f.except(p).withColumn("op", lit("f_only")))
+      .orderBy("op", "o_orderpriority")
+  }
+
+  val qSetOpsSql: String =
+    """SELECT o_orderpriority, 'both' AS op FROM (
+      |  SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+      |  INTERSECT
+      |  SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'P')
+      |UNION ALL
+      |SELECT o_orderpriority, 'f_only' FROM (
+      |  SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+      |  EXCEPT
+      |  SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'P')
+      |ORDER BY op, o_orderpriority""".stripMargin
+
+  /** B19: correlated scalar subquery — orders above their customer's mean. */
+  def qScalarSubq(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("orders_v")
+    spark.sql(
+      """SELECT o_orderkey, o_custkey FROM orders_v o
+        |WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders_v i
+        |                          WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  val qScalarSubqSql: String =
+    """SELECT o_orderkey, o_custkey FROM orders o
+      |WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders i
+      |                          WHERE i.o_custkey = o.o_custkey)
+      |ORDER BY o_orderkey""".stripMargin
+
   /** B11/D3: gap-based sessionisation — runs the custom stateful operator
     * (graft.streaming.Streaming.sessionize, flatMapGroupsWithState) in batch
     * mode; the oracle reproduces the semantics independently via lag/cumsum
