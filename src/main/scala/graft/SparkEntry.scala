@@ -54,6 +54,7 @@ object SparkEntry {
     "dedup_embedding"     -> (Pipeline.dedupEmbedding(_, _)),
     "ann_topk"            -> (Pipeline.annTopK(_, _)),
     "ann_lsh"             -> (Pipeline.annLsh(_, _)),
+    "ann_ivf"             -> (Pipeline.annIvf(_, _)),
     "text_lang_id"        -> (Pipeline.textLangId(_, _)),
     "text_quality"        -> (Pipeline.textQuality(_, _)),
     "token_count"         -> (Pipeline.tokenCount(_, _)),

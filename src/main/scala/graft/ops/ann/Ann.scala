@@ -77,6 +77,51 @@ object Ann {
   def srpCodes(v: Column, planes: Int, bands: Int, seed: Int = 17): Column =
     call_function("graft_srp_codes", v, lit(planes), lit(bands), lit(seed))
 
+  /** IVF (inverted-file) approximate top-k: an MLlib KMeans coarse
+    * quantizer assigns every corpus vector to a cell; each query probes the
+    * `nProbe` cells whose centroids are nearest (by cosine) and exact
+    * cosine re-ranks inside them. The classic billion-scale ANN layout:
+    * the corpus is scanned once to build cells, queries touch
+    * nProbe/nCells of the data. Recall is tunable via nProbe.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nCells: Int = 16, nProbe: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    graft.functions.GraftFunctions.register(queries.sparkSession)
+
+    val c = corpus.select(col(idCol).as("cid"), vec(col(vecCol)).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+      .withColumn("features", array_to_vector(col("cv")))
+    val model = new KMeans().setK(nCells).setSeed(17L).setFeaturesCol("features")
+      .fit(c)
+    val cells = model.transform(c).withColumnRenamed("prediction", "cell")
+      .select("cid", "cv", "cn", "cell")
+
+    // centroids are tiny (nCells × dims): nearest-cell probing is a small
+    // broadcast crossJoin, not a driver loop over the corpus
+    val centroids = queries.sparkSession.createDataFrame(
+      model.clusterCenters.zipWithIndex.toSeq
+        .map { case (v, i) => (i, v.toArray) }).toDF("cell", "centroid")
+    val q = queries.select(col(idCol).as("qid"), vec(col(vecCol)).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("cdist", cosine(col("qv"), col("centroid"), col("qn"), norm(col("centroid"))))
+      .withColumn("prank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cdist").desc, col("cell"))))
+      .where(col("prank") <= nProbe)
+      .select("qid", "qv", "qn", "cell")
+
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid"))
+    cells.join(broadcast(probes), "cell")
+      .select(col("qid"), col("cid"),
+        round(cosine(col("qv"), col("cv"), col("qn"), col("cn")), 6).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .orderBy("qid", "rank")
+  }
+
   /** LSH-bucketed approximate top-k: `bands` independent SRP codes per
     * vector (seeded per band); candidates share a bucket in ≥1 band; exact
     * cosine re-ranks. Same schema as [[bruteForceTopK]]; recall < 1 by

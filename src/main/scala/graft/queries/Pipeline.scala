@@ -145,6 +145,15 @@ object Pipeline {
       .orderBy("src_a", "src_b")
   }
 
+  /** C7b: IVF-bucketed ANN (KMeans coarse quantizer; rows-only oracle +
+    * recall spec).
+    */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    Ann.ivfTopK(e.where(col("vec_id") < 20), e.where(col("vec_id") >= 20), k = 5)
+      .withColumnRenamed("rank", "rnk")
+  }
+
   // ---- C8: language id ----------------------------------------------------
 
   def textLangId(spark: SparkSession, dir: String): DataFrame = {

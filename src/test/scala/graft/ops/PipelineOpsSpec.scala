@@ -51,6 +51,17 @@ class PipelineOpsSpec extends SparkSpec {
     assert(groups.forall(_.getAs[Long]("n_dups") >= 2))
   }
 
+  test("IVF ANN reaches decent recall of brute-force top-5") {
+    val q = embs.where(col("vec_id") < 20)
+    val c = embs.where(col("vec_id") >= 20)
+    val exact = Ann.bruteForceTopK(q, c, 5)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Ann.ivfTopK(q, c, 5, nCells = 8, nProbe = 4)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.4, s"recall $recall below 0.4")
+  }
+
   test("LSH ANN reaches decent recall of brute-force top-5") {
     val q = embs.where(col("vec_id") < 20)
     val c = embs.where(col("vec_id") >= 20)
