@@ -59,6 +59,53 @@ object Multimodal {
     }(encoder)
   }
 
+  /** Frame sampling: every `stride`-th fixed-size byte window of the media
+    * payload as `(frame_idx, frame_bytes)` rows — the plumbing of video
+    * frame extraction (a real decoder would emit decoded frames here;
+    * chunking the raw payload is the deterministic stand-in). One media row
+    * fans out to many frame rows, partition-locally.
+    */
+  def sampleFrames(df: DataFrame, idCol: String, binCol: String,
+                   frameBytes: Int = 64, stride: Int = 4): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      df.schema(idCol),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("frame", BinaryType, nullable = false)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        val nFrames = bytes.length / (frameBytes * stride)
+        (0 until nFrames).iterator.map { i =>
+          Row(r.get(idIdx), i, bytes.slice(i * frameBytes * stride,
+            i * frameBytes * stride + frameBytes))
+        }
+      }
+    }(encoder)
+  }
+
+  /** Resize stub: a deterministic downsample of the payload (every
+    * `factor`-th byte) plus updated metadata — the byte-level stand-in for
+    * an image resize, keeping the binary-in/binary-out contract.
+    */
+  def resize(df: DataFrame, binCol: String, factor: Int): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("resized", BinaryType, nullable = false))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        // ??? real scaling goes here — deterministic byte decimation below
+        val out = Array.tabulate(bytes.length / factor)(i => bytes(i * factor))
+        Row.fromSeq(r.toSeq :+ out)
+      }
+    }(encoder)
+  }
+
   /** Attaches a binary `media` column (UTF-8 bytes of `textCol` — the test
     * stand-in for real media payloads) plus decoded metadata.
     *

@@ -110,6 +110,29 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("multimodal frame sampling and resize keep the binary contract") {
+    val withBin = Multimodal.withMediaMetadata(docs.limit(10), "doc_id", "text")
+    val frames = Multimodal.sampleFrames(withBin, "doc_id", "media",
+      frameBytes = 16, stride = 2)
+    assert(frames.columns.toSeq === Seq("doc_id", "frame_idx", "frame"))
+    val f = frames.collect()
+    assert(f.nonEmpty)
+    assert(f.forall(_.getAs[Array[Byte]]("frame").length == 16))
+    val resized = Multimodal.resize(withBin, "media", factor = 4).collect()
+    resized.foreach { r =>
+      assert(r.getAs[Array[Byte]]("resized").length ===
+        r.getAs[Array[Byte]]("media").length / 4)
+    }
+  }
+
+  test("tabmap scan prunes to the mapped columns only") {
+    val plan = graft.queries.GraphEtl.tabmapNodes(spark, dir)
+      .queryExecution.executedPlan.toString
+    // part has 6 columns; the mapper references 5 — p_type must not be read
+    assert(plan.contains("ReadSchema"))
+    assert(!plan.contains("p_type"), s"unpruned scan:\n$plan")
+  }
+
   test("multimodal metadata is deterministic from bytes") {
     val out = Multimodal.withMediaMetadata(docs, "doc_id", "text")
     val r = out.orderBy("doc_id").limit(1).collect()(0)
