@@ -1,6 +1,7 @@
 package graft.io
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DataType
 
 /** DataFrame-level IO/combination utilities (reference: src/ketl/spark/utils.py). */
@@ -22,6 +23,26 @@ object DataFrames {
     val applicable = df.columns.filter(specs.contains)
     if (applicable.isEmpty) df
     else df.withColumns(applicable.map(c => c -> df(c).cast(specs(c))).toMap)
+  }
+
+  /** Salted equi-join for skewed keys: the skewed (big) side gets a random
+    * salt in [0, salts); the other side is replicated `salts` times; the
+    * join key becomes (key, salt), splitting each hot key's rows across
+    * `salts` reducers. Use when one key dominates a shuffle join and AQE
+    * skew-splitting isn't available/enough; `salts` multiplies the small
+    * side, so keep it modest (8-32).
+    *
+    * Semantics identical to `big.join(small, bigKey === smallKey, joinType)`
+    * for inner/left joins (each big row matches exactly one replica).
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, bigKey: Column, smallKey: Column,
+                 salts: Int, joinType: String = "inner"): DataFrame = {
+    val saltedBig = big.withColumn("__salt", (rand(17) * salts).cast("int"))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    saltedBig.join(replicated,
+        bigKey === smallKey && saltedBig("__salt") === replicated("__salt"), joinType)
+      .drop("__salt")
   }
 
   /** Multiset equality of two frames, order-insensitive (reference:

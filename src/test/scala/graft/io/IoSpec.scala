@@ -28,6 +28,18 @@ class IoSpec extends SparkSpec {
     assert(out.schema("s").dataType === StringType)
   }
 
+  test("salted join equals the plain join on a skewed key") {
+    val dir = "/root/testdata/sf0.001"
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val ord = spark.read.parquet(s"$dir/orders.parquet")
+      .select("o_orderkey", "o_orderpriority")
+    val plain = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .groupBy("o_orderpriority").count()
+    val salted = DataFrames.saltedJoin(li, ord, li("l_orderkey"), ord("o_orderkey"), 8)
+      .groupBy("o_orderpriority").count()
+    assert(DataFrames.areEqual(plain, salted))
+  }
+
   test("checkpoint path helpers (ref df_path/df_check_path)") {
     assert(Checkpoint.checkPath("/tmp/x.parquet") === "/tmp/x.parquet/_SUCCESS")
     assert(Checkpoint.basePath("/tmp/x.parquet/_SUCCESS") === "/tmp/x.parquet")

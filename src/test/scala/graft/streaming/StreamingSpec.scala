@@ -47,6 +47,20 @@ class StreamingSpec extends SparkSpec {
     assert(ids.length === 150)
   }
 
+  test("D4: foreachBatch lands stream batches as workflow checkpoints") {
+    val out = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val query = Streaming.eventStream(spark, dir).writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(s"$out/events.parquet")
+      }
+      .option("checkpointLocation", s"$out/_chk")
+      .start()
+    try query.processAllAvailable() finally query.stop()
+    val landed = graft.io.Checkpoint.load(spark,
+      graft.io.Checkpoint.checkPath(s"$out/events.parquet"))
+    assert(landed.count() === batchEvents.count())
+  }
+
   test("D3: sessionize splits on gaps > 30min and aggregates per session") {
     def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
     val events = Seq(
