@@ -58,6 +58,8 @@ object SparkEntry {
     "text_lang_id"        -> (Pipeline.textLangId(_, _)),
     "text_quality"        -> (Pipeline.textQuality(_, _)),
     "token_count"         -> (Pipeline.tokenCount(_, _)),
+    "text_surprisal"      -> (Pipeline.textSurprisal(_, _)),
+    "pack_sequences"      -> (Pipeline.packSequences(_, _)),
     "doc_fingerprint"     -> (Pipeline.docFingerprint(_, _)),
     "multimodal_meta"     -> (Pipeline.multimodalMeta(_, _)),
     "source_similarity"   -> (Pipeline.sourceSimilarity(_, _)),
@@ -102,6 +104,7 @@ object SparkEntry {
     "text_lang_id"        -> Pipeline.textLangIdSql,
     "text_quality"        -> Pipeline.textQualitySql,
     "token_count"         -> Pipeline.tokenCountSql,
+    "text_surprisal"      -> Pipeline.textSurprisalSql,
     "doc_fingerprint"     -> Pipeline.docFingerprintSql,
     "multimodal_meta"     -> Pipeline.multimodalMetaSql,
     "pipeline_filter"     -> Pipeline.pipelineFilterSql,

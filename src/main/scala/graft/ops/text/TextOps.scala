@@ -76,6 +76,73 @@ object TextOps {
     "bpe_pieces" -> regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]")).cast("long"),
     "subword_est" -> ceil(length(text).cast("double") / 4.0).cast("long"))
 
+  /** Unigram surprisal scoring: a unigram LM is "trained" on the corpus
+    * itself (token → corpus frequency) and each document scored by its mean
+    * token negative log-probability — the classic cheap perplexity proxy
+    * for quality filtering. Two passes over the data: token counts
+    * (groupBy), then an explode + join + per-doc mean. Both shuffles key on
+    * high-cardinality columns; the LM table is broadcast.
+    */
+  def unigramSurprisal(docs: org.apache.spark.sql.DataFrame,
+                       idCol: String = "doc_id", textCol: String = "text")
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, count, explode, lit, log, sum => fsum}
+    val toks = docs.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))
+    val total = toks.count().toDouble
+    val lm = toks.groupBy("tok").agg(count(lit(1)).as("tf"))
+    // final mean rounded: the FP sum order differs between engines/runs in
+    // the last bits; 6dp is far above that noise
+    toks.join(broadcast(lm), "tok")
+      .groupBy("id")
+      .agg(org.apache.spark.sql.functions.round(
+          -fsum(log(col("tf") / total)) / count(lit(1)), 6).as("mean_surprisal"),
+        count(lit(1)).as("n_tokens"))
+      .orderBy("id")
+  }
+
+  /** Sequence packing for training-batch preparation: documents are packed
+    * greedily (in id order within each partition) into sequences of at most
+    * `tokenBudget` tokens — the standard pre-tokenisation packing step that
+    * turns a document corpus into fixed-budget training rows. Runs per
+    * partition (genuine imperative accumulation); an oversized single
+    * document gets its own sequence.
+    */
+  def packSequences(docs: org.apache.spark.sql.DataFrame, tokenBudget: Int,
+                    idCol: String = "doc_id", textCol: String = "text")
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, size => fsize, spark_partition_id}
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val sized = docs
+      .select(col(idCol).cast("long").as("id"), fsize(tokens(col(textCol))).as("n_tokens"))
+      .sortWithinPartitions("id")
+      .withColumn("part", spark_partition_id())
+    val outSchema = StructType(Seq(
+      StructField("part", IntegerType, nullable = false),
+      StructField("seq_in_part", IntegerType, nullable = false),
+      StructField("doc_ids", ArrayType(LongType, containsNull = false), nullable = false),
+      StructField("total_tokens", LongType, nullable = false)))
+    sized.mapPartitions { rows =>
+      var part = -1
+      var seq = 0
+      var ids = List.empty[Long]
+      var tok = 0L
+      var out = List.empty[Row]
+      def flush(): Unit = if (ids.nonEmpty) {
+        out ::= Row(part, seq, ids.reverse, tok)
+        seq += 1; ids = Nil; tok = 0L
+      }
+      rows.foreach { r =>
+        part = r.getInt(2)
+        val n = r.getInt(1).toLong
+        if (tok + n > tokenBudget && ids.nonEmpty) flush()
+        ids ::= r.getLong(0); tok += n
+      }
+      flush()
+      out.reverse.iterator
+    }(Encoders.row(outSchema))
+  }
+
   /** Polynomial rolling-hash fingerprint over the token stream:
     * `h := (h*1000003 + ascii(w)*256 + len(w)) mod (2^31-1)`, plus the md5
     * of the full text. The modular fold keeps every intermediate < 2^52, so

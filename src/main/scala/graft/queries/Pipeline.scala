@@ -203,6 +203,27 @@ object Pipeline {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** C15: unigram-LM surprisal quality scoring (two-pass: corpus token
+    * frequencies → per-doc mean negative log-prob).
+    */
+  def textSurprisal(spark: SparkSession, dir: String): DataFrame =
+    TextOps.unigramSurprisal(docs(spark, dir))
+
+  val textSurprisalSql: String =
+    """WITH toks AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |total AS (SELECT count(*)::DOUBLE t FROM toks),
+      |lm AS (SELECT tok, count(*) AS tf FROM toks GROUP BY tok)
+      |SELECT id, round(-sum(ln(tf / (SELECT t FROM total))) / count(*), 6) AS mean_surprisal,
+      |  count(*) AS n_tokens
+      |FROM toks JOIN lm USING (tok)
+      |GROUP BY id ORDER BY id""".stripMargin
+
+  /** C16: greedy sequence packing for training batches (rows-only oracle +
+    * invariants spec — the packing is partition-layout dependent).
+    */
+  def packSequences(spark: SparkSession, dir: String): DataFrame =
+    TextOps.packSequences(docs(spark, dir), tokenBudget = 512)
+
   // ---- C10: token counting ------------------------------------------------
 
   def tokenCount(spark: SparkSession, dir: String): DataFrame = {

@@ -133,6 +133,25 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!plan.contains("p_type"), s"unpruned scan:\n$plan")
   }
 
+  test("sequence packing covers every doc exactly once within budget") {
+    import org.apache.spark.sql.functions._
+    val budget = 200
+    val packed = graft.ops.text.TextOps.packSequences(docs, budget)
+    val sizes = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val seqs = packed.collect()
+    val packedIds = seqs.flatMap(_.getAs[scala.collection.Seq[Long]]("doc_ids"))
+    assert(packedIds.sorted.toSeq === sizes.keys.toSeq.sorted) // exactly once
+    seqs.foreach { s =>
+      val ids = s.getAs[scala.collection.Seq[Long]]("doc_ids")
+      val tot = s.getAs[Long]("total_tokens")
+      assert(tot === ids.map(sizes).sum)
+      // within budget unless a single oversized doc
+      assert(tot <= budget || ids.size === 1)
+    }
+  }
+
   test("multimodal metadata is deterministic from bytes") {
     val out = Multimodal.withMediaMetadata(docs, "doc_id", "text")
     val r = out.orderBy("doc_id").limit(1).collect()(0)
