@@ -65,7 +65,8 @@ object SparkEntry {
     "source_similarity"   -> (Pipeline.sourceSimilarity(_, _)),
     "pipeline_filter"     -> (Pipeline.pipelineFilter(_, _)),
     "q_setops"            -> (Relational.qSetOps(_, _)),
-    "q_scalar_subq"       -> (Relational.qScalarSubq(_, _))
+    "q_scalar_subq"       -> (Relational.qScalarSubq(_, _)),
+    "q_asof"              -> (Relational.qAsOf(_, _))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -109,6 +110,7 @@ object SparkEntry {
     "multimodal_meta"     -> Pipeline.multimodalMetaSql,
     "pipeline_filter"     -> Pipeline.pipelineFilterSql,
     "q_setops"            -> Relational.qSetOpsSql,
-    "q_scalar_subq"       -> Relational.qScalarSubqSql
+    "q_scalar_subq"       -> Relational.qScalarSubqSql,
+    "q_asof"              -> Relational.qAsOfSql
   )
 }

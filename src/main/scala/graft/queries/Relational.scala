@@ -323,6 +323,41 @@ object Relational {
       |                          WHERE i.o_custkey = o.o_custkey)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** B20: as-of join — each event matched to its user's latest order at or
+    * before the event time.
+    *
+    * Implemented as ONE union + window pass (Spark-first: both sides union
+    * with a probe marker; a running max over the per-key order timeline
+    * answers every probe in a single shuffle+sort), not the join-then-
+    * aggregate formulation whose pre-aggregation join explodes on hot keys
+    * (~10 orders × ~70 events per key here already means a 95k-row
+    * intermediate at sf0.01). The oracle is DuckDB's native ASOF JOIN — an
+    * independent implementation of the same semantics.
+    */
+  def qAsOf(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+      .select(col("o_custkey").as("k"), col("o_orderdate").as("t"),
+        lit(0).as("is_probe"), lit(null).cast("long").as("event_id"))
+    val events = Tables.load(spark, dir, "events")
+      .select(col("user_id").as("k"), timestamp_micros(expr("ts div 1000")).as("t"),
+        lit(1).as("is_probe"), col("event_id"))
+    // build rows sort before probes at equal t, so "at or before" includes ties
+    val w = Window.partitionBy("k")
+      .orderBy(col("t"), col("is_probe"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders.unionByName(events)
+      .withColumn("order_date", max(when(col("is_probe") === 0, col("t"))).over(w))
+      .where(col("is_probe") === 1 && col("order_date").isNotNull)
+      .select(col("event_id"), col("k").as("user_id"), col("order_date"))
+      .orderBy("event_id")
+  }
+
+  val qAsOfSql: String =
+    """SELECT event_id, user_id, o_orderdate AS order_date
+      |FROM events ASOF JOIN (SELECT DISTINCT o_custkey, o_orderdate FROM orders) o
+      |  ON user_id = o.o_custkey AND o.o_orderdate <= events.ts
+      |ORDER BY event_id""".stripMargin
+
   /** B11/D3: gap-based sessionisation — runs the custom stateful operator
     * (graft.streaming.Streaming.sessionize, flatMapGroupsWithState) in batch
     * mode; the oracle reproduces the semantics independently via lag/cumsum
