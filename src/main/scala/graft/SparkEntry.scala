@@ -66,7 +66,8 @@ object SparkEntry {
     "pipeline_filter"     -> (Pipeline.pipelineFilter(_, _)),
     "q_setops"            -> (Relational.qSetOps(_, _)),
     "q_scalar_subq"       -> (Relational.qScalarSubq(_, _)),
-    "q_asof"              -> (Relational.qAsOf(_, _))
+    "q_asof"              -> (Relational.qAsOf(_, _)),
+    "q_range_join"        -> (Relational.qRangeJoin(_, _))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -111,6 +112,7 @@ object SparkEntry {
     "pipeline_filter"     -> Pipeline.pipelineFilterSql,
     "q_setops"            -> Relational.qSetOpsSql,
     "q_scalar_subq"       -> Relational.qScalarSubqSql,
-    "q_asof"              -> Relational.qAsOfSql
+    "q_asof"              -> Relational.qAsOfSql,
+    "q_range_join"        -> Relational.qRangeJoinSql
   )
 }

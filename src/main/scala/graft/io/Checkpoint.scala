@@ -52,4 +52,13 @@ object Checkpoint {
     */
   def load(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(basePath(path))
+
+  /** Hive-style partitioned write: one directory per value of
+    * `partitionCols`. Readers filtering on those columns scan only the
+    * matching directories (partition pruning) — the storage-layout lever
+    * for time/tenant-sliced 100 TB tables, complementary to [[Bucketing]]
+    * (pruning for filters; bucketing for joins).
+    */
+  def savePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(basePath(path))
 }

@@ -358,6 +358,37 @@ object Relational {
       |  ON user_id = o.o_custkey AND o.o_orderdate <= events.ts
       |ORDER BY event_id""".stripMargin
 
+  /** B21: range join — for each event, how many of the same user's events
+    * fall in the following hour (exclusive of itself).
+    *
+    * A naive range join is a nested loop; the scale form buckets both sides
+    * by hour and joins on (key, bucket) with the probe side expanded to the
+    * two buckets its window can touch — the range predicate then filters
+    * exactly. Equi-join + explode ≪ nested loop at any scale; bucket width
+    * trades expansion factor vs bucket selectivity.
+    */
+  def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), timestamp_micros(expr("ts div 1000")).as("t"))
+    val probes = ev.select(col("event_id"), col("user_id"), col("t"),
+        explode(array(date_trunc("hour", col("t")),
+          date_trunc("hour", col("t") + expr("INTERVAL 1 HOUR")))).as("bucket"))
+      .dropDuplicates("event_id", "bucket")
+    val build = ev.select(col("user_id"), col("t").as("t2"),
+      date_trunc("hour", col("t")).as("bucket"))
+    probes.join(build, Seq("user_id", "bucket"))
+      .where(col("t2") > col("t") && col("t2") <= col("t") + expr("INTERVAL 1 HOUR"))
+      .groupBy("event_id")
+      .agg(count(lit(1)).as("n_next_hour"))
+      .orderBy("event_id")
+  }
+
+  val qRangeJoinSql: String =
+    """SELECT a.event_id, count(*) AS n_next_hour
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+      |GROUP BY a.event_id ORDER BY a.event_id""".stripMargin
+
   /** B11/D3: gap-based sessionisation — runs the custom stateful operator
     * (graft.streaming.Streaming.sessionize, flatMapGroupsWithState) in batch
     * mode; the oracle reproduces the semantics independently via lag/cumsum

@@ -46,6 +46,17 @@ class IoSpec extends SparkSpec {
     assert(Checkpoint.basePath("/tmp/x.parquet") === "/tmp/x.parquet")
   }
 
+  test("partitioned write prunes at read time") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString + "/li.parquet"
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    Checkpoint.savePartitioned(li, dir, Seq("l_returnflag"))
+    val filtered = Checkpoint.load(spark, dir).where(col("l_returnflag") === "R")
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("l_returnflag"),
+      s"no partition pruning in:\n$plan")
+    assert(filtered.count() === li.where(col("l_returnflag") === "R").count())
+  }
+
   test("checkpoint save/load round-trip (ref df_save/df_load)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString + "/out.parquet"
     val df = spark.range(1000).withColumn("v", col("id") * 2)
