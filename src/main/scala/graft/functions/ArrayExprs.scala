@@ -80,6 +80,54 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** MinHash signature of a token/shingle array: `numHashes` minima of
+  * seeded hashes (FNV-1a base, splitmix64 seed mixing) in one pass —
+  * replaces an interpreted `transform(sequence, s -> array_min(transform(…)))`
+  * that re-evaluated a hash expression numHashes×|set| times per row.
+  */
+case class MinHashCodes(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_codes"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.sql}")
+  }
+
+  override def nullSafeEval(tokens: Any): Any =
+    MinHashCodes.codes(tokens.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.MinHashCodes.codes($t, $numHashes)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashCodes =
+    copy(child = newChild)
+}
+
+object MinHashCodes {
+  def codes(tokens: ArrayData, numHashes: Int): ArrayData = {
+    val out = Array.fill(numHashes)(Long.MaxValue)
+    val n = tokens.numElements()
+    var t = 0
+    while (t < n) {
+      if (!tokens.isNullAt(t)) {
+        val base = SimHash64.hash64(tokens.getUTF8String(t))
+        var i = 0
+        while (i < numHashes) {
+          val h = SrpCodes.mix64(base ^ (i * 0x9E3779B97F4A7C15L))
+          if (h < out(i)) out(i) = h
+          i += 1
+        }
+      }
+      t += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
 /** Intersection size of two SORTED `array<long>` columns via a merge scan —
   * O(n+m) with zero allocation, vs the hash-set-per-call of
   * `size(array_intersect(...))`. Inputs must be sorted ascending and

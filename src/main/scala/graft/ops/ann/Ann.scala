@@ -94,8 +94,10 @@ object Ann {
     val c = corpus.select(col(idCol).as("cid"), vec(col(vecCol)).as("cv"))
       .withColumn("cn", norm(col("cv")))
       .withColumn("features", array_to_vector(col("cv")))
-    val model = new KMeans().setK(nCells).setSeed(17L).setFeaturesCol("features")
-      .fit(c)
+    // a handful of iterations is plenty for a coarse quantizer — cells only
+    // need to partition the space, not converge
+    val model = new KMeans().setK(nCells).setSeed(17L).setMaxIter(5)
+      .setFeaturesCol("features").fit(c)
     val cells = model.transform(c).withColumnRenamed("prediction", "cell")
       .select("cid", "cv", "cn", "cell")
 

@@ -61,7 +61,10 @@ object Dedup {
     val a = base.select(col("id").as("a"), col("sh").as("sha"), col("n").as("na"))
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
     val b = base.select(col("id").as("b"), col("sh").as("shb"), col("n").as("nb"))
-    a.join(broadcast(b), col("a") < col("b"))
+    // size-ratio prefilter: J >= t forces min(na,nb)/max(na,nb) >= t, so
+    // mismatched sizes are rejected before any intersection work
+    a.join(broadcast(b), col("a") < col("b") &&
+        col("na") * minJaccard <= col("nb") && col("nb") * minJaccard <= col("na"))
       .withColumn("inter",
         call_function("graft_intersect_count", col("sha"), col("shb")).cast("long"))
       .select(col("a"), col("b"),
@@ -93,12 +96,12 @@ object Dedup {
       .orderBy("a", "b")
   }
 
-  /** MinHash signature: `numHashes` minima of xxhash64(seed, shingle) —
-    * computed as a per-row expression, zero shuffle.
+  /** MinHash signature: `numHashes` minima of seeded hashes, via the native
+    * one-pass expression graft.functions.MinHashCodes — a per-row
+    * computation, zero shuffle.
     */
   def minhashSignature(shingles: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      s => array_min(transform(shingles, sh => xxhash64(s, sh))))
+    call_function("graft_minhash_codes", shingles, lit(numHashes))
 
   /** MinHash + LSH banding near-dup detection, verified exactly.
     * `bands` bands of `numHashes/bands` rows; candidates from band-signature
@@ -108,23 +111,30 @@ object Dedup {
   def minhashLsh(docs: DataFrame, minJaccard: Double,
                  numHashes: Int = 16, bands: Int = 4,
                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val rows = numHashes / bands
+    // shingles as sorted hash arrays: signatures AND the exact verification
+    // both run over longs (merge-scan intersect, no per-pair hash sets)
     val base = docs
-      .select(col(idCol).as("id"), TextOps.bigrams(col(textCol)).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
-    val banded = base.select(col("id"), col("sh"),
+      .select(col(idCol).as("id"), TextOps.bigrams(col(textCol)).as("shs"))
+      .select(col("id"), array_sort(transform(col("shs"), sh => xxhash64(sh))).as("sh"),
+        minhashSignature(col("shs"), numHashes).as("sig"))
+      .withColumn("n", size(col("sh")))
+    val banded = base.select(col("id"), col("sh"), col("n"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => slice(col("sig"), b * rows + 1, lit(rows)))).as(Seq("band", "bandsig")))
     val candidates = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bandsig") === col("y.bandsig")
           && col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"),
-        col("x.sh").as("sha"), col("y.sh").as("shb"))
+        col("x.sh").as("sha"), col("y.sh").as("shb"),
+        col("x.n").as("na"), col("y.n").as("nb"))
       .dropDuplicates("a", "b")
     candidates
+      .withColumn("inter",
+        call_function("graft_intersect_count", col("sha"), col("shb")).cast("long"))
       .select(col("a"), col("b"),
-        (size(array_intersect(col("sha"), col("shb"))).cast("double") /
-          size(array_union(col("sha"), col("shb")))).as("jaccard"))
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
       .where(col("jaccard") >= minJaccard)
       .orderBy("a", "b")
   }
