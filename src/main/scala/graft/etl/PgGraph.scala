@@ -59,20 +59,30 @@ object PgGraph {
     * `toLocalIterator` — a non-starter at scale; here each line is built
     * distributively.
     *
-    * Property values are already JSON representations, so the line is
-    * assembled by string construction (a `to_json` over the struct would
-    * double-encode them). Key order matches the reference's dict layout:
-    * type, id, labels, properties[, from, to].
+    * Property values are already JSON representations, so by default each is
+    * inlined verbatim (a `to_json` over the struct would double-encode
+    * them). Properties written by a custom serialiser get their JSON
+    * fragment from `converters` (keyed by property name) — the counterpart
+    * of the reference's per-key value_converters unserialisation
+    * (reference: src/ketl/io/core.py:150-174). Key order matches the
+    * reference's dict layout: type, id, labels, properties[, from, to].
     */
-  def toJsonl(pg: DataFrame): DataFrame = {
+  def toJsonl(pg: DataFrame,
+              converters: Map[String, Column => Column] = Map.empty): DataFrame = {
     val q = (c: Column) => Triples.jsonSerialize(c) // JSON-quote a raw string
     val labelsJson = concat(lit("["),
       array_join(transform(col("labels"), q), ","), lit("]"))
+    def valueJson(key: Column, v: Column): Column =
+      converters.foldLeft(v) { case (acc, (k, conv)) =>
+        when(key === k, conv(v)).otherwise(acc)
+      }
     val propsJson = concat(lit("{"),
       array_join(
         transform(map_entries(col("properties")), e =>
           concat(q(e.getField("key")), lit(":["),
-            array_join(e.getField("value"), ","), lit("]"))),
+            array_join(transform(e.getField("value"),
+              v => valueJson(e.getField("key"), v)), ","),
+            lit("]"))),
         ","),
       lit("}"))
     val base = concat(

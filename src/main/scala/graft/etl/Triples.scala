@@ -10,12 +10,15 @@ import graft.model.Graph
   * producing its value from a source row.
   *
   * `serialize = true` (the default for regular properties) routes the value
-  * through [[Triples.jsonSerialize]], reproducing the reference's
-  * JSONBasedValueConverter semantics (reference: src/ketl/core.py:160-183).
-  * Special keys (`@type`, `@from`, `@to`) must use `serialize = false`
-  * (reference: src/ketl/helpers.py:38-52).
+  * through `serializer` — by default [[Triples.jsonSerialize]], reproducing
+  * the reference's JSONBasedValueConverter semantics (reference:
+  * src/ketl/core.py:160-183); pass any `Column => Column` for a custom
+  * converter (the reference's ValueConverter extension point,
+  * src/ketl/core.py:99-157). Special keys (`@type`, `@from`, `@to`) must
+  * use `serialize = false` (reference: src/ketl/helpers.py:38-52).
   */
-final case class Prop(key: String, value: Column, serialize: Boolean = true)
+final case class Prop(key: String, value: Column, serialize: Boolean = true,
+                      serializer: Column => Column = Triples.jsonSerialize)
 
 object Prop {
   /** Column-to-property mapping; property defaults to the column name
@@ -100,7 +103,7 @@ object Triples {
 
   private def emit(df: DataFrame, id: Column, props: Seq[Prop]): DataFrame = {
     val entries = props.map { p =>
-      val v = if (p.serialize) jsonSerialize(p.value) else p.value.cast(StringType)
+      val v = if (p.serialize) p.serializer(p.value) else p.value.cast(StringType)
       struct(lit(p.key).as("key"), v.as("value"))
     }
     df.select(id.as("id"), array(entries: _*).as("kvs"))

@@ -84,6 +84,25 @@ class PgGraphSpec extends SparkSpec {
     assert(byId("N004").get("properties").size() === 0)
   }
 
+  test("custom value converters round-trip (ref ValueConverter extension point)") {
+    import org.apache.spark.sql.functions._
+    // a non-JSON serialiser: raw value with a prefix, no quoting
+    val rawSerializer = (c: org.apache.spark.sql.Column) =>
+      concat(lit("raw|"), c.cast("string"))
+    val df = Seq(("N1", "hello")).toDF("id", "name")
+    val triples = Triples.nodes(df, col("id"),
+      Seq(Prop("name", col("name"), serializer = rawSerializer), Prop.tpe("T")))
+    val stored = triples.where(col("key") === "name").collect()(0).getString(2)
+    assert(stored === "raw|hello")
+    // JSONL export needs the matching converter to re-encode valid JSON
+    val jsonl = PgGraph.toJsonl(PgGraph.toPg(triples),
+      converters = Map("name" -> ((v: org.apache.spark.sql.Column) =>
+        Triples.jsonSerialize(regexp_replace(v, "^raw\\|", "")))))
+      .as[String].collect()(0)
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(jsonl)
+    assert(node.get("properties").get("name").get(0).asText() === "hello")
+  }
+
   test("Cypher multi-value modes (ref neoloader _parse_pg_elem_property)") {
     val pg = PgGraph.toPg(edgeTriples)
     // default Auto: singleton unwrapped, multi kept as array
