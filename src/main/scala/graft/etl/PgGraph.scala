@@ -54,6 +54,24 @@ object PgGraph {
       .select("type", "id", "labels", "from", "to", "properties")
   }
 
+  /** Validates PG rows against the graph invariants the reference lists as
+    * its pending validations (reference: src/ketl/io/core.py:115-118 TODO):
+    * every element labelled; edges with exactly one label and both
+    * endpoints; nodes without endpoints. Returns one row per violation
+    * `(id, problem)` — empty means loadable.
+    */
+  def validate(pg: DataFrame): DataFrame = {
+    def violation(cond: Column, problem: String): DataFrame =
+      pg.where(cond).select(col("id"), lit(problem).as("problem"))
+    violation(size(col("labels")) === 0, "unlabelled element")
+      .union(violation(col("type") === Graph.EdgeType && size(col("labels")) =!= 1,
+        "edge must have exactly one label"))
+      .union(violation(col("type") === Graph.EdgeType &&
+        (col("from").isNull || col("to").isNull), "edge missing endpoint"))
+      .union(violation(col("type") === Graph.NodeType && col("to").isNotNull,
+        "node with endpoint"))
+  }
+
   /** PG DataFrame → JSONL.pg lines (reference: src/ketl/io/core.py:130-191
     * pg_df_2_pg_jsonl). The reference serialises on the driver via
     * `toLocalIterator` — a non-starter at scale; here each line is built

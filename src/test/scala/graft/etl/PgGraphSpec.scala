@@ -84,6 +84,24 @@ class PgGraphSpec extends SparkSpec {
     assert(byId("N004").get("properties").size() === 0)
   }
 
+  test("PG validation flags the invariants the reference lists (io/core.py TODO)") {
+    val broken = Seq(
+      ("E9", Graph.FromKey, "N1"),              // edge missing @to
+      ("E9", Graph.TypeKey, "links"),
+      ("E8", Graph.FromKey, "N1"), ("E8", Graph.ToKey, "N2"),
+      ("E8", Graph.TypeKey, "a"), ("E8", Graph.TypeKey, "b"), // two labels
+      ("N9", "name", "\"x\"")                   // unlabelled node
+    ).toDF("id", "key", "value")
+    val problems = PgGraph.validate(PgGraph.toPg(broken))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(problems === Set(
+      ("E9", "edge missing endpoint"),
+      ("E8", "edge must have exactly one label"),
+      ("N9", "unlabelled element")))
+    // and a clean graph validates empty
+    assert(PgGraph.validate(PgGraph.toPg(nodeTriples.union(edgeTriples))).count() === 0)
+  }
+
   test("custom value converters round-trip (ref ValueConverter extension point)") {
     import org.apache.spark.sql.functions._
     // a non-JSON serialiser: raw value with a prefix, no quoting

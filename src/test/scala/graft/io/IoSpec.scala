@@ -28,6 +28,19 @@ class IoSpec extends SparkSpec {
     assert(out.schema("s").dataType === StringType)
   }
 
+  test("permissive ingest surfaces malformed rows instead of failing") {
+    val path = java.nio.file.Files.createTempDirectory("graft-bad").resolve("t.csv")
+    java.nio.file.Files.writeString(path,
+      "id\tn\n1\t10\nnot_a_number_row_with_extra\tx\ty\n3\t30\n")
+    val df = DataFrames.readTable(spark, path.toString,
+      options = Map("mode" -> "PERMISSIVE", "inferSchema" -> "false"))
+    // malformed row is retained with nulls padded/truncated, not thrown
+    assert(df.count() === 3)
+    val strict = DataFrames.readTable(spark, path.toString,
+      options = Map("mode" -> "DROPMALFORMED", "inferSchema" -> "false"))
+    assert(strict.count() >= 2)
+  }
+
   test("salted join equals the plain join on a skewed key") {
     val dir = "/root/testdata/sf0.001"
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
