@@ -67,7 +67,8 @@ object SparkEntry {
     "q_setops"            -> (Relational.qSetOps(_, _)),
     "q_scalar_subq"       -> (Relational.qScalarSubq(_, _)),
     "q_asof"              -> (Relational.qAsOf(_, _)),
-    "q_range_join"        -> (Relational.qRangeJoin(_, _))
+    "q_range_join"        -> (Relational.qRangeJoin(_, _)),
+    "q_scalar_funcs"      -> (Relational.qScalarFuncs(_, _))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -113,6 +114,7 @@ object SparkEntry {
     "q_setops"            -> Relational.qSetOpsSql,
     "q_scalar_subq"       -> Relational.qScalarSubqSql,
     "q_asof"              -> Relational.qAsOfSql,
-    "q_range_join"        -> Relational.qRangeJoinSql
+    "q_range_join"        -> Relational.qRangeJoinSql,
+    "q_scalar_funcs"      -> Relational.qScalarFuncsSql
   )
 }

@@ -389,6 +389,35 @@ object Relational {
       |  ON a.user_id = b.user_id AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
       |GROUP BY a.event_id ORDER BY a.event_id""".stripMargin
 
+  /** B22: scalar-function parity batch — string, null-handling, arithmetic
+    * and array functions over one projection, verifying the function
+    * library agrees with ANSI SQL semantics end to end.
+    */
+  def qScalarFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "part")
+      .select(col("p_partkey"),
+        upper(col("p_brand")).as("u"),
+        lower(col("p_type")).as("l"),
+        trim(col("p_name")).substr(lit(1), lit(8)).as("prefix8"),
+        lpad(col("p_size").cast("string"), 4, "0").as("padded"),
+        coalesce(nullif(col("p_brand"), lit("Brand#00")), lit("unknown")).as("brand_nn"),
+        (abs(col("p_size") - 25) % 7).cast("long").as("bucket"),
+        size(split(col("p_name"), " ")).cast("long").as("words"),
+        array_contains(split(col("p_name"), " "), "green").cast("int").as("has_green"))
+      .orderBy("p_partkey")
+
+  val qScalarFuncsSql: String =
+    """SELECT p_partkey,
+      |  upper(p_brand) AS u,
+      |  lower(p_type) AS l,
+      |  substring(trim(p_name), 1, 8) AS prefix8,
+      |  lpad(p_size::VARCHAR, 4, '0') AS padded,
+      |  coalesce(nullif(p_brand, 'Brand#00'), 'unknown') AS brand_nn,
+      |  (abs(p_size - 25) % 7)::BIGINT AS bucket,
+      |  len(string_split(p_name, ' '))::BIGINT AS words,
+      |  list_contains(string_split(p_name, ' '), 'green')::INTEGER AS has_green
+      |FROM part ORDER BY p_partkey""".stripMargin
+
   /** B11/D3: gap-based sessionisation — runs the custom stateful operator
     * (graft.streaming.Streaming.sessionize, flatMapGroupsWithState) in batch
     * mode; the oracle reproduces the semantics independently via lag/cumsum
