@@ -9,15 +9,18 @@ import graft.ops.text.TextOps
   *
   * Scale notes (100 TB):
   *  - exact: one hash-partition shuffle on the normalisation key.
-  *  - ngramJaccard: exact set-similarity join via inverted index on
-  *    shingles — candidate pairs only for docs sharing ≥1 shingle, so the
-  *    crossproduct never materialises. (Prefix filtering would prune
-  *    further; the shuffle key is the shingle, so frequency-skewed shingles
-  *    are handled by AQE skew splitting.)
-  *  - minhash: signatures are a narrow map (no shuffle); only the tiny
-  *    band-bucket join shuffles, then candidates are verified exactly.
-  *  - simhash: 64-bit signature as a narrow map; pigeonhole banding on four
-  *    16-bit chunks finds all pairs with hamming ≤ 3 without O(n²).
+  *  - ngramJaccard: exact pairs via broadcast + native merge-scan intersect
+  *    (dense/bucketed corpora); ngramJaccardSparse: exact pairs via
+  *    inverted-index shuffle on the shingle key (zipfian corpora, AQE
+  *    handles hot-shingle skew).
+  *  - minhash: signatures are a narrow map (native one-pass expression, no
+  *    shuffle); only the small band-bucket join shuffles, then candidates
+  *    are verified exactly — the default at corpus scale.
+  *  - simhash: 64-bit signature as a narrow map (native expression);
+  *    pigeonhole chunk banding finds all pairs within the hamming
+  *    threshold without O(n²).
+  *  - clusters: pair output feeds GraphX connectedComponents
+  *    (graft.ops.graph) for canonical-representative assignment.
   */
 object Dedup {
 
