@@ -54,6 +54,39 @@ object PgGraph {
       .select("type", "id", "labels", "from", "to", "properties")
   }
 
+  /** Parsed-PG schema as read back from JSONL.pg: property values are the
+    * ACTUAL values (as strings via primitivesAsString), matching what the
+    * reference's loader feeds Neo4j — not the serialised triple form.
+    */
+  val JsonlSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("type", StringType), StructField("id", StringType),
+      StructField("labels", ArrayType(StringType)),
+      StructField("from", StringType), StructField("to", StringType),
+      StructField("properties", MapType(StringType, ArrayType(StringType)))))
+  }
+
+  /** Reads JSONL.pg lines (files or a line DataFrame) back into PG rows —
+    * the missing half of the JSONL sink, so graft pipelines can also
+    * consume graphs produced elsewhere. Distributed text scan + from_json;
+    * nodes get null endpoints, absent properties become empty maps.
+    *
+    * Note the same representational collapse the reference's loader has
+    * (reference: src/ketl/io/neoloader.py:291-296 — parsed values go to the
+    * database as-is): a JSON string "0.75" and the number 0.75 both land as
+    * the string "0.75" here.
+    */
+  def fromJsonl(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    parseJsonl(spark.read.text(path).withColumnRenamed("value", "line"))
+
+  def parseJsonl(lines: DataFrame): DataFrame =
+    lines.select(from_json(col("line"), JsonlSchema,
+        Map("primitivesAsString" -> "true")).as("pg"))
+      .select(col("pg.type"), col("pg.id"), col("pg.labels"),
+        col("pg.from"), col("pg.to"),
+        coalesce(col("pg.properties"), map()).as("properties"))
+
   /** Validates PG rows against the graph invariants the reference lists as
     * its pending validations (reference: src/ketl/io/core.py:115-118 TODO):
     * every element labelled; edges with exactly one label and both

@@ -49,6 +49,26 @@ class RoundTripSpec extends SparkSpec {
     assert(PgGraph.validate(pg).count() === 0)
   }
 
+  test("JSONL reader round-trips the written graph") {
+    val nation = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    val triples = Triples.nodes(nation, Triples.wrap(col("n_nationkey"), "nation:"),
+      Seq(Prop.column("n_name", "hasName"), Prop.column("n_regionkey", "region"),
+        Prop.tpe("Nation")))
+    val pg = PgGraph.toPg(triples)
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl").toString + "/out"
+    PgGraph.toJsonl(pg).write.text(dir)
+
+    val back = PgGraph.fromJsonl(spark, dir)
+    assert(back.count() === 25)
+    val row = back.where(col("id") === "nation:0").collect()(0)
+    assert(row.getAs[String]("type") === Graph.NodeType)
+    assert(row.getAs[scala.collection.Seq[String]]("labels") === Seq("Nation"))
+    val props = row.getAs[Map[String, scala.collection.Seq[String]]]("properties")
+    assert(props("hasName").head === "NATION_0")  // unserialised value
+    assert(props("region").head === "0")          // number read as string
+    assert(row.isNullAt(row.fieldIndex("from")))
+  }
+
   test("typed function facade works end to end") {
     import graft.functions.api._
     enable(spark)
