@@ -10,9 +10,12 @@ import graft.queries.{GraphEtl, Pipeline, Relational}
   */
 object SparkEntry {
 
-  /** Flagship query on sf0.001; driver smoke-checks rows > 0. */
+  /** Flagship query on sf0.001 — the reference's full pipeline (map three
+    * tables to a knowledge graph, aggregate to PG elements, summarise);
+    * driver smoke-checks rows > 0.
+    */
   def entry(spark: SparkSession): DataFrame =
-    Relational.q1Agg(spark, "/root/testdata/sf0.001")
+    GraphEtl.kgEndToEnd(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A: graph-ETL surface
@@ -26,6 +29,7 @@ object SparkEntry {
     "union_by_name" -> (GraphEtl.unionByName(_, _)),
     "cast_columns"  -> (GraphEtl.castColumns(_, _)),
     "neo_cypher"    -> (GraphEtl.neoCypher(_, _)),
+    "kg_e2e"        -> (GraphEtl.kgEndToEnd(_, _)),
     // B: relational core
     "q1_agg"        -> (Relational.q1Agg(_, _)),
     "q3_join_agg"   -> (Relational.q3JoinAgg(_, _)),
@@ -80,6 +84,7 @@ object SparkEntry {
     "pg_edges"      -> GraphEtl.pgEdgesSql,
     "union_by_name" -> GraphEtl.unionByNameSql,
     "cast_columns"  -> GraphEtl.castColumnsSql,
+    "kg_e2e"        -> GraphEtl.kgEndToEndSql,
     "q1_agg"        -> Relational.q1AggSql,
     "q3_join_agg"   -> Relational.q3JoinAggSql,
     "q5_multijoin"  -> Relational.q5MultiJoinSql,

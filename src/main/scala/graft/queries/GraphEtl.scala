@@ -210,6 +210,56 @@ object GraphEtl {
        |ends AS (SELECT f AS node FROM e UNION ALL SELECT tt FROM e)
        |SELECT node, count(*)::INTEGER AS degree FROM ends GROUP BY node ORDER BY node""".stripMargin
 
+  /** A18 (flagship): the reference's whole flow in one query — three tables
+    * mapped to a knowledge graph (nodes for regions/nations/suppliers,
+    * edges for containment/location), aggregated to PG elements, summarised
+    * per element type and label.
+    */
+  def kgEndToEnd(spark: SparkSession, dir: String): DataFrame = {
+    val region = Tables.load(spark, dir, "region")
+    val nation = Tables.load(spark, dir, "nation")
+    val supplier = Tables.load(spark, dir, "supplier")
+    val triples = Triples.chain(
+      Triples.nodes(region, Triples.wrap(col("r_regionkey"), "region:"),
+        Seq(Prop.column("r_name", "hasName"), Prop.tpe("Region"))),
+      Triples.nodes(nation, Triples.wrap(col("n_nationkey"), "nation:"),
+        Seq(Prop.column("n_name", "hasName"), Prop.tpe("Nation"))),
+      Triples.edges(nation, "inRegion",
+        Triples.wrap(col("n_nationkey"), "nation:"),
+        Triples.wrap(col("n_regionkey"), "region:")),
+      Triples.nodes(supplier, Triples.wrap(col("s_suppkey"), "sup:"),
+        Seq(Prop.column("s_name", "hasName"), Prop.column("s_acctbal", "acctBal"),
+          Prop.tpe("Supplier"))),
+      Triples.edges(supplier, "basedIn",
+        Triples.wrap(col("s_suppkey"), "sup:"),
+        Triples.wrap(col("s_nationkey"), "nation:")))
+    PgGraph.toPg(triples)
+      .groupBy(col("type").as("etype"), array_join(col("labels"), ",").as("label"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("etype", "label")
+  }
+
+  val kgEndToEndSql: String =
+    """WITH t AS (
+      |  SELECT 'region:' || r_regionkey AS id, '@type' AS key, 'Region' AS value FROM region
+      |  UNION ALL SELECT 'nation:' || n_nationkey, '@type', 'Nation' FROM nation
+      |  UNION ALL SELECT 'inRegion:nation:' || n_nationkey || '-region:' || n_regionkey,
+      |    '@type', 'inRegion' FROM nation
+      |  UNION ALL SELECT 'inRegion:nation:' || n_nationkey || '-region:' || n_regionkey,
+      |    '@from', 'nation:' || n_nationkey FROM nation
+      |  UNION ALL SELECT 'sup:' || s_suppkey, '@type', 'Supplier' FROM supplier
+      |  UNION ALL SELECT 'basedIn:sup:' || s_suppkey || '-nation:' || s_nationkey,
+      |    '@type', 'basedIn' FROM supplier
+      |  UNION ALL SELECT 'basedIn:sup:' || s_suppkey || '-nation:' || s_nationkey,
+      |    '@from', 'sup:' || s_suppkey FROM supplier),
+      |elems AS (SELECT id,
+      |    CASE WHEN max(CASE WHEN key = '@from' THEN value END) IS NOT NULL
+      |      THEN 'edge' ELSE 'node' END AS etype,
+      |    array_to_string(list_sort(list_distinct(list(value) FILTER (key = '@type'))), ',') AS label
+      |  FROM t GROUP BY id)
+      |SELECT etype, label, count(*) AS n FROM elems
+      |GROUP BY etype, label ORDER BY etype, label""".stripMargin
+
   // ---- A10: PG → Cypher batch statements (rows-only oracle + spec) --------
 
   def neoCypher(spark: SparkSession, dir: String): DataFrame = {
