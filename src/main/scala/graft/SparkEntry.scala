@@ -30,6 +30,8 @@ object SparkEntry {
     "cast_columns"  -> (GraphEtl.castColumns(_, _)),
     "neo_cypher"    -> (GraphEtl.neoCypher(_, _)),
     "kg_e2e"        -> (GraphEtl.kgEndToEnd(_, _)),
+    "kg_two_hop"    -> (GraphEtl.kgTwoHop(_, _)),
+    "kg_pagerank"   -> (GraphEtl.kgPageRank(_, _)),
     // B: relational core
     "q1_agg"        -> (Relational.q1Agg(_, _)),
     "q3_join_agg"   -> (Relational.q3JoinAgg(_, _)),
@@ -85,6 +87,7 @@ object SparkEntry {
     "union_by_name" -> GraphEtl.unionByNameSql,
     "cast_columns"  -> GraphEtl.castColumnsSql,
     "kg_e2e"        -> GraphEtl.kgEndToEndSql,
+    "kg_two_hop"    -> GraphEtl.kgTwoHopSql,
     "q1_agg"        -> Relational.q1AggSql,
     "q3_join_agg"   -> Relational.q3JoinAggSql,
     "q5_multijoin"  -> Relational.q5MultiJoinSql,

@@ -33,6 +33,28 @@ object GraphOps {
       .orderBy("id")
   }
 
+  /** Static PageRank over a PG edge set via GraphX's Pregel implementation
+    * (fixed iteration count, reset 0.15). Returns (node, rank) for every
+    * node appearing in an edge. The GraphOpsSpec cross-validates this
+    * against an independent DataFrame power iteration.
+    */
+  def pageRank(pgEdges: DataFrame, iterations: Int = 10): DataFrame = {
+    val spark = pgEdges.sparkSession
+    import spark.implicits._
+    val e = pgEdges.select(col("from"), col("to"))
+      .where(col("from").isNotNull && col("to").isNotNull)
+    val ids = e.select(col("from").as("node")).union(e.select(col("to")))
+      .distinct()
+    val edges = e.select(xxhash64(col("from")), xxhash64(col("to")))
+      .as[(Long, Long)].rdd.map { case (a, b) => Edge(a, b, ()) }
+    val ranks = XGraph.fromEdges(edges, ())
+      .staticPageRank(iterations).vertices.toDF("vid", "rank")
+    ids.withColumn("vid", xxhash64(col("node")))
+      .join(ranks, "vid")
+      .select(col("node"), col("rank"))
+      .orderBy("node")
+  }
+
   /** Node degrees of a PG edge set (triples with `@from`/`@to`), via
     * GraphX degree aggregation. Isolated nodes (no edges) are absent, as
     * in GraphX semantics.

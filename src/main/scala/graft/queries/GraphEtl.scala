@@ -260,6 +260,46 @@ object GraphEtl {
       |SELECT etype, label, count(*) AS n FROM elems
       |GROUP BY etype, label ORDER BY etype, label""".stripMargin
 
+  /** A20: 2-hop traversal over the KG edge set itself — suppliers per
+    * region via `sup -basedIn-> nation -inRegion-> region`, answered from
+    * the PG elements (edge self-join on the intermediate node), not from
+    * the source tables. The oracle recomputes the paths relationally from
+    * the base tables — two independent routes to the same answer.
+    */
+  def kgTwoHop(spark: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.load(spark, dir, "nation")
+    val supplier = Tables.load(spark, dir, "supplier")
+    val triples = Triples.chain(
+      Triples.edges(nation, "inRegion",
+        Triples.wrap(col("n_nationkey"), "nation:"),
+        Triples.wrap(col("n_regionkey"), "region:")),
+      Triples.edges(supplier, "basedIn",
+        Triples.wrap(col("s_suppkey"), "sup:"),
+        Triples.wrap(col("s_nationkey"), "nation:")))
+    val edges = PgGraph.toPg(triples)
+      .select(element_at(col("labels"), 1).as("label"), col("from"), col("to"))
+    val basedIn = edges.where(col("label") === "basedIn")
+      .select(col("from").as("sup"), col("to").as("nation"))
+    val inRegion = edges.where(col("label") === "inRegion")
+      .select(col("from").as("nation"), col("to").as("region"))
+    basedIn.join(inRegion, "nation")
+      .groupBy("region")
+      .agg(count(lit(1)).as("n_suppliers"))
+      .orderBy("region")
+  }
+
+  val kgTwoHopSql: String =
+    """SELECT 'region:' || n_regionkey AS region, count(*) AS n_suppliers
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY 1 ORDER BY region""".stripMargin
+
+  /** A21: PageRank over the KG edge set (GraphX Pregel; rows-only oracle +
+    * independent power-iteration spec).
+    */
+  def kgPageRank(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.graph.GraphOps.pageRank(
+      PgGraph.toPg(nationTriples(spark, dir)).where(col("type") === Graph.EdgeType))
+
   // ---- A10: PG → Cypher batch statements (rows-only oracle + spec) --------
 
   def neoCypher(spark: SparkSession, dir: String): DataFrame = {
