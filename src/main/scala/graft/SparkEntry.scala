@@ -74,7 +74,8 @@ object SparkEntry {
     "q_scalar_subq"       -> (Relational.qScalarSubq(_, _)),
     "q_asof"              -> (Relational.qAsOf(_, _)),
     "q_range_join"        -> (Relational.qRangeJoin(_, _)),
-    "q_scalar_funcs"      -> (Relational.qScalarFuncs(_, _))
+    "q_scalar_funcs"      -> (Relational.qScalarFuncs(_, _)),
+    "q_json_extract"      -> (Relational.qJsonExtract(_, _))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -123,6 +124,7 @@ object SparkEntry {
     "q_scalar_subq"       -> Relational.qScalarSubqSql,
     "q_asof"              -> Relational.qAsOfSql,
     "q_range_join"        -> Relational.qRangeJoinSql,
-    "q_scalar_funcs"      -> Relational.qScalarFuncsSql
+    "q_scalar_funcs"      -> Relational.qScalarFuncsSql,
+    "q_json_extract"      -> Relational.qJsonExtractSql
   )
 }

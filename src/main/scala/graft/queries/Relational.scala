@@ -418,6 +418,24 @@ object Relational {
       |  list_contains(string_split(p_name, ' '), 'green')::INTEGER AS has_green
       |FROM part ORDER BY p_partkey""".stripMargin
 
+  /** B23: semi-structured extraction — JSON property column parsed and
+    * aggregated (get_json_object path extraction, exact integer sums).
+    */
+  def qJsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(col("k")).as("n_with_k"), sum(col("k")).as("sum_k"),
+        max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
+  val qJsonExtractSql: String =
+    """SELECT event_type, count(json_extract_string(props, '$.k')) AS n_with_k,
+      |  sum(json_extract_string(props, '$.k')::BIGINT) AS sum_k,
+      |  max(json_extract_string(props, '$.k')::BIGINT) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** B11/D3: gap-based sessionisation — runs the custom stateful operator
     * (graft.streaming.Streaming.sessionize, flatMapGroupsWithState) in batch
     * mode; the oracle reproduces the semantics independently via lag/cumsum
