@@ -117,6 +117,7 @@ object SparkEntry {
     "text_quality"        -> Pipeline.textQualitySql,
     "token_count"         -> Pipeline.tokenCountSql,
     "text_surprisal"      -> Pipeline.textSurprisalSql,
+    "pack_sequences"      -> Pipeline.packSequencesSql,
     "doc_fingerprint"     -> Pipeline.docFingerprintSql,
     "multimodal_meta"     -> Pipeline.multimodalMetaSql,
     "pipeline_filter"     -> Pipeline.pipelineFilterSql,

@@ -81,49 +81,66 @@ object TextOps {
     * token negative log-probability — the classic cheap perplexity proxy
     * for quality filtering. Two passes over the data: token counts
     * (groupBy), then an explode + join + per-doc mean. Both shuffles key on
-    * high-cardinality columns; the LM table is broadcast.
+    * high-cardinality columns; the LM table is broadcast. The corpus token
+    * total is a 1-row aggregate broadcast-cross-joined into the LM — no
+    * driver-side action, the whole thing is one lazy plan.
     */
   def unigramSurprisal(docs: org.apache.spark.sql.DataFrame,
                        idCol: String = "doc_id", textCol: String = "text")
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col, count, explode, lit, log, sum => fsum}
     val toks = docs.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))
-    val total = toks.count().toDouble
+    val total = toks.agg(count(lit(1)).cast("double").as("total"))
     val lm = toks.groupBy("tok").agg(count(lit(1)).as("tf"))
+      .crossJoin(broadcast(total))
     // final mean rounded: the FP sum order differs between engines/runs in
     // the last bits; 6dp is far above that noise
     toks.join(broadcast(lm), "tok")
       .groupBy("id")
       .agg(org.apache.spark.sql.functions.round(
-          -fsum(log(col("tf") / total)) / count(lit(1)), 6).as("mean_surprisal"),
+          -fsum(log(col("tf") / col("total"))) / count(lit(1)), 6).as("mean_surprisal"),
         count(lit(1)).as("n_tokens"))
       .orderBy("id")
   }
 
   /** Sequence packing for training-batch preparation: documents are packed
-    * greedily (in id order within each partition) into sequences of at most
-    * `tokenBudget` tokens — the standard pre-tokenisation packing step that
-    * turns a document corpus into fixed-budget training rows. Runs per
+    * greedily (in id order within each packing group) into sequences of at
+    * most `tokenBudget` tokens — the standard pre-tokenisation packing step
+    * that turns a document corpus into fixed-budget training rows. Runs per
     * partition (genuine imperative accumulation); an oversized single
     * document gets its own sequence.
+    *
+    * By default the packing group is the physical Spark partition (zero
+    * shuffle, layout-dependent output). Pass `partitions = Some(p)` for a
+    * deterministic layout: group = `id mod p`, one repartition, output
+    * independent of file splits — the mode to use when downstream needs
+    * reproducible batches. Either way each group is packed by one task, so
+    * parallelism = number of groups and memory is one open pack per task.
     */
   def packSequences(docs: org.apache.spark.sql.DataFrame, tokenBudget: Int,
-                    idCol: String = "doc_id", textCol: String = "text")
+                    idCol: String = "doc_id", textCol: String = "text",
+                    partitions: Option[Int] = None)
       : org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions.{col, size => fsize, spark_partition_id}
+    import org.apache.spark.sql.functions.{col, pmod, lit, size => fsize, spark_partition_id}
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types._
-    val sized = docs
+    val keyed = docs
       .select(col(idCol).cast("long").as("id"), fsize(tokens(col(textCol))).as("n_tokens"))
-      .sortWithinPartitions("id")
-      .withColumn("part", spark_partition_id())
+    val sized = partitions match {
+      case Some(p) =>
+        keyed.withColumn("part", pmod(col("id"), lit(p)).cast("int"))
+          .repartition(p, col("part"))
+          .sortWithinPartitions("part", "id")
+      case None =>
+        keyed.sortWithinPartitions("id").withColumn("part", spark_partition_id())
+    }
     val outSchema = StructType(Seq(
       StructField("part", IntegerType, nullable = false),
       StructField("seq_in_part", IntegerType, nullable = false),
       StructField("doc_ids", ArrayType(LongType, containsNull = false), nullable = false),
       StructField("total_tokens", LongType, nullable = false)))
     sized.mapPartitions { rows =>
-      var part = -1
+      var part = Int.MinValue
       var seq = 0
       var ids = List.empty[Long]
       var tok = 0L
@@ -133,9 +150,10 @@ object TextOps {
         seq += 1; ids = Nil; tok = 0L
       }
       rows.foreach { r =>
-        part = r.getInt(2)
+        val p = r.getInt(2)
         val n = r.getInt(1).toLong
-        if (tok + n > tokenBudget && ids.nonEmpty) flush()
+        if (p != part) { flush(); seq = 0; part = p }
+        else if (tok + n > tokenBudget && ids.nonEmpty) flush()
         ids ::= r.getLong(0); tok += n
       }
       flush()

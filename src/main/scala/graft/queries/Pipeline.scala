@@ -218,11 +218,35 @@ object Pipeline {
       |FROM toks JOIN lm USING (tok)
       |GROUP BY id ORDER BY id""".stripMargin
 
-  /** C16: greedy sequence packing for training batches (rows-only oracle +
-    * invariants spec — the packing is partition-layout dependent).
+  /** C16: greedy sequence packing for training batches — deterministic
+    * layout (`part = doc_id mod 8`) so the output is independent of file
+    * splits and fully oracle-checkable; the oracle reproduces the greedy
+    * fold as a recursive CTE. `doc_ids` is emitted comma-joined (the
+    * library keeps the array) so the driver's pandas compare can hash it.
     */
   def packSequences(spark: SparkSession, dir: String): DataFrame =
-    TextOps.packSequences(docs(spark, dir), tokenBudget = 512)
+    TextOps.packSequences(docs(spark, dir), tokenBudget = 512, partitions = Some(8))
+      .select(col("part"), col("seq_in_part"),
+        array_join(col("doc_ids"), ",").as("doc_ids"), col("total_tokens"))
+      .orderBy("part", "seq_in_part")
+
+  val packSequencesSql: String =
+    """WITH RECURSIVE
+      |d AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n,
+      |    (doc_id % 8)::INTEGER AS part,
+      |    row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+      |  FROM documents),
+      |r(part, rn, id, n, seq, tok) AS (
+      |  SELECT part, rn, doc_id, n, 0, n FROM d WHERE rn = 1
+      |  UNION ALL
+      |  SELECT d.part, d.rn, d.doc_id, d.n,
+      |    CASE WHEN r.tok + d.n > 512 THEN r.seq + 1 ELSE r.seq END,
+      |    CASE WHEN r.tok + d.n > 512 THEN d.n ELSE r.tok + d.n END
+      |  FROM r JOIN d ON d.part = r.part AND d.rn = r.rn + 1)
+      |SELECT part, seq AS seq_in_part,
+      |  array_to_string(list(id ORDER BY id), ',') AS doc_ids,
+      |  CAST(sum(n) AS BIGINT) AS total_tokens
+      |FROM r GROUP BY part, seq ORDER BY part, seq_in_part""".stripMargin
 
   // ---- C10: token counting ------------------------------------------------
 

@@ -432,8 +432,8 @@ object Relational {
 
   val qJsonExtractSql: String =
     """SELECT event_type, count(json_extract_string(props, '$.k')) AS n_with_k,
-      |  sum(json_extract_string(props, '$.k')::BIGINT) AS sum_k,
-      |  max(json_extract_string(props, '$.k')::BIGINT) AS max_k
+      |  CAST(sum(json_extract_string(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
+      |  CAST(max(json_extract_string(props, '$.k')::BIGINT) AS BIGINT) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** B11/D3: gap-based sessionisation — runs the custom stateful operator
