@@ -101,8 +101,8 @@ object PgGraph {
         "edge must have exactly one label"))
       .union(violation(col("type") === Graph.EdgeType &&
         (col("from").isNull || col("to").isNull), "edge missing endpoint"))
-      .union(violation(col("type") === Graph.NodeType && col("to").isNotNull,
-        "node with endpoint"))
+      .union(violation(col("type") === Graph.NodeType &&
+        (col("from").isNotNull || col("to").isNotNull), "node with endpoint"))
   }
 
   /** PG DataFrame → JSONL.pg lines (reference: src/ketl/io/core.py:130-191

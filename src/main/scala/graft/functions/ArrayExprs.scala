@@ -43,12 +43,25 @@ case class DotProduct(left: Expression, right: Expression)
 }
 
 object DotProduct {
-  /** Shared by interpreted eval and generated code (static forwarder). */
+  /** Shared by interpreted eval and generated code (static forwarder).
+    * Mismatched dimensions or null elements are hard errors, not silent
+    * truncation/garbage — a dimension mismatch in an embedding pipeline is
+    * always a bug upstream.
+    */
   def dot(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"graft_dot: dimension mismatch ($n vs ${b.numElements()})")
     var s = 0.0
     var i = 0
-    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"graft_dot: null element at index $i; filter or impute nulls first")
+      s += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
     s
   }
 }
@@ -219,11 +232,15 @@ object SrpCodes {
       var code = 0L
       var p = 0
       while (p < planes) {
+        // chained mixing, not additive packing: (seed, band) and plane each
+        // pass through mix64 so hyperplanes stay independent for any
+        // dims/planes (additive b*2^18 + p*2^12 + i packing collided — and
+        // correlated planes — once dims > 4096 or planes > 64)
+        val planeKey = mix64(mix64(seed.toLong ^ (b.toLong << 32)) ^ p.toLong)
         var proj = 0.0
         var i = 0
         while (i < dims) {
-          val key = seed.toLong * 1000003L + b.toLong * 262144L + p.toLong * 4096L + i
-          val s = if ((mix64(key) & 1L) == 1L) 1.0 else -1.0
+          val s = if ((mix64(planeKey ^ (i.toLong * 0x9E3779B97F4A7C15L)) & 1L) == 1L) 1.0 else -1.0
           proj += s * v.getDouble(i)
           i += 1
         }

@@ -9,10 +9,12 @@ import graft.ops.text.TextOps
   *
   * Scale notes (100 TB):
   *  - exact: one hash-partition shuffle on the normalisation key.
-  *  - ngramJaccard: exact pairs via broadcast + native merge-scan intersect
-  *    (dense/bucketed corpora); ngramJaccardSparse: exact pairs via
-  *    inverted-index shuffle on the shingle key (zipfian corpora, AQE
-  *    handles hot-shingle skew).
+  *  - ngramJaccardAdaptive (default): bounded density probe routes zipfian
+  *    corpora to ngramJaccardPrefix (PPJoin prefix-filtered inverted index
+  *    — exact, keyed shuffles only) and dense small-vocab corpora to
+  *    minhashLsh + exact verification. ngramJaccard: broadcast +
+  *    native merge-scan intersect, a small-side utility (dedup within a
+  *    bucket/partition); ngramJaccardSparse: plain inverted-index shuffle.
   *  - minhash: signatures are a narrow map (native one-pass expression, no
   *    shuffle); only the small band-bucket join shuffles, then candidates
   *    are verified exactly — the default at corpus scale.
@@ -76,11 +78,116 @@ object Dedup {
       .orderBy("a", "b")
   }
 
+  /** PPJoin prefix-filtered similarity join (Xiao et al., "Efficient
+    * Similarity Joins for Near Duplicate Detection") — identical output to
+    * [[ngramJaccard]], no broadcast, no O(n²).
+    *
+    * With every record's shingles sorted by ONE global order, any pair with
+    * J ≥ t must share a shingle inside each side's first
+    * `n − ceil(t·n) + 1` shingles: J ≥ t implies
+    * |A∩B| ≥ t·(|A|+|B|)/(1+t) ≥ t·max(|A|,|B|) given the size filter
+    * min ≥ t·max, and missing the whole prefix caps the overlap below that.
+    * So only prefixes are inverted. The global order is ASCENDING DOCUMENT
+    * FREQUENCY (rarest first, ties by hash) — the load-bearing choice:
+    * prefixes then hold each record's globally rarest shingles, so posting
+    * lists of the inverted prefix index are short by construction and the
+    * candidate volume Σ df_prefix² stays near-linear even on corpora with
+    * hot templates (a hash order puts hot shingles in prefixes at random
+    * and quadratic blow-up returns).
+    *
+    * Positional filter on top: both sides being sorted by the same global
+    * order, the shared token with the minimal position in A is also the one
+    * with the minimal position in B, and overlap ≤ min(na−ia, nb−ib) from
+    * those first-match positions; candidates falling below the required
+    * overlap ceil(t/(1+t)·(na+nb)) are dropped before verification.
+    *
+    * Survivor pairs re-attach their full value-sorted arrays via two narrow
+    * id joins and are verified exactly with the native merge-scan
+    * intersect. Every stage is a keyed shuffle (shingle df, prefix posting
+    * join, id re-attach) that AQE can rebalance — the plan survives 100×.
+    */
+  def ngramJaccardPrefix(docs: DataFrame, minJaccard: Double,
+                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val base = docs.select(col(idCol).as("id"),
+        array_sort(transform(TextOps.bigrams(col(textCol)), sh => xxhash64(sh))).as("sh"))
+      .withColumn("n", size(col("sh")))
+      .where(col("n") > 0)
+    // global rarity order: shingle -> document frequency, each record's
+    // shingles re-ranked by (df, h)
+    val ex = base.select(col("id"), col("n"), explode(col("sh")).as("h"))
+    val dfTab = ex.groupBy("h").agg(count(lit(1)).as("df"))
+    val ranked = ex.join(dfTab, "h")
+      .groupBy("id", "n")
+      .agg(array_sort(collect_list(struct(col("df"), col("h")))).as("rk"))
+    val prefLen = (col("n") - ceil(col("n") * minJaccard) + 1).cast("int")
+    val pref = ranked.select(col("id"), col("n"),
+      posexplode(slice(transform(col("rk"), s => s.getField("h")), lit(1), prefLen))
+        .as(Seq("pos", "h")))
+    val cand = pref.as("x").join(pref.as("y"),
+        col("x.h") === col("y.h") && col("x.id") < col("y.id") &&
+          col("x.n") * minJaccard <= col("y.n") &&
+          col("y.n") * minJaccard <= col("x.n"))
+      .groupBy(col("x.id").as("a"), col("y.id").as("b"),
+        col("x.n").as("na"), col("y.n").as("nb"))
+      .agg(min(col("x.pos")).as("ia"), min(col("y.pos")).as("ib"))
+      // positional filter: max possible overlap from the first shared
+      // position vs the overlap J >= t requires
+      .where(least(col("na") - col("ia"), col("nb") - col("ib")) >=
+        ceil(lit(minJaccard) / (1 + minJaccard) * (col("na") + col("nb"))))
+      .select(col("a"), col("b"))
+    val sets = base.select(col("id"), col("sh"), col("n"))
+    cand
+      .join(sets.select(col("id").as("a"), col("sh").as("sha"), col("n").as("na")), "a")
+      .join(sets.select(col("id").as("b"), col("sh").as("shb"), col("n").as("nb")), "b")
+      .withColumn("inter",
+        call_function("graft_intersect_count", col("sha"), col("shb")).cast("long"))
+      .select(col("a"), col("b"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+      .orderBy("a", "b")
+  }
+
+  /** Adaptive exact similarity join — the production entry point. A cheap
+    * bounded probe (shingle vocabulary density over at most `sampleDocs`
+    * documents) routes by corpus shape, the same stats-driven planning AQE
+    * applies to join strategies:
+    *
+    *  - **zipfian** corpora (large vocabulary, low average document
+    *    frequency — real web/text corpora): [[ngramJaccardPrefix]], the
+    *    PPJoin prefix-filtered inverted index. Exact, keyed shuffles only.
+    *  - **dense** corpora (small vocabulary, every shingle in hundreds of
+    *    documents — template-generated or highly repetitive data, where ANY
+    *    inverted index degenerates to Ω(n²) postings intersections):
+    *    [[minhashLsh]] candidates verified with exact Jaccard — bucketed,
+    *    near-linear, and exact for every candidate pair LSH surfaces
+    *    (cross-validated equal to the exhaustive join in PipelineOpsSpec).
+    *
+    * The probe is one aggregate over a LIMIT sample — bounded work
+    * regardless of corpus size, so the routing decision costs O(sample) at
+    * 100 TB.
+    */
+  def ngramJaccardAdaptive(docs: DataFrame, minJaccard: Double,
+                           idCol: String = "doc_id", textCol: String = "text",
+                           sampleDocs: Int = 2048,
+                           denseAvgDf: Double = 16.0): DataFrame = {
+    val stats = docs.select(col(textCol)).limit(sampleDocs)
+      .select(explode(TextOps.bigrams(col(textCol))).as("h"))
+      .agg(count(lit(1)).cast("double").as("postings"),
+        approx_count_distinct("h").as("vocab"))
+      .head()
+    val avgDf = stats.getDouble(0) / math.max(1L, stats.getLong(1))
+    if (avgDf >= denseAvgDf) minhashLsh(docs, minJaccard, idCol = idCol, textCol = textCol)
+    else ngramJaccardPrefix(docs, minJaccard, idCol, textCol)
+  }
+
   /** Inverted-index variant of [[ngramJaccard]] — identical output, shuffle
     * on the shingle key instead of a broadcast loop. The right choice when
     * the shingle vocabulary is large and zipfian (most shingles rare →
     * co-occurrence volume Σ df² ≪ n²); on dense small-vocab corpora the
-    * broadcast path wins. Both are exact; pick by corpus shape.
+    * broadcast path wins. Both are exact; pick by corpus shape — and prefer
+    * [[ngramJaccardPrefix]], which adds the prefix filter on top of this
+    * layout.
     */
   def ngramJaccardSparse(docs: DataFrame, minJaccard: Double,
                          idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
@@ -123,17 +230,24 @@ object Dedup {
       .select(col("id"), array_sort(transform(col("shs"), sh => xxhash64(sh))).as("sh"),
         minhashSignature(col("shs"), numHashes).as("sig"))
       .withColumn("n", size(col("sh")))
-    val banded = base.select(col("id"), col("sh"), col("n"),
+    // band join carries (id, bucket-hash) ONLY — the heavy sorted-shingle
+    // arrays do NOT ride the ×bands explode through the shuffle. The band
+    // index folds into the bucket hash, and a hash collision across buckets
+    // merely adds a candidate that exact verification then rejects.
+    val banded = base.select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => slice(col("sig"), b * rows + 1, lit(rows)))).as(Seq("band", "bandsig")))
+      .select(col("id"), xxhash64(col("band"), col("bandsig")).as("bh"))
     val candidates = banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.bandsig") === col("y.bandsig")
-          && col("x.id") < col("y.id"))
-      .select(col("x.id").as("a"), col("y.id").as("b"),
-        col("x.sh").as("sha"), col("y.sh").as("shb"),
-        col("x.n").as("na"), col("y.n").as("nb"))
+        col("x.bh") === col("y.bh") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
       .dropDuplicates("a", "b")
+    // re-attach the shingle arrays to the (small) candidate set via two
+    // narrow id joins, then verify exactly with the merge-scan intersect
+    val sets = base.select(col("id"), col("sh"), col("n"))
     candidates
+      .join(sets.select(col("id").as("a"), col("sh").as("sha"), col("n").as("na")), "a")
+      .join(sets.select(col("id").as("b"), col("sh").as("shb"), col("n").as("nb")), "b")
       .withColumn("inter",
         call_function("graft_intersect_count", col("sha"), col("shb")).cast("long"))
       .select(col("a"), col("b"),

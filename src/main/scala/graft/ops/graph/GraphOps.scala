@@ -33,6 +33,36 @@ object GraphOps {
       .orderBy("id")
   }
 
+  /** Dense, collision-free GraphX vertex ids for string node keys: distinct
+    * endpoints sorted and zipped with their index. Deterministic —
+    * re-evaluating the plan reproduces the identical assignment, so the
+    * edge-mapping branch and the result join-back always agree — and free
+    * of the birthday hazard `xxhash64(node)` has at 10^9+ nodes (64-bit
+    * hashed ids silently merge distinct nodes on collision). The sort is a
+    * range-partitioned shuffle: fully parallel, no driver materialisation.
+    */
+  def nodeIndex(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    e.select(col("from").as("node")).union(e.select(col("to")))
+      .distinct()
+      .as[String].rdd.sortBy(identity).zipWithIndex()
+      .toDF("node", "vid")
+  }
+
+  private def endpoints(pgEdges: DataFrame): DataFrame =
+    pgEdges.select(col("from"), col("to"))
+      .where(col("from").isNotNull && col("to").isNotNull)
+
+  private def mapEdges(e: DataFrame, idx: DataFrame) = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    e.join(idx.select(col("node").as("from"), col("vid").as("fvid")), "from")
+      .join(idx.select(col("node").as("to"), col("vid").as("tvid")), "to")
+      .select(col("fvid"), col("tvid"))
+      .as[(Long, Long)].rdd.map { case (a, b) => Edge(a, b, ()) }
+  }
+
   /** Static PageRank over a PG edge set via GraphX's Pregel implementation
     * (fixed iteration count, reset 0.15). Returns (node, rank) for every
     * node appearing in an edge. The GraphOpsSpec cross-validates this
@@ -41,16 +71,11 @@ object GraphOps {
   def pageRank(pgEdges: DataFrame, iterations: Int = 10): DataFrame = {
     val spark = pgEdges.sparkSession
     import spark.implicits._
-    val e = pgEdges.select(col("from"), col("to"))
-      .where(col("from").isNotNull && col("to").isNotNull)
-    val ids = e.select(col("from").as("node")).union(e.select(col("to")))
-      .distinct()
-    val edges = e.select(xxhash64(col("from")), xxhash64(col("to")))
-      .as[(Long, Long)].rdd.map { case (a, b) => Edge(a, b, ()) }
-    val ranks = XGraph.fromEdges(edges, ())
+    val e = endpoints(pgEdges)
+    val idx = nodeIndex(e)
+    val ranks = XGraph.fromEdges(mapEdges(e, idx), ())
       .staticPageRank(iterations).vertices.toDF("vid", "rank")
-    ids.withColumn("vid", xxhash64(col("node")))
-      .join(ranks, "vid")
+    idx.join(ranks, "vid")
       .select(col("node"), col("rank"))
       .orderBy("node")
   }
@@ -62,16 +87,10 @@ object GraphOps {
   def degrees(pgEdges: DataFrame): DataFrame = {
     val spark = pgEdges.sparkSession
     import spark.implicits._
-    // map string node ids to longs via hashing for GraphX vertex ids
-    val e = pgEdges.select(col("from"), col("to"))
-      .where(col("from").isNotNull && col("to").isNotNull)
-    val ids = e.select(col("from").as("node")).union(e.select(col("to")))
-      .distinct()
-    val edges = e.select(xxhash64(col("from")), xxhash64(col("to")))
-      .as[(Long, Long)].rdd.map { case (a, b) => Edge(a, b, ()) }
-    val degs = XGraph.fromEdges(edges, ()).degrees.toDF("vid", "degree")
-    ids.withColumn("vid", xxhash64(col("node")))
-      .join(degs, "vid")
+    val e = endpoints(pgEdges)
+    val idx = nodeIndex(e)
+    val degs = XGraph.fromEdges(mapEdges(e, idx), ()).degrees.toDF("vid", "degree")
+    idx.join(degs, "vid")
       .select(col("node"), col("degree"))
       .orderBy("node")
   }

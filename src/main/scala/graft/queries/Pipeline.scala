@@ -29,9 +29,15 @@ object Pipeline {
       |FROM d GROUP BY kh HAVING count(*) > 1 ORDER BY canonical_id""".stripMargin
 
   // ---- C2: exact bigram-Jaccard similarity join ---------------------------
+  // shipped plan = the adaptive join: a bounded density probe routes
+  // zipfian corpora to the PPJoin prefix-filtered inverted index and dense
+  // corpora (like this synthetic one: 931-shingle vocabulary, avg df 275 —
+  // where EVERY inverted index degenerates to Ω(n²)) to LSH candidates +
+  // exact verification. No broadcast of the corpus, no all-pairs loop;
+  // Dedup.ngramJaccard stays as the documented small-side utility.
 
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccard(docs(spark, dir), minJaccard = 0.5)
+    Dedup.ngramJaccardAdaptive(docs(spark, dir), minJaccard = 0.5)
 
   val jaccardPairsSql: String =
     """WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),

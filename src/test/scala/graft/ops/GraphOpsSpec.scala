@@ -43,4 +43,22 @@ class GraphOpsSpec extends SparkSpec {
     // sink-free cycle members outrank the dangling source
     assert(graphx("c") > graphx("d"))
   }
+
+  test("nodeIndex is a deterministic bijection — distinct nodes never merge") {
+    val many = spark.range(5000)
+      .select(concat(lit("n"), col("id")).as("from"),
+        concat(lit("n"), (col("id") + 1) % 5000).as("to"))
+    val idx = GraphOps.nodeIndex(many)
+    assert(idx.count() === 5000)
+    assert(idx.select("vid").distinct().count() === 5000)   // no collisions
+    assert(idx.select("node").distinct().count() === 5000)
+    // deterministic across re-evaluation: the join-back branch sees the
+    // same assignment as the edge-mapping branch
+    val again = GraphOps.nodeIndex(many)
+    assert(idx.join(again, Seq("node", "vid")).count() === 5000)
+    // degrees on the 5000-cycle: every node has in+out = 2
+    val degs = GraphOps.degrees(many).collect()
+    assert(degs.length === 5000)
+    assert(degs.forall(_.getInt(1) === 2))
+  }
 }

@@ -26,6 +26,37 @@ class PipelineOpsSpec extends SparkSpec {
     assert(dense === sparse)
   }
 
+  test("prefix-filtered (PPJoin) jaccard join is exact at multiple thresholds") {
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val dense = pairs(Dedup.ngramJaccard(docs, t))
+      val prefix = pairs(Dedup.ngramJaccardPrefix(docs, t))
+      assert(prefix === dense, s"threshold $t")
+    }
+  }
+
+  test("adaptive jaccard join routes by corpus density and stays exact") {
+    import spark.implicits._
+    // this synthetic corpus is dense (931-shingle vocab, avg df 275):
+    // expect the LSH+verify path, and the exhaustive join's exact pairs
+    val onDense = Dedup.ngramJaccardAdaptive(docs, 0.5)
+    assert(onDense.queryExecution.executedPlan.toString.toLowerCase.contains("minhash"))
+    assert(pairs(onDense) === pairs(Dedup.ngramJaccard(docs, 0.5)))
+    // a zipfian corpus — every doc mostly unique tokens, two planted dups —
+    // must route to the PPJoin prefix path and also be exact
+    val zipf = spark.range(300).select(col("id").as("doc_id"),
+      concat_ws(" ",
+        (0 until 30).map(i => concat(lit("t"), col("id"), lit(s"_$i"))): _*)
+        .as("text"))
+    val dup = zipf.where(col("doc_id") < 2)
+      .select(col("doc_id") + 1000, col("text"))
+      .toDF("doc_id", "text")
+    val corpus = zipf.union(dup)
+    val onZipf = Dedup.ngramJaccardAdaptive(corpus, 0.5)
+    assert(!onZipf.queryExecution.executedPlan.toString.toLowerCase.contains("minhash"))
+    assert(pairs(onZipf) === pairs(Dedup.ngramJaccard(corpus, 0.5)))
+    assert(pairs(onZipf).nonEmpty)
+  }
+
   test("minhash LSH finds exactly the exact-Jaccard pairs") {
     val exact = pairs(Dedup.ngramJaccard(docs, 0.5))
     val lsh = pairs(Dedup.minhashLsh(docs, 0.5))
