@@ -85,6 +85,8 @@ object SparkEntry {
     "tabmap_prefix" -> GraphEtl.tabmapPrefixSql,
     "pg_nodes"      -> GraphEtl.pgNodesSql,
     "pg_edges"      -> GraphEtl.pgEdgesSql,
+    "pg_jsonl"      -> GraphEtl.pgJsonlSql,
+    "neo_cypher"    -> GraphEtl.neoCypherSql,
     "union_by_name" -> GraphEtl.unionByNameSql,
     "cast_columns"  -> GraphEtl.castColumnsSql,
     "kg_e2e"        -> GraphEtl.kgEndToEndSql,

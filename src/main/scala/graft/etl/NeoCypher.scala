@@ -96,9 +96,11 @@ object NeoCypher {
           when(key === k, byMode(m)).otherwise(acc)
         }
       }
+      // key-sorted entries: stable statement text run-to-run (the map's
+      // internal order follows nondeterministic collect_list arrival order)
       val propsJson = concat(lit("{"),
         array_join(
-          transform(map_entries(col("properties")), e =>
+          transform(array_sort(map_entries(col("properties"))), e =>
             concat(q(e.getField("key")), lit(":"),
               valueJson(e.getField("key"), e.getField("value")))),
           ","),

@@ -127,9 +127,12 @@ object PgGraph {
       converters.foldLeft(v) { case (acc, (k, conv)) =>
         when(key === k, conv(v)).otherwise(acc)
       }
+    // entries key-sorted: the map's internal order follows collect_list
+    // arrival order (nondeterministic under shuffle); sorting makes the
+    // serialised text stable run-to-run
     val propsJson = concat(lit("{"),
       array_join(
-        transform(map_entries(col("properties")), e =>
+        transform(array_sort(map_entries(col("properties"))), e =>
           concat(q(e.getField("key")), lit(":["),
             array_join(transform(e.getField("value"),
               v => valueJson(e.getField("key"), v)), ","),

@@ -157,10 +157,22 @@ object GraphEtl {
        |  max(CASE WHEN key = '@to' THEN value END) AS dst
        |FROM t GROUP BY id""".stripMargin
 
-  // ---- A7: PG → JSONL lines (rows-only oracle; exact text in ScalaTest) ----
+  // ---- A7: PG → JSONL lines -----------------------------------------------
+  // full DuckDB oracle: every line is deterministic per element (labels and
+  // property keys sorted in the serialiser), so the oracle rebuilds the
+  // exact text from the base table
 
   def pgJsonl(spark: SparkSession, dir: String): DataFrame =
     PgGraph.toJsonl(PgGraph.toPg(nationTriples(spark, dir)))
+
+  val pgJsonlSql: String =
+    """SELECT '{"type":"node","id":"nation:' || n_nationkey ||
+      |    '","labels":["Nation"],"properties":{"hasName":[' || to_json(n_name)::VARCHAR ||
+      |    '],"source":["TPCH"]}}' AS line FROM nation
+      |UNION ALL
+      |SELECT '{"type":"edge","id":"inRegion:nation:' || n_nationkey || '-region:' || n_regionkey ||
+      |    '","labels":["inRegion"],"properties":{},"from":"nation:' || n_nationkey ||
+      |    '","to":"region:' || n_regionkey || '"}' FROM nation""".stripMargin
 
   // ---- A8: unionByName with missing columns -------------------------------
 
@@ -300,12 +312,42 @@ object GraphEtl {
     graft.ops.graph.GraphOps.pageRank(
       PgGraph.toPg(nationTriples(spark, dir)).where(col("type") === Graph.EdgeType))
 
-  // ---- A10: PG → Cypher batch statements (rows-only oracle + spec) --------
+  // ---- A10: PG → Cypher batch statements ----------------------------------
+  // the operator itself is fully distributed (per-partition batching); THIS
+  // query pins batch boundaries for the oracle by sorting elements into one
+  // partition — a checker-determinism arrangement, not the production shape.
+  // The oracle rebuilds each UNWIND statement text, batching with
+  // row_number over the same id order.
 
   def neoCypher(spark: SparkSession, dir: String): DataFrame = {
     val pg = PgGraph.toPg(nationTriples(spark, dir))
+      .coalesce(1).sortWithinPartitions("id")
     NeoCypher.statements(pg, Graph.NodeType, batchSize = 10)
       .union(NeoCypher.statements(pg, Graph.EdgeType, batchSize = 10))
       .toDF("statement")
+  }
+
+  val neoCypherSql: String = {
+    def sqlLit(s: String) = "'" + s.replace("'", "''") + "'"
+    val Array(nPre, nSuf) =
+      NeoCypher.NodeQueryTemplate.split(java.util.regex.Pattern.quote("$nodes"), 2)
+    val Array(ePre, eSuf) =
+      NeoCypher.EdgeQueryTemplate.split(java.util.regex.Pattern.quote("$edges"), 2)
+    s"""WITH n AS (SELECT 'nation:' || n_nationkey AS id,
+       |    '{"id":"nation:' || n_nationkey || '","labels":["Nation","Node"],"properties":{"hasName":' ||
+       |      to_json(n_name)::VARCHAR || ',"source":"TPCH"}}' AS elem FROM nation),
+       |nb AS (SELECT (row_number() OVER (ORDER BY id) - 1) // 10 AS b,
+       |    row_number() OVER (ORDER BY id) AS rn, elem FROM n),
+       |e AS (SELECT 'inRegion:nation:' || n_nationkey || '-region:' || n_regionkey AS id,
+       |    '{"id":"inRegion:nation:' || n_nationkey || '-region:' || n_regionkey ||
+       |      '","labels":["inRegion"],"properties":{},"from":"nation:' || n_nationkey ||
+       |      '","to":"region:' || n_regionkey || '"}' AS elem FROM nation),
+       |eb AS (SELECT (row_number() OVER (ORDER BY id) - 1) // 10 AS b,
+       |    row_number() OVER (ORDER BY id) AS rn, elem FROM e)
+       |SELECT ${sqlLit(nPre)} || '[' || string_agg(elem, ',' ORDER BY rn) || ']' || ${sqlLit(nSuf)}
+       |  AS statement FROM nb GROUP BY b
+       |UNION ALL
+       |SELECT ${sqlLit(ePre)} || '[' || string_agg(elem, ',' ORDER BY rn) || ']' || ${sqlLit(eSuf)}
+       |  FROM eb GROUP BY b""".stripMargin
   }
 }
