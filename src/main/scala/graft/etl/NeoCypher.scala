@@ -74,6 +74,15 @@ object NeoCypher {
   def statements(pg: DataFrame, elementType: String, batchSize: Int = 2500,
                  config: PropertyConfig = PropertyConfig()): Dataset[String] = {
     import pg.sparkSession.implicits._
+    statementsWithCounts(pg, elementType, batchSize, config).map(_._1)
+  }
+
+  /** [[statements]] plus the element count of each batch — the shape
+    * [[NeoLoader]] consumes for per-batch load accounting.
+    */
+  def statementsWithCounts(pg: DataFrame, elementType: String, batchSize: Int = 2500,
+                           config: PropertyConfig = PropertyConfig()): Dataset[(String, Int)] = {
+    import pg.sparkSession.implicits._
     val isNodes = elementType == Graph.NodeType
     val labels = if (isNodes)
       array_union(col("labels"), array(lit(CommonNodeLabel)))
@@ -122,7 +131,7 @@ object NeoCypher {
       .as[String]
       .mapPartitions { it =>
         it.grouped(batchSize).map { batch =>
-          template.replace(param, batch.mkString("[", ",", "]"))
+          (template.replace(param, batch.mkString("[", ",", "]")), batch.size)
         }
       }
   }

@@ -1,0 +1,210 @@
+package graft.etl
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.model.Graph
+
+/** Graph-database loading facade (reference: src/ketl/io/neoloader.py:563-744
+  * pg_jsonl_neo_loader / pg_jsonl_neo_loader_cli).
+  *
+  * The reference drives a live Neo4j bolt driver with async batching; no
+  * database exists in this container, so the load is re-expressed
+  * Spark-first: the statement stream from [[NeoCypher]] is executed per
+  * partition through a pluggable [[CypherTransport]] — the executor-side
+  * `foreachPartition` shape a real bolt transport would plug into
+  * unchanged. Everything the reference's orchestrator does around the
+  * driver is here: node phase → id index → edge phase ordering
+  * (reference: src/ketl/io/neoloader.py:384-394, 478-560), bounded
+  * transient-error retries with backoff (reference: neoloader.py:398-410),
+  * `.nodes`/`.edges` done-flag skip logic (reference: neoloader.py:452-463,
+  * 487-498), and per-phase element/batch accounting.
+  *
+  * Scale notes: statements are generated and executed inside one
+  * distributed pass per phase (no driver materialisation of elements);
+  * accounting aggregates one small row per batch. Parallel edge batches
+  * colliding on transactions is exactly the transient case the retry path
+  * covers, as in the reference.
+  */
+object NeoLoader {
+
+  /** Executor-side Cypher endpoint. Implementations must be serializable —
+    * they ship to executors. Throw [[TransientCypherError]] for failures
+    * that deserve a retry (lock/transaction collisions); anything else
+    * fails the load.
+    */
+  trait CypherTransport extends Serializable {
+    def run(statement: String): Unit
+  }
+
+  /** Retryable failure (the reference retries neo4j TransientError only —
+    * reference: src/ketl/io/neoloader.py:402-405).
+    */
+  final class TransientCypherError(msg: String) extends RuntimeException(msg)
+
+  /** In-container default transport: accepts every statement (the
+    * statement text itself is oracle-checked elsewhere); a bolt-backed
+    * implementation would replace exactly this class.
+    */
+  final class NoopTransport extends CypherTransport {
+    override def run(statement: String): Unit = ()
+  }
+
+  final case class Config(
+      batchSize: Int = 2500, // reference: src/ketl/io/neoloader.py:131
+      maxRetries: Int = 3,
+      retryBackoffMs: Long = 0L,
+      doNodes: Boolean = true,
+      doEdges: Boolean = true,
+      doneBasePath: Option[String] = None,
+      propertyConfig: NeoCypher.PropertyConfig = NeoCypher.PropertyConfig())
+
+  final case class Report(
+      nodes: Long, edges: Long,
+      nodeBatches: Long, edgeBatches: Long,
+      retries: Long,
+      nodesSkipped: Boolean, edgesSkipped: Boolean)
+
+  /** Loads a PG DataFrame through `transport`. Runs the node phase, creates
+    * the node-id index, then the edge phase — the ordering edges depend on.
+    */
+  def load(pg: DataFrame, transport: CypherTransport,
+           config: Config = Config()): Report = {
+    val nodesDone = flagExists(config, "nodes")
+    val edgesDone = flagExists(config, "edges")
+
+    val skipNodes = !config.doNodes || nodesDone
+    // as in the reference: a done-flag skips edges only if nodes were not
+    // just reloaded (reference: src/ketl/io/neoloader.py:487-490)
+    val skipEdges = !config.doEdges || (edgesDone && nodesDone)
+
+    var nodes = 0L; var nodeBatches = 0L
+    var edges = 0L; var edgeBatches = 0L
+    var retries = 0L
+
+    if (!skipNodes) {
+      val (n, b, r) = runPhase(pg, Graph.NodeType, transport, config)
+      nodes = n; nodeBatches = b; retries += r
+      // index node ids between the phases (reference: neoloader.py:384-394)
+      transport.run(NeoCypher.NodeIndexStatement)
+      writeFlag(config, "nodes")
+    }
+    if (!skipEdges) {
+      val (n, b, r) = runPhase(pg, Graph.EdgeType, transport, config)
+      edges = n; edgeBatches = b; retries += r
+      writeFlag(config, "edges")
+    }
+    Report(nodes, edges, nodeBatches, edgeBatches, retries, skipNodes, skipEdges)
+  }
+
+  /** One element-kind phase: statements stream per partition through the
+    * transport with bounded retries; returns (elements, batches, retries)
+    * aggregated distributively.
+    */
+  private def runPhase(pg: DataFrame, elementType: String,
+                       transport: CypherTransport, config: Config): (Long, Long, Long) = {
+    val spark = pg.sparkSession
+    import spark.implicits._
+    val maxRetries = config.maxRetries
+    val backoffMs = config.retryBackoffMs
+    val acc = NeoCypher.statementsWithCounts(pg, elementType,
+        config.batchSize, config.propertyConfig)
+      .mapPartitions { it =>
+        it.map { case (stmt, nElems) =>
+          var attempt = 1
+          var done = false
+          while (!done) {
+            try { transport.run(stmt); done = true }
+            catch { case e: TransientCypherError =>
+              if (attempt > maxRetries) throw e
+              if (backoffMs > 0) Thread.sleep(backoffMs * attempt)
+              attempt += 1
+            }
+          }
+          (nElems.toLong, 1L, (attempt - 1).toLong)
+        }
+      }
+      .toDF("elems", "batches", "retries")
+      .agg(coalesce(sum("elems"), lit(0L)), coalesce(sum("batches"), lit(0L)),
+        coalesce(sum("retries"), lit(0L)))
+      .head()
+    (acc.getLong(0), acc.getLong(1), acc.getLong(2))
+  }
+
+  private def flagPath(config: Config, suffix: String): Option[java.nio.file.Path] =
+    config.doneBasePath.map { base =>
+      // a base already carrying a phase suffix is normalised, as in the
+      // reference (src/ketl/io/neoloader.py:454-457)
+      val trimmed = base.stripSuffix(".nodes").stripSuffix(".edges")
+      Paths.get(trimmed + "." + suffix)
+    }
+
+  private def flagExists(config: Config, suffix: String): Boolean =
+    flagPath(config, suffix).exists(Files.exists(_))
+
+  private def writeFlag(config: Config, suffix: String): Unit =
+    flagPath(config, suffix).foreach { p =>
+      Files.writeString(p, s"$suffix loaded on ${java.time.Instant.now()}\n")
+    }
+}
+
+/** Config-driven CLI for [[NeoLoader]] (reference:
+  * src/ketl/io/neoloader.py:640-744 pg_jsonl_neo_loader_cli): reads a
+  * JSONL.pg source, applies `--no-nodes`/`--no-edges`/`--done-path`
+  * /`--batch-size`, and takes loader settings from a [[graft.io.Config]]
+  * file (`neoloader.batch_size`, `neoloader.max_retries`,
+  * `neoloader.retry_backoff_ms`). With no database in the container the
+  * transport is the no-op one; a bolt transport would be selected here from
+  * `neo4j.uri` exactly as the reference builds its driver from config.
+  */
+object NeoLoaderCli {
+  def main(args: Array[String]): Unit = sys.exit(run(args))
+
+  def run(args: Array[String],
+          transport: NeoLoader.CypherTransport = new NeoLoader.NoopTransport): Int = {
+    var source: Option[String] = None
+    var doNodes = true
+    var doEdges = true
+    var donePath: Option[String] = None
+    var batchSize: Option[Int] = None
+    var configPath: Option[String] = None
+    var usageError = false
+    var i = 0
+    while (i < args.length && !usageError) {
+      args(i) match {
+        case "--no-nodes" => doNodes = false
+        case "--no-edges" => doEdges = false
+        case "--done-path" => i += 1; donePath = Some(args(i))
+        case "--batch-size" => i += 1; batchSize = Some(args(i).toInt)
+        case "--config" => i += 1; configPath = Some(args(i))
+        case other if !other.startsWith("--") => source = Some(other)
+        case other => System.err.println(s"unknown option $other"); usageError = true
+      }
+      i += 1
+    }
+    if (source.isEmpty) { System.err.println("missing <source>"); usageError = true }
+    if (usageError) 2
+    else try {
+      val fileConf = configPath.map(p =>
+        graft.io.Config.parse(Files.readString(Paths.get(p)))).getOrElse(Map.empty)
+      val conf = NeoLoader.Config(
+        batchSize = batchSize
+          .orElse(fileConf.get("neoloader.batch_size").map(_.toInt)).getOrElse(2500),
+        maxRetries = fileConf.get("neoloader.max_retries").map(_.toInt).getOrElse(3),
+        retryBackoffMs = fileConf.get("neoloader.retry_backoff_ms").map(_.toLong).getOrElse(0L),
+        doNodes = doNodes, doEdges = doEdges, doneBasePath = donePath)
+      val spark = org.apache.spark.sql.SparkSession.builder()
+        .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[8]"))
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      val report = NeoLoader.load(PgGraph.fromJsonl(spark, source.get), transport, conf)
+      println(s"[neoloader] $report")
+      0
+    } catch {
+      case e: Throwable => System.err.println(s"[neoloader] loading failed: ${e.getMessage}"); 1
+    }
+  }
+}

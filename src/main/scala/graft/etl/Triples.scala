@@ -101,6 +101,26 @@ object Triples {
   def chain(first: DataFrame, rest: DataFrame*): DataFrame =
     rest.foldLeft(first)(_ union _)
 
+  /** Arbitrary row-function escape hatch — the counterpart of the
+    * reference's RowTripleMapper, which accepts ANY row→value function
+    * (reference: src/ketl/tabmap/core.py:83-115). `fn` sees each source row
+    * and emits whatever `(id, key, value)` triples it likes; value
+    * serialisation is the function's own business (use
+    * [[Triples.jsonSerialize]] semantics manually for regular properties).
+    *
+    * This runs as a typed Dataset flatMap — outside whole-stage codegen and
+    * invisible to column pruning, so it reads every column and evaluates
+    * per row. Use it only for logic genuinely not expressible as Column
+    * expressions; every [[Prop]]-based form is strictly faster.
+    */
+  def rowTriples(df: DataFrame)(
+      fn: org.apache.spark.sql.Row => IterableOnce[(String, String, String)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.flatMap(fn).toDF("id", "key", "value")
+      .where(col("id").isNotNull && col("id") =!= "" && col("value").isNotNull)
+  }
+
   private def emit(df: DataFrame, id: Column, props: Seq[Prop]): DataFrame = {
     val entries = props.map { p =>
       val v = if (p.serialize) p.serializer(p.value) else p.value.cast(StringType)

@@ -51,6 +51,33 @@ object Streaming {
     events.withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** D5: stream-stream equi-join with an event-time band — `right` rows
+    * within `[left.ts - bandBefore, left.ts + bandAfter]` of the matching
+    * `left` row. The watermark plus the time bound is what lets the engine
+    * BOUND the join state: buffered rows age out as the watermark passes
+    * their band, so state stays proportional to the band width, not the
+    * stream length — the only stream-stream join shape that survives an
+    * unbounded run. Works identically on batch frames (the batch twin is
+    * the oracle).
+    *
+    * `leftTs`/`rightTs` name each side's event-time column (they must
+    * differ, as join output carries both).
+    */
+  def bandJoin(left: DataFrame, right: DataFrame,
+               leftKey: String, rightKey: String,
+               leftTs: String, rightTs: String,
+               watermark: String = "1 hour",
+               bandBefore: String = "10 minutes",
+               bandAfter: String = "0 seconds"): DataFrame = {
+    require(leftTs != rightTs, "bandJoin: time columns must have distinct names")
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r,
+      col(leftKey) === col(rightKey) &&
+        col(rightTs) >= col(leftTs) - expr(s"INTERVAL $bandBefore") &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $bandAfter"))
+  }
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                          event_type: String, value: Double)
   final case class UserSession(user_id: Long, session_start: java.sql.Timestamp,

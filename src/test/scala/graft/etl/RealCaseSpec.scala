@@ -15,33 +15,43 @@ class RealCaseSpec extends SparkSpec {
 
   private val ketlSource = "graft/RealCaseSpec"
 
-  private lazy val input = {
+  private lazy val inputPath = {
     val path = java.nio.file.Files.createTempDirectory("graft-real").resolve("e2u.tsv")
     java.nio.file.Files.writeString(path,
       "ENSEMBL ID\tUniProt ID\nAT4G24270\tAT4G24270.1\nAT1G19130\tAT1G19130.1\n")
-    graft.io.DataFrames.readTable(spark, path.toString)
+    path.toString
   }
 
-  /** The full chained mapping (reference: wf_mapping.py E2U_* mappers). */
-  private lazy val triples = {
+  /** The full chained mapping as ONE config-driven workflow unit
+    * (reference: wf_mapping.py E2U_* mappers bound into TabFileMapper
+    * objects, src/ketl/tabmap/core.py:445-618).
+    */
+  private lazy val fileMapper: TabFileMapper = {
     val srcProp = Prop.constant("ketl:source", ketlSource)
     val geneId = Triples.wrap(col("ENSEMBL ID"), "gene:")
     val protId = Triples.wrap(col("UniProt ID"), "protein:")
 
-    val geneNodes = Triples.nodes(input, geneId,
-      Seq(Prop.tpe("Gene"), KnetMappings.dataSourcesProp("ENSEMBL-Plants"), srcProp))
-    val protNodes = Triples.nodes(input, protId,
-      Seq(Prop.tpe("Protein"), KnetMappings.dataSourcesProp("ENSEMBL-Plants"),
-        KnetMappings.dataSourcesProp("TAIR"), srcProp))
-    val (accNodes, accEdges) = KnetMappings.accessionMappers(
-      input, "ENSEMBL-Plants", col("ENSEMBL ID"), geneId, Seq(srcProp))
-    val (upNodes, upEdges) = KnetMappings.accessionMappers(
-      input, "UniProt", col("UniProt ID"), protId, Seq(srcProp))
-    val encodes = Triples.edges(input, "encodesProtein", geneId, protId,
-      props = Seq(KnetMappings.dataSourcesProp("ENSEMBL Plants"), srcProp))
-
-    Triples.chain(geneNodes, protNodes, accNodes, accEdges, upNodes, upEdges, encodes)
+    TabFileMapper.chained(Seq(
+      df => Triples.nodes(df, geneId,
+        Seq(Prop.tpe("Gene"), KnetMappings.dataSourcesProp("ENSEMBL-Plants"), srcProp)),
+      df => Triples.nodes(df, protId,
+        Seq(Prop.tpe("Protein"), KnetMappings.dataSourcesProp("ENSEMBL-Plants"),
+          KnetMappings.dataSourcesProp("TAIR"), srcProp)),
+      df => {
+        val (n, e) = KnetMappings.accessionMappers(
+          df, "ENSEMBL-Plants", col("ENSEMBL ID"), geneId, Seq(srcProp))
+        n.union(e)
+      },
+      df => {
+        val (n, e) = KnetMappings.accessionMappers(
+          df, "UniProt", col("UniProt ID"), protId, Seq(srcProp))
+        n.union(e)
+      },
+      df => Triples.edges(df, "encodesProtein", geneId, protId,
+        props = Seq(KnetMappings.dataSourcesProp("ENSEMBL Plants"), srcProp))))
   }
+
+  private lazy val triples = fileMapper.map(spark, inputPath)
 
   test("real-case triples match reference semantics for one input row") {
     val ts = triples.collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
@@ -76,6 +86,37 @@ class RealCaseSpec extends SparkSpec {
     assert(edge.getAs[String]("to") === "protein:AT4G24270.1")
     // 2 input rows → 2 genes + 2 proteins + 4 accessions + 4 hasAccession + 2 encodes
     assert(pg.count() === 14)
+  }
+
+  test("file mapper checkpoints its output and applies explicit column types") {
+    val out = java.nio.file.Files.createTempDirectory("graft-real-out")
+      .resolve("triples").toString
+    fileMapper.map(spark, inputPath, outPath = Some(out))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(graft.io.Checkpoint.checkPath(out))))
+    val reloaded = graft.io.Checkpoint.load(spark, out)
+    assert(reloaded.count() === triples.count())
+    // explicit types: inferSchema off + columnTypes casts the input column
+    val typed = TabFileMapper.nodes(
+      Triples.wrap(col("ENSEMBL ID"), "gene:"), Seq(Prop.tpe("Gene")),
+      options = Map("inferSchema" -> "false"),
+      columnTypes = Map("ENSEMBL ID" -> org.apache.spark.sql.types.StringType))
+    assert(typed.map(spark, inputPath).count() === 2)
+  }
+
+  test("rowTriples escape hatch emits arbitrary per-row triples") {
+    // a value function not Column-expressible (imperative string surgery):
+    // reference RowTripleMapper equivalence (src/ketl/tabmap/core.py:83-115)
+    val df = graft.io.DataFrames.readTable(spark, inputPath)
+    val t = Triples.rowTriples(df) { row =>
+      val ens = row.getAs[String]("ENSEMBL ID")
+      val chromosomeGuess = ens.drop(2).takeWhile(_.isDigit)
+      Seq(("gene:" + ens, "chromosome", "\"" + chromosomeGuess + "\""))
+    }
+    val got = t.collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got === Set(
+      ("gene:AT4G24270", "chromosome", "\"4\""),
+      ("gene:AT1G19130", "chromosome", "\"1\"")))
   }
 
   test("accession prop helper handles constant sources and empty values") {

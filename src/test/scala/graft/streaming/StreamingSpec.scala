@@ -61,33 +61,31 @@ class StreamingSpec extends SparkSpec {
     assert(landed.count() === batchEvents.count())
   }
 
-  test("D5: stream-stream join within event-time bounds matches the batch twin") {
-    val purchases = Streaming.eventStream(spark, dir)
-      .where(col("event_type") === "purchase")
-      .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_id"))
-      .withWatermark("p_ts", "1 hour")
-    val clicks = Streaming.eventStream(spark, dir)
-      .where(col("event_type") === "click")
-      .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("event_id").as("c_id"))
-      .withWatermark("c_ts", "1 hour")
-    val joined = purchases.join(clicks,
-      col("user_id") === col("c_user") &&
-        col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
-        col("c_ts") <= col("p_ts"))
+  test("D5: stream-stream band join (library op) matches the batch twin") {
+    def purchases(df: org.apache.spark.sql.DataFrame) =
+      df.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+    def clicks(df: org.apache.spark.sql.DataFrame) =
+      df.where(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("event_id").as("c_id"))
+
+    val joined = Streaming.bandJoin(
+      purchases(Streaming.eventStream(spark, dir)),
+      clicks(Streaming.eventStream(spark, dir)),
+      leftKey = "user_id", rightKey = "c_user",
+      leftTs = "p_ts", rightTs = "c_ts",
+      watermark = "1 hour", bandBefore = "10 minutes")
     val query = joined.writeStream.format("memory")
       .queryName("ss_join").outputMode("append").start()
     try query.processAllAvailable() finally query.stop()
     val streamed = spark.table("ss_join").count()
 
-    val be = batchEvents
-    val bp = be.where(col("event_type") === "purchase")
-      .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_id"))
-    val bc = be.where(col("event_type") === "click")
-      .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("event_id").as("c_id"))
-    val batch = bp.join(bc,
-      col("user_id") === col("c_user") &&
-        col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
-        col("c_ts") <= col("p_ts")).count()
+    // identical call on batch frames = the oracle
+    val batch = Streaming.bandJoin(
+      purchases(batchEvents), clicks(batchEvents),
+      leftKey = "user_id", rightKey = "c_user",
+      leftTs = "p_ts", rightTs = "c_ts",
+      watermark = "1 hour", bandBefore = "10 minutes").count()
 
     assert(streamed === batch)
     assert(streamed > 0)
