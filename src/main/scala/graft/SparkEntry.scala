@@ -91,6 +91,7 @@ object SparkEntry {
     "cast_columns"  -> GraphEtl.castColumnsSql,
     "kg_e2e"        -> GraphEtl.kgEndToEndSql,
     "kg_two_hop"    -> GraphEtl.kgTwoHopSql,
+    "kg_pagerank"   -> GraphEtl.kgPageRankSql,
     "q1_agg"        -> Relational.q1AggSql,
     "q3_join_agg"   -> Relational.q3JoinAggSql,
     "q5_multijoin"  -> Relational.q5MultiJoinSql,

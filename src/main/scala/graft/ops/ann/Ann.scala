@@ -86,6 +86,7 @@ object Ann {
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nCells: Int = 16, nProbe: Int = 4,
+              trainCap: Int = 100000,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
@@ -94,10 +95,15 @@ object Ann {
     val c = corpus.select(col(idCol).as("cid"), vec(col(vecCol)).as("cv"))
       .withColumn("cn", norm(col("cv")))
       .withColumn("features", array_to_vector(col("cv")))
-    // a handful of iterations is plenty for a coarse quantizer — cells only
-    // need to partition the space, not converge
+    // the coarse quantizer trains on a BOUNDED sample with random init and
+    // few iterations — cells only need to partition the space, not
+    // converge, and at corpus scale you never k-means the full data (the
+    // k-means|| init alone is several extra passes). The full corpus is
+    // touched exactly once, by the cell assignment below.
+    val train = c.select("features").limit(trainCap)
     val model = new KMeans().setK(nCells).setSeed(17L).setMaxIter(5)
-      .setFeaturesCol("features").fit(c)
+      .setInitMode("random")
+      .setFeaturesCol("features").fit(train)
     val cells = model.transform(c).withColumnRenamed("prediction", "cell")
       .select("cid", "cv", "cn", "cell")
 

@@ -305,12 +305,36 @@ object GraphEtl {
       |FROM supplier JOIN nation ON s_nationkey = n_nationkey
       |GROUP BY 1 ORDER BY region""".stripMargin
 
-  /** A21: PageRank over the KG edge set (GraphX Pregel; rows-only oracle +
-    * independent power-iteration spec).
+  /** A21: PageRank over the KG edge set (GraphX Pregel). Full DuckDB
+    * oracle: staticPageRank's recurrence (ranks start at 1.0;
+    * `rank = 0.15 + 0.85·Σ incoming rank/outdeg`) unrolled to ten chained
+    * CTE iterations, then the final rank-sum normalisation to n that
+    * GraphX applies (observable here because the region sinks leak rank
+    * mass). Both sides round to 6 dp, far above FP accumulation-order
+    * noise and far below rank differences.
     */
   def kgPageRank(spark: SparkSession, dir: String): DataFrame =
     graft.ops.graph.GraphOps.pageRank(
-      PgGraph.toPg(nationTriples(spark, dir)).where(col("type") === Graph.EdgeType))
+        PgGraph.toPg(nationTriples(spark, dir)).where(col("type") === Graph.EdgeType))
+      .select(col("node"), round(col("rank"), 6).as("rank"))
+
+  val kgPageRankSql: String = {
+    val iters = (1 to 10).map { i =>
+      s"""r$i AS (
+         |  SELECT n.node, 0.15 + 0.85 * coalesce(sum(c.contrib), 0) AS rank FROM nodes n
+         |  LEFT JOIN (SELECT e.dst, r.rank / o.outdeg AS contrib
+         |             FROM e JOIN r${i - 1} r ON e.src = r.node JOIN outd o ON e.src = o.src) c
+         |    ON c.dst = n.node
+         |  GROUP BY n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT 'nation:' || n_nationkey AS src, 'region:' || n_regionkey AS dst FROM nation),
+       |outd AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |r0 AS (SELECT node, 1.0::DOUBLE AS rank FROM nodes),
+       |$iters
+       |SELECT node, round(rank * (SELECT count(*) FROM nodes) / (SELECT sum(rank) FROM r10), 6) AS rank
+       |FROM r10 ORDER BY node""".stripMargin
+  }
 
   // ---- A10: PG → Cypher batch statements ----------------------------------
   // the operator itself is fully distributed (per-partition batching); THIS

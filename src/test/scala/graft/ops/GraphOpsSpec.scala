@@ -19,7 +19,9 @@ class GraphOpsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
 
     // independent implementation: GraphX staticPageRank semantics are
-    // rank = 0.15 + 0.85 * sum(incoming rank/outDegree), ranks start at 1.0
+    // rank = 0.15 + 0.85 * sum(incoming rank/outDegree), ranks start at
+    // 1.0, final ranks normalised so they sum to n (a no-op on sink-free
+    // graphs like this one, visible whenever sinks leak rank mass)
     val out = edges.groupBy("from").agg(count(lit(1)).as("outdeg"))
     val nodes = edges.select(col("from").as("node"))
       .union(edges.select(col("to"))).distinct()
@@ -34,7 +36,9 @@ class GraphOpsSpec extends SparkSpec {
         .select(col("node"),
           (lit(0.15) + lit(0.85) * coalesce(col("in_sum"), lit(0.0))).as("rank"))
     }
-    val manual = ranks.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val raw = ranks.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val scale = raw.size / raw.values.sum
+    val manual = raw.view.mapValues(_ * scale).toMap
 
     assert(graphx.keySet === manual.keySet)
     graphx.foreach { case (n, r) =>
