@@ -66,6 +66,7 @@ object SparkEntry {
     "token_count"         -> (Pipeline.tokenCount(_, _)),
     "text_surprisal"      -> (Pipeline.textSurprisal(_, _)),
     "pack_sequences"      -> (Pipeline.packSequences(_, _)),
+    "split_assign"        -> (Pipeline.splitAssign(_, _)),
     "doc_fingerprint"     -> (Pipeline.docFingerprint(_, _)),
     "multimodal_meta"     -> (Pipeline.multimodalMeta(_, _)),
     "source_similarity"   -> (Pipeline.sourceSimilarity(_, _)),
@@ -75,7 +76,8 @@ object SparkEntry {
     "q_asof"              -> (Relational.qAsOf(_, _)),
     "q_range_join"        -> (Relational.qRangeJoin(_, _)),
     "q_scalar_funcs"      -> (Relational.qScalarFuncs(_, _)),
-    "q_json_extract"      -> (Relational.qJsonExtract(_, _))
+    "q_json_extract"      -> (Relational.qJsonExtract(_, _)),
+    "q_bucketed_join"     -> (Relational.qBucketedJoin(_, _))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -121,6 +123,7 @@ object SparkEntry {
     "token_count"         -> Pipeline.tokenCountSql,
     "text_surprisal"      -> Pipeline.textSurprisalSql,
     "pack_sequences"      -> Pipeline.packSequencesSql,
+    "split_assign"        -> Pipeline.splitAssignSql,
     "doc_fingerprint"     -> Pipeline.docFingerprintSql,
     "multimodal_meta"     -> Pipeline.multimodalMetaSql,
     "pipeline_filter"     -> Pipeline.pipelineFilterSql,
@@ -129,6 +132,7 @@ object SparkEntry {
     "q_asof"              -> Relational.qAsOfSql,
     "q_range_join"        -> Relational.qRangeJoinSql,
     "q_scalar_funcs"      -> Relational.qScalarFuncsSql,
-    "q_json_extract"      -> Relational.qJsonExtractSql
+    "q_json_extract"      -> Relational.qJsonExtractSql,
+    "q_bucketed_join"     -> Relational.qBucketedJoinSql
   )
 }

@@ -23,4 +23,19 @@ object Bucketing {
       .bucketBy(numBuckets, bucketCol)
       .sortBy(bucketCol)
       .saveAsTable(tableName)
+
+  /** Drops a managed table AND its warehouse directory. The in-memory
+    * catalog is per-JVM, so a fresh session can find a previous JVM's
+    * directory without the catalog entry — `overwrite` alone then fails.
+    */
+  def dropTable(spark: org.apache.spark.sql.SparkSession, tableName: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $tableName")
+    val loc = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), tableName)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    if (loc.exists()) rm(loc)
+  }
 }

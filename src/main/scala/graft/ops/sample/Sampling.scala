@@ -1,0 +1,58 @@
+package graft.ops.sample
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic splitting/sampling for training-data pipelines.
+  *
+  * Every assignment is a pure function of the row's id — an md5 hex prefix
+  * read as an integer bucket — so it is reproducible across runs, engines,
+  * partition layouts, and cluster sizes, and stable under corpus growth
+  * (adding documents never reassigns existing ones). Those are the
+  * properties a train/val/test split must have; `df.randomSplit` has none
+  * of them. md5 is bit-identical in every engine (unlike engine-native
+  * hash functions), which also makes these ops exactly SQL-oracle-able.
+  *
+  * All of it is narrow Column work: no shuffle, no state, scan speed at
+  * any scale.
+  */
+object Sampling {
+
+  val Buckets = 10000
+
+  /** Hash bucket in [0, buckets): first 8 md5 hex chars of (id, salt) as an
+    * integer. `salt` derives independent assignments from the same ids
+    * (e.g. a second eval split uncorrelated with the first).
+    */
+  def hashBucket(id: Column, buckets: Int = Buckets, salt: String = ""): Column =
+    conv(substring(md5(concat(id.cast("string"), lit(salt))), 1, 8), 16, 10)
+      .cast("long") % buckets
+
+  /** Named split assignment by cumulative weight over the hash bucket,
+    * e.g. `Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)`. Weights are
+    * normalised; boundaries are exact bucket thresholds, so the realised
+    * fractions converge to the weights at 1/buckets resolution.
+    */
+  def splitAssign(id: Column, splits: Seq[(String, Double)],
+                  salt: String = ""): Column = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0), "splits need positive weights")
+    val total = splits.map(_._2).sum
+    val thresholds = splits.scanLeft(0.0)(_ + _._2).tail
+      .map(c => math.round(c / total * Buckets))
+    val b = hashBucket(id, Buckets, salt)
+    splits.map(_._1).zip(thresholds).init.foldRight(lit(splits.last._1): Column) {
+      case ((name, thr), acc) => when(b < thr, lit(name)).otherwise(acc)
+    }
+  }
+
+  /** Deterministic fractional sample: keeps a row iff its bucket falls
+    * below `fraction`. Unlike `df.sample`, re-runs and different partition
+    * layouts select the SAME rows, and `salt` gives independent samples.
+    */
+  def sampleByHash(df: DataFrame, idCol: String, fraction: Double,
+                   salt: String = ""): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, "fraction must be in [0,1]")
+    df.where(hashBucket(col(idCol), Buckets, salt) <
+      math.round(fraction * Buckets))
+  }
+}

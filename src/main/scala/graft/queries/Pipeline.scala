@@ -317,6 +317,25 @@ object Pipeline {
       |  AND doc_id NOT IN (SELECT doc_id FROM losers)
       |ORDER BY doc_id""".stripMargin
 
+  /** C17: deterministic train/val/test split assignment — pure function of
+    * the doc id (md5-bucket), reproducible across engines/partitionings;
+    * the oracle recomputes the identical assignment in DuckDB.
+    */
+  def splitAssign(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(col("doc_id"),
+        graft.ops.sample.Sampling.hashBucket(col("doc_id")).as("bucket"),
+        graft.ops.sample.Sampling.splitAssign(col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
+      .orderBy("doc_id")
+
+  val splitAssignSql: String =
+    """SELECT doc_id,
+      |  (('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000) AS bucket,
+      |  CASE WHEN ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000 < 8000 THEN 'train'
+      |       WHEN ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000 < 9000 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // ---- C12: multimodal binary columns -------------------------------------
 
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame =

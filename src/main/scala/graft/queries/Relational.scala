@@ -436,6 +436,39 @@ object Relational {
       |  CAST(max(json_extract_string(props, '$.k')::BIGINT) AS BIGINT) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** B26: bucketed co-located fact join — both fact tables are first
+    * written as bucketed, in-bucket-sorted tables on the order key, and the
+    * sort-merge join then plans with NO exchange and NO sort on either
+    * side. Here the bucketed write runs inside the query to stay
+    * self-contained; production buckets once at ingest and amortises the
+    * write over every later join — at 100 TB that removes the dominant
+    * repeated fact-fact shuffle entirely. The exchange-free plan is
+    * asserted in BucketingSpec; the oracle checks the result equals the
+    * plain join.
+    */
+  def qBucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    import graft.io.Bucketing
+    val ord = Tables.load(spark, dir, "orders").select("o_orderkey", "o_orderpriority")
+    val li = Tables.load(spark, dir, "lineitem")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    Seq("graft_bkt_orders", "graft_bkt_lineitem").foreach(Bucketing.dropTable(spark, _))
+    Bucketing.saveBucketed(ord, "graft_bkt_orders", "o_orderkey", 8)
+    Bucketing.saveBucketed(li, "graft_bkt_lineitem", "l_orderkey", 8)
+    spark.table("graft_bkt_lineitem").hint("merge")
+      .join(spark.table("graft_bkt_orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4))
+          .cast("double").as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  val qBucketedJoinSql: String =
+    """SELECT o_orderpriority, count(*) AS n_items,
+      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   /** B11/D3: gap-based sessionisation — runs the custom stateful operator
     * (graft.streaming.Streaming.sessionize, flatMapGroupsWithState) in batch
     * mode; the oracle reproduces the semantics independently via lag/cumsum

@@ -183,6 +183,31 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("hash split/sample: reproducible, near-weight fractions, monotone samples") {
+    import graft.ops.sample.Sampling
+    val assigned = docs.select(col("doc_id"),
+      Sampling.splitAssign(col("doc_id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
+    val counts = assigned.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = counts.values.sum.toDouble
+    assert(counts.keySet === Set("train", "val", "test"))
+    assert(math.abs(counts("train") / n - 0.8) < 0.1)
+    // re-evaluation reproduces the identical assignment
+    val again = docs.select(col("doc_id"),
+      Sampling.splitAssign(col("doc_id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
+    assert(assigned.exceptAll(again).isEmpty)
+    // fractional samples are monotone: sample(0.3) is a subset of sample(0.6)
+    val s3 = Sampling.sampleByHash(docs, "doc_id", 0.3).select("doc_id")
+    val s6 = Sampling.sampleByHash(docs, "doc_id", 0.6).select("doc_id")
+    assert(s3.exceptAll(s6).isEmpty)
+    assert(s3.count() < s6.count())
+    // a different salt draws a genuinely different sample
+    val salted = Sampling.sampleByHash(docs, "doc_id", 0.3, salt = "v2").select("doc_id")
+    assert(s3.exceptAll(salted).count() > 0)
+  }
+
   test("multimodal metadata is deterministic from bytes") {
     val out = Multimodal.withMediaMetadata(docs, "doc_id", "text")
     val r = out.orderBy("doc_id").limit(1).collect()(0)
