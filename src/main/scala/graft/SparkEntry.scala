@@ -62,6 +62,7 @@ object SparkEntry {
     "ann_lsh"             -> (Pipeline.annLsh(_, _)),
     "ann_ivf"             -> (Pipeline.annIvf(_, _)),
     "text_lang_id"        -> (Pipeline.textLangId(_, _)),
+    "text_lang_trigram"   -> (Pipeline.textLangTrigram(_, _)),
     "text_quality"        -> (Pipeline.textQuality(_, _)),
     "token_count"         -> (Pipeline.tokenCount(_, _)),
     "text_surprisal"      -> (Pipeline.textSurprisal(_, _)),
@@ -119,6 +120,7 @@ object SparkEntry {
     "dedup_embedding"     -> Pipeline.dedupEmbeddingSql,
     "ann_topk"            -> Pipeline.annTopKSql,
     "text_lang_id"        -> Pipeline.textLangIdSql,
+    "text_lang_trigram"   -> Pipeline.textLangTrigramSql,
     "text_quality"        -> Pipeline.textQualitySql,
     "token_count"         -> Pipeline.tokenCountSql,
     "text_surprisal"      -> Pipeline.textSurprisalSql,

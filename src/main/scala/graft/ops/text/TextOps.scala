@@ -47,6 +47,40 @@ object TextOps {
             when(s > bestScore, s).otherwise(bestScore))
       }._1
 
+  /** Character-trigram language profiles — the classic n-gram language-ID
+    * heuristic (Cavnar & Trenkle-style, fixed profiles): each language is a
+    * handful of its most characteristic trigrams, a document scores one
+    * point per occurrence, argmax wins. Complementary to the stopword
+    * profiles ([[LangProfiles]]): trigram counts see inflection and
+    * word-internal structure, not just function words.
+    */
+  val TrigramProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "ing", "and", " th", "ion"),
+    "es" -> Seq("de ", "que", " la", "ión", "ado"),
+    "de" -> Seq("der", "sch", "ein", "ich", "und"),
+    "fr" -> Seq("le ", "ent", " de", "ait", "eur"))
+
+  /** Occurrences of every profile trigram in the text: each trigram's count
+    * is `(len(text) − len(remove(text, trigram))) / 3` — pure string
+    * arithmetic (literal replace, no regex), identical in any engine.
+    */
+  def trigramScore(text: Column, profile: Seq[String]): Column =
+    profile.map(t =>
+        (length(text) - length(replace(text, lit(t), lit("")))) / t.length)
+      .reduce(_ + _).cast("long")
+
+  /** Predicted language from trigram profiles: argmax, first-profile
+    * tiebreak (same convention as [[langPredict]]).
+    */
+  def trigramPredict(text: Column): Column =
+    TrigramProfiles.tail.foldLeft(
+      (lit(TrigramProfiles.head._1), trigramScore(text, TrigramProfiles.head._2))) {
+        case ((bestLang, bestScore), (lang, profile)) =>
+          val s = trigramScore(text, profile)
+          (when(s > bestScore, lit(lang)).otherwise(bestLang),
+            when(s > bestScore, s).otherwise(bestScore))
+      }._1
+
   /** Quality metrics: token count, mean token length, stopword ratio,
     * punctuation ratio, uppercase-start ratio. All doubles are single
     * divisions of exact integers — cross-engine deterministic.

@@ -187,6 +187,37 @@ object Pipeline {
        |FROM (SELECT *, $greatest AS g FROM s) ORDER BY doc_id""".stripMargin
   }
 
+  /** C18: char-trigram language ID (Cavnar & Trenkle-style fixed profiles)
+    * — the n-gram counterpart of C8's stopword profiles; scores are plain
+    * literal-replace string arithmetic, reproduced exactly by the oracle.
+    */
+  def textLangTrigram(spark: SparkSession, dir: String): DataFrame = {
+    val scoreCols = TextOps.TrigramProfiles.map { case (lang, profile) =>
+      TextOps.trigramScore(col("text"), profile).as(s"${lang}_tri")
+    }
+    docs(spark, dir)
+      .select(col("doc_id") +: scoreCols :+ TextOps.trigramPredict(col("text")).as("pred"): _*)
+      .orderBy("doc_id")
+  }
+
+  val textLangTrigramSql: String = {
+    def esc(s: String) = s.replace("'", "''")
+    val scores = TextOps.TrigramProfiles.map { case (lang, profile) =>
+      profile.map(t =>
+          s"(length(text) - length(replace(text, '${esc(t)}', ''))) / ${t.length}")
+        .mkString("(", " + ", s")::BIGINT AS ${lang}_tri")
+    }.mkString(",\n  ")
+    val langs = TextOps.TrigramProfiles.map(_._1)
+    val greatest = langs.map(l => s"${l}_tri").mkString("greatest(", ", ", ")")
+    val caseChain = langs.map(l => s"WHEN ${l}_tri = g THEN '$l'").mkString(" ")
+    s"""WITH s AS (SELECT doc_id,
+       |  $scores
+       |FROM documents)
+       |SELECT doc_id, ${langs.map(l => s"${l}_tri").mkString(", ")},
+       |  CASE $caseChain END AS pred
+       |FROM (SELECT *, $greatest AS g FROM s) ORDER BY doc_id""".stripMargin
+  }
+
   // ---- C9: quality scores -------------------------------------------------
 
   def textQuality(spark: SparkSession, dir: String): DataFrame = {

@@ -35,6 +35,15 @@ class EmptyInputSpec extends SparkSpec {
     assert(Dedup.ngramJaccard(emptyDocs, 0.5).count() === 0)
     assert(Dedup.minhashLsh(emptyDocs, 0.5).count() === 0)
     assert(Dedup.simhash(emptyDocs).count() === 0)
+    assert(Dedup.ngramJaccardPrefix(emptyDocs, 0.5).count() === 0)
+    assert(Dedup.ngramJaccardAdaptive(emptyDocs, 0.5).count() === 0)
+  }
+
+  test("sampling and packing tolerate an empty corpus") {
+    assert(graft.ops.sample.Sampling.sampleByHash(emptyDocs, "doc_id", 0.5).count() === 0)
+    assert(graft.ops.text.TextOps.packSequences(emptyDocs, 100).count() === 0)
+    assert(graft.ops.text.TextOps
+      .packSequences(emptyDocs, 100, partitions = Some(4)).count() === 0)
   }
 
   test("single-token and empty-string docs don't break shingling") {
