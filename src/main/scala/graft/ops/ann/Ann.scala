@@ -49,6 +49,53 @@ object Ann {
       .orderBy("a", "b")
   }
 
+  /** SRP-LSH-bucketed near-dup pairs: candidates share a sign-random-
+    * projection bucket in ≥1 of `bands` bands, then exact cosine verifies —
+    * the scale path for [[cosinePairs]]. No broadcast, no O(n²): the band
+    * join keys on the hashed (band, code) bucket carrying ids only, and
+    * survivors re-attach their vectors through two narrow id joins (the
+    * same layout as the minhash dedup join). Recall < 1 by design:
+    * per-pair miss probability is (1−(1−θ/π)^planes)^bands — at the
+    * default 4×16 it is ≈4% at cosine 0.45 and negligible above 0.8;
+    * false positives are impossible (every candidate is exactly verified).
+    */
+  def cosinePairsLsh(emb: DataFrame, minCosine: Double,
+                     planes: Int = 4, bands: Int = 16,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val base = emb.select(col(idCol).as("id"), vec(col(vecCol)).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val codes = base.select(col("id"),
+        posexplode(srpCodes(col("v"), planes, bands)).as(Seq("bidx", "code")))
+      .select(col("id"), xxhash64(col("bidx"), col("code")).as("bh"))
+    val cand = codes.as("x").join(codes.as("y"),
+        col("x.bh") === col("y.bh") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+      .dropDuplicates("a", "b")
+    cand
+      .join(base.select(col("id").as("a"), col("v").as("va"), col("nrm").as("na")), "a")
+      .join(base.select(col("id").as("b"), col("v").as("vb"), col("nrm").as("nb")), "b")
+      .select(col("a"), col("b"),
+        round(cosine(col("va"), col("vb"), col("na"), col("nb")), 6).as("cosine"))
+      .where(col("cosine") >= minCosine)
+      .orderBy("a", "b")
+  }
+
+  /** Size-adaptive near-dup pairs: a bounded row-count probe (reads at most
+    * `maxExactRows + 1` rows, O(probe) at any corpus size) routes small
+    * inputs to the exact broadcast loop and everything else to
+    * [[cosinePairsLsh]]. Exact all-pairs at a moderate threshold is
+    * inherently Ω(n²) — above the cutoff the LSH route is the only plan
+    * that survives scale, and its candidates are exactly verified.
+    */
+  def cosinePairsAdaptive(emb: DataFrame, minCosine: Double,
+                          maxExactRows: Int = 100000,
+                          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val small = emb.select(col(idCol)).limit(maxExactRows + 1).count() <= maxExactRows
+    if (small) cosinePairs(emb, minCosine, idCol, vecCol)
+    else cosinePairsLsh(emb, minCosine, idCol = idCol, vecCol = vecCol)
+  }
+
   /** Exact top-k cosine neighbours for each query vector (`queries` rows)
     * against the corpus. The query side is broadcast — the corpus is
     * scanned once regardless of its size.

@@ -93,9 +93,11 @@ object Pipeline {
     Dedup.simhash(docs(spark, dir), maxHamming = 3)
 
   // ---- C5: embedding-cosine near-dup pairs --------------------------------
+  // size-adaptive: exact broadcast loop below the cutoff (this SF), the
+  // SRP-LSH bucketed + exact-verify route above it — no O(n²) at scale
 
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
-    Ann.cosinePairs(embs(spark, dir), minCosine = 0.45)
+    Ann.cosinePairsAdaptive(embs(spark, dir), minCosine = 0.45)
 
   val dedupEmbeddingSql: String =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),

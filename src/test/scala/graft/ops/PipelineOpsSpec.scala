@@ -82,6 +82,19 @@ class PipelineOpsSpec extends SparkSpec {
     assert(groups.forall(_.getAs[Long]("n_dups") >= 2))
   }
 
+  test("LSH cosine pairs: subset of exact pairs with high recall") {
+    val exact = pairs(Ann.cosinePairs(embs, 0.45))
+    val lsh = pairs(Ann.cosinePairsLsh(embs, 0.45))
+    assert(exact.nonEmpty)
+    assert(lsh.subsetOf(exact)) // exact verification → no false positives
+    val recall = (exact intersect lsh).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall $recall below 0.6")
+    // the adaptive route picks the exact path at this size
+    assert(pairs(Ann.cosinePairsAdaptive(embs, 0.45)) === exact)
+    // and the LSH path above a tiny cutoff
+    assert(pairs(Ann.cosinePairsAdaptive(embs, 0.45, maxExactRows = 10)) === lsh)
+  }
+
   test("IVF ANN reaches decent recall of brute-force top-5") {
     val q = embs.where(col("vec_id") < 20)
     val c = embs.where(col("vec_id") >= 20)
