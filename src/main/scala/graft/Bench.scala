@@ -25,6 +25,15 @@ object Bench {
     // doesn't absorb session start-up costs
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    // ... and MLlib/BLAS class loading, which ann_ivf would otherwise pay
+    locally {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val warm = spark.range(64)
+        .selectExpr("cast(array(id, id + 1) as array<double>) AS a")
+        .select(array_to_vector(org.apache.spark.sql.functions.col("a")).as("features"))
+      new KMeans().setK(2).setMaxIter(1).setSeed(1L).setInitMode("random").fit(warm)
+    }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
