@@ -78,6 +78,38 @@ object Streaming {
         col(rightTs) <= col(leftTs) + expr(s"INTERVAL $bandAfter"))
   }
 
+  /** documents.parquet schema, for the file-stream source. */
+  val DocumentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Streaming source over the documents table (same glob-filter pattern
+    * as [[eventStream]]).
+    */
+  def documentStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(DocumentsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+
+  /** D6: the training-data curation pipeline as ONE batch/stream-shared
+    * transform — token-count quality gate, then exact dedup on the
+    * normalisation key (first ten tokens, as in the batch C1 operator).
+    * Under `readStream` the dedup state is unbounded — a production stream
+    * would attach an ingest-time watermark and
+    * `dropDuplicatesWithinWatermark`; the point here is that the C-block
+    * column work runs under both engines verbatim, so the batch run IS the
+    * oracle for the stream.
+    */
+  def curate(docs: DataFrame, minTokens: Int = 20, maxTokens: Int = 80): DataFrame =
+    docs
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .where(col("n_tokens").between(minTokens, maxTokens))
+      .withColumn("key_hash",
+        md5(concat_ws(" ", slice(split(col("text"), " "), 1, 10))))
+      .dropDuplicates("key_hash")
+      .select("doc_id", "key_hash", "n_tokens")
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                          event_type: String, value: Double)
   final case class UserSession(user_id: Long, session_start: java.sql.Timestamp,

@@ -44,4 +44,41 @@ class TopKPerKeySpec extends SparkSpec {
     val all = windowTopK(10).collect()
     assert(all.length === 7)
   }
+
+  test("partial-phase key cap: overflow keys pass through, results stay exact") {
+    val conf = spark.conf
+    conf.set("spark.graft.topk.maxKeysPerPartition", "2")
+    try {
+      // 100 keys x 5 rows in few partitions — far over the 2-key cap, so
+      // most keys take the unpruned pass-through path in the partial phase
+      val df = spark.range(500)
+        .select((col("id") % 100).as("grp"), (col("id") * 37 % 101).as("score"))
+      val w = Window.partitionBy("grp").orderBy(col("score").desc, col("score"))
+      val got = df.withColumn("rk", row_number().over(w)).where(col("rk") <= 2)
+      val plan = got.queryExecution.executedPlan.toString
+      assert(plan.contains("TopKPerKey"))
+      // exact top-2 per key, independently computed
+      val expect = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).toSeq.flatMap { case (g, rows) =>
+          rows.map(_._2).sorted(Ordering[Long].reverse).take(2).toSeq.map((g, _))
+        }.sorted
+      val actual = got.select("grp", "score").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      assert(actual === expect)
+    } finally conf.set("spark.graft.topk.maxKeysPerPartition", "1048576")
+  }
+
+  test("rewrite gate: disabling keeps the stock window plan, same results") {
+    val conf = spark.conf
+    conf.set("spark.graft.topk.rewrite.enabled", "false")
+    try {
+      val gated = windowTopK(2)
+      val plan = gated.queryExecution.executedPlan.toString
+      assert(!plan.contains("TopKPerKey"), s"rewrite ran while disabled:\n$plan")
+      assert(plan.contains("Window"))
+      val got = gated.select("grp", "tag", "rk")
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSet
+      assert(got === Set((1, "b", 1), (1, "c", 2), (2, "f", 1), (2, "e", 2), (3, "g", 1)))
+    } finally conf.set("spark.graft.topk.rewrite.enabled", "true")
+  }
 }

@@ -91,6 +91,21 @@ class StreamingSpec extends SparkSpec {
     assert(streamed > 0)
   }
 
+  test("D6: streaming curation (quality gate + exact dedup) matches the batch twin") {
+    val stream = Streaming.curate(Streaming.documentStream(spark, dir))
+    val query = stream.writeStream.format("memory")
+      .queryName("curated").outputMode("append").start()
+    try query.processAllAvailable() finally query.stop()
+    // survivors per dup group are arbitrary on both engines: compare the
+    // deduped key sets, which are determined
+    val streamed = spark.table("curated")
+      .select("key_hash").collect().map(_.getString(0)).toSet
+    val batch = Streaming.curate(spark.read.parquet(s"$dir/documents.parquet"))
+      .select("key_hash").collect().map(_.getString(0)).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("D3: sessionize splits on gaps > 30min and aggregates per session") {
     def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
     val events = Seq(
