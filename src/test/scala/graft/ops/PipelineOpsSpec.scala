@@ -34,6 +34,22 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("shipped dedup queries never plan a broadcast all-pairs loop") {
+    // (dedup_embedding's adaptive route legitimately picks the exact
+    // broadcast loop BELOW its row cutoff — its scale route is asserted
+    // separately)
+    for (q <- Seq("dedup_ngram_jaccard", "dedup_minhash")) {
+      val plan = graft.SparkEntry.queries(q)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$q plans a broadcast nested loop:\n$plan")
+    }
+    val lshPlan = Ann.cosinePairsAdaptive(embs, 0.45, maxExactRows = 10)
+      .queryExecution.executedPlan.toString
+    assert(!lshPlan.contains("BroadcastNestedLoopJoin"),
+      s"embedding LSH route plans a broadcast nested loop:\n$lshPlan")
+  }
+
   test("adaptive jaccard join routes by corpus density and stays exact") {
     import spark.implicits._
     // this synthetic corpus is dense (931-shingle vocab, avg df 275):
