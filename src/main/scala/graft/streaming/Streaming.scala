@@ -110,6 +110,83 @@ object Streaming {
       .dropDuplicates("key_hash")
       .select("doc_id", "key_hash", "n_tokens")
 
+  final case class BandedDoc(bh: Long, id: Long, sh: Array[Long])
+  final case class NearDup(a: Long, b: Long, jaccard: Double)
+
+  /** D7: streaming near-duplicate detection — the MinHash+LSH dedup
+    * pipeline as a stateful stream. Arriving documents are banded exactly
+    * like the batch operator (graft.ops.dedup.Dedup.minhashLsh: native
+    * one-pass signatures, hashed band buckets); each band bucket is a
+    * `flatMapGroupsWithState` group holding the bucket's members, and a new
+    * arrival is verified with the EXACT sorted-array Jaccard against them —
+    * so every emitted pair is exact, immediately, as data streams in.
+    *
+    * A pair matching in several bands is emitted once per matching band
+    * (bands are independent groups); consumers dedupe on (a, b) — in batch
+    * mode a `dropDuplicates`, in a stream whatever keying the sink already
+    * does. State per bucket grows with corpus size under `NoTimeout`; a
+    * production stream bounds it with an ingest-time watermark +
+    * `GroupStateTimeout.EventTimeTimeout` (dedup against a retention
+    * window), which changes none of the logic here.
+    *
+    * Runs identically on a batch DataFrame (each group arrives complete in
+    * one call) — the batch run and [[graft.ops.dedup.Dedup.minhashLsh]]
+    * are both oracles for the stream (StreamingSpec checks all three
+    * agree).
+    */
+  def nearDupPairs(docs: DataFrame, minJaccard: Double,
+                   numHashes: Int = 16, bands: Int = 4,
+                   idCol: String = "doc_id", textCol: String = "text"): Dataset[NearDup] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val rows = numHashes / bands
+    val banded = docs
+      .select(col(idCol).cast("long").as("id"),
+        graft.ops.text.TextOps.bigrams(col(textCol)).as("shs"))
+      .select(col("id"),
+        array_sort(transform(col("shs"), s => xxhash64(s))).as("sh"),
+        graft.ops.dedup.Dedup.minhashSignature(col("shs"), numHashes).as("sig"))
+      .where(size(col("sh")) > 0)
+      .select(col("id"), col("sh"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => slice(col("sig"), b * rows + 1, lit(rows)))).as(Seq("band", "bandsig")))
+      .select(xxhash64(col("band"), col("bandsig")).as("bh"), col("id"), col("sh"))
+      .as[BandedDoc]
+
+    def inter(a: Array[Long], b: Array[Long]): Int = {
+      var i = 0; var j = 0; var c = 0
+      while (i < a.length && j < b.length) {
+        if (a(i) == b(j)) { c += 1; i += 1; j += 1 }
+        else if (a(i) < b(j)) i += 1
+        else j += 1
+      }
+      c
+    }
+
+    banded.groupByKey(_.bh)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, it: Iterator[BandedDoc], state: GroupState[List[BandedDoc]]) =>
+          var seen = state.getOption.getOrElse(Nil)
+          val out = List.newBuilder[NearDup]
+          it.foreach { d =>
+            seen.foreach { o =>
+              if (o.id != d.id) {
+                val c = inter(o.sh, d.sh)
+                val j = c.toDouble / (o.sh.length + d.sh.length - c)
+                if (j >= minJaccard) {
+                  val (a, b) = if (o.id < d.id) (o.id, d.id) else (d.id, o.id)
+                  out += NearDup(a, b, j)
+                }
+              }
+            }
+            seen ::= d
+          }
+          state.update(seen)
+          out.result().iterator
+      }
+  }
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                          event_type: String, value: Double)
   final case class UserSession(user_id: Long, session_start: java.sql.Timestamp,

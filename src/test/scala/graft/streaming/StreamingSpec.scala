@@ -106,6 +106,24 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("D7: streaming minhash near-dup matches the batch op and the stream's batch twin") {
+    val streamed = {
+      val q = Streaming.nearDupPairs(Streaming.documentStream(spark, dir), 0.5)
+        .writeStream.format("memory").queryName("near_dups").outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table("near_dups").select("a", "b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val twin = Streaming.nearDupPairs(docs, 0.5)
+      .collect().map(p => (p.a, p.b)).toSet
+    val batchOp = graft.ops.dedup.Dedup.minhashLsh(docs, 0.5)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed === twin)
+    assert(streamed === batchOp)
+  }
+
   test("D3: sessionize splits on gaps > 30min and aggregates per session") {
     def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
     val events = Seq(
