@@ -63,11 +63,13 @@ object SparkEntry {
     "ann_ivf"             -> (Pipeline.annIvf(_, _)),
     "text_lang_id"        -> (Pipeline.textLangId(_, _)),
     "text_lang_trigram"   -> (Pipeline.textLangTrigram(_, _)),
+    "text_profile_train"  -> (Pipeline.textProfileTrain(_, _)),
     "text_quality"        -> (Pipeline.textQuality(_, _)),
     "token_count"         -> (Pipeline.tokenCount(_, _)),
     "text_surprisal"      -> (Pipeline.textSurprisal(_, _)),
     "pack_sequences"      -> (Pipeline.packSequences(_, _)),
     "split_assign"        -> (Pipeline.splitAssign(_, _)),
+    "pipeline_e2e"        -> (Pipeline.pipelineE2e(_, _)),
     "doc_fingerprint"     -> (Pipeline.docFingerprint(_, _)),
     "multimodal_meta"     -> (Pipeline.multimodalMeta(_, _)),
     "source_similarity"   -> (Pipeline.sourceSimilarity(_, _)),
@@ -121,11 +123,13 @@ object SparkEntry {
     "ann_topk"            -> Pipeline.annTopKSql,
     "text_lang_id"        -> Pipeline.textLangIdSql,
     "text_lang_trigram"   -> Pipeline.textLangTrigramSql,
+    "text_profile_train"  -> Pipeline.textProfileTrainSql,
     "text_quality"        -> Pipeline.textQualitySql,
     "token_count"         -> Pipeline.tokenCountSql,
     "text_surprisal"      -> Pipeline.textSurprisalSql,
     "pack_sequences"      -> Pipeline.packSequencesSql,
     "split_assign"        -> Pipeline.splitAssignSql,
+    "pipeline_e2e"        -> Pipeline.pipelineE2eSql,
     "doc_fingerprint"     -> Pipeline.docFingerprintSql,
     "multimodal_meta"     -> Pipeline.multimodalMetaSql,
     "pipeline_filter"     -> Pipeline.pipelineFilterSql,

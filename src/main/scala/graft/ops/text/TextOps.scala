@@ -81,6 +81,28 @@ object TextOps {
             when(s > bestScore, s).otherwise(bestScore))
       }._1
 
+  /** Trains per-language token profiles from labelled data: the `topK`
+    * most frequent tokens of each language (ties broken by token asc) —
+    * the data-derived counterpart of the fixed [[LangProfiles]], and the
+    * "training step" of a frequency-profile language identifier. One
+    * explode + one groupBy + a per-language top-k (which the TopKPerKey
+    * rewrite turns into bounded-heap pruning when the extension is
+    * registered). Deterministic, so exactly oracle-checkable.
+    */
+  def trainLangProfiles(docs: org.apache.spark.sql.DataFrame, topK: Int = 10,
+                        langCol: String = "lang", textCol: String = "text")
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col(langCol).as("lang"), explode(tokens(col(textCol))).as("token"))
+      .groupBy("lang", "token").agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy("lang").orderBy(col("tf").desc, col("token"))
+    tf.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .select("lang", "rank", "token", "tf")
+      .orderBy("lang", "rank")
+  }
+
   /** Quality metrics: token count, mean token length, stopword ratio,
     * punctuation ratio, uppercase-start ratio. All doubles are single
     * divisions of exact integers — cross-engine deterministic.

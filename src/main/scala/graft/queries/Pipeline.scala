@@ -220,6 +220,24 @@ object Pipeline {
        |FROM (SELECT *, $greatest AS g FROM s) ORDER BY doc_id""".stripMargin
   }
 
+  /** C19: profile TRAINING — top-10 tokens per language learned from the
+    * labelled corpus (the data-derived counterpart of the fixed profiles;
+    * runs through the TopKPerKey rewrite). Deterministic tiebreaks → exact
+    * oracle.
+    */
+  def textProfileTrain(spark: SparkSession, dir: String): DataFrame =
+    TextOps.trainLangProfiles(docs(spark, dir), topK = 10)
+
+  val textProfileTrainSql: String =
+    """WITH tf AS (
+      |  SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents),
+      |counts AS (SELECT lang, token, count(*) AS tf FROM tf GROUP BY lang, token),
+      |ranked AS (SELECT lang, token, tf,
+      |    row_number() OVER (PARTITION BY lang ORDER BY tf DESC, token) AS rank
+      |  FROM counts)
+      |SELECT lang, rank::INTEGER AS rank, token, tf
+      |FROM ranked WHERE rank <= 10 ORDER BY lang, rank""".stripMargin
+
   // ---- C9: quality scores -------------------------------------------------
 
   def textQuality(spark: SparkSession, dir: String): DataFrame = {
@@ -368,6 +386,60 @@ object Pipeline {
       |       WHEN ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000 < 9000 THEN 'val'
       |       ELSE 'test' END AS split
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** C20 (flagship for the training-data block): the full curation
+    * pipeline in one oracle-checked query — token-count quality gate →
+    * near-dup clustering (MinHash LSH pairs, exactly verified → GraphX
+    * connected components) → non-canonical members dropped → deterministic
+    * split assignment → per-split document/token accounting. The oracle
+    * recomputes everything independently: quality filter in SQL, the
+    * transitive closure as a recursive CTE, the split via the identical
+    * md5 arithmetic.
+    */
+  def pipelineE2e(spark: SparkSession, dir: String): DataFrame = {
+    val withTok = docs(spark, dir).select(col("doc_id"), col("text"),
+      size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+    val kept = withTok.where(col("n_tokens").between(20, 80))
+    val clusters = graft.ops.graph.GraphOps.connectedComponents(
+      Dedup.minhashLsh(kept, minJaccard = 0.5))
+    val losers = clusters.where(col("id") =!= col("component"))
+      .select(col("id").as("doc_id"))
+    kept.join(losers, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("n_tokens"),
+        graft.ops.sample.Sampling.splitAssign(col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
+      .orderBy("split")
+  }
+
+  val pipelineE2eSql: String =
+    """WITH RECURSIVE
+      |kept AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens, text
+      |  FROM documents WHERE len(string_split(text, ' ')) BETWEEN 20 AND 80),
+      |t AS (SELECT doc_id, string_split(text, ' ') w FROM kept),
+      |s AS (SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) sh FROM t),
+      |p AS (SELECT a.doc_id AS a, b.doc_id AS b,
+      |  len(list_intersect(a.sh, b.sh))::DOUBLE /
+      |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+      |  FROM s a JOIN s b ON a.doc_id < b.doc_id),
+      |pairs AS (SELECT a, b FROM p WHERE jaccard >= 0.5),
+      |e AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT a, b FROM e
+      |  UNION
+      |  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a),
+      |verts AS (SELECT a AS id FROM pairs UNION SELECT b FROM pairs),
+      |comp AS (SELECT v.id, least(v.id, min(r.dst)) AS component
+      |  FROM verts v LEFT JOIN reach r ON r.src = v.id GROUP BY v.id),
+      |losers AS (SELECT id FROM comp WHERE id != component),
+      |labeled AS (SELECT doc_id, n_tokens,
+      |    CASE WHEN ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000 < 8000 THEN 'train'
+      |         WHEN ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000 < 9000 THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM kept WHERE doc_id NOT IN (SELECT id FROM losers))
+      |SELECT split, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+      |FROM labeled GROUP BY split ORDER BY split""".stripMargin
 
   // ---- C12: multimodal binary columns -------------------------------------
 
