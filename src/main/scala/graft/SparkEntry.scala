@@ -70,6 +70,7 @@ object SparkEntry {
     "pack_sequences"      -> (Pipeline.packSequences(_, _)),
     "split_assign"        -> (Pipeline.splitAssign(_, _)),
     "pipeline_e2e"        -> (Pipeline.pipelineE2e(_, _)),
+    "doc_chunk"           -> (Pipeline.docChunk(_, _)),
     "doc_fingerprint"     -> (Pipeline.docFingerprint(_, _)),
     "multimodal_meta"     -> (Pipeline.multimodalMeta(_, _)),
     "source_similarity"   -> (Pipeline.sourceSimilarity(_, _)),
@@ -130,6 +131,7 @@ object SparkEntry {
     "pack_sequences"      -> Pipeline.packSequencesSql,
     "split_assign"        -> Pipeline.splitAssignSql,
     "pipeline_e2e"        -> Pipeline.pipelineE2eSql,
+    "doc_chunk"           -> Pipeline.docChunkSql,
     "doc_fingerprint"     -> Pipeline.docFingerprintSql,
     "multimodal_meta"     -> Pipeline.multimodalMetaSql,
     "pipeline_filter"     -> Pipeline.pipelineFilterSql,

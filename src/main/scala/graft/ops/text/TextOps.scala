@@ -217,6 +217,31 @@ object TextOps {
     }(Encoders.row(outSchema))
   }
 
+  /** Sliding-window token chunking — the standard RAG/pretraining step
+    * that turns documents into fixed-size overlapping chunks
+    * (`stride < chunkTokens` ⇒ overlap). Chunk starts are
+    * `0, stride, 2·stride, …` with the count chosen so the final chunk
+    * covers the document tail; a document shorter than one chunk yields
+    * itself. Pure narrow Column work (sequence + slice + posexplode): no
+    * shuffle, scan speed at any scale.
+    */
+  def chunk(docs: org.apache.spark.sql.DataFrame, chunkTokens: Int, stride: Int,
+            idCol: String = "doc_id", textCol: String = "text")
+      : org.apache.spark.sql.DataFrame = {
+    require(stride > 0 && chunkTokens > 0, "chunkTokens and stride must be positive")
+    docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("ws"))
+      .withColumn("n", size(col("ws")))
+      .select(col("doc_id"), col("n"),
+        posexplode(transform(
+          sequence(lit(0), greatest(
+            ceil((col("n") - chunkTokens).cast("double") / stride).cast("int"), lit(0))),
+          i => slice(col("ws"), i * stride + 1, lit(chunkTokens))))
+          .as(Seq("chunk_idx", "chunk_ws")))
+      .select(col("doc_id"), col("chunk_idx"),
+        concat_ws(" ", col("chunk_ws")).as("chunk"),
+        size(col("chunk_ws")).cast("long").as("chunk_tokens"))
+  }
+
   /** Polynomial rolling-hash fingerprint over the token stream:
     * `h := (h*1000003 + ascii(w)*256 + len(w)) mod (2^31-1)`, plus the md5
     * of the full text. The modular fold keeps every intermediate < 2^52, so

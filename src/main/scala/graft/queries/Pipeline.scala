@@ -305,6 +305,25 @@ object Pipeline {
       |  CAST(sum(n) AS BIGINT) AS total_tokens
       |FROM r GROUP BY part, seq ORDER BY part, seq_in_part""".stripMargin
 
+  /** C21: sliding-window chunking (32-token chunks, stride 16 → 50%
+    * overlap); the oracle reproduces the window arithmetic with list
+    * slicing.
+    */
+  def docChunk(spark: SparkSession, dir: String): DataFrame =
+    TextOps.chunk(docs(spark, dir), chunkTokens = 32, stride = 16)
+      .orderBy("doc_id", "chunk_idx")
+
+  val docChunkSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w,
+      |    len(string_split(text, ' ')) AS n FROM documents),
+      |idx AS (SELECT doc_id, w, n,
+      |    unnest(range(0, greatest(ceil((n - 32)::DOUBLE / 16)::BIGINT, 0) + 1)) AS ci
+      |  FROM t)
+      |SELECT doc_id, ci::INTEGER AS chunk_idx,
+      |  array_to_string(w[ci*16 + 1 : ci*16 + 32], ' ') AS chunk,
+      |  len(w[ci*16 + 1 : ci*16 + 32])::BIGINT AS chunk_tokens
+      |FROM idx ORDER BY doc_id, chunk_idx""".stripMargin
+
   // ---- C10: token counting ------------------------------------------------
 
   def tokenCount(spark: SparkSession, dir: String): DataFrame = {

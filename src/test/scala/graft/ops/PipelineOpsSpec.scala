@@ -237,6 +237,30 @@ class PipelineOpsSpec extends SparkSpec {
     assert(s3.exceptAll(salted).count() > 0)
   }
 
+  test("chunking covers every document exactly to its end with bounded chunks") {
+    import graft.ops.text.TextOps
+    val chunkT = 32; val stride = 16
+    val sizes = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byDoc = TextOps.chunk(docs, chunkT, stride).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_idx"), r.getAs[Long]("chunk_tokens")))
+      .groupBy(_._1)
+    assert(byDoc.keySet === sizes.keySet)
+    byDoc.foreach { case (id, chunks) =>
+      val n = sizes(id)
+      val expected = math.max(1, math.ceil((n - chunkT).toDouble / stride).toInt + 1)
+      assert(chunks.length === expected, s"doc $id")
+      chunks.foreach { case (_, idx, ct) =>
+        assert(ct <= chunkT)
+        assert(idx * stride + ct <= n)
+      }
+      // the final chunk reaches the document's last token
+      val (_, lastIdx, lastCt) = chunks.maxBy(_._2)
+      assert(lastIdx * stride + lastCt === n, s"doc $id tail uncovered")
+    }
+  }
+
   test("multimodal metadata is deterministic from bytes") {
     val out = Multimodal.withMediaMetadata(docs, "doc_id", "text")
     val r = out.orderBy("doc_id").limit(1).collect()(0)
