@@ -71,6 +71,7 @@ object SparkEntry {
     "split_assign"        -> (Pipeline.splitAssign(_, _)),
     "pipeline_e2e"        -> (Pipeline.pipelineE2e(_, _)),
     "doc_chunk"           -> (Pipeline.docChunk(_, _)),
+    "contamination"       -> (Pipeline.contamination(_, _)),
     "doc_fingerprint"     -> (Pipeline.docFingerprint(_, _)),
     "multimodal_meta"     -> (Pipeline.multimodalMeta(_, _)),
     "source_similarity"   -> (Pipeline.sourceSimilarity(_, _)),
@@ -132,6 +133,7 @@ object SparkEntry {
     "split_assign"        -> Pipeline.splitAssignSql,
     "pipeline_e2e"        -> Pipeline.pipelineE2eSql,
     "doc_chunk"           -> Pipeline.docChunkSql,
+    "contamination"       -> Pipeline.contaminationSql,
     "doc_fingerprint"     -> Pipeline.docFingerprintSql,
     "multimodal_meta"     -> Pipeline.multimodalMetaSql,
     "pipeline_filter"     -> Pipeline.pipelineFilterSql,

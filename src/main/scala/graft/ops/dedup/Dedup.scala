@@ -256,6 +256,40 @@ object Dedup {
       .orderBy("a", "b")
   }
 
+  /** Distinct word n-gram hashes of a text column (generalises
+    * [[graft.ops.text.TextOps.bigrams]] to any n), as xxhash64 keys.
+    */
+  def ngramHashes(text: Column, n: Int): Column = {
+    val ws = split(text, " ")
+    // guard: sequence(1, 0) is DESCENDING in Spark, not empty — a doc
+    // shorter than n tokens has no n-grams
+    when(size(ws) < n, array().cast("array<bigint>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), size(ws) - (n - 1)),
+        i => xxhash64(concat_ws(" ", slice(ws, i, lit(n)))))))
+  }
+
+  /** Benchmark-contamination detection — the eval-vs-train n-gram overlap
+    * check every serious training pipeline runs before reporting numbers:
+    * which eval documents share ≥1 word n-gram with which training
+    * documents, and how many. Exact, via an inverted index on the n-gram
+    * hash: explode each side's distinct n-grams, equi-join on the hash,
+    * count shared grams per (eval, train) pair. All keyed shuffles —
+    * the 100 TB plan; n of 8-13 makes grams selective, so posting lists
+    * stay short on natural text.
+    */
+  def contamination(docs: DataFrame, isEval: Column, n: Int = 8,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val base = docs.select(col(idCol).as("id"), isEval.as("is_eval"),
+        explode(ngramHashes(col(textCol), n)).as("h"))
+    val ev = base.where(col("is_eval")).select(col("id").as("eval_id"), col("h"))
+    val tr = base.where(!col("is_eval")).select(col("id").as("train_id"), col("h"))
+    ev.join(tr, "h")
+      .groupBy("eval_id", "train_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("eval_id", "train_id")
+  }
+
   /** SimHash near-dup pairs with hamming distance ≤ `maxHamming` (≤ 31).
     *
     * The 64-bit signature comes from the native codegen expression

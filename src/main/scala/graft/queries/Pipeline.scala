@@ -87,6 +87,27 @@ object Pipeline {
        |FROM verts v LEFT JOIN reach r ON r.src = v.id
        |GROUP BY v.id ORDER BY v.id""".stripMargin
 
+  /** C22: benchmark-contamination check — docs of source `src0` play the
+    * eval set, everything else is training data; report every
+    * (eval doc, train doc) pair sharing ≥1 distinct word 8-gram with the
+    * shared-gram count. The oracle rebuilds the same inverted-index join
+    * over n-gram STRINGS (the Spark side joins on their xxhash64, equality
+    * is equality).
+    */
+  def contamination(spark: SparkSession, dir: String): DataFrame =
+    Dedup.contamination(docs(spark, dir), isEval = col("source") === "src0", n = 8)
+
+  val contaminationSql: String =
+    """WITH g AS (SELECT doc_id, source = 'src0' AS is_eval,
+      |    unnest(list_distinct([array_to_string(w[i:i+7], ' ')
+      |      for i in range(1, greatest(len(w) - 6, 1))])) AS gram
+      |  FROM (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents)),
+      |ev AS (SELECT doc_id AS eval_id, gram FROM g WHERE is_eval),
+      |tr AS (SELECT doc_id AS train_id, gram FROM g WHERE NOT is_eval)
+      |SELECT eval_id, train_id, count(*) AS n_shared
+      |FROM ev JOIN tr USING (gram)
+      |GROUP BY eval_id, train_id ORDER BY eval_id, train_id""".stripMargin
+
   // ---- C4: SimHash hamming near-dup (rows-only oracle + spec) -------------
 
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
