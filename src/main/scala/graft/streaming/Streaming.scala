@@ -111,6 +111,7 @@ object Streaming {
       .select("doc_id", "key_hash", "n_tokens")
 
   final case class BandedDoc(bh: Long, id: Long, sh: Array[Long])
+  final case class TsBandedDoc(bh: Long, id: Long, sh: Array[Long], ts: java.sql.Timestamp)
   final case class NearDup(a: Long, b: Long, jaccard: Double)
 
   /** D7: streaming near-duplicate detection — the MinHash+LSH dedup
@@ -184,6 +185,84 @@ object Streaming {
           }
           state.update(seen)
           out.result().iterator
+      }
+  }
+
+  /** D7 with BOUNDED state: [[nearDupPairs]] against a retention window.
+    * `tsCol` is the document's event time; the input is watermarked by
+    * `retention` and each arrival is deduplicated only against bucket
+    * members the watermark still allows (`member.ts ≥ watermark`, watermark
+    * trailing max event time by `retention`). Expired members are pruned on
+    * every bucket visit, and quiet buckets are erased entirely by an
+    * event-time timeout — so state is proportional to the retention
+    * window's data volume, never the stream's history. This is the shape
+    * an unbounded production stream runs; the unbounded variant above is
+    * the whole-corpus batch-equivalent tool.
+    */
+  def nearDupPairsRetained(docs: DataFrame, minJaccard: Double,
+                           tsCol: String, retention: String = "1 hour",
+                           numHashes: Int = 16, bands: Int = 4,
+                           idCol: String = "doc_id", textCol: String = "text"): Dataset[NearDup] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val rows = numHashes / bands
+    val banded = docs
+      .withWatermark(tsCol, retention)
+      .select(col(idCol).cast("long").as("id"), col(tsCol).as("ts"),
+        graft.ops.text.TextOps.bigrams(col(textCol)).as("shs"))
+      .select(col("id"), col("ts"),
+        array_sort(transform(col("shs"), s => xxhash64(s))).as("sh"),
+        graft.ops.dedup.Dedup.minhashSignature(col("shs"), numHashes).as("sig"))
+      .where(size(col("sh")) > 0)
+      .select(col("id"), col("ts"), col("sh"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => slice(col("sig"), b * rows + 1, lit(rows)))).as(Seq("band", "bandsig")))
+      .select(xxhash64(col("band"), col("bandsig")).as("bh"), col("id"), col("sh"), col("ts"))
+      .as[TsBandedDoc]
+
+    def inter(a: Array[Long], b: Array[Long]): Int = {
+      var i = 0; var j = 0; var c = 0
+      while (i < a.length && j < b.length) {
+        if (a(i) == b(j)) { c += 1; i += 1; j += 1 }
+        else if (a(i) < b(j)) i += 1
+        else j += 1
+      }
+      c
+    }
+
+    banded.groupByKey(_.bh)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: Long, it: Iterator[TsBandedDoc], state: GroupState[List[TsBandedDoc]]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val watermark = state.getCurrentWatermarkMs()
+            var seen = state.getOption.getOrElse(Nil)
+              .filter(_.ts.getTime >= watermark) // retention prune
+            val out = List.newBuilder[NearDup]
+            var maxTs = watermark
+            it.foreach { d =>
+              seen.foreach { o =>
+                if (o.id != d.id) {
+                  val c = inter(o.sh, d.sh)
+                  val j = c.toDouble / (o.sh.length + d.sh.length - c)
+                  if (j >= minJaccard) {
+                    val (a, b) = if (o.id < d.id) (o.id, d.id) else (d.id, o.id)
+                    out += NearDup(a, b, j)
+                  }
+                }
+              }
+              seen ::= d
+              if (d.ts.getTime > maxTs) maxTs = d.ts.getTime
+            }
+            state.update(seen)
+            // erase the bucket once the watermark passes its newest member
+            // (its members would all be pruned anyway)
+            state.setTimeoutTimestamp(maxTs + 1)
+            out.result().iterator
+          }
       }
   }
 

@@ -124,6 +124,44 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batchOp)
   }
 
+  test("D7b: retained near-dup dedups within the window and expires old members") {
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-retain").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("ts", TimestampType)))
+    def write(name: String, rows: Seq[(Long, String, Long)]): Unit = {
+      import spark.implicits._
+      rows.toDF("doc_id", "text", "epoch_s")
+        .select(col("doc_id"), col("text"),
+          col("epoch_s").cast("timestamp").as("ts"))
+        .coalesce(1).write.parquet(s"$tmp/$name")
+    }
+    val dupText = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val h = 3600L
+    // non-zero base: event time at epoch 0 EQUALS the query's initial
+    // watermark and the late-row filter drops it before the stateful op
+    val t0 = 1000000000L
+    // batch 1: two near-identical docs at t0
+    write("b1", Seq((1L, dupText, t0), (2L, dupText, t0)))
+    val src = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .parquet(s"$tmp/*/")
+    val q = Streaming.nearDupPairsRetained(src, 0.5, tsCol = "ts", retention = "1 hour")
+      .writeStream.format("memory").queryName("retained").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: an unrelated doc ten days later — advances the watermark
+      write("b2", Seq((50L, (1 to 40).map(i => s"other$i").mkString(" "), t0 + 10 * 24 * h)))
+      q.processAllAvailable()
+      // batch 3: a duplicate of doc 1, but its buddies expired long ago
+      write("b3", Seq((3L, dupText, t0 + 10 * 24 * h + 60)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("retained").select("a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 2L))) // in-window pair found; (1,3)/(2,3) expired
+  }
+
   test("D3: sessionize splits on gaps > 30min and aggregates per session") {
     def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
     val events = Seq(
