@@ -254,6 +254,52 @@ object SrpCodes {
   }
 }
 
+/** Feature-hashing vectorizer (the "hashing trick", Weinberger et al.):
+  * a bag-of-words embedded into `dims` dimensions in one pass — each
+  * token's FNV-1a hash picks a bucket and a ±1 sign, signs summed per
+  * bucket. Deterministic, vocabulary-free, and unit-testable against a
+  * 3-line reference implementation; the standard way to get cheap
+  * fixed-width text vectors at corpus scale without a trained model.
+  */
+case class FeatureHash(child: Expression, dims: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_feature_hash"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.sql}")
+  }
+
+  override def nullSafeEval(tokens: Any): Any =
+    FeatureHash.embed(tokens.asInstanceOf[ArrayData], dims)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.FeatureHash.embed($t, $dims)")
+
+  override protected def withNewChildInternal(newChild: Expression): FeatureHash =
+    copy(child = newChild)
+}
+
+object FeatureHash {
+  def embed(tokens: ArrayData, dims: Int): ArrayData = {
+    val v = new Array[Double](dims)
+    val n = tokens.numElements()
+    var t = 0
+    while (t < n) {
+      if (!tokens.isNullAt(t)) {
+        val h = SimHash64.hash64(tokens.getUTF8String(t))
+        val bucket = ((((h >>> 1) % dims) + dims) % dims).toInt
+        v(bucket) += (if ((h & 1L) == 1L) 1.0 else -1.0)
+      }
+      t += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(v)
+  }
+}
+
 object SimHash64 {
   /** FNV-1a 64 over the token's UTF-8 bytes — self-contained and stable. */
   def hash64(s: UTF8String): Long = {

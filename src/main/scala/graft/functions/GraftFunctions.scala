@@ -31,6 +31,9 @@ object GraftFunctions {
         planes = exprs(1).eval().asInstanceOf[Int],
         bands = exprs(2).eval().asInstanceOf[Int],
         seed = exprs(3).eval().asInstanceOf[Int])
+    },
+    "graft_feature_hash" -> { exprs =>
+      FeatureHash(exprs(0), dims = exprs(1).eval().asInstanceOf[Int])
     })
 
   def register(spark: SparkSession): Unit = {

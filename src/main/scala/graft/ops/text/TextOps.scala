@@ -242,6 +242,15 @@ object TextOps {
         size(col("chunk_ws")).cast("long").as("chunk_tokens"))
   }
 
+  /** Fixed-width text embedding via the hashing trick
+    * (graft.functions.FeatureHash, native codegen): each token's hash picks
+    * a bucket and a ±1 sign, signs summed per bucket — vocabulary-free
+    * bag-of-words vectors at scan speed, the cheap model-free input for the
+    * ANN/near-dup operators in graft.ops.ann.
+    */
+  def hashEmbed(text: Column, dims: Int = 64): Column =
+    call_function("graft_feature_hash", tokens(text), lit(dims))
+
   /** Polynomial rolling-hash fingerprint over the token stream:
     * `h := (h*1000003 + ascii(w)*256 + len(w)) mod (2^31-1)`, plus the md5
     * of the full text. The modular fold keeps every intermediate < 2^52, so

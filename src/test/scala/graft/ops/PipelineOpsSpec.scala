@@ -261,6 +261,40 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("feature-hash embedding matches a reference implementation and powers text ANN") {
+    import graft.ops.text.TextOps
+    graft.functions.GraftFunctions.register(spark)
+    val dims = 32
+    val embedded = docs.select(col("doc_id"), split(col("text"), " ").as("toks"),
+      TextOps.hashEmbed(col("text"), dims).as("embedding"))
+    // the 5-line reference implementation of the hashing trick
+    def fnv(s: String): Long = {
+      var h = 0xcbf29ce484222325L
+      s.getBytes("UTF-8").foreach { b => h ^= (b & 0xffL); h *= 0x100000001b3L }
+      h
+    }
+    embedded.collect().take(50).foreach { r =>
+      val v = new Array[Double](dims)
+      r.getAs[scala.collection.Seq[String]]("toks").foreach { t =>
+        val h = fnv(t)
+        val bkt = ((((h >>> 1) % dims) + dims) % dims).toInt
+        v(bkt) += (if ((h & 1L) == 1L) 1.0 else -1.0)
+      }
+      assert(r.getAs[scala.collection.Seq[Double]]("embedding").toSeq === v.toSeq,
+        s"doc ${r.getLong(0)}")
+    }
+    // identical token bags embed identically; unrelated text stays apart
+    import spark.implicits._
+    val planted = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six")).toDF("doc_id", "text")
+      .select(col("doc_id").as("vec_id"), TextOps.hashEmbed(col("text"), dims).as("embedding"))
+    val pairs99 = graft.ops.ann.Ann.cosinePairs(planted, 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs99 === Set((1L, 2L)))
+  }
+
   test("multimodal metadata is deterministic from bytes") {
     val out = Multimodal.withMediaMetadata(docs, "doc_id", "text")
     val r = out.orderBy("doc_id").limit(1).collect()(0)
