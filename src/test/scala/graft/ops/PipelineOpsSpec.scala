@@ -295,6 +295,31 @@ class PipelineOpsSpec extends SparkSpec {
     assert(pairs99 === Set((1L, 2L)))
   }
 
+  test("RAG composition: chunk -> hash-embed -> ANN retrieves the duplicate's chunk") {
+    import graft.ops.text.TextOps
+    // pick one exact-dup pair: canonical doc and a duplicate of it
+    val grp = Dedup.exact(docs, prefixTokens = 10).orderBy("canonical_id").limit(1).collect()(0)
+    val canonical = grp.getAs[Long]("canonical_id")
+    val dup = grp.getAs[String]("members").split(",").map(_.toLong)
+      .filter(_ != canonical).head
+    // index = chunks of every doc but the duplicate; queries = the dup's chunks
+    val chunks = TextOps.chunk(docs, chunkTokens = 32, stride = 16)
+      .select((col("doc_id") * 1000 + col("chunk_idx")).as("vec_id"),
+        col("doc_id"),
+        TextOps.hashEmbed(col("chunk"), 64).as("embedding"))
+    val corpus = chunks.where(col("doc_id") =!= dup)
+    val queries = chunks.where(col("doc_id") === dup)
+    val top1 = Ann.bruteForceTopK(queries.drop("doc_id"), corpus.drop("doc_id"), k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(top1.nonEmpty)
+    // the duplicate's first chunk hits a chunk of its dup group at cosine ~1
+    // (exact dedup keys on the first 10 tokens, so chunk 0 is shared text)
+    val (qid, cid, cos) = top1.minBy(_._1)
+    assert(qid === dup * 1000)
+    assert(cid / 1000 === canonical, s"retrieved doc ${cid / 1000}, expected $canonical")
+    assert(cos > 0.95, s"cosine $cos")
+  }
+
   test("multimodal metadata is deterministic from bytes") {
     val out = Multimodal.withMediaMetadata(docs, "doc_id", "text")
     val r = out.orderBy("doc_id").limit(1).collect()(0)
