@@ -242,12 +242,22 @@ object Dedup {
         col("x.bh") === col("y.bh") && col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"))
       .dropDuplicates("a", "b")
-    // re-attach the shingle arrays to the (small) candidate set via two
-    // narrow id joins, then verify exactly with the merge-scan intersect
+    // re-attach the shingle arrays to the (small) candidate set, then
+    // verify exactly with the merge-scan intersect. Candidates are melted
+    // to one row per pair SIDE and joined against the sets ONCE — the
+    // corpus-sized subtree (shingling + sorting + hashing) is evaluated a
+    // single time here instead of once per side, and the pivot back to
+    // pairs shuffles only candidate-sized data.
     val sets = base.select(col("id"), col("sh"), col("n"))
-    candidates
-      .join(sets.select(col("id").as("a"), col("sh").as("sha"), col("n").as("na")), "a")
-      .join(sets.select(col("id").as("b"), col("sh").as("shb"), col("n").as("nb")), "b")
+    val melted = candidates
+      .select(col("a"), col("b"), explode(array(col("a"), col("b"))).as("id"))
+    melted.join(sets, "id")
+      .groupBy("a", "b")
+      .agg(
+        first(when(col("id") === col("a"), col("sh")), ignoreNulls = true).as("sha"),
+        first(when(col("id") === col("b"), col("sh")), ignoreNulls = true).as("shb"),
+        first(when(col("id") === col("a"), col("n")), ignoreNulls = true).as("na"),
+        first(when(col("id") === col("b"), col("n")), ignoreNulls = true).as("nb"))
       .withColumn("inter",
         call_function("graft_intersect_count", col("sha"), col("shb")).cast("long"))
       .select(col("a"), col("b"),
