@@ -188,6 +188,54 @@ object SortedIntersectCount {
   }
 }
 
+/** Per-chunk content hashes of a sorted `array<long>` for the pigeonhole
+  * (partition-based) exact set-similarity join — cf. Deng et al., "A
+  * partition-based method for exact set similarity joins" (PVLDB 2015).
+  * Element `h` belongs to chunk `pmod(h, nChunks)`; each chunk's hash folds
+  * its elements in array order (`mix64(acc ^ h)` from a fixed seed), so two
+  * documents agree on chunk `c` iff their chunk-`c` subsequences are
+  * identical (up to mix64 collisions, which only ADD candidates — exact
+  * verification rejects them). Empty chunks hash to the seed: two documents
+  * both missing chunk `c` entirely DO agree on it, which the pigeonhole
+  * argument requires. One O(n + nChunks) pass per row, codegen'd.
+  */
+case class ChunkHashes(child: Expression, nChunks: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_chunk_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<long>, got ${other.sql}")
+  }
+
+  override def nullSafeEval(hashes: Any): Any =
+    ChunkHashes.hashes(hashes.asInstanceOf[ArrayData], nChunks)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.ChunkHashes.hashes($t, $nChunks)")
+
+  override protected def withNewChildInternal(newChild: Expression): ChunkHashes =
+    copy(child = newChild)
+}
+
+object ChunkHashes {
+  def hashes(a: ArrayData, nChunks: Int): ArrayData = {
+    val out = Array.fill(nChunks)(0xcbf29ce484222325L)
+    val n = a.numElements()
+    var i = 0
+    while (i < n) {
+      val h = a.getLong(i)
+      val c = (((h % nChunks) + nChunks) % nChunks).toInt
+      out(c) = SrpCodes.mix64(out(c) ^ h)
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
 /** Sign-random-projection LSH codes for a vector: `bands` codes, each from
   * `planes` sign bits of projections onto deterministic ±1 hyperplanes
   * (splitmix64 parity of (seed, band, plane, dim)). One tight pass instead

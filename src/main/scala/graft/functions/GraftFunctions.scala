@@ -34,6 +34,9 @@ object GraftFunctions {
     },
     "graft_feature_hash" -> { exprs =>
       FeatureHash(exprs(0), dims = exprs(1).eval().asInstanceOf[Int])
+    },
+    "graft_chunk_hashes" -> { exprs =>
+      ChunkHashes(exprs(0), nChunks = exprs(1).eval().asInstanceOf[Int])
     })
 
   def register(spark: SparkSession): Unit = {

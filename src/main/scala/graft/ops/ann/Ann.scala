@@ -91,6 +91,10 @@ object Ann {
   def cosinePairsAdaptive(emb: DataFrame, minCosine: Double,
                           maxExactRows: Int = 100000,
                           idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // unlike a content-sampling probe, this is a pure ROW-COUNT probe
+    // ("are there more than maxExactRows rows?") — counts are invariant to
+    // file/partition layout, so the head-limit cannot misroute; it merely
+    // bounds the scan at maxExactRows+1 rows
     val small = emb.select(col(idCol)).limit(maxExactRows + 1).count() <= maxExactRows
     if (small) cosinePairs(emb, minCosine, idCol, vecCol)
     else cosinePairsLsh(emb, minCosine, idCol = idCol, vecCol = vecCol)

@@ -1,6 +1,7 @@
 package graft.ops.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ops.text.TextOps
@@ -10,9 +11,11 @@ import graft.ops.text.TextOps
   * Scale notes (100 TB):
   *  - exact: one hash-partition shuffle on the normalisation key.
   *  - ngramJaccardAdaptive (default): bounded density probe routes zipfian
-  *    corpora to ngramJaccardPrefix (PPJoin prefix-filtered inverted index
-  *    — exact, keyed shuffles only) and dense small-vocab corpora to
-  *    minhashLsh + exact verification. ngramJaccard: broadcast +
+  *    corpora to ngramJaccardPrefix (PPJoin prefix-filtered inverted index)
+  *    and dense small-vocab corpora to ngramJaccardPigeonhole (partition-
+  *    based chunk-signature join). BOTH routes are exact — every qualifying
+  *    pair is guaranteed a candidate bucket, and every candidate is
+  *    verified with true Jaccard. ngramJaccard: broadcast +
   *    native merge-scan intersect, a small-side utility (dedup within a
   *    bucket/partition); ngramJaccardSparse: plain inverted-index shuffle.
   *  - minhash: signatures are a narrow map (native one-pass expression, no
@@ -25,6 +28,51 @@ import graft.ops.text.TextOps
   *    (graft.ops.graph) for canonical-representative assignment.
   */
 object Dedup {
+
+  /** Slack for floating-point threshold arithmetic in prefilters: a double
+    * product like `na * t` can land an ulp ABOVE the exact rational value
+    * (e.g. 100 * 0.1 = 10.000000000000002), and a strict comparison or
+    * `ceil` would then drop a pair whose true Jaccard sits exactly at the
+    * threshold. Every size/positional/prefix-length bound below subtracts
+    * this before comparing or ceiling — the slack can only ADMIT extra
+    * candidates (rejected by exact verification), never drop a valid one.
+    */
+  private val Eps = 1e-9
+
+  /** Shared base: (id, sh = sorted distinct xxhash64 bigram shingles, n).
+    * Shingle-less docs can't be near-dups (and would 0-divide).
+    */
+  private def shingled(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+        array_sort(transform(TextOps.bigrams(col(textCol)), sh => xxhash64(sh))).as("sh"))
+      .withColumn("n", size(col("sh")))
+      .where(col("n") > 0)
+
+  /** Shared verification tail: re-attach the shingle arrays to the (small)
+    * candidate pair set, then verify exactly with the native merge-scan
+    * intersect. Candidates are melted to one row per pair SIDE and joined
+    * against the sets ONCE — the corpus-sized subtree (shingling + sorting
+    * + hashing) is evaluated a single time, and the pivot back to pairs
+    * shuffles only candidate-sized data.
+    */
+  private def verifyPairs(candidates: DataFrame, sets: DataFrame,
+                          minJaccard: Double): DataFrame = {
+    val melted = candidates
+      .select(col("a"), col("b"), explode(array(col("a"), col("b"))).as("id"))
+    melted.join(sets, "id")
+      .groupBy("a", "b")
+      .agg(
+        first(when(col("id") === col("a"), col("sh")), ignoreNulls = true).as("sha"),
+        first(when(col("id") === col("b"), col("sh")), ignoreNulls = true).as("shb"),
+        first(when(col("id") === col("a"), col("n")), ignoreNulls = true).as("na"),
+        first(when(col("id") === col("b"), col("n")), ignoreNulls = true).as("nb"))
+      .withColumn("inter",
+        call_function("graft_intersect_count", col("sha"), col("shb")).cast("long"))
+      .select(col("a"), col("b"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+      .orderBy("a", "b")
+  }
 
   /** Exact dedup on a normalisation key (here: first `prefixTokens` tokens).
     * Emits one row per duplicate group: md5 of the key, canonical (min) id,
@@ -57,10 +105,7 @@ object Dedup {
   def ngramJaccard(docs: DataFrame, minJaccard: Double,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val base = docs.select(col(idCol).as("id"),
-        array_sort(transform(TextOps.bigrams(col(textCol)), sh => xxhash64(sh))).as("sh"))
-      .withColumn("n", size(col("sh")))
-      .where(col("n") > 0) // shingle-less docs can't be near-dups (and would 0-divide)
+    val base = shingled(docs, idCol, textCol)
     // spread the probe side across all cores: the source is often a single
     // input split, which would otherwise serialise the whole O(n²) loop
     val a = base.select(col("id").as("a"), col("sh").as("sha"), col("n").as("na"))
@@ -69,7 +114,8 @@ object Dedup {
     // size-ratio prefilter: J >= t forces min(na,nb)/max(na,nb) >= t, so
     // mismatched sizes are rejected before any intersection work
     a.join(broadcast(b), col("a") < col("b") &&
-        col("na") * minJaccard <= col("nb") && col("nb") * minJaccard <= col("na"))
+        col("na") * minJaccard - lit(Eps) <= col("nb") &&
+        col("nb") * minJaccard - lit(Eps) <= col("na"))
       .withColumn("inter",
         call_function("graft_intersect_count", col("sha"), col("shb")).cast("long"))
       .select(col("a"), col("b"),
@@ -109,10 +155,7 @@ object Dedup {
   def ngramJaccardPrefix(docs: DataFrame, minJaccard: Double,
                          idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val base = docs.select(col(idCol).as("id"),
-        array_sort(transform(TextOps.bigrams(col(textCol)), sh => xxhash64(sh))).as("sh"))
-      .withColumn("n", size(col("sh")))
-      .where(col("n") > 0)
+    val base = shingled(docs, idCol, textCol)
     // global rarity order: shingle -> document frequency, each record's
     // shingles re-ranked by (df, h)
     val ex = base.select(col("id"), col("n"), explode(col("sh")).as("h"))
@@ -120,38 +163,105 @@ object Dedup {
     val ranked = ex.join(dfTab, "h")
       .groupBy("id", "n")
       .agg(array_sort(collect_list(struct(col("df"), col("h")))).as("rk"))
-    val prefLen = (col("n") - ceil(col("n") * minJaccard) + 1).cast("int")
+    val prefLen = (col("n") - ceil(col("n") * minJaccard - lit(Eps)) + 1).cast("int")
     val pref = ranked.select(col("id"), col("n"),
       posexplode(slice(transform(col("rk"), s => s.getField("h")), lit(1), prefLen))
         .as(Seq("pos", "h")))
     val cand = pref.as("x").join(pref.as("y"),
         col("x.h") === col("y.h") && col("x.id") < col("y.id") &&
-          col("x.n") * minJaccard <= col("y.n") &&
-          col("y.n") * minJaccard <= col("x.n"))
+          col("x.n") * minJaccard - lit(Eps) <= col("y.n") &&
+          col("y.n") * minJaccard - lit(Eps) <= col("x.n"))
       .groupBy(col("x.id").as("a"), col("y.id").as("b"),
         col("x.n").as("na"), col("y.n").as("nb"))
       .agg(min(col("x.pos")).as("ia"), min(col("y.pos")).as("ib"))
       // positional filter: max possible overlap from the first shared
       // position vs the overlap J >= t requires
       .where(least(col("na") - col("ia"), col("nb") - col("ib")) >=
-        ceil(lit(minJaccard) / (1 + minJaccard) * (col("na") + col("nb"))))
+        ceil(lit(minJaccard) / (1 + minJaccard) * (col("na") + col("nb")) - lit(Eps)))
       .select(col("a"), col("b"))
-    val sets = base.select(col("id"), col("sh"), col("n"))
-    cand
-      .join(sets.select(col("id").as("a"), col("sh").as("sha"), col("n").as("na")), "a")
-      .join(sets.select(col("id").as("b"), col("sh").as("shb"), col("n").as("nb")), "b")
-      .withColumn("inter",
-        call_function("graft_intersect_count", col("sha"), col("shb")).cast("long"))
-      .select(col("a"), col("b"),
-        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
-      .where(col("jaccard") >= minJaccard)
-      .orderBy("a", "b")
+    verifyPairs(cand, base.select(col("id"), col("sh"), col("n")), minJaccard)
+  }
+
+  /** Partition-based (pigeonhole) exact similarity join — identical output
+    * to [[ngramJaccard]], built for DENSE corpora where prefix-filtered
+    * inverted indexes degenerate (tiny shingle vocabulary, every shingle in
+    * a large fraction of documents — template-generated or highly
+    * repetitive data). Cf. Deng, Li, Feng, "A partition-based method for
+    * exact set similarity joins" (PVLDB 2015); this is the chunking stage
+    * of that family, with hash-assigned chunks and exact verification.
+    *
+    * Any pair with J ≥ t has symmetric difference
+    * d ≤ (1−t)/(1+t)·(na+nb) ≤ D := floor((1−t)/(1+t)·2·n_max). Shingles
+    * hash-partition into D+1 chunks; since the D differing shingles can
+    * touch at most D chunks, SOME chunk holds identical content on both
+    * sides (possibly empty content — empty chunks hash to the seed and
+    * participate, which the argument requires). So the equi-join on
+    * (chunk index, chunk content hash) surfaces every qualifying pair —
+    * recall is exactly 1, unlike minhash banding — and exact verification
+    * removes the false positives. Chunk hashes are one narrow O(n+D) pass
+    * per row (native expression graft_chunk_hashes); the join keys on the
+    * hashed (chunk, content) bucket carrying (id, n) only; survivors verify
+    * through the shared melted join. Keyed shuffles only — the plan
+    * survives 100×.
+    *
+    * n_max comes from one narrow max-aggregate over the corpus (map-side
+    * partial max) — the same price PPJoin pays for its df table.
+    */
+  def ngramJaccardPigeonhole(docs: DataFrame, minJaccard: Double,
+                             idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val base = shingled(docs, idCol, textCol)
+    val maxN = Option(base.agg(max("n")).head().get(0))
+      .map(_.asInstanceOf[Int]).getOrElse(1).max(1)
+    // + Eps: if the exact rational bound IS an integer and the double
+    // computation rounds an ulp below it, floor would lose a chunk the
+    // pigeonhole argument needs; one chunk too many is merely harmless
+    val dMax = math.floor(2.0 * maxN * (1 - minJaccard) / (1 + minJaccard) + Eps).toInt
+    val nChunks = dMax + 1
+    val banded = base.select(col("id"), col("n"),
+        posexplode(call_function("graft_chunk_hashes", col("sh"), lit(nChunks)))
+          .as(Seq("cidx", "chash")))
+      .select(col("id"), col("n"), xxhash64(col("cidx"), col("chash")).as("bh"))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.bh") === col("y.bh") && col("x.id") < col("y.id") &&
+          col("x.n") * minJaccard - lit(Eps) <= col("y.n") &&
+          col("y.n") * minJaccard - lit(Eps) <= col("x.n"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+      .dropDuplicates("a", "b")
+    verifyPairs(cand, base.select(col("id"), col("sh"), col("n")), minJaccard)
+  }
+
+  /** Routing probe for [[ngramJaccardAdaptive]]: shingle-vocabulary density
+    * (average document frequency) over a deterministic hash-ordered sample.
+    * The sample takes the `sampleDocs` documents with globally smallest
+    * (md5-bucket(id), id) — TakeOrdered keeps `sampleDocs` rows per
+    * partition and merges, so it is one NARROW pass over the corpus that is
+    * unbiased by file/partition layout (a head-`limit` probe misroutes any
+    * corpus whose leading files are unrepresentative, e.g. a dense
+    * template-generated prefix before a zipfian tail) and fully
+    * deterministic: the same corpus always routes the same way, regardless
+    * of partitioning, cluster size, or file order. The probe triggers an
+    * eager job at query-construction time; its cost is one scan of
+    * (id, text) — noise next to the Ω(n²)-risk decision it informs.
+    */
+  private[graft] def jaccardRoute(docs: DataFrame, idCol: String, textCol: String,
+                                  sampleDocs: Int, denseAvgDf: Double): String = {
+    val sample = docs.select(col(idCol).as("id"), col(textCol).as("txt"))
+      .orderBy(graft.ops.sample.Sampling.hashBucket(col("id")), col("id"))
+      .limit(sampleDocs)
+    val stats = sample
+      .select(explode(TextOps.bigrams(col("txt"))).as("h"))
+      .agg(count(lit(1)).cast("double").as("postings"),
+        approx_count_distinct("h").as("vocab"))
+      .head()
+    val avgDf = stats.getDouble(0) / math.max(1L, stats.getLong(1))
+    if (avgDf >= denseAvgDf) "pigeonhole" else "prefix"
   }
 
   /** Adaptive exact similarity join — the production entry point. A cheap
-    * bounded probe (shingle vocabulary density over at most `sampleDocs`
-    * documents) routes by corpus shape, the same stats-driven planning AQE
-    * applies to join strategies:
+    * probe ([[jaccardRoute]]: shingle density over a deterministic
+    * hash-ordered sample, unbiased by data layout) routes by corpus shape,
+    * the same stats-driven planning AQE applies to join strategies:
     *
     *  - **zipfian** corpora (large vocabulary, low average document
     *    frequency — real web/text corpora): [[ngramJaccardPrefix]], the
@@ -159,27 +269,22 @@ object Dedup {
     *  - **dense** corpora (small vocabulary, every shingle in hundreds of
     *    documents — template-generated or highly repetitive data, where ANY
     *    inverted index degenerates to Ω(n²) postings intersections):
-    *    [[minhashLsh]] candidates verified with exact Jaccard — bucketed,
-    *    near-linear, and exact for every candidate pair LSH surfaces
-    *    (cross-validated equal to the exhaustive join in PipelineOpsSpec).
+    *    [[ngramJaccardPigeonhole]], the partition-based chunk-signature
+    *    join. Exact, keyed shuffles only.
     *
-    * The probe is one aggregate over a LIMIT sample — bounded work
-    * regardless of corpus size, so the routing decision costs O(sample) at
-    * 100 TB.
+    * Both routes surface EVERY qualifying pair (prefix filtering and
+    * pigeonhole chunking are lossless, unlike minhash banding) and verify
+    * candidates with true Jaccard — so the adaptive join is exact on any
+    * corpus, and the routing choice affects only performance.
     */
   def ngramJaccardAdaptive(docs: DataFrame, minJaccard: Double,
                            idCol: String = "doc_id", textCol: String = "text",
                            sampleDocs: Int = 2048,
-                           denseAvgDf: Double = 16.0): DataFrame = {
-    val stats = docs.select(col(textCol)).limit(sampleDocs)
-      .select(explode(TextOps.bigrams(col(textCol))).as("h"))
-      .agg(count(lit(1)).cast("double").as("postings"),
-        approx_count_distinct("h").as("vocab"))
-      .head()
-    val avgDf = stats.getDouble(0) / math.max(1L, stats.getLong(1))
-    if (avgDf >= denseAvgDf) minhashLsh(docs, minJaccard, idCol = idCol, textCol = textCol)
-    else ngramJaccardPrefix(docs, minJaccard, idCol, textCol)
-  }
+                           denseAvgDf: Double = 16.0): DataFrame =
+    jaccardRoute(docs, idCol, textCol, sampleDocs, denseAvgDf) match {
+      case "pigeonhole" => ngramJaccardPigeonhole(docs, minJaccard, idCol, textCol)
+      case _ => ngramJaccardPrefix(docs, minJaccard, idCol, textCol)
+    }
 
   /** Inverted-index variant of [[ngramJaccard]] — identical output, shuffle
     * on the shingle key instead of a broadcast loop. The right choice when
@@ -242,28 +347,7 @@ object Dedup {
         col("x.bh") === col("y.bh") && col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"))
       .dropDuplicates("a", "b")
-    // re-attach the shingle arrays to the (small) candidate set, then
-    // verify exactly with the merge-scan intersect. Candidates are melted
-    // to one row per pair SIDE and joined against the sets ONCE — the
-    // corpus-sized subtree (shingling + sorting + hashing) is evaluated a
-    // single time here instead of once per side, and the pivot back to
-    // pairs shuffles only candidate-sized data.
-    val sets = base.select(col("id"), col("sh"), col("n"))
-    val melted = candidates
-      .select(col("a"), col("b"), explode(array(col("a"), col("b"))).as("id"))
-    melted.join(sets, "id")
-      .groupBy("a", "b")
-      .agg(
-        first(when(col("id") === col("a"), col("sh")), ignoreNulls = true).as("sha"),
-        first(when(col("id") === col("b"), col("sh")), ignoreNulls = true).as("shb"),
-        first(when(col("id") === col("a"), col("n")), ignoreNulls = true).as("na"),
-        first(when(col("id") === col("b"), col("n")), ignoreNulls = true).as("nb"))
-      .withColumn("inter",
-        call_function("graft_intersect_count", col("sha"), col("shb")).cast("long"))
-      .select(col("a"), col("b"),
-        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
-      .where(col("jaccard") >= minJaccard)
-      .orderBy("a", "b")
+    verifyPairs(candidates, base.select(col("id"), col("sh"), col("n")), minJaccard)
   }
 
   /** Distinct word n-gram hashes of a text column (generalises
@@ -287,13 +371,29 @@ object Dedup {
     * count shared grams per (eval, train) pair. All keyed shuffles —
     * the 100 TB plan; n of 8-13 makes grams selective, so posting lists
     * stay short on natural text.
+    *
+    * Hot-gram guard: the join's candidate volume is Σ df_eval·df_train per
+    * gram, and web-scale corpora contain n-grams with document frequency in
+    * the millions (license headers, templated boilerplate) — one such gram
+    * is a quadratic bucket. Grams with total df above `maxGramDf` are
+    * dropped before the join: a gram shared by that many documents is
+    * boilerplate, the least informative contamination signal, while the
+    * guard bounds every posting list. The df computation is a window over
+    * the same hash partitioning the join needs, so it adds no extra
+    * shuffle. On corpora whose grams all fall under the threshold (any
+    * natural-text corpus at the default) the output is exactly the
+    * unguarded join.
     */
   def contamination(docs: DataFrame, isEval: Column, n: Int = 8,
-                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                    idCol: String = "doc_id", textCol: String = "text",
+                    maxGramDf: Long = 100000L): DataFrame = {
     val base = docs.select(col(idCol).as("id"), isEval.as("is_eval"),
         explode(ngramHashes(col(textCol), n)).as("h"))
-    val ev = base.where(col("is_eval")).select(col("id").as("eval_id"), col("h"))
-    val tr = base.where(!col("is_eval")).select(col("id").as("train_id"), col("h"))
+    val kept = base
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
+      .where(col("df") <= maxGramDf)
+    val ev = kept.where(col("is_eval")).select(col("id").as("eval_id"), col("h"))
+    val tr = kept.where(!col("is_eval")).select(col("id").as("train_id"), col("h"))
     ev.join(tr, "h")
       .groupBy("eval_id", "train_id")
       .agg(count(lit(1)).as("n_shared"))

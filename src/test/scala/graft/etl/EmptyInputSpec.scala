@@ -36,7 +36,9 @@ class EmptyInputSpec extends SparkSpec {
     assert(Dedup.minhashLsh(emptyDocs, 0.5).count() === 0)
     assert(Dedup.simhash(emptyDocs).count() === 0)
     assert(Dedup.ngramJaccardPrefix(emptyDocs, 0.5).count() === 0)
+    assert(Dedup.ngramJaccardPigeonhole(emptyDocs, 0.5).count() === 0)
     assert(Dedup.ngramJaccardAdaptive(emptyDocs, 0.5).count() === 0)
+    assert(Dedup.contamination(emptyDocs, lit(true)).count() === 0)
   }
 
   test("sampling and packing tolerate an empty corpus") {

@@ -51,26 +51,84 @@ class PipelineOpsSpec extends SparkSpec {
   }
 
   test("adaptive jaccard join routes by corpus density and stays exact") {
-    import spark.implicits._
     // this synthetic corpus is dense (931-shingle vocab, avg df 275):
-    // expect the LSH+verify path, and the exhaustive join's exact pairs
+    // expect the pigeonhole chunk-signature path, and exact pairs
     val onDense = Dedup.ngramJaccardAdaptive(docs, 0.5)
-    assert(onDense.queryExecution.executedPlan.toString.toLowerCase.contains("minhash"))
+    assert(onDense.queryExecution.executedPlan.toString.toLowerCase.contains("chunk_hashes"))
     assert(pairs(onDense) === pairs(Dedup.ngramJaccard(docs, 0.5)))
     // a zipfian corpus — every doc mostly unique tokens, two planted dups —
     // must route to the PPJoin prefix path and also be exact
-    val zipf = spark.range(300).select(col("id").as("doc_id"),
+    val corpus = zipfianCorpus(300)
+    val onZipf = Dedup.ngramJaccardAdaptive(corpus, 0.5)
+    assert(!onZipf.queryExecution.executedPlan.toString.toLowerCase.contains("chunk_hashes"))
+    assert(pairs(onZipf) === pairs(Dedup.ngramJaccard(corpus, 0.5)))
+    assert(pairs(onZipf).nonEmpty)
+  }
+
+  /** n docs of 30 mostly-unique tokens each, with two planted duplicates. */
+  private def zipfianCorpus(n: Int): org.apache.spark.sql.DataFrame = {
+    val zipf = spark.range(n).select(col("id").as("doc_id"),
       concat_ws(" ",
         (0 until 30).map(i => concat(lit("t"), col("id"), lit(s"_$i"))): _*)
         .as("text"))
     val dup = zipf.where(col("doc_id") < 2)
-      .select(col("doc_id") + 1000, col("text"))
+      .select(col("doc_id") + 1000000, col("text"))
       .toDF("doc_id", "text")
-    val corpus = zipf.union(dup)
-    val onZipf = Dedup.ngramJaccardAdaptive(corpus, 0.5)
-    assert(!onZipf.queryExecution.executedPlan.toString.toLowerCase.contains("minhash"))
-    assert(pairs(onZipf) === pairs(Dedup.ngramJaccard(corpus, 0.5)))
-    assert(pairs(onZipf).nonEmpty)
+    zipf.union(dup)
+  }
+
+  test("pigeonhole jaccard join is exact on both corpus shapes, at multiple thresholds") {
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      assert(pairs(Dedup.ngramJaccardPigeonhole(docs, t)) ===
+        pairs(Dedup.ngramJaccard(docs, t)), s"dense corpus, threshold $t")
+    }
+    val corpus = zipfianCorpus(200)
+    assert(pairs(Dedup.ngramJaccardPigeonhole(corpus, 0.5)) ===
+      pairs(Dedup.ngramJaccard(corpus, 0.5)), "zipfian corpus")
+  }
+
+  test("routing probe is unbiased by data layout (dense head, zipfian tail)") {
+    // a corpus whose LEADING rows are dense template docs and whose tail is
+    // zipfian: a head-limit probe would see only the dense prefix and pick
+    // the pigeonhole route, but corpus-wide the right plan is PPJoin. The
+    // hash-ordered sample reads across the whole corpus.
+    val denseHead = spark.range(300).select(col("id").as("doc_id"),
+      concat_ws(" ", (0 until 30).map(i => lit(s"tmpl_${i % 8}")): _*).as("text"))
+    val zipfTail = spark.range(3000).select((col("id") + 1000).as("doc_id"),
+      concat_ws(" ",
+        (0 until 30).map(i => concat(lit("t"), col("id"), lit(s"_$i"))): _*)
+        .as("text"))
+    val clustered = denseHead.union(zipfTail).coalesce(1) // one split: head IS the scan order
+    // the head alone is unambiguously dense...
+    assert(Dedup.jaccardRoute(denseHead, "doc_id", "text", 100, 16.0) === "pigeonhole")
+    // ...but the hash-ordered sample sees the true shape and routes sparse
+    assert(Dedup.jaccardRoute(clustered, "doc_id", "text", 100, 16.0) === "prefix")
+  }
+
+  test("contamination hot-gram guard bounds candidate volume, keeps real signal") {
+    import spark.implicits._
+    val boiler = (1 to 8).map(i => s"b$i").mkString(" ")           // in every doc
+    val shared = (1 to 8).map(i => s"u$i").mkString(" ")           // only e1 and t1
+    def filler(tag: String) = (1 to 8).map(i => s"$tag$i").mkString(" ")
+    val corpus = (
+      Seq((100L, s"${filler("e1f")} $boiler $shared", true),
+          (101L, s"${filler("e2f")} $boiler", true)) ++
+      (1 to 5).map(i => (200L + i, s"${filler(s"t${i}f")} $boiler" +
+        (if (i == 1) s" $shared" else ""), false))
+    ).toDF("doc_id", "text", "is_eval")
+    def result(maxDf: Long) =
+      Dedup.contamination(corpus, col("is_eval"), n = 8, maxGramDf = maxDf)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // unguarded: the boilerplate gram links EVERY eval doc to EVERY train
+    // doc — 10 pairs, the quadratic-bucket shape
+    val unguarded = result(100000L)
+    assert(unguarded.size === 10)
+    assert(unguarded((100L, 201L)) === 9) // shared suffix: 9 grams of 16 tokens
+    assert(unguarded((101L, 205L)) === 1) // boilerplate-only link
+    // guarded (df cap below the boilerplate's df=7): only the genuinely
+    // shared suffix survives, minus its df-7 boilerplate gram
+    val guarded = result(5L)
+    assert(guarded === Map((100L, 201L) -> 8L))
   }
 
   test("minhash LSH finds exactly the exact-Jaccard pairs") {
