@@ -123,6 +123,8 @@ object SparkEntry {
     "pg_degrees"          -> GraphEtl.pgDegreesSql,
     "dedup_embedding"     -> Pipeline.dedupEmbeddingSql,
     "ann_topk"            -> Pipeline.annTopKSql,
+    "ann_lsh"             -> Pipeline.annLshSql,
+    "dedup_simhash"       -> Pipeline.dedupSimhashSql,
     "text_lang_id"        -> Pipeline.textLangIdSql,
     "text_lang_trigram"   -> Pipeline.textLangTrigramSql,
     "text_profile_train"  -> Pipeline.textProfileTrainSql,

@@ -108,10 +108,42 @@ object Pipeline {
       |FROM ev JOIN tr USING (gram)
       |GROUP BY eval_id, train_id ORDER BY eval_id, train_id""".stripMargin
 
-  // ---- C4: SimHash hamming near-dup (rows-only oracle + spec) -------------
+  // ---- C4: SimHash hamming near-dup ---------------------------------------
 
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhash(docs(spark, dir), maxHamming = 3)
+
+  /** Full hash oracle for the simhash join: FNV-1a 64 and the vote-packed
+    * signature are deterministic integer arithmetic, so DuckDB reproduces
+    * them exactly — per token, a left fold over the characters in HUGEINT
+    * mod-2^64 (the xor touches only the low byte, so `h//256*256 +
+    * xor(h%256, byte)` is the 64-bit xor); per document, bit i of the code
+    * is set iff more than half the token hashes have it set. The pair join
+    * is the EXHAUSTIVE O(n²) hamming check — pigeonhole banding in the
+    * engine is lossless, so exhaustive is the correct reference. ASCII
+    * corpus ⇒ codepoints are the UTF-8 bytes the engine hashes.
+    */
+  val dedupSimhashSql: String =
+    """WITH hs AS (
+      |  SELECT doc_id,
+      |    [list_reduce(
+      |       list_prepend(14695981039346656037::HUGEINT,
+      |         [unicode(ch)::HUGEINT FOR ch IN string_split(t, '')]),
+      |       (h, b) -> ((h // 256 * 256 + xor(h % 256, b)) * 1099511628211::HUGEINT)
+      |                 % 18446744073709551616::HUGEINT
+      |     ) FOR t IN string_split(text, ' ')] AS hlist
+      |  FROM documents),
+      |codes AS (
+      |  SELECT doc_id,
+      |    list_sum([CASE WHEN 2 * list_sum([(h >> i) % 2 FOR h IN hlist]) > len(hlist)
+      |                   THEN (1::HUGEINT << i) ELSE 0::HUGEINT END
+      |              FOR i IN range(0, 64)]) AS code
+      |  FROM hs)
+      |SELECT x.doc_id AS a, y.doc_id AS b,
+      |       bit_count(xor(x.code, y.code))::BIGINT AS hamming
+      |FROM codes x JOIN codes y ON x.doc_id < y.doc_id
+      |WHERE bit_count(xor(x.code, y.code)) <= 3
+      |ORDER BY a, b""".stripMargin
 
   // ---- C5: embedding-cosine near-dup pairs --------------------------------
   // size-adaptive: exact broadcast loop below the cutoff (this SF), the
@@ -146,13 +178,55 @@ object Pipeline {
       |  row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) rnk FROM s)
       |SELECT qid, cid, cosine, rnk FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
 
-  // ---- C7: LSH-bucketed ANN (rows-only oracle + recall spec) --------------
+  // ---- C7: LSH-bucketed ANN -----------------------------------------------
 
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
     val e = embs(spark, dir)
     Ann.lshTopK(e.where(col("vec_id") < 20), e.where(col("vec_id") >= 20), k = 5)
       .withColumnRenamed("rank", "rnk")
   }
+
+  /** Full hash oracle for the SRP-LSH top-k: the ±1 hyperplanes are pure
+    * splitmix64 parity (graft.functions.SrpCodes), so DuckDB reproduces the
+    * exact buckets — and therefore the exact candidate set and ranking.
+    * The mix64 finalizer runs in HUGEINT mod-2^64; its two 64×64-bit
+    * multiplies would overflow HUGEINT, so each is split as
+    * `((hi·c mod 2^32)·2^32 + lo·c) mod 2^64` (every intermediate < 2^97).
+    * Projections fold `sign·v[i]` left-to-right in DOUBLE — bit-identical
+    * to the engine's accumulation, so even boundary signs agree. Defaults
+    * mirrored: planes=4, bands=8, seed=17, k=5, queries vec_id<20.
+    */
+  val annLshSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) nrm FROM e),
+      |bp AS (SELECT b, p, (17::HUGEINT + b::HUGEINT * 4294967296::HUGEINT) x FROM range(0,8) t(b), range(0,4) u(p)),
+      |m1_1 AS (SELECT b, p, (x + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT y FROM bp),
+      |m1_2 AS (SELECT b, p, xor(y, y >> 30) y FROM m1_1),
+      |m1_3 AS (SELECT b, p, (((y >> 32) * 13787848793156543929::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT + (y % 4294967296::HUGEINT) * 13787848793156543929::HUGEINT) % 18446744073709551616::HUGEINT y FROM m1_2),
+      |m1_4 AS (SELECT b, p, xor(y, y >> 27) y FROM m1_3),
+      |m1_5 AS (SELECT b, p, (((y >> 32) * 10723151780598845931::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT + (y % 4294967296::HUGEINT) * 10723151780598845931::HUGEINT) % 18446744073709551616::HUGEINT y FROM m1_4),
+      |m1 AS (SELECT b, p, xor(y, y >> 31) x FROM m1_5),
+      |px AS (SELECT b, p, xor(x, p::HUGEINT) x FROM m1),
+      |pk_1 AS (SELECT b, p, (x + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT y FROM px),
+      |pk_2 AS (SELECT b, p, xor(y, y >> 30) y FROM pk_1),
+      |pk_3 AS (SELECT b, p, (((y >> 32) * 13787848793156543929::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT + (y % 4294967296::HUGEINT) * 13787848793156543929::HUGEINT) % 18446744073709551616::HUGEINT y FROM pk_2),
+      |pk_4 AS (SELECT b, p, xor(y, y >> 27) y FROM pk_3),
+      |pk_5 AS (SELECT b, p, (((y >> 32) * 10723151780598845931::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT + (y % 4294967296::HUGEINT) * 10723151780598845931::HUGEINT) % 18446744073709551616::HUGEINT y FROM pk_4),
+      |pk AS (SELECT b, p, xor(y, y >> 31) x FROM pk_5),
+      |di AS (SELECT b, p, i, xor(x, (i::HUGEINT * 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT) x FROM pk, range(0,64) d(i)),
+      |sg_1 AS (SELECT b, p, i, (x + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT y FROM di),
+      |sg_2 AS (SELECT b, p, i, xor(y, y >> 30) y FROM sg_1),
+      |sg_3 AS (SELECT b, p, i, (((y >> 32) * 13787848793156543929::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT + (y % 4294967296::HUGEINT) * 13787848793156543929::HUGEINT) % 18446744073709551616::HUGEINT y FROM sg_2),
+      |sg_4 AS (SELECT b, p, i, xor(y, y >> 27) y FROM sg_3),
+      |sg_5 AS (SELECT b, p, i, (((y >> 32) * 10723151780598845931::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT + (y % 4294967296::HUGEINT) * 10723151780598845931::HUGEINT) % 18446744073709551616::HUGEINT y FROM sg_4),
+      |sg AS (SELECT b, p, i, xor(y, y >> 31) x FROM sg_5),
+      |sl AS (SELECT b, p, list(CASE WHEN x % 2 = 1 THEN 1.0 ELSE -1.0 END ORDER BY i) sl FROM sg GROUP BY b, p),
+      |proj AS (SELECT vec_id, b, p, list_sum([pr[1]*pr[2] for pr in list_zip(n.v, sl.sl)]) pj FROM n CROSS JOIN sl),
+      |codes AS (SELECT vec_id, b, sum(CASE WHEN pj > 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END)::BIGINT code FROM proj GROUP BY vec_id, b),
+      |cand AS (SELECT DISTINCT q.vec_id qid, c.vec_id cid FROM codes q JOIN codes c ON q.b = c.b AND q.code = c.code WHERE q.vec_id < 20 AND c.vec_id >= 20),
+      |s AS (SELECT qid, cid, round(list_sum([pr[1]*pr[2] for pr in list_zip(q.v, c.v)]) / (q.nrm*c.nrm), 6) cosine FROM cand JOIN n q ON q.vec_id = qid JOIN n c ON c.vec_id = cid),
+      |r AS (SELECT qid, cid, cosine, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) rnk FROM s)
+      |SELECT qid, cid, cosine, rnk FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
 
   /** C13: corpus-source similarity via the MinHash sketch AGGREGATE
     * (graft.functions.MinHashSketch): one 64-position signature per source
