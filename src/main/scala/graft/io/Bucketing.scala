@@ -29,13 +29,20 @@ object Bucketing {
     * directory without the catalog entry — `overwrite` alone then fails.
     */
   def dropTable(spark: org.apache.spark.sql.SparkSession, tableName: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    // Resolve the directory from the catalog while the entry still exists;
+    // fall back to the default warehouse layout for the orphaned-directory
+    // case (in-memory catalog lost the entry but a previous JVM's files
+    // remain). Hadoop FileSystem handles any warehouse scheme (file/hdfs/
+    // s3a), unlike java.io.File.
+    val loc = scala.util.Try(
+        new Path(spark.sessionState.catalog
+          .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(tableName))
+          .location))
+      .getOrElse(new Path(spark.conf.get("spark.sql.warehouse.dir"),
+        tableName.toLowerCase(java.util.Locale.ROOT)))
     spark.sql(s"DROP TABLE IF EXISTS $tableName")
-    val loc = new java.io.File(
-      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), tableName)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete()
-    }
-    if (loc.exists()) rm(loc)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
   }
 }

@@ -70,6 +70,9 @@ object Streaming {
                bandBefore: String = "10 minutes",
                bandAfter: String = "0 seconds"): DataFrame = {
     require(leftTs != rightTs, "bandJoin: time columns must have distinct names")
+    require(leftKey != rightKey,
+      "bandJoin: key columns must have distinct names (col(k) === col(k) would " +
+        "resolve both sides to one input — rename one side before joining)")
     val l = left.withWatermark(leftTs, watermark)
     val r = right.withWatermark(rightTs, watermark)
     l.join(r,
