@@ -236,6 +236,100 @@ object ChunkHashes {
   }
 }
 
+/** Bitmap (as `array<long>` of `nWords` words) with the given bit
+  * positions set — the per-document half of the dense-corpus exact
+  * similarity join: each distinct shingle of a small-vocabulary corpus gets
+  * a dense bit index, and a document's shingle SET becomes a fixed-width
+  * bitmap. Positions out of range are hard errors (they mean the vocabulary
+  * index and the bitmap width disagree — always an upstream bug).
+  */
+case class BitmapFromPositions(child: Expression, nWords: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_bitmap"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<int>, got ${other.sql}")
+  }
+
+  override def nullSafeEval(positions: Any): Any =
+    BitmapFromPositions.build(positions.asInstanceOf[ArrayData], nWords)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, p => s"graft.functions.BitmapFromPositions.build($p, $nWords)")
+
+  override protected def withNewChildInternal(newChild: Expression): BitmapFromPositions =
+    copy(child = newChild)
+}
+
+object BitmapFromPositions {
+  def build(positions: ArrayData, nWords: Int): ArrayData = {
+    val out = new Array[Long](nWords)
+    val n = positions.numElements()
+    var i = 0
+    while (i < n) {
+      val p = positions.getInt(i)
+      if (p < 0 || p >= nWords * 64)
+        throw new IllegalArgumentException(
+          s"graft_bitmap: position $p outside ${nWords * 64} bits")
+      out(p >>> 6) |= (1L << (p & 63))
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
+/** Popcount of the AND of two equal-width bitmaps (`array<long>`) — the
+  * set-intersection size of two bitmap-encoded shingle sets. ~15 word ANDs
+  * replace a ~100-step merge scan in the all-pairs hot loop of the dense
+  * exact similarity join; a width mismatch is a hard error.
+  */
+case class BitmapAndCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_bitmap_and_count"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<long> arguments, " +
+        s"got ${left.dataType.sql} and ${right.dataType.sql}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    BitmapAndCount.count(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.BitmapAndCount.count($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): BitmapAndCount =
+    copy(left = newLeft, right = newRight)
+}
+
+object BitmapAndCount {
+  def count(a: ArrayData, b: ArrayData): Int = {
+    val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"graft_bitmap_and_count: width mismatch ($n vs ${b.numElements()})")
+    var c = 0
+    var i = 0
+    while (i < n) {
+      c += java.lang.Long.bitCount(a.getLong(i) & b.getLong(i))
+      i += 1
+    }
+    c
+  }
+}
+
 /** Sign-random-projection LSH codes for a vector: `bands` codes, each from
   * `planes` sign bits of projections onto deterministic ±1 hyperplanes
   * (splitmix64 parity of (seed, band, plane, dim)). One tight pass instead

@@ -37,7 +37,11 @@ object GraftFunctions {
     },
     "graft_chunk_hashes" -> { exprs =>
       ChunkHashes(exprs(0), nChunks = exprs(1).eval().asInstanceOf[Int])
-    })
+    },
+    "graft_bitmap" -> { exprs =>
+      BitmapFromPositions(exprs(0), nWords = exprs(1).eval().asInstanceOf[Int])
+    },
+    "graft_bitmap_and_count" -> { exprs => BitmapAndCount(exprs(0), exprs(1)) })
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry

@@ -11,13 +11,14 @@ import graft.ops.text.TextOps
   * Scale notes (100 TB):
   *  - exact: one hash-partition shuffle on the normalisation key.
   *  - ngramJaccardAdaptive (default): bounded density probe routes zipfian
-  *    corpora to ngramJaccardPrefix (PPJoin prefix-filtered inverted index)
-  *    and dense small-vocab corpora to ngramJaccardPigeonhole (partition-
-  *    based chunk-signature join). BOTH routes are exact — every qualifying
-  *    pair is guaranteed a candidate bucket, and every candidate is
-  *    verified with true Jaccard. ngramJaccard: broadcast +
-  *    native merge-scan intersect, a small-side utility (dedup within a
-  *    bucket/partition); ngramJaccardSparse: plain inverted-index shuffle.
+  *    corpora to ngramJaccardPrefix (PPJoin prefix-filtered inverted index,
+  *    exact at any size) and dense small-vocab corpora to
+  *    ngramJaccardBitmap (vocab-indexed bitmap exact all-pairs) below the
+  *    size guards / minhashLsh (verified LSH candidates) above them.
+  *    ngramJaccard: broadcast + native merge-scan intersect, a small-side
+  *    utility; ngramJaccardSparse: plain inverted-index shuffle;
+  *    ngramJaccardPigeonhole: partition-based chunk-signature join for
+  *    large-document corpora (see its header for the dense degeneration).
   *  - minhash: signatures are a narrow map (native one-pass expression, no
   *    shuffle); only the small band-bucket join shuffles, then candidates
   *    are verified exactly — the default at corpus scale.
@@ -183,12 +184,22 @@ object Dedup {
   }
 
   /** Partition-based (pigeonhole) exact similarity join — identical output
-    * to [[ngramJaccard]], built for DENSE corpora where prefix-filtered
-    * inverted indexes degenerate (tiny shingle vocabulary, every shingle in
-    * a large fraction of documents — template-generated or highly
-    * repetitive data). Cf. Deng, Li, Feng, "A partition-based method for
+    * to [[ngramJaccard]]. Cf. Deng, Li, Feng, "A partition-based method for
     * exact set similarity joins" (PVLDB 2015); this is the chunking stage
     * of that family, with hash-assigned chunks and exact verification.
+    *
+    * WHEN TO USE — and when not to: the chunk count D+1 scales with the
+    * LARGEST document, so the scheme is discriminative only when documents
+    * are large relative to D (chunks then hold several shingles each and
+    * content hashes carry entropy). On corpora where nChunks approaches or
+    * exceeds typical document size, most chunks are EMPTY and every
+    * empty-on-both-sides chunk index pairs huge fractions of the corpus —
+    * measured on the dense synthetic testdata (931-shingle vocab, ~51
+    * shingles/doc, t=0.5 → 66 chunks, ~45% of chunks empty per doc) the
+    * band join inflates to ~10⁸ rows and runs 15× slower than LSH+verify.
+    * [[ngramJaccardAdaptive]] therefore never routes here; this stays a
+    * library operator for large-document corpora with moderate thresholds
+    * (nChunks ≪ typical n), where its recall-1 guarantee comes cheap.
     *
     * Any pair with J ≥ t has symmetric difference
     * d ≤ (1−t)/(1+t)·(na+nb) ≤ D := floor((1−t)/(1+t)·2·n_max). Shingles
@@ -231,6 +242,73 @@ object Dedup {
     verifyPairs(cand, base.select(col("id"), col("sh"), col("n")), minJaccard)
   }
 
+  /** Exact similarity join for DENSE corpora via vocabulary-indexed
+    * bitmaps — identical output to [[ngramJaccard]]. A dense corpus (tiny
+    * shingle vocabulary, every shingle in hundreds of documents) defeats
+    * every signature scheme: prefix posting lists are all long (df ≈ n),
+    * and pigeonhole chunk hashes over a ~1000-element universe carry almost
+    * no entropy (see [[ngramJaccardPigeonhole]]'s header for the measured
+    * blow-up). What a tiny vocabulary gives BACK is a compact exact
+    * encoding: each distinct shingle gets a dense bit index (sorted-hash
+    * rank), a document's shingle set becomes a |V|-bit bitmap (931-shingle
+    * vocab → 15 longs), and intersection size is a popcount of word ANDs —
+    * a ~7× cheaper inner loop than the sorted merge scan, with the same
+    * all-pairs + size-ratio-prefilter shape as [[ngramJaccard]].
+    *
+    * O(n²) pairs by design: this is the small/medium-corpus branch of the
+    * adaptive route (the same arrangement as the embedding near-dup's
+    * below-cutoff exact path). The guards live in [[ngramJaccardAdaptive]];
+    * calling this directly on an unbounded corpus is on the caller.
+    * `maxBits` bounds the vocabulary (and so the broadcast row width).
+    */
+  def ngramJaccardBitmap(docs: DataFrame, minJaccard: Double,
+                         idCol: String = "doc_id", textCol: String = "text",
+                         maxBits: Int = 1 << 20): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val base = shingled(docs, idCol, textCol)
+    val vocab = base.select(explode(col("sh")).as("h")).distinct()
+    // eager scalar, like pigeonhole's n_max: the bitmap width must be a
+    // plan-time constant. One distinct-aggregate over the shingle postings.
+    val vocabBits = vocab.count()
+    require(vocabBits <= maxBits,
+      s"ngramJaccardBitmap: vocabulary $vocabBits exceeds $maxBits bits — " +
+        "not a dense corpus; use ngramJaccardPrefix/minhashLsh")
+    bitmapJoin(base, vocab, vocabBits, minJaccard)
+  }
+
+  /** Shared core of [[ngramJaccardBitmap]] (callers supply the shingled
+    * base and the vocabulary count so the adaptive route's guards don't
+    * recompute them).
+    */
+  private def bitmapJoin(base: DataFrame, vocab: DataFrame, vocabBits: Long,
+                         minJaccard: Double): DataFrame = {
+    val spark = base.sparkSession
+    val nWords = math.max(1L, (vocabBits + 63) / 64).toInt
+    // dense bit index = rank in sorted hash order. The global (unpartitioned)
+    // window sorts only the VOCABULARY — bounded by maxBits, one small task.
+    val idx = vocab.withColumn("pos",
+      (row_number().over(Window.orderBy("h")) - 1).cast("int"))
+    val bits = base.select(col("id"), col("n"), explode(col("sh")).as("h"))
+      .join(broadcast(idx), "h")
+      .groupBy("id", "n")
+      .agg(collect_list(col("pos")).as("ps"))
+      .select(col("id"), col("n"),
+        call_function("graft_bitmap", col("ps"), lit(nWords)).as("bm"))
+    // spread the probe side across all cores (the source may be one split)
+    val a = bits.select(col("id").as("a"), col("bm").as("ba"), col("n").as("na"))
+      .repartition(spark.sparkContext.defaultParallelism)
+    val b = bits.select(col("id").as("b"), col("bm").as("bb"), col("n").as("nb"))
+    a.join(broadcast(b), col("a") < col("b") &&
+        col("na") * minJaccard - lit(Eps) <= col("nb") &&
+        col("nb") * minJaccard - lit(Eps) <= col("na"))
+      .withColumn("inter",
+        call_function("graft_bitmap_and_count", col("ba"), col("bb")).cast("long"))
+      .select(col("a"), col("b"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+      .orderBy("a", "b")
+  }
+
   /** Routing probe for [[ngramJaccardAdaptive]]: shingle-vocabulary density
     * (average document frequency) over a deterministic hash-ordered sample.
     * The sample takes the `sampleDocs` documents with globally smallest
@@ -255,7 +333,7 @@ object Dedup {
         approx_count_distinct("h").as("vocab"))
       .head()
     val avgDf = stats.getDouble(0) / math.max(1L, stats.getLong(1))
-    if (avgDf >= denseAvgDf) "pigeonhole" else "prefix"
+    if (avgDf >= denseAvgDf) "dense" else "prefix"
   }
 
   /** Adaptive exact similarity join — the production entry point. A cheap
@@ -265,24 +343,49 @@ object Dedup {
     *
     *  - **zipfian** corpora (large vocabulary, low average document
     *    frequency — real web/text corpora): [[ngramJaccardPrefix]], the
-    *    PPJoin prefix-filtered inverted index. Exact, keyed shuffles only.
+    *    PPJoin prefix-filtered inverted index. Exact, keyed shuffles only,
+    *    any corpus size.
     *  - **dense** corpora (small vocabulary, every shingle in hundreds of
-    *    documents — template-generated or highly repetitive data, where ANY
-    *    inverted index degenerates to Ω(n²) postings intersections):
-    *    [[ngramJaccardPigeonhole]], the partition-based chunk-signature
-    *    join. Exact, keyed shuffles only.
+    *    documents — template-generated or highly repetitive data, where
+    *    EVERY signature scheme degenerates: posting lists are all long,
+    *    chunk/prefix signatures carry no entropy): below the size guards,
+    *    [[ngramJaccardBitmap]] — exact all-pairs over compact
+    *    vocabulary-indexed bitmaps, the same below-cutoff arrangement as
+    *    the embedding near-dup's exact branch. Above the guards,
+    *    [[minhashLsh]] — LSH-bucketed candidates with exact verification.
     *
-    * Both routes surface EVERY qualifying pair (prefix filtering and
-    * pigeonhole chunking are lossless, unlike minhash banding) and verify
-    * candidates with true Jaccard — so the adaptive join is exact on any
-    * corpus, and the routing choice affects only performance.
+    * Exactness: the prefix and bitmap routes surface EVERY qualifying pair.
+    * The large-dense LSH route has banding recall 1−(1−t^r)^b per pair
+    * (defaults r=4, b=4; ≈1 for near-identical pairs, <1 for pairs at the
+    * threshold) — on dense corpora at scale an exact subquadratic plan does
+    * not exist (no signature discriminates), so the route trades bounded
+    * recall for a bounded candidate volume and says so here rather than
+    * shipping a quadratic plan that "works" only on toy sizes.
+    *
+    * `maxExactDocs`/`maxBitmapBytes` bound the bitmap branch: documents
+    * capped so the O(n²) pair loop stays a deliberate small-side choice,
+    * bytes capped so the broadcast side (nDocs × vocab/8) fits comfortably
+    * in an executor.
     */
   def ngramJaccardAdaptive(docs: DataFrame, minJaccard: Double,
                            idCol: String = "doc_id", textCol: String = "text",
                            sampleDocs: Int = 2048,
-                           denseAvgDf: Double = 16.0): DataFrame =
+                           denseAvgDf: Double = 16.0,
+                           maxExactDocs: Long = 65536,
+                           maxBitmapBytes: Long = 256L << 20): DataFrame =
     jaccardRoute(docs, idCol, textCol, sampleDocs, denseAvgDf) match {
-      case "pigeonhole" => ngramJaccardPigeonhole(docs, minJaccard, idCol, textCol)
+      case "dense" =>
+        graft.functions.GraftFunctions.register(docs.sparkSession)
+        val base = shingled(docs, idCol, textCol)
+        val vocab = base.select(explode(col("sh")).as("h")).distinct()
+        // two eager scalars (doc count, vocab size) price the guards —
+        // noise next to the Ω(n²)-risk decision they inform
+        val nDocs = base.count()
+        val vocabBits = vocab.count()
+        val bitmapBytes = nDocs * (((vocabBits + 63) / 64) * 8 + 24)
+        if (nDocs <= maxExactDocs && bitmapBytes <= maxBitmapBytes)
+          bitmapJoin(base, vocab, vocabBits, minJaccard)
+        else minhashLsh(docs, minJaccard, idCol = idCol, textCol = textCol)
       case _ => ngramJaccardPrefix(docs, minJaccard, idCol, textCol)
     }
 
