@@ -10,7 +10,8 @@ import graft.ops.text.TextOps
   *
   * Scale notes (100 TB):
   *  - exact: one hash-partition shuffle on the normalisation key.
-  *  - ngramJaccardAdaptive (default): bounded density probe routes zipfian
+  *  - ngramJaccardAdaptive (default): tokenises once into staged shingle
+  *    arrays; full-corpus density stats route zipfian
   *    corpora to ngramJaccardPrefix (PPJoin prefix-filtered inverted index,
   *    exact at any size) and dense small-vocab corpora to
   *    ngramJaccardBitmap (vocab-indexed bitmap exact all-pairs) below the
@@ -39,6 +40,21 @@ object Dedup {
     * candidates (rejected by exact verification), never drop a valid one.
     */
   private val Eps = 1e-9
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Spread a narrow source across the cluster before an expensive narrow
+    * stage: a corpus that arrives as fewer splits than cores (one small
+    * parquet file, a fresh `union`) would otherwise serialise the whole
+    * tokenise pass on a handful of tasks. A real 100 TB corpus has far more
+    * splits than cores and takes the no-op branch; the round-trip shuffle
+    * only ever pays for itself on small inputs, which is exactly when it is
+    * cheap.
+    */
+  private def spread(df: DataFrame): DataFrame = {
+    val dp = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < dp) df.repartition(dp) else df
+  }
 
   /** Shared base: (id, sh = sorted distinct xxhash64 bigram shingles, n).
     * Shingle-less docs can't be near-dups (and would 0-divide).
@@ -156,7 +172,15 @@ object Dedup {
   def ngramJaccardPrefix(docs: DataFrame, minJaccard: Double,
                          idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val base = shingled(docs, idCol, textCol)
+    prefixJoin(shingled(docs, idCol, textCol), minJaccard)
+  }
+
+  /** Core of [[ngramJaccardPrefix]] over a prebuilt shingle base —
+    * [[ngramJaccardAdaptive]] feeds it the STAGED arrays so the tokenise
+    * pass is not re-run for the df table, the prefix index, and the
+    * verification re-attach.
+    */
+  private def prefixJoin(base: DataFrame, minJaccard: Double): DataFrame = {
     // global rarity order: shingle -> document frequency, each record's
     // shingles re-ranked by (df, h)
     val ex = base.select(col("id"), col("n"), explode(col("sh")).as("h"))
@@ -282,21 +306,27 @@ object Dedup {
     */
   private def bitmapJoin(base: DataFrame, vocab: DataFrame, vocabBits: Long,
                          minJaccard: Double): DataFrame = {
-    val spark = base.sparkSession
     val nWords = math.max(1L, (vocabBits + 63) / 64).toInt
     // dense bit index = rank in sorted hash order. The global (unpartitioned)
     // window sorts only the VOCABULARY — bounded by maxBits, one small task.
     val idx = vocab.withColumn("pos",
       (row_number().over(Window.orderBy("h")) - 1).cast("int"))
+    // stage the bitmaps: both join sides consume them, and without staging
+    // the whole explode+join+groupBy subtree (and the tokenise pass under
+    // it) would run twice — once for the broadcast build, once for the
+    // probe. nDocs x nWords longs, guarded small by the adaptive caps.
     val bits = base.select(col("id"), col("n"), explode(col("sh")).as("h"))
       .join(broadcast(idx), "h")
       .groupBy("id", "n")
       .agg(collect_list(col("pos")).as("ps"))
       .select(col("id"), col("n"),
         call_function("graft_bitmap", col("ps"), lit(nWords)).as("bm"))
-    // spread the probe side across all cores (the source may be one split)
+      .localCheckpoint()
+    // spread the probe side: AQE coalesces the small staged bits to few
+    // partitions, which would serialise the O(n²) popcount loop on one
+    // core — the repartition shuffles only the tiny staged bitmaps
     val a = bits.select(col("id").as("a"), col("bm").as("ba"), col("n").as("na"))
-      .repartition(spark.sparkContext.defaultParallelism)
+      .repartition(base.sparkSession.sparkContext.defaultParallelism)
     val b = bits.select(col("id").as("b"), col("bm").as("bb"), col("n").as("nb"))
     a.join(broadcast(b), col("a") < col("b") &&
         col("na") * minJaccard - lit(Eps) <= col("nb") &&
@@ -336,10 +366,16 @@ object Dedup {
     if (avgDf >= denseAvgDf) "dense" else "prefix"
   }
 
-  /** Adaptive exact similarity join — the production entry point. A cheap
-    * probe ([[jaccardRoute]]: shingle density over a deterministic
-    * hash-ordered sample, unbiased by data layout) routes by corpus shape,
-    * the same stats-driven planning AQE applies to join strategies:
+  /** Adaptive similarity join — exact below the size guards — the
+    * production entry point. The corpus is tokenised ONCE into staged
+    * shingle arrays (`localCheckpoint`: the tokenise pass is the most
+    * expensive narrow stage, and every consumer below — routing stats, df
+    * table, prefix index, bitmap vocabulary, exact verification — would
+    * otherwise re-run it). Full-corpus density stats over the staged arrays
+    * (one explode + map-side-partial count/HLL aggregate — with the arrays
+    * staged this costs less than tokenising a probe sample, is unbiased by
+    * ANY data layout, and is deterministic) route by corpus shape, the same
+    * stats-driven planning AQE applies to join strategies:
     *
     *  - **zipfian** corpora (large vocabulary, low average document
     *    frequency — real web/text corpora): [[ngramJaccardPrefix]], the
@@ -360,34 +396,54 @@ object Dedup {
     * threshold) — on dense corpora at scale an exact subquadratic plan does
     * not exist (no signature discriminates), so the route trades bounded
     * recall for a bounded candidate volume and says so here rather than
-    * shipping a quadratic plan that "works" only on toy sizes.
+    * shipping a quadratic plan that "works" only on toy sizes. Taking that
+    * fallback logs a warning; callers that must not lose near-threshold
+    * pairs set `allowApproximate = false` and get an error instead.
     *
-    * `maxExactDocs`/`maxBitmapBytes` bound the bitmap branch: documents
-    * capped so the O(n²) pair loop stays a deliberate small-side choice,
-    * bytes capped so the broadcast side (nDocs × vocab/8) fits comfortably
-    * in an executor.
+    * `maxExactDocs`/`maxBitmapBytes`/`maxBits` bound the bitmap branch:
+    * documents capped so the O(n²) pair loop stays a deliberate small-side
+    * choice, bytes capped so the staged bitmaps (nDocs × vocab/8) fit
+    * comfortably in an executor, vocabulary capped so a misrouted probe
+    * can never broadcast a multi-million-row vocabulary index.
     */
   def ngramJaccardAdaptive(docs: DataFrame, minJaccard: Double,
                            idCol: String = "doc_id", textCol: String = "text",
-                           sampleDocs: Int = 2048,
                            denseAvgDf: Double = 16.0,
                            maxExactDocs: Long = 65536,
-                           maxBitmapBytes: Long = 256L << 20): DataFrame =
-    jaccardRoute(docs, idCol, textCol, sampleDocs, denseAvgDf) match {
-      case "dense" =>
-        graft.functions.GraftFunctions.register(docs.sparkSession)
-        val base = shingled(docs, idCol, textCol)
-        val vocab = base.select(explode(col("sh")).as("h")).distinct()
-        // two eager scalars (doc count, vocab size) price the guards —
-        // noise next to the Ω(n²)-risk decision they inform
-        val nDocs = base.count()
-        val vocabBits = vocab.count()
-        val bitmapBytes = nDocs * (((vocabBits + 63) / 64) * 8 + 24)
-        if (nDocs <= maxExactDocs && bitmapBytes <= maxBitmapBytes)
-          bitmapJoin(base, vocab, vocabBits, minJaccard)
-        else minhashLsh(docs, minJaccard, idCol = idCol, textCol = textCol)
-      case _ => ngramJaccardPrefix(docs, minJaccard, idCol, textCol)
-    }
+                           maxBitmapBytes: Long = 256L << 20,
+                           maxBits: Int = 1 << 20,
+                           allowApproximate: Boolean = true): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val base = shingled(spread(docs), idCol, textCol).localCheckpoint()
+    val stats = base.select(explode(col("sh")).as("h"))
+      .agg(count(lit(1)).cast("double").as("postings"),
+        approx_count_distinct("h").as("vocab"))
+      .head()
+    val avgDf = stats.getDouble(0) / math.max(1L, stats.getLong(1))
+    if (avgDf >= denseAvgDf) {
+      // three eager scalars (doc count, exact vocab, derived bytes) price
+      // the guards — all over the staged arrays, noise next to the
+      // Ω(n²)-risk decision they inform
+      val nDocs = base.count()
+      val vocab = base.select(explode(col("sh")).as("h")).distinct()
+      val vocabBits = vocab.count()
+      val bitmapBytes = nDocs * (((vocabBits + 63) / 64) * 8 + 24)
+      if (nDocs <= maxExactDocs && bitmapBytes <= maxBitmapBytes &&
+          vocabBits <= maxBits)
+        bitmapJoin(base, vocab, vocabBits, minJaccard)
+      else {
+        require(allowApproximate,
+          s"ngramJaccardAdaptive: dense corpus above the exact-join guards " +
+            s"(nDocs=$nDocs, vocabBits=$vocabBits, bitmapBytes=$bitmapBytes) " +
+            "and allowApproximate=false — no exact subquadratic plan exists")
+        log.warn(s"ngramJaccardAdaptive: dense corpus above the exact-join " +
+          s"guards (nDocs=$nDocs, vocabBits=$vocabBits, " +
+          s"bitmapBytes=$bitmapBytes); falling back to minhashLsh — exact " +
+          "verification, but banding recall < 1 for pairs near the threshold")
+        minhashLsh(docs, minJaccard, idCol = idCol, textCol = textCol)
+      }
+    } else prefixJoin(base, minJaccard)
+  }
 
   /** Inverted-index variant of [[ngramJaccard]] — identical output, shuffle
     * on the shingle key instead of a broadcast loop. The right choice when
@@ -432,12 +488,17 @@ object Dedup {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val rows = numHashes / bands
     // shingles as sorted hash arrays: signatures AND the exact verification
-    // both run over longs (merge-scan intersect, no per-pair hash sets)
-    val base = docs
+    // both run over longs (merge-scan intersect, no per-pair hash sets).
+    // Staged (localCheckpoint) because both the band join and the
+    // verification re-attach consume it — without staging the tokenise +
+    // signature pass runs twice, serialised on a single core whenever the
+    // source is one input split (hence also the spread).
+    val base = spread(docs)
       .select(col(idCol).as("id"), TextOps.bigrams(col(textCol)).as("shs"))
       .select(col("id"), array_sort(transform(col("shs"), sh => xxhash64(sh))).as("sh"),
         minhashSignature(col("shs"), numHashes).as("sig"))
       .withColumn("n", size(col("sh")))
+      .localCheckpoint()
     // band join carries (id, bucket-hash) ONLY — the heavy sorted-shingle
     // arrays do NOT ride the ×bands explode through the shuffle. The band
     // index folds into the bucket hash, and a hash collision across buckets
@@ -490,7 +551,7 @@ object Dedup {
   def contamination(docs: DataFrame, isEval: Column, n: Int = 8,
                     idCol: String = "doc_id", textCol: String = "text",
                     maxGramDf: Long = 100000L): DataFrame = {
-    val base = docs.select(col(idCol).as("id"), isEval.as("is_eval"),
+    val base = spread(docs).select(col(idCol).as("id"), isEval.as("is_eval"),
         explode(ngramHashes(col(textCol), n)).as("h"))
     val kept = base
       .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))

@@ -34,16 +34,24 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
-  test("shipped dedup queries never plan a broadcast all-pairs loop") {
-    // (dedup_embedding's adaptive route legitimately picks the exact
-    // broadcast loop BELOW its row cutoff — its scale route is asserted
-    // separately)
-    for (q <- Seq("dedup_ngram_jaccard", "dedup_minhash")) {
-      val plan = graft.SparkEntry.queries(q)(spark, dir)
-        .queryExecution.executedPlan.toString
-      assert(!plan.contains("BroadcastNestedLoopJoin"),
-        s"$q plans a broadcast nested loop:\n$plan")
-    }
+  test("dedup queries at scale never plan a broadcast all-pairs loop") {
+    // (the GUARDED below-cutoff routes of dedup_ngram_jaccard and
+    // dedup_embedding legitimately pick an exact broadcast all-pairs loop on
+    // small/dense corpora — their above-guard scale routes are asserted
+    // here and in the adaptive-routing test)
+    val minhashPlan = graft.SparkEntry.queries("dedup_minhash")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!minhashPlan.contains("BroadcastNestedLoopJoin"),
+      s"dedup_minhash plans a broadcast nested loop:\n$minhashPlan")
+    // dense corpus ABOVE the exact-join guards: the adaptive join must fall
+    // back to the LSH+verify plan, not ship the quadratic bitmap loop
+    val overGuard = Dedup.ngramJaccardAdaptive(docs, 0.5, maxExactDocs = 10)
+      .queryExecution.executedPlan.toString
+    assert(!overGuard.contains("BroadcastNestedLoopJoin"),
+      s"guard-exceeded adaptive join plans a broadcast nested loop:\n$overGuard")
+    // the minhash signatures are materialised under the staged base, so the
+    // plan's LSH marker is the band-bucket join, not the signature expression
+    assert(overGuard.toLowerCase.contains("bandsig"))
     val lshPlan = Ann.cosinePairsAdaptive(embs, 0.45, maxExactRows = 10)
       .queryExecution.executedPlan.toString
     assert(!lshPlan.contains("BroadcastNestedLoopJoin"),
@@ -52,17 +60,22 @@ class PipelineOpsSpec extends SparkSpec {
 
   test("adaptive jaccard join routes by corpus density and stays exact") {
     // this synthetic corpus is dense (931-shingle vocab, avg df 275):
-    // expect the pigeonhole chunk-signature path, and exact pairs
+    // expect the vocabulary-indexed bitmap path, and exact pairs
     val onDense = Dedup.ngramJaccardAdaptive(docs, 0.5)
-    assert(onDense.queryExecution.executedPlan.toString.toLowerCase.contains("chunk_hashes"))
+    assert(onDense.queryExecution.executedPlan.toString.toLowerCase.contains("graft_bitmap"))
     assert(pairs(onDense) === pairs(Dedup.ngramJaccard(docs, 0.5)))
     // a zipfian corpus — every doc mostly unique tokens, two planted dups —
     // must route to the PPJoin prefix path and also be exact
     val corpus = zipfianCorpus(300)
     val onZipf = Dedup.ngramJaccardAdaptive(corpus, 0.5)
-    assert(!onZipf.queryExecution.executedPlan.toString.toLowerCase.contains("chunk_hashes"))
+    assert(!onZipf.queryExecution.executedPlan.toString.toLowerCase.contains("graft_bitmap"))
     assert(pairs(onZipf) === pairs(Dedup.ngramJaccard(corpus, 0.5)))
     assert(pairs(onZipf).nonEmpty)
+    // dense above the guards with exactness demanded: refuse, don't degrade
+    assertThrows[IllegalArgumentException] {
+      Dedup.ngramJaccardAdaptive(docs, 0.5, maxExactDocs = 10,
+        allowApproximate = false)
+    }
   }
 
   /** n docs of 30 mostly-unique tokens each, with two planted duplicates. */
@@ -90,7 +103,7 @@ class PipelineOpsSpec extends SparkSpec {
   test("routing probe is unbiased by data layout (dense head, zipfian tail)") {
     // a corpus whose LEADING rows are dense template docs and whose tail is
     // zipfian: a head-limit probe would see only the dense prefix and pick
-    // the pigeonhole route, but corpus-wide the right plan is PPJoin. The
+    // the bitmap route, but corpus-wide the right plan is PPJoin. The
     // hash-ordered sample reads across the whole corpus.
     val denseHead = spark.range(300).select(col("id").as("doc_id"),
       concat_ws(" ", (0 until 30).map(i => lit(s"tmpl_${i % 8}")): _*).as("text"))
@@ -100,9 +113,14 @@ class PipelineOpsSpec extends SparkSpec {
         .as("text"))
     val clustered = denseHead.union(zipfTail).coalesce(1) // one split: head IS the scan order
     // the head alone is unambiguously dense...
-    assert(Dedup.jaccardRoute(denseHead, "doc_id", "text", 100, 16.0) === "pigeonhole")
+    assert(Dedup.jaccardRoute(denseHead, "doc_id", "text", 100, 16.0) === "dense")
     // ...but the hash-ordered sample sees the true shape and routes sparse
     assert(Dedup.jaccardRoute(clustered, "doc_id", "text", 100, 16.0) === "prefix")
+    // the adaptive join itself (full-corpus stats over the staged arrays)
+    // must also route this layout-clustered corpus to the prefix path
+    val plan = Dedup.ngramJaccardAdaptive(clustered, 0.5)
+      .queryExecution.executedPlan.toString.toLowerCase
+    assert(!plan.contains("graft_bitmap"))
   }
 
   test("contamination hot-gram guard bounds candidate volume, keeps real signal") {
