@@ -64,6 +64,7 @@ object SparkEntry {
     "text_lang_id"        -> (Pipeline.textLangId(_, _)),
     "text_lang_trigram"   -> (Pipeline.textLangTrigram(_, _)),
     "text_profile_train"  -> (Pipeline.textProfileTrain(_, _)),
+    "text_trigram_train"  -> (Pipeline.textTrigramTrain(_, _)),
     "text_quality"        -> (Pipeline.textQuality(_, _)),
     "token_count"         -> (Pipeline.tokenCount(_, _)),
     "text_surprisal"      -> (Pipeline.textSurprisal(_, _)),
@@ -128,6 +129,7 @@ object SparkEntry {
     "text_lang_id"        -> Pipeline.textLangIdSql,
     "text_lang_trigram"   -> Pipeline.textLangTrigramSql,
     "text_profile_train"  -> Pipeline.textProfileTrainSql,
+    "text_trigram_train"  -> Pipeline.textTrigramTrainSql,
     "text_quality"        -> Pipeline.textQualitySql,
     "token_count"         -> Pipeline.tokenCountSql,
     "text_surprisal"      -> Pipeline.textSurprisalSql,

@@ -69,17 +69,79 @@ object TextOps {
         (length(text) - length(replace(text, lit(t), lit("")))) / t.length)
       .reduce(_ + _).cast("long")
 
-  /** Predicted language from trigram profiles: argmax, first-profile
-    * tiebreak (same convention as [[langPredict]]).
+  /** Predicted language from any trigram profile set: argmax, first-profile
+    * tiebreak (same convention as [[langPredict]]). Profiles are literals —
+    * the trained model is tiny (langs × topK trigrams), so applying it is
+    * a pure codegen Column expression, no join.
     */
-  def trigramPredict(text: Column): Column =
-    TrigramProfiles.tail.foldLeft(
-      (lit(TrigramProfiles.head._1), trigramScore(text, TrigramProfiles.head._2))) {
+  def trigramPredictFrom(text: Column, profiles: Seq[(String, Seq[String])]): Column =
+    profiles.tail.foldLeft(
+      (lit(profiles.head._1), trigramScore(text, profiles.head._2))) {
         case ((bestLang, bestScore), (lang, profile)) =>
           val s = trigramScore(text, profile)
           (when(s > bestScore, lit(lang)).otherwise(bestLang),
             when(s > bestScore, s).otherwise(bestScore))
       }._1
+
+  /** Predicted language from the fixed [[TrigramProfiles]]. */
+  def trigramPredict(text: Column): Column =
+    trigramPredictFrom(text, TrigramProfiles)
+
+  /** All character trigrams of the text, in order, with repeats (occurrence
+    * counting needs the repeats). Guarded: `sequence(1, 0)` is DESCENDING in
+    * Spark, not empty, so texts shorter than 3 chars map to an empty array.
+    */
+  def charTrigrams(text: Column): Column =
+    when(length(text) < 3, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), length(text) - 2),
+        i => text.substr(i, lit(3))))
+
+  /** Trains per-language character-trigram profiles from labelled data —
+    * the data-derived counterpart of the fixed [[TrigramProfiles]], feeding
+    * [[trigramPredictFrom]]. Raw frequency is the wrong signal: the most
+    * frequent trigrams of every language are the corpus-common ones
+    * (whitespace runs, shared filler), which carry no discrimination — so
+    * trigrams rank by SHARE (this language's fraction of the trigram's
+    * corpus-wide occurrences; ties by count desc, trigram asc), with a
+    * `minCount` floor so one-off noise can't reach share 1.0. One explode +
+    * two keyed aggregations + a per-language top-k window — map-side
+    * partial aggregation does the heavy lifting at corpus scale, and
+    * everything after the first groupBy is profile-vocabulary-sized.
+    * Deterministic, so exactly oracle-checkable.
+    */
+  def trainTrigramProfiles(docs: org.apache.spark.sql.DataFrame, topK: Int = 10,
+                           minCount: Long = 5,
+                           langCol: String = "lang", textCol: String = "text")
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs
+      .select(col(langCol).as("lang"), explode(charTrigrams(col(textCol))).as("trigram"))
+      .groupBy("lang", "trigram").agg(count(lit(1)).as("tf"))
+    val totals = counts.groupBy("trigram").agg(sum("tf").as("total_tf"))
+    val scored = counts.join(totals, "trigram")
+      .where(col("tf") >= minCount)
+      .withColumn("share", col("tf").cast("double") / col("total_tf"))
+    val w = Window.partitionBy("lang")
+      .orderBy(col("share").desc, col("tf").desc, col("trigram"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .select("lang", "rank", "trigram", "tf", "share")
+      .orderBy("lang", "rank")
+  }
+
+  /** Collects a trained profile frame ([[trainTrigramProfiles]] layout)
+    * into the literal profile set [[trigramPredictFrom]] applies. The
+    * model is langs × topK rows — driver-side by design, like any trained
+    * model small enough to broadcast into a codegen expression.
+    */
+  def collectTrigramProfiles(profiles: org.apache.spark.sql.DataFrame)
+      : Seq[(String, Seq[String])] =
+    profiles.select("lang", "rank", "trigram").collect()
+      .groupBy(_.getString(0))
+      .map { case (lang, rows) =>
+        lang -> rows.sortBy(_.getInt(1)).map(_.getString(2)).toSeq
+      }
+      .toSeq.sortBy(_._1)
 
   /** Trains per-language token profiles from labelled data: the `topK`
     * most frequent tokens of each language (ties broken by token asc) —

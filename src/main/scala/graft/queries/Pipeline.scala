@@ -333,6 +333,29 @@ object Pipeline {
       |SELECT lang, rank::INTEGER AS rank, token, tf
       |FROM ranked WHERE rank <= 10 ORDER BY lang, rank""".stripMargin
 
+  /** C24: character-trigram profile TRAINING — the [[textProfileTrain]]
+    * counterpart for the trigram classifier: per-language top-10 trigrams by
+    * share of corpus-wide occurrences (min count 5), the trained model
+    * [[graft.ops.text.TextOps.trigramPredictFrom]] applies. Deterministic
+    * ranks → exact oracle.
+    */
+  def textTrigramTrain(spark: SparkSession, dir: String): DataFrame =
+    TextOps.trainTrigramProfiles(docs(spark, dir), topK = 10, minCount = 5)
+
+  val textTrigramTrainSql: String =
+    """WITH tri AS (
+      |  SELECT lang, unnest([substring(text, i, 3) for i in range(1, len(text)-1)]) AS trigram
+      |  FROM documents),
+      |counts AS (SELECT lang, trigram, count(*) AS tf FROM tri GROUP BY lang, trigram),
+      |totals AS (SELECT trigram, sum(tf) AS total_tf FROM counts GROUP BY trigram),
+      |scored AS (SELECT lang, counts.trigram, tf, tf::DOUBLE / total_tf AS share
+      |  FROM counts JOIN totals USING (trigram) WHERE tf >= 5),
+      |ranked AS (SELECT lang, trigram, tf, share,
+      |    row_number() OVER (PARTITION BY lang ORDER BY share DESC, tf DESC, trigram) AS rank
+      |  FROM scored)
+      |SELECT lang, rank::INTEGER AS rank, trigram, tf, share
+      |FROM ranked WHERE rank <= 10 ORDER BY lang, rank""".stripMargin
+
   // ---- C9: quality scores -------------------------------------------------
 
   def textQuality(spark: SparkSession, dir: String): DataFrame = {

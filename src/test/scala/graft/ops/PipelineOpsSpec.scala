@@ -123,6 +123,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!plan.contains("graft_bitmap"))
   }
 
+  test("trained trigram profiles classify at least as well as the fixed ones") {
+    import graft.ops.text.TextOps
+    val labelled = docs.select(col("lang"), col("text"))
+    val trained = TextOps.collectTrigramProfiles(
+      TextOps.trainTrigramProfiles(docs, topK = 10, minCount = 5))
+    // every language present in the data gets a trained profile (the fixed
+    // set is missing zh entirely — data-derived training closes that gap)
+    assert(trained.map(_._1).toSet ===
+      labelled.select("lang").distinct().collect().map(_.getString(0)).toSet)
+    def accuracy(pred: org.apache.spark.sql.Column): Long =
+      labelled.where(pred === col("lang")).count()
+    val trainedAcc = accuracy(TextOps.trigramPredictFrom(col("text"), trained))
+    val fixedAcc = accuracy(TextOps.trigramPredict(col("text")))
+    assert(trainedAcc >= fixedAcc,
+      s"trained $trainedAcc < fixed $fixedAcc of ${labelled.count()}")
+  }
+
   test("contamination hot-gram guard bounds candidate volume, keeps real signal") {
     import spark.implicits._
     val boiler = (1 to 8).map(i => s"b$i").mkString(" ")           // in every doc
