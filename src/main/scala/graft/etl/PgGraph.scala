@@ -150,4 +150,16 @@ object PgGraph {
       .otherwise(concat(base, lit("}")))
     pg.select(line.as("line"))
   }
+
+  /** Writes the JSONL.pg text, optionally compressed — the reference's own
+    * TODO (src/ketl/io/core.py: JSONL compression options). `codec` is any
+    * Spark text-sink codec name (`gzip`, `bzip2`, `deflate`, `lz4`);
+    * [[fromJsonl]] needs no counterpart option because the text source
+    * auto-detects compression from the file extension.
+    */
+  def writeJsonl(pg: DataFrame, path: String, codec: Option[String] = None,
+                 converters: Map[String, Column => Column] = Map.empty): Unit = {
+    val writer = toJsonl(pg, converters).write.mode("overwrite")
+    codec.fold(writer)(c => writer.option("compression", c)).text(path)
+  }
 }

@@ -154,8 +154,8 @@ object Workflow {
       val out = Checkpoint.basePath(step.output)
       if (checkpointDone(out)) StepRun(step.name, "jsonl", skipped = true)
       else {
-        PgGraph.toJsonl(Checkpoint.load(spark, step.inputs.head))
-          .write.mode("overwrite").text(out)
+        PgGraph.writeJsonl(Checkpoint.load(spark, step.inputs.head), out,
+          codec = step.conf.get("codec"))
         StepRun(step.name, "jsonl", skipped = false)
       }
 

@@ -69,6 +69,26 @@ class RoundTripSpec extends SparkSpec {
     assert(row.isNullAt(row.fieldIndex("from")))
   }
 
+  test("compressed JSONL round-trips through every codec (reference TODO)") {
+    val nation = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    val pg = PgGraph.toPg(Triples.nodes(nation,
+      Triples.wrap(col("n_nationkey"), "nation:"),
+      Seq(Prop.column("n_name", "hasName"), Prop.tpe("Nation"))))
+    val plain = PgGraph.toJsonl(pg).as[String].collect().sorted
+    for ((codec, ext) <- Seq("gzip" -> ".gz", "bzip2" -> ".bz2", "deflate" -> ".deflate")) {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-jsonl-$codec")
+        .toString + "/out"
+      PgGraph.writeJsonl(pg, dir, codec = Some(codec))
+      // the files really are compressed (extension is how readers detect it)
+      val parts = new java.io.File(dir).listFiles.filter(_.getName.startsWith("part-"))
+      assert(parts.nonEmpty && parts.forall(_.getName.endsWith(ext)), codec)
+      // the text source auto-decompresses to the identical line set...
+      assert(spark.read.text(dir).as[String].collect().sorted === plain, codec)
+      // ...and the structured reader parses the compressed graph directly
+      assert(PgGraph.fromJsonl(spark, dir).count() === 25, codec)
+    }
+  }
+
   test("typed function facade works end to end") {
     import graft.functions.api._
     enable(spark)

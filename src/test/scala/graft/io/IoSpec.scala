@@ -53,6 +53,43 @@ class IoSpec extends SparkSpec {
     assert(DataFrames.areEqual(plain, salted))
   }
 
+  test("salted join splits a planted hot key that serialises the plain join") {
+    // 90% of the big side carries ONE key: the plain sort-merge join lands
+    // that key's whole match set on a single reducer, salting spreads it.
+    // AQE off so the raw shuffle layout is observable; broadcast off so the
+    // join actually shuffles (the salting scenario).
+    val conf = spark.conf
+    val oldAqe = conf.get("spark.sql.adaptive.enabled", "true")
+    val oldBc = conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val big = spark.range(20000).select(
+        when(col("id") % 10 =!= 0, lit(0L)).otherwise(col("id")).as("k"),
+        col("id").as("v"))
+      val small = spark.range(100).select(col("id").as("sk"),
+        concat(lit("dim"), col("id")).as("name"))
+      val plain = big.join(small, big("k") === small("sk"))
+      val salted = DataFrames.saltedJoin(big, small, big("k"), small("sk"), 8)
+      assert(DataFrames.areEqual(
+        plain.select("k", "v", "sk", "name"), salted.select("k", "v", "sk", "name")))
+      def partSizes(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+        df.select("k").rdd
+          .mapPartitions(it => Iterator(it.size.toLong)).collect().toSeq
+      val rows = partSizes(plain).sum
+      // the hot key's matches all sit in one partition of the plain join...
+      assert(partSizes(plain).max >= (rows * 0.9).toLong)
+      // ...and the salted join's worst reducer holds only the few hot-key
+      // slices (of 8) its hash drew — far below the plain join's monolith
+      // (with 4 reducers the expected worst is 2-4 slices ≈ 25-50% of rows)
+      assert(partSizes(salted).max <= (rows * 0.6).toLong,
+        s"salted partitions still skewed: ${partSizes(salted)}")
+    } finally {
+      conf.set("spark.sql.adaptive.enabled", oldAqe)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", oldBc)
+    }
+  }
+
   test("checkpoint path helpers (ref df_path/df_check_path)") {
     assert(Checkpoint.checkPath("/tmp/x.parquet") === "/tmp/x.parquet/_SUCCESS")
     assert(Checkpoint.basePath("/tmp/x.parquet/_SUCCESS") === "/tmp/x.parquet")
