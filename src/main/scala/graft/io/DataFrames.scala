@@ -35,6 +35,19 @@ object DataFrames {
     * Semantics identical to `big.join(small, bigKey === smallKey, joinType)`
     * for inner/left joins (each big row matches exactly one replica).
     */
+  /** Spread a narrow source across the cluster before an expensive narrow
+    * stage: a table that arrives as fewer splits than cores (one small
+    * parquet file, a fresh union) would otherwise run the whole tokenise/
+    * explode stage on a handful of tasks. A production-sized table has far
+    * more splits than cores and takes the no-op branch — the round-trip
+    * shuffle only ever pays for itself on small inputs, which is exactly
+    * when it is cheap.
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val dp = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < dp) df.repartition(dp) else df
+  }
+
   def saltedJoin(big: DataFrame, small: DataFrame, bigKey: Column, smallKey: Column,
                  salts: Int, joinType: String = "inner"): DataFrame = {
     val saltedBig = big.withColumn("__salt", (rand(17) * salts).cast("int"))

@@ -43,18 +43,10 @@ object Dedup {
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
-  /** Spread a narrow source across the cluster before an expensive narrow
-    * stage: a corpus that arrives as fewer splits than cores (one small
-    * parquet file, a fresh `union`) would otherwise serialise the whole
-    * tokenise pass on a handful of tasks. A real 100 TB corpus has far more
-    * splits than cores and takes the no-op branch; the round-trip shuffle
-    * only ever pays for itself on small inputs, which is exactly when it is
-    * cheap.
+  /** See [[graft.io.DataFrames.spread]] — every tokenise pass below spreads
+    * a few-split source across cores first.
     */
-  private def spread(df: DataFrame): DataFrame = {
-    val dp = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < dp) df.repartition(dp) else df
-  }
+  private def spread(df: DataFrame): DataFrame = graft.io.DataFrames.spread(df)
 
   /** Shared base: (id, sh = sorted distinct xxhash64 bigram shingles, n).
     * Shingle-less docs can't be near-dups (and would 0-divide).
@@ -290,27 +282,35 @@ object Dedup {
                          maxBits: Int = 1 << 20): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val base = shingled(docs, idCol, textCol)
-    val vocab = base.select(explode(col("sh")).as("h")).distinct()
-    // eager scalar, like pigeonhole's n_max: the bitmap width must be a
-    // plan-time constant. One distinct-aggregate over the shingle postings.
-    val vocabBits = vocab.count()
+    val (idx, vocabBits) = vocabIndex(base)
     require(vocabBits <= maxBits,
       s"ngramJaccardBitmap: vocabulary $vocabBits exceeds $maxBits bits — " +
         "not a dense corpus; use ngramJaccardPrefix/minhashLsh")
-    bitmapJoin(base, vocab, vocabBits, minJaccard)
+    bitmapJoin(base, idx, vocabBits, minJaccard)
+  }
+
+  /** Staged vocabulary index: each distinct shingle's dense bit position
+    * (rank in sorted hash order) plus the exact vocabulary size — one
+    * explode+distinct pass, one bounded single-task sort, materialised once
+    * (the count and both bitmap-build consumers read the staged rows). The
+    * global (unpartitioned) window sorts only the VOCABULARY, bounded by
+    * the caller's maxBits guard.
+    */
+  private def vocabIndex(base: DataFrame): (DataFrame, Long) = {
+    val idx = base.select(explode(col("sh")).as("h")).distinct()
+      .withColumn("pos",
+        (row_number().over(Window.orderBy("h")) - 1).cast("int"))
+      .localCheckpoint()
+    (idx, idx.count())
   }
 
   /** Shared core of [[ngramJaccardBitmap]] (callers supply the shingled
-    * base and the vocabulary count so the adaptive route's guards don't
-    * recompute them).
+    * base and the staged [[vocabIndex]] so the adaptive route's guards
+    * don't recompute them).
     */
-  private def bitmapJoin(base: DataFrame, vocab: DataFrame, vocabBits: Long,
+  private def bitmapJoin(base: DataFrame, idx: DataFrame, vocabBits: Long,
                          minJaccard: Double): DataFrame = {
     val nWords = math.max(1L, (vocabBits + 63) / 64).toInt
-    // dense bit index = rank in sorted hash order. The global (unpartitioned)
-    // window sorts only the VOCABULARY — bounded by maxBits, one small task.
-    val idx = vocab.withColumn("pos",
-      (row_number().over(Window.orderBy("h")) - 1).cast("int"))
     // stage the bitmaps: both join sides consume them, and without staging
     // the whole explode+join+groupBy subtree (and the tokenise pass under
     // it) would run twice — once for the broadcast build, once for the
@@ -421,26 +421,34 @@ object Dedup {
       .head()
     val avgDf = stats.getDouble(0) / math.max(1L, stats.getLong(1))
     if (avgDf >= denseAvgDf) {
-      // three eager scalars (doc count, exact vocab, derived bytes) price
-      // the guards — all over the staged arrays, noise next to the
-      // Ω(n²)-risk decision they inform
+      // guards priced by eager scalars over the staged arrays — noise next
+      // to the Ω(n²)-risk decision they inform. The vocabulary caps check
+      // the stats job's HLL estimate FIRST (2% error, doubled for slack) so
+      // a misrouted huge-vocabulary corpus never pays the index's
+      // single-task sort; survivors build the staged index once and the
+      // final guard uses its exact count.
       val nDocs = base.count()
-      val vocab = base.select(explode(col("sh")).as("h")).distinct()
-      val vocabBits = vocab.count()
-      val bitmapBytes = nDocs * (((vocabBits + 63) / 64) * 8 + 24)
-      if (nDocs <= maxExactDocs && bitmapBytes <= maxBitmapBytes &&
-          vocabBits <= maxBits)
-        bitmapJoin(base, vocab, vocabBits, minJaccard)
-      else {
+      val approxVocab = stats.getLong(1)
+      def fallback(vocabBits: Long): DataFrame = {
         require(allowApproximate,
           s"ngramJaccardAdaptive: dense corpus above the exact-join guards " +
-            s"(nDocs=$nDocs, vocabBits=$vocabBits, bitmapBytes=$bitmapBytes) " +
+            s"(nDocs=$nDocs, vocabBits~$vocabBits) " +
             "and allowApproximate=false — no exact subquadratic plan exists")
         log.warn(s"ngramJaccardAdaptive: dense corpus above the exact-join " +
-          s"guards (nDocs=$nDocs, vocabBits=$vocabBits, " +
-          s"bitmapBytes=$bitmapBytes); falling back to minhashLsh — exact " +
-          "verification, but banding recall < 1 for pairs near the threshold")
+          s"guards (nDocs=$nDocs, vocabBits~$vocabBits); falling back to " +
+          "minhashLsh — exact verification, but banding recall < 1 for " +
+          "pairs near the threshold")
         minhashLsh(docs, minJaccard, idCol = idCol, textCol = textCol)
+      }
+      if (nDocs > maxExactDocs || approxVocab > 2L * maxBits ||
+          nDocs * (((approxVocab + 63) / 64) * 8 + 24) > 2L * maxBitmapBytes)
+        fallback(approxVocab)
+      else {
+        val (idx, vocabBits) = vocabIndex(base)
+        val bitmapBytes = nDocs * (((vocabBits + 63) / 64) * 8 + 24)
+        if (vocabBits <= maxBits && bitmapBytes <= maxBitmapBytes)
+          bitmapJoin(base, idx, vocabBits, minJaccard)
+        else fallback(vocabBits)
       }
     } else prefixJoin(base, minJaccard)
   }

@@ -114,7 +114,9 @@ object TextOps {
                            langCol: String = "lang", textCol: String = "text")
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val counts = docs
+    // the explode produces ~one row per character — spread a few-split
+    // source so that stage doesn't run on one core
+    val counts = graft.io.DataFrames.spread(docs)
       .select(col(langCol).as("lang"), explode(charTrigrams(col(textCol))).as("trigram"))
       .groupBy("lang", "trigram").agg(count(lit(1)).as("tf"))
     val totals = counts.groupBy("trigram").agg(sum("tf").as("total_tf"))

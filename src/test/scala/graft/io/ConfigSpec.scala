@@ -30,9 +30,14 @@ class ConfigSpec extends graft.SparkSpec {
 
   test("sparkSession builder consumes master/appName/config entries") {
     spark // force the shared test session so getOrCreate below reuses it
-    val s = Config.sparkSession(Map(
-      "master" -> "local[2]", "appName" -> "graft-cfg",
-      "config.spark.sql.shuffle.partitions" -> "2"))
-    assert(s.sparkContext.isLocal)
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      val s = Config.sparkSession(Map(
+        "master" -> "local[2]", "appName" -> "graft-cfg",
+        "config.spark.sql.shuffle.partitions" -> "2"))
+      assert(s.sparkContext.isLocal)
+      // getOrCreate applied the config entry to the (shared) session
+      assert(s.conf.get("spark.sql.shuffle.partitions") === "2")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
   }
 }

@@ -61,8 +61,10 @@ class IoSpec extends SparkSpec {
     val conf = spark.conf
     val oldAqe = conf.get("spark.sql.adaptive.enabled", "true")
     val oldBc = conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    val oldSp = conf.get("spark.sql.shuffle.partitions")
     conf.set("spark.sql.adaptive.enabled", "false")
     conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.shuffle.partitions", "4") // layout assertions below assume 4 reducers
     try {
       val big = spark.range(20000).select(
         when(col("id") % 10 =!= 0, lit(0L)).otherwise(col("id")).as("k"),
@@ -87,6 +89,7 @@ class IoSpec extends SparkSpec {
     } finally {
       conf.set("spark.sql.adaptive.enabled", oldAqe)
       conf.set("spark.sql.autoBroadcastJoinThreshold", oldBc)
+      conf.set("spark.sql.shuffle.partitions", oldSp)
     }
   }
 
