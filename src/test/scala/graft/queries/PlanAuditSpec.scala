@@ -1,0 +1,53 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Locks the scale-critical physical-plan shapes of the headline queries —
+  * the properties that make them 100 TB plans, not just correct ones. A
+  * regression here (a dim join degrading to shuffle, a filter no longer
+  * reaching the scan, partial aggregation disappearing) would pass every
+  * value-correctness oracle while multiplying cluster cost, so the plans
+  * are asserted directly.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(q: String): String =
+    graft.SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q5_multijoin broadcasts the dimension tables and never loops") {
+    val plan = planOf("q5_multijoin")
+    // region + nation ride broadcast hash joins (small dims at ANY SF)...
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan)
+    // ...and nothing degenerates to an all-pairs or cartesian shape
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q1_agg aggregates map-side before the exchange") {
+    val plan = planOf("q1_agg")
+    // partial_sum below the shuffle: the exchange carries groups, not rows
+    assert(plan.contains("partial_sum") || plan.contains("partial(sum"), plan)
+    assert(plan.contains("Exchange hashpartitioning"), plan)
+  }
+
+  test("q6_sql pushes its filters and pruning into the parquet scan") {
+    val plan = planOf("q6_sql")
+    // the selective predicates reach the scan (PushedFilters), and the scan
+    // reads only the 3 referenced columns of the 16-column table
+    assert(plan.contains("PushedFilters: [IsNotNull(l_discount)"), plan)
+    assert(plan.contains(
+      "ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double>"), plan)
+  }
+
+  test("events_window aggregates map-side and scans only referenced columns") {
+    val plan = planOf("events_window")
+    assert(plan.contains("partial"), plan)
+    // column pruning: the unreferenced wide columns must not be read
+    val readSchema = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(plan).map(_.group(1)).getOrElse("")
+    assert(readSchema.nonEmpty, plan)
+    assert(!readSchema.contains("props") && !readSchema.contains("user_id"), plan)
+  }
+}
