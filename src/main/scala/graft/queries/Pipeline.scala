@@ -13,6 +13,10 @@ import graft.ops.text.TextOps
   */
 object Pipeline {
 
+  // NOT spread here: measured at sf0.1, the raw-row round-trip shuffle
+  // costs these sub-second queries more than the added parallelism returns.
+  // spread() pays off only above the truly heavy narrow stages, and lives
+  // inside those operators (dedup joins, trigram training).
   private def docs(spark: SparkSession, dir: String) = Tables.load(spark, dir, "documents")
   private def embs(spark: SparkSession, dir: String) = Tables.load(spark, dir, "embeddings")
 
