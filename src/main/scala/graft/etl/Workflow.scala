@@ -82,9 +82,64 @@ object Workflow {
       }
       .toSeq.sortBy(_.name)
 
-  /** Runs (or resumes) the workflow. Returns the step runs in execution
-    * order; `skipped = true` marks steps whose outputs were already
-    * checkpointed.
+  /** Builds a [[TabFileMapper]] declared entirely in config — the
+    * reference snakefile's own TODO ("factorise it in a config file,
+    * fixture or alike", tests/resources/tabmap-test.snakefile): the
+    * column/constant/type mapper subset, which covers the reference's
+    * sample mappers, needs no code at all. Keys under
+    * `workflow.mappers.<name>.`:
+    *
+    *  - nodes: `id.column` (+ optional `id.prefix`/`id.postfix`)
+    *  - edges: `edge.type`, `edge.from.column`/`edge.to.column`
+    *    (+ optional `.prefix`/`.postfix` each)
+    *  - `type: <label>`, `props.<property>: <source column>`,
+    *    `constants.<property>: <value>` — shared by both
+    *  - `options.<key>: <value>` — Spark read options
+    *
+    * Row-function mappers and other non-declarative logic still bind
+    * through the code registry, exactly as wf_mapping.py does.
+    */
+  def mapperFromConf(conf: Map[String, String], name: String): Option[TabFileMapper] = {
+    val prefix = s"workflow.mappers.$name."
+    val sub = conf.collect { case (k, v) if k.startsWith(prefix) =>
+      k.drop(prefix.length) -> v
+    }
+    if (sub.isEmpty) None
+    else Some {
+      def wrapped(key: String): org.apache.spark.sql.Column =
+        Triples.wrap(org.apache.spark.sql.functions.col(sub.getOrElse(s"$key.column",
+            throw new IllegalArgumentException(
+              s"workflow mapper $name: missing $key.column"))),
+          sub.getOrElse(s"$key.prefix", ""), sub.getOrElse(s"$key.postfix", ""))
+      // sorted for a deterministic triple-mapper order run-to-run
+      val props =
+        sub.get("type").map(Prop.tpe).toSeq ++
+          sub.collect { case (k, v) if k.startsWith("props.") =>
+            Prop.column(v, k.drop("props.".length))
+          }.toSeq.sortBy(_.key) ++
+          sub.collect { case (k, v) if k.startsWith("constants.") =>
+            Prop.constant(k.drop("constants.".length), v)
+          }.toSeq.sortBy(_.key)
+      val options = sub.collect { case (k, v) if k.startsWith("options.") =>
+        k.drop("options.".length) -> v
+      }
+      // `types.<column>: <ddl type>` — the snakefile's SparkDataFrameTypes
+      // counterpart (applies only with inferSchema off, like the reference)
+      val columnTypes = sub.collect { case (k, v) if k.startsWith("types.") =>
+        k.drop("types.".length) -> org.apache.spark.sql.types.DataType.fromDDL(v)
+      }
+      if (sub.contains("edge.type"))
+        TabFileMapper.edges(sub("edge.type"), wrapped("edge.from"), wrapped("edge.to"),
+          props, options, columnTypes)
+      else TabFileMapper.nodes(wrapped("id"), props, options, columnTypes)
+    }
+  }
+
+  /** Runs (or resumes) the workflow. Map steps resolve their mapper from
+    * the code `mappers` registry first, then from `workflow.mappers.*`
+    * config declarations ([[mapperFromConf]]). Returns the step runs in
+    * execution order; `skipped = true` marks steps whose outputs were
+    * already checkpointed.
     */
   def run(spark: SparkSession, conf: Map[String, String],
           mappers: Map[String, TabFileMapper] = Map.empty,
@@ -100,7 +155,7 @@ object Workflow {
           "workflow stuck — no step's inputs are satisfiable: " +
             blocked.map(s => s"${s.name} waits on " +
               s.inputs.filterNot(available).mkString(", ")).mkString("; "))
-      ready.foreach(s => runs += exec(spark, s, mappers, transport))
+      ready.foreach(s => runs += exec(spark, s, conf, mappers, transport))
       pending = blocked
     }
     runs.result()
@@ -123,7 +178,7 @@ object Workflow {
     Files.exists(Paths.get(trimmed + ".nodes")) && Files.exists(Paths.get(trimmed + ".edges"))
   }
 
-  private def exec(spark: SparkSession, step: Step,
+  private def exec(spark: SparkSession, step: Step, conf: Map[String, String],
                    mappers: Map[String, TabFileMapper],
                    transport: NeoLoader.CypherTransport): StepRun = step.kind match {
     case "map" =>
@@ -132,10 +187,12 @@ object Workflow {
       else {
         val mapperName = step.conf.getOrElse("mapper",
           throw new IllegalArgumentException(s"workflow step ${step.name}: missing mapper"))
-        val m = mappers.getOrElse(mapperName,
-          throw new IllegalArgumentException(
+        val m = mappers.get(mapperName)
+          .orElse(mapperFromConf(conf, mapperName))
+          .getOrElse(throw new IllegalArgumentException(
             s"workflow step ${step.name}: mapper '$mapperName' not registered " +
-              s"(have: ${mappers.keys.toSeq.sorted.mkString(", ")})"))
+              s"and not declared under workflow.mappers " +
+              s"(registry has: ${mappers.keys.toSeq.sorted.mkString(", ")})"))
         m.map(spark, step.inputs.head, outPath = Some(out))
         StepRun(step.name, "map", skipped = false)
       }

@@ -152,6 +152,75 @@ class WorkflowSpec extends SparkSpec {
     assert(resumed.count(!_.skipped) === 1)
   }
 
+  test("mappers declared purely in config (the reference snakefile's factorise-TODO)") {
+    // reference tabmap-test.snakefile map_gene_tsv, whose body carries the
+    // comment "TODO: factorise it in a config file, fixture or alike" —
+    // here the whole mapper IS config: no registry entry, no code
+    val in = Files.createTempDirectory("graft-wf-cfgmap").toString
+    Files.writeString(Paths.get(in, "genes.tsv"),
+      "accession\tname\tchromosome\tbegin\nAT1\tGeneA\t1\t100\nAT2\tGeneB\t2\t250\n")
+    val data = Files.createTempDirectory("graft-wf-cfgmap-out").toString
+    val conf = Config.parse(
+      """workflow:
+        |  mappers:
+        |    genes:
+        |      id.column: accession
+        |      type: Gene
+        |      props.hasGeneName: name
+        |      props.hasChromosomeId: chromosome
+        |      props.hasChromosomeBegin: begin
+        |      constants.source: SnakeTest
+        |      options.inferSchema: false
+        |      types.begin: int
+        |    encodes:
+        |      edge.type: locatedOn
+        |      edge.from.column: accession
+        |      edge.from.prefix: "gene:"
+        |      edge.to.column: chromosome
+        |      edge.to.prefix: "chromosome:"
+        |  steps:
+        |    map_genes:
+        |      kind: map
+        |      mapper: genes
+        |      input: ${IN}/genes.tsv
+        |      output: ${DATA}/gene-triples.parquet
+        |    map_located:
+        |      kind: map
+        |      mapper: encodes
+        |      input: ${IN}/genes.tsv
+        |      output: ${DATA}/located-triples.parquet
+        |""".stripMargin, env = Map("IN" -> in, "DATA" -> data))
+    val runs = Workflow.run(spark, conf, mappers = Map.empty)
+    assert(runs.map(_.name).toSet === Set("map_genes", "map_located"))
+
+    def triples(path: String): Set[(String, String, String)] =
+      Checkpoint.load(spark, path).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+
+    // node mapper: identical output to the hand-coded equivalent
+    val df = graft.io.DataFrames.readTable(spark, s"$in/genes.tsv",
+      Map("inferSchema" -> "false"))
+    val typed = graft.io.DataFrames.castColumns(df,
+      Map("begin" -> org.apache.spark.sql.types.IntegerType))
+    val expectedNodes = Triples.nodes(typed, col("accession"), Seq(
+        Prop.tpe("Gene"),
+        Prop.column("name", "hasGeneName"),
+        Prop.column("chromosome", "hasChromosomeId"),
+        Prop.column("begin", "hasChromosomeBegin"),
+        Prop.constant("source", "SnakeTest")))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(triples(s"$data/gene-triples.parquet") === expectedNodes)
+    // int type really applied (serialised as a JSON number, not a string)
+    assert(expectedNodes.contains(("AT1", "hasChromosomeBegin", "100")))
+
+    // edge mapper: auto edge ids over the wrapped endpoints
+    val located = triples(s"$data/located-triples.parquet")
+    assert(located.contains(
+      ("locatedOn:gene:AT1-chromosome:1", graft.model.Graph.FromKey, "gene:AT1")))
+    assert(located.contains(
+      ("locatedOn:gene:AT2-chromosome:2", graft.model.Graph.ToKey, "chromosome:2")))
+  }
+
   test("misconfiguration fails loud: unknown mapper, unsatisfiable input, bad kind") {
     val (conf, _) = setup()
     val noMapper = intercept[IllegalArgumentException] {
