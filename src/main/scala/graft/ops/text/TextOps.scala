@@ -74,7 +74,9 @@ object TextOps {
     * the trained model is tiny (langs × topK trigrams), so applying it is
     * a pure codegen Column expression, no join.
     */
-  def trigramPredictFrom(text: Column, profiles: Seq[(String, Seq[String])]): Column =
+  def trigramPredictFrom(text: Column, profiles: Seq[(String, Seq[String])]): Column = {
+    require(profiles.nonEmpty,
+      "trigramPredictFrom: empty profile set (training on an empty corpus?)")
     profiles.tail.foldLeft(
       (lit(profiles.head._1), trigramScore(text, profiles.head._2))) {
         case ((bestLang, bestScore), (lang, profile)) =>
@@ -82,6 +84,7 @@ object TextOps {
           (when(s > bestScore, lit(lang)).otherwise(bestLang),
             when(s > bestScore, s).otherwise(bestScore))
       }._1
+  }
 
   /** Predicted language from the fixed [[TrigramProfiles]]. */
   def trigramPredict(text: Column): Column =

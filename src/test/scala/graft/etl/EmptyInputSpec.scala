@@ -41,6 +41,23 @@ class EmptyInputSpec extends SparkSpec {
     assert(Dedup.contamination(emptyDocs, lit(true)).count() === 0)
   }
 
+  test("trigram training tolerates an empty or unlabelled-empty corpus") {
+    val emptyLabelled = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("lang", StringType), StructField("text", StringType))))
+    val trained = graft.ops.text.TextOps.trainTrigramProfiles(emptyLabelled)
+    assert(trained.columns.toSeq === Seq("lang", "rank", "trigram", "tf", "share"))
+    assert(trained.count() === 0)
+    assert(graft.ops.text.TextOps.collectTrigramProfiles(trained).isEmpty)
+  }
+
+  test("workflow runner rejects an empty step table loudly") {
+    val e = intercept[IllegalArgumentException] {
+      Workflow.run(spark, Map("unrelated.key" -> "x"))
+    }
+    assert(e.getMessage.contains("no steps"))
+  }
+
   test("sampling and packing tolerate an empty corpus") {
     assert(graft.ops.sample.Sampling.sampleByHash(emptyDocs, "doc_id", 0.5).count() === 0)
     assert(graft.ops.text.TextOps.packSequences(emptyDocs, 100).count() === 0)
