@@ -40,6 +40,42 @@ object NeoCypher {
     def modeOf(key: String): MultiValueMode = modes.getOrElse(key, default)
   }
 
+  object PropertyConfig {
+
+    def parseMode(s: String): MultiValueMode = s match {
+      case "single" => Single
+      case "multiple" => Multiple
+      case "auto" => Auto
+      case other => throw new IllegalArgumentException(
+        s"unknown multi_value_mode '$other' (expected single | multiple | auto)")
+    }
+
+    /** Builds the property configuration from a parsed config file — the
+      * reference's NeoLoaderConfig.from_config layout
+      * (tests/resources/test-config.yml, neoloader.py:170-199):
+      * {{{
+      * neoloader:
+      *   default_property_config:
+      *     multi_value_mode: multiple
+      *   property_configs:
+      *     has_pvalue:
+      *       multi_value_mode: single
+      * }}}
+      */
+    def fromConf(conf: Map[String, String],
+                 prefix: String = "neoloader."): PropertyConfig = {
+      val default = conf.get(s"${prefix}default_property_config.multi_value_mode")
+        .map(parseMode).getOrElse(Auto)
+      val per = s"${prefix}property_configs."
+      val suffix = ".multi_value_mode"
+      val modes = conf.collect {
+        case (k, v) if k.startsWith(per) && k.endsWith(suffix) =>
+          k.drop(per.length).dropRight(suffix.length) -> parseMode(v)
+      }
+      PropertyConfig(modes, default)
+    }
+  }
+
   val NodeQueryTemplate: String =
     """UNWIND $nodes AS node_js
       |WITH node_js.id AS nid, node_js.labels AS nlabels, node_js.properties AS nprops

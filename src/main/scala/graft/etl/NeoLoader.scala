@@ -61,6 +61,35 @@ object NeoLoader {
       doneBasePath: Option[String] = None,
       propertyConfig: NeoCypher.PropertyConfig = NeoCypher.PropertyConfig())
 
+  object Config {
+
+    /** Builds the loader configuration from a parsed config file — the
+      * reference's NeoLoaderConfig.from_config (neoloader.py:170-199,
+      * tests/resources/test-config.yml layout). Accepts the reference's key
+      * names (`loader_batch_size`, `max_transaction_retries`,
+      * `max_retry_pause.minutes/seconds`) plus graft's flat historical ones
+      * (`batch_size`, `max_retries`, `retry_backoff_ms`); per-property
+      * multi-value modes parse through
+      * [[NeoCypher.PropertyConfig.fromConf]].
+      */
+    def fromConf(conf: Map[String, String], prefix: String = "neoloader."): Config = {
+      def get(keys: String*): Option[String] =
+        keys.flatMap(k => conf.get(prefix + k)).headOption
+      val pauseMs =
+        get("retry_backoff_ms").map(_.toLong).orElse {
+          val mins = get("max_retry_pause.minutes").map(_.toLong)
+          val secs = get("max_retry_pause.seconds").map(_.toLong)
+          if (mins.isEmpty && secs.isEmpty) None
+          else Some((mins.getOrElse(0L) * 60 + secs.getOrElse(0L)) * 1000)
+        }
+      Config(
+        batchSize = get("loader_batch_size", "batch_size").map(_.toInt).getOrElse(2500),
+        maxRetries = get("max_transaction_retries", "max_retries").map(_.toInt).getOrElse(3),
+        retryBackoffMs = pauseMs.getOrElse(0L),
+        propertyConfig = NeoCypher.PropertyConfig.fromConf(conf, prefix))
+    }
+  }
+
   final case class Report(
       nodes: Long, edges: Long,
       nodeBatches: Long, edgeBatches: Long,
@@ -189,18 +218,15 @@ object NeoLoaderCli {
     else try {
       val fileConf = configPath.map(p =>
         graft.io.Config.parse(Files.readString(Paths.get(p)))).getOrElse(Map.empty)
-      val conf = NeoLoader.Config(
-        batchSize = batchSize
-          .orElse(fileConf.get("neoloader.batch_size").map(_.toInt)).getOrElse(2500),
-        maxRetries = fileConf.get("neoloader.max_retries").map(_.toInt).getOrElse(3),
-        retryBackoffMs = fileConf.get("neoloader.retry_backoff_ms").map(_.toLong).getOrElse(0L),
+      val conf = NeoLoader.Config.fromConf(fileConf).copy(
         doNodes = doNodes, doEdges = doEdges, doneBasePath = donePath)
+      val conf2 = batchSize.fold(conf)(b => conf.copy(batchSize = b))
       val spark = org.apache.spark.sql.SparkSession.builder()
         .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[8]"))
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
-      val report = NeoLoader.load(PgGraph.fromJsonl(spark, source.get), transport, conf)
+      val report = NeoLoader.load(PgGraph.fromJsonl(spark, source.get), transport, conf2)
       println(s"[neoloader] $report")
       0
     } catch {

@@ -25,6 +25,39 @@ class NeoLoaderSpec extends SparkSpec {
 
   private def pg = PgGraph.toPg(triples)
 
+  test("loader config parses the reference's config layout (from_config)") {
+    // tests/resources/test-config.yml, reference test_neoloader_config
+    val conf = graft.io.Config.parse(
+      """neoloader:
+        |  default_property_config:
+        |    multi_value_mode: multiple
+        |  property_configs:
+        |    has_pvalue:
+        |      multi_value_mode: single
+        |  loader_batch_size: 3000
+        |  max_transaction_retries: 3
+        |  max_retry_pause:
+        |    seconds: 10
+        |    minutes: 0
+        |""".stripMargin)
+    val cfg = NeoLoader.Config.fromConf(conf)
+    assert(cfg.batchSize === 3000)
+    assert(cfg.maxRetries === 3)
+    assert(cfg.retryBackoffMs === 10000L)
+    assert(cfg.propertyConfig.default === NeoCypher.Multiple)
+    assert(cfg.propertyConfig.modeOf("has_pvalue") === NeoCypher.Single)
+    assert(cfg.propertyConfig.modeOf("anything_else") === NeoCypher.Multiple)
+    // graft's flat historical keys still work
+    val flat = NeoLoader.Config.fromConf(Map(
+      "neoloader.batch_size" -> "7", "neoloader.max_retries" -> "1",
+      "neoloader.retry_backoff_ms" -> "5"))
+    assert(flat.batchSize === 7 && flat.maxRetries === 1 && flat.retryBackoffMs === 5L)
+    // unknown modes fail loud
+    assertThrows[IllegalArgumentException] {
+      NeoCypher.PropertyConfig.parseMode("both")
+    }
+  }
+
   test("load runs nodes, index, then edges with batch accounting") {
     RecordingTransport.reset(failFirst = 0)
     // single partition so batch counts are deterministic in the assertions
