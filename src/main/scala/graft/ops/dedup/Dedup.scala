@@ -23,6 +23,13 @@ import graft.ops.text.TextOps
   *  - minhash: signatures are a narrow map (native one-pass expression, no
   *    shuffle); only the small band-bucket join shuffles, then candidates
   *    are verified exactly — the default at corpus scale.
+  *  - staging: the shingle/signature bases localCheckpoint (executor
+  *    memory-and-disk, lineage truncated) so ONE tokenise pass feeds every
+  *    consumer — the multi-pass stage-once tradeoff, storage ≈ input.
+  *    The cost is fault-tolerance: a lost executor fails the query instead
+  *    of recomputing. Right for dedup jobs (hours, rerunnable); a
+  *    multi-day pipeline should stage through Checkpoint.save (reliable
+  *    storage) at the same point instead.
   *  - simhash: 64-bit signature as a narrow map (native expression);
   *    pigeonhole chunk banding finds all pairs within the hamming
   *    threshold without O(n²).
