@@ -562,13 +562,31 @@ object Dedup {
     * shuffle. On corpora whose grams all fall under the threshold (any
     * natural-text corpus at the default) the output is exactly the
     * unguarded join.
+    *
+    * Semi-join reduction — the 100 TB lever: the eval side is a benchmark
+    * suite (tiny) while the train side is the corpus, yet a naive plan
+    * shuffles EVERY training posting to the join. When the distinct eval
+    * gram set fits a broadcast (`maxBroadcastGrams`, counted by one eager
+    * job over the eval side only), training postings first pass a narrow
+    * broadcast filter on the eval grams — only grams that can possibly
+    * form a pair reach the shuffle, typically a vanishing fraction of the
+    * corpus. Output is IDENTICAL: dropped grams occur in no eval document,
+    * so they form no pairs, and surviving grams keep every posting, so the
+    * df guard sees the same counts.
     */
   def contamination(docs: DataFrame, isEval: Column, n: Int = 8,
                     idCol: String = "doc_id", textCol: String = "text",
-                    maxGramDf: Long = 100000L): DataFrame = {
+                    maxGramDf: Long = 100000L,
+                    maxBroadcastGrams: Long = 1L << 22): DataFrame = {
     val base = spread(docs).select(col(idCol).as("id"), isEval.as("is_eval"),
         explode(ngramHashes(col(textCol), n)).as("h"))
-    val kept = base
+    // staged: the guard count and the broadcast build both consume it, and
+    // the eval-side explode should run once, not twice
+    val evGrams = base.where(col("is_eval")).select("h").distinct().localCheckpoint()
+    val postings =
+      if (evGrams.count() <= maxBroadcastGrams) base.join(broadcast(evGrams), "h")
+      else base
+    val kept = postings
       .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
       .where(col("df") <= maxGramDf)
     val ev = kept.where(col("is_eval")).select(col("id").as("eval_id"), col("h"))

@@ -164,6 +164,17 @@ class PipelineOpsSpec extends SparkSpec {
     // shared suffix survives, minus its df-7 boilerplate gram
     val guarded = result(5L)
     assert(guarded === Map((100L, 201L) -> 8L))
+    // the broadcast semi-join reduction changes the plan, never the output:
+    // forcing the fallback (no broadcast) yields the identical result
+    val noBroadcast = Dedup.contamination(corpus, col("is_eval"), n = 8,
+        maxGramDf = 100000L, maxBroadcastGrams = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(noBroadcast === unguarded)
+    // and the default plan really takes the reduction: the train-side
+    // postings pass a broadcast join before any exchange
+    val plan = Dedup.contamination(corpus, col("is_eval"), n = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
   test("minhash LSH finds exactly the exact-Jaccard pairs") {
