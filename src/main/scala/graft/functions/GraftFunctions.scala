@@ -26,6 +26,10 @@ object GraftFunctions {
       MinHashSketch(exprs(0), numHashes = exprs(1).eval().asInstanceOf[Int])
         .toAggregateExpression()
     },
+    "graft_mg_items" -> { exprs =>
+      MisraGriesSketch(exprs(0), capacity = exprs(1).eval().asInstanceOf[Int])
+        .toAggregateExpression()
+    },
     "graft_srp_codes" -> { exprs =>
       SrpCodes(exprs(0),
         planes = exprs(1).eval().asInstanceOf[Int],

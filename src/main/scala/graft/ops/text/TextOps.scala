@@ -318,6 +318,104 @@ object TextOps {
   def hashEmbed(text: Column, dims: Int = 64): Column =
     call_function("graft_feature_hash", tokens(text), lit(dims))
 
+  /** Word n-gram arrays WITH repeats (unlike [[bigrams]], which dedups for
+    * set-similarity) — repetition measurement needs the multiplicity.
+    */
+  private def wordNgrams(ws: Column, n: Int): Column =
+    transform(slice(ws, lit(1), greatest(size(ws) - (n - 1), lit(0))),
+      (w, i) => concat_ws(" ", w +: (2 to n).map(j => element_at(ws, i + j)): _*))
+
+  /** Repetition signals per document (Gopher-style "repetitious text"
+    * measures): duplicate word-bigram / word-trigram fraction, most-common-
+    * word share, and token entropy. Repetitious documents (boilerplate,
+    * keyword stuffing, degenerate generations) score high dup fractions and
+    * low entropy — the standard cheap pre-training filter alongside
+    * [[qualityColumns]].
+    *
+    * Pure narrow Column work, whole-stage codegen. Entropy terms are sorted
+    * before summing so the FP fold order is engine-independent; the 6dp
+    * round is far above the remaining last-bit noise.
+    */
+  def repetitionColumns(text: Column): Seq[(String, Column)] = {
+    val ws = tokens(text)
+    val n = size(ws)
+    def dupFrac(ngrams: Column): Column =
+      when(size(ngrams) <= 0, lit(0.0))
+        .otherwise(lit(1.0) - size(array_distinct(ngrams)).cast("double") / size(ngrams))
+    val counts = transform(array_distinct(ws),
+      u => size(filter(ws, x => x === u)).cast("double"))
+    val entropy = round(-aggregate(
+      array_sort(transform(counts, c => (c / n) * log(c / n))),
+      lit(0.0), (acc, t) => acc + t), 6)
+    Seq(
+      "n_tokens" -> n.cast("long"),
+      "dup_bigram_frac" -> dupFrac(wordNgrams(ws, 2)),
+      "dup_trigram_frac" -> dupFrac(wordNgrams(ws, 3)),
+      "top_word_share" -> (array_max(counts) / n),
+      "token_entropy" -> entropy)
+  }
+
+  /** Gopher-style rule-based quality flags (Rae et al. 2021 §A1.1, adapted
+    * to this corpus's bounds): token count in range, mean word length in
+    * [3,10], symbol-to-word ratio below 0.1, ≥80% of words contain an
+    * alphabetic character, ≥2 English stopword occurrences. Flags are
+    * 0/1 ints (cross-engine stable stringification) plus the conjunctive
+    * `pass`. Pure codegen Column work — at 100 TB this is a scan-speed
+    * gate that feeds the curation pipeline's quality filter.
+    */
+  def gopherColumns(text: Column, minTokens: Int = 20, maxTokens: Int = 100000)
+      : Seq[(String, Column)] = {
+    val ws = tokens(text)
+    val n = size(ws)
+    val en = typedLit(LangProfiles.head._2)
+    def flag(c: Column): Column = when(c, 1).otherwise(0).cast("int")
+    val okCount = flag(n.between(minTokens, maxTokens))
+    val meanLen = sum_agg(transform(ws, w => length(w))).cast("double") / n
+    val okMeanLen = flag(meanLen.between(3.0, 10.0))
+    val symbols = length(text) - length(regexp_replace(text, "[^A-Za-z0-9 ]", ""))
+    val okSymbol = flag(symbols.cast("double") / n < 0.1)
+    val alphaWords = size(filter(ws, w => w.rlike("[A-Za-z]")))
+    val okAlpha = flag(alphaWords.cast("double") / n >= 0.8)
+    val okStop = flag(size(filter(ws, w => array_contains(en, w))) >= 2)
+    Seq(
+      "n_tokens" -> n.cast("long"),
+      "ok_token_count" -> okCount,
+      "ok_mean_word_len" -> okMeanLen,
+      "ok_symbol_ratio" -> okSymbol,
+      "ok_alpha_words" -> okAlpha,
+      "ok_stopwords" -> okStop,
+      "pass" -> (okCount * okMeanLen * okSymbol * okAlpha * okStop).cast("int"))
+  }
+
+  /** PII patterns, applied in THIS order (earlier replacements must not
+    * create or destroy later matches: replacement tokens carry no digits
+    * or `@`, and the specific ID/SSN shape is scrubbed before the general
+    * phone shape can half-match it). Regexes restricted to the syntax
+    * subset Java regex and RE2 (DuckDB) interpret identically.
+    */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("id", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "<ID>"),
+    ("phone", "\\+\\d{1,2}-\\d{3}-\\d{4}\\b", "<PHONE>"))
+
+  /** PII redaction for training corpora: emails, IPv4s, SSN-shaped ids and
+    * phone numbers replaced by typed placeholder tokens, with a count per
+    * category (counted against the progressively-scrubbed text, so
+    * overlapping categories never double-count). Pure regexp Column work —
+    * scan speed, no shuffle; the per-category counts aggregate into corpus
+    * PII telemetry downstream.
+    */
+  def piiColumns(text: Column): Seq[(String, Column)] = {
+    val (countCols, scrubbed) =
+      PiiPatterns.foldLeft((Seq.empty[(String, Column)], text)) {
+        case ((acc, t), (name, pat, token)) =>
+          (acc :+ (s"n_$name" -> regexp_count(t, lit(pat)).cast("long")),
+            regexp_replace(t, pat, token))
+      }
+    countCols :+ ("scrubbed" -> scrubbed)
+  }
+
   /** Polynomial rolling-hash fingerprint over the token stream:
     * `h := (h*1000003 + ascii(w)*256 + len(w)) mod (2^31-1)`, plus the md5
     * of the full text. The modular fold keeps every intermediate < 2^52, so

@@ -382,6 +382,123 @@ object Pipeline {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** C25: repetition signals (duplicate n-gram fractions, top-word share,
+    * token entropy) — the Gopher-style repetitious-text filter. Oracle
+    * reproduces the list arithmetic (entropy terms sorted before the fold
+    * in both engines, then 6dp round).
+    */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val cols = TextOps.repetitionColumns(col("text")).map { case (n, c) => c.as(n) }
+    docs(spark, dir).select(col("doc_id") +: cols: _*).orderBy("doc_id")
+  }
+
+  val textRepetitionSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |g AS (SELECT doc_id, w,
+      |    [w[i] || ' ' || w[i+1] for i in range(1, len(w))] AS bg,
+      |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)] AS tg,
+      |    [len(list_filter(w, x -> x = u))::DOUBLE for u in list_distinct(w)] AS cnts
+      |  FROM t)
+      |SELECT doc_id,
+      |  len(w)::BIGINT AS n_tokens,
+      |  CASE WHEN len(bg) <= 0 THEN 0.0
+      |       ELSE 1.0 - len(list_distinct(bg))::DOUBLE / len(bg) END AS dup_bigram_frac,
+      |  CASE WHEN len(tg) <= 0 THEN 0.0
+      |       ELSE 1.0 - len(list_distinct(tg))::DOUBLE / len(tg) END AS dup_trigram_frac,
+      |  list_max(cnts) / len(w) AS top_word_share,
+      |  round(-list_sum(list_sort([ (c / len(w)) * ln(c / len(w)) for c in cnts ])), 6)
+      |    AS token_entropy
+      |FROM g ORDER BY doc_id""".stripMargin
+
+  /** C26: Gopher-style rule-based quality flags (token-count bounds, mean
+    * word length, symbol ratio, alpha-word fraction, stopword floor) as
+    * 0/1 ints plus the conjunctive pass bit.
+    */
+  def qualityGopher(spark: SparkSession, dir: String): DataFrame = {
+    val cols = TextOps.gopherColumns(col("text")).map { case (n, c) => c.as(n) }
+    docs(spark, dir).select(col("doc_id") +: cols: _*).orderBy("doc_id")
+  }
+
+  val qualityGopherSql: String = {
+    val en = TextOps.LangProfiles.head._2.map(w => s"'$w'").mkString("[", ",", "]")
+    s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+       |f AS (SELECT doc_id, len(w)::BIGINT AS n_tokens,
+       |  CASE WHEN len(w) BETWEEN 20 AND 100000 THEN 1 ELSE 0 END AS ok_token_count,
+       |  CASE WHEN list_sum([length(x) for x in w])::DOUBLE / len(w) BETWEEN 3.0 AND 10.0
+       |       THEN 1 ELSE 0 END AS ok_mean_word_len,
+       |  CASE WHEN (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))::DOUBLE
+       |            / len(w) < 0.1 THEN 1 ELSE 0 END AS ok_symbol_ratio,
+       |  CASE WHEN len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+       |            / len(w) >= 0.8 THEN 1 ELSE 0 END AS ok_alpha_words,
+       |  CASE WHEN len(list_filter(w, x -> list_contains($en, x))) >= 2
+       |       THEN 1 ELSE 0 END AS ok_stopwords
+       |  FROM t)
+       |SELECT doc_id, n_tokens, ok_token_count, ok_mean_word_len, ok_symbol_ratio,
+       |  ok_alpha_words, ok_stopwords,
+       |  (ok_token_count * ok_mean_word_len * ok_symbol_ratio * ok_alpha_words
+       |    * ok_stopwords)::INTEGER AS pass
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
+  /** C27: PII redaction. The corpus is synthetic and PII-free, so the
+    * query plants a deterministic contact string per customer row (same
+    * construction in the oracle) and the operator scrubs it — emails,
+    * IPv4s, SSN-shaped ids, phone numbers → typed placeholders with
+    * per-category counts.
+    */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val contact = concat(
+      lit("Contact "), col("c_name"),
+      lit(" <user"), col("c_custkey").cast("string"), lit("@example.com>"),
+      lit(" +1-555-"), lpad(pmod(col("c_custkey"), lit(10000)).cast("string"), 4, "0"),
+      lit(" from 10.0."), pmod(col("c_custkey"), lit(256)).cast("string"),
+      lit("."), pmod(col("c_custkey") * 7, lit(256)).cast("string"),
+      when(pmod(col("c_custkey"), lit(3)) === 0, lit(" id 123-45-6789")).otherwise(lit("")))
+    val cols = TextOps.piiColumns(contact).map { case (n, c) => c.as(n) }
+    Tables.load(spark, dir, "customer")
+      .select(col("c_custkey") +: cols: _*).orderBy("c_custkey")
+  }
+
+  val piiScrubSql: String = {
+    // the Scala pattern literals hold single backslashes, which DuckDB's
+    // standard single-quoted strings pass through to RE2 verbatim
+    val Seq(email, ip, id, phone) = TextOps.PiiPatterns.map(_._2)
+    s"""WITH t AS (SELECT c_custkey,
+       |  'Contact ' || c_name || ' <user' || c_custkey || '@example.com>'
+       |    || ' +1-555-' || lpad((c_custkey % 10000)::VARCHAR, 4, '0')
+       |    || ' from 10.0.' || (c_custkey % 256) || '.' || ((c_custkey * 7) % 256)
+       |    || CASE WHEN c_custkey % 3 = 0 THEN ' id 123-45-6789' ELSE '' END AS text
+       |  FROM customer),
+       |s1 AS (SELECT c_custkey, len(regexp_extract_all(text, '$email'))::BIGINT AS n_email,
+       |  regexp_replace(text, '$email', '<EMAIL>', 'g') AS text FROM t),
+       |s2 AS (SELECT c_custkey, n_email, len(regexp_extract_all(text, '$ip'))::BIGINT AS n_ip,
+       |  regexp_replace(text, '$ip', '<IP>', 'g') AS text FROM s1),
+       |s3 AS (SELECT c_custkey, n_email, n_ip, len(regexp_extract_all(text, '$id'))::BIGINT AS n_id,
+       |  regexp_replace(text, '$id', '<ID>', 'g') AS text FROM s2),
+       |s4 AS (SELECT c_custkey, n_email, n_ip, n_id,
+       |  len(regexp_extract_all(text, '$phone'))::BIGINT AS n_phone,
+       |  regexp_replace(text, '$phone', '<PHONE>', 'g') AS scrubbed FROM s3)
+       |SELECT c_custkey, n_email, n_ip, n_id, n_phone, scrubbed
+       |FROM s4 ORDER BY c_custkey""".stripMargin
+  }
+
+  /** C28: exact per-source heavy hitters (tokens with count > n/k) via the
+    * Misra–Gries sketch-then-recount plan — the oracle recomputes the full
+    * (source, token) counts directly; same answer, but the sketch plan
+    * replaces the vocabulary-sized shuffle with an O(groups × 2k) candidate
+    * set plus a broadcast recount.
+    */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.text.CorpusStats.heavyHitters(docs(spark, dir), k = 25)
+
+  val heavyHittersSql: String =
+    """WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+      |n AS (SELECT source, count(*) AS n_tokens FROM toks GROUP BY source),
+      |c AS (SELECT source, token, count(*) AS cnt FROM toks GROUP BY source, token)
+      |SELECT source, token, cnt, n_tokens
+      |FROM c JOIN n USING (source) WHERE cnt * 25 > n_tokens
+      |ORDER BY source, token""".stripMargin
+
   /** C15: unigram-LM surprisal quality scoring (two-pass: corpus token
     * frequencies → per-doc mean negative log-prob).
     */

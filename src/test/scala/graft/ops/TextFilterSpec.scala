@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ops.text.TextOps
+
+/** Repetition signals, Gopher-style quality flags, and PII scrubbing —
+  * hand-computed expectations on constructed documents (the sf corpora are
+  * covered by the DuckDB oracles).
+  */
+class TextFilterSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def rep(text: String) = {
+    val cols = TextOps.repetitionColumns(col("text")).map { case (n, c) => c.as(n) }
+    Seq(text).toDF("text").select(cols: _*).head()
+  }
+
+  test("repetition signals match hand-computed values") {
+    val r = rep("the cat the dog the")
+    assert(r.getAs[Long]("n_tokens") === 5L)
+    // bigrams: "the cat","cat the","the dog","dog the" — all distinct
+    assert(r.getAs[Double]("dup_bigram_frac") === 0.0)
+    assert(r.getAs[Double]("top_word_share") === 0.6)
+    // counts 3/1/1 over n=5: -(0.6 ln 0.6 + 0.2 ln 0.2 + 0.2 ln 0.2)
+    assert(r.getAs[Double]("token_entropy") === 0.950271)
+  }
+
+  test("degenerate repetition: constant document") {
+    val r = rep("a a a a")
+    assert(math.abs(r.getAs[Double]("dup_bigram_frac") - 2.0 / 3) < 1e-9)
+    assert(r.getAs[Double]("dup_trigram_frac") === 0.5)
+    assert(r.getAs[Double]("top_word_share") === 1.0)
+    assert(r.getAs[Double]("token_entropy") === 0.0)
+  }
+
+  test("repetition guards: sub-n-gram-length documents score zero, not null") {
+    val r = rep("x")
+    assert(r.getAs[Double]("dup_bigram_frac") === 0.0)
+    assert(r.getAs[Double]("dup_trigram_frac") === 0.0)
+    assert(r.getAs[Double]("token_entropy") === 0.0)
+  }
+
+  test("repetitious text scores worse than diverse text on every signal") {
+    val diverse = rep("the quick brown fox jumps over a lazy dog near the river bank " +
+      "while birds sing in tall green trees above quiet water today")
+    val loopy = rep(Iterator.continually("buy cheap pills now").take(6).mkString(" "))
+    assert(loopy.getAs[Double]("dup_bigram_frac") > diverse.getAs[Double]("dup_bigram_frac"))
+    assert(loopy.getAs[Double]("top_word_share") > diverse.getAs[Double]("top_word_share"))
+    assert(loopy.getAs[Double]("token_entropy") < diverse.getAs[Double]("token_entropy"))
+  }
+
+  private def gopher(text: String) = {
+    val cols = TextOps.gopherColumns(col("text")).map { case (n, c) => c.as(n) }
+    Seq(text).toDF("text").select(cols: _*).head()
+  }
+
+  test("gopher flags: a clean document passes, each rule fails its violator") {
+    val clean = gopher("the cat sat on a mat and the dog ran to the park " +
+      "while a bird flew over the green field near our quiet house")
+    assert(clean.getAs[Int]("pass") === 1)
+    // too short
+    assert(gopher("the cat sat on a mat").getAs[Int]("ok_token_count") === 0)
+    // symbol-heavy
+    val symbols = gopher(("## @@ %% " * 10) + "the a of and to in is " * 3)
+    assert(symbols.getAs[Int]("ok_symbol_ratio") === 0)
+    // numeric words carry no alphabetic characters
+    val digits = gopher(Seq.tabulate(30)(i => i.toString).mkString(" "))
+    assert(digits.getAs[Int]("ok_alpha_words") === 0)
+    assert(digits.getAs[Int]("ok_stopwords") === 0)
+    assert(digits.getAs[Int]("pass") === 0)
+  }
+
+  private def pii(text: String) = {
+    val cols = TextOps.piiColumns(col("text")).map { case (n, c) => c.as(n) }
+    Seq(text).toDF("text").select(cols: _*).head()
+  }
+
+  test("pii scrub redacts every category exactly once, no double counting") {
+    val r = pii("mail bob.smith+x@corp.example.org from 192.168.1.17 " +
+      "ssn 123-45-6789 call +1-555-0042 done")
+    assert(r.getAs[Long]("n_email") === 1L)
+    assert(r.getAs[Long]("n_ip") === 1L)
+    assert(r.getAs[Long]("n_id") === 1L)
+    assert(r.getAs[Long]("n_phone") === 1L)
+    assert(r.getAs[String]("scrubbed") ===
+      "mail <EMAIL> from <IP> ssn <ID> call <PHONE> done")
+  }
+
+  test("pii scrub leaves clean text untouched and counts zero") {
+    val r = pii("no personal data in this sentence at all")
+    assert(r.getAs[Long]("n_email") + r.getAs[Long]("n_ip") +
+      r.getAs[Long]("n_id") + r.getAs[Long]("n_phone") === 0L)
+    assert(r.getAs[String]("scrubbed") === "no personal data in this sentence at all")
+  }
+
+  test("pii category order: the SSN shape is not also counted as a phone") {
+    val r = pii("id 123-45-6789 only")
+    assert(r.getAs[Long]("n_id") === 1L)
+    assert(r.getAs[Long]("n_phone") === 0L)
+  }
+}
