@@ -80,6 +80,62 @@ object GraphOps {
       .orderBy("node")
   }
 
+  /** Per-node triangle counts of a PG edge set via GraphX's TriangleCount
+    * (edge-partitioned set intersection — the distributed formulation;
+    * `TriangleCount.run` canonicalises direction and drops self/duplicate
+    * edges, so the input is treated as a simple undirected graph). Nodes
+    * in no triangle report 0. Triangle counting is the classic structural
+    * signal for community density / spam-graph detection on KG-scale data.
+    */
+  def triangles(pgEdges: DataFrame): DataFrame = {
+    val spark = pgEdges.sparkSession
+    import spark.implicits._
+    val e = endpoints(pgEdges)
+    val idx = nodeIndex(e)
+    val tc = org.apache.spark.graphx.lib.TriangleCount
+      .run(XGraph.fromEdges(mapEdges(e, idx), ()))
+      .vertices.toDF("vid", "triangles")
+    idx.join(tc, "vid")
+      .select(col("node"), col("triangles"))
+      .orderBy("node")
+  }
+
+  /** Undirected BFS hop distances from a set of seed nodes, via GraphX
+    * Pregel (the streaming-BFS formulation: frontier expansion by message
+    * passing, one superstep per hop — linear work per level, no driver
+    * loop over vertices). Returns (node, dist) for every node reachable
+    * within `maxHops`; seeds report 0. Edges are symmetrised, so `@from`/
+    * `@to` orientation does not matter.
+    */
+  def bfsDistances(pgEdges: DataFrame, seeds: Seq[String], maxHops: Int = 10): DataFrame = {
+    val spark = pgEdges.sparkSession
+    import spark.implicits._
+    val e = endpoints(pgEdges)
+    val idx = nodeIndex(e)
+    val seedVids = idx.filter(col("node").isin(seeds: _*))
+      .select("vid").as[Long].collect().toSet
+    val bcSeeds = spark.sparkContext.broadcast(seedVids)
+    val g = XGraph.fromEdges(mapEdges(e, idx), ())
+      .mapVertices((vid, _) =>
+        if (bcSeeds.value.contains(vid)) 0 else Int.MaxValue)
+    val dists = g.pregel(Int.MaxValue, maxIterations = maxHops)(
+      (_, d, msg) => math.min(d, msg),
+      triplet => {
+        val out =
+          if (triplet.srcAttr != Int.MaxValue && triplet.srcAttr + 1 < triplet.dstAttr)
+            Iterator((triplet.dstId, triplet.srcAttr + 1)) else Iterator.empty
+        val back =
+          if (triplet.dstAttr != Int.MaxValue && triplet.dstAttr + 1 < triplet.srcAttr)
+            Iterator((triplet.srcId, triplet.dstAttr + 1)) else Iterator.empty
+        out ++ back
+      },
+      math.min)
+      .vertices.filter(_._2 != Int.MaxValue).toDF("vid", "dist")
+    idx.join(dists, "vid")
+      .select(col("node"), col("dist"))
+      .orderBy("node")
+  }
+
   /** Node degrees of a PG edge set (triples with `@from`/`@to`), via
     * GraphX degree aggregation. Isolated nodes (no edges) are absent, as
     * in GraphX semantics.

@@ -222,6 +222,85 @@ object GraphEtl {
        |ends AS (SELECT f AS node FROM e UNION ALL SELECT tt FROM e)
        |SELECT node, count(*)::INTEGER AS degree FROM ends GROUP BY node ORDER BY node""".stripMargin
 
+  /** Supplier–nation–region KG edge set. With `withSupRegion` a derived
+    * `servesRegion` edge closes each sup–nation–region path into a
+    * triangle; without it the graph is the 2-level containment hierarchy.
+    */
+  private def supRegionEdges(spark: SparkSession, dir: String,
+                             withSupRegion: Boolean): DataFrame = {
+    val nation = Tables.load(spark, dir, "nation")
+    val supplier = Tables.load(spark, dir, "supplier")
+    val base = Triples.chain(
+      Triples.edges(nation, "inRegion",
+        Triples.wrap(col("n_nationkey"), "nation:"),
+        Triples.wrap(col("n_regionkey"), "region:")),
+      Triples.edges(supplier, "basedIn",
+        Triples.wrap(col("s_suppkey"), "sup:"),
+        Triples.wrap(col("s_nationkey"), "nation:")))
+    val triples = if (withSupRegion) {
+      val supRegion = supplier.join(nation, col("s_nationkey") === col("n_nationkey"))
+      Triples.chain(base,
+        Triples.edges(supRegion, "servesRegion",
+          Triples.wrap(col("s_suppkey"), "sup:"),
+          Triples.wrap(col("n_regionkey"), "region:")))
+    } else base
+    PgGraph.toPg(triples).where(col("type") === Graph.EdgeType)
+  }
+
+  /** A27: per-node triangle counts over the KG (GraphX TriangleCount —
+    * distributed edge-partitioned set intersection). The derived
+    * `servesRegion` edges close one triangle per supplier; the oracle
+    * enumerates triangles relationally over the canonical undirected edge
+    * set (a < b, join-chained), then counts node participations.
+    */
+  def kgTriangles(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.graph.GraphOps.triangles(supRegionEdges(spark, dir, withSupRegion = true))
+
+  val kgTrianglesSql: String =
+    """WITH raw AS (
+      |  SELECT 'nation:' || n_nationkey AS f, 'region:' || n_regionkey AS t FROM nation
+      |  UNION ALL SELECT 'sup:' || s_suppkey, 'nation:' || s_nationkey FROM supplier
+      |  UNION ALL SELECT 'sup:' || s_suppkey, 'region:' || n_regionkey
+      |    FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+      |u AS (SELECT DISTINCT least(f, t) AS a, greatest(f, t) AS b FROM raw WHERE f <> t),
+      |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      |  FROM u e1 JOIN u e2 ON e2.a = e1.b JOIN u e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |parts AS (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri),
+      |nodes AS (SELECT DISTINCT a AS node FROM (SELECT a FROM u UNION ALL SELECT b FROM u) s),
+      |cnt AS (SELECT node, count(*) AS c FROM parts GROUP BY node)
+      |SELECT n.node, coalesce(c, 0)::INTEGER AS triangles
+      |FROM nodes n LEFT JOIN cnt USING (node) ORDER BY node""".stripMargin
+
+  /** A28: undirected BFS hop distances from the region nodes over the
+    * containment hierarchy (GraphX Pregel frontier expansion): regions 0,
+    * nations 1, suppliers 2. The oracle unrolls the BFS relaxation to four
+    * chained min-distance CTE levels (graph diameter here is 2).
+    */
+  def kgBfs(spark: SparkSession, dir: String): DataFrame = {
+    val seeds = Tables.load(spark, dir, "region")
+      .select(concat(lit("region:"), col("r_regionkey")))
+      .collect().map(_.getString(0)).toSeq
+    graft.ops.graph.GraphOps.bfsDistances(
+      supRegionEdges(spark, dir, withSupRegion = false), seeds)
+  }
+
+  val kgBfsSql: String = {
+    val levels = (1 to 4).map { i =>
+      s"""d$i AS (SELECT node, min(dist) AS dist FROM (
+         |  SELECT node, dist FROM d${i - 1}
+         |  UNION ALL SELECT e.b, d.dist + 1 FROM e2 e JOIN d${i - 1} d ON e.a = d.node
+         |) s GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH raw AS (
+       |  SELECT 'nation:' || n_nationkey AS f, 'region:' || n_regionkey AS t FROM nation
+       |  UNION ALL SELECT 'sup:' || s_suppkey, 'nation:' || s_nationkey FROM supplier),
+       |e2 AS (SELECT f AS a, t AS b FROM raw UNION ALL SELECT t, f FROM raw),
+       |d0 AS (SELECT DISTINCT a AS node, 0 AS dist FROM (SELECT a FROM e2 UNION ALL SELECT b FROM e2) s(a)
+       |  WHERE a LIKE 'region:%'),
+       |$levels
+       |SELECT node, dist::INTEGER AS dist FROM d4 ORDER BY node""".stripMargin
+  }
+
   /** A18 (flagship): the reference's whole flow in one query — three tables
     * mapped to a knowledge graph (nodes for regions/nations/suppliers,
     * edges for containment/location), aggregated to PG elements, summarised

@@ -48,6 +48,37 @@ class GraphOpsSpec extends SparkSpec {
     assert(graphx("c") > graphx("d"))
   }
 
+  test("triangle counts: K4 plus a pendant node, duplicate/reversed edges collapse") {
+    import spark.implicits._
+    val k4 = for { a <- Seq("a", "b", "c", "d"); b <- Seq("a", "b", "c", "d") if a < b }
+      yield (a, b)
+    // duplicates + a reversed edge + a pendant: TriangleCount.run must
+    // canonicalise all of it to the simple undirected K4 + tail
+    val edges = (k4 ++ Seq(("b", "a"), ("a", "b"), ("d", "e"))).toDF("from", "to")
+    val got = GraphOps.triangles(edges).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    // each K4 vertex sits in C(3,2)=3 triangles; the pendant in none
+    assert(got === Map("a" -> 3, "b" -> 3, "c" -> 3, "d" -> 3, "e" -> 0))
+  }
+
+  test("bfs distances: orientation-blind hop counts, unreachable nodes absent") {
+    import spark.implicits._
+    // path s -> x1 <- x2 -> x3 (mixed orientation) and an island i1 - i2
+    val edges = Seq(("s", "x1"), ("x2", "x1"), ("x2", "x3"), ("i1", "i2"))
+      .toDF("from", "to")
+    val fromS = GraphOps.bfsDistances(edges, Seq("s")).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(fromS === Map("s" -> 0, "x1" -> 1, "x2" -> 2, "x3" -> 3))
+    // multi-seed: nearest seed wins
+    val multi = GraphOps.bfsDistances(edges, Seq("s", "x3")).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(multi === Map("s" -> 0, "x1" -> 1, "x2" -> 1, "x3" -> 0))
+    // maxHops truncates the frontier
+    val capped = GraphOps.bfsDistances(edges, Seq("s"), maxHops = 1).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(capped === Map("s" -> 0, "x1" -> 1))
+  }
+
   test("nodeIndex is a deterministic bijection — distinct nodes never merge") {
     val many = spark.range(5000)
       .select(concat(lit("n"), col("id")).as("from"),
