@@ -31,6 +31,38 @@ object Ann {
   def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
     dot(a, b) / (normA * normB)
 
+  /** Per-label centroids and each vector's cosine to its label centroid —
+    * the standard embedding-space diagnostic (cluster cohesion, outlier
+    * and mislabel detection, data-selection scoring) ahead of training.
+    *
+    * Centroid components are summed in DECIMAL, not double: decimal
+    * addition is associative, so the centroid is bit-identical under ANY
+    * partitioning/merge order (a plain double sum drifts in the last bits
+    * with shuffle order, which would poison a 6-dp-rounded comparison).
+    * One keyed (label, pos) aggregation — at scale the map-side partial
+    * sums do the work and the reduced state is labels × dims rows; the
+    * assembled centroid table broadcasts back for the cosine pass.
+    */
+  def centroidCosine(emb: DataFrame, idCol: String = "vec_id",
+                     vecCol: String = "embedding", labelCol: String = "label")
+      : DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val base = emb.select(col(idCol).as("id"), col(labelCol).as("label"),
+      vec(col(vecCol)).as("v"))
+    val cent = base
+      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("label", "pos")
+      .agg((sum(col("x").cast("decimal(27,10)")).cast("double")
+        / count(lit(1))).as("c"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        s => s.getField("c")).as("cv"))
+    base.join(broadcast(cent), "label")
+      .select(col("id"), col("label"),
+        round(cosine(col("v"), col("cv"), norm(col("v")), norm(col("cv"))), 6)
+          .as("cos_centroid"))
+  }
+
   /** All pairs with cosine ≥ minCosine. Brute-force (exact oracle path);
     * rounded to 6 dp for stable cross-engine comparison.
     */

@@ -182,6 +182,27 @@ object Pipeline {
       |  row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) rnk FROM s)
       |SELECT qid, cid, cosine, rnk FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
 
+  /** C29: per-label centroid cosine — embedding-space cohesion/outlier
+    * scoring. Decimal-summed centroids make the result bit-deterministic
+    * under any partitioning (see Ann.centroidCosine).
+    */
+  def embedCentroids(spark: SparkSession, dir: String): DataFrame =
+    Ann.centroidCosine(embs(spark, dir))
+      .withColumnRenamed("id", "vec_id")
+      .orderBy("vec_id")
+
+  val embedCentroidsSql: String =
+    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      |p AS (SELECT label, unnest(v) AS x, unnest(range(1, len(v)+1)) AS pos FROM e),
+      |cent AS (SELECT label, pos, CAST(sum(CAST(x AS DECIMAL(27,10))) AS DOUBLE)/count(*) AS c
+      |  FROM p GROUP BY 1, 2),
+      |cv AS (SELECT label, list(c ORDER BY pos) AS cv FROM cent GROUP BY label)
+      |SELECT e.vec_id, e.label,
+      |  round(list_sum([pr[1]*pr[2] for pr in list_zip(v, cv)]) /
+      |    (sqrt(list_sum([a*a for a in v])) * sqrt(list_sum([c*c for c in cv]))), 6)
+      |    AS cos_centroid
+      |FROM e JOIN cv USING (label) ORDER BY vec_id""".stripMargin
+
   // ---- C7: LSH-bucketed ANN -----------------------------------------------
 
   def annLsh(spark: SparkSession, dir: String): DataFrame = {

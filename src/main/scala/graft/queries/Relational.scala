@@ -199,6 +199,56 @@ object Relational {
       |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin
 
+  /** B28: HOPPING (sliding) window aggregation — `window(ts, 15min, 5min)`
+    * assigns every event to duration/slide = 3 overlapping windows; the
+    * batch twin of the streaming hop-window shape. The oracle reproduces
+    * Spark's epoch-aligned window assignment with integer nano arithmetic
+    * (bucket index minus k ∈ {0,1,2}).
+    */
+  def eventsHop(spark: SparkSession, dir: String): DataFrame = {
+    val ts = timestamp_micros(expr("ts div 1000"))
+    Tables.load(spark, dir, "events")
+      .groupBy(window(ts, "15 minutes", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec(col("value"), 6)).cast("double").as("sum_value"))
+      .select(col("window.start").as("bucket"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .orderBy("bucket", "event_type")
+  }
+
+  val eventsHopSql: String =
+    """WITH w AS (SELECT make_timestamp(((epoch_ns(ts) // 300000000000) - k) * 300000000)
+      |    AS bucket, event_type, value
+      |  FROM events CROSS JOIN (SELECT unnest([0, 1, 2]) AS k))
+      |SELECT bucket, event_type, count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM w GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin
+
+  /** B29: GROUPING SETS aggregation (the general form under rollup/cube)
+    * with explicit per-column grouping markers — marker semantics (1 =
+    * column aggregated away) agree across engines, unlike grouping_id bit
+    * orders.
+    */
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_returnflag")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        grouping(col("l_returnflag")).cast("int").as("g_flag"),
+        grouping(col("l_linestatus")).cast("int").as("g_status"))
+      .orderBy("g_flag", "g_status", "l_returnflag", "l_linestatus")
+
+  val qGroupingSetsSql: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  GROUPING(l_returnflag)::INTEGER AS g_flag,
+      |  GROUPING(l_linestatus)::INTEGER AS g_status
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin
+
   /** B12: TPC-H-Q6-style filter-aggregate through the SQL entry path
     * (spark.sql over registered views) — the other half of the API surface.
     */

@@ -424,6 +424,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(cos > 0.95, s"cosine $cos")
   }
 
+  test("centroid cosine flags the planted outlier and is partition-invariant") {
+    import spark.implicits._
+    // label 0 clusters near e1 with one vector pointing the other way;
+    // label 1 clusters near e2
+    def v(x: Double, y: Double, noise: Double) = Array(x.toFloat, y.toFloat, noise.toFloat)
+    val rows = (0 until 20).map(i => (i.toLong, 0, v(1.0, 0.02 * i, 0.01 * i))) ++
+      Seq((20L, 0, v(-1.0, 0.0, 0.0))) ++
+      (21 until 40).map(i => (i.toLong, 1, v(0.01 * i, 1.0, 0.0)))
+    val emb = rows.toDF("vec_id", "label", "embedding")
+    val out = Ann.centroidCosine(emb).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val inliers = (0 until 20).map(out(_))
+    assert(out(20L) < 0, s"outlier cosine ${out(20L)} should be negative")
+    assert(inliers.forall(_ > 0.9), s"inliers too far from centroid: $inliers")
+    // decimal-summed centroids: identical output under a different layout
+    val again = Ann.centroidCosine(emb.repartition(7)).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(again === out)
+  }
+
   test("multimodal metadata is deterministic from bytes") {
     val out = Multimodal.withMediaMetadata(docs, "doc_id", "text")
     val r = out.orderBy("doc_id").limit(1).collect()(0)
