@@ -44,6 +44,21 @@ object Streaming {
       .select(col("window.start").as("bucket"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** D1b: HOPPING window aggregation (15-minute windows sliding every 5 —
+    * each event lands in 3 overlapping windows) with a 10-minute
+    * watermark; the streaming run of the `events_hop` batch query. State
+    * per key is windows × types; the watermark closes duration/slide
+    * windows per advance, so state stays bounded on an unbounded stream.
+    */
+  def hopWindowAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "15 minutes", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
+      .select(col("window.start").as("bucket"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
   /** D2: streaming dedup on event_id within the watermark horizon —
     * exactly-once semantics over an at-least-once source.
     */

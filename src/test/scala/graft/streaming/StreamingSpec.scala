@@ -29,6 +29,25 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("D1b: hopping-window stream agg equals the batch twin, 3 windows per event") {
+    val stream = Streaming.hopWindowAgg(Streaming.eventStream(spark, dir))
+    val query = stream.writeStream
+      .format("memory").queryName("hop_agg").outputMode("complete").start()
+    try query.processAllAvailable() finally query.stop()
+    val streamed = spark.table("hop_agg")
+      .select("bucket", "event_type", "n_events", "sum_value")
+      .collect().map(_.toSeq).toSet
+
+    val batch = Streaming.hopWindowAgg(batchEvents)
+      .select("bucket", "event_type", "n_events", "sum_value")
+      .collect().map(_.toSeq).toSet
+
+    assert(streamed === batch)
+    // overlap invariant: summed per-window counts = 3x the event count
+    val total = spark.table("hop_agg").agg(sum("n_events")).head().getLong(0)
+    assert(total === 3 * batchEvents.count())
+  }
+
   test("D2: streaming dedup drops re-delivered events") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toString
     val ev = spark.read.schema(Streaming.EventsSchema).parquet(s"$dir/events.parquet")
