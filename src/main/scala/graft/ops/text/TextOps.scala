@@ -332,27 +332,63 @@ object TextOps {
     * low entropy — the standard cheap pre-training filter alongside
     * [[qualityColumns]].
     *
-    * Pure narrow Column work, whole-stage codegen. Entropy terms are sorted
-    * before summing so the FP fold order is engine-independent; the 6dp
-    * round is far above the remaining last-bit noise.
+    * Shape notes: higher-order functions are NOT whole-stage-codegen'd and
+    * Catalyst re-evaluates a subtree per consumer, so the token-count
+    * statistics are ONE `aggregate` fold over the sorted token array
+    * (run-length accumulation of Σc·ln c and max run — O(n log n) per doc;
+    * a transform(distinct, count(filter)) formulation measured 100× slower
+    * on this corpus), projected once as a struct and consumed from a
+    * SECOND projection (CollapseProject keeps non-cheap multi-use aliases
+    * staged). Entropy = ln n − (Σc·ln c)/n, both engines accumulating in
+    * token-ascending run order → identical FP fold, 6dp round on top.
     */
-  def repetitionColumns(text: Column): Seq[(String, Column)] = {
-    val ws = tokens(text)
-    val n = size(ws)
+  def repetition(docs: org.apache.spark.sql.DataFrame,
+                 idCol: String = "doc_id", textCol: String = "text")
+      : org.apache.spark.sql.DataFrame = {
+    // STAGING MATTERS: every lambda below touches the token array per
+    // element, and a subtree like element_at(split(text), i) re-splits the
+    // text on each access (HOFs see copies, not CSE'd values). Each hop
+    // below materialises what the next hop consumes many times: tokens →
+    // n-gram arrays + run stats → scalar signals. CollapseProject keeps
+    // non-cheap multi-use aliases staged, so the three selects survive
+    // optimisation as three narrow projections.
+    val ws = col("__ws")
     def dupFrac(ngrams: Column): Column =
       when(size(ngrams) <= 0, lit(0.0))
         .otherwise(lit(1.0) - size(array_distinct(ngrams)).cast("double") / size(ngrams))
-    val counts = transform(array_distinct(ws),
-      u => size(filter(ws, x => x === u)).cast("double"))
-    val entropy = round(-aggregate(
-      array_sort(transform(counts, c => (c / n) * log(c / n))),
-      lit(0.0), (acc, t) => acc + t), 6)
-    Seq(
-      "n_tokens" -> n.cast("long"),
-      "dup_bigram_frac" -> dupFrac(wordNgrams(ws, 2)),
-      "dup_trigram_frac" -> dupFrac(wordNgrams(ws, 3)),
-      "top_word_share" -> (array_max(counts) / n),
-      "token_entropy" -> entropy)
+    // single run-length fold over sorted tokens; `run === 0` marks "no
+    // previous token yet" (a prev="" sentinel alone would collide with a
+    // genuine empty token, which sorts first)
+    val term = (run: Column) =>
+      when(run === 0, lit(0.0)).otherwise(run.cast("double") * log(run.cast("double")))
+    val stats = aggregate(
+      array_sort(ws),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0.0).as("sum"), lit(0L).as("mx")),
+      (acc, w) => {
+        val same = acc.getField("run") > 0 && acc.getField("prev") === w
+        struct(
+          w.as("prev"),
+          when(same, acc.getField("run") + 1).otherwise(lit(1L)).as("run"),
+          when(same, acc.getField("sum"))
+            .otherwise(acc.getField("sum") + term(acc.getField("run"))).as("sum"),
+          when(same, acc.getField("mx"))
+            .otherwise(greatest(acc.getField("mx"), acc.getField("run"))).as("mx"))
+      },
+      acc => struct(
+        (acc.getField("sum") + term(acc.getField("run"))).as("sum"),
+        greatest(acc.getField("mx"), acc.getField("run")).as("mx")))
+    docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__ws"))
+      .select(col("doc_id"),
+        size(ws).cast("long").as("n_tokens"),
+        wordNgrams(ws, 2).as("__bg"),
+        wordNgrams(ws, 3).as("__tg"),
+        stats.as("__stats"))
+      .select(col("doc_id"), col("n_tokens"),
+        dupFrac(col("__bg")).as("dup_bigram_frac"),
+        dupFrac(col("__tg")).as("dup_trigram_frac"),
+        (col("__stats.mx").cast("double") / col("n_tokens")).as("top_word_share"),
+        round(log(col("n_tokens").cast("double")) - col("__stats.sum") / col("n_tokens"), 6)
+          .as("token_entropy"))
   }
 
   /** Gopher-style rule-based quality flags (Rae et al. 2021 §A1.1, adapted

@@ -408,17 +408,16 @@ object Pipeline {
     * reproduces the list arithmetic (entropy terms sorted before the fold
     * in both engines, then 6dp round).
     */
-  def textRepetition(spark: SparkSession, dir: String): DataFrame = {
-    val cols = TextOps.repetitionColumns(col("text")).map { case (n, c) => c.as(n) }
-    docs(spark, dir).select(col("doc_id") +: cols: _*).orderBy("doc_id")
-  }
+  def textRepetition(spark: SparkSession, dir: String): DataFrame =
+    TextOps.repetition(docs(spark, dir)).orderBy("doc_id")
 
   val textRepetitionSql: String =
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |g AS (SELECT doc_id, w,
       |    [w[i] || ' ' || w[i+1] for i in range(1, len(w))] AS bg,
       |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)] AS tg,
-      |    [len(list_filter(w, x -> x = u))::DOUBLE for u in list_distinct(w)] AS cnts
+      |    [len(list_filter(w, x -> x = u))::DOUBLE
+      |      for u in list_sort(list_distinct(w))] AS cnts
       |  FROM t)
       |SELECT doc_id,
       |  len(w)::BIGINT AS n_tokens,
@@ -427,7 +426,7 @@ object Pipeline {
       |  CASE WHEN len(tg) <= 0 THEN 0.0
       |       ELSE 1.0 - len(list_distinct(tg))::DOUBLE / len(tg) END AS dup_trigram_frac,
       |  list_max(cnts) / len(w) AS top_word_share,
-      |  round(-list_sum(list_sort([ (c / len(w)) * ln(c / len(w)) for c in cnts ])), 6)
+      |  round(ln(len(w)) - list_sum([c * ln(c) for c in cnts]) / len(w), 6)
       |    AS token_entropy
       |FROM g ORDER BY doc_id""".stripMargin
 

@@ -13,10 +13,8 @@ class TextFilterSpec extends SparkSpec {
 
   import spark.implicits._
 
-  private def rep(text: String) = {
-    val cols = TextOps.repetitionColumns(col("text")).map { case (n, c) => c.as(n) }
-    Seq(text).toDF("text").select(cols: _*).head()
-  }
+  private def rep(text: String) =
+    TextOps.repetition(Seq((1L, text)).toDF("doc_id", "text")).head()
 
   test("repetition signals match hand-computed values") {
     val r = rep("the cat the dog the")
