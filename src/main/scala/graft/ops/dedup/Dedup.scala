@@ -534,12 +534,11 @@ object Dedup {
     */
   def ngramHashes(text: Column, n: Int): Column = {
     val ws = split(text, " ")
-    // guard: sequence(1, 0) is DESCENDING in Spark, not empty — a doc
-    // shorter than n tokens has no n-grams
+    // zip_with-folded n-grams (TextOps.wordNgrams): a slice(ws, i, n)
+    // inside a per-index lambda would re-split the text for every n-gram
     when(size(ws) < n, array().cast("array<bigint>"))
       .otherwise(array_distinct(transform(
-        sequence(lit(1), size(ws) - (n - 1)),
-        i => xxhash64(concat_ws(" ", slice(ws, i, lit(n)))))))
+        graft.ops.text.TextOps.wordNgrams(ws, n), g => xxhash64(g))))
   }
 
   /** Benchmark-contamination detection — the eval-vs-train n-gram overlap

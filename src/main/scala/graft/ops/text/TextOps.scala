@@ -14,12 +14,20 @@ object TextOps {
   /** Whitespace tokens. */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Distinct word-bigram shingles, the unit for Jaccard/MinHash dedup. */
+  /** Distinct word-bigram shingles, the unit for Jaccard/MinHash dedup.
+    *
+    * Built as a zip_with of two slices rather than a transform with
+    * element_at(ws, i): HOF lambdas re-evaluate captured subtrees per
+    * element, so an element_at over the un-staged split(text) would
+    * re-split the document for every bigram (quadratic per doc). zip_with
+    * consumes its array arguments whole — the text is split twice, not
+    * n times — safe to feed `tokens(text)` directly in any context.
+    */
   def bigrams(text: Column): Column = {
     val ws = tokens(text)
     array_distinct(
-      transform(slice(ws, lit(1), size(ws) - 1),
-        (w, i) => concat(w, lit(" "), element_at(ws, i + 2))))
+      zip_with(slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
+        (a, b) => concat(a, lit(" "), b)))
   }
 
   /** Language profiles: stopword lists per language (classic n-gram-free
@@ -320,10 +328,16 @@ object TextOps {
 
   /** Word n-gram arrays WITH repeats (unlike [[bigrams]], which dedups for
     * set-similarity) — repetition measurement needs the multiplicity.
+    * zip_with-folded for the same reason as [[bigrams]]: no array access
+    * inside a lambda, so the token subtree is evaluated n times total, not
+    * once per element.
     */
-  private def wordNgrams(ws: Column, n: Int): Column =
-    transform(slice(ws, lit(1), greatest(size(ws) - (n - 1), lit(0))),
-      (w, i) => concat_ws(" ", w +: (2 to n).map(j => element_at(ws, i + j)): _*))
+  private[ops] def wordNgrams(ws: Column, n: Int): Column = {
+    val len = greatest(size(ws) - (n - 1), lit(0))
+    (2 to n).foldLeft(slice(ws, lit(1), len)) { (acc, j) =>
+      zip_with(acc, slice(ws, lit(j), len), (a, b) => concat(a, lit(" "), b))
+    }
+  }
 
   /** Repetition signals per document (Gopher-style "repetitious text"
     * measures): duplicate word-bigram / word-trigram fraction, most-common-
