@@ -41,6 +41,39 @@ class PlanAuditSpec extends SparkSpec {
       "ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double>"), plan)
   }
 
+  test("heavy_hitters recounts via a broadcast join, never shuffling the vocabulary wide") {
+    val plan = planOf("heavy_hitters")
+    // the candidate recount joins the token stream against the broadcast
+    // candidate set — a shuffle join here would re-key the full corpus
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // both aggregations keep their partial (map-side) phase
+    assert(plan.contains("partial"), plan)
+  }
+
+  test("embed_centroids broadcasts the tiny centroid table back to the corpus") {
+    val plan = planOf("embed_centroids")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("events_hop aggregates map-side and prunes to the referenced columns") {
+    val plan = planOf("events_hop")
+    assert(plan.contains("partial"), plan)
+    val readSchema = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(plan).map(_.group(1)).getOrElse("")
+    assert(readSchema.nonEmpty, plan)
+    assert(!readSchema.contains("props") && !readSchema.contains("user_id"), plan)
+  }
+
+  test("text filters (repetition/gopher/pii) stay narrow: no exchange at all") {
+    for (q <- Seq("text_repetition", "quality_gopher", "pii_scrub")) {
+      val plan = planOf(q)
+      // scan → project → (sort for the display orderBy); nothing keyed
+      assert(!plan.contains("Exchange hashpartitioning"), s"$q:\n$plan")
+    }
+  }
+
   test("events_window aggregates map-side and scans only referenced columns") {
     val plan = planOf("events_window")
     assert(plan.contains("partial"), plan)
