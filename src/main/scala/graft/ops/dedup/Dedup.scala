@@ -541,6 +541,42 @@ object Dedup {
         graft.ops.text.TextOps.wordNgrams(ws, n), g => xxhash64(g))))
   }
 
+  /** Asymmetric containment join against a small reference side: pairs
+    * (ref_id, doc_id) with |S_ref ∩ S_doc| / |S_ref| ≥ `minContainment`
+    * over the bigram shingle sets — near-subset / quote / benchmark-
+    * overlap detection. A symmetric Jaccard threshold structurally MISSES
+    * these pairs (a short reference inside a long document has Jaccard
+    * ≈ |ref|/|doc| however complete the containment), which is why this
+    * is its own operator and not a dedup variant.
+    *
+    * Plan: the reference side (eval sets, benchmark suites — small by
+    * nature) broadcasts; the corpus streams once through the native
+    * merge-scan intersect. A deliberate broadcast loop — the right plan
+    * while the reference side fits an executor, same stance as
+    * [[ngramJaccard]]'s small-side role; corpus×corpus containment at
+    * scale would ride the prefix-filtered index on the contained side's
+    * rarest shingles instead.
+    */
+  def containmentRef(docs: DataFrame, isRef: Column, minContainment: Double,
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val base = spread(docs)
+      .select(col(idCol).as("id"), isRef.as("is_ref"),
+        array_sort(transform(TextOps.bigrams(col(textCol)), sh => xxhash64(sh))).as("sh"))
+      .withColumn("n", size(col("sh")))
+      .where(col("n") > 0)
+      .localCheckpoint() // both branches below consume it: tokenise once
+    val ref = base.where(col("is_ref"))
+      .select(col("id").as("ref_id"), col("sh").as("rsh"), col("n").as("rn"))
+    base.where(!col("is_ref"))
+      .crossJoin(broadcast(ref))
+      .select(col("ref_id"), col("id").as("doc_id"),
+        (call_function("graft_intersect_count", col("rsh"), col("sh")).cast("double")
+          / col("rn")).as("containment"))
+      .where(col("containment") >= minContainment)
+      .orderBy("ref_id", "doc_id")
+  }
+
   /** Benchmark-contamination detection — the eval-vs-train n-gram overlap
     * check every serious training pipeline runs before reporting numbers:
     * which eval documents share ≥1 word n-gram with which training

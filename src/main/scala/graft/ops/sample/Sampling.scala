@@ -45,6 +45,30 @@ object Sampling {
     }
   }
 
+  /** EXACT-count stratified sample: within each stratum, rows rank by
+    * their salted hash order (ties by id) and the first
+    * `ceil(fraction · n_stratum)` survive. Deterministic and
+    * engine-reproducible like everything here, but not free: the exact
+    * count contract needs one shuffle keyed by stratum plus a per-stratum
+    * sort. When a ±binomial deviation per stratum is acceptable,
+    * [[sampleByHash]] filtered per stratum is the zero-shuffle scan-speed
+    * route; this op is for exact per-stratum budgets (eval sets,
+    * per-language caps).
+    */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+                       fraction: Double, salt: String = ""): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, "fraction must be in [0,1]")
+    import org.apache.spark.sql.expressions.Window
+    val order = conv(substring(md5(concat(col(idCol).cast("string"), lit(salt))), 1, 8),
+      16, 10).cast("long")
+    val w = Window.partitionBy(col(strataCol)).orderBy(order, col(idCol))
+    val n = Window.partitionBy(col(strataCol))
+    df.withColumn("__rank", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(n))
+      .where(col("__rank") <= ceil(col("__n") * fraction))
+      .drop("__rank", "__n")
+  }
+
   /** Deterministic fractional sample: keeps a row iff its bucket falls
     * below `fraction`. Unlike `df.sample`, re-runs and different partition
     * layouts select the SAME rows, and `salt` gives independent samples.

@@ -112,6 +112,44 @@ object Pipeline {
       |FROM ev JOIN tr USING (gram)
       |GROUP BY eval_id, train_id ORDER BY eval_id, train_id""".stripMargin
 
+  /** C30: asymmetric containment of the src0 reference docs in the rest of
+    * the corpus — quote/near-subset detection that a Jaccard threshold
+    * can't express.
+    */
+  def dedupContainment(spark: SparkSession, dir: String): DataFrame =
+    Dedup.containmentRef(docs(spark, dir), isRef = col("source") === "src0",
+      minContainment = 0.5)
+
+  val dedupContainmentSql: String =
+    """WITH s AS (SELECT doc_id, source = 'src0' AS is_ref,
+      |    list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS sh
+      |  FROM (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents)),
+      |r AS (SELECT doc_id AS ref_id, sh AS rsh FROM s WHERE is_ref),
+      |o AS (SELECT doc_id, sh FROM s WHERE NOT is_ref),
+      |p AS (SELECT ref_id, doc_id,
+      |    len(list_intersect(rsh, sh))::DOUBLE / len(rsh) AS containment
+      |  FROM r, o)
+      |SELECT ref_id, doc_id, containment FROM p
+      |WHERE containment >= 0.5 ORDER BY ref_id, doc_id""".stripMargin
+
+  /** C31: exact-count stratified sample — 20% of each language, selected
+    * by deterministic md5 order (engine-reproducible, corpus-growth-
+    * stable within strata sizes).
+    */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.sample.Sampling
+      .stratifiedSample(docs(spark, dir), "lang", "doc_id", 0.2)
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+
+  val sampleStratifiedSql: String =
+    """WITH r AS (SELECT doc_id, lang,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT, doc_id) AS rnk,
+      |    count(*) OVER (PARTITION BY lang) AS n
+      |  FROM documents)
+      |SELECT doc_id, lang FROM r WHERE rnk <= ceil(n * 0.2) ORDER BY doc_id""".stripMargin
+
   // ---- C4: SimHash hamming near-dup ---------------------------------------
 
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =

@@ -424,6 +424,41 @@ class PipelineOpsSpec extends SparkSpec {
     assert(cos > 0.95, s"cosine $cos")
   }
 
+  test("containment finds the quote pair that a jaccard threshold structurally misses") {
+    import spark.implicits._
+    val quote = "alpha beta gamma delta epsilon zeta"
+    val host = quote + " " + (1 to 60).map(i => s"filler$i").mkString(" ")
+    val other = (1 to 40).map(i => s"noise$i").mkString(" ")
+    val corpus = Seq((1L, quote, "ref"), (2L, host, "web"), (3L, other, "web"))
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.containmentRef(corpus, col("source") === "ref", 0.9).collect()
+    assert(got.length === 1)
+    assert(got.head.getLong(0) === 1L && got.head.getLong(1) === 2L)
+    assert(got.head.getDouble(2) === 1.0)
+    // the same pair is invisible to the symmetric join at any useful
+    // threshold: jaccard = |quote|/(|host|) ≈ 0.08
+    assert(pairs(Dedup.ngramJaccard(corpus, 0.5)).isEmpty)
+  }
+
+  test("stratified sample: exact ceil(frac*n) per stratum, layout- and salt-stable") {
+    import graft.ops.sample.Sampling
+    val n = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = Sampling.stratifiedSample(docs, "lang", "doc_id", 0.2)
+    val gotN = got.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gotN === n.view.mapValues(c => math.ceil(c * 0.2).toLong).toMap)
+    // deterministic under a different partitioning
+    val again = Sampling.stratifiedSample(docs.repartition(7), "lang", "doc_id", 0.2)
+    assert(got.select("doc_id").collect().map(_.getLong(0)).toSet ===
+      again.select("doc_id").collect().map(_.getLong(0)).toSet)
+    // a salted draw is a different (same-sized) selection
+    val salted = Sampling.stratifiedSample(docs, "lang", "doc_id", 0.2, salt = "v2")
+    assert(salted.count() === got.count())
+    assert(salted.select("doc_id").collect().map(_.getLong(0)).toSet !==
+      got.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("centroid cosine flags the planted outlier and is partition-invariant") {
     import spark.implicits._
     // label 0 clusters near e1 with one vector pointing the other way;
