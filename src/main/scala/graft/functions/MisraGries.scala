@@ -28,6 +28,39 @@ import org.apache.spark.unsafe.types.UTF8String
   * Returns the candidate items sorted (determinism for specs/oracles —
   * estimated counts are deliberately not exposed: downstream recounts).
   */
+/** The Misra–Gries update/compress core, shared by the batch aggregate
+  * ([[MisraGriesSketch]]) and the streaming state op
+  * (graft.streaming.Streaming.heavyHitterCandidates) so the two paths
+  * cannot drift.
+  */
+object MisraGries {
+
+  /** One observation. O(1) amortised; a miss at capacity decrements all. */
+  def add(m: mutable.HashMap[String, Long], key: String, capacity: Int): Unit =
+    m.get(key) match {
+      case Some(c) => m.update(key, c + 1)
+      case None if m.size < capacity => m.update(key, 1L)
+      case None => decrementAll(m, 1L)
+    }
+
+  /** Merge-and-compress: sum, then subtract the (capacity+1)-th largest
+    * count — at most `capacity` strictly-larger survivors remain
+    * (Agarwal et al., mergeable-summaries guarantee).
+    */
+  def mergeInto(b1: mutable.HashMap[String, Long],
+                b2: scala.collection.Map[String, Long], capacity: Int): Unit = {
+    b2.foreach { case (k, c) => b1.update(k, b1.getOrElse(k, 0L) + c) }
+    if (b1.size > capacity)
+      decrementAll(b1, b1.values.toArray.sortBy(-_).apply(capacity))
+  }
+
+  def decrementAll(m: mutable.HashMap[String, Long], by: Long): Unit =
+    m.keysIterator.toArray.foreach { k =>
+      val c = m(k) - by
+      if (c <= 0) m.remove(k) else m.update(k, c)
+    }
+}
+
 case class MisraGriesSketch(
     child: Expression,
     capacity: Int,
@@ -56,33 +89,16 @@ case class MisraGriesSketch(
     val v = child.eval(input)
     if (v != null) {
       // copy out of the UTF8String buffer — Spark reuses it across rows
-      val key = v.asInstanceOf[UTF8String].toString
-      buffer.get(key) match {
-        case Some(c) => buffer.update(key, c + 1)
-        case None if buffer.size < capacity => buffer.update(key, 1L)
-        case None => decrementAll(buffer, 1L)
-      }
+      MisraGries.add(buffer, v.asInstanceOf[UTF8String].toString, capacity)
     }
     buffer
   }
 
   override def merge(b1: mutable.HashMap[String, Long],
                      b2: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
-    b2.foreach { case (k, c) => b1.update(k, b1.getOrElse(k, 0L) + c) }
-    if (b1.size > capacity) {
-      // subtract the (capacity+1)-th largest count from everything; at most
-      // `capacity` strictly-larger survivors remain
-      val kth = b1.values.toArray.sortBy(-_).apply(capacity)
-      decrementAll(b1, kth)
-    }
+    MisraGries.mergeInto(b1, b2, capacity)
     b1
   }
-
-  private def decrementAll(m: mutable.HashMap[String, Long], by: Long): Unit =
-    m.keysIterator.toArray.foreach { k =>
-      val c = m(k) - by
-      if (c <= 0) m.remove(k) else m.update(k, c)
-    }
 
   override def eval(buffer: mutable.HashMap[String, Long]): Any =
     new GenericArrayData(

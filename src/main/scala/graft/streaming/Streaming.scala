@@ -66,6 +66,42 @@ object Streaming {
     events.withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** D8: streaming per-group frequent-token candidates — the Misra–Gries
+    * sketch as `flatMapGroupsWithState` state, sharing its update/compress
+    * core with the batch aggregate (graft.functions.MisraGries), so the
+    * streaming candidates inherit the same guarantee: after any prefix of
+    * the stream, every token with count > n/(capacity+1) so far is in the
+    * group's candidate set. State is O(capacity) per group forever — the
+    * bounded-memory shape that lets corpus token telemetry run on an
+    * unbounded ingest stream. Each trigger emits the group's current
+    * (candidates, n_tokens); downstream recounts candidates exactly when
+    * the heavy-hitter set must be exact (CorpusStats.heavyHitters).
+    */
+  def heavyHitterCandidates(docs: DataFrame, capacity: Int,
+                            groupCol: String = "source", textCol: String = "text")
+      : DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(groupCol).as("grp"),
+        explode(split(col(textCol), " ")).as("token"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (grp: String, rows: Iterator[(String, String)],
+         state: GroupState[(Map[String, Long], Long)]) =>
+          val (m0, n0) = state.getOption.getOrElse((Map.empty[String, Long], 0L))
+          val m = scala.collection.mutable.HashMap[String, Long](m0.toSeq: _*)
+          var n = n0
+          rows.foreach { case (_, tok) =>
+            graft.functions.MisraGries.add(m, tok, capacity); n += 1
+          }
+          state.update((m.toMap, n))
+          Iterator.single((grp, m.keysIterator.toSeq.sorted, n))
+      }
+      .toDF("grp", "candidates", "n_tokens")
+  }
+
   /** D5: stream-stream equi-join with an event-time band — `right` rows
     * within `[left.ts - bandBefore, left.ts + bandAfter]` of the matching
     * `left` row. The watermark plus the time bound is what lets the engine

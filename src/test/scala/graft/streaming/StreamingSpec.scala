@@ -181,6 +181,31 @@ class StreamingSpec extends SparkSpec {
     assert(got === Set((1L, 2L))) // in-window pair found; (1,3)/(2,3) expired
   }
 
+  test("D8: streaming MG candidates cover every true heavy hitter per group") {
+    val capacity = 24
+    val stream = Streaming.heavyHitterCandidates(
+      Streaming.documentStream(spark, dir), capacity)
+    val query = stream.writeStream
+      .format("memory").queryName("hh_cands").outputMode("update").start()
+    try query.processAllAvailable() finally query.stop()
+    // last emission per group = the end-of-stream sketch state
+    val finalRows = spark.table("hh_cands").collect()
+      .groupBy(_.getString(0)).map { case (g, rows) => rows.maxBy(_.getLong(2)) }
+    val cands = finalRows.map(r => r.getString(0) -> r.getSeq[String](1).toSet).toMap
+
+    val batchDocs = spark.read.parquet(s"$dir/documents.parquet")
+    // ground truth at threshold n/(capacity+1): MG guarantee bound
+    val truth = graft.ops.text.CorpusStats
+      .heavyHitters(batchDocs, capacity + 1, groupCol = "source")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(truth.nonEmpty, "weak test: no heavy hitters at this capacity")
+    truth.foreach { case (g, tok) =>
+      assert(cands(g).contains(tok), s"group $g lost true heavy hitter '$tok'")
+    }
+    // bounded state: no candidate set ever exceeds capacity
+    assert(spark.table("hh_cands").collect().forall(_.getSeq[String](1).size <= capacity))
+  }
+
   test("D3: sessionize splits on gaps > 30min and aggregates per session") {
     def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
     val events = Seq(
