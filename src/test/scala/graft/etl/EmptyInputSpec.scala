@@ -70,4 +70,31 @@ class EmptyInputSpec extends SparkSpec {
     assert(Dedup.ngramJaccard(tiny, 0.5).count() === 0)
     assert(Dedup.simhash(tiny, maxHamming = 0).count() >= 0)
   }
+
+  test("round-6 operators tolerate empty and degenerate inputs") {
+    import graft.ops.text.TextOps
+    // empty corpus through every new text/sample/dedup op
+    assert(TextOps.repetition(emptyDocs).count() === 0)
+    assert(Dedup.containmentRef(
+      emptyDocs.withColumn("source", lit("x")), col("source") === "ref", 0.5).count() === 0)
+    assert(graft.ops.sample.Sampling
+      .stratifiedSample(emptyDocs.withColumn("lang", lit("en")), "lang", "doc_id", 0.2)
+      .count() === 0)
+    // a reference side with no counterpart corpus (and vice versa)
+    val onlyRef = Seq((1L, "a b c", "ref")).toDF("doc_id", "text", "source")
+    assert(Dedup.containmentRef(onlyRef, col("source") === "ref", 0.5).count() === 0)
+    assert(Dedup.containmentRef(onlyRef, col("source") === "nope", 0.5).count() === 0)
+    // repetition on 1-token and empty-string docs: defined, null-free
+    val tiny = TextOps.repetition(Seq((1L, "word"), (2L, "")).toDF("doc_id", "text"))
+      .collect()
+    assert(tiny.length === 2)
+    assert(tiny.forall(r => !r.anyNull))
+    // graph ops on an empty edge set
+    val emptyEdges = Seq.empty[(String, String)].toDF("from", "to")
+    assert(graft.ops.graph.GraphOps.triangles(emptyEdges).count() === 0)
+    assert(graft.ops.graph.GraphOps.bfsDistances(emptyEdges, Seq("s")).count() === 0)
+    // bfs from a seed that is not in the graph
+    val edges = Seq(("a", "b")).toDF("from", "to")
+    assert(graft.ops.graph.GraphOps.bfsDistances(edges, Seq("zz")).count() === 0)
+  }
 }
