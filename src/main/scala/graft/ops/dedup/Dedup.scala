@@ -618,12 +618,16 @@ object Dedup {
     // staged: the guard count and the broadcast build both consume it, and
     // the eval-side explode should run once, not twice
     val evGrams = base.where(col("is_eval")).select("h").distinct().localCheckpoint()
-    val postings =
-      if (evGrams.count() <= maxBroadcastGrams) base.join(broadcast(evGrams), "h")
-      else base
-    val kept = postings
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
+    val reduced = evGrams.count() <= maxBroadcastGrams
+    val postings = if (reduced) base.join(broadcast(evGrams), "h") else base
+    // hot-gram guard via an aggregated df table, not a window: a window
+    // partitioned by h shuffles EVERY posting row; the groupBy reduces
+    // map-side first, and on the semi-join-reduced branch the df table is
+    // eval-vocabulary-sized — it broadcasts, so the posting stream is
+    // never re-keyed at all
+    val dfTab = postings.groupBy("h").agg(count(lit(1)).as("df"))
       .where(col("df") <= maxGramDf)
+    val kept = postings.join(if (reduced) broadcast(dfTab) else dfTab, "h")
     val ev = kept.where(col("is_eval")).select(col("id").as("eval_id"), col("h"))
     val tr = kept.where(!col("is_eval")).select(col("id").as("train_id"), col("h"))
     ev.join(tr, "h")
