@@ -447,7 +447,9 @@ object Pipeline {
     * in both engines, then 6dp round).
     */
   def textRepetition(spark: SparkSession, dir: String): DataFrame =
-    TextOps.repetition(docs(spark, dir)).orderBy("doc_id")
+    // spread: the per-doc HOF statistics are the rare narrow stage heavy
+    // enough to outweigh the tiny round-trip shuffle on a one-split source
+    TextOps.repetition(graft.io.DataFrames.spread(docs(spark, dir))).orderBy("doc_id")
 
   val textRepetitionSql: String =
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
