@@ -206,6 +206,23 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("hh_cands").collect().forall(_.getSeq[String](1).size <= capacity))
   }
 
+  test("stateless text gates (gopher + pii) run unchanged on a document stream") {
+    import graft.ops.text.TextOps
+    def gates(df: org.apache.spark.sql.DataFrame) = {
+      val cols = (TextOps.gopherColumns(col("text")) ++ TextOps.piiColumns(col("text")))
+        .collect { case (n, c) if n == "pass" || n == "scrubbed" => c.as(n) }
+      df.select(col("doc_id") +: cols: _*)
+    }
+    val query = gates(Streaming.documentStream(spark, dir)).writeStream
+      .format("memory").queryName("text_gates").outputMode("append").start()
+    try query.processAllAvailable() finally query.stop()
+    val streamed = spark.table("text_gates").collect().map(_.toSeq).toSet
+    val batch = gates(spark.read.parquet(s"$dir/documents.parquet"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("D3: sessionize splits on gaps > 30min and aggregates per session") {
     def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
     val events = Seq(
