@@ -249,6 +249,64 @@ object Relational {
       |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
       |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin
 
+  /** B30: window FRAME aggregates — per-customer running revenue
+    * (UNBOUNDED PRECEDING) and a 3-order moving average (2 PRECEDING) over
+    * order date; the frame shapes B5's rank query doesn't cover. Frames
+    * run inside one keyed window sort; money through decimal, the moving
+    * average as a decimal sum divided once (FP-order-proof).
+    */
+  def qRunningSum(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mov = w.rowsBetween(-2, Window.currentRow)
+    Tables.load(spark, dir, "orders")
+      .where(col("o_custkey") % 100 === 0)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        sum(dec(col("o_totalprice"))).over(cum).cast("double").as("running_total"),
+        (sum(dec(col("o_totalprice"))).over(mov).cast("double")
+          / count(lit(1)).over(mov)).as("moving_avg3"))
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+  }
+
+  val qRunningSumSql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate::TIMESTAMP AS o_orderdate,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+      |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+      |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |  / count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_avg3
+      |FROM orders WHERE o_custkey % 100 = 0
+      |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
+
+  /** B31: retention cohorts over the event stream — users cohorted by
+    * first-activity day, counted by days-since-cohort. The standard
+    * product-analytics query: one aggregation for first-seen (map-side
+    * reduced), one broadcast-joined distinct-activity count.
+    */
+  def eventsRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ts = timestamp_micros(expr("ts div 1000"))
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("user_id"), to_date(ts).as("day"))
+    val first = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+    ev.join(first, "user_id")
+      .where(datediff(col("day"), col("cohort_day")) <= 7)
+      .groupBy(col("cohort_day"), datediff(col("day"), col("cohort_day")).as("day_n"))
+      .agg(count_distinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_day", "day_n")
+  }
+
+  val eventsRetentionSql: String =
+    """WITH ev AS (SELECT user_id, ts::DATE AS day FROM events),
+      |f AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id)
+      |SELECT cohort_day, (day - cohort_day)::INTEGER AS day_n, count(DISTINCT user_id) AS n_users
+      |FROM ev JOIN f USING (user_id)
+      |WHERE day - cohort_day <= 7
+      |GROUP BY 1, 2 ORDER BY cohort_day, day_n""".stripMargin
+
   /** B12: TPC-H-Q6-style filter-aggregate through the SQL entry path
     * (spark.sql over registered views) — the other half of the API surface.
     */
