@@ -167,14 +167,16 @@ object Ann {
     * the corpus is scanned once to build cells, queries touch
     * nProbe/nCells of the data. Recall is tunable via nProbe.
     */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              nCells: Int = 16, nProbe: Int = 4,
-              trainCap: Int = 100000,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+  /** Builds the IVF index: (cell-assigned corpus, centroid table). The
+    * production shape is build-once-query-many — persist both frames
+    * (Checkpoint/saveAsTable) at ingest and run [[ivfSearch]] per query
+    * batch; [[ivfTopK]] composes the two for self-contained runs.
+    */
+  def ivfBuild(corpus: DataFrame, nCells: Int = 16, trainCap: Int = 100000,
+               idCol: String = "vec_id", vecCol: String = "embedding")
+      : (DataFrame, DataFrame) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    graft.functions.GraftFunctions.register(queries.sparkSession)
-
     val c = corpus.select(col(idCol).as("cid"), vec(col(vecCol)).as("cv"))
       .withColumn("cn", norm(col("cv")))
       .withColumn("features", array_to_vector(col("cv")))
@@ -189,12 +191,22 @@ object Ann {
       .setFeaturesCol("features").fit(train)
     val cells = model.transform(c).withColumnRenamed("prediction", "cell")
       .select("cid", "cv", "cn", "cell")
-
     // centroids are tiny (nCells × dims): nearest-cell probing is a small
     // broadcast crossJoin, not a driver loop over the corpus
-    val centroids = queries.sparkSession.createDataFrame(
+    val centroids = corpus.sparkSession.createDataFrame(
       model.clusterCenters.zipWithIndex.toSeq
         .map { case (v, i) => (i, v.toArray) }).toDF("cell", "centroid")
+    (cells, centroids)
+  }
+
+  /** Probes a prebuilt IVF index ([[ivfBuild]] layout — loadable from a
+    * checkpoint) with a query batch: nearest `nProbe` cells per query via
+    * the broadcast centroid table, exact cosine within the probed cells.
+    */
+  def ivfSearch(cells: DataFrame, centroids: DataFrame, queries: DataFrame,
+                k: Int, nProbe: Int = 4,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    graft.functions.GraftFunctions.register(queries.sparkSession)
     val q = queries.select(col(idCol).as("qid"), vec(col(vecCol)).as("qv"))
       .withColumn("qn", norm(col("qv")))
     val probes = q.crossJoin(broadcast(centroids))
@@ -211,6 +223,15 @@ object Ann {
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .orderBy("qid", "rank")
+  }
+
+  /** Self-contained IVF ANN: [[ivfBuild]] + [[ivfSearch]] in one call. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nCells: Int = 16, nProbe: Int = 4,
+              trainCap: Int = 100000,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val (cells, centroids) = ivfBuild(corpus, nCells, trainCap, idCol, vecCol)
+    ivfSearch(cells, centroids, queries, k, nProbe, idCol, vecCol)
   }
 
   /** LSH-bucketed approximate top-k: `bands` independent SRP codes per
