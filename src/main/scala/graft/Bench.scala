@@ -45,18 +45,26 @@ object Bench {
     // local-iteration filter: comma-separated query keys (default: all)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val picked = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+    // reps are INTERLEAVED across the suite (run the whole list `reps`
+    // times, min per query across passes) rather than consecutive per
+    // query: a transient contention spike lasting a few seconds would hit
+    // all consecutive reps of one query and survive the min (the r6 q1_agg
+    // 4.4x artifact), but spread across passes it inflates at most one rep
+    // of each query and the min discards it.
+    val passes = (1 to reps).map { _ =>
+      picked.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
-        (System.nanoTime() - t0) / 1e9
-      }
-      name -> times.min
+        name -> (System.nanoTime() - t0) / 1e9
+      }.toMap
+    }
+    val results = picked.map { case (name, _) =>
+      name -> passes.map(_(name)).min
     }
     // locale-independent formatting: %f would use comma decimals under some
     // locales and corrupt the JSON; Double.toString always uses '.'

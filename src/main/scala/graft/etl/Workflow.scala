@@ -74,6 +74,9 @@ object Workflow {
     conf.collect { case (k, v) if k.startsWith(prefix) =>
         k.drop(prefix.length).split("\\.", 2) match {
           case Array(name, key) => (name, key, v)
+          case _ => throw new IllegalArgumentException(
+            s"workflow config: malformed step key '$k' — expected " +
+              s"$prefix<name>.<key>")
         }
       }
       .groupBy(_._1)
@@ -147,14 +150,28 @@ object Workflow {
       : Seq[StepRun] = {
     var pending = steps(conf)
     require(pending.nonEmpty, "workflow: no steps configured")
+    // Inputs that are another step's DECLARED OUTPUT must carry that
+    // step's completion marker (`_SUCCESS` checkpoint / both load phase
+    // flags): a producer that crashed mid-write leaves the directory on
+    // disk WITHOUT the marker, and a bare-existence check would hand the
+    // consumer corrupt parquet (the reference gets the same guarantee from
+    // Snakemake + df_check_path). Raw sources — paths no step produces —
+    // satisfy on existence as before.
+    val produced: Map[String, Step] =
+      pending.map(s => Checkpoint.basePath(s.output) -> s).toMap
+    def satisfied(path: String): Boolean = produced.get(Checkpoint.basePath(path)) match {
+      case Some(p) if p.kind == "load" => loadDone(p.output)
+      case Some(_) => checkpointDone(path)
+      case None => available(path)
+    }
     val runs = Seq.newBuilder[StepRun]
     while (pending.nonEmpty) {
-      val (ready, blocked) = pending.partition(_.inputs.forall(available))
+      val (ready, blocked) = pending.partition(_.inputs.forall(satisfied))
       if (ready.isEmpty)
         throw new IllegalArgumentException(
           "workflow stuck — no step's inputs are satisfiable: " +
             blocked.map(s => s"${s.name} waits on " +
-              s.inputs.filterNot(available).mkString(", ")).mkString("; "))
+              s.inputs.filterNot(satisfied).mkString(", ")).mkString("; "))
       ready.foreach(s => runs += exec(spark, s, conf, mappers, transport))
       pending = blocked
     }

@@ -289,6 +289,16 @@ object Dedup {
                          maxBits: Int = 1 << 20): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val base = shingled(docs, idCol, textCol)
+    // HLL pre-check BEFORE the staged index: a huge-vocabulary corpus must
+    // be rejected without paying vocabIndex's bounded-only-by-vocab
+    // single-task sort (the same doubled-slack estimate the adaptive route
+    // checks; 2% HLL error cannot bridge a 2x margin). Survivors build the
+    // index once and the exact count enforces the precise cap below.
+    val approxVocab = base.select(explode(col("sh")).as("h"))
+      .agg(approx_count_distinct("h")).head().getLong(0)
+    require(approxVocab <= 2L * maxBits,
+      s"ngramJaccardBitmap: vocabulary ~$approxVocab exceeds $maxBits bits — " +
+        "not a dense corpus; use ngramJaccardPrefix/minhashLsh")
     val (idx, vocabBits) = vocabIndex(base)
     require(vocabBits <= maxBits,
       s"ngramJaccardBitmap: vocabulary $vocabBits exceeds $maxBits bits — " +

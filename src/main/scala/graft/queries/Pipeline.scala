@@ -124,8 +124,8 @@ object Pipeline {
     """WITH s AS (SELECT doc_id, source = 'src0' AS is_ref,
       |    list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS sh
       |  FROM (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents)),
-      |r AS (SELECT doc_id AS ref_id, sh AS rsh FROM s WHERE is_ref),
-      |o AS (SELECT doc_id, sh FROM s WHERE NOT is_ref),
+      |r AS (SELECT doc_id AS ref_id, sh AS rsh FROM s WHERE is_ref AND len(sh) > 0),
+      |o AS (SELECT doc_id, sh FROM s WHERE NOT is_ref AND len(sh) > 0),
       |p AS (SELECT ref_id, doc_id,
       |    len(list_intersect(rsh, sh))::DOUBLE / len(rsh) AS containment
       |  FROM r, o)
@@ -316,19 +316,35 @@ object Pipeline {
     */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = embs(spark, dir)
-    // index once per source dir (production IVF is build-once-query-many:
-    // the quantizer + cell assignment persist at ingest; per-batch cost is
-    // the probe). Same arrangement as the bucketed-join tables.
-    val fp = Integer.toHexString(dir.hashCode)
-    val (cellsT, centT) = (s"graft_ivf_cells_$fp", s"graft_ivf_centroids_$fp")
-    if (!spark.catalog.tableExists(cellsT) || !spark.catalog.tableExists(centT)) {
-      val (cells, cents) = Ann.ivfBuild(e.where(col("vec_id") >= 20))
-      cells.write.mode("overwrite").saveAsTable(cellsT)
-      cents.write.mode("overwrite").saveAsTable(centT)
+    val queries = e.where(col("vec_id") < 20)
+    val corpus = e.where(col("vec_id") >= 20)
+    // index once per source DATASET (production IVF is build-once-query-
+    // many: the quantizer + cell assignment persist at ingest; per-batch
+    // cost is the probe). The table suffix fingerprints the DATA (file
+    // sizes/mtimes, graft.io.Fingerprint) — regenerating the dataset under
+    // the same path rebuilds the index instead of silently reusing a stale
+    // one. Persistence is best-effort: any catalog/warehouse failure
+    // (read-only scratch dir, an orphaned directory from a previous JVM's
+    // in-memory catalog) falls back to the self-contained build-and-probe,
+    // so the QUERY never fails because the CACHE could not be kept.
+    try {
+      val fp = graft.io.Fingerprint.ofPath(spark, s"$dir/embeddings.parquet")
+      val (cellsT, centT) = (s"graft_ivf_cells_$fp", s"graft_ivf_centroids_$fp")
+      if (!spark.catalog.tableExists(cellsT) || !spark.catalog.tableExists(centT)) {
+        Seq(cellsT, centT).foreach(graft.io.Bucketing.dropTable(spark, _))
+        val (cells, cents) = Ann.ivfBuild(corpus)
+        cells.write.mode("overwrite").saveAsTable(cellsT)
+        cents.write.mode("overwrite").saveAsTable(centT)
+      }
+      Ann.ivfSearch(spark.table(cellsT), spark.table(centT), queries, k = 5)
+        .withColumnRenamed("rank", "rnk")
+    } catch {
+      case scala.util.control.NonFatal(e2) =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"annIvf: index persistence unavailable (${e2.getMessage}); " +
+            "running self-contained ivfBuild+ivfSearch")
+        Ann.ivfTopK(queries, corpus, k = 5).withColumnRenamed("rank", "rnk")
     }
-    Ann.ivfSearch(spark.table(cellsT), spark.table(centT),
-        e.where(col("vec_id") < 20), k = 5)
-      .withColumnRenamed("rank", "rnk")
   }
 
   // ---- C8: language id ----------------------------------------------------

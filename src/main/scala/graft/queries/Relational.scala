@@ -559,23 +559,38 @@ object Relational {
     val ord = Tables.load(spark, dir, "orders").select("o_orderkey", "o_orderpriority")
     val li = Tables.load(spark, dir, "lineitem")
       .select("l_orderkey", "l_extendedprice", "l_discount")
-    // bucket ONCE per source dir (suffix = dir fingerprint), as production
-    // does at ingest — re-running the query pays the exchange-free join,
-    // not a fresh bucketed write; a different source dir gets fresh tables
-    val fp = Integer.toHexString(dir.hashCode)
-    val (ordT, liT) = (s"graft_bkt_orders_$fp", s"graft_bkt_lineitem_$fp")
-    if (!spark.catalog.tableExists(ordT) || !spark.catalog.tableExists(liT)) {
-      Seq(ordT, liT).foreach(Bucketing.dropTable(spark, _))
-      Bucketing.saveBucketed(ord, ordT, "o_orderkey", 8)
-      Bucketing.saveBucketed(li, liT, "l_orderkey", 8)
+    // bucket ONCE per source DATASET, as production does at ingest —
+    // re-running the query pays the exchange-free join, not a fresh
+    // bucketed write. The suffix fingerprints the DATA (file sizes/mtimes,
+    // graft.io.Fingerprint), so regenerated inputs under the same path
+    // re-bucket instead of silently serving stale tables; persistence is
+    // best-effort, falling back to the plain (exchange-paying) sort-merge
+    // join when the warehouse is unavailable — same result either way.
+    def agg(li2: DataFrame, ord2: DataFrame): DataFrame =
+      li2.hint("merge")
+        .join(ord2, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4))
+            .cast("double").as("revenue"))
+        .orderBy("o_orderpriority")
+    try {
+      val fp = graft.io.Fingerprint.ofPaths(spark,
+        Seq(s"$dir/orders.parquet", s"$dir/lineitem.parquet"))
+      val (ordT, liT) = (s"graft_bkt_orders_$fp", s"graft_bkt_lineitem_$fp")
+      if (!spark.catalog.tableExists(ordT) || !spark.catalog.tableExists(liT)) {
+        Seq(ordT, liT).foreach(Bucketing.dropTable(spark, _))
+        Bucketing.saveBucketed(ord, ordT, "o_orderkey", 8)
+        Bucketing.saveBucketed(li, liT, "l_orderkey", 8)
+      }
+      agg(spark.table(liT), spark.table(ordT))
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"qBucketedJoin: bucketed tables unavailable (${e.getMessage}); " +
+            "falling back to the plain sort-merge join")
+        agg(li, ord)
     }
-    spark.table(liT).hint("merge")
-      .join(spark.table(ordT), col("l_orderkey") === col("o_orderkey"))
-      .groupBy("o_orderpriority")
-      .agg(count(lit(1)).as("n_items"),
-        sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4))
-          .cast("double").as("revenue"))
-      .orderBy("o_orderpriority")
   }
 
   val qBucketedJoinSql: String =

@@ -245,4 +245,36 @@ class WorkflowSpec extends SparkSpec {
     }
     assert(badKind.getMessage.contains("unknown kind"))
   }
+
+  test("malformed step key (no sub-key) fails loud, not with a MatchError") {
+    val e = intercept[IllegalArgumentException] {
+      Workflow.steps(Map("workflow.steps.foo" -> "bar"))
+    }
+    assert(e.getMessage.contains("workflow.steps.foo"))
+    assert(e.getMessage.contains("malformed"))
+  }
+
+  test("a producer's partial output (no _SUCCESS) does not satisfy its consumer") {
+    val (conf, data) = setup()
+    // simulate a crash mid-write of s2_build_pg BEFORE any step has run:
+    // the output directory exists and holds corrupt bytes, but no _SUCCESS.
+    // s3_to_jsonl declares this BASE path as its input — a bare-existence
+    // check would schedule s3 in round 1 over the corrupt parquet; the
+    // done-flag requirement blocks it until s2 actually completes.
+    Files.createDirectories(Paths.get(s"$data/tmp/kg-pg.parquet"))
+    Files.writeString(Paths.get(s"$data/tmp/kg-pg.parquet/part-00000.parquet"),
+      "not parquet at all")
+
+    RecordingTransport.reset(failFirst = 0)
+    val runs = Workflow.run(spark, conf, registry, new RecordingTransport)
+
+    // the DAG still executes in dependency order: s2 (not skipped — its
+    // checkpoint was incomplete) strictly before s3
+    assert(runs.map(_.name) === Seq("s1_map_encodes", "s1_map_genes",
+      "s1_map_proteins", "s2_build_pg", "s3_to_jsonl", "s4_load"))
+    assert(runs.forall(!_.skipped))
+    // and s3 consumed the REBUILT graph, not the garbage
+    val pg = Checkpoint.load(spark, s"$data/tmp/kg-pg.parquet")
+    assert(pg.count() === 14)
+  }
 }

@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ops.dedup.Dedup
+
+/** Guard ordering and edge-case semantics for the dedup operators. */
+class GuardSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("ngramJaccardBitmap rejects a huge vocabulary BEFORE building the index") {
+    // ~3 unique bigrams per doc x 300 docs = ~900-bigram vocabulary,
+    // far above 2 x maxBits=32 — must be rejected by the HLL pre-check
+    // (message carries the '~' estimate marker), whose control flow runs
+    // before vocabIndex's single-task sort can start
+    val docs = (1 to 300)
+      .map(i => (i.toLong, s"w${i}a w${i}b w${i}c w${i}d"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.ngramJaccardBitmap(docs, 0.5, maxBits = 32)
+    }
+    assert(e.getMessage.contains("vocabulary ~"),
+      s"the HLL pre-check, not the post-index exact count, must fire: ${e.getMessage}")
+  }
+
+  test("ngramJaccardBitmap still accepts a genuinely dense corpus") {
+    // 2 near-identical docs over a tiny vocabulary pass both guards
+    val docs = Seq(
+      (1L, "a b c d e f"), (2L, "a b c d e g"), (3L, "x y z x y z"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardBitmap(docs, 0.5, maxBits = 64)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
+  test("containment: shingle-less (one-token) docs are excluded on BOTH sides") {
+    // doc 1 (ref) and doc 4 (corpus) have a single token -> zero bigrams.
+    // Neither may appear in the output (0/0 must not become NaN >= t, the
+    // divergence the DuckDB oracle had before its len(sh) > 0 filters).
+    val docs = Seq(
+      (1L, "ref", "solo"),
+      (2L, "ref", "a b c d"),
+      (3L, "other", "a b c z"),
+      (4L, "other", "lonely"))
+      .toDF("doc_id", "source", "text")
+    val out = Dedup.containmentRef(docs, isRef = col("source") === "ref",
+      minContainment = 0.5).collect()
+    assert(out.forall(r => !r.getDouble(2).isNaN))
+    assert(!out.exists(r => r.getLong(0) == 1L || r.getLong(1) == 4L))
+    // the real pair is still found: doc 3 contains 2 of ref doc 2's 3 bigrams
+    assert(out.exists(r => r.getLong(0) == 2L && r.getLong(1) == 3L))
+  }
+}

@@ -489,4 +489,36 @@ class PipelineOpsSpec extends SparkSpec {
     assert(meta.getInt(2) === ((bytes.length.toLong * 31) % 480).toInt)
     assert(meta.getString(3) === "img/fake")
   }
+
+  test("annIvf: persisted index is data-fingerprinted, rebuilt on regeneration, " +
+      "and equals the self-contained build") {
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("graft-ivf").toString
+    embs.write.parquet(s"$tmp/embeddings.parquet")
+    def ivfTables: Set[String] = spark.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith("graft_ivf_cells_")).toSet
+
+    val before = ivfTables
+    val viaCache = graft.queries.Pipeline.annIvf(spark, tmp).collect()
+    val fresh = Ann.ivfTopK(embs.where(col("vec_id") < 20),
+        embs.where(col("vec_id") >= 20), k = 5)
+      .withColumnRenamed("rank", "rnk").collect()
+    assert(viaCache.nonEmpty)
+    assert(viaCache.toSeq === fresh.toSeq,
+      "cached-index probe must equal the self-contained build (same data, same seed)")
+    val after1 = ivfTables
+    assert((after1 -- before).size === 1, "first run persists one cells table")
+
+    // a SECOND run on unchanged data reuses the index: no new tables
+    graft.queries.Pipeline.annIvf(spark, tmp).collect()
+    assert(ivfTables === after1, "unchanged data must reuse the persisted index")
+
+    // regenerate the dataset under the SAME path (new layout/mtimes):
+    // the data fingerprint changes, so a FRESH index is built — the
+    // dir.hashCode scheme this replaces would silently serve the stale one
+    embs.repartition(3).write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    graft.queries.Pipeline.annIvf(spark, tmp).collect()
+    assert((ivfTables -- after1).size === 1,
+      "regenerated data must trigger an index rebuild under a new fingerprint")
+  }
 }
