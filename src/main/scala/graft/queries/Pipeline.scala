@@ -54,6 +54,50 @@ object Pipeline {
 
   val dedupNgramJaccardSql: String = jaccardPairsSql
 
+  // ---- C2b: PPJoin prefix route under the oracle --------------------------
+  // The shipped testdata is DENSE (931-bigram vocab, avg df 275), so the
+  // adaptive router never takes the PPJoin branch on it and the prefix
+  // index ran spec-only. This query derives a SPARSE (zipfian-shaped)
+  // corpus from the same table — each token salted with doc_id % groups, a
+  // deterministic transform DuckDB reproduces verbatim — which multiplies
+  // the vocabulary by the group count and divides document frequency. The
+  // group count scales with the corpus (~170 docs per group → avg df ~9 at
+  // every SF, safely inside the sparse regime), so the derived corpus
+  // keeps its zipfian shape as the data grows — with a FIXED salt the
+  // corpus re-densifies at 10× and PPJoin degenerates (measured 8.4 s at
+  // sf0.1 with groups=3 vs ~1 s density-constant). It then runs
+  // ngramJaccardPrefix DIRECTLY (not the router), so the driver's oracle
+  // exercises the PPJoin prefix+positional filters and exact verification
+  // at every SF; the router's choice of this branch on sparse corpora is
+  // asserted in GuardSpec. Salting keeps within-group Jaccard identical
+  // (a bijection on shingles) and zeroes cross-group overlap, so
+  // qualifying pairs are exactly the same-group near-dups of the base
+  // corpus.
+
+  private[graft] def saltedDocs(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val groups = math.max(3L, d.count() / 170)
+    d.select(col("doc_id"),
+      array_join(transform(split(col("text"), " "),
+        w => concat(w, lit("#"), (col("doc_id") % groups).cast("string"))), " ")
+        .as("text"))
+  }
+
+  def dedupNgramZipf(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPrefix(saltedDocs(spark, dir), minJaccard = 0.5)
+
+  val dedupNgramZipfSql: String =
+    """WITH g AS (SELECT greatest(3, count(*) // 170) AS n FROM documents),
+      |t AS (SELECT doc_id,
+      |    [w || '#' || (doc_id % n)::VARCHAR for w in string_split(text, ' ')] w
+      |  FROM documents, g),
+      |s AS (SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) sh FROM t),
+      |p AS (SELECT a.doc_id AS a, b.doc_id AS b,
+      |  len(list_intersect(a.sh, b.sh))::DOUBLE /
+      |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+      |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+      |SELECT a, b, jaccard FROM p WHERE jaccard >= 0.5 ORDER BY a, b""".stripMargin
+
   // ---- C3: MinHash+LSH (exactly verified, so it shares C2's oracle) -------
 
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
@@ -296,7 +340,8 @@ object Pipeline {
     * (mergeable, map-side combined), pairwise Jaccard estimated from
     * matching signature positions — set similarity between groups without
     * materialising the sets. Estimate accuracy is spec-checked against the
-    * exact token-set Jaccard (rows-only oracle).
+    * exact token-set Jaccard; [[sourceSimilaritySql]] is a FULL hash
+    * oracle of the signature pipeline.
     */
   def sourceSimilarity(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
@@ -310,6 +355,41 @@ object Pipeline {
           b => b)).cast("double") / 64.0).as("est_jaccard"))
       .orderBy("src_a", "src_b")
   }
+
+  /** Full hash oracle for the MinHash sketch: position i of a source's
+    * signature is the minimum over its tokens of
+    * splitmix64(fnv1a64(token) XOR (i · golden)) — FNV-1a reproduced as in
+    * [[dedupSimhashSql]] (HUGEINT mod-2^64 byte fold, ASCII corpus) and
+    * the splitmix64 finalizer as in [[annLshSql]] (split 64×64 multiplies).
+    * The engine takes the min over SIGNED longs, so values convert to
+    * signed before the min; DISTINCT tokens per source leave minima
+    * unchanged. est_jaccard = matching positions / 64 is an exact binary
+    * fraction in both engines.
+    */
+  val sourceSimilaritySql: String =
+    """WITH toks AS (SELECT DISTINCT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |fnv AS (SELECT source,
+      |    list_reduce(
+      |      list_prepend(14695981039346656037::HUGEINT,
+      |        [unicode(ch)::HUGEINT FOR ch IN string_split(tok, '')]),
+      |      (h, b) -> ((h // 256 * 256 + xor(h % 256, b)) * 1099511628211::HUGEINT)
+      |                % 18446744073709551616::HUGEINT) AS base
+      |  FROM toks),
+      |sx AS (SELECT source, i, xor(base, (i::HUGEINT * 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT) x FROM fnv, range(0,64) t(i)),
+      |sg_1 AS (SELECT source, i, (x + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT y FROM sx),
+      |sg_2 AS (SELECT source, i, xor(y, y >> 30) y FROM sg_1),
+      |sg_3 AS (SELECT source, i, (((y >> 32) * 13787848793156543929::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT + (y % 4294967296::HUGEINT) * 13787848793156543929::HUGEINT) % 18446744073709551616::HUGEINT y FROM sg_2),
+      |sg_4 AS (SELECT source, i, xor(y, y >> 27) y FROM sg_3),
+      |sg_5 AS (SELECT source, i, (((y >> 32) * 10723151780598845931::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT + (y % 4294967296::HUGEINT) * 10723151780598845931::HUGEINT) % 18446744073709551616::HUGEINT y FROM sg_4),
+      |sg AS (SELECT source, i, xor(y, y >> 31) x FROM sg_5),
+      |sig AS (SELECT source, i,
+      |    min(CASE WHEN x >= 9223372036854775808::HUGEINT
+      |        THEN x - 18446744073709551616::HUGEINT ELSE x END) AS h
+      |  FROM sg GROUP BY source, i)
+      |SELECT a.source AS src_a, b.source AS src_b,
+      |  (sum(CASE WHEN a.h = b.h THEN 1 ELSE 0 END))::DOUBLE / 64.0 AS est_jaccard
+      |FROM sig a JOIN sig b ON a.i = b.i AND a.source < b.source
+      |GROUP BY a.source, b.source ORDER BY src_a, src_b""".stripMargin
 
   /** C7b: IVF-bucketed ANN (KMeans coarse quantizer; rows-only oracle +
     * recall spec).

@@ -35,6 +35,30 @@ class GuardSpec extends SparkSpec {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("salted zipfian corpus takes the adaptive router's PREFIX branch and stays exact") {
+    val salted = graft.queries.Pipeline.saltedDocs(spark, "/root/testdata/sf0.001")
+    // the router's own predicate over the full corpus: avg document
+    // frequency below the dense threshold -> ngramJaccardPrefix branch
+    val stats = salted
+      .select(explode(transform(graft.ops.text.TextOps.bigrams(col("text")),
+        sh => xxhash64(sh))).as("h"))
+      .agg(count(lit(1)).cast("double").as("postings"),
+        approx_count_distinct("h").as("vocab"))
+      .head()
+    val avgDf = stats.getDouble(0) / stats.getLong(1)
+    assert(avgDf < 16.0,
+      s"salting must make the corpus sparse (avg df $avgDf) so the router picks prefix")
+
+    // the prefix join on it equals the exact broadcast join — and the
+    // adaptive entry (which routes by exactly the predicate above) agrees
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("a", "b").as[(Long, Long)].collect().toSet
+    val exact = pairs(Dedup.ngramJaccard(salted, 0.5))
+    assert(exact.nonEmpty)
+    assert(pairs(Dedup.ngramJaccardPrefix(salted, 0.5)) === exact)
+    assert(pairs(Dedup.ngramJaccardAdaptive(salted, 0.5, allowApproximate = false)) === exact)
+  }
+
   test("containment: shingle-less (one-token) docs are excluded on BOTH sides") {
     // doc 1 (ref) and doc 4 (corpus) have a single token -> zero bigrams.
     // Neither may appear in the output (0/0 must not become NaN >= t, the
