@@ -53,7 +53,15 @@ object Workflow {
       throw new IllegalArgumentException(s"workflow step $name ($kind): missing $key"))
 
     def inputs: Seq[String] = kind match {
-      case "pg" => get("inputs").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      case "pg" =>
+        // YAML block sequence (Config flattens to inputs.0, inputs.1, …)
+        // or the comma-separated single-key form — either spelling works
+        val indexed = conf.collect { case (k, v) if k.startsWith("inputs.") &&
+            k.drop("inputs.".length).forall(_.isDigit) =>
+          (k.drop("inputs.".length).toInt, v)
+        }.toSeq.sortBy(_._1).map(_._2)
+        if (indexed.nonEmpty) indexed
+        else get("inputs").split(",").map(_.trim).filter(_.nonEmpty).toSeq
       case _ => Seq(get("input"))
     }
 

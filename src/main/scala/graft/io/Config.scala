@@ -23,6 +23,24 @@ object Config {
       scala.util.matching.Regex.quoteReplacement(
         env.getOrElse(m.group(1), Option(m.group(2)).getOrElse(""))))
 
+  /** Strips one pair of MATCHING quotes (double or single), YAML-style;
+    * unquoted values keep embedded quotes as-is.
+    */
+  private def unquote(s: String): String =
+    if (s.length >= 2 &&
+        ((s.head == '"' && s.last == '"') || (s.head == '\'' && s.last == '\'')))
+      s.substring(1, s.length - 1)
+    else s
+
+  /** An unquoted YAML scalar ends at the first ` #` (inline comment);
+    * quoted scalars keep their `#`s.
+    */
+  private def scalar(raw: String): String = {
+    val t = raw.trim
+    if (t.startsWith("\"") || t.startsWith("'")) unquote(t)
+    else t.split(" #", 2)(0).trim
+  }
+
   /** Parses the indented `key: value` subset into dotted keys:
     * {{{
     * spark:
@@ -30,6 +48,19 @@ object Config {
     *   config:
     *     spark.ui.enabled: "false"
     * }}}
+    *
+    * Block sequences flatten to ZERO-BASED dotted indices, at the item
+    * order of the document (YAML allows items at the parent key's indent
+    * or deeper):
+    * {{{
+    * inputs:
+    *   - a.parquet          ->  Map("inputs.0" -> "a.parquet",
+    *   - b.parquet               "inputs.1" -> "b.parquet")
+    * }}}
+    * Consumers that accept lists ([[graft.etl.Workflow]] step `inputs`)
+    * read either form. Anchors/aliases and nested block maps inside
+    * sequence items remain out of scope (documented divergence — no YAML
+    * dependency is allowed in this build).
     */
   def parse(text: String, env: Map[String, String] = sys.env): Map[String, String] = {
     val lines = interpolate(text, env).linesIterator
@@ -37,15 +68,26 @@ object Config {
       .filter { case (_, t) => t.nonEmpty && !t.startsWith("#") }
       .toList
     var stack = List.empty[(Int, String)] // (indent, key-prefix)
+    val seqIdx = scala.collection.mutable.Map.empty[String, Int]
     val out = Map.newBuilder[String, String]
     lines.foreach { case (indent, line) =>
-      val (key, value) = line.span(_ != ':') match {
-        case (k, v) => (k.trim, v.drop(1).trim.stripPrefix("\"").stripSuffix("\""))
+      if (line == "-" || line.startsWith("- ")) {
+        // sequence item: belongs to the nearest key at indent <= item's
+        // (YAML permits items at the SAME indent as their key)
+        stack = stack.dropWhile(_._1 > indent)
+        val parent = stack.reverse.map(_._2).mkString(".")
+        val i = seqIdx.getOrElse(parent, 0)
+        seqIdx(parent) = i + 1
+        out += s"$parent.$i" -> scalar(line.stripPrefix("-"))
+      } else {
+        val (key, value) = line.span(_ != ':') match {
+          case (k, v) => (unquote(k.trim), scalar(v.drop(1)))
+        }
+        stack = stack.dropWhile(_._1 >= indent)
+        val path = (stack.reverse.map(_._2) :+ key).mkString(".")
+        if (value.isEmpty) stack = (indent, key) :: stack
+        else out += path -> value
       }
-      stack = stack.dropWhile(_._1 >= indent)
-      val path = (stack.reverse.map(_._2) :+ key).mkString(".")
-      if (value.isEmpty) stack = (indent, key) :: stack
-      else out += path -> value
     }
     out.result()
   }

@@ -246,6 +246,21 @@ class WorkflowSpec extends SparkSpec {
     assert(badKind.getMessage.contains("unknown kind"))
   }
 
+  test("pg step inputs accept the YAML block-sequence form (Config dotted indices)") {
+    val s = Workflow.steps(Map(
+      "workflow.steps.build.kind" -> "pg",
+      "workflow.steps.build.inputs.0" -> "/data/a.parquet",
+      "workflow.steps.build.inputs.1" -> "/data/b.parquet",
+      "workflow.steps.build.output" -> "/data/pg.parquet")).head
+    assert(s.inputs === Seq("/data/a.parquet", "/data/b.parquet"))
+    // and the comma-separated single-key spelling still works
+    val c = Workflow.steps(Map(
+      "workflow.steps.build.kind" -> "pg",
+      "workflow.steps.build.inputs" -> "/data/a.parquet, /data/b.parquet",
+      "workflow.steps.build.output" -> "/data/pg.parquet")).head
+    assert(c.inputs === Seq("/data/a.parquet", "/data/b.parquet"))
+  }
+
   test("malformed step key (no sub-key) fails loud, not with a MatchError") {
     val e = intercept[IllegalArgumentException] {
       Workflow.steps(Map("workflow.steps.foo" -> "bar"))

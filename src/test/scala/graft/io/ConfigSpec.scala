@@ -28,6 +28,64 @@ class ConfigSpec extends graft.SparkSpec {
     assert(conf("neo4j.uri") === "bolt://localhost:7687")
   }
 
+  test("block sequences flatten to dotted indices; quotes and inline comments are YAML-like") {
+    // shaped like the reference's logging-test.yml (block list at the
+    // parent key's indent) and its config.yml (list indented deeper)
+    val conf = Config.parse(
+      """root:
+        |  level: DEBUG
+        |  handlers:
+        |  - console
+        |  - file
+        |fmt: '%(asctime)s # not a comment'
+        |steps:
+        |  inputs:
+        |    - a.parquet   # trailing comment stripped
+        |    - "b # kept.parquet"
+        |timeout: 15 # seconds
+        |""".stripMargin, env = Map.empty)
+    assert(conf("root.handlers.0") === "console")
+    assert(conf("root.handlers.1") === "file")
+    assert(conf("root.level") === "DEBUG")
+    // single-quoted scalar keeps its '#'
+    assert(conf("fmt") === "%(asctime)s # not a comment")
+    // deeper-indented list, inline comment on an unquoted item stripped,
+    // quoted item kept verbatim
+    assert(conf("steps.inputs.0") === "a.parquet")
+    assert(conf("steps.inputs.1") === "b # kept.parquet")
+    // inline comment after an unquoted value
+    assert(conf("timeout") === "15")
+  }
+
+  test("the reference's own config fixtures parse to the expected keys") {
+    // tests/resources/test-config.yml shape (reference: test_config.py)
+    val conf = Config.parse(
+      """neoloader:
+        |  default_property_config:
+        |    multi_value_mode: multiple
+        |  property_configs:
+        |    has_pvalue:
+        |      multi_value_mode: single
+        |  loader_batch_size: 3000
+        |neo4j:
+        |  uri: bolt://neo.somewhere.net:7687
+        |  auth:
+        |    user: neo4j
+        |    password: ${NEO4J_PASSWORD}
+        |foo:
+        |  fallback: ${KETL_TEST_FALLBACK: 42}
+        |""".stripMargin, env = Map("NEO4J_PASSWORD" -> "pw"))
+    assert(conf("neoloader.default_property_config.multi_value_mode") === "multiple")
+    assert(conf("neoloader.property_configs.has_pvalue.multi_value_mode") === "single")
+    assert(conf("neoloader.loader_batch_size") === "3000")
+    // value containing colons splits at the FIRST colon only
+    assert(conf("neo4j.uri") === "bolt://neo.somewhere.net:7687")
+    assert(conf("neo4j.auth.password") === "pw")
+    // the reference's YAML collapses the default's leading space in value
+    // position; the subset parser trims to the same result
+    assert(conf("foo.fallback") === "42")
+  }
+
   test("sparkSession builder consumes master/appName/config entries") {
     spark // force the shared test session so getOrCreate below reuses it
     val before = spark.conf.get("spark.sql.shuffle.partitions")
