@@ -74,6 +74,14 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("dedup_ngram_zipf (PPJoin prefix route) plans keyed shuffles only") {
+    val plan = planOf("dedup_ngram_zipf")
+    // the prefix-filtered inverted index must never degenerate to an
+    // all-pairs shape: every join is keyed (prefix shingle, id re-attach)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("events_window aggregates map-side and scans only referenced columns") {
     val plan = planOf("events_window")
     assert(plan.contains("partial"), plan)
