@@ -25,6 +25,11 @@ object Bench {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // the interleaved passes cycle ~80 queries x several codegen stages
+      // through the generated-class cache (default 100 entries) — without
+      // headroom every rep pays whole-stage recompilation that consecutive
+      // reps amortised, inflating minimums suite-wide
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
