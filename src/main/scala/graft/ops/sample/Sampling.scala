@@ -79,4 +79,47 @@ object Sampling {
     df.where(hashBucket(col(idCol), Buckets, salt) <
       math.round(fraction * Buckets))
   }
+
+  /** Token-budget domain mixing — the "data mixture" step of a training
+    * pipeline: split a global token budget across sources by weight, then
+    * greedily take each source's documents in deterministic salted-hash
+    * order until the source's share is reached (the document that crosses
+    * the boundary is included, so every non-empty share is fully used).
+    *
+    * `weight` must be a pure function of the source column (it is read
+    * once per DISTINCT source to normalise the shares). Selection order is
+    * the same engine-reproducible md5 order as [[stratifiedSample]], so
+    * the chosen mixture is identical across runs, layouts, and engines,
+    * and GROWS MONOTONICALLY with the budget: raising the budget only adds
+    * documents, never swaps them — the property that lets a pipeline scale
+    * a mixture up without invalidating the previously selected data.
+    *
+    * Output: the selected rows with `n_tokens` and the source-local
+    * running total `cum_tokens` (both BIGINT).
+    *
+    * Scale: one aggregate over |sources| rows for normalisation (map-side
+    * partial), one window keyed by source for the running sums. A single
+    * source far larger than its share serialises its window on one
+    * partition — there, pre-filter with [[sampleByHash]] at a generous
+    * over-estimate of the share fraction first (selection order is bucket
+    * order, so a bucket prefilter keeps exactly the candidate prefix) and
+    * run the exact window on the survivors.
+    */
+  def mixToBudget(df: DataFrame, sourceCol: String, idCol: String,
+                  tokens: Column, weight: Column, totalBudget: Long,
+                  salt: String = ""): DataFrame = {
+    require(totalBudget >= 0, "totalBudget must be non-negative")
+    import org.apache.spark.sql.expressions.Window
+    val sumW = df.select(col(sourceCol).as("__src"), weight.cast("double").as("__w"))
+      .distinct().agg(sum("__w")).head().getDouble(0)
+    val order = conv(substring(md5(concat(col(idCol).cast("string"), lit(salt))), 1, 8),
+      16, 10).cast("long")
+    val w = Window.partitionBy(col(sourceCol)).orderBy(order, col(idCol))
+    df.withColumn("n_tokens", tokens.cast("long"))
+      .withColumn("__target",
+        floor(lit(totalBudget) * weight.cast("double") / lit(sumW)).cast("long"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .where(col("cum_tokens") - col("n_tokens") < col("__target"))
+      .drop("__target")
+  }
 }

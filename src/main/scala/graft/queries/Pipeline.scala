@@ -194,6 +194,36 @@ object Pipeline {
       |  FROM documents)
       |SELECT doc_id, lang FROM r WHERE rnk <= ceil(n * 0.2) ORDER BY doc_id""".stripMargin
 
+  // ---- C33: token-budget domain mixing ------------------------------------
+  // demo weights are a pure function of the source name (srcN -> 1+N%3),
+  // so the oracle reproduces them; budget 20000 tokens exercises real
+  // cutoffs at sf0.01 (corpus ~50k tokens) and degenerates gracefully to
+  // "take everything" on smaller corpora.
+
+  def corpusMix(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.sample.Sampling.mixToBudget(
+        docs(spark, dir), "source", "doc_id",
+        tokens = size(split(col("text"), " ")),
+        weight = lit(1.0) + (substring(col("source"), 4, 10).cast("int") % 3).cast("double"),
+        totalBudget = 20000)
+      .select("doc_id", "source", "n_tokens", "cum_tokens")
+      .orderBy("doc_id")
+
+  val corpusMixSql: String =
+    """WITH d AS (SELECT doc_id, source,
+      |    len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents),
+      |w AS (SELECT DISTINCT source, 1.0 + (substr(source, 4)::INT % 3) AS w FROM documents),
+      |tw AS (SELECT sum(w) AS sum_w FROM w),
+      |t AS (SELECT source, floor(20000 * w / (SELECT sum_w FROM tw))::BIGINT AS target FROM w),
+      |r AS (SELECT d.doc_id, d.source, d.n_tokens,
+      |    (sum(d.n_tokens) OVER (PARTITION BY d.source
+      |      ORDER BY ('0x' || substring(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT, d.doc_id))::BIGINT AS cum_tokens
+      |  FROM d)
+      |SELECT r.doc_id, r.source, r.n_tokens, r.cum_tokens
+      |FROM r JOIN t USING (source)
+      |WHERE r.cum_tokens - r.n_tokens < t.target
+      |ORDER BY doc_id""".stripMargin
+
   // ---- C4: SimHash hamming near-dup ---------------------------------------
 
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =

@@ -490,6 +490,41 @@ class PipelineOpsSpec extends SparkSpec {
     assert(meta.getString(3) === "img/fake")
   }
 
+  test("mixToBudget: shares respected, monotone in budget, layout-invariant") {
+    import graft.ops.sample.Sampling
+    val tokens = size(split(col("text"), " "))
+    val weight = lit(1.0) + (substring(col("source"), 4, 10).cast("int") % 3).cast("double")
+    def mix(budget: Long, df: org.apache.spark.sql.DataFrame = docs) =
+      Sampling.mixToBudget(df, "source", "doc_id", tokens, weight, budget)
+
+    val out = mix(2000)
+    val bySource = out.groupBy("source")
+      .agg(max("cum_tokens").as("got"), max("n_tokens").as("maxDoc"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(bySource.nonEmpty)
+    // per-source totals reach the share and overshoot by at most the one
+    // boundary-crossing document
+    val sumW = docs.select(col("source"), weight.as("w")).distinct()
+      .agg(sum("w")).head().getDouble(0)
+    val wBySrc = docs.select(col("source"), weight.as("w")).distinct()
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    for ((src, got, maxDoc) <- bySource) {
+      val target = math.floor(2000 * wBySrc(src) / sumW).toLong
+      assert(got < target + maxDoc, s"$src: $got vs target $target (+doc $maxDoc)")
+    }
+
+    // monotone: a larger budget only ADDS documents, never swaps them
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    val idsBigger = mix(4000).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.subsetOf(idsBigger))
+    assert(idsBigger.size > ids.size)
+
+    // layout-invariant: a different partitioning selects the same mixture
+    val again = mix(2000, docs.repartition(7)).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(again === ids)
+  }
+
   test("annIvf: persisted index is data-fingerprinted, rebuilt on regeneration, " +
       "and equals the self-contained build") {
     import java.nio.file.Files
