@@ -132,6 +132,32 @@ object Ann {
     else cosinePairsLsh(emb, minCosine, idCol = idCol, vecCol = vecCol)
   }
 
+  /** Int8 scalar quantization of the embedding column: per-vector max-abs
+    * scale, components rounded to [-127, 127] — the standard 4× storage
+    * cut for an at-scale embedding store (and the memory lever that lets
+    * 4× more vectors fit an executor during ANN probes). Pure narrow
+    * Column work, scan speed at any size; `scale` is staged through its
+    * own projection and used twice, so the fold is evaluated once per row
+    * (the HOF staging rule). Deterministic: same vector → same bytes on
+    * any engine, which is what makes the oracle a full hash compare.
+    */
+  def quantizeInt8(emb: DataFrame, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val base = emb.select(col(idCol).as("vec_id"), vec(col(vecCol)).as("v"))
+      .withColumn("scale",
+        aggregate(col("v"), lit(0.0), (a, x) => greatest(a, abs(x))))
+    base.select(col("vec_id"), col("scale"),
+      transform(col("v"), x =>
+        when(col("scale") === 0.0, lit(0))
+          .otherwise(round(x / col("scale") * 127)).cast("tinyint")).as("qvec"))
+  }
+
+  /** Approximate inverse of [[quantizeInt8]]: component error is bounded
+    * by scale/254, so 64-dim cosines survive within ~1e-3 (spec-checked).
+    */
+  def dequantizeInt8(qvec: Column, scale: Column): Column =
+    transform(qvec, q => q.cast("double") * scale / 127.0)
+
   /** Exact top-k cosine neighbours for each query vector (`queries` rows)
     * against the corpus. The query side is broadcast — the corpus is
     * scanned once regardless of its size.

@@ -457,6 +457,29 @@ object Pipeline {
     }
   }
 
+  // ---- C34: int8 embedding quantization -----------------------------------
+  // exploded to scalar rows for the driver compare (the library op returns
+  // the packed array<tinyint> + scale); q compared as INT for a
+  // schema-neutral hash
+  def embedQuantize(spark: SparkSession, dir: String): DataFrame =
+    Ann.quantizeInt8(embs(spark, dir))
+      .select(col("vec_id"), col("scale"), posexplode(col("qvec")).as(Seq("pos", "q")))
+      .select(col("vec_id"), col("scale"), col("pos"), col("q").cast("int").as("q"))
+      .orderBy("vec_id", "pos")
+
+  /** Max-abs fold, division, and round-half-away are bit-identical in
+    * DuckDB; dims fixed at 64 like [[annLshSql]].
+    */
+  val embedQuantizeSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+      |s AS (SELECT vec_id, v,
+      |    list_reduce(list_prepend(0.0, [abs(x) for x in v]), (a, b) -> greatest(a, b)) AS scale
+      |  FROM e)
+      |SELECT vec_id, scale, i::INT AS pos,
+      |  CASE WHEN scale = 0 THEN 0 ELSE round(v[i+1] / scale * 127)::INT END AS q
+      |FROM s, range(0, 64) t(i)
+      |ORDER BY vec_id, pos""".stripMargin
+
   // ---- C8: language id ----------------------------------------------------
 
   def textLangId(spark: SparkSession, dir: String): DataFrame = {

@@ -490,6 +490,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(meta.getString(3) === "img/fake")
   }
 
+  test("int8 quantization: bounded reconstruction error, cosine fidelity, zero-vector safe") {
+    import spark.implicits._
+    val q = Ann.quantizeInt8(embs)
+    val joined = embs.select(col("vec_id"), Ann.vec(col("embedding")).as("v"))
+      .join(q, "vec_id")
+      .withColumn("dq", Ann.dequantizeInt8(col("qvec"), col("scale")))
+    // per-component error <= scale/254 (half a quantization step)
+    val worst = joined.select(max(expr(
+      "aggregate(zip_with(v, dq, (a, b) -> abs(a - b) / (scale / 254.0)), 0.0D, (m, x) -> greatest(m, x))")))
+      .head().getDouble(0)
+    assert(worst <= 1.0 + 1e-9, s"component error $worst half-steps")
+    // cosine between original and dequantized stays ~1 at 64 dims
+    val minCos = joined.select(min(
+      Ann.cosine(col("v"), col("dq"), Ann.norm(col("v")), Ann.norm(col("dq")))))
+      .head().getDouble(0)
+    assert(minCos > 0.995, s"min cosine $minCos")
+    // a zero vector quantizes to zeros with scale 0, no NaN/divide
+    val z = Seq((1L, Array.fill(4)(0f))).toDF("vec_id", "embedding")
+    val zr = Ann.quantizeInt8(z).collect()(0)
+    assert(zr.getDouble(1) === 0.0)
+    assert(zr.getSeq[Byte](2).forall(_ == 0))
+  }
+
   test("mixToBudget: shares respected, monotone in budget, layout-invariant") {
     import graft.ops.sample.Sampling
     val tokens = size(split(col("text"), " "))
