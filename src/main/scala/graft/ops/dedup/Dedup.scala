@@ -544,6 +544,62 @@ object Dedup {
     verifyPairs(candidates, base.select(col("id"), col("sh"), col("n")), minJaccard)
   }
 
+  /** MinHash signature INDEX of a corpus: (id, sh, n, sig) — the
+    * build-once half of INCREMENTAL dedup. Persist via `Checkpoint.save`
+    * at ingest (bucketing the banded projection by bucket hash makes the
+    * per-batch probe co-located) and probe each new batch with
+    * [[minhashLshIncrement]]: the corpus is tokenised and signed exactly
+    * once across all future increments — at 100 TB the difference between
+    * a daily batch costing O(batch) and costing O(corpus). The batch twin
+    * of the streaming [[graft.streaming.Streaming.nearDupPairs]] state.
+    */
+  def minhashIndex(docs: DataFrame, numHashes: Int = 16,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    spread(docs)
+      .select(col(idCol).as("id"), TextOps.bigrams(col(textCol)).as("shs"))
+      .select(col("id"), array_sort(transform(col("shs"), sh => xxhash64(sh))).as("sh"),
+        minhashSignature(col("shs"), numHashes).as("sig"))
+      .withColumn("n", size(col("sh")))
+  }
+
+  /** Incremental near-dup detection: every pair with J ≥ `minJaccard`
+    * where at least one side is in `newDocs` — (new × indexed) and
+    * (new × new) pairs, exactly verified; indexed × indexed pairs are the
+    * previous runs' output and are not re-found. `index` is a
+    * [[minhashIndex]] frame (typically loaded from a checkpoint).
+    *
+    * Plan: only the new batch is tokenised and signed; its banded
+    * signatures BROADCAST against the index's banded projection, so the
+    * index is scanned once with no shuffle, and the exact-verification
+    * re-attach streams the index through a broadcast join against the
+    * (small) candidate set. Per-batch cost scales with the batch and the
+    * matched buckets, not the corpus.
+    */
+  def minhashLshIncrement(newDocs: DataFrame, index: DataFrame, minJaccard: Double,
+                          numHashes: Int = 16, bands: Int = 4,
+                          idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    graft.functions.GraftFunctions.register(newDocs.sparkSession)
+    val rows = numHashes / bands
+    val newBase = minhashIndex(newDocs, numHashes, idCol, textCol).localCheckpoint()
+    val all = index.select(col("id"), col("sh"), col("sig"), col("n"))
+      .withColumn("is_new", lit(false))
+      .unionByName(newBase.withColumn("is_new", lit(true)))
+    def banded(df: DataFrame) = df.select(col("id"), col("is_new"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => slice(col("sig"), b * rows + 1, lit(rows)))).as(Seq("band", "bandsig")))
+      .select(col("id"), col("is_new"), xxhash64(col("band"), col("bandsig")).as("bh"))
+    // new-new pairs orient by id; new-old pairs appear once by role
+    val cand = banded(all).as("y")
+      .join(broadcast(banded(newBase.withColumn("is_new", lit(true)))).as("x"),
+        col("x.bh") === col("y.bh") && col("x.id") =!= col("y.id") &&
+          (!col("y.is_new") || col("x.id") < col("y.id")))
+      .select(least(col("x.id"), col("y.id")).as("a"),
+        greatest(col("x.id"), col("y.id")).as("b"))
+      .dropDuplicates("a", "b")
+    verifyPairs(cand, all.select(col("id"), col("sh"), col("n")), minJaccard)
+  }
+
   /** Distinct word n-gram hashes of a text column (generalises
     * [[graft.ops.text.TextOps.bigrams]] to any n), as xxhash64 keys.
     */

@@ -224,6 +224,30 @@ object Pipeline {
       |WHERE r.cum_tokens - r.n_tokens < t.target
       |ORDER BY doc_id""".stripMargin
 
+  // ---- C3b: incremental dedup (new batch vs persisted index) --------------
+  // src0 plays the daily increment; everything else is the already-indexed
+  // corpus. Only the new side is signed; the oracle is the exact Jaccard
+  // join restricted to pairs with a new-side member (banding recall ≈ 1
+  // for this corpus's near-identical dups, as with dedup_minhash).
+
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    Dedup.minhashLshIncrement(
+      d.where(col("source") === "src0"),
+      Dedup.minhashIndex(d.where(col("source") =!= "src0")),
+      minJaccard = 0.5)
+  }
+
+  val dedupIncrementalSql: String =
+    """WITH t AS (SELECT doc_id, source, string_split(text, ' ') w FROM documents),
+      |s AS (SELECT doc_id, source = 'src0' AS is_new,
+      |    list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) sh FROM t),
+      |p AS (SELECT a.doc_id AS a, b.doc_id AS b,
+      |  len(list_intersect(a.sh, b.sh))::DOUBLE /
+      |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+      |  FROM s a JOIN s b ON a.doc_id < b.doc_id AND (a.is_new OR b.is_new))
+      |SELECT a, b, jaccard FROM p WHERE jaccard >= 0.5 ORDER BY a, b""".stripMargin
+
   // ---- C4: SimHash hamming near-dup ---------------------------------------
 
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =

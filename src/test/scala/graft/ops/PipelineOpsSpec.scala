@@ -490,6 +490,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(meta.getString(3) === "img/fake")
   }
 
+  test("incremental dedup: new-vs-index equals the full join restricted to new-side pairs") {
+    val isNew = col("source") === "src0"
+    val out = Dedup.minhashLshIncrement(
+      docs.where(isNew), Dedup.minhashIndex(docs.where(!isNew)), 0.5)
+    // the full-corpus near-dup set, restricted to pairs with a new member
+    val newIds = docs.where(isNew).select("doc_id").collect().map(_.getLong(0)).toSet
+    val expected = pairs(Dedup.ngramJaccard(docs, 0.5))
+      .filter { case (a, b) => newIds(a) || newIds(b) }
+    assert(pairs(out) === expected)
+    assert(pairs(out).nonEmpty)
+    // index-x-index pairs (previous runs' output) are NOT re-found
+    assert(pairs(out).forall { case (a, b) => newIds(a) || newIds(b) })
+    // the probe broadcasts the batch, not the index: no index-side
+    // all-pairs shape in the plan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
   test("int8 quantization: bounded reconstruction error, cosine fidelity, zero-vector safe") {
     import spark.implicits._
     val q = Ann.quantizeInt8(embs)
