@@ -477,3 +477,66 @@ object SimHash64 {
     code
   }
 }
+
+/** Int8 scalar quantization of an `array<double>` vector as ONE native
+  * pass: struct(scale = max-abs, qvec = round-half-away(v/scale*127) as
+  * bytes). Replaces an interpreted aggregate-fold + transform (two HOF
+  * passes, a lambda call per element) on the embedding-store ingest path —
+  * the narrow map must run at scan speed. Rounding is half-AWAY-FROM-ZERO,
+  * matching both `functions.round` (BigDecimal HALF_UP) and DuckDB's
+  * `round`, so the DuckDB hash oracle holds bit-for-bit.
+  */
+case class QuantizeI8(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = QuantizeI8.schema
+  override def prettyName: String = "graft_quantize_i8"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got ${other.sql}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    QuantizeI8.quantize(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.functions.QuantizeI8.quantize($v)")
+
+  override protected def withNewChildInternal(newChild: Expression): QuantizeI8 =
+    copy(child = newChild)
+}
+
+object QuantizeI8 {
+  val schema: StructType = StructType(Seq(
+    StructField("scale", DoubleType, nullable = false),
+    StructField("qvec", ArrayType(ByteType, containsNull = false), nullable = false)))
+
+  def quantize(v: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = v.numElements()
+    var mx = 0.0
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"graft_quantize_i8: null element at index $i; filter or impute nulls first")
+      val a = math.abs(v.getDouble(i))
+      if (a > mx) mx = a
+      i += 1
+    }
+    val out = new Array[Byte](n)
+    if (mx != 0.0) {
+      i = 0
+      while (i < n) {
+        val q = v.getDouble(i) / mx * 127
+        // half away from zero (Math.round would pull -x.5 toward zero's
+        // successor and diverge from functions.round / DuckDB round)
+        out(i) = (if (q >= 0) math.floor(q + 0.5) else math.ceil(q - 0.5)).toByte
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](mx, new org.apache.spark.sql.catalyst.util.GenericArrayData(out)))
+  }
+}

@@ -45,7 +45,8 @@ object GraftFunctions {
     "graft_bitmap" -> { exprs =>
       BitmapFromPositions(exprs(0), nWords = exprs(1).eval().asInstanceOf[Int])
     },
-    "graft_bitmap_and_count" -> { exprs => BitmapAndCount(exprs(0), exprs(1)) })
+    "graft_bitmap_and_count" -> { exprs => BitmapAndCount(exprs(0), exprs(1)) },
+    "graft_quantize_i8" -> { exprs => QuantizeI8(exprs(0)) })
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
