@@ -234,6 +234,45 @@ object TextOps {
       .orderBy("id")
   }
 
+  /** Bigram-LM mean surprisal: the corpus trains an add-one-smoothed
+    * bigram model (P(w|u) = (c(u w)+1) / (c(u ·)+V)) and every document is
+    * scored by the mean −log P over its bigram positions — the quality
+    * proxy that catches LOCAL incoherence (shuffled words, stitched
+    * boilerplate) which [[unigramSurprisal]]'s bag-of-words frequencies
+    * cannot see. Docs with fewer than two tokens have no bigram positions
+    * and are excluded.
+    *
+    * Plan: one staged tokenise feeds the (history, bigram) pairs; bigram
+    * and history counts are two keyed aggregations with map-side partials;
+    * the vocabulary size is one exact-distinct aggregate broadcast back.
+    * The scoring re-join keys on the bigram/history — zipfian counts, so
+    * AQE's skew split handles hot boilerplate bigrams. The mean is rounded
+    * to 6 dp: per-position log-probabilities are bit-identical across
+    * engines, only the sum order is not.
+    */
+  def bigramSurprisal(docs: org.apache.spark.sql.DataFrame,
+                      idCol: String = "doc_id", textCol: String = "text")
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val base = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("ws"))
+      .where(size(col("ws")) >= 2)
+    val pairs = base.select(col("id"), explode(zip_with(
+        slice(col("ws"), lit(1), size(col("ws")) - 1),
+        slice(col("ws"), lit(2), size(col("ws")) - 1),
+        (a, b) => struct(a.as("u"), concat(a, lit(" "), b).as("bg")))).as("p"))
+      .select(col("id"), col("p.u").as("u"), col("p.bg").as("bg"))
+    val cb = pairs.groupBy("bg").agg(count(lit(1)).as("tf"))
+    val ch = pairs.groupBy("u").agg(count(lit(1)).as("hf"))
+    val vocab = docs.select(explode(tokens(col(textCol))).as("tok"))
+      .agg(count_distinct(col("tok")).as("vocab"))
+    pairs.join(cb, "bg").join(ch, "u").crossJoin(broadcast(vocab))
+      .groupBy("id")
+      .agg(round(-sum(log((col("tf") + 1).cast("double") / (col("hf") + col("vocab"))))
+          / count(lit(1)), 6).as("mean_surprisal"),
+        count(lit(1)).as("n_bigrams"))
+      .orderBy("id")
+  }
+
   /** Sequence packing for training-batch preparation: documents are packed
     * greedily (in id order within each packing group) into sequences of at
     * most `tokenBudget` tokens — the standard pre-tokenisation packing step

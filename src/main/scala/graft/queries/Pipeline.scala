@@ -805,6 +805,27 @@ object Pipeline {
       |FROM toks JOIN lm USING (tok)
       |GROUP BY id ORDER BY id""".stripMargin
 
+  // ---- C35: bigram-LM surprisal -------------------------------------------
+
+  def textBigramSurprisal(spark: SparkSession, dir: String): DataFrame =
+    TextOps.bigramSurprisal(docs(spark, dir)).withColumnRenamed("id", "doc_id")
+
+  val textBigramSurprisalSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+      |g AS (SELECT doc_id,
+      |    unnest([w[i] for i in range(1, len(w))]) AS u,
+      |    unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bg
+      |  FROM t WHERE len(w) >= 2),
+      |cb AS (SELECT bg, count(*) AS tf FROM g GROUP BY bg),
+      |ch AS (SELECT u, count(*) AS hf FROM g GROUP BY u),
+      |vt AS (SELECT count(DISTINCT tok) AS vocab FROM
+      |  (SELECT unnest(string_split(text, ' ')) tok FROM documents)),
+      |s AS (SELECT g.doc_id, ln((cb.tf + 1)::DOUBLE / (ch.hf + vt.vocab)) AS lp
+      |  FROM g JOIN cb USING (bg) JOIN ch USING (u), vt)
+      |SELECT doc_id, round(-sum(lp) / count(*), 6) AS mean_surprisal,
+      |  count(*) AS n_bigrams
+      |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** C16: greedy sequence packing for training batches — deterministic
     * layout (`part = doc_id mod 8`) so the output is independent of file
     * splits and fully oracle-checkable; the oracle reproduces the greedy

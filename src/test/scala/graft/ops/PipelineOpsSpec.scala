@@ -529,6 +529,18 @@ class PipelineOpsSpec extends SparkSpec {
     val zr = Ann.quantizeInt8(z).collect()(0)
     assert(zr.getDouble(1) === 0.0)
     assert(zr.getSeq[Byte](2).forall(_ == 0))
+
+    // the quantized store works END-TO-END: exact top-5 over dequantized
+    // int8 vectors recovers most of the float top-5
+    def topk(e: org.apache.spark.sql.DataFrame) = Ann.bruteForceTopK(
+        e.where(col("vec_id") < 20), e.where(col("vec_id") >= 20), k = 5)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val deq = q.select(col("vec_id"),
+      Ann.dequantizeInt8(col("qvec"), col("scale")).as("embedding"))
+    val exactTop = topk(embs)
+    val qTop = topk(deq)
+    val overlap = (exactTop & qTop).size.toDouble / exactTop.size
+    assert(overlap >= 0.8, s"int8 ANN overlap $overlap")
   }
 
   test("mixToBudget: shares respected, monotone in budget, layout-invariant") {

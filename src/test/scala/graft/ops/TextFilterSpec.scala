@@ -99,4 +99,22 @@ class TextFilterSpec extends SparkSpec {
     assert(r.getAs[Long]("n_id") === 1L)
     assert(r.getAs[Long]("n_phone") === 0L)
   }
+
+  test("bigram surprisal flags shuffled text that unigram surprisal cannot see") {
+    val coherent = "the cat sat on the mat and the dog slept by the fire"
+    // same MULTISET of tokens, incoherent order
+    val shuffled = "mat the by cat fire and sat dog the on the slept the"
+    val df = ((1L to 20L).map(i => (i, coherent)) :+ (21L, shuffled)).toDF("doc_id", "text")
+
+    val bs = TextOps.bigramSurprisal(df).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(bs(21L) > bs(1L) + 1.0,
+      s"shuffled doc must score clearly higher: ${bs(21L)} vs ${bs(1L)}")
+
+    // the unigram model sees identical bags of words — identical scores:
+    // exactly the blindness the bigram LM exists to fix
+    val us = TextOps.unigramSurprisal(df).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(us(21L) === us(1L))
+  }
 }
