@@ -307,6 +307,44 @@ object Relational {
       |WHERE day - cohort_day <= 7
       |GROUP BY 1, 2 ORDER BY cohort_day, day_n""".stripMargin
 
+  /** B32: ordered funnel — users progressing view → click → purchase with
+    * STRICT event-time ordering (each stage's first qualifying event must
+    * be after the previous stage's), the standard conversion query. Three
+    * keyed min-aggregations chained by user_id joins (each map-side
+    * partial), then a 1×1×1 summary join — no window over the full event
+    * stream, no per-user collect. ts stays the raw epoch-nano long: only
+    * ordering matters and it is preserved.
+    */
+  def eventsFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events").select("user_id", "event_type", "ts")
+    val u1 = ev.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val u2 = ev.where(col("event_type") === "click").join(u1, "user_id")
+      .where(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    val u3 = ev.where(col("event_type") === "purchase").join(u2, "user_id")
+      .where(col("ts") > col("t2"))
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    u1.agg(count(lit(1)).as("n_view"))
+      .crossJoin(u2.agg(count(lit(1)).as("n_click")))
+      .crossJoin(u3.agg(count(lit(1)).as("n_purchase")))
+      .select(col("n_view"), col("n_click"), col("n_purchase"),
+        (col("n_click").cast("double") / col("n_view")).as("conv_click"),
+        (col("n_purchase").cast("double") / col("n_click")).as("conv_purchase"))
+  }
+
+  val eventsFunnelSql: String =
+    """WITH u1 AS (SELECT user_id, min(ts) t1 FROM events WHERE event_type = 'view' GROUP BY user_id),
+      |u2 AS (SELECT e.user_id, min(e.ts) t2 FROM events e JOIN u1 USING (user_id)
+      |  WHERE e.event_type = 'click' AND e.ts > u1.t1 GROUP BY e.user_id),
+      |u3 AS (SELECT e.user_id, min(e.ts) t3 FROM events e JOIN u2 USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ts > u2.t2 GROUP BY e.user_id)
+      |SELECT (SELECT count(*) FROM u1) AS n_view,
+      |  (SELECT count(*) FROM u2) AS n_click,
+      |  (SELECT count(*) FROM u3) AS n_purchase,
+      |  (SELECT count(*) FROM u2)::DOUBLE / (SELECT count(*) FROM u1) AS conv_click,
+      |  (SELECT count(*) FROM u3)::DOUBLE / (SELECT count(*) FROM u2) AS conv_purchase""".stripMargin
+
   /** B12: TPC-H-Q6-style filter-aggregate through the SQL entry path
     * (spark.sql over registered views) — the other half of the API surface.
     */

@@ -1,0 +1,33 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+/** Strict-ordering semantics of the view → click → purchase funnel. */
+class FunnelSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("funnel stages require strictly increasing event times") {
+    val dir = Files.createTempDirectory("graft-funnel").toString
+    Seq(
+      // user 1: full ordered conversion
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 30L),
+      // user 2: purchase BEFORE the click — must not count as converted
+      (2L, "purchase", 5L), (2L, "view", 10L), (2L, "click", 20L),
+      // user 3: click ties the view timestamp — strict ordering rejects it
+      (3L, "view", 10L), (3L, "click", 10L),
+      // user 4: never viewed — in no stage
+      (4L, "click", 5L), (4L, "purchase", 10L))
+      .toDF("user_id", "event_type", "ts")
+      .write.parquet(s"$dir/events.parquet")
+
+    val r = Relational.eventsFunnel(spark, dir).collect()(0)
+    assert(r.getLong(0) === 3, "viewers: users 1, 2, 3")
+    assert(r.getLong(1) === 2, "clickers after view: users 1, 2 (3 tied)")
+    assert(r.getLong(2) === 1, "purchasers after click: user 1 only")
+    assert(r.getDouble(3) === 2.0 / 3.0)
+    assert(r.getDouble(4) === 0.5)
+  }
+}
