@@ -57,8 +57,13 @@ object Bench {
     // query: a transient contention spike lasting a few seconds would hit
     // all consecutive reps of one query and survive the min (the r6 q1_agg
     // 4.4x artifact), but spread across passes it inflates at most one rep
-    // of each query and the min discards it.
-    val passes = (1 to reps).map { _ =>
+    // of each query and the min discards it. The first pass(es) are
+    // DISCARDED warmup: they pay each query's one-time codegen compile,
+    // JIT profiling, and file-listing costs, which consecutive-rep timing
+    // amortised implicitly — without the discard those costs land in
+    // every measured pass's first rep and the min keeps them.
+    val warmup = math.max(0, sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1").toInt)
+    val passes = (1 to warmup + reps).map { pass =>
       picked.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -67,7 +72,7 @@ object Bench {
         }
         name -> (System.nanoTime() - t0) / 1e9
       }.toMap
-    }
+    }.drop(warmup)
     val results = picked.map { case (name, _) =>
       name -> passes.map(_(name)).min
     }
