@@ -38,6 +38,9 @@ object Config {
   private def scalar(raw: String): String = {
     val t = raw.trim
     if (t.startsWith("\"") || t.startsWith("'")) unquote(t)
+    // a value that is ONLY a comment (`key:  # note`) is an empty value —
+    // the key is a section header; a literal '#' value must be quoted
+    else if (t.startsWith("#")) ""
     else t.split(" #", 2)(0).trim
   }
 

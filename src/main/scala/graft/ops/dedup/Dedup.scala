@@ -293,7 +293,10 @@ object Dedup {
                          idCol: String = "doc_id", textCol: String = "text",
                          maxBits: Int = 1 << 20): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val base = shingled(docs, idCol, textCol)
+    // staged: the pre-check, the vocab index, and the bitmap build all
+    // consume the shingled base — unstaged, the tokenise pass would run
+    // three times on the accept path
+    val base = shingled(spread(docs), idCol, textCol).localCheckpoint()
     // HLL pre-check BEFORE the staged index: a huge-vocabulary corpus must
     // be rejected without paying vocabIndex's bounded-only-by-vocab
     // single-task sort (the same doubled-slack estimate the adaptive route
@@ -528,6 +531,9 @@ object Dedup {
       .select(col("id"), array_sort(transform(col("shs"), sh => xxhash64(sh))).as("sh"),
         minhashSignature(col("shs"), numHashes).as("sig"))
       .withColumn("n", size(col("sh")))
+      // see minhashIndex: empty-set signatures are identical and would
+      // band-collide quadratically before verification discards them
+      .where(col("n") > 0)
       .localCheckpoint()
     // band join carries (id, bucket-hash) ONLY — the heavy sorted-shingle
     // arrays do NOT ride the ×bands explode through the shuffle. The band
@@ -561,6 +567,10 @@ object Dedup {
       .select(col("id"), array_sort(transform(col("shs"), sh => xxhash64(sh))).as("sh"),
         minhashSignature(col("shs"), numHashes).as("sig"))
       .withColumn("n", size(col("sh")))
+      // shingle-less docs can't be near-dups, and their EMPTY-set signature
+      // (all Long.MaxValue) is identical — k such docs would band-collide
+      // into O(k²) candidates that verification only then discards
+      .where(col("n") > 0)
   }
 
   /** Incremental near-dup detection: every pair with J ≥ `minJaccard`
@@ -582,9 +592,14 @@ object Dedup {
     graft.functions.GraftFunctions.register(newDocs.sparkSession)
     val rows = numHashes / bands
     val newBase = minhashIndex(newDocs, numHashes, idCol, textCol).localCheckpoint()
+    // staged: the band join and the verification re-attach BOTH consume
+    // it — unstaged, an inline-built index would re-run its tokenise +
+    // signature pass per consumer (the same double-evaluation minhashLsh
+    // stages its base against)
     val all = index.select(col("id"), col("sh"), col("sig"), col("n"))
       .withColumn("is_new", lit(false))
       .unionByName(newBase.withColumn("is_new", lit(true)))
+      .localCheckpoint()
     def banded(df: DataFrame) = df.select(col("id"), col("is_new"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => slice(col("sig"), b * rows + 1, lit(rows)))).as(Seq("band", "bandsig")))

@@ -110,8 +110,12 @@ object Sampling {
                   salt: String = ""): DataFrame = {
     require(totalBudget >= 0, "totalBudget must be non-negative")
     import org.apache.spark.sql.expressions.Window
-    val sumW = df.select(col(sourceCol).as("__src"), weight.cast("double").as("__w"))
-      .distinct().agg(sum("__w")).head().getDouble(0)
+    val sumW = Option(df.select(col(sourceCol).as("__src"), weight.cast("double").as("__w"))
+        .distinct().agg(sum("__w")).head().get(0))
+      .map(_.asInstanceOf[Double]).getOrElse(0.0)
+    require(sumW > 0,
+      "mixToBudget: total source weight must be positive " +
+        "(empty input, or zero/null weights)")
     val order = conv(substring(md5(concat(col(idCol).cast("string"), lit(salt))), 1, 8),
       16, 10).cast("long")
     val w = Window.partitionBy(col(sourceCol)).orderBy(order, col(idCol))

@@ -45,7 +45,8 @@ object Pipeline {
 
   val jaccardPairsSql: String =
     """WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
-      |s AS (SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) sh FROM t),
+      |s0 AS (SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) sh FROM t),
+      |s AS (SELECT doc_id, sh FROM s0 WHERE len(sh) > 0),
       |p AS (SELECT a.doc_id AS a, b.doc_id AS b,
       |  len(list_intersect(a.sh, b.sh))::DOUBLE /
       |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
@@ -91,7 +92,8 @@ object Pipeline {
       |t AS (SELECT doc_id,
       |    [w || '#' || (doc_id % n)::VARCHAR for w in string_split(text, ' ')] w
       |  FROM documents, g),
-      |s AS (SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) sh FROM t),
+      |s0 AS (SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) sh FROM t),
+      |s AS (SELECT doc_id, sh FROM s0 WHERE len(sh) > 0),
       |p AS (SELECT a.doc_id AS a, b.doc_id AS b,
       |  len(list_intersect(a.sh, b.sh))::DOUBLE /
       |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
@@ -240,8 +242,9 @@ object Pipeline {
 
   val dedupIncrementalSql: String =
     """WITH t AS (SELECT doc_id, source, string_split(text, ' ') w FROM documents),
-      |s AS (SELECT doc_id, source = 'src0' AS is_new,
+      |s0 AS (SELECT doc_id, source = 'src0' AS is_new,
       |    list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) sh FROM t),
+      |s AS (SELECT doc_id, is_new, sh FROM s0 WHERE len(sh) > 0),
       |p AS (SELECT a.doc_id AS a, b.doc_id AS b,
       |  len(list_intersect(a.sh, b.sh))::DOUBLE /
       |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
@@ -457,10 +460,12 @@ object Pipeline {
     // cost is the probe). The table suffix fingerprints the DATA (file
     // sizes/mtimes, graft.io.Fingerprint) — regenerating the dataset under
     // the same path rebuilds the index instead of silently reusing a stale
-    // one. Persistence is best-effort: any catalog/warehouse failure
-    // (read-only scratch dir, an orphaned directory from a previous JVM's
-    // in-memory catalog) falls back to the self-contained build-and-probe,
-    // so the QUERY never fails because the CACHE could not be kept.
+    // one. Persistence is best-effort: a catalog/warehouse failure at
+    // build or analysis time (read-only scratch dir, an orphaned directory
+    // from a previous JVM's in-memory catalog — the failure modes actually
+    // observed) falls back to the self-contained build-and-probe. Files
+    // vanishing AFTER successful analysis still fail at scan time, as with
+    // any table read.
     try {
       val fp = graft.io.Fingerprint.ofPath(spark, s"$dir/embeddings.parquet")
       val (cellsT, centT) = (s"graft_ivf_cells_$fp", s"graft_ivf_centroids_$fp")

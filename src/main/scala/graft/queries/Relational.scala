@@ -325,12 +325,17 @@ object Relational {
     val u3 = ev.where(col("event_type") === "purchase").join(u2, "user_id")
       .where(col("ts") > col("t2"))
       .groupBy("user_id").agg(min("ts").as("t3"))
+    // empty stages convert at a DEFINED 0.0 — a bare division would give
+    // NULL here and NaN/inf in the oracle, a cross-engine divergence on
+    // degenerate data
     u1.agg(count(lit(1)).as("n_view"))
       .crossJoin(u2.agg(count(lit(1)).as("n_click")))
       .crossJoin(u3.agg(count(lit(1)).as("n_purchase")))
       .select(col("n_view"), col("n_click"), col("n_purchase"),
-        (col("n_click").cast("double") / col("n_view")).as("conv_click"),
-        (col("n_purchase").cast("double") / col("n_click")).as("conv_purchase"))
+        when(col("n_view") > 0, col("n_click").cast("double") / col("n_view"))
+          .otherwise(lit(0.0)).as("conv_click"),
+        when(col("n_click") > 0, col("n_purchase").cast("double") / col("n_click"))
+          .otherwise(lit(0.0)).as("conv_purchase"))
   }
 
   val eventsFunnelSql: String =
@@ -338,12 +343,14 @@ object Relational {
       |u2 AS (SELECT e.user_id, min(e.ts) t2 FROM events e JOIN u1 USING (user_id)
       |  WHERE e.event_type = 'click' AND e.ts > u1.t1 GROUP BY e.user_id),
       |u3 AS (SELECT e.user_id, min(e.ts) t3 FROM events e JOIN u2 USING (user_id)
-      |  WHERE e.event_type = 'purchase' AND e.ts > u2.t2 GROUP BY e.user_id)
-      |SELECT (SELECT count(*) FROM u1) AS n_view,
+      |  WHERE e.event_type = 'purchase' AND e.ts > u2.t2 GROUP BY e.user_id),
+      |c AS (SELECT (SELECT count(*) FROM u1) AS n_view,
       |  (SELECT count(*) FROM u2) AS n_click,
-      |  (SELECT count(*) FROM u3) AS n_purchase,
-      |  (SELECT count(*) FROM u2)::DOUBLE / (SELECT count(*) FROM u1) AS conv_click,
-      |  (SELECT count(*) FROM u3)::DOUBLE / (SELECT count(*) FROM u2) AS conv_purchase""".stripMargin
+      |  (SELECT count(*) FROM u3) AS n_purchase)
+      |SELECT n_view, n_click, n_purchase,
+      |  CASE WHEN n_view > 0 THEN n_click::DOUBLE / n_view ELSE 0.0 END AS conv_click,
+      |  CASE WHEN n_click > 0 THEN n_purchase::DOUBLE / n_click ELSE 0.0 END AS conv_purchase
+      |FROM c""".stripMargin
 
   /** B12: TPC-H-Q6-style filter-aggregate through the SQL entry path
     * (spark.sql over registered views) — the other half of the API surface.

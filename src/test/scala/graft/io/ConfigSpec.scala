@@ -57,6 +57,16 @@ class ConfigSpec extends graft.SparkSpec {
     assert(conf("timeout") === "15")
   }
 
+  test("a section header with a trailing comment is still a section header") {
+    val conf = Config.parse(
+      """workflow:   # orchestration section
+        |  steps:    # the DAG
+        |    build:
+        |      kind: pg
+        |""".stripMargin, env = Map.empty)
+    assert(conf === Map("workflow.steps.build.kind" -> "pg"))
+  }
+
   test("the reference's own config fixtures parse to the expected keys") {
     // tests/resources/test-config.yml shape (reference: test_config.py)
     val conf = Config.parse(

@@ -59,6 +59,25 @@ class GuardSpec extends SparkSpec {
     assert(pairs(Dedup.ngramJaccardAdaptive(salted, 0.5, allowApproximate = false)) === exact)
   }
 
+  test("one-token docs never pair: jaccard, minhash, and incremental agree with " +
+      "the len(sh)>0-filtered oracles") {
+    // the degenerate fixture the oracle NaN fix targets: one-token docs on
+    // both sides plus one genuine near-dup pair — every route must emit
+    // exactly that pair (the unfixed oracle emitted NaN rows for the
+    // empty-shingle pairs; the engine must emit none)
+    val docs = Seq(
+      (1L, "src0", "solo"), (2L, "src0", "a b c d e f"),
+      (3L, "src1", "a b c d e g"), (4L, "src1", "lonely"), (5L, "src1", "x"))
+      .toDF("doc_id", "source", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs(Dedup.ngramJaccard(docs, 0.5)) === Set((2L, 3L)))
+    assert(pairs(Dedup.minhashLsh(docs, 0.5)) === Set((2L, 3L)))
+    assert(pairs(Dedup.minhashLshIncrement(
+      docs.where(col("source") === "src0"),
+      Dedup.minhashIndex(docs.where(col("source") =!= "src0")), 0.5)) === Set((2L, 3L)))
+  }
+
   test("containment: shingle-less (one-token) docs are excluded on BOTH sides") {
     // doc 1 (ref) and doc 4 (corpus) have a single token -> zero bigrams.
     // Neither may appear in the output (0/0 must not become NaN >= t, the

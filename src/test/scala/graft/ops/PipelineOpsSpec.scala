@@ -576,6 +576,12 @@ class PipelineOpsSpec extends SparkSpec {
     val again = mix(2000, docs.repartition(7)).select("doc_id")
       .collect().map(_.getLong(0)).toSet
     assert(again === ids)
+
+    // degenerate inputs fail loud, not with an NPE or a silent empty frame
+    val empty = docs.where(lit(false))
+    assertThrows[IllegalArgumentException](mix(2000, empty))
+    assertThrows[IllegalArgumentException](
+      Sampling.mixToBudget(docs, "source", "doc_id", tokens, lit(0.0), 2000))
   }
 
   test("annIvf: persisted index is data-fingerprinted, rebuilt on regeneration, " +

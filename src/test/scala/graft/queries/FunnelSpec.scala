@@ -30,4 +30,17 @@ class FunnelSpec extends SparkSpec {
     assert(r.getDouble(3) === 2.0 / 3.0)
     assert(r.getDouble(4) === 0.5)
   }
+
+  test("empty stages convert at a defined 0.0, not null/NaN") {
+    val dir = Files.createTempDirectory("graft-funnel-empty").toString
+    Seq((1L, "view", 10L), (2L, "view", 20L))
+      .toDF("user_id", "event_type", "ts")
+      .write.parquet(s"$dir/events.parquet")
+    val r = Relational.eventsFunnel(spark, dir).collect()(0)
+    assert(r.getLong(0) === 2)
+    assert(r.getLong(1) === 0)
+    assert(r.getLong(2) === 0)
+    assert(r.getDouble(3) === 0.0)
+    assert(r.getDouble(4) === 0.0)
+  }
 }
