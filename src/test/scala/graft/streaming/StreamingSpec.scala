@@ -223,6 +223,51 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("D3b: session state and source offsets survive a query restart from checkpoint") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-restart").toString
+    val src = s"$tmp/src"
+    val ckpt = s"$tmp/ckpt"
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val schema = org.apache.spark.sql.Encoders.product[Streaming.Event].schema
+
+    val outDir = s"$tmp/out"
+    // the memory sink is not fault-tolerant (no checkpoint recovery);
+    // foreachBatch + parquet is, and is the production sink shape anyway
+    def run(): Unit = {
+      val events = spark.readStream.schema(schema).parquet(src)
+        .as[Streaming.Event]
+      val q = Streaming.sessionize(events, gapMinutes = 30, emitOpen = false)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[Streaming.UserSession], _: Long) =>
+          batch.write.mode("append").parquet(outDir): Unit
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def emitted(): Seq[Streaming.UserSession] =
+      if (!new java.io.File(outDir).exists()) Nil
+      else spark.read.schema(org.apache.spark.sql.Encoders.product[Streaming.UserSession].schema)
+        .parquet(outDir).as[Streaming.UserSession].collect().toSeq
+
+    // run 1: two events 10 min apart — they buffer in the OPEN trailing
+    // session (emitOpen = false), so nothing is emitted
+    Seq(Streaming.Event(1, ts(0), 7L, "click", 1.0),
+        Streaming.Event(2, ts(10), 7L, "click", 2.0))
+      .toDS().write.parquet(src)
+    run()
+    assert(emitted().isEmpty, "the open session must stay buffered, not emitted")
+
+    // run 2 — a FRESH query on the SAME checkpoint: a later event closes
+    // the buffered session. Emitting it proves both recoveries at once:
+    // the state store carried the session across the restart, and the file
+    // source resumed past batch 1 (re-reading it would double n_events).
+    Seq(Streaming.Event(3, ts(100), 7L, "view", 4.0))
+      .toDS().write.mode("append").parquet(src)
+    run()
+    assert(emitted() === Seq(Streaming.UserSession(7L, ts(0), ts(10), 2, 3.0)))
+  }
+
   test("D3: sessionize splits on gaps > 30min and aggregates per session") {
     def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
     val events = Seq(
