@@ -190,8 +190,11 @@ object TextOps {
       "n_tokens" -> n.cast("long"),
       "mean_token_len" -> (sum_agg(transform(ws, w => length(w))).cast("double") / n),
       "stopword_ratio" -> (size(filter(ws, w => array_contains(en, w))).cast("double") / n),
-      "punct_ratio" -> ((length(text) - length(regexp_replace(text, "[^A-Za-z0-9 ]", ""))).cast("double")
-        / length(text)),
+      // empty text has a DEFINED ratio of 0.0 — a bare division would
+      // throw under Spark 4's default ANSI mode (div by zero is an error)
+      "punct_ratio" -> when(length(text) > 0,
+        (length(text) - length(regexp_replace(text, "[^A-Za-z0-9 ]", ""))).cast("double")
+          / length(text)).otherwise(lit(0.0)),
       "upper_ratio" -> (size(filter(ws, w => w.rlike("^[A-Z]"))).cast("double") / n))
   }
 

@@ -271,7 +271,7 @@ object Pipeline {
       |  SELECT doc_id,
       |    [list_reduce(
       |       list_prepend(14695981039346656037::HUGEINT,
-      |         [unicode(ch)::HUGEINT FOR ch IN string_split(t, '')]),
+      |         [unicode(ch)::HUGEINT FOR ch IN list_filter(string_split(t, ''), c -> c <> '')]),
       |       (h, b) -> ((h // 256 * 256 + xor(h % 256, b)) * 1099511628211::HUGEINT)
       |                 % 18446744073709551616::HUGEINT
       |     ) FOR t IN string_split(text, ' ')] AS hlist
@@ -428,7 +428,7 @@ object Pipeline {
       |fnv AS (SELECT source,
       |    list_reduce(
       |      list_prepend(14695981039346656037::HUGEINT,
-      |        [unicode(ch)::HUGEINT FOR ch IN string_split(tok, '')]),
+      |        [unicode(ch)::HUGEINT FOR ch IN list_filter(string_split(tok, ''), c -> c <> '')]),
       |      (h, b) -> ((h // 256 * 256 + xor(h % 256, b)) * 1099511628211::HUGEINT)
       |                % 18446744073709551616::HUGEINT) AS base
       |  FROM toks),
@@ -623,8 +623,9 @@ object Pipeline {
        |    / len(string_split(text, ' ')) AS mean_token_len,
        |  len(list_filter(string_split(text, ' '), w -> list_contains($en, w)))::DOUBLE
        |    / len(string_split(text, ' ')) AS stopword_ratio,
-       |  (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))::DOUBLE
-       |    / length(text) AS punct_ratio,
+       |  CASE WHEN length(text) > 0 THEN
+       |    (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))::DOUBLE
+       |      / length(text) ELSE 0.0 END AS punct_ratio,
        |  len(list_filter(string_split(text, ' '), w -> regexp_matches(w, '^[A-Z]')))::DOUBLE
        |    / len(string_split(text, ' ')) AS upper_ratio
        |FROM documents ORDER BY doc_id""".stripMargin

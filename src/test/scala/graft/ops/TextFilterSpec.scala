@@ -100,6 +100,17 @@ class TextFilterSpec extends SparkSpec {
     assert(r.getAs[Long]("n_phone") === 0L)
   }
 
+  test("quality columns survive empty text (ANSI division) and multi-space tokens") {
+    val df = Seq((1L, ""), (2L, "a  b"), (3L, "Regular text here")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id") +:
+        TextOps.qualityColumns(col("text")).map { case (n, c) => c.as(n) }: _*)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // Spark 4 runs ANSI mode: an unguarded /length(text) THROWS here
+    assert(out(1L).getAs[Double]("punct_ratio") === 0.0)
+    assert(out(2L).getAs[Long]("n_tokens") === 3L) // 'a', '', 'b'
+    assert(!out.values.exists(r => r.anyNull))
+  }
+
   test("bigram surprisal flags shuffled text that unigram surprisal cannot see") {
     val coherent = "the cat sat on the mat and the dog slept by the fire"
     // same MULTISET of tokens, incoherent order
