@@ -28,8 +28,13 @@ object Ann {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Zero-norm vectors have a DEFINED cosine of 0.0 to everything — a bare
+    * division would throw under Spark 4's default ANSI mode (0/0) and
+    * diverge from DuckDB's NaN; "no direction" ranking last is the only
+    * sensible semantic for ANN.
+    */
   def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
-    dot(a, b) / (normA * normB)
+    when(normA * normB > 0, dot(a, b) / (normA * normB)).otherwise(lit(0.0))
 
   /** Per-label centroids and each vector's cosine to its label centroid —
     * the standard embedding-space diagnostic (cluster cohesion, outlier

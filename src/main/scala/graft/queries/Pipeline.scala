@@ -299,7 +299,7 @@ object Pipeline {
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
       |n AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) nrm FROM e),
       |p AS (SELECT a.vec_id AS a, b.vec_id AS b,
-      |  round(list_sum([pr[1]*pr[2] for pr in list_zip(a.v, b.v)]) / (a.nrm*b.nrm), 6) AS cosine
+      |  round(CASE WHEN a.nrm*b.nrm > 0 THEN list_sum([pr[1]*pr[2] for pr in list_zip(a.v, b.v)]) / (a.nrm*b.nrm) ELSE 0.0 END, 6) AS cosine
       |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
       |SELECT a, b, cosine FROM p WHERE cosine >= 0.45 ORDER BY a, b""".stripMargin
 
@@ -315,7 +315,7 @@ object Pipeline {
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
       |n AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) nrm FROM e),
       |s AS (SELECT q.vec_id qid, c.vec_id cid,
-      |  round(list_sum([pr[1]*pr[2] for pr in list_zip(q.v, c.v)]) / (q.nrm*c.nrm), 6) cosine
+      |  round(CASE WHEN q.nrm*c.nrm > 0 THEN list_sum([pr[1]*pr[2] for pr in list_zip(q.v, c.v)]) / (q.nrm*c.nrm) ELSE 0.0 END, 6) cosine
       |  FROM n q JOIN n c ON q.vec_id < 20 AND c.vec_id >= 20),
       |r AS (SELECT qid, cid, cosine,
       |  row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) rnk FROM s)
@@ -337,9 +337,10 @@ object Pipeline {
       |  FROM p GROUP BY 1, 2),
       |cv AS (SELECT label, list(c ORDER BY pos) AS cv FROM cent GROUP BY label)
       |SELECT e.vec_id, e.label,
-      |  round(list_sum([pr[1]*pr[2] for pr in list_zip(v, cv)]) /
-      |    (sqrt(list_sum([a*a for a in v])) * sqrt(list_sum([c*c for c in cv]))), 6)
-      |    AS cos_centroid
+      |  round(CASE WHEN sqrt(list_sum([a*a for a in v])) * sqrt(list_sum([c*c for c in cv])) > 0
+      |    THEN list_sum([pr[1]*pr[2] for pr in list_zip(v, cv)]) /
+      |      (sqrt(list_sum([a*a for a in v])) * sqrt(list_sum([c*c for c in cv])))
+      |    ELSE 0.0 END, 6) AS cos_centroid
       |FROM e JOIN cv USING (label) ORDER BY vec_id""".stripMargin
 
   // ---- C7: LSH-bucketed ANN -----------------------------------------------
@@ -388,7 +389,7 @@ object Pipeline {
       |proj AS (SELECT vec_id, b, p, list_sum([pr[1]*pr[2] for pr in list_zip(n.v, sl.sl)]) pj FROM n CROSS JOIN sl),
       |codes AS (SELECT vec_id, b, sum(CASE WHEN pj > 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END)::BIGINT code FROM proj GROUP BY vec_id, b),
       |cand AS (SELECT DISTINCT q.vec_id qid, c.vec_id cid FROM codes q JOIN codes c ON q.b = c.b AND q.code = c.code WHERE q.vec_id < 20 AND c.vec_id >= 20),
-      |s AS (SELECT qid, cid, round(list_sum([pr[1]*pr[2] for pr in list_zip(q.v, c.v)]) / (q.nrm*c.nrm), 6) cosine FROM cand JOIN n q ON q.vec_id = qid JOIN n c ON c.vec_id = cid),
+      |s AS (SELECT qid, cid, round(CASE WHEN q.nrm*c.nrm > 0 THEN list_sum([pr[1]*pr[2] for pr in list_zip(q.v, c.v)]) / (q.nrm*c.nrm) ELSE 0.0 END, 6) cosine FROM cand JOIN n q ON q.vec_id = qid JOIN n c ON c.vec_id = cid),
       |r AS (SELECT qid, cid, cosine, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) rnk FROM s)
       |SELECT qid, cid, cosine, rnk FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
 

@@ -508,6 +508,20 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
   }
 
+  test("zero-norm vectors rank last with cosine 0.0 instead of crashing (ANSI 0/0)") {
+    import spark.implicits._
+    val corpus = Seq(
+      (100L, Array(1f, 0f, 0f, 0f)),
+      (101L, Array(0f, 0f, 0f, 0f)), // zero vector: unguarded cosine throws
+      (102L, Array(0.9f, 0.1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((1L, Array(1f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val out = Ann.bruteForceTopK(queries, corpus, k = 3)
+      .select("cid", "cosine").as[(Long, Double)].collect()
+    assert(out.map(_._1).toSeq === Seq(100L, 102L, 101L), "zero vector ranks last")
+    assert(out.find(_._1 == 101L).get._2 === 0.0)
+  }
+
   test("int8 quantization: bounded reconstruction error, cosine fidelity, zero-vector safe") {
     import spark.implicits._
     val q = Ann.quantizeInt8(embs)

@@ -30,7 +30,7 @@ shutil.rmtree(dst, ignore_errors=True)
 os.makedirs(dst)
 for p in glob.glob(f"{src}/*.parquet"):
     name = os.path.basename(p)
-    if name != "documents.parquet":
+    if name not in ("documents.parquet", "embeddings.parquet"):
         os.symlink(p, f"{dst}/{name}")
 
 con = duckdb.connect()
@@ -46,5 +46,21 @@ COPY (
   ) t(doc_id, text, lang, source, n_chars)
 ) TO '{dst}/documents.parquet' (FORMAT PARQUET)
 """)
-n = con.execute(f"SELECT count(*) FROM read_parquet('{dst}/documents.parquet')").fetchone()[0]
-print(f"wrote {dst} ({n} documents incl. 4 degenerate); now run Verify + check_oracle on it")
+# degenerate embeddings: a zero vector (cosine 0/0 -> ANSI crash if
+# unguarded) and an exact duplicate of corpus vector 30 (tie-breaking)
+con.execute(f"""
+COPY (
+  SELECT * FROM read_parquet('{src}/embeddings.parquet')
+  UNION ALL
+  SELECT 9001::BIGINT, (SELECT [0.0::FLOAT for _ in range(len(embedding))]
+    FROM read_parquet('{src}/embeddings.parquet') LIMIT 1), 0
+  UNION ALL
+  SELECT 9002::BIGINT, embedding, label
+    FROM read_parquet('{src}/embeddings.parquet') WHERE vec_id = 30
+) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)
+""")
+nd = con.execute(f"SELECT count(*) FROM read_parquet('{dst}/documents.parquet')").fetchone()[0]
+ne = con.execute(f"SELECT count(*) FROM read_parquet('{dst}/embeddings.parquet')").fetchone()[0]
+print(f"wrote {dst} ({nd} documents, {ne} embeddings incl. degenerate rows);")
+print("now: SPARK_GRAFT_CPUS=8 sbt -batch 'runMain graft.Verify /tmp/robust_sf /tmp/verify_robust'")
+print("     python3 tools/check_oracle.py /tmp/robust_sf /tmp/verify_robust")
