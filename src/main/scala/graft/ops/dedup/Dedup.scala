@@ -293,20 +293,21 @@ object Dedup {
                          idCol: String = "doc_id", textCol: String = "text",
                          maxBits: Int = 1 << 20): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    // staged: the pre-check, the vocab index, and the bitmap build all
-    // consume the shingled base — unstaged, the tokenise pass would run
-    // three times on the accept path
-    val base = shingled(spread(docs), idCol, textCol).localCheckpoint()
-    // HLL pre-check BEFORE the staged index: a huge-vocabulary corpus must
-    // be rejected without paying vocabIndex's bounded-only-by-vocab
-    // single-task sort (the same doubled-slack estimate the adaptive route
-    // checks; 2% HLL error cannot bridge a 2x margin). Survivors build the
-    // index once and the exact count enforces the precise cap below.
-    val approxVocab = base.select(explode(col("sh")).as("h"))
+    // HLL pre-check on the UNSTAGED plan: a huge-vocabulary corpus must be
+    // rejected without paying vocabIndex's bounded-only-by-vocab
+    // single-task sort — or an eager localCheckpoint's full-corpus
+    // materialization (the same doubled-slack estimate the adaptive route
+    // checks; 2% HLL error cannot bridge a 2x margin).
+    val raw = shingled(spread(docs), idCol, textCol)
+    val approxVocab = raw.select(explode(col("sh")).as("h"))
       .agg(approx_count_distinct("h")).head().getLong(0)
     require(approxVocab <= 2L * maxBits,
       s"ngramJaccardBitmap: vocabulary ~$approxVocab exceeds $maxBits bits — " +
         "not a dense corpus; use ngramJaccardPrefix/minhashLsh")
+    // survivors stage ONCE: the vocab index and the bitmap build both
+    // consume the shingled base, and the exact count below enforces the
+    // precise cap
+    val base = raw.localCheckpoint()
     val (idx, vocabBits) = vocabIndex(base)
     require(vocabBits <= maxBits,
       s"ngramJaccardBitmap: vocabulary $vocabBits exceeds $maxBits bits — " +
@@ -592,14 +593,16 @@ object Dedup {
     graft.functions.GraftFunctions.register(newDocs.sparkSession)
     val rows = numHashes / bands
     val newBase = minhashIndex(newDocs, numHashes, idCol, textCol).localCheckpoint()
-    // staged: the band join and the verification re-attach BOTH consume
-    // it — unstaged, an inline-built index would re-run its tokenise +
-    // signature pass per consumer (the same double-evaluation minhashLsh
-    // stages its base against)
+    // The union is consumed twice (band join + verification re-attach).
+    // Only the BATCH side is staged here: a production index is a
+    // checkpointed parquet whose two streaming scans are cheap, and
+    // copying the corpus-sized index into executor storage per increment
+    // would break the O(batch) contract. A caller building the index
+    // INLINE should stage it itself (as the dedup_incremental query does)
+    // or its tokenise pass runs once per consumer.
     val all = index.select(col("id"), col("sh"), col("sig"), col("n"))
       .withColumn("is_new", lit(false))
       .unionByName(newBase.withColumn("is_new", lit(true)))
-      .localCheckpoint()
     def banded(df: DataFrame) = df.select(col("id"), col("is_new"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => slice(col("sig"), b * rows + 1, lit(rows)))).as(Seq("band", "bandsig")))

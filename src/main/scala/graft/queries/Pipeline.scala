@@ -121,7 +121,8 @@ object Pipeline {
   val dedupClustersSql: String =
     s"""WITH RECURSIVE
        |t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
-       |s AS (SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) sh FROM t),
+       |s0 AS (SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) sh FROM t),
+       |s AS (SELECT doc_id, sh FROM s0 WHERE len(sh) > 0),
        |p AS (SELECT a.doc_id AS a, b.doc_id AS b,
        |  len(list_intersect(a.sh, b.sh))::DOUBLE /
        |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
@@ -236,7 +237,10 @@ object Pipeline {
     val d = docs(spark, dir)
     Dedup.minhashLshIncrement(
       d.where(col("source") === "src0"),
-      Dedup.minhashIndex(d.where(col("source") =!= "src0")),
+      // built INLINE here (no persisted checkpoint in the harness), so the
+      // query stages it — the operator deliberately does not copy a
+      // production checkpoint-backed index into executor storage
+      Dedup.minhashIndex(d.where(col("source") =!= "src0")).localCheckpoint(),
       minJaccard = 0.5)
   }
 

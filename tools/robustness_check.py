@@ -34,15 +34,19 @@ for p in glob.glob(f"{src}/*.parquet"):
         os.symlink(p, f"{dst}/{name}")
 
 con = duckdb.connect()
+# injected ids start past the real id range — hardcoded ids would collide
+# with real rows at larger scale factors and corrupt the comparison
+doc0 = con.execute(f"SELECT max(doc_id) + 1 FROM read_parquet('{src}/documents.parquet')").fetchone()[0]
+vec0 = con.execute(f"SELECT max(vec_id) + 1 FROM read_parquet('{src}/embeddings.parquet')").fetchone()[0]
 con.execute(f"""
 COPY (
   SELECT * FROM read_parquet('{src}/documents.parquet')
   UNION ALL
   SELECT * FROM (VALUES
-    (9001, 'solo', 'en', 'src0', 4),
-    (9002, '', 'en', 'src1', 0),
-    (9003, 'a  b', 'de', 'src2', 4),
-    (9004, 'x y', 'en', 'src1', 3)
+    ({doc0 + 0}, 'solo', 'en', 'src0', 4),
+    ({doc0 + 1}, '', 'en', 'src1', 0),
+    ({doc0 + 2}, 'a  b', 'de', 'src2', 4),
+    ({doc0 + 3}, 'x y', 'en', 'src1', 3)
   ) t(doc_id, text, lang, source, n_chars)
 ) TO '{dst}/documents.parquet' (FORMAT PARQUET)
 """)
@@ -52,10 +56,10 @@ con.execute(f"""
 COPY (
   SELECT * FROM read_parquet('{src}/embeddings.parquet')
   UNION ALL
-  SELECT 9001::BIGINT, (SELECT [0.0::FLOAT for _ in range(len(embedding))]
+  SELECT {vec0}::BIGINT, (SELECT [0.0::FLOAT for _ in range(len(embedding))]
     FROM read_parquet('{src}/embeddings.parquet') LIMIT 1), 0
   UNION ALL
-  SELECT 9002::BIGINT, embedding, label
+  SELECT {vec0 + 1}::BIGINT, embedding, label
     FROM read_parquet('{src}/embeddings.parquet') WHERE vec_id = 30
 ) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)
 """)
