@@ -46,7 +46,17 @@ object GraftFunctions {
       BitmapFromPositions(exprs(0), nWords = exprs(1).eval().asInstanceOf[Int])
     },
     "graft_bitmap_and_count" -> { exprs => BitmapAndCount(exprs(0), exprs(1)) },
-    "graft_quantize_i8" -> { exprs => QuantizeI8(exprs(0)) })
+    "graft_quantize_i8" -> { exprs => QuantizeI8(exprs(0)) },
+    "graft_bloom_agg" -> { exprs =>
+      BloomSketch(exprs(0),
+        bits = exprs(1).eval().asInstanceOf[Int],
+        numHashes = exprs(2).eval().asInstanceOf[Int]).toAggregateExpression()
+    },
+    "graft_bloom_contains" -> { exprs =>
+      BloomMightContain(exprs(0), exprs(1),
+        bits = exprs(2).eval().asInstanceOf[Int],
+        numHashes = exprs(3).eval().asInstanceOf[Int])
+    })
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry

@@ -58,6 +58,34 @@ object DataFrames {
       .drop("__salt")
   }
 
+  /** Bloom-filter semi-join reduction: keeps the rows of `df` whose
+    * `expr` MIGHT appear among `keys`' `keyExpr` values — no false
+    * negatives, so `bloomSemiJoin(df, …).join(keys, …)` equals
+    * `df.join(keys, …)` exactly; false positives (rate ≈
+    * (1−e^(−k·n/bits))^k) merely pass through to that exact join.
+    *
+    * The 100 TB shape for "filter a huge fact side by a large key set":
+    * a plain broadcast of the key set grows with |keys| and at some point
+    * stops fitting, while the filter is a FIXED `bits/8` bytes however
+    * many keys went in ([[graft.functions.BloomSketch]] merges by OR'ing
+    * fixed-size buffers, one narrow exchange). The probe is a codegen'd
+    * static call inside whole-stage codegen — scan speed. Size `bits` ≈
+    * 14·|keys| for ~1‰ false positives at numHashes=10. Both sides go
+    * through xxhash64, so `expr` and `keyExpr` must have the SAME Spark
+    * type (xxhash64 of an int and of its long widening differ).
+    */
+  def bloomSemiJoin(df: DataFrame, expr: Column, keys: DataFrame, keyExpr: Column,
+                    bits: Int = 1 << 23, numHashes: Int = 7): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val filt = keys.agg(
+      call_function("graft_bloom_agg", xxhash64(keyExpr), lit(bits), lit(numHashes))
+        .as("__bloom"))
+    df.crossJoin(broadcast(filt))
+      .where(call_function("graft_bloom_contains",
+        xxhash64(expr), col("__bloom"), lit(bits), lit(numHashes)))
+      .drop("__bloom")
+  }
+
   /** Multiset equality of two frames, order-insensitive (reference:
     * src/ketl/spark/utils.py:219 areDataFramesEqual). Distributed — a
     * double-sided except-all, no driver collect.

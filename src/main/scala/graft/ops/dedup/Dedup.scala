@@ -761,4 +761,77 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
       .orderBy("a", "b")
   }
+
+  /** Passage-level shared-content detection via content-defined chunking
+    * (the RefinedWeb/CDC shape; Penedo et al. 2023 §4.2 describe the
+    * motivation — document-level near-dup misses long passages copied
+    * between otherwise-different documents). Tokens whose cheap modular
+    * hash `(ascii(w)·256 + len(w)) mod divisor` is 0 end a chunk, so chunk
+    * boundaries average one per `divisor` tokens (pick a divisor COPRIME
+    * with 256, or the first-character term vanishes from the rule), and
+    * boundaries depend only on CONTENT — the same passage embedded in two
+    * different documents chunks identically regardless of its offset,
+    * which a fixed-stride window cannot guarantee. Chunks shorter than
+    * `minTokens` are noise and dropped; surviving chunks are keyed by
+    * md5 and any fingerprint appearing in ≥ `minDocs` distinct documents
+    * is reported with its document count and total occurrences.
+    *
+    * Plan: per-document narrow array work (staged token array, one
+    * boundary scan, zip_with slice assembly — no window, no per-doc
+    * shuffle), then two keyed shuffles over the narrow (fingerprint, id)
+    * projection only — (fp, id) pre-aggregation for the distinct-doc
+    * count, then fp — with map-side partial aggregation on both; the
+    * chunk TEXT never shuffles, and the second exchange carries one row
+    * per distinct (chunk, doc). Skew is bounded: a pathologically common
+    * chunk still collapses to one row per partition before each exchange.
+    */
+  def sharedPassages(docs: DataFrame, divisor: Int = 7, minTokens: Int = 5,
+                     minDocs: Int = 2,
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(minDocs >= 1, "minDocs must be >= 1")
+    chunkFingerprints(spread(docs), divisor, minTokens, idCol, textCol)
+      // explicit two-stage distinct so the per-doc occurrence counts
+      // pre-aggregate map-side
+      .groupBy("chunk_fp", "doc_id")
+      .agg(count(lit(1)).as("occ"))
+      .groupBy("chunk_fp")
+      .agg(count(lit(1)).as("n_docs"), sum(col("occ")).as("n_occ"))
+      .where(col("n_docs") >= minDocs)
+  }
+
+  /** The CDC projection behind [[sharedPassages]]: (doc_id, chunk_fp) per
+    * qualifying chunk, one row per occurrence. Pure narrow Column work —
+    * also the streaming-safe half (graft.streaming.Streaming.passageCounts
+    * aggregates it in update mode), kept shared so batch and stream
+    * chunking cannot drift.
+    */
+  def chunkFingerprints(docs: DataFrame, divisor: Int = 7, minTokens: Int = 5,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(divisor > 1, s"divisor must be > 1 (got $divisor)")
+    require(minTokens >= 1, "minTokens must be >= 1")
+    def boundary(w: Column): Column = (ascii(w) * 256 + length(w)) % divisor === 0
+    docs
+      .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("ws"))
+      .select(col("doc_id"), col("ws"), size(col("ws")).as("n"))
+      // 1-based boundary-token positions; n >= 1 guard because
+      // sequence(1, 0) would DESCEND, not return empty
+      .select(col("doc_id"), col("ws"), col("n"),
+        when(col("n") >= 1,
+          filter(sequence(lit(1), col("n")), i => boundary(element_at(col("ws"), i))))
+          .otherwise(array().cast("array<int>")).as("bidx"))
+      // chunk j spans starts(j)..ends(j) inclusive; a boundary token ends
+      // its chunk (CDC convention), the tail after the last boundary is
+      // the final chunk
+      .select(col("doc_id"), col("ws"),
+        concat(array(lit(1)), transform(col("bidx"), b => b + 1)).as("starts"),
+        concat(col("bidx"), array(col("n"))).as("ends"))
+      .select(col("doc_id"),
+        explode(filter(
+          zip_with(col("starts"), col("ends"), (s, e) =>
+            when(e - s + 1 >= minTokens, concat_ws(" ", slice(col("ws"), s, e - s + 1)))),
+          c => c.isNotNull)).as("chunk"))
+      // only the fingerprint leaves this projection; the chunk TEXT never
+      // reaches an exchange
+      .select(col("doc_id"), md5(col("chunk")).as("chunk_fp"))
+  }
 }

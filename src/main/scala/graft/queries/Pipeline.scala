@@ -159,6 +159,37 @@ object Pipeline {
       |FROM ev JOIN tr USING (gram)
       |GROUP BY eval_id, train_id ORDER BY eval_id, train_id""".stripMargin
 
+  /** C36: passage-level shared-content detection via content-defined
+    * chunking (see [[Dedup.sharedPassages]]) — catches long passages
+    * copied between otherwise-different documents, which document-level
+    * near-dup structurally misses.
+    */
+  def passageDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.sharedPassages(docs(spark, dir), divisor = 7, minTokens = 5, minDocs = 2)
+      .orderBy("chunk_fp")
+
+  /** Boundary rule `(ascii(w)·256 + len(w)) mod 7 = 0` is exact integer
+    * arithmetic in both engines; chunk spans are 1-based inclusive slices
+    * (`ws[s:e]` ≡ Spark `slice(ws, s, e-s+1)`); md5 of the re-joined
+    * chunk text keys the aggregation.
+    */
+  val passageDedupSql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |tok AS (SELECT doc_id, ws, len(ws) AS n FROM d),
+      |b AS (SELECT doc_id, ws, n,
+      |        [i FOR i IN range(1, n+1) IF (ascii(ws[i]) * 256 + len(ws[i])) % 7 = 0] AS bidx
+      |      FROM tok),
+      |se AS (SELECT doc_id, ws,
+      |        list_prepend(1, [i+1 FOR i IN bidx]) AS starts,
+      |        list_append(bidx, n) AS ends
+      |       FROM b),
+      |ch AS (SELECT doc_id, unnest([array_to_string(ws[starts[j]:ends[j]], ' ')
+      |                              FOR j IN range(1, len(starts)+1)
+      |                              IF ends[j] - starts[j] + 1 >= 5]) AS chunk
+      |       FROM se)
+      |SELECT md5(chunk) AS chunk_fp, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+      |FROM ch GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2 ORDER BY chunk_fp""".stripMargin
+
   /** C30: asymmetric containment of the src0 reference docs in the rest of
     * the corpus — quote/near-subset detection that a Jaccard threshold
     * can't express.
@@ -800,6 +831,32 @@ object Pipeline {
        |  sum(pass)::DOUBLE / count(*) AS pass_rate
        |FROM g GROUP BY source ORDER BY source""".stripMargin
   }
+
+  /** C37: exact per-source token-count percentiles — the length
+    * distribution a curation run reports next to [[corpusReport]]'s means
+    * (sequence-length budgeting for [[TextOps.packSequences]] and chunk
+    * sizing read p50/p90, outlier gates read p99). Exact sort-based
+    * percentiles are right here because groups are bounded (|sources|);
+    * whole-corpus percentiles at 100 TB should use approx_percentile
+    * instead (see [[graft.ops.stats.Stats.percentilesBy]]).
+    */
+  def corpusPercentiles(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.stats.Stats.percentilesBy(
+      docs(spark, dir), "source", size(TextOps.tokens(col("text"))),
+      pcts = Seq(0.25, 0.5, 0.9, 0.99))
+      .orderBy("source")
+
+  /** Both engines implement ANSI PERCENTILE_CONT (linear interpolation at
+    * rank p·(n−1)) with identical double arithmetic.
+    */
+  val corpusPercentilesSql: String =
+    """WITH d AS (SELECT source, len(string_split(text, ' '))::DOUBLE AS n_tok FROM documents)
+      |SELECT source, count(*) AS n,
+      |  round(quantile_cont(n_tok, 0.25), 6) AS p25,
+      |  round(quantile_cont(n_tok, 0.5), 6) AS p50,
+      |  round(quantile_cont(n_tok, 0.9), 6) AS p90,
+      |  round(quantile_cont(n_tok, 0.99), 6) AS p99
+      |FROM d GROUP BY source ORDER BY source""".stripMargin
 
   /** C15: unigram-LM surprisal quality scoring (two-pass: corpus token
     * frequencies → per-doc mean negative log-prob).

@@ -671,4 +671,23 @@ object Relational {
       |  max(ts)::TIMESTAMP AS session_end, count(*)::INTEGER AS n_events,
       |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
+
+  /** B33: key-distribution skew diagnostics — the measurement that decides
+    * salting/broadcast strategy before a big join (see
+    * [[graft.ops.stats.Stats.skewReport]] for the plan shape).
+    */
+  def qSkewReport(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.stats.Stats.skewReport(
+      Tables.load(spark, dir, "lineitem"), "l_suppkey", topK = 10)
+      .withColumnRenamed("key", "l_suppkey")
+      .orderBy(col("cnt").desc, col("l_suppkey"))
+
+  val qSkewReportSql: String =
+    """WITH pk AS (SELECT l_suppkey, count(*) AS cnt FROM lineitem GROUP BY 1),
+      |t AS (SELECT sum(cnt)::BIGINT AS total_rows, count(*) AS n_keys FROM pk)
+      |SELECT l_suppkey, cnt,
+      |  round(cnt::DOUBLE / total_rows, 6) AS share,
+      |  round(cnt::DOUBLE * n_keys / total_rows, 6) AS skew_ratio,
+      |  n_keys, total_rows
+      |FROM pk, t ORDER BY cnt DESC, l_suppkey LIMIT 10""".stripMargin
 }

@@ -102,6 +102,21 @@ object Streaming {
       .toDF("grp", "candidates", "n_tokens")
   }
 
+  /** D9: streaming passage-frequency monitor — the CDC chunk projection
+    * ([[graft.ops.dedup.Dedup.chunkFingerprints]], shared with the batch
+    * [[graft.ops.dedup.Dedup.sharedPassages]] so chunking cannot drift)
+    * aggregated to running per-fingerprint occurrence counts in update
+    * mode. The in-stream detector for boilerplate/copied passages: a
+    * fingerprint whose count climbs across many documents is template
+    * text to strip before training. State is one counter per distinct
+    * chunk — the md5 keys are fixed-width, and counts (not chunk text)
+    * are all the state holds.
+    */
+  def passageCounts(docs: DataFrame, divisor: Int = 7, minTokens: Int = 5): DataFrame =
+    graft.ops.dedup.Dedup.chunkFingerprints(docs, divisor, minTokens)
+      .groupBy("chunk_fp")
+      .agg(count(lit(1)).as("n_occ"))
+
   /** D5: stream-stream equi-join with an event-time band — `right` rows
     * within `[left.ts - bandBefore, left.ts + bandAfter]` of the matching
     * `left` row. The watermark plus the time bound is what lets the engine

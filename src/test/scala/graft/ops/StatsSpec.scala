@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ops.dedup.Dedup
+import graft.ops.stats.Stats
+
+/** Shared-passage CDC dedup, skew diagnostics, and exact percentiles. */
+class StatsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // ---- sharedPassages -----------------------------------------------------
+
+  // boundary rule for divisor 7: (ascii(w)·256 + len(w)) % 7 == 0, i.e.
+  // (4·ascii + len) % 7 == 0. "aqua" (97→388%7=3, +4) IS a boundary; alpha/
+  // beta/gamma/delta/epsilon/zeta are verified non-boundaries. The passage
+  // opens and closes on a boundary so its interior chunk is offset-free.
+  private val passage = "aqua alpha beta gamma delta epsilon zeta aqua"
+
+  test("sharedPassages finds a planted passage at DIFFERENT offsets (content-defined)") {
+    val docs = Seq(
+      (1L, s"one two $passage three"),
+      (2L, s"$passage nine ten eleven twelve thirteen"),
+      (3L, "unrelated words entirely here nothing shared")).toDF("doc_id", "text")
+    val out = Dedup.sharedPassages(docs, divisor = 7, minTokens = 5, minDocs = 2)
+      .collect()
+    // the interior chunk between the passage's two boundary tokens is
+    // identical in both docs even though its offset differs — a
+    // fixed-stride chunker cannot guarantee this
+    assert(out.length === 1)
+    assert(out.head.getLong(1) === 2 && out.head.getLong(2) === 2)
+  }
+
+  test("sharedPassages: single-doc repeats counted as occurrences, not docs") {
+    val docs = Seq((1L, s"$passage $passage")).toDF("doc_id", "text")
+    val all = Dedup.sharedPassages(docs, divisor = 7, minTokens = 5, minDocs = 1)
+      .collect()
+    assert(all.exists(r => r.getLong(1) == 1 && r.getLong(2) == 2))
+    assert(Dedup.sharedPassages(docs, divisor = 7, minTokens = 5, minDocs = 2).count() === 0)
+  }
+
+  test("sharedPassages handles degenerate docs (empty, null, boundary-free, all-boundary)") {
+    val docs = Seq(
+      (1L, Some("")),
+      (2L, None),
+      (3L, Some("alpha beta gamma delta epsilon")), // no boundary: one tail chunk
+      (4L, Some("aqua aqua aqua aqua aqua aqua"))) // every token a boundary
+      .toDF("doc_id", "text")
+    val out = Dedup.sharedPassages(docs, divisor = 7, minTokens = 5, minDocs = 1).collect()
+    // doc 3 survives as its whole-doc chunk; docs 1/2/4 produce only
+    // sub-minTokens chunks (or none) and must not crash
+    assert(out.length === 1 && out.head.getLong(2) === 1)
+  }
+
+  test("sharedPassages agrees with an independent per-doc chunker") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val expected = docs.select("doc_id", "text").as[(Long, String)].collect()
+      .flatMap { case (id, text) =>
+        val ws = text.split(" ", -1)
+        val chunks = scala.collection.mutable.ListBuffer.empty[String]
+        var start = 0
+        for (i <- ws.indices) {
+          val w = ws(i)
+          val boundary = ((if (w.isEmpty) 0 else w.head.toInt) * 256 + w.length) % 7 == 0
+          if (boundary) { chunks += ws.slice(start, i + 1).mkString(" "); start = i + 1 }
+        }
+        if (start < ws.length) chunks += ws.slice(start, ws.length).mkString(" ")
+        chunks.filter(_.split(" ", -1).length >= 5).map(c => (id, c))
+      }
+    // .toSeq BEFORE .map: mapping a Map to count-pairs would rebuild a Map
+    // keyed on n_docs and silently collapse equal pairs
+    val expAgg = expected.groupBy(_._2).toSeq.map { case (_, occ) =>
+      (occ.map(_._1).distinct.size.toLong, occ.size.toLong)
+    }.filter(_._1 >= 2).sorted
+    val got = Dedup.sharedPassages(docs, divisor = 7, minTokens = 5, minDocs = 2)
+      .select("n_docs", "n_occ").as[(Long, Long)].collect().toSeq.sorted
+    assert(got === expAgg)
+    assert(got.nonEmpty)
+  }
+
+  // ---- skewReport ---------------------------------------------------------
+
+  test("skewReport ranks a planted hot key first with exact share and skew") {
+    val df = (Seq.fill(60)("hot") ++ (1 to 40).map(i => s"k$i")).toDF("k")
+    val out = Stats.skewReport(df, "k", topK = 3)
+      .orderBy(col("cnt").desc, col("key")).collect()
+    assert(out.length === 3)
+    val top = out.head
+    assert(top.getString(0) === "hot")
+    assert(top.getLong(1) === 60L)
+    assert(top.getDouble(2) === 0.6)          // 60 / 100
+    assert(top.getDouble(3) === 24.6)         // 60 / (100/41 keys)
+    assert(top.getLong(4) === 41L && top.getLong(5) === 100L)
+    // remaining keys tie at cnt=1 → deterministic key-order tie-break
+    assert(out(1).getString(0) === "k1" && out(2).getString(0) === "k10")
+  }
+
+  // ---- percentilesBy ------------------------------------------------------
+
+  test("percentilesBy computes exact interpolated percentiles per group") {
+    val df = ((1 to 5).map(v => ("a", v)) ++ Seq(("b", 10), ("b", 20))).toDF("g", "v")
+    val out = Stats.percentilesBy(df, "g", col("v"), Seq(0.25, 0.5, 0.9))
+      .orderBy("g").collect()
+    assert(out.head.schema.fieldNames.toSeq ===
+      Seq("g", "n", "p25", "p50", "p90"))
+    val a = out.head
+    assert(a.getLong(1) === 5L)
+    assert(a.getDouble(2) === 2.0)   // rank 0.25·4 = 1 → value 2
+    assert(a.getDouble(3) === 3.0)
+    assert(a.getDouble(4) === 4.6)   // rank 3.6 → 4 + 0.6·(5-4)
+    val b = out(1)
+    assert(b.getDouble(3) === 15.0)  // midpoint interpolation
+  }
+}

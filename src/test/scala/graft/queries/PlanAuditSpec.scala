@@ -91,4 +91,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(readSchema.nonEmpty, plan)
     assert(!readSchema.contains("props") && !readSchema.contains("user_id"), plan)
   }
+
+  test("passage_dedup shuffles fingerprints only — chunk text never reaches an exchange") {
+    val plan = planOf("passage_dedup")
+    // both aggregations keep their map-side partial phase
+    assert(plan.contains("partial"), plan)
+    // every exchange carries the md5 fingerprint, never the chunk column
+    val exchanges = "Exchange hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(exchanges.nonEmpty, plan)
+    assert(exchanges.forall(e => e.contains("chunk_fp") && !e.contains("chunk#")),
+      exchanges.mkString("; "))
+  }
+
+  test("skew_report reduces to per-key counts before any global work") {
+    val plan = planOf("skew_report")
+    // the per-key count aggregates map-side; the totals ride a broadcast
+    assert(plan.contains("partial"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"), plan)
+    // the raw fact table is never re-shuffled wide: the only hash exchange
+    // keys on the grouping key
+    val exchanges = "Exchange hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(exchanges.forall(_.contains("key")), exchanges.mkString("; "))
+  }
 }

@@ -206,6 +206,25 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("hh_cands").collect().forall(_.getSeq[String](1).size <= capacity))
   }
 
+  test("D9: streaming passage counts converge to the batch chunking") {
+    val stream = Streaming.passageCounts(Streaming.documentStream(spark, dir))
+    val query = stream.writeStream
+      .format("memory").queryName("passage_counts").outputMode("update").start()
+    try query.processAllAvailable() finally query.stop()
+    // update mode emits running counts; the max per fingerprint is the
+    // final (monotone) count
+    val streamed = spark.table("passage_counts").collect()
+      .groupBy(_.getString(0)).map { case (fp, rows) =>
+        fp -> rows.map(_.getLong(1)).max
+      }
+    val batch = graft.ops.dedup.Dedup
+      .chunkFingerprints(spark.read.parquet(s"$dir/documents.parquet"))
+      .groupBy("chunk_fp").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed.toMap === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("stateless text gates (gopher + pii) run unchanged on a document stream") {
     import graft.ops.text.TextOps
     def gates(df: org.apache.spark.sql.DataFrame) = {
