@@ -701,14 +701,30 @@ object Dedup {
   def contamination(docs: DataFrame, isEval: Column, n: Int = 8,
                     idCol: String = "doc_id", textCol: String = "text",
                     maxGramDf: Long = 100000L,
-                    maxBroadcastGrams: Long = 1L << 22): DataFrame = {
+                    maxBroadcastGrams: Long = 1L << 22,
+                    bloomBits: Int = 1 << 26): DataFrame = {
     val base = spread(docs).select(col(idCol).as("id"), isEval.as("is_eval"),
         explode(ngramHashes(col(textCol), n)).as("h"))
     // staged: the guard count and the broadcast build both consume it, and
     // the eval-side explode should run once, not twice
     val evGrams = base.where(col("is_eval")).select("h").distinct().localCheckpoint()
     val reduced = evGrams.count() <= maxBroadcastGrams
-    val postings = if (reduced) base.join(broadcast(evGrams), "h") else base
+    // above the row-broadcast cutoff the semi-join reduction switches to a
+    // FIXED-size Bloom of the eval gram hashes (8 MiB at the default bits)
+    // instead of disappearing: false positives just ride through to the
+    // exact ev×tr join, so results are identical while the train posting
+    // stream still shrinks to ~eval-matching grams before any shuffle
+    val postings =
+      if (reduced) base.join(broadcast(evGrams), "h")
+      else {
+        graft.functions.GraftFunctions.register(docs.sparkSession)
+        val bloom = evGrams.agg(call_function("graft_bloom_agg",
+          col("h"), lit(bloomBits), lit(7)).as("__bloom"))
+        base.crossJoin(broadcast(bloom))
+          .where(call_function("graft_bloom_contains",
+            col("h"), col("__bloom"), lit(bloomBits), lit(7)))
+          .drop("__bloom")
+      }
     // hot-gram guard via an aggregated df table, not a window: a window
     // partitioned by h shuffles EVERY posting row; the groupBy reduces
     // map-side first, and on the semi-join-reduced branch the df table is

@@ -519,4 +519,41 @@ object TextOps {
       (acc, x) => (acc * 1000003L + x) % 2147483647L)
     Seq("rolling_fp" -> rolling, "md5_fp" -> md5(text))
   }
+
+  /** BM25 relevance of each document for a fixed term set (Robertson et
+    * al.; the Lucene `+1` idf variant, which keeps idf positive however
+    * common the term) — the ranked-retrieval primitive behind
+    * query-targeted curation: scoring a corpus against benchmark/topic
+    * terms to select (or down-weight) matching documents. Returns one row
+    * per document containing ≥1 query term: (doc_id, bm25).
+    *
+    * Plan: corpus stats (N, avgdl) are one map-combined aggregate; the
+    * token stream is filtered to the query terms INSIDE the array before
+    * exploding, so the explode emits O(matches), not O(tokens); term
+    * document frequencies reduce from the same (doc, term) aggregate and
+    * broadcast back with the stats. One keyed shuffle on (doc, term) —
+    * at 100 TB this is scan + one narrow exchange.
+    */
+  def bm25(docs: org.apache.spark.sql.DataFrame, queryTerms: Seq[String],
+           k1: Double = 1.2, b: Double = 0.75,
+           idCol: String = "doc_id", textCol: String = "text")
+      : org.apache.spark.sql.DataFrame = {
+    require(queryTerms.nonEmpty, "bm25: queryTerms must be non-empty")
+    val ws = tokens(col(textCol))
+    val stats = docs.agg(
+      count(lit(1)).cast("double").as("nd"),
+      avg(size(ws)).as("avgdl"))
+    val tf = docs
+      .select(col(idCol).as("doc_id"), size(ws).cast("double").as("dl"),
+        explode(filter(ws, w => w.isInCollection(queryTerms))).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).cast("double").as("tf"), first(col("dl")).as("dl"))
+    val dfTab = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val idf = log((col("nd") - col("df") + 0.5) / (col("df") + 0.5) + 1)
+    tf.join(broadcast(dfTab), "term")
+      .crossJoin(broadcast(stats))
+      .groupBy("doc_id")
+      .agg(sum(idf * col("tf") * (k1 + 1) /
+        (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))).as("bm25"))
+  }
 }

@@ -858,6 +858,31 @@ object Pipeline {
       |  round(quantile_cont(n_tok, 0.99), 6) AS p99
       |FROM d GROUP BY source ORDER BY source""".stripMargin
 
+  /** C38: BM25 relevance against a fixed topic-term set — ranked-retrieval
+    * scoring for query-targeted curation (see [[TextOps.bm25]]).
+    */
+  def textBm25(spark: SparkSession, dir: String): DataFrame =
+    TextOps.bm25(docs(spark, dir), queryTerms = Seq("spark", "query", "table"))
+      .select(col("doc_id"), round(col("bm25"), 6).as("bm25"))
+      .orderBy("doc_id")
+
+  /** Exact recomputation: Lucene `+1` idf, identical ln/division
+    * arithmetic; ≤3 addends per doc, 6-dp round absorbs summation order.
+    */
+  val textBm25Sql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |stats AS (SELECT count(*)::DOUBLE AS nd, avg(len(ws)) AS avgdl FROM d),
+      |t AS (SELECT doc_id, len(ws)::DOUBLE AS dl, unnest(ws) AS term FROM d),
+      |tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf, min(dl) AS dl
+      |       FROM t WHERE term IN ('spark', 'query', 'table') GROUP BY doc_id, term),
+      |df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term)
+      |SELECT doc_id, round(sum(
+      |    ln((nd - df + 0.5) / (df + 0.5) + 1) * tf * 2.2
+      |      / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+      |  ), 6) AS bm25
+      |FROM tf JOIN df USING (term) CROSS JOIN stats
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** C15: unigram-LM surprisal quality scoring (two-pass: corpus token
     * frequencies → per-doc mean negative log-prob).
     */

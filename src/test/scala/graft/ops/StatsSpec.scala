@@ -80,6 +80,54 @@ class StatsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  // ---- bm25 ---------------------------------------------------------------
+
+  test("bm25: rarer terms outscore common ones at equal tf and length") {
+    import graft.ops.text.TextOps
+    // "rare" appears in 1 of 4 docs, "common" in all 4; equal tf and dl
+    val docs = Seq(
+      (1L, "rare pad pad"),
+      (2L, "common pad pad"),
+      (3L, "common pad pad"),
+      (4L, "common pad pad")).toDF("doc_id", "text")
+    val out = TextOps.bm25(docs, Seq("rare", "common"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 4L)) // "pad"-only docs would drop
+    assert(out(1L) > out(2L), s"idf ordering violated: $out")
+    assert(out(2L) === out(3L) && out(3L) === out(4L))
+  }
+
+  test("bm25: term frequency saturates (k1 cap) and length normalises") {
+    import graft.ops.text.TextOps
+    val docs = Seq(
+      (1L, "hit pad"),
+      (2L, "hit hit pad"),          // higher tf, slightly longer
+      (3L, "hit pad pad pad pad")). // same tf as 1, longer doc
+      toDF("doc_id", "text")
+    val out = TextOps.bm25(docs, Seq("hit"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(2L) > out(1L))                 // more occurrences score higher
+    assert(out(2L) < 2 * out(1L))             // ...but sub-linearly (saturation)
+    assert(out(3L) < out(1L), s"length normalisation violated: $out")
+  }
+
+  // ---- contamination bloom branch ----------------------------------------
+
+  test("contamination's Bloom branch (eval vocab above broadcast cutoff) is exact") {
+    import graft.ops.dedup.Dedup
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val isEval = col("source") === "src0"
+    val viaBroadcast = Dedup.contamination(docs, isEval)
+      .collect().map(_.toSeq).toSet
+    // maxBroadcastGrams = 0 forces the row-broadcast reduction OFF, so the
+    // fixed-size Bloom prefilter carries the semi-join reduction instead
+    val viaBloom = Dedup.contamination(docs, isEval, maxBroadcastGrams = 0L,
+        bloomBits = 1 << 16)
+      .collect().map(_.toSeq).toSet
+    assert(viaBroadcast.nonEmpty)
+    assert(viaBloom === viaBroadcast)
+  }
+
   // ---- skewReport ---------------------------------------------------------
 
   test("skewReport ranks a planted hot key first with exact share and skew") {
