@@ -850,4 +850,52 @@ object Dedup {
       // reaches an exchange
       .select(col("doc_id"), md5(col("chunk")).as("chunk_fp"))
   }
+
+  /** Materialise the fixed-size Bloom filter of an eval set's distinct
+    * word n-gram hashes — the probe side of [[contamination]]'s Bloom
+    * branch, exposed so a STREAM can carry it as a literal: the filter is
+    * `bits/8` bytes however large the eval set, and probing it is a
+    * stateless narrow map (see
+    * [[graft.streaming.Streaming.contaminationFlags]]). Returns the zero
+    * filter when the eval set is empty (flags nothing).
+    */
+  def evalGramBloom(docs: DataFrame, isEval: Column, n: Int = 8,
+                    bits: Int = 1 << 23, numHashes: Int = 7,
+                    textCol: String = "text"): Array[Long] = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val row = docs.where(isEval)
+      .select(explode(ngramHashes(col(textCol), n)).as("h"))
+      .agg(call_function("graft_bloom_agg", col("h"), lit(bits), lit(numHashes)))
+      .head
+    Option(row.getAs[scala.collection.Seq[Long]](0))
+      .map(_.toArray).getOrElse(new Array[Long](bits / 64))
+  }
+
+  /** Survivor selection per dedup cluster — the step AFTER clustering that
+    * decides which copy to KEEP (clustering says "these are the same
+    * document"; curation needs exactly one of them in the training set).
+    * `clusters` is (id, component) as produced by
+    * [[graft.ops.graph.GraphOps.connectedComponents]]; the survivor is the
+    * member maximising `quality` (default: token count — keep the longest,
+    * i.e. least-truncated, copy), ties broken by minimum id so the choice
+    * is deterministic. Returns (component, keep_id, keep_q, n_members).
+    *
+    * Plan: `quality` evaluates in a narrow projection over the corpus;
+    * the join keys on id (clusters hold only the duplicated minority, so
+    * the join's build side is small); both windows then run over cluster
+    * members only — at 100 TB the window input is |dup docs|, not |docs|.
+    */
+  def canonicalize(docs: DataFrame, clusters: DataFrame,
+                   quality: Column = size(TextOps.tokens(col("text"))),
+                   idCol: String = "doc_id"): DataFrame = {
+    val members = clusters.join(
+      docs.select(col(idCol).as("id"), quality.as("q")), "id")
+    val byQ = Window.partitionBy("component").orderBy(col("q").desc, col("id"))
+    members
+      .withColumn("rank", row_number().over(byQ))
+      .withColumn("n_members", count(lit(1)).over(Window.partitionBy("component")))
+      .where(col("rank") === 1)
+      .select(col("component"), col("id").as("keep_id"),
+        col("q").as("keep_q"), col("n_members"))
+  }
 }

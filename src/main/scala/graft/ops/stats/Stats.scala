@@ -46,6 +46,54 @@ object Stats {
         col("total_rows"))
   }
 
+  /** Approximate quantiles from a power-of-two histogram sketch — the
+    * whole-corpus shape [[percentilesBy]]'s scaladoc points at: the exact
+    * aggregate materialises every group's values, which a single global
+    * group (percentiles over ALL of 100 TB) cannot afford. Here the state
+    * is O(|groups| · log₂ maxValue) bucket counts: the first aggregate
+    * map-side-combines to at most ~64 rows per group, everything after
+    * runs on that sketch.
+    *
+    * Bucketing is integer-exact on both engines (no floating-point log):
+    * a non-negative value v lands in bucket b = ⌊log₂(v+1)⌋, computed as
+    * the bit length of v+1 — so the sketch, and therefore the estimate,
+    * is bit-identical under any partitioning AND reproducible in DuckDB
+    * (`length(bin(v+1)) - 1`). Within a bucket ([2^b−1, 2^(b+1)−2]) the
+    * estimate interpolates linearly by rank, PERCENTILE_CONT-style:
+    * r = p·(n−1)+1, est = lower + (2^b−1)·(r − cum_before)/cnt. Relative
+    * error is bounded by the bucket width (≤ 2× the true value), which is
+    * the usual histogram-sketch tradeoff.
+    *
+    * Returns long-form (group, p, n, est) ordered by (group, p).
+    */
+  def histQuantiles(df: DataFrame, groupCol: String, valueCol: Column,
+                    pcts: Seq[Double]): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 0 && p <= 1),
+      "pcts must be non-empty fractions in [0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    // bit length of (v+1): integer-exact ⌊log₂(v+1)⌋, no Math.log
+    val bucket = (length(bin(valueCol.cast("long") + 1)) - 1).as("b")
+    val sketch = df.select(col(groupCol), bucket)
+      .groupBy(groupCol, "b").agg(count(lit(1)).as("cnt"))
+    // windows run over the SKETCH (≤ ~64 rows per group), not the data
+    val byB = Window.partitionBy(groupCol).orderBy("b")
+    val all = Window.partitionBy(groupCol)
+    val cum = sketch
+      .withColumn("cum", sum("cnt").over(byB))
+      .withColumn("cum_before", col("cum") - col("cnt"))
+      .withColumn("n", sum("cnt").over(all))
+    val r = col("p") * (col("n") - 1).cast("double") + 1
+    val lower = (expr("shiftleft(1L, b)") - 1).cast("double")
+    val width = lower // upper−lower = (2^(b+1)−2) − (2^b−1) = 2^b−1 = lower
+    cum
+      .withColumn("p", explode(array(pcts.map(lit(_)): _*)))
+      .where(col("cum_before") < r && r <= col("cum"))
+      .select(
+        col(groupCol), col("p"), col("n"),
+        round(lower + width * (r - col("cum_before")) / col("cnt"), 6).as("est"))
+      .orderBy(groupCol, "p")
+  }
+
   /** Exact percentiles of `valueCol` per `groupCol` (linear interpolation,
     * the ANSI PERCENTILE_CONT semantics both Spark's `percentile` and
     * DuckDB's `quantile_cont` implement).

@@ -534,6 +534,44 @@ object TextOps {
     * broadcast back with the stats. One keyed shuffle on (doc, term) —
     * at 100 TB this is scan + one narrow exchange.
     */
+  /** Top-k salient terms per document by TF-IDF (smoothed idf
+    * ln((N+1)/(df+1))) — the per-document keyword summary behind topic
+    * clustering, dedup explanation ("these docs share their top terms"),
+    * and corpus drift reports. Deterministic: scores are rounded to 6 dp
+    * BEFORE ranking so near-ties collapse to exact ties, then the term
+    * string breaks them — the ranking is reproducible across engines and
+    * partitionings.
+    *
+    * Plan: one (doc, term) keyed shuffle to term frequencies; document
+    * frequencies reduce FROM that aggregate (not a second pass over the
+    * corpus) and join back — broadcast when `broadcastVocab` (natural-
+    * language vocabularies are ~millions of rows, broadcastable), a keyed
+    * shuffle join otherwise. The final rank ≤ k window is the shape
+    * [[graft.plans.TopKPerKey]] rewrites to partial top-k BEFORE the
+    * exchange, so only k·|docs| rows reach the final sort.
+    */
+  def tfidfTopK(docs: org.apache.spark.sql.DataFrame, k: Int = 5,
+                broadcastVocab: Boolean = true,
+                idCol: String = "doc_id", textCol: String = "text")
+      : org.apache.spark.sql.DataFrame = {
+    require(k >= 1, s"tfidfTopK: k must be >= 1 (got $k)")
+    import org.apache.spark.sql.expressions.Window
+    val nTab = docs.agg(count(lit(1)).cast("double").as("nd"))
+    val tf = docs
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).cast("double").as("tf"))
+    val dfTab = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val joined =
+      if (broadcastVocab) tf.join(broadcast(dfTab), "term")
+      else tf.join(dfTab, "term")
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
+    joined.crossJoin(broadcast(nTab))
+      .withColumn("tfidf", round(col("tf") * log((col("nd") + 1) / (col("df") + 1)), 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("doc_id", "rank", "term", "tfidf")
+  }
+
   def bm25(docs: org.apache.spark.sql.DataFrame, queryTerms: Seq[String],
            k1: Double = 1.2, b: Double = 0.75,
            idCol: String = "doc_id", textCol: String = "text")

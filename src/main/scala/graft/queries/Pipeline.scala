@@ -138,6 +138,44 @@ object Pipeline {
        |FROM verts v LEFT JOIN reach r ON r.src = v.id
        |GROUP BY v.id ORDER BY v.id""".stripMargin
 
+  /** C3c: cluster survivor selection — which copy to KEEP per dedup
+    * cluster (see [[Dedup.canonicalize]]): highest token count wins,
+    * minimum doc_id breaks ties. Oracle: independent recursive-CTE
+    * transitive closure + the same window rule.
+    */
+  def dedupCanonical(spark: SparkSession, dir: String): DataFrame =
+    Dedup.canonicalize(
+      docs(spark, dir),
+      graft.ops.graph.GraphOps.connectedComponents(
+        Dedup.minhashLsh(docs(spark, dir), minJaccard = 0.5)))
+      .orderBy("component")
+
+  val dedupCanonicalSql: String =
+    """WITH RECURSIVE
+      |t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+      |s0 AS (SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) sh FROM t),
+      |s AS (SELECT doc_id, sh FROM s0 WHERE len(sh) > 0),
+      |p AS (SELECT a.doc_id AS a, b.doc_id AS b,
+      |  len(list_intersect(a.sh, b.sh))::DOUBLE /
+      |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+      |  FROM s a JOIN s b ON a.doc_id < b.doc_id),
+      |pairs AS (SELECT a, b FROM p WHERE jaccard >= 0.5),
+      |e AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT a, b FROM e
+      |  UNION
+      |  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a),
+      |verts AS (SELECT a AS id FROM pairs UNION SELECT b FROM pairs),
+      |clusters AS (SELECT v.id, least(v.id, min(r.dst)) AS component
+      |  FROM verts v LEFT JOIN reach r ON r.src = v.id GROUP BY v.id),
+      |m AS (SELECT c.id, c.component, len(string_split(d.text, ' ')) AS q
+      |  FROM clusters c JOIN documents d ON d.doc_id = c.id),
+      |rk AS (SELECT *,
+      |    row_number() OVER (PARTITION BY component ORDER BY q DESC, id) AS rank,
+      |    count(*) OVER (PARTITION BY component) AS n_members FROM m)
+      |SELECT component, id AS keep_id, q AS keep_q, n_members
+      |FROM rk WHERE rank = 1 ORDER BY component""".stripMargin
+
   /** C22: benchmark-contamination check — docs of source `src0` play the
     * eval set, everything else is training data; report every
     * (eval doc, train doc) pair sharing ≥1 distinct word 8-gram with the
@@ -858,6 +896,40 @@ object Pipeline {
       |  round(quantile_cont(n_tok, 0.99), 6) AS p99
       |FROM d GROUP BY source ORDER BY source""".stripMargin
 
+  /** C39: WHOLE-corpus token-count quantiles from the power-of-two
+    * histogram sketch ([[graft.ops.stats.Stats.histQuantiles]]) — the
+    * single-global-group case [[corpusPercentiles]]'s exact aggregate
+    * cannot scale to (it would materialise every length in one task);
+    * the sketch reduces map-side to ~20 bucket counts total.
+    */
+  def corpusHistQuantiles(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.stats.Stats.histQuantiles(
+      docs(spark, dir).select(lit("corpus").as("scope"), col("text")),
+      "scope", size(TextOps.tokens(col("text"))),
+      pcts = Seq(0.25, 0.5, 0.9, 0.99))
+
+  /** The bucket rule is integer-exact in both engines (bit length of
+    * v+1, no floating log); rank arithmetic and the in-bucket linear
+    * interpolation are reproduced operation-for-operation.
+    */
+  val corpusHistQuantilesSql: String =
+    """WITH d AS (SELECT 'corpus' AS scope,
+      |    len(string_split(text, ' '))::BIGINT AS v FROM documents),
+      |sk AS (SELECT scope, length(bin(v + 1)) - 1 AS b, count(*) AS cnt
+      |       FROM d GROUP BY scope, b),
+      |c AS (SELECT *,
+      |    sum(cnt) OVER (PARTITION BY scope ORDER BY b) AS cum,
+      |    sum(cnt) OVER (PARTITION BY scope) AS n FROM sk),
+      |e AS (SELECT *, cum - cnt AS cum_before FROM c),
+      |ps AS (SELECT unnest([0.25, 0.5, 0.9, 0.99]::DOUBLE[]) AS p),
+      |j AS (SELECT scope, p, n, b, cnt, cum_before, p * (n - 1) + 1 AS r
+      |      FROM e CROSS JOIN ps
+      |      WHERE cum_before < p * (n - 1) + 1 AND p * (n - 1) + 1 <= cum)
+      |SELECT scope, p, n,
+      |  round(((1::BIGINT << b) - 1)::DOUBLE
+      |    + ((1::BIGINT << b) - 1)::DOUBLE * (r - cum_before) / cnt, 6) AS est
+      |FROM j ORDER BY scope, p""".stripMargin
+
   /** C38: BM25 relevance against a fixed topic-term set — ranked-retrieval
     * scoring for query-targeted curation (see [[TextOps.bm25]]).
     */
@@ -882,6 +954,29 @@ object Pipeline {
       |  ), 6) AS bm25
       |FROM tf JOIN df USING (term) CROSS JOIN stats
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** C40: top-3 salient terms per document by TF-IDF (see
+    * [[TextOps.tfidfTopK]]) — ranked through the TopKPerKey rewrite, so
+    * only 3·|docs| rows survive to the final exchange.
+    */
+  def docTfidfTopk(spark: SparkSession, dir: String): DataFrame =
+    TextOps.tfidfTopK(docs(spark, dir), k = 3)
+      .orderBy("doc_id", "rank")
+
+  /** Scores round to 6 dp BEFORE the rank window in both engines, so
+    * near-ties collapse identically and the term tie-break decides.
+    */
+  val docTfidfTopkSql: String =
+    """WITH n AS (SELECT count(*)::DOUBLE AS nd FROM documents),
+      |t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM t GROUP BY doc_id, term),
+      |df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+      |s AS (SELECT doc_id, term, round(tf * ln((nd + 1) / (df + 1)), 6) AS tfidf
+      |      FROM tf JOIN df USING (term) CROSS JOIN n),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+      |      FROM s)
+      |SELECT doc_id, rank, term, tfidf FROM r WHERE rank <= 3
+      |ORDER BY doc_id, rank""".stripMargin
 
   /** C15: unigram-LM surprisal quality scoring (two-pass: corpus token
     * frequencies → per-doc mean negative log-prob).

@@ -179,6 +179,29 @@ object Streaming {
       .dropDuplicates("key_hash")
       .select("doc_id", "key_hash", "n_tokens")
 
+  /** D10: in-stream benchmark-contamination flagging — each arriving
+    * document is probed against a FIXED-size Bloom filter of the eval
+    * set's word n-gram hashes (built once in batch by
+    * [[graft.ops.dedup.Dedup.evalGramBloom]] and carried as a literal in
+    * the plan). Stateless and narrow: the same transform runs verbatim
+    * under batch (the spec's oracle) and `readStream` — no watermark, no
+    * state store, scan speed at any corpus size. Bloom false negatives
+    * are impossible, so `flagged = false` is definitive; a flagged doc is
+    * contaminated with probability ≈ 1 − FPR^n_hit_grams, and a batch
+    * [[graft.ops.dedup.Dedup.contamination]] over the flagged slice
+    * confirms exactly.
+    */
+  def contaminationFlags(docs: DataFrame, evalBloom: Array[Long],
+                         bits: Int = 1 << 23, numHashes: Int = 7,
+                         nGram: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.select(col("doc_id"),
+        size(filter(graft.ops.dedup.Dedup.ngramHashes(col("text"), nGram),
+          h => call_function("graft_bloom_contains",
+            h, typedLit(evalBloom.toSeq), lit(bits), lit(numHashes)))).as("n_hit_grams"))
+      .withColumn("flagged", col("n_hit_grams") > 0)
+  }
+
   final case class BandedDoc(bh: Long, id: Long, sh: Array[Long])
   final case class TsBandedDoc(bh: Long, id: Long, sh: Array[Long], ts: java.sql.Timestamp)
   final case class NearDup(a: Long, b: Long, jaccard: Double)

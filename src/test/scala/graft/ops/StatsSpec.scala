@@ -128,6 +128,76 @@ class StatsSpec extends SparkSpec {
     assert(viaBloom === viaBroadcast)
   }
 
+  // ---- histQuantiles ------------------------------------------------------
+
+  test("histQuantiles: estimates stay within the power-of-two bucket of the exact quantile") {
+    val rnd = new scala.util.Random(42)
+    val vals = Seq.fill(500)(rnd.nextInt(2000).toLong)
+    val df = vals.map(("g", _)).toDF("grp", "v")
+    val pcts = Seq(0.25, 0.5, 0.9, 0.99)
+    val got = Stats.histQuantiles(df, "grp", col("v"), pcts)
+      .collect().map(r => r.getDouble(1) -> r.getDouble(3)).toMap
+    val sorted = vals.sorted
+    pcts.foreach { p =>
+      // exact PERCENTILE_CONT and the estimate must share a bucket:
+      // the sketch's error bound is the bucket width (≤2× relative)
+      val r = p * (vals.size - 1)
+      val exact = sorted(r.toInt) + (r - r.toInt) *
+        (sorted(math.min(r.toInt + 1, vals.size - 1)) - sorted(r.toInt))
+      assert(got(p) <= 2 * exact + 1 && got(p) >= exact / 2 - 1,
+        s"p=$p est=${got(p)} exact=$exact")
+    }
+    // quantile estimates are monotone in p
+    val byP = pcts.map(got)
+    assert(byP === byP.sorted)
+  }
+
+  test("histQuantiles: bit-identical under any partitioning") {
+    val rnd = new scala.util.Random(7)
+    val df = Seq.fill(300)((s"g${rnd.nextInt(3)}", rnd.nextInt(100000).toLong))
+      .toDF("grp", "v")
+    val a = Stats.histQuantiles(df.repartition(1), "grp", col("v"), Seq(0.5, 0.95))
+      .collect().map(_.toSeq)
+    val b = Stats.histQuantiles(df.repartition(13), "grp", col("v"), Seq(0.5, 0.95))
+      .collect().map(_.toSeq)
+    assert(a.nonEmpty && a.toSeq === b.toSeq)
+  }
+
+  // ---- canonicalize -------------------------------------------------------
+
+  test("canonicalize keeps the longest member, ties broken by min id") {
+    import graft.ops.dedup.Dedup
+    val docs = Seq(
+      (1L, "short doc here"),
+      (2L, "this one is the longest of the cluster right here"),
+      (3L, "this one is the longest of the cluster right also"), // same len as 2
+      (9L, "lone other cluster a"),
+      (10L, "lone other cluster b")).toDF("doc_id", "text")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (9L, 9L), (10L, 9L))
+      .toDF("id", "component")
+    val out = Dedup.canonicalize(docs, clusters)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    // cluster 1: docs 2 and 3 tie at 10 tokens — min id 2 survives
+    assert(out === Set((1L, 2L, 3L), (9L, 9L, 2L)))
+  }
+
+  // ---- tfidfTopK ----------------------------------------------------------
+
+  test("tfidfTopK ranks rare terms above ubiquitous ones and goes through TopKPerKey") {
+    import graft.ops.text.TextOps
+    val docs = Seq(
+      (1L, "shared zebra shared shared"),
+      (2L, "shared common words here"),
+      (3L, "shared common words here")).toDF("doc_id", "text")
+    val q = TextOps.tfidfTopK(docs, k = 2)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), s"expected TopKPerKeyExec in:\n$plan")
+    val doc1 = q.where(col("doc_id") === 1).orderBy("rank")
+      .collect().map(r => (r.getInt(1), r.getString(2)))
+    // "zebra" (df=1) outranks "shared" (df=3) despite tf 1 vs 3
+    assert(doc1.head === ((1, "zebra")), s"got ${doc1.toSeq}")
+  }
+
   // ---- skewReport ---------------------------------------------------------
 
   test("skewReport ranks a planted hot key first with exact share and skew") {

@@ -307,4 +307,37 @@ class StreamingSpec extends SparkSpec {
     val s3 = sessions(2)
     assert(s3.user_id === 9L && s3.n_events === 1 && s3.sum_value === 16.0)
   }
+
+  test("D10: streaming contamination flags == batch twin, with no false negatives") {
+    import graft.ops.dedup.Dedup
+    val bits = 1 << 16
+    val batchDocs = spark.read.parquet(s"$dir/documents.parquet")
+    val bloom = Dedup.evalGramBloom(batchDocs, col("source") === "src0", bits = bits)
+    val stream = Streaming.contaminationFlags(
+      Streaming.documentStream(spark, dir), bloom, bits = bits)
+    val q = stream.writeStream.format("memory").queryName("contam_flags")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("contam_flags").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val twin = Streaming.contaminationFlags(batchDocs, bloom, bits = bits)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(streamed.nonEmpty && streamed === twin)
+    // Bloom admits no false negatives: every train doc the EXACT batch
+    // contamination check reports must be flagged by the stream
+    val contaminated = Dedup.contamination(batchDocs, col("source") === "src0")
+      .select("train_id").collect().map(_.getLong(0)).toSet
+    assert(contaminated.forall(streamed(_)),
+      s"missed: ${contaminated.filterNot(streamed(_))}")
+    // and the definitive negative side actually fires on this corpus
+    assert(streamed.values.exists(_ == false))
+  }
+
+  test("evalGramBloom of an empty eval set flags nothing") {
+    import graft.ops.dedup.Dedup
+    val batchDocs = spark.read.parquet(s"$dir/documents.parquet")
+    val bloom = Dedup.evalGramBloom(batchDocs, lit(false), bits = 1 << 10)
+    val out = Streaming.contaminationFlags(batchDocs, bloom, bits = 1 << 10)
+    assert(out.where(col("flagged")).count() === 0)
+  }
 }
