@@ -557,9 +557,12 @@ object TextOps {
     require(k >= 1, s"tfidfTopK: k must be >= 1 (got $k)")
     import org.apache.spark.sql.expressions.Window
     val nTab = docs.agg(count(lit(1)).cast("double").as("nd"))
+    // staged: the df table and the score join BOTH consume tf — without
+    // the checkpoint the tokenise+explode+shuffle subtree runs twice
     val tf = docs
       .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).cast("double").as("tf"))
+      .localCheckpoint()
     val dfTab = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
     val joined =
       if (broadcastVocab) tf.join(broadcast(dfTab), "term")
@@ -581,11 +584,14 @@ object TextOps {
     val stats = docs.agg(
       count(lit(1)).cast("double").as("nd"),
       avg(size(ws)).as("avgdl"))
+    // staged: the df table and the score join BOTH consume tf; it holds
+    // only O(matching docs · query terms) rows, so the checkpoint is tiny
     val tf = docs
       .select(col(idCol).as("doc_id"), size(ws).cast("double").as("dl"),
         explode(filter(ws, w => w.isInCollection(queryTerms))).as("term"))
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).cast("double").as("tf"), first(col("dl")).as("dl"))
+      .localCheckpoint()
     val dfTab = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
     val idf = log((col("nd") - col("df") + 0.5) / (col("df") + 0.5) + 1)
     tf.join(broadcast(dfTab), "term")

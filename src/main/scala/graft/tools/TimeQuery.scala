@@ -23,8 +23,10 @@ object TimeQuery {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    val explain = sys.env.get("SPARK_GRAFT_EXPLAIN").exists(_ == "1")
     args.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
+      if (explain) fn(spark, sfDir).explain("formatted")
       (1 to reps).foreach { r =>
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
