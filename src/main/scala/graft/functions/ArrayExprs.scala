@@ -396,6 +396,65 @@ object SrpCodes {
   }
 }
 
+/** Johnson–Lindenstrauss ±1 sign projection (Achlioptas 2003) of an
+  * `array<double>` vector to `dimOut` dimensions: out[j] = (1/√dimOut) ·
+  * Σᵢ s(i,j)·v[i], s(i,j) = parity of mix64((j·dimIn + i)·φ + seed)
+  * mapped to ±1. The matrix IS the hash stream — identical on every
+  * executor with nothing broadcast, reproducible in the DuckDB oracle's
+  * HUGEINT mod-2^64 arithmetic, and usable verbatim in a stream. One
+  * tight codegen'd loop (dimIn·dimOut flops) instead of nested HOF
+  * reductions — which Spark 4 ANSI mode would reject anyway at the
+  * wrapping multiply.
+  */
+case class JlProject(child: Expression, dimOut: Int, seed: Long)
+    extends UnaryExpression {
+  require(dimOut >= 1, s"graft_jl_project: dimOut must be >= 1 (got $dimOut)")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_jl_project"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got ${other.sql}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    JlProject.project(v.asInstanceOf[ArrayData], dimOut, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      v => s"graft.functions.JlProject.project($v, $dimOut, ${seed}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): JlProject =
+    copy(child = newChild)
+}
+
+object JlProject {
+  def project(v: ArrayData, dimOut: Int, seed: Long): ArrayData = {
+    val dimIn = v.numElements()
+    val root = math.sqrt(dimOut.toDouble)
+    val out = new Array[Double](dimOut)
+    var j = 0
+    while (j < dimOut) {
+      var acc = 0.0
+      var i = 0
+      while (i < dimIn) {
+        val bit = SrpCodes.mix64(
+          (j.toLong * dimIn + i) * 0x9E3779B97F4A7C15L + seed) & 1L
+        val x = v.getDouble(i)
+        acc += (if (bit == 1L) x else -x)
+        i += 1
+      }
+      // divide, don't multiply by a reciprocal: the oracle's `/ sqrt(n)`
+      // must match to the last bit
+      out(j) = acc / root
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
 /** Feature-hashing vectorizer (the "hashing trick", Weinberger et al.):
   * a bag-of-words embedded into `dims` dimensions in one pass — each
   * token's FNV-1a hash picks a bucket and a ±1 sign, signs summed per

@@ -47,6 +47,11 @@ object GraftFunctions {
     },
     "graft_bitmap_and_count" -> { exprs => BitmapAndCount(exprs(0), exprs(1)) },
     "graft_quantize_i8" -> { exprs => QuantizeI8(exprs(0)) },
+    "graft_jl_project" -> { exprs =>
+      JlProject(exprs(0),
+        dimOut = exprs(1).eval().asInstanceOf[Int],
+        seed = exprs(2).eval().asInstanceOf[Long])
+    },
     "graft_bloom_agg" -> { exprs =>
       BloomSketch(exprs(0),
         bits = exprs(1).eval().asInstanceOf[Int],

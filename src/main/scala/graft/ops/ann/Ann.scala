@@ -296,4 +296,26 @@ object Ann {
       .where(col("rank") <= k)
       .orderBy("qid", "rank")
   }
+
+  /** Johnson–Lindenstrauss dimensionality reduction by a DETERMINISTIC
+    * dense ±1 sign projection (Achlioptas 2003 — random-sign matrices
+    * satisfy the JL distance-preservation lemma like Gaussians do, and
+    * their generation is pure integer hashing). See
+    * [[graft.functions.JlProject]] for the sign rule and the codegen loop.
+    *
+    * The shrink step before storage/brute-force rescoring: a 64→16
+    * projection cuts ANN scan cost 4× while pairwise cosines move by
+    * O(1/√dimOut). No data-dependent training (vs. PCA/IVF) — the matrix
+    * IS the hash stream, identical on every executor, no broadcast
+    * needed, and a STREAM can project with the same expression. Narrow,
+    * one pass; components rounded to 6 dp for cross-engine comparison.
+    */
+  def jlProject(embs: DataFrame, dimOut: Int, seed: Long = 17L,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    graft.functions.GraftFunctions.register(embs.sparkSession)
+    embs.select(col(idCol),
+      transform(
+        call_function("graft_jl_project", vec(col(vecCol)), lit(dimOut), lit(seed)),
+        x => round(x, 6)).as("proj"))
+  }
 }

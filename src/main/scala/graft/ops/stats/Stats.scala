@@ -46,6 +46,13 @@ object Stats {
         col("total_rows"))
   }
 
+  /** Power-of-two histogram bucket of a non-negative value: bit length of
+    * (v+1) = ⌊log₂(v+1)⌋, integer-exact (no Math.log), shared by the batch
+    * sketch and its streaming twin so bucketing cannot drift.
+    */
+  def pow2Bucket(valueCol: Column): Column =
+    length(bin(valueCol.cast("long") + 1)) - 1
+
   /** Approximate quantiles from a power-of-two histogram sketch — the
     * whole-corpus shape [[percentilesBy]]'s scaladoc points at: the exact
     * aggregate materialises every group's values, which a single global
@@ -71,9 +78,7 @@ object Stats {
     require(pcts.nonEmpty && pcts.forall(p => p >= 0 && p <= 1),
       "pcts must be non-empty fractions in [0, 1]")
     import org.apache.spark.sql.expressions.Window
-    // bit length of (v+1): integer-exact ⌊log₂(v+1)⌋, no Math.log
-    val bucket = (length(bin(valueCol.cast("long") + 1)) - 1).as("b")
-    val sketch = df.select(col(groupCol), bucket)
+    val sketch = df.select(col(groupCol), pow2Bucket(valueCol).as("b"))
       .groupBy(groupCol, "b").agg(count(lit(1)).as("cnt"))
     // windows run over the SKETCH (≤ ~64 rows per group), not the data
     val byB = Window.partitionBy(groupCol).orderBy("b")

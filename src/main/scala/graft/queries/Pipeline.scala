@@ -583,6 +583,35 @@ object Pipeline {
       |FROM s, range(0, 64) t(i)
       |ORDER BY vec_id, pos""".stripMargin
 
+  // ---- C41: Johnson–Lindenstrauss sign projection -------------------------
+  // exploded to scalar rows like C34 for a schema-neutral driver compare
+  def embedProject(spark: SparkSession, dir: String): DataFrame =
+    Ann.jlProject(embs(spark, dir), dimOut = 16)
+      .select(col("vec_id"), posexplode(col("proj")).as(Seq("pos", "p")))
+      .orderBy("vec_id", "pos")
+
+  /** Sign stream reproduced in HUGEINT mod-2^64 arithmetic (the
+    * [[annLshSql]] splitmix64 recipe over seeds (j·64+i)·φ + 17); the
+    * signed fold is left-to-right double accumulation in both engines.
+    */
+  val embedProjectSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+      |ij AS (SELECT j, i,
+      |    ((j::HUGEINT * 64 + i::HUGEINT) * 11400714819323198485::HUGEINT + 17::HUGEINT)
+      |      % 18446744073709551616::HUGEINT AS x
+      |  FROM range(0,16) a(j), range(0,64) b(i)),
+      |m1 AS (SELECT j, i, (x + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT y FROM ij),
+      |m2 AS (SELECT j, i, xor(y, y >> 30) y FROM m1),
+      |m3 AS (SELECT j, i, (((y >> 32) * 13787848793156543929::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT + (y % 4294967296::HUGEINT) * 13787848793156543929::HUGEINT) % 18446744073709551616::HUGEINT y FROM m2),
+      |m4 AS (SELECT j, i, xor(y, y >> 27) y FROM m3),
+      |m5 AS (SELECT j, i, (((y >> 32) * 10723151780598845931::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT + (y % 4294967296::HUGEINT) * 10723151780598845931::HUGEINT) % 18446744073709551616::HUGEINT y FROM m4),
+      |sg AS (SELECT j, i, CASE WHEN xor(y, y >> 31) % 2 = 1 THEN 1.0 ELSE -1.0 END s FROM m5),
+      |sl AS (SELECT j, list(s ORDER BY i) sl FROM sg GROUP BY j),
+      |proj AS (SELECT vec_id, j,
+      |    round(list_sum([pr[1]*pr[2] for pr in list_zip(v, sl)]) / sqrt(16.0), 6) p
+      |  FROM e CROSS JOIN sl)
+      |SELECT vec_id, j::INT AS pos, p FROM proj ORDER BY vec_id, pos""".stripMargin
+
   // ---- C8: language id ----------------------------------------------------
 
   def textLangId(spark: SparkSession, dir: String): DataFrame = {

@@ -102,6 +102,20 @@ object Streaming {
       .toDF("grp", "candidates", "n_tokens")
   }
 
+  /** D11: streaming length-distribution sketch — running power-of-two
+    * histogram bucket counts of the token length per group, update mode.
+    * The bucket rule is SHARED with the batch quantile sketch
+    * ([[graft.ops.stats.Stats.pow2Bucket]]) so the stream's final state
+    * IS the batch sketch: feed it to the same rank-interpolation step for
+    * live p50/p99 length telemetry. State is O(groups · log₂ maxLen)
+    * counters — bounded however long the stream runs.
+    */
+  def histSketch(docs: DataFrame, groupCol: String = "source",
+                 textCol: String = "text"): DataFrame =
+    docs.select(col(groupCol).as("grp"),
+        graft.ops.stats.Stats.pow2Bucket(size(split(col(textCol), " "))).as("b"))
+      .groupBy("grp", "b").count()
+
   /** D9: streaming passage-frequency monitor — the CDC chunk projection
     * ([[graft.ops.dedup.Dedup.chunkFingerprints]], shared with the batch
     * [[graft.ops.dedup.Dedup.sharedPassages]] so chunking cannot drift)

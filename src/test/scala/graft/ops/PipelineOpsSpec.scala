@@ -557,6 +557,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(overlap >= 0.8, s"int8 ANN overlap $overlap")
   }
 
+  test("jlProject: norms preserved in expectation, deterministic, zero maps to zero") {
+    import spark.implicits._
+    val p = Ann.jlProject(embs, dimOut = 16)
+    // JL: E[‖proj‖²] = ‖v‖² with variance O(1/dimOut) — per-vector ratios
+    // stay in a wide band and their mean is tight around 1
+    val ratios = embs.select(col("vec_id"), Ann.vec(col("embedding")).as("v"))
+      .join(p, "vec_id")
+      .select((Ann.dot(col("proj"), col("proj")) / Ann.dot(col("v"), col("v"))).as("r"))
+      .collect().map(_.getDouble(0))
+    assert(ratios.nonEmpty)
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.8 && mean < 1.2, s"mean norm ratio $mean")
+    assert(ratios.forall(r => r > 0.2 && r < 3.0), s"worst ratios ${ratios.min} ${ratios.max}")
+    // the matrix is a hash stream: identical output under any partitioning
+    val a = Ann.jlProject(embs.repartition(1), 16).collect().map(_.toSeq).toSet
+    val b = Ann.jlProject(embs.repartition(7), 16).collect().map(_.toSeq).toSet
+    assert(a === b)
+    // zero vector projects to the zero vector
+    val z = Seq((1L, Array.fill(64)(0f))).toDF("vec_id", "embedding")
+    assert(Ann.jlProject(z, 16).head.getSeq[Double](1).forall(_ == 0.0))
+  }
+
   test("mixToBudget: shares respected, monotone in budget, layout-invariant") {
     import graft.ops.sample.Sampling
     val tokens = size(split(col("text"), " "))

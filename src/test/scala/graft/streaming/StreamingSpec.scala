@@ -333,6 +333,18 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.values.exists(_ == false))
   }
 
+  test("D11: streaming histogram sketch converges to the batch bucket counts") {
+    val stream = Streaming.histSketch(Streaming.documentStream(spark, dir))
+    val q = stream.writeStream.format("memory").queryName("hist_sketch")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("hist_sketch").collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val batch = Streaming.histSketch(spark.read.parquet(s"$dir/documents.parquet"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(streamed.nonEmpty && streamed === batch)
+  }
+
   test("evalGramBloom of an empty eval set flags nothing") {
     import graft.ops.dedup.Dedup
     val batchDocs = spark.read.parquet(s"$dir/documents.parquet")
