@@ -534,6 +534,54 @@ object TextOps {
     * broadcast back with the stats. One keyed shuffle on (doc, term) —
     * at 100 TB this is scan + one narrow exchange.
     */
+  /** Multinomial Naive Bayes self-distillation of a boolean document
+    * rule — the CCNet/RefinedWeb "cheap classifier" pattern: an expensive
+    * or externally-labelled quality signal (here any boolean `label`
+    * Column) is distilled into token log-odds weights, giving every doc a
+    * CONTINUOUS quality score instead of the rule's hard gate (rank, set
+    * thresholds per corpus, inspect which tokens carry the signal).
+    * Laplace-smoothed (`alpha`), prior included with +1 smoothing so a
+    * one-class corpus degrades gracefully instead of dividing by zero.
+    * Returns (doc_id, nb_log_odds, pred_pass).
+    *
+    * NB is pure counting, so unlike an LBFGS-trained model the
+    * "training" is two keyed aggregations — deterministic under any
+    * partitioning, one corpus pass (the token stream is staged once and
+    * feeds counts AND scoring), and exactly reproducible in the DuckDB
+    * oracle. Token weights broadcast back (natural-language vocabulary,
+    * same assumption as [[tfidfTopK]]).
+    */
+  def nbDistill(docs: org.apache.spark.sql.DataFrame, label: Column,
+                alpha: Double = 1.0,
+                idCol: String = "doc_id", textCol: String = "text")
+      : org.apache.spark.sql.DataFrame = {
+    require(alpha > 0, s"nbDistill: alpha must be > 0 (got $alpha)")
+    val toks = docs
+      .select(col(idCol).as("doc_id"), label.cast("int").as("y"),
+        explode(tokens(col(textCol))).as("tok"))
+      .localCheckpoint()
+    // word-class counts and class token totals from ONE aggregate each
+    val wc = toks.groupBy("tok").agg(
+      sum(col("y")).as("c_pos"), sum(lit(1) - col("y")).as("c_neg"))
+    val stats = wc.agg(
+      sum("c_pos").as("n_pos"), sum("c_neg").as("n_neg"),
+      count(lit(1)).as("vocab"))
+    val prior = docs.agg(
+      sum(label.cast("long")).as("d_pos"),
+      sum(lit(1L) - label.cast("long")).as("d_neg"))
+    val weights = wc.crossJoin(broadcast(stats)).select(col("tok"),
+      (log((col("c_pos") + alpha) / (col("n_pos") + lit(alpha) * col("vocab")))
+        - log((col("c_neg") + alpha) / (col("n_neg") + lit(alpha) * col("vocab")))).as("w"))
+    val odds = log((col("d_pos") + 1).cast("double") / (col("d_neg") + 1)) + col("sw")
+    // pred from the ROUNDED odds: both engines compare the identical
+    // 6-dp double, so a boundary-straddling last bit cannot flip the class
+    toks.join(broadcast(weights), "tok")
+      .groupBy("doc_id").agg(sum("w").as("sw"))
+      .crossJoin(broadcast(prior))
+      .select(col("doc_id"), round(odds, 6).as("nb_log_odds"))
+      .withColumn("pred_pass", col("nb_log_odds") > 0)
+  }
+
   /** Top-k salient terms per document by TF-IDF (smoothed idf
     * ln((N+1)/(df+1))) — the per-document keyword summary behind topic
     * clustering, dedup explanation ("these docs share their top terms"),

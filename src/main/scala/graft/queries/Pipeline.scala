@@ -793,6 +793,46 @@ object Pipeline {
        |FROM f ORDER BY doc_id""".stripMargin
   }
 
+  /** C42: Naive Bayes self-distillation of the Gopher gate (see
+    * [[TextOps.nbDistill]]) — the hard rule becomes a continuous
+    * token-level quality score, the cheap-classifier curation pattern.
+    */
+  def qualityDistill(spark: SparkSession, dir: String): DataFrame = {
+    val pass = TextOps.gopherColumns(col("text")).toMap.apply("pass") === 1
+    TextOps.nbDistill(docs(spark, dir), pass).orderBy("doc_id")
+  }
+
+  /** Full NB recomputation: the label CTE is [[qualityGopherSql]]'s
+    * per-doc rule; counts, Laplace arithmetic, and the ln expressions are
+    * reproduced term-for-term (≤ doc-length addends per doc, 6-dp round
+    * absorbs summation order as in [[textSurprisalSql]]).
+    */
+  val qualityDistillSql: String = {
+    val en = TextOps.LangProfiles.head._2.map(w => s"'$w'").mkString("[", ",", "]")
+    s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+       |lab AS (SELECT doc_id, w,
+       |  (CASE WHEN len(w) BETWEEN 20 AND 100000 THEN 1 ELSE 0 END)
+       |  * (CASE WHEN list_sum([length(x) for x in w])::DOUBLE / len(w) BETWEEN 3.0 AND 10.0 THEN 1 ELSE 0 END)
+       |  * (CASE WHEN (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))::DOUBLE / len(w) < 0.1 THEN 1 ELSE 0 END)
+       |  * (CASE WHEN len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE / len(w) >= 0.8 THEN 1 ELSE 0 END)
+       |  * (CASE WHEN len(list_filter(w, x -> list_contains($en, x))) >= 2 THEN 1 ELSE 0 END) AS y
+       |  FROM t),
+       |toks AS (SELECT doc_id, y, unnest(w) AS tok FROM lab),
+       |wc AS (SELECT tok, sum(y)::BIGINT AS c_pos, sum(1 - y)::BIGINT AS c_neg
+       |       FROM toks GROUP BY tok),
+       |stats AS (SELECT sum(c_pos)::BIGINT AS n_pos, sum(c_neg)::BIGINT AS n_neg,
+       |                 count(*)::BIGINT AS vocab FROM wc),
+       |prior AS (SELECT sum(y)::BIGINT AS d_pos, sum(1 - y)::BIGINT AS d_neg FROM lab),
+       |wt AS (SELECT tok,
+       |    ln((c_pos + 1.0) / (n_pos + 1.0 * vocab)) - ln((c_neg + 1.0) / (n_neg + 1.0 * vocab)) AS w
+       |  FROM wc CROSS JOIN stats),
+       |sc AS (SELECT doc_id, sum(w) AS sw FROM toks JOIN wt USING (tok) GROUP BY doc_id)
+       |SELECT doc_id,
+       |  round(ln((d_pos + 1)::DOUBLE / (d_neg + 1)) + sw, 6) AS nb_log_odds,
+       |  round(ln((d_pos + 1)::DOUBLE / (d_neg + 1)) + sw, 6) > 0 AS pred_pass
+       |FROM sc CROSS JOIN prior ORDER BY doc_id""".stripMargin
+  }
+
   /** C27: PII redaction. The corpus is synthetic and PII-free, so the
     * query plants a deterministic contact string per customer row (same
     * construction in the oracle) and the operator scrubs it — emails,

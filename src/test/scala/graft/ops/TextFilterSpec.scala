@@ -128,4 +128,23 @@ class TextFilterSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(us(21L) === us(1L))
   }
+
+  test("nbDistill separates a class-signalled corpus and scores mixtures between") {
+    val good = (1 to 10).map(i => (i.toLong, true, "clean helpful prose words here"))
+    val bad = (11 to 20).map(i => (i.toLong, false, "spam junk noise garbage filler"))
+    // a mixed doc, labelled arbitrarily: its tokens pull both ways
+    val mixed = Seq((21L, true, "clean helpful spam junk"))
+    val df = (good ++ bad ++ mixed).toDF("doc_id", "lab", "text")
+    val out = TextOps.nbDistill(df, col("lab"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    (1 to 10).foreach(i => assert(out(i.toLong)._2, s"doc $i should score positive"))
+    (11 to 20).foreach(i => assert(!out(i.toLong)._2, s"doc $i should score negative"))
+    val (mixedOdds, _) = out(21L)
+    assert(mixedOdds > out(11L)._1 && mixedOdds < out(1L)._1,
+      s"mixture should land between the classes: $out")
+    // pure counting: identical output under any partitioning
+    val b = TextOps.nbDistill(df.repartition(7), col("lab"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    assert(b === out)
+  }
 }
