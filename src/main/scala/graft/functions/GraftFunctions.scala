@@ -50,7 +50,8 @@ object GraftFunctions {
     "graft_jl_project" -> { exprs =>
       JlProject(exprs(0),
         dimOut = exprs(1).eval().asInstanceOf[Int],
-        seed = exprs(2).eval().asInstanceOf[Long])
+        // a SQL literal seed parses as IntegerType — widen, don't cast
+        seed = exprs(2).eval().asInstanceOf[Number].longValue)
     },
     "graft_bloom_agg" -> { exprs =>
       BloomSketch(exprs(0),

@@ -851,6 +851,14 @@ object Dedup {
       .select(col("doc_id"), md5(col("chunk")).as("chunk_fp"))
   }
 
+  /** A materialised Bloom filter WITH the parameters it was built with —
+    * probing with mismatched bits/numHashes silently breaks the
+    * no-false-negative guarantee (wrong modulus) or throws (out-of-range
+    * word index), so the bundle travels as one value and probe sites
+    * never take the parameters separately.
+    */
+  final case class BloomLit(words: Array[Long], bits: Int, numHashes: Int)
+
   /** Materialise the fixed-size Bloom filter of an eval set's distinct
     * word n-gram hashes — the probe side of [[contamination]]'s Bloom
     * branch, exposed so a STREAM can carry it as a literal: the filter is
@@ -861,14 +869,15 @@ object Dedup {
     */
   def evalGramBloom(docs: DataFrame, isEval: Column, n: Int = 8,
                     bits: Int = 1 << 23, numHashes: Int = 7,
-                    textCol: String = "text"): Array[Long] = {
+                    textCol: String = "text"): BloomLit = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val row = docs.where(isEval)
       .select(explode(ngramHashes(col(textCol), n)).as("h"))
       .agg(call_function("graft_bloom_agg", col("h"), lit(bits), lit(numHashes)))
       .head
-    Option(row.getAs[scala.collection.Seq[Long]](0))
+    val words = Option(row.getAs[scala.collection.Seq[Long]](0))
       .map(_.toArray).getOrElse(new Array[Long](bits / 64))
+    BloomLit(words, bits, numHashes)
   }
 
   /** Survivor selection per dedup cluster — the step AFTER clustering that

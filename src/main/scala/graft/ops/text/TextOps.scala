@@ -520,20 +520,6 @@ object TextOps {
     Seq("rolling_fp" -> rolling, "md5_fp" -> md5(text))
   }
 
-  /** BM25 relevance of each document for a fixed term set (Robertson et
-    * al.; the Lucene `+1` idf variant, which keeps idf positive however
-    * common the term) — the ranked-retrieval primitive behind
-    * query-targeted curation: scoring a corpus against benchmark/topic
-    * terms to select (or down-weight) matching documents. Returns one row
-    * per document containing ≥1 query term: (doc_id, bm25).
-    *
-    * Plan: corpus stats (N, avgdl) are one map-combined aggregate; the
-    * token stream is filtered to the query terms INSIDE the array before
-    * exploding, so the explode emits O(matches), not O(tokens); term
-    * document frequencies reduce from the same (doc, term) aggregate and
-    * broadcast back with the stats. One keyed shuffle on (doc, term) —
-    * at 100 TB this is scan + one narrow exchange.
-    */
   /** Multinomial Naive Bayes self-distillation of a boolean document
     * rule — the CCNet/RefinedWeb "cheap classifier" pattern: an expensive
     * or externally-labelled quality signal (here any boolean `label`
@@ -556,19 +542,23 @@ object TextOps {
                 idCol: String = "doc_id", textCol: String = "text")
       : org.apache.spark.sql.DataFrame = {
     require(alpha > 0, s"nbDistill: alpha must be > 0 (got $alpha)")
-    val toks = docs
+    // the ONE corpus pass: tokenise + evaluate the (possibly expensive)
+    // label rule, staged; counts, prior AND scoring all read the stage
+    val labeled = docs
       .select(col(idCol).as("doc_id"), label.cast("int").as("y"),
-        explode(tokens(col(textCol))).as("tok"))
+        tokens(col(textCol)).as("ws"))
       .localCheckpoint()
+    val toks = labeled.select(col("doc_id"), col("y"),
+      explode(col("ws")).as("tok"))
     // word-class counts and class token totals from ONE aggregate each
     val wc = toks.groupBy("tok").agg(
       sum(col("y")).as("c_pos"), sum(lit(1) - col("y")).as("c_neg"))
     val stats = wc.agg(
       sum("c_pos").as("n_pos"), sum("c_neg").as("n_neg"),
       count(lit(1)).as("vocab"))
-    val prior = docs.agg(
-      sum(label.cast("long")).as("d_pos"),
-      sum(lit(1L) - label.cast("long")).as("d_neg"))
+    val prior = labeled.agg(
+      sum(col("y").cast("long")).as("d_pos"),
+      sum(lit(1L) - col("y")).as("d_neg"))
     val weights = wc.crossJoin(broadcast(stats)).select(col("tok"),
       (log((col("c_pos") + alpha) / (col("n_pos") + lit(alpha) * col("vocab")))
         - log((col("c_neg") + alpha) / (col("n_neg") + lit(alpha) * col("vocab")))).as("w"))
@@ -623,6 +613,20 @@ object TextOps {
       .select("doc_id", "rank", "term", "tfidf")
   }
 
+  /** BM25 relevance of each document for a fixed term set (Robertson et
+    * al.; the Lucene `+1` idf variant, which keeps idf positive however
+    * common the term) — the ranked-retrieval primitive behind
+    * query-targeted curation: scoring a corpus against benchmark/topic
+    * terms to select (or down-weight) matching documents. Returns one row
+    * per document containing ≥1 query term: (doc_id, bm25).
+    *
+    * Plan: corpus stats (N, avgdl) are one map-combined aggregate; the
+    * token stream is filtered to the query terms INSIDE the array before
+    * exploding, so the explode emits O(matches), not O(tokens); term
+    * document frequencies reduce from the same (doc, term) aggregate and
+    * broadcast back with the stats. One keyed shuffle on (doc, term) —
+    * at 100 TB this is scan + one narrow exchange.
+    */
   def bm25(docs: org.apache.spark.sql.DataFrame, queryTerms: Seq[String],
            k1: Double = 1.2, b: Double = 0.75,
            idCol: String = "doc_id", textCol: String = "text")

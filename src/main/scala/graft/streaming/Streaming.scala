@@ -113,7 +113,8 @@ object Streaming {
   def histSketch(docs: DataFrame, groupCol: String = "source",
                  textCol: String = "text"): DataFrame =
     docs.select(col(groupCol).as("grp"),
-        graft.ops.stats.Stats.pow2Bucket(size(split(col(textCol), " "))).as("b"))
+        graft.ops.stats.Stats.pow2Bucket(
+          size(graft.ops.text.TextOps.tokens(col(textCol)))).as("b"))
       .groupBy("grp", "b").count()
 
   /** D9: streaming passage-frequency monitor — the CDC chunk projection
@@ -205,14 +206,14 @@ object Streaming {
     * [[graft.ops.dedup.Dedup.contamination]] over the flagged slice
     * confirms exactly.
     */
-  def contaminationFlags(docs: DataFrame, evalBloom: Array[Long],
-                         bits: Int = 1 << 23, numHashes: Int = 7,
+  def contaminationFlags(docs: DataFrame, evalBloom: graft.ops.dedup.Dedup.BloomLit,
                          nGram: Int = 8): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     docs.select(col("doc_id"),
         size(filter(graft.ops.dedup.Dedup.ngramHashes(col("text"), nGram),
           h => call_function("graft_bloom_contains",
-            h, typedLit(evalBloom.toSeq), lit(bits), lit(numHashes)))).as("n_hit_grams"))
+            h, typedLit(evalBloom.words.toSeq),
+            lit(evalBloom.bits), lit(evalBloom.numHashes)))).as("n_hit_grams"))
       .withColumn("flagged", col("n_hit_grams") > 0)
   }
 

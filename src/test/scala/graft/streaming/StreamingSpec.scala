@@ -310,17 +310,16 @@ class StreamingSpec extends SparkSpec {
 
   test("D10: streaming contamination flags == batch twin, with no false negatives") {
     import graft.ops.dedup.Dedup
-    val bits = 1 << 16
     val batchDocs = spark.read.parquet(s"$dir/documents.parquet")
-    val bloom = Dedup.evalGramBloom(batchDocs, col("source") === "src0", bits = bits)
+    val bloom = Dedup.evalGramBloom(batchDocs, col("source") === "src0", bits = 1 << 16)
     val stream = Streaming.contaminationFlags(
-      Streaming.documentStream(spark, dir), bloom, bits = bits)
+      Streaming.documentStream(spark, dir), bloom)
     val q = stream.writeStream.format("memory").queryName("contam_flags")
       .outputMode("append").start()
     try q.processAllAvailable() finally q.stop()
     val streamed = spark.table("contam_flags").collect()
       .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
-    val twin = Streaming.contaminationFlags(batchDocs, bloom, bits = bits)
+    val twin = Streaming.contaminationFlags(batchDocs, bloom)
       .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
     assert(streamed.nonEmpty && streamed === twin)
     // Bloom admits no false negatives: every train doc the EXACT batch
@@ -349,7 +348,7 @@ class StreamingSpec extends SparkSpec {
     import graft.ops.dedup.Dedup
     val batchDocs = spark.read.parquet(s"$dir/documents.parquet")
     val bloom = Dedup.evalGramBloom(batchDocs, lit(false), bits = 1 << 10)
-    val out = Streaming.contaminationFlags(batchDocs, bloom, bits = 1 << 10)
+    val out = Streaming.contaminationFlags(batchDocs, bloom)
     assert(out.where(col("flagged")).count() === 0)
   }
 }
