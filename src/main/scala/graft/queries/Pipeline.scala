@@ -793,6 +793,46 @@ object Pipeline {
        |FROM f ORDER BY doc_id""".stripMargin
   }
 
+  /** C43: multimodal near-dup END-TO-END — media payloads (UTF-8 bytes of
+    * `text` standing in for real image/video blobs, as everywhere in
+    * graft.ops.multimodal) → per-partition frame sampling
+    * ([[Multimodal.sampleFrames]], the batch-shaped decode seam) → md5
+    * frame fingerprints → pairs of media sharing ≥2 distinct frames.
+    * Only fingerprints reach the exchange (frames/payloads never
+    * shuffle); a hot-frame document-frequency guard (df ≤ 50) keeps
+    * boilerplate windows from squaring the posting list — the same
+    * inverted-index discipline as [[contamination]].
+    */
+  def mediaFrameDedup(spark: SparkSession, dir: String): DataFrame = {
+    val media = docs(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+    val fps = Multimodal.sampleFrames(media, "doc_id", "media",
+        frameBytes = 32, stride = 2)
+      .select(col("doc_id"), md5(col("frame")).as("fp"))
+      .distinct()
+    val dfc = fps.groupBy("fp").agg(count(lit(1)).as("dfc"))
+    val kept = fps.join(dfc, "fp").where(col("dfc") <= 50)
+    kept.as("x").join(kept.as("y"),
+        col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= 2)
+      .orderBy("a", "b")
+  }
+
+  /** Frame windows are byte slices; the corpus is ASCII (asserted by the
+    * robustness fixture too), so `substr(text, i·64+1, 32)` IS the byte
+    * window and md5 agrees across engines.
+    */
+  val mediaFrameDedupSql: String =
+    """WITH f AS (SELECT DISTINCT doc_id, md5(substr(text, i*64 + 1, 32)) AS fp
+      |      FROM (SELECT doc_id, text, unnest(range(0, len(text) // 64)) AS i FROM documents)),
+      |dfc AS (SELECT fp, count(*) c FROM f GROUP BY fp),
+      |k AS (SELECT f.doc_id, f.fp FROM f JOIN dfc USING (fp) WHERE c <= 50),
+      |p AS (SELECT a.doc_id a, b.doc_id b FROM k a JOIN k b ON a.fp = b.fp AND a.doc_id < b.doc_id)
+      |SELECT a, b, count(*) AS n_shared FROM p GROUP BY a, b
+      |HAVING count(*) >= 2 ORDER BY a, b""".stripMargin
+
   /** C42: Naive Bayes self-distillation of the Gopher gate (see
     * [[TextOps.nbDistill]]) — the hard rule becomes a continuous
     * token-level quality score, the cheap-classifier curation pattern.
