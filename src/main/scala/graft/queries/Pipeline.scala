@@ -806,10 +806,14 @@ object Pipeline {
   def mediaFrameDedup(spark: SparkSession, dir: String): DataFrame = {
     val media = docs(spark, dir)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+    // staged: the df guard and the pair join BOTH consume the fingerprint
+    // set — without the checkpoint the frame-sampling mapPartitions
+    // subtree runs twice
     val fps = Multimodal.sampleFrames(media, "doc_id", "media",
         frameBytes = 32, stride = 2)
       .select(col("doc_id"), md5(col("frame")).as("fp"))
       .distinct()
+      .localCheckpoint()
     val dfc = fps.groupBy("fp").agg(count(lit(1)).as("dfc"))
     val kept = fps.join(dfc, "fp").where(col("dfc") <= 50)
     kept.as("x").join(kept.as("y"),
