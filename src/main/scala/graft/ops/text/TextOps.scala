@@ -541,13 +541,54 @@ object TextOps {
                 alpha: Double = 1.0,
                 idCol: String = "doc_id", textCol: String = "text")
       : org.apache.spark.sql.DataFrame = {
-    require(alpha > 0, s"nbDistill: alpha must be > 0 (got $alpha)")
     // the ONE corpus pass: tokenise + evaluate the (possibly expensive)
     // label rule, staged; counts, prior AND scoring all read the stage
     val labeled = docs
       .select(col(idCol).as("doc_id"), label.cast("int").as("y"),
         tokens(col(textCol)).as("ws"))
       .localCheckpoint()
+    val model = nbFromLabeled(labeled, alpha)
+    scoreToks(
+      labeled.select(col("doc_id"), explode(col("ws")).as("tok")), model)
+  }
+
+  /** A trained NB model: token log-odds `weights` (tok, w) and the prior
+    * `bias` — the portable artifact of [[nbTrain]], consumed by
+    * [[nbScore]] on any other frame INCLUDING a stream (the score is a
+    * broadcast join + per-doc sum, no training state). Weights are
+    * checkpointed, so the model is self-contained once trained.
+    */
+  final case class NbModel(weights: org.apache.spark.sql.DataFrame, bias: Double)
+
+  /** Train the NB distillation model alone — the batch half of the
+    * train-once / score-forever split (score new batches or a stream with
+    * [[nbScore]]; [[nbDistill]] is train+score over the same corpus and
+    * shares this arithmetic, so stream scores provably match it).
+    */
+  def nbTrain(docs: org.apache.spark.sql.DataFrame, label: Column,
+              alpha: Double = 1.0,
+              idCol: String = "doc_id", textCol: String = "text"): NbModel =
+    nbFromLabeled(
+      docs.select(col(idCol).as("doc_id"), label.cast("int").as("y"),
+        tokens(col(textCol)).as("ws")).localCheckpoint(),
+      alpha)
+
+  /** Score any document frame (batch or stream) with a trained model.
+    * Tokens unseen at training time drop out of the inner join — their
+    * evidence is neutral. On a stream the per-doc sum is an update-mode
+    * aggregate whose groups complete within the arriving batch.
+    */
+  def nbScore(docs: org.apache.spark.sql.DataFrame, model: NbModel,
+              idCol: String = "doc_id", textCol: String = "text")
+      : org.apache.spark.sql.DataFrame =
+    scoreToks(
+      docs.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("tok")),
+      model)
+
+  private def nbFromLabeled(labeled: org.apache.spark.sql.DataFrame,
+                            alpha: Double): NbModel = {
+    require(alpha > 0, s"nbTrain: alpha must be > 0 (got $alpha)")
     val toks = labeled.select(col("doc_id"), col("y"),
       explode(col("ws")).as("tok"))
     // word-class counts and class token totals from ONE aggregate each
@@ -556,21 +597,23 @@ object TextOps {
     val stats = wc.agg(
       sum("c_pos").as("n_pos"), sum("c_neg").as("n_neg"),
       count(lit(1)).as("vocab"))
-    val prior = labeled.agg(
-      sum(col("y").cast("long")).as("d_pos"),
-      sum(lit(1L) - col("y")).as("d_neg"))
     val weights = wc.crossJoin(broadcast(stats)).select(col("tok"),
       (log((col("c_pos") + alpha) / (col("n_pos") + lit(alpha) * col("vocab")))
         - log((col("c_neg") + alpha) / (col("n_neg") + lit(alpha) * col("vocab")))).as("w"))
-    val odds = log((col("d_pos") + 1).cast("double") / (col("d_neg") + 1)) + col("sw")
+    val Array(dPos, dNeg) = labeled
+      .agg(sum(col("y").cast("long")), sum(lit(1L) - col("y")))
+      .head.toSeq.map(v => Option(v).fold(0L)(_.asInstanceOf[Long])).toArray
+    NbModel(weights.localCheckpoint(), math.log((dPos + 1).toDouble / (dNeg + 1)))
+  }
+
+  private def scoreToks(toks: org.apache.spark.sql.DataFrame,
+                        model: NbModel): org.apache.spark.sql.DataFrame =
     // pred from the ROUNDED odds: both engines compare the identical
     // 6-dp double, so a boundary-straddling last bit cannot flip the class
-    toks.join(broadcast(weights), "tok")
+    toks.join(broadcast(model.weights), "tok")
       .groupBy("doc_id").agg(sum("w").as("sw"))
-      .crossJoin(broadcast(prior))
-      .select(col("doc_id"), round(odds, 6).as("nb_log_odds"))
+      .select(col("doc_id"), round(lit(model.bias) + col("sw"), 6).as("nb_log_odds"))
       .withColumn("pred_pass", col("nb_log_odds") > 0)
-  }
 
   /** Top-k salient terms per document by TF-IDF (smoothed idf
     * ln((N+1)/(df+1))) — the per-document keyword summary behind topic

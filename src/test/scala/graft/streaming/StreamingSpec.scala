@@ -344,6 +344,23 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed === batch)
   }
 
+  test("D12: a batch-trained NB model scores a stream identically to the batch distill") {
+    import graft.ops.text.TextOps
+    val batchDocs = spark.read.parquet(s"$dir/documents.parquet")
+    val pass = TextOps.gopherColumns(col("text")).toMap.apply("pass") === 1
+    val model = TextOps.nbTrain(batchDocs, pass)
+    val stream = TextOps.nbScore(Streaming.documentStream(spark, dir), model)
+    val q = stream.writeStream.format("memory").queryName("nb_scores")
+      .outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+    // last emission per doc = the completed score
+    val streamed = spark.table("nb_scores").collect()
+      .groupBy(_.getLong(0)).map { case (id, rows) => id -> rows.last.getDouble(1) }
+    val batch = TextOps.nbDistill(batchDocs, pass).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(streamed.nonEmpty && streamed.toMap === batch)
+  }
+
   test("evalGramBloom of an empty eval set flags nothing") {
     import graft.ops.dedup.Dedup
     val batchDocs = spark.read.parquet(s"$dir/documents.parquet")
