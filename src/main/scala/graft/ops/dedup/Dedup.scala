@@ -202,10 +202,17 @@ object Dedup {
           col("y.n") * minJaccard - lit(Eps) <= col("x.n"))
       .groupBy(col("x.id").as("a"), col("y.id").as("b"),
         col("x.n").as("na"), col("y.n").as("nb"))
-      .agg(min(col("x.pos")).as("ia"), min(col("y.pos")).as("ib"))
-      // positional filter: max possible overlap from the first shared
-      // position vs the overlap J >= t requires
-      .where(least(col("na") - col("ia"), col("nb") - col("ib")) >=
+      .agg(count(lit(1)).as("c"),
+        max(col("x.pos")).as("ia"), max(col("y.pos")).as("ib"))
+      // accumulated-overlap positional filter (PPJoin, Xiao et al. 2008):
+      // every shared prefix token counts (c), and any OTHER shared token
+      // must rank above the last prefix match — both lists are sorted by
+      // the same global (df, h) order, so a shared non-prefix token sits
+      // strictly after position ia in x AND after ib in y (if it sat at
+      // or before either, its rank would put it inside both prefixes and
+      // it would be one of the c). Overlap ≤ c + min(remaining suffixes),
+      // strictly tighter than the first-match bound min(na−ia₀, nb−ib₀).
+      .where(col("c") + least(col("na") - col("ia") - 1, col("nb") - col("ib") - 1) >=
         ceil(lit(minJaccard) / (1 + minJaccard) * (col("na") + col("nb")) - lit(Eps)))
       .select(col("a"), col("b"))
     verifyPairs(cand, base.select(col("id"), col("sh"), col("n")), minJaccard)
