@@ -48,10 +48,20 @@ object GraftFunctions {
     "graft_bitmap_and_count" -> { exprs => BitmapAndCount(exprs(0), exprs(1)) },
     "graft_quantize_i8" -> { exprs => QuantizeI8(exprs(0)) },
     "graft_jl_project" -> { exprs =>
+      // SQL literals arrive as Integer, Long, or Decimal depending on how
+      // the user wrote them — widen all integral forms, reject the rest
+      def asLong(v: Any, what: String): Long = v match {
+        case n: java.lang.Number => n.longValue
+        case d: org.apache.spark.sql.types.Decimal =>
+          require(d.scale <= 0 || d.toDouble == d.toLong.toDouble,
+            s"graft_jl_project: $what must be integral (got $d)")
+          d.toLong
+        case other => throw new IllegalArgumentException(
+          s"graft_jl_project: $what must be an integer literal (got $other)")
+      }
       JlProject(exprs(0),
-        dimOut = exprs(1).eval().asInstanceOf[Int],
-        // a SQL literal seed parses as IntegerType — widen, don't cast
-        seed = exprs(2).eval().asInstanceOf[Number].longValue)
+        dimOut = asLong(exprs(1).eval(), "dimOut").toInt,
+        seed = asLong(exprs(2).eval(), "seed"))
     },
     "graft_bloom_agg" -> { exprs =>
       BloomSketch(exprs(0),

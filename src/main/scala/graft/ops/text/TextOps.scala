@@ -541,22 +541,20 @@ object TextOps {
                 alpha: Double = 1.0,
                 idCol: String = "doc_id", textCol: String = "text")
       : org.apache.spark.sql.DataFrame = {
-    // the ONE corpus pass: tokenise + evaluate the (possibly expensive)
-    // label rule, staged; counts, prior AND scoring all read the stage
-    val labeled = docs
-      .select(col(idCol).as("doc_id"), label.cast("int").as("y"),
-        tokens(col(textCol)).as("ws"))
-      .localCheckpoint()
+    val labeled = stageLabeled(docs, label, alpha, idCol, textCol)
     val model = nbFromLabeled(labeled, alpha)
     scoreToks(
       labeled.select(col("doc_id"), explode(col("ws")).as("tok")), model)
   }
 
   /** A trained NB model: token log-odds `weights` (tok, w) and the prior
-    * `bias` — the portable artifact of [[nbTrain]], consumed by
-    * [[nbScore]] on any other frame INCLUDING a stream (the score is a
-    * broadcast join + per-doc sum, no training state). Weights are
-    * checkpointed, so the model is self-contained once trained.
+    * `bias` — the artifact of [[nbTrain]], consumed by [[nbScore]] on any
+    * other frame INCLUDING a stream (the score is a broadcast join + a
+    * per-doc sum, no training state). The weights are locally
+    * checkpointed: lineage is cut, but the blocks live on this session's
+    * executors — the model is session-scoped. To carry it across jobs (or
+    * survive executor loss on a long-lived scoring stream), persist
+    * `weights` to reliable storage and reload.
     */
   final case class NbModel(weights: org.apache.spark.sql.DataFrame, bias: Double)
 
@@ -568,15 +566,16 @@ object TextOps {
   def nbTrain(docs: org.apache.spark.sql.DataFrame, label: Column,
               alpha: Double = 1.0,
               idCol: String = "doc_id", textCol: String = "text"): NbModel =
-    nbFromLabeled(
-      docs.select(col(idCol).as("doc_id"), label.cast("int").as("y"),
-        tokens(col(textCol)).as("ws")).localCheckpoint(),
-      alpha)
+    nbFromLabeled(stageLabeled(docs, label, alpha, idCol, textCol), alpha)
 
   /** Score any document frame (batch or stream) with a trained model.
-    * Tokens unseen at training time drop out of the inner join — their
-    * evidence is neutral. On a stream the per-doc sum is an update-mode
-    * aggregate whose groups complete within the arriving batch.
+    * Every input document gets exactly one output row: tokens unseen at
+    * training time contribute zero evidence, and a document with NO
+    * in-vocabulary tokens scores the bias alone. On a stream the per-doc
+    * sum is an update-mode aggregate whose groups complete within the
+    * arriving batch — but the state store still keeps a row per doc_id
+    * ever seen; a long-lived production stream should bound it with an
+    * ingest-time watermark (the same discipline as D7/D7b).
     */
   def nbScore(docs: org.apache.spark.sql.DataFrame, model: NbModel,
               idCol: String = "doc_id", textCol: String = "text")
@@ -586,9 +585,21 @@ object TextOps {
         explode(tokens(col(textCol))).as("tok")),
       model)
 
+  /** The ONE corpus pass behind [[nbTrain]]/[[nbDistill]]: tokenise +
+    * evaluate the (possibly expensive) label rule, staged; alpha is
+    * validated BEFORE the eager checkpoint so a bad argument cannot cost
+    * a full corpus scan.
+    */
+  private def stageLabeled(docs: org.apache.spark.sql.DataFrame, label: Column,
+                           alpha: Double, idCol: String, textCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    require(alpha > 0, s"nbTrain: alpha must be > 0 (got $alpha)")
+    docs.select(col(idCol).as("doc_id"), label.cast("int").as("y"),
+      tokens(col(textCol)).as("ws")).localCheckpoint()
+  }
+
   private def nbFromLabeled(labeled: org.apache.spark.sql.DataFrame,
                             alpha: Double): NbModel = {
-    require(alpha > 0, s"nbTrain: alpha must be > 0 (got $alpha)")
     val toks = labeled.select(col("doc_id"), col("y"),
       explode(col("ws")).as("tok"))
     // word-class counts and class token totals from ONE aggregate each
@@ -603,15 +614,22 @@ object TextOps {
     val Array(dPos, dNeg) = labeled
       .agg(sum(col("y").cast("long")), sum(lit(1L) - col("y")))
       .head.toSeq.map(v => Option(v).fold(0L)(_.asInstanceOf[Long])).toArray
-    NbModel(weights.localCheckpoint(), math.log((dPos + 1).toDouble / (dNeg + 1)))
+    // StrictMath, not Math: Spark's SQL log is StrictMath.log, so the
+    // driver-side bias stays bit-identical to a Column formulation on
+    // every platform (Math.log may differ in the last ulp)
+    NbModel(weights.localCheckpoint(),
+      StrictMath.log((dPos + 1).toDouble / (dNeg + 1)))
   }
 
   private def scoreToks(toks: org.apache.spark.sql.DataFrame,
                         model: NbModel): org.apache.spark.sql.DataFrame =
+    // LEFT join + zero-coalesce: out-of-vocabulary tokens are neutral and
+    // an all-OOV document still emits its bias-only row (explode of the
+    // whitespace split always yields >= 1 token, so no doc loses all rows).
     // pred from the ROUNDED odds: both engines compare the identical
     // 6-dp double, so a boundary-straddling last bit cannot flip the class
-    toks.join(broadcast(model.weights), "tok")
-      .groupBy("doc_id").agg(sum("w").as("sw"))
+    toks.join(broadcast(model.weights), Seq("tok"), "left")
+      .groupBy("doc_id").agg(sum(coalesce(col("w"), lit(0.0))).as("sw"))
       .select(col("doc_id"), round(lit(model.bias) + col("sw"), 6).as("nb_log_odds"))
       .withColumn("pred_pass", col("nb_log_odds") > 0)
 

@@ -147,4 +147,16 @@ class TextFilterSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
     assert(b === out)
   }
+
+  test("nbScore emits a bias-only row for all-out-of-vocabulary documents") {
+    val train = Seq((1L, true, "clean prose"), (2L, false, "spam junk"))
+      .toDF("doc_id", "lab", "text")
+    val model = TextOps.nbTrain(train, col("lab"))
+    val out = TextOps.nbScore(
+        Seq((9L, "wholly novel vocabulary")).toDF("doc_id", "text"), model)
+      .collect()
+    assert(out.length === 1, "the OOV doc must not vanish from the output")
+    assert(out.head.getDouble(1) ===
+      BigDecimal(model.bias).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
 }
