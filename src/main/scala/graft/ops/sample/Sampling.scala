@@ -80,6 +80,33 @@ object Sampling {
       math.round(fraction * Buckets))
   }
 
+  /** Deterministic global shuffle + shard assignment — the "shuffle and
+    * shard" step that fixes a training run's data order: every row gets a
+    * `shard` in [0, nShards) and a 1-based `pos` within its shard, both
+    * pure functions of (id, salt) via the same md5 order as
+    * [[stratifiedSample]]. Re-runs, different partition layouts, and
+    * different engines produce the SAME order (a `df.repartition.sort` by
+    * `rand()` has none of those properties), and `salt` derives
+    * independent epoch orders from the same corpus.
+    *
+    * Scale: this IS the shuffle-write shape — one exchange keyed by shard
+    * and an in-partition sort per shard (what
+    * `repartition($"shard").sortWithinPartitions(order)` does on write);
+    * no global sort ever happens. Shards stay balanced because md5 is
+    * uniform, so the per-shard sort is bounded by |corpus| / nShards.
+    */
+  def shardShuffle(df: DataFrame, idCol: String, nShards: Int,
+                   salt: String = ""): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val order = conv(substring(md5(concat(col(idCol).cast("string"), lit(salt))), 1, 8),
+      16, 10).cast("long")
+    val shard = (order % nShards).cast("int")
+    df.withColumn("shard", shard)
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(order, col(idCol))).cast("long"))
+  }
+
   /** Token-budget domain mixing — the "data mixture" step of a training
     * pipeline: split a global token budget across sources by weight, then
     * greedily take each source's documents in deterministic salted-hash

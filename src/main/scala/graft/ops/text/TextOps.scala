@@ -713,4 +713,45 @@ object TextOps {
       .agg(sum(idf * col("tf") * (k1 + 1) /
         (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))).as("bm25"))
   }
+
+  /** Per-document novelty: the fraction of a document's distinct bigram
+    * shingles that appear in NO earlier document (first occurrence
+    * attributed to the minimum doc id). High-novelty documents contribute
+    * new content; near-zero novelty marks template/boilerplate-dominated
+    * documents whose n-grams all arrived earlier — the corpus-level
+    * "marginal contribution" score behind contribution-ordered curation.
+    * Returns (doc_id, n_grams, n_novel, novelty) for every input document;
+    * documents too short for a bigram score 0 over 0 grams.
+    *
+    * Plan: shingles travel as xxhash64 fingerprints, so the gram exchange
+    * carries (hash, id) pairs only — never gram text (the passage_dedup
+    * stance; a 2^-64 hash collision merges two grams and can only
+    * under-count novelty). Two keyed aggregations — min doc per gram
+    * (map-side partial min) and counts per doc — then a broadcast-sized
+    * join back to ids. No corpus self-join at any point, so the op is
+    * linear in total shingles at 100 TB.
+    */
+  def novelty(docs: org.apache.spark.sql.DataFrame,
+              idCol: String = "doc_id", textCol: String = "text")
+      : org.apache.spark.sql.DataFrame = {
+    // staged: the per-gram min and the per-doc gram count BOTH consume the
+    // exploded fingerprint stream — without the checkpoint the
+    // tokenise+shingle+explode subtree runs twice
+    val grams = docs
+      .select(col(idCol).as("doc_id"),
+        explode(transform(bigrams(col(textCol)), g => xxhash64(g))).as("gh"))
+      .localCheckpoint()
+    val novel = grams.groupBy("gh").agg(min("doc_id").as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
+    val counts = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(counts, Seq("doc_id"), "left")
+      .join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+      .withColumn("novelty",
+        when(col("n_grams") > 0,
+          col("n_novel").cast("double") / col("n_grams")).otherwise(lit(0.0)))
+  }
 }

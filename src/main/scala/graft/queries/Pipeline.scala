@@ -296,6 +296,51 @@ object Pipeline {
       |WHERE r.cum_tokens - r.n_tokens < t.target
       |ORDER BY doc_id""".stripMargin
 
+  /** C44: deterministic global shuffle into 8 training shards
+    * ([[graft.ops.sample.Sampling.shardShuffle]]) — shard + within-shard
+    * position as pure md5 functions of doc_id, the engine-reproducible
+    * "shuffle and shard" step that fixes a training run's data order.
+    */
+  def shardShuffle(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.sample.Sampling.shardShuffle(docs(spark, dir), "doc_id", nShards = 8)
+      .select("doc_id", "shard", "pos")
+      .orderBy("shard", "pos")
+
+  val shardShuffleSql: String =
+    """WITH h AS (SELECT doc_id,
+      |    ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT AS hv
+      |  FROM documents)
+      |SELECT doc_id, (hv % 8)::INT AS shard,
+      |  row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) AS pos
+      |FROM h ORDER BY shard, pos""".stripMargin
+
+  /** C45: per-document novelty ([[graft.ops.text.TextOps.novelty]]) —
+    * fraction of each document's distinct bigram shingles first seen in
+    * that document (first occurrence attributed to the minimum doc_id).
+    * The oracle groups the gram TEXT where the engine groups xxhash64
+    * fingerprints; min-doc attribution and the counts are hash-identity-
+    * insensitive, so they agree absent a 2^-64 collision.
+    */
+  def docNovelty(spark: SparkSession, dir: String): DataFrame =
+    TextOps.novelty(docs(spark, dir)).orderBy("doc_id")
+
+  val docNoveltySql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+      |g AS (SELECT doc_id,
+      |    unnest(list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))])) AS gh
+      |  FROM t),
+      |f AS (SELECT gh, min(doc_id) AS doc_id FROM g GROUP BY gh),
+      |nv AS (SELECT doc_id, count(*)::BIGINT AS n_novel FROM f GROUP BY doc_id),
+      |ng AS (SELECT doc_id, count(*)::BIGINT AS n_grams FROM g GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  coalesce(ng.n_grams, 0)::BIGINT AS n_grams,
+      |  coalesce(nv.n_novel, 0)::BIGINT AS n_novel,
+      |  CASE WHEN coalesce(ng.n_grams, 0) > 0
+      |       THEN coalesce(nv.n_novel, 0)::DOUBLE / ng.n_grams ELSE 0.0 END AS novelty
+      |FROM (SELECT doc_id FROM documents) d
+      |LEFT JOIN ng USING (doc_id) LEFT JOIN nv USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   // ---- C3b: incremental dedup (new batch vs persisted index) --------------
   // src0 plays the daily increment; everything else is the already-indexed
   // corpus. Only the new side is signed; the oracle is the exact Jaccard

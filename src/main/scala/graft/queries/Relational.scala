@@ -224,6 +224,64 @@ object Relational {
       |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       |FROM w GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin
 
+  /** B34: trailing-window anomaly detection — each hourly per-type event
+    * count z-scored against the 6 preceding buckets; |z| > 2 flags the
+    * bucket. The monitoring shape over event streams (volume spikes/drops
+    * per type) as a batch analytic.
+    *
+    * The z is computed CLOSED-FORM from exact integer window sums (s1 =
+    * Σn, s2 = Σn², k rows): mean = s1/k, var = (s2 − s1²/k)/(k−1). A
+    * windowed `stddev_samp` would hit each engine's own accumulation
+    * algorithm and differ in the last bits; integer sums are exact and
+    * order-independent, and the final double formula is the same IEEE
+    * arithmetic in both engines (zero variance is exactly 0 because the
+    * s1²/k division is exact for equal counts). Rounded to 6 as with every
+    * numerically-sensitive double. Buckets with fewer than 3 trailing
+    * neighbours or zero variance emit a null z and never flag.
+    *
+    * Plan: one keyed aggregate to hourly counts, then a window partitioned
+    * by event_type — |types| independent sorted runs over |buckets| rows,
+    * nothing corpus-sized past the first aggregate.
+    */
+  def eventsAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val ts = timestamp_micros(expr("ts div 1000"))
+    val counts = Tables.load(spark, dir, "events")
+      .groupBy(date_trunc("hour", ts).as("bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy("event_type").orderBy("bucket")
+      .rowsBetween(-6, -1)
+    val s1 = sum(col("n_events")).over(w).cast("double")
+    val s2 = sum(col("n_events") * col("n_events")).over(w).cast("double")
+    val k = count(lit(1)).over(w).cast("double")
+    val variance = (s2 - s1 * s1 / k) / (k - 1)
+    val z = when(k >= 3 && variance > 0,
+      round((col("n_events") - s1 / k) / sqrt(variance), 6))
+    counts
+      .withColumn("z", z)
+      .withColumn("is_anomaly", coalesce(abs(col("z")) > 2, lit(false)))
+      .orderBy("bucket", "event_type")
+  }
+
+  val eventsAnomalySql: String =
+    """WITH c AS (SELECT date_trunc('hour', ts)::TIMESTAMP AS bucket, event_type,
+      |    count(*)::BIGINT AS n_events FROM events GROUP BY 1, 2),
+      |w AS (SELECT bucket, event_type, n_events,
+      |    sum(n_events) OVER tw AS s1i,
+      |    sum(n_events * n_events) OVER tw AS s2i,
+      |    count(*) OVER tw AS ki
+      |  FROM c WINDOW tw AS (PARTITION BY event_type ORDER BY bucket
+      |    ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)),
+      |z AS (SELECT bucket, event_type, n_events,
+      |    CASE WHEN ki >= 3
+      |           AND (s2i::DOUBLE - s1i::DOUBLE * s1i / ki) / (ki - 1) > 0
+      |         THEN round((n_events - s1i::DOUBLE / ki)
+      |           / sqrt((s2i::DOUBLE - s1i::DOUBLE * s1i / ki) / (ki - 1)), 6)
+      |         END AS z
+      |  FROM w)
+      |SELECT bucket, event_type, n_events, z,
+      |  coalesce(abs(z) > 2, false) AS is_anomaly
+      |FROM z ORDER BY bucket, event_type""".stripMargin
+
   /** B29: GROUPING SETS aggregation (the general form under rollup/cube)
     * with explicit per-column grouping markers — marker semantics (1 =
     * column aggregated away) agree across engines, unlike grouping_id bit

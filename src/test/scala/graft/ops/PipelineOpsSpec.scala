@@ -651,4 +651,62 @@ class PipelineOpsSpec extends SparkSpec {
     assert((ivfTables -- after1).size === 1,
       "regenerated data must trigger an index rebuild under a new fingerprint")
   }
+
+  test("shard shuffle: exact partition into shards, dense positions, layout- and salt-stable") {
+    import graft.ops.sample.Sampling
+    val got = Sampling.shardShuffle(docs, "doc_id", nShards = 8)
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // every document exactly once, all shards in range and populated
+    assert(got.map(_._1).toSet.size === got.length)
+    assert(got.length === docs.count())
+    val byShard = got.groupBy(_._2)
+    assert(byShard.keySet.subsetOf((0 until 8).toSet) && byShard.size === 8)
+    // positions are 1..n_shard dense within each shard
+    byShard.foreach { case (s, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1L to rows.length).toSeq, s"shard $s")
+    }
+    // identical assignment under a different input partitioning
+    val again = Sampling.shardShuffle(docs.repartition(7), "doc_id", nShards = 8)
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(got.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+    // a salted epoch is a different order of the same corpus
+    val salted = Sampling.shardShuffle(docs, "doc_id", nShards = 8, salt = "epoch2")
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(salted.map(_._1).toSet === got.map(_._1).toSet)
+    assert(salted.sortBy(_._1).toSeq !== got.sortBy(_._1).toSeq)
+  }
+
+  test("novelty: first occurrence wins, later copies score their unseen fraction only") {
+    import spark.implicits._
+    import graft.ops.text.TextOps
+    val corpus = Seq(
+      (1L, "a b c"),   // "a b", "b c" — both first here
+      (2L, "a b x"),   // "a b" seen, "b x" novel
+      (3L, "a b"),     // nothing new
+      (4L, "z")        // too short for a bigram
+    ).toDF("doc_id", "text")
+    val got = TextOps.novelty(corpus).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === Seq(
+      (1L, 2L, 2L, 1.0), (2L, 2L, 1L, 0.5), (3L, 1L, 0L, 0.0), (4L, 0L, 0L, 0.0)))
+    // attribution is by min doc_id, not arrival order: invariant under layout
+    val again = TextOps.novelty(corpus.repartition(5)).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(again.toSeq === got.toSeq)
+  }
+
+  test("events anomaly: z only over full-enough trailing windows, flags require |z| > 2") {
+    val got = graft.queries.Relational.eventsAnomaly(spark, dir).collect()
+    assert(got.nonEmpty)
+    val zIdx = 3; val flagIdx = 4
+    got.foreach { r =>
+      if (r.isNullAt(zIdx)) assert(!r.getBoolean(flagIdx), "null z must not flag")
+      else assert(r.getBoolean(flagIdx) === (math.abs(r.getDouble(zIdx)) > 2))
+    }
+    // one row per (hour bucket, type): same cardinality as the window agg
+    assert(got.length === graft.queries.Relational.eventsWindow(spark, dir).count())
+  }
 }

@@ -74,6 +74,37 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("shard_shuffle plans one exchange keyed by shard — the shuffle-write shape") {
+    val plan = planOf("shard_shuffle")
+    // one hash exchange for the shard window (plus the display sort's range
+    // exchange); NO global single-partition sort and no join of any kind
+    assert(plan.contains("Exchange hashpartitioning"), plan)
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("doc_novelty exchanges gram fingerprints only, never gram text") {
+    val plan = planOf("doc_novelty")
+    // both aggregations keep their map-side partial phase...
+    assert(plan.contains("partial"), plan)
+    // ...and nothing degenerates to an all-pairs shape; the id join back to
+    // the doc table stays a keyed or broadcast join
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the gram exchange carries the xxhash64 fingerprint column, not text
+    val exchanges = plan.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(exchanges.exists(_.contains("gh")), plan)
+    assert(!exchanges.exists(_.contains("text")), plan)
+  }
+
+  test("events_anomaly aggregates map-side and windows per type, never globally") {
+    val plan = planOf("events_anomaly")
+    assert(plan.contains("partial"), plan)
+    // the trailing window partitions by event_type — a missing partition
+    // key would serialise the whole bucket table through one task
+    assert(plan.contains("Exchange hashpartitioning(event_type"), plan)
+  }
+
   test("dedup_ngram_zipf (PPJoin prefix route) plans keyed shuffles only") {
     val plan = planOf("dedup_ngram_zipf")
     // the prefix-filtered inverted index must never degenerate to an
