@@ -117,4 +117,40 @@ object Stats {
       .groupBy(groupCol)
       .agg(count(lit(1)).as("n"), aggs: _*)
   }
+
+  /** Trailing-window z-score over an already-aggregated count table: each
+    * row's `nCol` scored against the `trailing` rows before it within its
+    * group (ordered by `orderCol`), appending `z` (null when fewer than
+    * `minNeighbours` precede or the window has zero variance) and
+    * `is_anomaly` (|z| > `zThreshold`; never flags on null z).
+    *
+    * z is CLOSED-FORM from exact integer window sums (s1 = Σn, s2 = Σn²,
+    * k rows): mean = s1/k, var = (s2 − s1²/k)/(k−1). An engine `stddev`
+    * accumulation would differ in the last bits run-to-run and
+    * cross-engine; integer sums are exact and order-independent, so the
+    * final double formula is bit-stable (rounded to 6dp like every
+    * numerically-sensitive double). Shared by the batch `events_anomaly`
+    * query and the streaming monitor, so stream == batch is provable.
+    *
+    * Scale: input is an already-reduced count table (|groups|·|buckets|
+    * rows); the window runs as |groups| independent sorted runs.
+    */
+  def trailingZ(counts: DataFrame, groupCol: String, orderCol: String,
+                nCol: String, trailing: Int = 6, minNeighbours: Int = 3,
+                zThreshold: Double = 2.0): DataFrame = {
+    require(trailing >= minNeighbours && minNeighbours >= 2,
+      s"trailingZ: need trailing >= minNeighbours >= 2 (got $trailing, $minNeighbours)")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCol).orderBy(orderCol)
+      .rowsBetween(-trailing, -1)
+    val s1 = sum(col(nCol)).over(w).cast("double")
+    val s2 = sum(col(nCol) * col(nCol)).over(w).cast("double")
+    val k = count(lit(1)).over(w).cast("double")
+    val variance = (s2 - s1 * s1 / k) / (k - 1)
+    val z = when(k >= minNeighbours && variance > 0,
+      round((col(nCol) - s1 / k) / sqrt(variance), 6))
+    counts
+      .withColumn("z", z)
+      .withColumn("is_anomaly", coalesce(abs(col("z")) > zThreshold, lit(false)))
+  }
 }

@@ -229,15 +229,13 @@ object Relational {
     * bucket. The monitoring shape over event streams (volume spikes/drops
     * per type) as a batch analytic.
     *
-    * The z is computed CLOSED-FORM from exact integer window sums (s1 =
-    * Σn, s2 = Σn², k rows): mean = s1/k, var = (s2 − s1²/k)/(k−1). A
-    * windowed `stddev_samp` would hit each engine's own accumulation
-    * algorithm and differ in the last bits; integer sums are exact and
-    * order-independent, and the final double formula is the same IEEE
-    * arithmetic in both engines (zero variance is exactly 0 because the
-    * s1²/k division is exact for equal counts). Rounded to 6 as with every
-    * numerically-sensitive double. Buckets with fewer than 3 trailing
-    * neighbours or zero variance emit a null z and never flag.
+    * The z stage is [[graft.ops.stats.Stats.trailingZ]] — closed-form from
+    * exact integer window sums (see there for the bit-stability argument;
+    * zero variance is exactly 0 because the s1²/k division is exact for
+    * equal counts), shared with the streaming monitor
+    * (graft.streaming.Streaming.anomalyScores) so stream == batch is
+    * provable. Buckets with fewer than 3 trailing neighbours or zero
+    * variance emit a null z and never flag.
     *
     * Plan: one keyed aggregate to hourly counts, then a window partitioned
     * by event_type — |types| independent sorted runs over |buckets| rows,
@@ -248,17 +246,7 @@ object Relational {
     val counts = Tables.load(spark, dir, "events")
       .groupBy(date_trunc("hour", ts).as("bucket"), col("event_type"))
       .agg(count(lit(1)).as("n_events"))
-    val w = Window.partitionBy("event_type").orderBy("bucket")
-      .rowsBetween(-6, -1)
-    val s1 = sum(col("n_events")).over(w).cast("double")
-    val s2 = sum(col("n_events") * col("n_events")).over(w).cast("double")
-    val k = count(lit(1)).over(w).cast("double")
-    val variance = (s2 - s1 * s1 / k) / (k - 1)
-    val z = when(k >= 3 && variance > 0,
-      round((col("n_events") - s1 / k) / sqrt(variance), 6))
-    counts
-      .withColumn("z", z)
-      .withColumn("is_anomaly", coalesce(abs(col("z")) > 2, lit(false)))
+    graft.ops.stats.Stats.trailingZ(counts, "event_type", "bucket", "n_events")
       .orderBy("bucket", "event_type")
   }
 

@@ -66,6 +66,24 @@ object Streaming {
     events.withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** D13: streaming volume-anomaly monitor — the z stage of the batch
+    * `events_anomaly` query applied to the hourly buckets a stream has
+    * CLOSED so far. `closedBuckets` is the accumulated append-mode output
+    * of [[windowAgg]] (watermark-closed (bucket, type, n) rows — the
+    * production wiring lands them in a foreachBatch-appended counts table,
+    * tiny by construction at |types|·|hours| rows); each scoring pass runs
+    * [[graft.ops.stats.Stats.trailingZ]] over it. Sharing the z arithmetic
+    * with the batch query makes stream == batch PROVABLE: after any prefix
+    * of the stream, the scores equal the batch query run over that
+    * prefix's events — the spec asserts exactly that. Late data beyond the
+    * watermark was already dropped by the window agg, identically for the
+    * monitor and any batch backfill.
+    */
+  def anomalyScores(closedBuckets: DataFrame): DataFrame =
+    graft.ops.stats.Stats.trailingZ(
+      closedBuckets.select("bucket", "event_type", "n_events"),
+      "event_type", "bucket", "n_events")
+
   /** D8: streaming per-group frequent-token candidates — the Misra–Gries
     * sketch as `flatMapGroupsWithState` state, sharing its update/compress
     * core with the batch aggregate (graft.functions.MisraGries), so the

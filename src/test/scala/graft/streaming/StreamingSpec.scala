@@ -66,6 +66,23 @@ class StreamingSpec extends SparkSpec {
     assert(ids.length === 150)
   }
 
+  test("D13: streaming anomaly scores equal the batch events_anomaly query") {
+    // stage 1: the stream's window agg lands hourly buckets in the sink
+    val stream = Streaming.windowAgg(Streaming.eventStream(spark, dir))
+    val query = stream.writeStream
+      .format("memory").queryName("anomaly_buckets").outputMode("complete").start()
+    try query.processAllAvailable() finally query.stop()
+    // stage 2: the shared trailing-z stage scores the accumulated buckets
+    val streamed = Streaming.anomalyScores(spark.table("anomaly_buckets"))
+      .collect().map(_.toSeq).toSet
+    val batch = graft.queries.Relational.eventsAnomaly(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+    // the monitor actually scores: at least one bucket has a defined z
+    assert(streamed.exists(_(3) != null))
+  }
+
   test("D4: foreachBatch lands stream batches as workflow checkpoints") {
     val out = java.nio.file.Files.createTempDirectory("graft-sink").toString
     val query = Streaming.eventStream(spark, dir).writeStream
