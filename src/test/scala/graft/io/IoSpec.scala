@@ -118,4 +118,33 @@ class IoSpec extends SparkSpec {
     assert(back.count() === 1000)
     assert(back.agg(sum("v")).collect()(0).getLong(0) === 999000L)
   }
+
+  test("sharded corpus write: one sorted file per shard dir, training-order read-back") {
+    import graft.ops.sample.Sampling
+    val out = java.nio.file.Files.createTempDirectory("graft-shards").toString + "/corpus"
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    Shards.write(docs, "doc_id", nShards = 4, out)
+
+    // one parquet file per shard directory — the no-second-exchange proof:
+    // shardShuffle's window already co-located each shard in one task
+    (0 until 4).foreach { s =>
+      val files = new java.io.File(s"$out/shard=$s")
+        .listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length === 1, s"shard=$s should hold exactly one file")
+    }
+
+    // round trip: nothing lost, nothing duplicated
+    val back = Shards.read(spark, out)
+    assert(back.count() === docs.count())
+    assert(back.select("doc_id").distinct().count() === docs.count())
+
+    // one shard in training order == the shardShuffle assignment's order
+    val expected = Sampling.shardShuffle(docs, "doc_id", nShards = 4)
+      .where(col("shard") === 2).orderBy("pos")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val got = Shards.readShard(spark, out, 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
 }
