@@ -20,13 +20,22 @@ object Sampling {
 
   val Buckets = 10000
 
-  /** Hash bucket in [0, buckets): first 8 md5 hex chars of (id, salt) as an
-    * integer. `salt` derives independent assignments from the same ids
-    * (e.g. a second eval split uncorrelated with the first).
+  /** The ONE salted-order expression every op here derives from: first 8
+    * md5 hex chars of (id, salt) as a long in [0, 2^32). Single definition
+    * on purpose — the cross-op agreement contracts (shard/sample/mixture
+    * selecting consistently, the DuckDB oracle twins reproducing the
+    * order byte-for-byte) all rest on this exact recipe.
+    */
+  private def saltedOrder(id: Column, salt: String): Column =
+    conv(substring(md5(concat(id.cast("string"), lit(salt))), 1, 8), 16, 10)
+      .cast("long")
+
+  /** Hash bucket in [0, buckets): [[saltedOrder]] mod buckets. `salt`
+    * derives independent assignments from the same ids (e.g. a second
+    * eval split uncorrelated with the first).
     */
   def hashBucket(id: Column, buckets: Int = Buckets, salt: String = ""): Column =
-    conv(substring(md5(concat(id.cast("string"), lit(salt))), 1, 8), 16, 10)
-      .cast("long") % buckets
+    saltedOrder(id, salt) % buckets
 
   /** Named split assignment by cumulative weight over the hash bucket,
     * e.g. `Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)`. Weights are
@@ -59,8 +68,7 @@ object Sampling {
                        fraction: Double, salt: String = ""): DataFrame = {
     require(fraction >= 0 && fraction <= 1, "fraction must be in [0,1]")
     import org.apache.spark.sql.expressions.Window
-    val order = conv(substring(md5(concat(col(idCol).cast("string"), lit(salt))), 1, 8),
-      16, 10).cast("long")
+    val order = saltedOrder(col(idCol), salt)
     val w = Window.partitionBy(col(strataCol)).orderBy(order, col(idCol))
     val n = Window.partitionBy(col(strataCol))
     df.withColumn("__rank", row_number().over(w))
@@ -99,8 +107,7 @@ object Sampling {
                    salt: String = ""): DataFrame = {
     require(nShards > 0, "nShards must be positive")
     import org.apache.spark.sql.expressions.Window
-    val order = conv(substring(md5(concat(col(idCol).cast("string"), lit(salt))), 1, 8),
-      16, 10).cast("long")
+    val order = saltedOrder(col(idCol), salt)
     val shard = (order % nShards).cast("int")
     df.withColumn("shard", shard)
       .withColumn("pos", row_number().over(
@@ -143,8 +150,7 @@ object Sampling {
     require(sumW > 0,
       "mixToBudget: total source weight must be positive " +
         "(empty input, or zero/null weights)")
-    val order = conv(substring(md5(concat(col(idCol).cast("string"), lit(salt))), 1, 8),
-      16, 10).cast("long")
+    val order = saltedOrder(col(idCol), salt)
     val w = Window.partitionBy(col(sourceCol)).orderBy(order, col(idCol))
     df.withColumn("n_tokens", tokens.cast("long"))
       .withColumn("__target",

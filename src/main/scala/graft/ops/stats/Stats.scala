@@ -132,6 +132,12 @@ object Stats {
     * numerically-sensitive double). Shared by the batch `events_anomaly`
     * query and the streaming monitor, so stream == batch is provable.
     *
+    * PRECONDITION: (`groupCol`, `orderCol`) must be unique — an aggregate's
+    * output always is. A duplicated key would make the rows-based frame
+    * double-count one bucket and order ties arbitrarily, silently breaking
+    * the bit-stability contract; accumulation wrappers must dedup replayed
+    * rows first (see graft.streaming.Streaming.anomalyScores).
+    *
     * Scale: input is an already-reduced count table (|groups|·|buckets|
     * rows); the window runs as |groups| independent sorted runs.
     */

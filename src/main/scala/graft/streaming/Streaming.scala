@@ -72,16 +72,27 @@ object Streaming {
     * of [[windowAgg]] (watermark-closed (bucket, type, n) rows — the
     * production wiring lands them in a foreachBatch-appended counts table,
     * tiny by construction at |types|·|hours| rows); each scoring pass runs
-    * [[graft.ops.stats.Stats.trailingZ]] over it. Sharing the z arithmetic
-    * with the batch query makes stream == batch PROVABLE: after any prefix
-    * of the stream, the scores equal the batch query run over that
-    * prefix's events — the spec asserts exactly that. Late data beyond the
-    * watermark was already dropped by the window agg, identically for the
-    * monitor and any batch backfill.
+    * [[graft.ops.stats.Stats.trailingZ]] over it.
+    *
+    * The guarantee, precisely: the scores equal the batch `events_anomaly`
+    * query RESTRICTED TO THE CLOSED BUCKETS. Hour windows close in bucket
+    * order, so every closed bucket's 6 trailing neighbours are closed too
+    * and its z is final the moment it is emitted — the batch row never
+    * revises it. Buckets the watermark has not yet closed are absent here
+    * but present in a batch run over the same events; they appear (with
+    * the identical z, same arithmetic) once the watermark passes. Both
+    * halves are spec-asserted: append-mode closed-prefix agreement, and
+    * full equality on a drained stream.
+    *
+    * A replay-after-restart can append the same CLOSED bucket twice (a
+    * closed window re-emits identically, so duplicates are exact); the
+    * dedup below restores [[graft.ops.stats.Stats.trailingZ]]'s
+    * unique-key precondition deterministically.
     */
   def anomalyScores(closedBuckets: DataFrame): DataFrame =
     graft.ops.stats.Stats.trailingZ(
-      closedBuckets.select("bucket", "event_type", "n_events"),
+      closedBuckets.select("bucket", "event_type", "n_events")
+        .dropDuplicates("bucket", "event_type"),
       "event_type", "bucket", "n_events")
 
   /** D8: streaming per-group frequent-token candidates — the Misra–Gries

@@ -83,6 +83,50 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exists(_(3) != null))
   }
 
+  test("D13: append-mode closed buckets score exactly as the batch query's closed prefix") {
+    // two time-ordered files so the watermark advances between triggers and
+    // the engine actually CLOSES windows (the documented production wiring)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-anom").toString
+    val ev = spark.read.schema(Streaming.EventsSchema).parquet(s"$dir/events.parquet")
+      .orderBy("ts")
+    val n = ev.count()
+    ev.limit((n / 2).toInt).write.parquet(s"$tmp/batch1")
+    ev.orderBy(col("ts").desc).limit((n - n / 2).toInt).write.parquet(s"$tmp/batch2")
+    val src = spark.readStream.schema(Streaming.EventsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$tmp/*/")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val query = Streaming.windowAgg(src).writeStream
+      .format("memory").queryName("anomaly_closed").outputMode("append").start()
+    try query.processAllAvailable() finally query.stop()
+
+    val closed = spark.table("anomaly_closed")
+    // the watermark leaves the trailing bucket(s) open: a strict subset
+    val closedKeys = closed.select("bucket", "event_type")
+      .collect().map(_.toSeq).toSet
+    val batchAll = graft.queries.Relational.eventsAnomaly(spark, dir)
+    val batchKeys = batchAll.select("bucket", "event_type")
+      .collect().map(_.toSeq).toSet
+    assert(closedKeys.nonEmpty && closedKeys.subsetOf(batchKeys))
+    assert(closedKeys.size < batchKeys.size,
+      "the final watermark must leave at least one bucket unclosed")
+
+    // closed buckets score FINAL values: identical rows to the batch query
+    // restricted to the closed keys (every closed bucket's trailing
+    // neighbours are closed too, so no z can be revised later)
+    val streamed = Streaming.anomalyScores(closed).collect().map(_.toSeq).toSet
+    val batchClosed = batchAll.collect().map(_.toSeq)
+      .filter(r => closedKeys.contains(Seq(r(0), r(1)))).toSet
+    assert(streamed === batchClosed)
+    assert(streamed.exists(_(3) != null))
+
+    // a replay-after-restart appends closed buckets twice; the monitor's
+    // dedup keeps the scores identical
+    val replayed = Streaming.anomalyScores(closed.union(closed))
+      .collect().map(_.toSeq).toSet
+    assert(replayed === streamed)
+  }
+
   test("D4: foreachBatch lands stream batches as workflow checkpoints") {
     val out = java.nio.file.Files.createTempDirectory("graft-sink").toString
     val query = Streaming.eventStream(spark, dir).writeStream
