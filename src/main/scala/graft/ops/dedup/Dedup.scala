@@ -105,6 +105,33 @@ object Dedup {
       .orderBy("canonical_id")
   }
 
+  /** Content-hash snapshot diff — the incremental-ingest bookkeeping step:
+    * which documents a new corpus snapshot ADDED, REMOVED, or CHANGED
+    * relative to the previous one. Returns (id, status) for exactly those
+    * rows; unchanged documents are never emitted, so the output is
+    * |delta|-sized however big the snapshots are (feeding downstream
+    * incremental dedup/indexing — see [[minhashLshIncrement]] — instead of
+    * reprocessing the corpus).
+    *
+    * Plan: one full-outer join keyed on the id — co-partitionable (bucket
+    * both snapshots by id at ingest and it shuffles nothing) — comparing
+    * xxhash64 content fingerprints computed in the scan projection. A
+    * 2^-64 collision can only misreport one changed row as unchanged.
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    def sig(df: DataFrame) =
+      df.select(col(idCol).as("id"), xxhash64(col(textCol)).as("h"))
+    sig(oldSnap).as("o")
+      .join(sig(newSnap).as("n"), col("o.id") === col("n.id"), "full_outer")
+      .select(coalesce(col("o.id"), col("n.id")).as("id"),
+        when(col("o.id").isNull, lit("added"))
+          .when(col("n.id").isNull, lit("removed"))
+          .when(col("o.h") =!= col("n.h"), lit("changed"))
+          .as("status"))
+      .where(col("status").isNotNull)
+  }
+
   /** Exact bigram-shingle Jaccard similarity join: all pairs with
     * `J(a,b) >= minJaccard`. Shingle sets travel as SORTED arrays of
     * xxhash64 keys; pair enumeration is a broadcast nested-loop join and the

@@ -136,6 +136,62 @@ object GraphOps {
       .orderBy("node")
   }
 
+  /** Structural node similarity over an undirected PG edge set: Jaccard of
+    * neighbour sets for every node pair sharing at least one neighbour —
+    * the KG entity-resolution primitive (two records pointing at the same
+    * authorities/places/terms are merge candidates even when their own
+    * attributes differ). Returns (node_a, node_b, common, jaccard) with
+    * node_a < node_b and jaccard ≥ `minJaccard`.
+    *
+    * Pure DataFrame joins, no GraphX: candidate pairs enumerate through
+    * the shared-neighbour inverted index (the dedup posting-list shape),
+    * never all-pairs — work is Σ_v deg(v)² over MUTUAL neighbours only.
+    * That sum is exactly where a hub node blows up (one v with a million
+    * neighbours yields 10¹² candidates), so `maxHubDegree` removes
+    * super-node NEIGHBOURS from the graph before scoring — the standard
+    * practice (co-pointing at an everyone-points-at-it hub carries no
+    * similarity signal), and each dropped hub removes deg² candidate
+    * pairs. The pruning is self-consistent: hubs leave the numerator AND
+    * the denominator, so the result is exactly [[nodeSimilarity]] of the
+    * hub-pruned graph (spec-proven), never a mixed score. `maxHubDegree =
+    * 0` disables the guard (the oracle-checked configuration; the default
+    * keeps it off so the SQL twin is the full definition).
+    */
+  def nodeSimilarity(pgEdges: DataFrame, minJaccard: Double,
+                     maxHubDegree: Int = 0): DataFrame = {
+    val e = endpoints(pgEdges)
+    // undirected distinct neighbour relation (both orientations)
+    val nbAll = e.select(col("from").as("n"), col("to").as("m"))
+      .union(e.select(col("to").as("n"), col("from").as("m")))
+      .where(col("n") =!= col("m"))
+      .distinct()
+      .localCheckpoint() // staged: degrees AND the pair join both read it
+    val nb =
+      if (maxHubDegree <= 0) nbAll
+      else {
+        // delete the hub VERTEX (both sides of the symmetric relation) —
+        // leaving hubs as sources would still score (node, hub) pairs
+        val hubs = nbAll.groupBy("n").agg(count(lit(1)).as("d"))
+          .where(col("d") > maxHubDegree).select("n")
+        nbAll
+          .join(broadcast(hubs.withColumnRenamed("n", "m")), Seq("m"), "left_anti")
+          .join(broadcast(hubs), Seq("n"), "left_anti")
+      }
+    val deg = nb.groupBy("n").agg(count(lit(1)).as("d"))
+    val common = nb.select(col("m"), col("n").as("a"))
+      .join(nb.select(col("m"), col("n").as("b")), "m")
+      .where(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("common"))
+    common
+      .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
+      .select(col("a").as("node_a"), col("b").as("node_b"), col("common"),
+        (col("common").cast("double") /
+          (col("da") + col("db") - col("common"))).as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+      .orderBy("node_a", "node_b")
+  }
+
   /** Node degrees of a PG edge set (triples with `@from`/`@to`), via
     * GraphX degree aggregation. Isolated nodes (no edges) are absent, as
     * in GraphX semantics.

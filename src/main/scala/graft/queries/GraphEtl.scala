@@ -271,6 +271,34 @@ object GraphEtl {
       |SELECT n.node, coalesce(c, 0)::INTEGER AS triangles
       |FROM nodes n LEFT JOIN cnt USING (node) ORDER BY node""".stripMargin
 
+  /** A29: structural node similarity over the KG
+    * ([[graft.ops.graph.GraphOps.nodeSimilarity]]) — neighbour-set Jaccard
+    * for pairs sharing a neighbour, the entity-resolution primitive
+    * (suppliers based in the same nation score 1.0; same region only,
+    * 1/3). The guard is off here so the SQL twin is the exact definition;
+    * the hub-pruned scale route is spec-exercised.
+    */
+  def kgNodeSim(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.graph.GraphOps.nodeSimilarity(
+      supRegionEdges(spark, dir, withSupRegion = true), minJaccard = 0.3)
+
+  val kgNodeSimSql: String =
+    """WITH raw AS (
+      |  SELECT 'nation:' || n_nationkey AS f, 'region:' || n_regionkey AS t FROM nation
+      |  UNION ALL SELECT 'sup:' || s_suppkey, 'nation:' || s_nationkey FROM supplier
+      |  UNION ALL SELECT 'sup:' || s_suppkey, 'region:' || n_regionkey
+      |    FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+      |u AS (SELECT DISTINCT least(f, t) AS a, greatest(f, t) AS b FROM raw WHERE f <> t),
+      |nb AS (SELECT a AS n, b AS m FROM u UNION ALL SELECT b, a FROM u),
+      |deg AS (SELECT n, count(*) AS d FROM nb GROUP BY n),
+      |c AS (SELECT x.n AS a, y.n AS b, count(*)::BIGINT AS common
+      |  FROM nb x JOIN nb y ON x.m = y.m AND x.n < y.n GROUP BY x.n, y.n)
+      |SELECT c.a AS node_a, c.b AS node_b, common,
+      |  common::DOUBLE / (da.d + db.d - common) AS jaccard
+      |FROM c JOIN deg da ON da.n = c.a JOIN deg db ON db.n = c.b
+      |WHERE common::DOUBLE / (da.d + db.d - common) >= 0.3
+      |ORDER BY node_a, node_b""".stripMargin
+
   /** A28: undirected BFS hop distances from the region nodes over the
     * containment hierarchy (GraphX Pregel frontier expansion): regions 0,
     * nations 1, suppliers 2. The oracle unrolls the BFS relaxation to four

@@ -341,6 +341,36 @@ object Pipeline {
       |LEFT JOIN ng USING (doc_id) LEFT JOIN nv USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** C46: content-hash snapshot diff ([[Dedup.snapshotDiff]]) — the
+    * incremental-ingest delta (added/removed/changed, unchanged never
+    * emitted). Old/new snapshots derive deterministically from the one
+    * documents fixture: doc_id%10==0 absent from old (→ added), ==1
+    * absent from new (→ removed), ==2 edited in new (→ changed). The
+    * oracle recomputes the full-outer join comparing TEXT where the
+    * engine compares xxhash64 fingerprints — independent and strictly
+    * stronger (a fingerprint bug shows up as a status mismatch).
+    */
+  def corpusDiff(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val old = d.where(pmod(col("doc_id"), lit(10)) =!= 0)
+    val neu = d.where(pmod(col("doc_id"), lit(10)) =!= 1)
+      .withColumn("text", when(pmod(col("doc_id"), lit(10)) === 2,
+        concat(col("text"), lit(" edited"))).otherwise(col("text")))
+    Dedup.snapshotDiff(old, neu).orderBy("id")
+  }
+
+  val corpusDiffSql: String =
+    """WITH o AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+      |n AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 10 = 2 THEN text || ' edited' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 10 <> 1),
+      |j AS (SELECT coalesce(o.doc_id, n.doc_id) AS id,
+      |    CASE WHEN o.doc_id IS NULL THEN 'added'
+      |         WHEN n.doc_id IS NULL THEN 'removed'
+      |         WHEN o.text <> n.text THEN 'changed' END AS status
+      |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+      |SELECT id, status FROM j WHERE status IS NOT NULL ORDER BY id""".stripMargin
+
   // ---- C3b: incremental dedup (new batch vs persisted index) --------------
   // src0 plays the daily increment; everything else is the already-indexed
   // corpus. Only the new side is signed; the oracle is the exact Jaccard

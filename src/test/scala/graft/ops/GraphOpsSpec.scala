@@ -96,4 +96,26 @@ class GraphOpsSpec extends SparkSpec {
     assert(degs.length === 5000)
     assert(degs.forall(_.getInt(1) === 2))
   }
+
+  test("node similarity: shared-neighbour jaccard; hub pruning == scoring the pruned graph") {
+    import spark.implicits._
+    // a and b share {x, y}; c shares {x}; hub h neighbours EVERYONE
+    val base = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"), ("c", "x"))
+    val hub = Seq("a", "b", "c", "x", "y").map(n => (n, "h"))
+    def simMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val got = simMap(GraphOps.nodeSimilarity((base ++ hub).toDF("from", "to"), 0.0))
+    // a = {x,y,h}, b = {x,y,h}: identical neighbourhoods
+    assert(got(("a", "b")) === ((3L, 1.0)))
+    // a vs c share {x, h}: 2 / (3 + 2 - 2)
+    assert(got(("a", "c")) === ((2L, 2.0 / 3.0)))
+    // pruning h (degree 5 > 4) must equal scoring the graph WITHOUT h —
+    // hubs leave numerator and denominator together, never a mixed score
+    val pruned = simMap(
+      GraphOps.nodeSimilarity((base ++ hub).toDF("from", "to"), 0.0, maxHubDegree = 4))
+    val manual = simMap(GraphOps.nodeSimilarity(base.toDF("from", "to"), 0.0))
+    assert(pruned === manual)
+    assert(pruned(("a", "b")) === ((2L, 1.0)))
+  }
 }

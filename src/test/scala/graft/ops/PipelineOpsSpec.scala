@@ -698,6 +698,17 @@ class PipelineOpsSpec extends SparkSpec {
     assert(again.toSeq === got.toSeq)
   }
 
+  test("snapshot diff reports exactly the delta, never unchanged rows") {
+    import spark.implicits._
+    val old = Seq((1L, "one"), (2L, "two"), (3L, "three")).toDF("doc_id", "text")
+    val neu = Seq((2L, "two"), (3L, "three CHANGED"), (4L, "four")).toDF("doc_id", "text")
+    val got = Dedup.snapshotDiff(old, neu).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === Set((1L, "removed"), (3L, "changed"), (4L, "added")))
+    // identical snapshots produce an empty delta
+    assert(Dedup.snapshotDiff(old, old).count() === 0)
+  }
+
   test("events anomaly: z only over full-enough trailing windows, flags require |z| > 2") {
     val got = graft.queries.Relational.eventsAnomaly(spark, dir).collect()
     assert(got.nonEmpty)
