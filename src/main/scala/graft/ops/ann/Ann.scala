@@ -137,6 +137,65 @@ object Ann {
     else cosinePairsLsh(emb, minCosine, idCol = idCol, vecCol = vecCol)
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): near-duplicate detection RESTRICTED to
+    * pre-assigned embedding clusters (`labelCol`) — pairs only form
+    * within a cluster, which cuts the pair search from O(n²) to
+    * Σ|cluster|²: the entire trick that makes semantic dedup tractable
+    * at corpus scale. Duplicate families are connected components over
+    * the within-cluster cosine pairs; each family keeps its minimum id
+    * (the component label). Returns (id, component, keep) for every
+    * member of a duplicate family — non-duplicates never appear, so the
+    * output is |dups|-sized.
+    *
+    * Routing mirrors [[cosinePairsAdaptive]]: exact broadcast loop below
+    * `maxExactRows` (within-cluster only via the join condition), else
+    * SRP-LSH with the CLUSTER FOLDED INTO THE BUCKET KEY — the band join
+    * never crosses clusters, and candidates re-check label equality so a
+    * bucket-hash collision cannot smuggle a cross-cluster pair in.
+    */
+  def semanticDedup(emb: DataFrame, minCosine: Double,
+                    labelCol: String = "label", idCol: String = "vec_id",
+                    vecCol: String = "embedding",
+                    maxExactRows: Int = 100000,
+                    planes: Int = 4, bands: Int = 16): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val base = emb.select(col(labelCol).as("g"), col(idCol).as("id"),
+        vec(col(vecCol)).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val small = emb.select(col(idCol)).limit(maxExactRows + 1).count() <= maxExactRows
+    val pairs =
+      if (small)
+        base.repartition(emb.sparkSession.sparkContext.defaultParallelism).as("x")
+          .join(broadcast(base).as("y"),
+            col("x.g") === col("y.g") && col("x.id") < col("y.id"))
+          .select(col("x.id").as("a"), col("y.id").as("b"),
+            round(cosine(col("x.v"), col("y.v"), col("x.nrm"), col("y.nrm")), 6)
+              .as("cosine"))
+          .where(col("cosine") >= minCosine)
+      else {
+        val codes = base.select(col("g"), col("id"),
+            posexplode(srpCodes(col("v"), planes, bands)).as(Seq("bidx", "code")))
+          .select(col("g"), col("id"),
+            xxhash64(col("g"), col("bidx"), col("code")).as("bh"))
+        val cand = codes.as("x").join(codes.as("y"),
+            col("x.bh") === col("y.bh") && col("x.g") === col("y.g") &&
+              col("x.id") < col("y.id"))
+          .select(col("x.id").as("a"), col("y.id").as("b"))
+          .dropDuplicates("a", "b")
+        cand
+          .join(base.select(col("id").as("a"), col("v").as("va"), col("nrm").as("na")), "a")
+          .join(base.select(col("id").as("b"), col("v").as("vb"), col("nrm").as("nb")), "b")
+          .select(col("a"), col("b"),
+            round(cosine(col("va"), col("vb"), col("na"), col("nb")), 6).as("cosine"))
+          .where(col("cosine") >= minCosine)
+      }
+    graft.ops.graph.GraphOps.connectedComponents(pairs)
+      .select(col("id").as(idCol), col("component"),
+        (col("id") === col("component")).as("keep"))
+      .orderBy(idCol)
+  }
+
   /** Int8 scalar quantization of the embedding column: per-vector max-abs
     * scale, components rounded to [-127, 127] — the standard 4× storage
     * cut for an at-scale embedding store (and the memory lever that lets

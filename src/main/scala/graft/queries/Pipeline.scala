@@ -451,6 +451,34 @@ object Pipeline {
       |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
       |SELECT a, b, cosine FROM p WHERE cosine >= 0.45 ORDER BY a, b""".stripMargin
 
+  /** C47: SemDeDup-style semantic dedup ([[Ann.semanticDedup]]) — duplicate
+    * families from within-cluster cosine pairs (cluster = the embedding
+    * table's label column), min-id survivor per family. The oracle
+    * recomputes the within-label pairs exactly and closes them with the
+    * recursive-CTE transitive closure (the dedup_clusters pattern).
+    */
+  def dedupSemantic(spark: SparkSession, dir: String): DataFrame =
+    Ann.semanticDedup(embs(spark, dir), minCosine = 0.45)
+
+  val dedupSemanticSql: String =
+    """WITH RECURSIVE
+      |e AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
+      |n AS (SELECT vec_id, label, v, sqrt(list_sum([x*x for x in v])) nrm FROM e),
+      |p AS (SELECT a.vec_id AS a, b.vec_id AS b,
+      |  round(CASE WHEN a.nrm*b.nrm > 0 THEN list_sum([pr[1]*pr[2] for pr in list_zip(a.v, b.v)]) / (a.nrm*b.nrm) ELSE 0.0 END, 6) AS cosine
+      |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id),
+      |pairs AS (SELECT a, b FROM p WHERE cosine >= 0.45),
+      |ed AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT a, b FROM ed
+      |  UNION
+      |  SELECT r.src, ed.b FROM reach r JOIN ed ON r.dst = ed.a),
+      |verts AS (SELECT a AS id FROM pairs UNION SELECT b FROM pairs)
+      |SELECT v.id AS vec_id, least(v.id, min(r.dst)) AS component,
+      |  v.id = least(v.id, min(r.dst)) AS keep
+      |FROM verts v LEFT JOIN reach r ON r.src = v.id
+      |GROUP BY v.id ORDER BY vec_id""".stripMargin
+
   // ---- C6: brute-force cosine top-k ---------------------------------------
 
   def annTopK(spark: SparkSession, dir: String): DataFrame = {

@@ -698,6 +698,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(again.toSeq === got.toSeq)
   }
 
+  test("semantic dedup: families form within a cluster only; LSH route agrees with exact") {
+    import spark.implicits._
+    def v(x: Double, y: Double) = Array(x.toFloat, y.toFloat, 0.1f)
+    val rows = Seq(
+      (1L, 0, v(1.0, 0.0)), (2L, 0, v(1.0, 0.001)),   // label-0 near-dup pair
+      (3L, 0, v(0.0, 1.0)),                           // label 0, unrelated
+      (4L, 1, v(1.0, 0.0)),                           // IDENTICAL direction, other label
+      (5L, 1, v(0.0, -1.0)))
+      .toDF("vec_id", "label", "embedding")
+    val got = Ann.semanticDedup(rows, minCosine = 0.95).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    // 1 and 2 form a family surviving at min id 1; 4 matches them in
+    // DIRECTION but sits in another cluster — the restriction that makes
+    // this op different from corpus-wide dedup_embedding
+    assert(got.toSeq === Seq((1L, 1L, true), (2L, 1L, false)))
+    // the grouped-LSH scale route returns the same families (identical-
+    // direction dups: per-pair LSH miss probability ~0 at cosine ≈ 1)
+    val viaLsh = Ann.semanticDedup(rows, minCosine = 0.95, maxExactRows = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(viaLsh.toSeq === got.toSeq)
+  }
+
   test("snapshot diff reports exactly the delta, never unchanged rows") {
     import spark.implicits._
     val old = Seq((1L, "one"), (2L, "two"), (3L, "three")).toDF("doc_id", "text")
