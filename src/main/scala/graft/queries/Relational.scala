@@ -270,6 +270,39 @@ object Relational {
       |  coalesce(abs(z) > 2, false) AS is_anomaly
       |FROM z ORDER BY bucket, event_type""".stripMargin
 
+  /** B35: RANGE window frame — trailing 7-DAY order totals per customer
+    * over epoch-day order keys. RANGE frames bound by VALUE distance, so
+    * gaps in the order history shrink the window and same-day orders are
+    * peers (all included) — semantics a ROWS frame (B30) cannot express.
+    * Both engines run the identical integer-epoch-day formulation; sums
+    * are decimal-exact per the money-aggregate rule.
+    */
+  def qRangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val days = datediff(col("o_orderdate"), to_date(lit("1970-01-01")))
+    val w = Window.partitionBy("o_custkey").orderBy("o_days")
+      .rangeBetween(-6, Window.currentRow)
+    Tables.load(spark, dir, "orders")
+      .where(col("o_custkey") % 100 === 0)
+      .withColumn("o_days", days.cast("long"))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_days"),
+        sum(dec(col("o_totalprice"))).over(w).cast("double").as("total_7d"),
+        count(lit(1)).over(w).as("n_7d"))
+      .orderBy("o_custkey", "o_days", "o_orderkey")
+  }
+
+  val qRangeFrameSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  date_diff('day', DATE '1970-01-01', o_orderdate)::BIGINT AS o_days,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+      |    OVER (PARTITION BY o_custkey
+      |          ORDER BY date_diff('day', DATE '1970-01-01', o_orderdate)
+      |          RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS total_7d,
+      |  count(*) OVER (PARTITION BY o_custkey
+      |          ORDER BY date_diff('day', DATE '1970-01-01', o_orderdate)
+      |          RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS n_7d
+      |FROM orders WHERE o_custkey % 100 = 0
+      |ORDER BY o_custkey, o_days, o_orderkey""".stripMargin
+
   /** B29: GROUPING SETS aggregation (the general form under rollup/cube)
     * with explicit per-column grouping markers — marker semantics (1 =
     * column aggregated away) agree across engines, unlike grouping_id bit
