@@ -30,7 +30,7 @@ shutil.rmtree(dst, ignore_errors=True)
 os.makedirs(dst)
 for p in glob.glob(f"{src}/*.parquet"):
     name = os.path.basename(p)
-    if name not in ("documents.parquet", "embeddings.parquet"):
+    if name not in ("documents.parquet", "embeddings.parquet", "events.parquet"):
         os.symlink(p, f"{dst}/{name}")
 
 con = duckdb.connect()
@@ -63,8 +63,35 @@ COPY (
     FROM read_parquet('{src}/embeddings.parquet') WHERE vec_id = 30
 ) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)
 """)
+# degenerate events: a tied timestamp (window/funnel/asof tie-breaking), a
+# lone event type with a single hourly bucket (trailing-z null path), and
+# a zero-value event (decimal-sum edge). Written via PYARROW, not a DuckDB
+# COPY: DuckDB reads TIMESTAMP(NANOS) as microsecond TIMESTAMP and a COPY
+# would silently downgrade the physical type, breaking graft's
+# nanosAsLong read path — pyarrow preserves timestamp[ns].
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+evt = pq.read_table(f"{src}/events.parquet")
+ev0 = max(evt.column("event_id").to_pylist()) + 1
+first_ts = evt.column("ts")[0]
+first_user = evt.column("user_id")[0]
+first_type = evt.column("event_type")[0]
+extra = pa.table({
+    "event_id": pa.array([ev0, ev0 + 1], pa.int64()),
+    "ts": pa.array([first_ts.as_py(), first_ts.as_py()], evt.schema.field("ts").type),
+    "user_id": pa.array([first_user.as_py(), 424242], pa.int64()),
+    "event_type": pa.array([first_type.as_py(), "solo_type"], pa.string()),
+    "value": pa.array([0.0, 1.0], pa.float64()),
+    "props": pa.array(["{}", "{}"], pa.string()),
+}).select([f.name for f in evt.schema]).cast(pa.schema([(f.name, f.type) for f in evt.schema]))
+pq.write_table(pa.concat_tables([evt, extra]), f"{dst}/events.parquet")
+assert pq.read_schema(f"{dst}/events.parquet").field("ts").type == evt.schema.field("ts").type, \
+    "events ts physical type must survive the rewrite (nanosAsLong contract)"
+
 nd = con.execute(f"SELECT count(*) FROM read_parquet('{dst}/documents.parquet')").fetchone()[0]
 ne = con.execute(f"SELECT count(*) FROM read_parquet('{dst}/embeddings.parquet')").fetchone()[0]
-print(f"wrote {dst} ({nd} documents, {ne} embeddings incl. degenerate rows);")
+nv = pq.read_table(f"{dst}/events.parquet").num_rows
+print(f"wrote {dst} ({nd} documents, {ne} embeddings, {nv} events incl. degenerate rows);")
 print("now: SPARK_GRAFT_CPUS=8 sbt -batch 'runMain graft.Verify /tmp/robust_sf /tmp/verify_robust'")
 print("     python3 tools/check_oracle.py /tmp/robust_sf /tmp/verify_robust")
