@@ -105,6 +105,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("Exchange hashpartitioning(event_type"), plan)
   }
 
+  test("kg_node_sim enumerates pairs through the inverted index, never all-pairs") {
+    val plan = planOf("kg_node_sim")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the pair aggregation keeps its map-side partial phase
+    assert(plan.contains("partial"), plan)
+  }
+
+  test("corpus_diff is one id-keyed join: no loops, fingerprints in the scan projection") {
+    val plan = planOf("corpus_diff")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // xxhash64 computes below the join (projection side), not above it —
+    // the join carries (id, fingerprint), never text
+    val joinIdx = plan.indexOf("Join")
+    val hashIdx = plan.lastIndexOf("xxhash64")
+    assert(joinIdx >= 0 && hashIdx > joinIdx,
+      s"fingerprints must be computed under the join (join@$joinIdx hash@$hashIdx)\n$plan")
+  }
+
   test("dedup_ngram_zipf (PPJoin prefix route) plans keyed shuffles only") {
     val plan = planOf("dedup_ngram_zipf")
     // the prefix-filtered inverted index must never degenerate to an
