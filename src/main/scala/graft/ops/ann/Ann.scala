@@ -69,17 +69,23 @@ object Ann {
   }
 
   /** All pairs with cosine ≥ minCosine. Brute-force (exact oracle path);
-    * rounded to 6 dp for stable cross-engine comparison.
+    * rounded to 6 dp for stable cross-engine comparison. With `groupCol`,
+    * pairs form WITHIN a group only (the semantic-dedup restriction).
     */
   def cosinePairs(emb: DataFrame, minCosine: Double,
-                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  groupCol: Option[String] = None): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
-    val base = emb.select(col(idCol).as("id"), vec(col(vecCol)).as("v"))
+    val base = emb.select(
+      (Seq(col(idCol).as("id"), vec(col(vecCol)).as("v")) ++
+        groupCol.map(g => col(g).as("g"))): _*)
       .withColumn("nrm", norm(col("v")))
+    val sameGroup = groupCol
+      .map(_ => col("x.g") === col("y.g")).getOrElse(lit(true))
     // broadcast one side and spread the other across all cores — a
     // single-split source would otherwise serialise the O(n²) loop
     base.repartition(emb.sparkSession.sparkContext.defaultParallelism).as("x")
-      .join(broadcast(base).as("y"), col("x.id") < col("y.id"))
+      .join(broadcast(base).as("y"), sameGroup && col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"),
         round(cosine(col("x.v"), col("y.v"), col("x.nrm"), col("y.nrm")), 6).as("cosine"))
       .where(col("cosine") >= minCosine)
@@ -95,18 +101,30 @@ object Ann {
     * per-pair miss probability is (1−(1−θ/π)^planes)^bands — at the
     * default 4×16 it is ≈4% at cosine 0.45 and negligible above 0.8;
     * false positives are impossible (every candidate is exactly verified).
+    *
+    * With `groupCol`, the GROUP IS FOLDED INTO THE BUCKET KEY — the band
+    * join never crosses groups — and candidates re-check group equality so
+    * a bucket-hash collision cannot smuggle a cross-group pair in.
     */
   def cosinePairsLsh(emb: DataFrame, minCosine: Double,
                      planes: Int = 4, bands: Int = 16,
-                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     groupCol: Option[String] = None): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
-    val base = emb.select(col(idCol).as("id"), vec(col(vecCol)).as("v"))
+    val base = emb.select(
+      (Seq(col(idCol).as("id"), vec(col(vecCol)).as("v")) ++
+        groupCol.map(g => col(g).as("g"))): _*)
       .withColumn("nrm", norm(col("v")))
-    val codes = base.select(col("id"),
-        posexplode(srpCodes(col("v"), planes, bands)).as(Seq("bidx", "code")))
-      .select(col("id"), xxhash64(col("bidx"), col("code")).as("bh"))
+    val gCols = groupCol.map(_ => col("g")).toSeq
+    val codes = base.select(
+        (gCols :+ col("id")) :+
+          posexplode(srpCodes(col("v"), planes, bands)).as(Seq("bidx", "code")): _*)
+      .select((gCols :+ col("id")) :+
+        xxhash64((gCols :+ col("bidx")) :+ col("code"): _*).as("bh"): _*)
+    val sameGroup = groupCol
+      .map(_ => col("x.g") === col("y.g")).getOrElse(lit(true))
     val cand = codes.as("x").join(codes.as("y"),
-        col("x.bh") === col("y.bh") && col("x.id") < col("y.id"))
+        col("x.bh") === col("y.bh") && sameGroup && col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"))
       .dropDuplicates("a", "b")
     cand
@@ -127,14 +145,16 @@ object Ann {
     */
   def cosinePairsAdaptive(emb: DataFrame, minCosine: Double,
                           maxExactRows: Int = 100000,
-                          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                          idCol: String = "vec_id", vecCol: String = "embedding",
+                          groupCol: Option[String] = None): DataFrame = {
     // unlike a content-sampling probe, this is a pure ROW-COUNT probe
     // ("are there more than maxExactRows rows?") — counts are invariant to
     // file/partition layout, so the head-limit cannot misroute; it merely
     // bounds the scan at maxExactRows+1 rows
     val small = emb.select(col(idCol)).limit(maxExactRows + 1).count() <= maxExactRows
-    if (small) cosinePairs(emb, minCosine, idCol, vecCol)
-    else cosinePairsLsh(emb, minCosine, idCol = idCol, vecCol = vecCol)
+    if (small) cosinePairs(emb, minCosine, idCol, vecCol, groupCol)
+    else cosinePairsLsh(emb, minCosine, idCol = idCol, vecCol = vecCol,
+      groupCol = groupCol)
   }
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023,
@@ -148,53 +168,21 @@ object Ann {
     * member of a duplicate family — non-duplicates never appear, so the
     * output is |dups|-sized.
     *
-    * Routing mirrors [[cosinePairsAdaptive]]: exact broadcast loop below
-    * `maxExactRows` (within-cluster only via the join condition), else
-    * SRP-LSH with the CLUSTER FOLDED INTO THE BUCKET KEY — the band join
-    * never crosses clusters, and candidates re-check label equality so a
-    * bucket-hash collision cannot smuggle a cross-cluster pair in.
+    * Pair search IS [[cosinePairsAdaptive]] with `groupCol` — the exact
+    * broadcast loop below `maxExactRows` (within-cluster via the join
+    * condition), else SRP-LSH with the cluster folded into the bucket key
+    * (see [[cosinePairsLsh]]); one shared pipeline, no drift.
     */
   def semanticDedup(emb: DataFrame, minCosine: Double,
                     labelCol: String = "label", idCol: String = "vec_id",
                     vecCol: String = "embedding",
-                    maxExactRows: Int = 100000,
-                    planes: Int = 4, bands: Int = 16): DataFrame = {
-    graft.functions.GraftFunctions.register(emb.sparkSession)
-    val base = emb.select(col(labelCol).as("g"), col(idCol).as("id"),
-        vec(col(vecCol)).as("v"))
-      .withColumn("nrm", norm(col("v")))
-    val small = emb.select(col(idCol)).limit(maxExactRows + 1).count() <= maxExactRows
-    val pairs =
-      if (small)
-        base.repartition(emb.sparkSession.sparkContext.defaultParallelism).as("x")
-          .join(broadcast(base).as("y"),
-            col("x.g") === col("y.g") && col("x.id") < col("y.id"))
-          .select(col("x.id").as("a"), col("y.id").as("b"),
-            round(cosine(col("x.v"), col("y.v"), col("x.nrm"), col("y.nrm")), 6)
-              .as("cosine"))
-          .where(col("cosine") >= minCosine)
-      else {
-        val codes = base.select(col("g"), col("id"),
-            posexplode(srpCodes(col("v"), planes, bands)).as(Seq("bidx", "code")))
-          .select(col("g"), col("id"),
-            xxhash64(col("g"), col("bidx"), col("code")).as("bh"))
-        val cand = codes.as("x").join(codes.as("y"),
-            col("x.bh") === col("y.bh") && col("x.g") === col("y.g") &&
-              col("x.id") < col("y.id"))
-          .select(col("x.id").as("a"), col("y.id").as("b"))
-          .dropDuplicates("a", "b")
-        cand
-          .join(base.select(col("id").as("a"), col("v").as("va"), col("nrm").as("na")), "a")
-          .join(base.select(col("id").as("b"), col("v").as("vb"), col("nrm").as("nb")), "b")
-          .select(col("a"), col("b"),
-            round(cosine(col("va"), col("vb"), col("na"), col("nb")), 6).as("cosine"))
-          .where(col("cosine") >= minCosine)
-      }
-    graft.ops.graph.GraphOps.connectedComponents(pairs)
+                    maxExactRows: Int = 100000): DataFrame =
+    graft.ops.graph.GraphOps.connectedComponents(
+      cosinePairsAdaptive(emb, minCosine, maxExactRows, idCol, vecCol,
+        groupCol = Some(labelCol)))
       .select(col("id").as(idCol), col("component"),
         (col("id") === col("component")).as("keep"))
       .orderBy(idCol)
-  }
 
   /** Int8 scalar quantization of the embedding column: per-vector max-abs
     * scale, components rounded to [-127, 127] — the standard 4× storage

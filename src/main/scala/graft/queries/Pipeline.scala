@@ -346,9 +346,10 @@ object Pipeline {
     * emitted). Old/new snapshots derive deterministically from the one
     * documents fixture: doc_id%10==0 absent from old (→ added), ==1
     * absent from new (→ removed), ==2 edited in new (→ changed). The
-    * oracle recomputes the full-outer join comparing TEXT where the
-    * engine compares xxhash64 fingerprints — independent and strictly
-    * stronger (a fingerprint bug shows up as a status mismatch).
+    * oracle recomputes the full-outer join comparing TEXT (IS DISTINCT
+    * FROM, so a NULL text behaves like the engine's xxhash64(NULL) seed
+    * value) where the engine compares fingerprints — independent and
+    * strictly stronger (a fingerprint bug shows up as a status mismatch).
     */
   def corpusDiff(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
@@ -367,7 +368,7 @@ object Pipeline {
       |j AS (SELECT coalesce(o.doc_id, n.doc_id) AS id,
       |    CASE WHEN o.doc_id IS NULL THEN 'added'
       |         WHEN n.doc_id IS NULL THEN 'removed'
-      |         WHEN o.text <> n.text THEN 'changed' END AS status
+      |         WHEN o.text IS DISTINCT FROM n.text THEN 'changed' END AS status
       |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
       |SELECT id, status FROM j WHERE status IS NOT NULL ORDER BY id""".stripMargin
 

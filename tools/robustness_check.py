@@ -72,22 +72,32 @@ COPY (
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+import pyarrow.compute as pc
+
 evt = pq.read_table(f"{src}/events.parquet")
-ev0 = max(evt.column("event_id").to_pylist()) + 1
-first_ts = evt.column("ts")[0]
-first_user = evt.column("user_id")[0]
-first_type = evt.column("event_type")[0]
+ev0 = pc.max(evt.column("event_id")).as_py() + 1
+# the tied timestamp must tie at NANOSECOND precision: .as_py() without
+# pandas truncates to datetime's microseconds, silently un-tying the row
+# (and nothing would flag it — both engines read the same un-tied data),
+# so the raw int64 epoch-nanos value is carried instead
+ts_type = evt.schema.field("ts").type
+first_ts_ns = evt.column("ts").cast(pa.int64())[0].as_py()
+first_user = evt.column("user_id")[0].as_py()
+first_type = evt.column("event_type")[0].as_py()
 extra = pa.table({
     "event_id": pa.array([ev0, ev0 + 1], pa.int64()),
-    "ts": pa.array([first_ts.as_py(), first_ts.as_py()], evt.schema.field("ts").type),
-    "user_id": pa.array([first_user.as_py(), 424242], pa.int64()),
-    "event_type": pa.array([first_type.as_py(), "solo_type"], pa.string()),
+    "ts": pa.array([first_ts_ns, first_ts_ns], pa.int64()).cast(ts_type),
+    "user_id": pa.array([first_user, 424242], pa.int64()),
+    "event_type": pa.array([first_type, "solo_type"], pa.string()),
     "value": pa.array([0.0, 1.0], pa.float64()),
     "props": pa.array(["{}", "{}"], pa.string()),
 }).select([f.name for f in evt.schema]).cast(pa.schema([(f.name, f.type) for f in evt.schema]))
 pq.write_table(pa.concat_tables([evt, extra]), f"{dst}/events.parquet")
-assert pq.read_schema(f"{dst}/events.parquet").field("ts").type == evt.schema.field("ts").type, \
+assert pq.read_schema(f"{dst}/events.parquet").field("ts").type == ts_type, \
     "events ts physical type must survive the rewrite (nanosAsLong contract)"
+back = pq.read_table(f"{dst}/events.parquet", filters=[("event_id", "=", ev0)])
+assert back.column("ts").cast(pa.int64())[0].as_py() == first_ts_ns, \
+    "planted tie lost its nanosecond component through the write"
 
 nd = con.execute(f"SELECT count(*) FROM read_parquet('{dst}/documents.parquet')").fetchone()[0]
 ne = con.execute(f"SELECT count(*) FROM read_parquet('{dst}/embeddings.parquet')").fetchone()[0]
