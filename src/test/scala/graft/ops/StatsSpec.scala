@@ -231,4 +231,42 @@ class StatsSpec extends SparkSpec {
     val b = out(1)
     assert(b.getDouble(3) === 15.0)  // midpoint interpolation
   }
+
+  // ---- trailingZ ----------------------------------------------------------
+
+  test("trailingZ matches a brute-force reference on generated counts") {
+    // deterministic pseudo-random counts: 3 groups × 40 buckets, values
+    // chosen to exercise zero-variance runs (repeats) and spikes
+    val rows = for {
+      g <- Seq("a", "b", "c"); i <- 0 until 40
+    } yield {
+      val h = ((g.hashCode.toLong * 31 + i) * 2654435761L >>> 16) % 97
+      val n = if (i % 13 == 0) 500L + h else if (i % 7 < 3) 10L else 10L + (h % 5)
+      (g, i.toLong, n)
+    }
+    val df = rows.toDF("g", "bucket", "n")
+    val got = Stats.trailingZ(df, "g", "bucket", "n").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)), r.getBoolean(4))).toMap
+    // brute-force reference: same closed-form over the explicit window
+    val byGroup = rows.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    for ((g, seq) <- byGroup; (idx, (_, bucket, n)) <- seq.zipWithIndex.map(_.swap)) {
+      val win = seq.slice(math.max(0, idx - 6), idx).map(_._3)
+      val expected =
+        if (win.length < 3) None
+        else {
+          val k = win.length.toDouble
+          val s1 = win.sum.toDouble
+          val s2 = win.map(x => x * x).sum.toDouble
+          val variance = (s2 - s1 * s1 / k) / (k - 1)
+          if (variance > 0)
+            Some(BigDecimal((n - s1 / k) / math.sqrt(variance))
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          else None
+        }
+      val (z, flag) = got((g, bucket))
+      assert(z === expected, s"group $g bucket $bucket window $win n $n")
+      assert(flag === z.exists(v => math.abs(v) > 2))
+    }
+  }
 }
