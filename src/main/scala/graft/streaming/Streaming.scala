@@ -205,6 +205,36 @@ object Streaming {
       .option("pathGlobFilter", "documents.parquet")
       .parquet(dir)
 
+  /** D14: in-stream snapshot diff — each arriving document flagged
+    * `added` (id unknown to the reference snapshot) or `changed` (id
+    * known, content fingerprint differs) against a STATIC previous
+    * snapshot; unchanged arrivals are dropped. The stream-side half of
+    * [[graft.ops.dedup.Dedup.snapshotDiff]], sharing its xxhash64
+    * fingerprint comparison so stream == batch is provable: after the
+    * stream drains, the flags equal the batch diff restricted to
+    * added+changed (`removed` needs the absence of an arrival, which only
+    * a batch pass over the closed snapshot can observe — the documented
+    * asymmetry of an unbounded stream).
+    *
+    * Plan: a stream-static LEFT join on the id. The reference side is a
+    * plain DataFrame — at scale, bucket it by id at ingest (or let AQE
+    * broadcast its (id, hash) projection, two narrow columns) and each
+    * micro-batch joins O(batch), never O(snapshot).
+    */
+  def diffFlags(docs: DataFrame, oldSnap: DataFrame,
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val ref = oldSnap.select(col(idCol).as("__ref_id"),
+      xxhash64(col(textCol)).as("__ref_h"))
+    docs
+      .withColumn("__h", xxhash64(col(textCol)))
+      .join(ref, col(idCol) === col("__ref_id"), "left")
+      .withColumn("status",
+        when(col("__ref_id").isNull, lit("added"))
+          .when(col("__h") =!= col("__ref_h"), lit("changed")))
+      .where(col("status").isNotNull)
+      .select(col(idCol).as("id"), col("status"))
+  }
+
   /** D6: the training-data curation pipeline as ONE batch/stream-shared
     * transform — token-count quality gate, then exact dedup on the
     * normalisation key (first ten tokens, as in the batch C1 operator).

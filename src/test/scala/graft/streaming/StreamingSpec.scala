@@ -127,6 +127,34 @@ class StreamingSpec extends SparkSpec {
     assert(replayed === streamed)
   }
 
+  test("D14: in-stream snapshot diff flags equal the batch diff's added+changed half") {
+    import org.apache.spark.sql.types._
+    val docsSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val base = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+    val old = base.where(pmod(col("doc_id"), lit(10)) =!= 0)
+    val neu = base.where(pmod(col("doc_id"), lit(10)) =!= 1)
+      .withColumn("text", when(pmod(col("doc_id"), lit(10)) === 2,
+        concat(col("text"), lit(" edited"))).otherwise(col("text")))
+    // stream the NEW snapshot from files against the static old one
+    val tmp = java.nio.file.Files.createTempDirectory("graft-diff").toString
+    neu.write.parquet(s"$tmp/new")
+    val src = spark.readStream.schema(docsSchema).parquet(s"$tmp/new")
+    val query = Streaming.diffFlags(src, old).writeStream
+      .format("memory").queryName("diff_flags").outputMode("append").start()
+    try query.processAllAvailable() finally query.stop()
+    val streamed = spark.table("diff_flags").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val batch = graft.ops.dedup.Dedup.snapshotDiff(old, neu).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(streamed === batch.filter(_._2 != "removed"))
+    assert(streamed.exists(_._2 == "added") && streamed.exists(_._2 == "changed"))
+    // removed rows are exactly what the stream CANNOT see — the documented
+    // asymmetry: they exist in the batch diff only
+    assert(batch.exists(_._2 == "removed"))
+  }
+
   test("D4: foreachBatch lands stream batches as workflow checkpoints") {
     val out = java.nio.file.Files.createTempDirectory("graft-sink").toString
     val query = Streaming.eventStream(spark, dir).writeStream
