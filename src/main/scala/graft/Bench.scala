@@ -88,6 +88,10 @@ object Bench {
     // also drop the line in a plain file: sbt prefixes stdout with [info],
     // which can defeat the driver's JSON parse of the log stream
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), json + "\n")
+    // final SHORT machine line: the driver captures a bounded tail of stdout
+    // and the ~2 KB per-query line can start before the window — a compact
+    // last line guarantees the tail always contains one parseable record
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"reps":$reps}""")
     spark.stop()
   }
 }

@@ -32,6 +32,10 @@ object Bloom {
   }
 
   def mightContain(words: ArrayData, key: Long, bits: Int, k: Int): Boolean = {
+    if (words.numElements() != wordsFor(bits))
+      throw new IllegalArgumentException(
+        s"graft_bloom_contains: filter has ${words.numElements()} words but " +
+          s"bits=$bits needs ${wordsFor(bits)} — filter and probe disagree on bits")
     val h1 = SrpCodes.mix64(key)
     val h2 = SrpCodes.mix64(key ^ 0x9E3779B97F4A7C15L) | 1L
     var i = 0

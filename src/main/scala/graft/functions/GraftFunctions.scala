@@ -72,6 +72,16 @@ object GraftFunctions {
       BloomMightContain(exprs(0), exprs(1),
         bits = exprs(2).eval().asInstanceOf[Int],
         numHashes = exprs(3).eval().asInstanceOf[Int])
+    },
+    "graft_trigram_best" -> { exprs =>
+      import org.apache.spark.sql.catalyst.util.ArrayData
+      def strs(a: ArrayData): Seq[String] =
+        (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+      val langs = strs(exprs(1).eval().asInstanceOf[ArrayData])
+      val profArr = exprs(2).eval().asInstanceOf[ArrayData]
+      val profiles = (0 until profArr.numElements())
+        .map(i => strs(profArr.getArray(i)))
+      TrigramBestLang(exprs(0), langs, profiles)
     })
 
   def register(spark: SparkSession): Unit = {

@@ -857,8 +857,26 @@ object Dedup {
     */
   def chunkFingerprints(docs: DataFrame, divisor: Int = 7, minTokens: Int = 5,
                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    require(divisor > 1, s"divisor must be > 1 (got $divisor)")
     require(minTokens >= 1, "minTokens must be >= 1")
+    chunkSpans(docs, divisor, idCol, textCol)
+      .select(col("doc_id"),
+        explode(filter(
+          zip_with(col("starts"), col("ends"), (s, e) =>
+            when(e - s + 1 >= minTokens, concat_ws(" ", slice(col("ws"), s, e - s + 1)))),
+          c => c.isNotNull)).as("chunk"))
+      // only the fingerprint leaves this projection; the chunk TEXT never
+      // reaches an exchange
+      .select(col("doc_id"), md5(col("chunk")).as("chunk_fp"))
+  }
+
+  /** The shared CDC span computation behind [[chunkFingerprints]] and
+    * [[scrubPassages]]: per doc, the token array plus the 1-based
+    * inclusive (starts, ends) chunk spans — kept in one place so the
+    * detector and the scrubber can NEVER chunk differently.
+    */
+  private def chunkSpans(docs: DataFrame, divisor: Int,
+                         idCol: String, textCol: String): DataFrame = {
+    require(divisor > 1, s"divisor must be > 1 (got $divisor)")
     def boundary(w: Column): Column = (ascii(w) * 256 + length(w)) % divisor === 0
     docs
       .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("ws"))
@@ -875,14 +893,74 @@ object Dedup {
       .select(col("doc_id"), col("ws"),
         concat(array(lit(1)), transform(col("bidx"), b => b + 1)).as("starts"),
         concat(col("bidx"), array(col("n"))).as("ends"))
+  }
+
+  /** Passage REMOVAL — the actionable half of exact-substring dedup
+    * (Lee et al. 2022 "Deduplicating Training Data Makes Language Models
+    * Better", at CDC-chunk granularity): where [[sharedPassages]] REPORTS
+    * the passages copied across documents, this emits the rewritten
+    * corpus with every shared chunk scrubbed EXCEPT its globally first
+    * occurrence (minimum (doc_id, chunk index) — deterministic, so
+    * exactly oracle-checkable). Chunks are the same content-defined
+    * chunks as the detector ([[chunkSpans]] is shared, the two cannot
+    * drift); chunks shorter than `minTokens` never qualify and are always
+    * kept. Returns (doc_id, text_scrubbed, n_dropped) — one row per input
+    * document, even when everything was scrubbed.
+    *
+    * Scrubbing is idempotent BY CONSTRUCTION: every internal kept chunk
+    * still ends at its boundary token, so re-chunking the scrubbed text
+    * reproduces exactly the kept chunks, each shared fingerprint now
+    * lives in one document only, and a second pass (or [[sharedPassages]]
+    * over the output, the invariant the spec asserts) finds nothing.
+    *
+    * Plan: the doc-side frame (token arrays + spans) stages ONCE and
+    * never shuffles its text — fingerprinting explodes an ids-only
+    * (doc_id, cidx, fp) projection, the keeper election is two keyed
+    * aggs with map-side partials (per-(fp,doc) min index, then per-fp min
+    * (doc, index) + distinct-doc count), and what returns to the corpus
+    * is the ids-only per-doc drop set, which AQE broadcasts when small.
+    * Reconstruction is then a narrow array filter + join — no window, no
+    * per-chunk shuffle of content. Skew: a pathologically hot fingerprint
+    * pre-collapses to one row per (fp, doc) before the keeper agg.
+    */
+  def scrubPassages(docs: DataFrame, divisor: Int = 7, minTokens: Int = 5,
+                    minDocs: Int = 2,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(minDocs >= 1, "minDocs must be >= 1")
+    require(minTokens >= 1, "minTokens must be >= 1")
+    // staged: the chunk arrays feed BOTH the fingerprint election and the
+    // final reconstruction — one tokenisation pass
+    val chunked = chunkSpans(spread(docs), divisor, idCol, textCol)
       .select(col("doc_id"),
-        explode(filter(
-          zip_with(col("starts"), col("ends"), (s, e) =>
-            when(e - s + 1 >= minTokens, concat_ws(" ", slice(col("ws"), s, e - s + 1)))),
-          c => c.isNotNull)).as("chunk"))
-      // only the fingerprint leaves this projection; the chunk TEXT never
-      // reaches an exchange
-      .select(col("doc_id"), md5(col("chunk")).as("chunk_fp"))
+        filter(zip_with(col("starts"), col("ends"), (s, e) =>
+          when(e >= s, concat_ws(" ", slice(col("ws"), s, e - s + 1)))),
+          c => c.isNotNull).as("chunks"))
+      .localCheckpoint()
+    // ids-only projection of qualifying chunk occurrences
+    val occ = chunked
+      .select(col("doc_id"), posexplode(col("chunks")).as(Seq("cidx", "chunk")))
+      .where(size(TextOps.tokens(col("chunk"))) >= minTokens)
+      .select(col("doc_id"), col("cidx"), md5(col("chunk")).as("fp"))
+    // keeper election: first occurrence per (fp, doc), then global first
+    // (min (doc_id, cidx)) + distinct-doc count — both with partials
+    val firstIn = occ.groupBy("fp", "doc_id").agg(min("cidx").as("mcidx"))
+    val keepers = firstIn.groupBy("fp")
+      .agg(count(lit(1)).as("n_docs"),
+        min(struct(col("doc_id"), col("mcidx"))).as("keeper"))
+      .where(col("n_docs") >= minDocs)
+      .select(col("fp"), col("keeper.doc_id").as("kid"),
+        col("keeper.mcidx").as("kcidx"))
+    // every shared occurrence that is NOT the keeper — per-doc drop set
+    val drops = occ.join(keepers, "fp")
+      .where(!(col("doc_id") === col("kid") && col("cidx") === col("kcidx")))
+      .groupBy("doc_id").agg(collect_set(col("cidx")).as("drop_idx"))
+    val dropSet = coalesce(col("drop_idx"), array().cast("array<int>"))
+    chunked.join(drops, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        concat_ws(" ",
+          filter(col("chunks"), (_, i) => !array_contains(dropSet, i))).as("text_scrubbed"),
+        size(dropSet).cast("long").as("n_dropped"))
+      .orderBy("doc_id")
   }
 
   /** A materialised Bloom filter WITH the parameters it was built with —
@@ -910,7 +988,7 @@ object Dedup {
       .agg(call_function("graft_bloom_agg", col("h"), lit(bits), lit(numHashes)))
       .head
     val words = Option(row.getAs[scala.collection.Seq[Long]](0))
-      .map(_.toArray).getOrElse(new Array[Long](bits / 64))
+      .map(_.toArray).getOrElse(new Array[Long](graft.functions.Bloom.wordsFor(bits)))
     BloomLit(words, bits, numHashes)
   }
 

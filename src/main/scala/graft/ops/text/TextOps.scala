@@ -80,18 +80,21 @@ object TextOps {
   /** Predicted language from any trigram profile set: argmax, first-profile
     * tiebreak (same convention as [[langPredict]]). Profiles are literals —
     * the trained model is tiny (langs × topK trigrams), so applying it is
-    * a pure codegen Column expression, no join.
+    * a single codegen'd native call
+    * ([[graft.functions.TrigramBestLang]]), no join. (A fold of `when`s
+    * over per-lang scores duplicates every earlier score subtree per step
+    * — exponential generated code that breaks Janino's method limit on the
+    * trained langs × top-10 model and silently degrades to interpreted
+    * eval; the reference-object model keeps codegen constant-size at any
+    * profile count.)
     */
   def trigramPredictFrom(text: Column, profiles: Seq[(String, Seq[String])]): Column = {
     require(profiles.nonEmpty,
       "trigramPredictFrom: empty profile set (training on an empty corpus?)")
-    profiles.tail.foldLeft(
-      (lit(profiles.head._1), trigramScore(text, profiles.head._2))) {
-        case ((bestLang, bestScore), (lang, profile)) =>
-          val s = trigramScore(text, profile)
-          (when(s > bestScore, lit(lang)).otherwise(bestLang),
-            when(s > bestScore, s).otherwise(bestScore))
-      }._1
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.functions.GraftFunctions.register)
+    call_function("graft_trigram_best", text,
+      typedLit(profiles.map(_._1)), typedLit(profiles.map(_._2)))
   }
 
   /** Predicted language from the fixed [[TrigramProfiles]]. */
@@ -582,7 +585,7 @@ object TextOps {
       : org.apache.spark.sql.DataFrame =
     scoreToks(
       docs.select(col(idCol).as("doc_id"),
-        explode(tokens(col(textCol))).as("tok")),
+        explode(tokens(coalesce(col(textCol), lit("")))).as("tok")),
       model)
 
   /** The ONE corpus pass behind [[nbTrain]]/[[nbDistill]]: tokenise +
@@ -594,8 +597,12 @@ object TextOps {
                            alpha: Double, idCol: String, textCol: String)
       : org.apache.spark.sql.DataFrame = {
     require(alpha > 0, s"nbTrain: alpha must be > 0 (got $alpha)")
+    // coalesce-to-empty BEFORE tokenising: a NULL text would make `ws` null
+    // and the downstream explode() silently DROP the document — with the
+    // coalesce every doc keeps its >= 1 (possibly empty-string) token and
+    // the "exactly one output row per document" contract holds.
     docs.select(col(idCol).as("doc_id"), label.cast("int").as("y"),
-      tokens(col(textCol)).as("ws")).localCheckpoint()
+      tokens(coalesce(col(textCol), lit(""))).as("ws")).localCheckpoint()
   }
 
   private def nbFromLabeled(labeled: org.apache.spark.sql.DataFrame,

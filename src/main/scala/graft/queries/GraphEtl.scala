@@ -299,6 +299,41 @@ object GraphEtl {
       |WHERE common::DOUBLE / (da.d + db.d - common) >= 0.3
       |ORDER BY node_a, node_b""".stripMargin
 
+  /** A30b: [[kgNodeSim]] with the hub guard ON (`maxHubDegree = 10`) —
+    * the configuration you'd actually run on a skewed KG, where super-node
+    * neighbours carry no similarity signal and each dropped hub removes
+    * deg² candidate pairs. The oracle recomputes similarity on the SAME
+    * hub-pruned graph (hubs deleted as vertices — both sides of the
+    * symmetric neighbour relation), so the guarded branch is
+    * driver-oracle-checked, not just spec-checked. At this fixture's
+    * sf0.01 the guard prunes the region super-nodes (degree ≈ |nations in
+    * region| + |suppliers in region| > 10) while nations/suppliers stay.
+    */
+  def kgNodeSimGuarded(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.graph.GraphOps.nodeSimilarity(
+      supRegionEdges(spark, dir, withSupRegion = true), minJaccard = 0.3,
+      maxHubDegree = 10)
+
+  val kgNodeSimGuardedSql: String =
+    """WITH raw AS (
+      |  SELECT 'nation:' || n_nationkey AS f, 'region:' || n_regionkey AS t FROM nation
+      |  UNION ALL SELECT 'sup:' || s_suppkey, 'nation:' || s_nationkey FROM supplier
+      |  UNION ALL SELECT 'sup:' || s_suppkey, 'region:' || n_regionkey
+      |    FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+      |u AS (SELECT DISTINCT least(f, t) AS a, greatest(f, t) AS b FROM raw WHERE f <> t),
+      |nb0 AS (SELECT a AS n, b AS m FROM u UNION ALL SELECT b, a FROM u),
+      |hub AS (SELECT n FROM (SELECT n, count(*) AS d FROM nb0 GROUP BY n) s WHERE d > 10),
+      |nb AS (SELECT n, m FROM nb0
+      |  WHERE n NOT IN (SELECT n FROM hub) AND m NOT IN (SELECT n FROM hub)),
+      |deg AS (SELECT n, count(*) AS d FROM nb GROUP BY n),
+      |c AS (SELECT x.n AS a, y.n AS b, count(*)::BIGINT AS common
+      |  FROM nb x JOIN nb y ON x.m = y.m AND x.n < y.n GROUP BY x.n, y.n)
+      |SELECT c.a AS node_a, c.b AS node_b, common,
+      |  common::DOUBLE / (da.d + db.d - common) AS jaccard
+      |FROM c JOIN deg da ON da.n = c.a JOIN deg db ON db.n = c.b
+      |WHERE common::DOUBLE / (da.d + db.d - common) >= 0.3
+      |ORDER BY node_a, node_b""".stripMargin
+
   /** A28: undirected BFS hop distances from the region nodes over the
     * containment hierarchy (GraphX Pregel frontier expansion): regions 0,
     * nations 1, suppliers 2. The oracle unrolls the BFS relaxation to four

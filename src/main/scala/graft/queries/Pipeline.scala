@@ -173,7 +173,7 @@ object Pipeline {
       |rk AS (SELECT *,
       |    row_number() OVER (PARTITION BY component ORDER BY q DESC, id) AS rank,
       |    count(*) OVER (PARTITION BY component) AS n_members FROM m)
-      |SELECT component, id AS keep_id, q AS keep_q, n_members
+      |SELECT component, id AS keep_id, q::INTEGER AS keep_q, n_members
       |FROM rk WHERE rank = 1 ORDER BY component""".stripMargin
 
   /** C22: benchmark-contamination check — docs of source `src0` play the
@@ -227,6 +227,53 @@ object Pipeline {
       |       FROM se)
       |SELECT md5(chunk) AS chunk_fp, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
       |FROM ch GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2 ORDER BY chunk_fp""".stripMargin
+
+  /** C48: passage REMOVAL ([[Dedup.scrubPassages]]) — the actionable half
+    * of C36: the corpus rewritten with every cross-document shared chunk
+    * scrubbed except its globally first occurrence (Lee et al. 2022
+    * semantics at CDC-chunk granularity).
+    */
+  def passageScrub(spark: SparkSession, dir: String): DataFrame =
+    Dedup.scrubPassages(docs(spark, dir), divisor = 7, minTokens = 5, minDocs = 2)
+
+  /** The oracle re-runs the same chunking with 0-based chunk indices,
+    * elects each shared fingerprint's keeper by `row_number() OVER
+    * (PARTITION BY fp ORDER BY doc_id, cidx)`, and reconstructs the
+    * scrubbed text with an ordered string_agg — the left-join + FILTER
+    * aggregation keeps a row for a fully-scrubbed document (empty string),
+    * matching Spark's left join + array filter.
+    */
+  val passageScrubSql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |tok AS (SELECT doc_id, ws, len(ws) AS n FROM d),
+      |b AS (SELECT doc_id, ws, n,
+      |        [i FOR i IN range(1, n+1) IF (ascii(ws[i]) * 256 + len(ws[i])) % 7 = 0] AS bidx
+      |      FROM tok),
+      |se AS (SELECT doc_id, ws,
+      |        list_prepend(1, [i+1 FOR i IN bidx]) AS starts,
+      |        list_append(bidx, n) AS ends
+      |       FROM b),
+      |ch AS (SELECT doc_id,
+      |        [array_to_string(ws[starts[j]:ends[j]], ' ')
+      |         FOR j IN range(1, len(starts)+1) IF ends[j] >= starts[j]] AS chunks
+      |       FROM se),
+      |chf AS (SELECT doc_id, unnest(chunks) AS chunk,
+      |          unnest(range(0, len(chunks))) AS cidx
+      |        FROM ch),
+      |occ AS (SELECT doc_id, cidx, md5(chunk) AS fp FROM chf
+      |        WHERE len(string_split(chunk, ' ')) >= 5),
+      |ranked AS (SELECT fp, doc_id, cidx,
+      |             row_number() OVER (PARTITION BY fp ORDER BY doc_id, cidx) AS rn,
+      |             count(DISTINCT doc_id) OVER (PARTITION BY fp) AS n_docs
+      |           FROM occ),
+      |drops AS (SELECT doc_id, cidx FROM ranked WHERE n_docs >= 2 AND rn > 1)
+      |SELECT c.doc_id,
+      |  coalesce(string_agg(c.chunk, ' ' ORDER BY c.cidx)
+      |    FILTER (WHERE dr.doc_id IS NULL), '') AS text_scrubbed,
+      |  count(dr.doc_id)::BIGINT AS n_dropped
+      |FROM chf c LEFT JOIN drops dr
+      |  ON dr.doc_id = c.doc_id AND dr.cidx = c.cidx
+      |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
 
   /** C30: asymmetric containment of the src0 reference docs in the rest of
     * the corpus — quote/near-subset detection that a Jaccard threshold
@@ -496,7 +543,7 @@ object Pipeline {
       |  FROM n q JOIN n c ON q.vec_id < 20 AND c.vec_id >= 20),
       |r AS (SELECT qid, cid, cosine,
       |  row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) rnk FROM s)
-      |SELECT qid, cid, cosine, rnk FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+      |SELECT qid, cid, cosine, rnk::INTEGER AS rnk FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
 
   /** C29: per-label centroid cosine — embedding-space cohesion/outlier
     * scoring. Decimal-summed centroids make the result bit-deterministic
@@ -568,7 +615,7 @@ object Pipeline {
       |cand AS (SELECT DISTINCT q.vec_id qid, c.vec_id cid FROM codes q JOIN codes c ON q.b = c.b AND q.code = c.code WHERE q.vec_id < 20 AND c.vec_id >= 20),
       |s AS (SELECT qid, cid, round(CASE WHEN q.nrm*c.nrm > 0 THEN list_sum([pr[1]*pr[2] for pr in list_zip(q.v, c.v)]) / (q.nrm*c.nrm) ELSE 0.0 END, 6) cosine FROM cand JOIN n q ON q.vec_id = qid JOIN n c ON c.vec_id = cid),
       |r AS (SELECT qid, cid, cosine, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) rnk FROM s)
-      |SELECT qid, cid, cosine, rnk FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+      |SELECT qid, cid, cosine, rnk::INTEGER AS rnk FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
 
   /** C13: corpus-source similarity via the MinHash sketch AGGREGATE
     * (graft.functions.MinHashSketch): one 64-position signature per source
@@ -1139,7 +1186,7 @@ object Pipeline {
       |    sum(cnt) OVER (PARTITION BY scope) AS n FROM sk),
       |e AS (SELECT *, cum - cnt AS cum_before FROM c),
       |ps AS (SELECT unnest([0.25, 0.5, 0.9, 0.99]::DOUBLE[]) AS p),
-      |j AS (SELECT scope, p, n, b, cnt, cum_before, p * (n - 1) + 1 AS r
+      |j AS (SELECT scope, p, n::BIGINT AS n, b, cnt, cum_before, p * (n - 1) + 1 AS r
       |      FROM e CROSS JOIN ps
       |      WHERE cum_before < p * (n - 1) + 1 AND p * (n - 1) + 1 <= cum)
       |SELECT scope, p, n,
@@ -1192,7 +1239,7 @@ object Pipeline {
       |      FROM tf JOIN df USING (term) CROSS JOIN n),
       |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
       |      FROM s)
-      |SELECT doc_id, rank, term, tfidf FROM r WHERE rank <= 3
+      |SELECT doc_id, rank::INTEGER AS rank, term, tfidf FROM r WHERE rank <= 3
       |ORDER BY doc_id, rank""".stripMargin
 
   /** C15: unigram-LM surprisal quality scoring (two-pass: corpus token

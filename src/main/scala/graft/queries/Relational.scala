@@ -117,7 +117,7 @@ object Relational {
   }
 
   val qWindowSql: String =
-    """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+    """SELECT o_custkey, o_orderkey, o_totalprice, rk::INTEGER AS rk FROM (
       |  SELECT o_custkey, o_orderkey, o_totalprice,
       |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
       |  FROM orders) WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin

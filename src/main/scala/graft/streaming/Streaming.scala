@@ -266,10 +266,11 @@ object Streaming {
     * confirms exactly.
     */
   def contaminationFlags(docs: DataFrame, evalBloom: graft.ops.dedup.Dedup.BloomLit,
-                         nGram: Int = 8): DataFrame = {
+                         nGram: Int = 8,
+                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    docs.select(col("doc_id"),
-        size(filter(graft.ops.dedup.Dedup.ngramHashes(col("text"), nGram),
+    docs.select(col(idCol).as("doc_id"),
+        size(filter(graft.ops.dedup.Dedup.ngramHashes(col(textCol), nGram),
           h => call_function("graft_bloom_contains",
             h, typedLit(evalBloom.words.toSeq),
             lit(evalBloom.bits), lit(evalBloom.numHashes)))).as("n_hit_grams"))
