@@ -236,43 +236,85 @@ object Ann {
   def srpCodes(v: Column, planes: Int, bands: Int, seed: Int = 17): Column =
     call_function("graft_srp_codes", v, lit(planes), lit(bands), lit(seed))
 
-  /** IVF (inverted-file) approximate top-k: an MLlib KMeans coarse
+  /** IVF (inverted-file) approximate top-k: a DETERMINISTIC seeded coarse
     * quantizer assigns every corpus vector to a cell; each query probes the
     * `nProbe` cells whose centroids are nearest (by cosine) and exact
     * cosine re-ranks inside them. The classic billion-scale ANN layout:
-    * the corpus is scanned once to build cells, queries touch
-    * nProbe/nCells of the data. Recall is tunable via nProbe.
+    * the corpus is scanned once per Lloyd pass to build cells, queries
+    * touch nProbe/nCells of the data. Recall is tunable via nProbe.
     */
   /** Builds the IVF index: (cell-assigned corpus, centroid table). The
     * production shape is build-once-query-many — persist both frames
     * (Checkpoint/saveAsTable) at ingest and run [[ivfSearch]] per query
     * batch; [[ivfTopK]] composes the two for self-contained runs.
+    *
+    * The coarse quantizer is deliberately NOT MLlib KMeans: cells only
+    * need to partition the space, not converge, and KMeans centroids are
+    * irreproducible outside Spark (parallel float summation order), which
+    * forced the one rows-only row in earlier correctness rounds. Instead:
+    * seed centroids are the `nCells` corpus vectors FIRST IN md5(id) ORDER
+    * (content-independent, uniformly spread, engine-reproducible), refined
+    * by a FIXED `iters` Lloyd passes where each assignment maximises the
+    * 6-dp-ROUNDED cosine (ties → lowest cell) and each centroid update is
+    * a DECIMAL-summed mean (associative, partition-order-proof — the
+    * [[centroidCosine]] recipe); empty cells keep their previous centroid.
+    * Every step is bit-reproducible in DuckDB as unrolled CTEs, so
+    * `ann_ivf` carries a FULL hash oracle like every other query.
+    *
+    * Scale shape: centroids are tiny (nCells × dims) and ride the plan as
+    * a LITERAL — assignment is a narrow scan-speed map (array_position of
+    * the max rounded cosine), no shuffle, no crossJoin; the only exchange
+    * per Lloyd pass is the (cell, pos) decimal mean with map-side
+    * partials. iters+1 corpus scans total, each embarrassingly parallel.
     */
-  def ivfBuild(corpus: DataFrame, nCells: Int = 16, trainCap: Int = 100000,
+  def ivfBuild(corpus: DataFrame, nCells: Int = 16, iters: Int = 2,
                idCol: String = "vec_id", vecCol: String = "embedding")
       : (DataFrame, DataFrame) = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+    require(nCells >= 1, s"ivfBuild: nCells must be >= 1 (got $nCells)")
+    require(iters >= 0, s"ivfBuild: iters must be >= 0 (got $iters)")
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
     val c = corpus.select(col(idCol).as("cid"), vec(col(vecCol)).as("cv"))
       .withColumn("cn", norm(col("cv")))
-      .withColumn("features", array_to_vector(col("cv")))
-    // the coarse quantizer trains on a BOUNDED sample with random init and
-    // few iterations — cells only need to partition the space, not
-    // converge, and at corpus scale you never k-means the full data (the
-    // k-means|| init alone is several extra passes). The full corpus is
-    // touched exactly once, by the cell assignment below.
-    val train = c.select("features").limit(trainCap)
-    val model = new KMeans().setK(nCells).setSeed(17L).setMaxIter(5)
-      .setInitMode("random")
-      .setFeaturesCol("features").fit(train)
-    val cells = model.transform(c).withColumnRenamed("prediction", "cell")
-      .select("cid", "cv", "cn", "cell")
-    // centroids are tiny (nCells × dims): nearest-cell probing is a small
-    // broadcast crossJoin, not a driver loop over the corpus
+    // bounded driver-side collects: nCells rows (seeds), then
+    // nCells × dims aggregate rows per Lloyd pass — the trained-model
+    // shape (like the trigram profiles), never corpus-sized
+    var cents: Seq[Seq[Double]] = c
+      .orderBy(md5(col("cid").cast("string")), col("cid"))
+      .limit(nCells).collect().map(_.getSeq[Double](1).toSeq).toSeq
+    require(cents.nonEmpty, "ivfBuild: empty corpus")
+    for (_ <- 1 to iters) {
+      val means = assignCells(c, cents)
+        .select(col("cell"), posexplode(col("cv")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos")
+        .agg((sum(col("x").cast("decimal(27,10)")).cast("double")
+          / count(lit(1))).as("m"))
+        .groupBy("cell")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("centroid"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toMap
+      cents = cents.indices.map(i => means.getOrElse(i, cents(i)))
+    }
+    val cells = assignCells(c, cents).select("cid", "cv", "cn", "cell")
     val centroids = corpus.sparkSession.createDataFrame(
-      model.clusterCenters.zipWithIndex.toSeq
-        .map { case (v, i) => (i, v.toArray) }).toDF("cell", "centroid")
+      cents.zipWithIndex.map { case (v, i) => (i, v.toArray) }).toDF("cell", "centroid")
     (cells, centroids)
+  }
+
+  /** Nearest-centroid assignment against a LITERAL centroid table: per
+    * row, the rounded cosine to each centroid, argmax with first-index
+    * (lowest cell) tiebreak via `array_position` of the max — a narrow
+    * codegen'd map, constant-size generated code at any nCells.
+    */
+  private def assignCells(c: DataFrame, cents: Seq[Seq[Double]]): DataFrame = {
+    val centLit = typedLit(cents)
+    // left-to-right accumulation, same order as the SQL twin's fold
+    val normLit = typedLit(cents.map(v => math.sqrt(v.map(x => x * x).sum)))
+    val scores = transform(centLit, (ct, i) =>
+      round(cosine(col("cv"), ct, col("cn"), element_at(normLit, i + 1)), 6))
+    c.withColumn("scores", scores)
+      .withColumn("cell",
+        (array_position(col("scores"), array_max(col("scores"))) - 1).cast("int"))
+      .drop("scores")
   }
 
   /** Probes a prebuilt IVF index ([[ivfBuild]] layout — loadable from a
@@ -286,7 +328,10 @@ object Ann {
     val q = queries.select(col(idCol).as("qid"), vec(col(vecCol)).as("qv"))
       .withColumn("qn", norm(col("qv")))
     val probes = q.crossJoin(broadcast(centroids))
-      .withColumn("cdist", cosine(col("qv"), col("centroid"), col("qn"), norm(col("centroid"))))
+      // rounded BEFORE ranking so probe choice is engine-reproducible
+      // (last-ulp float-sum drift cannot flip which cells are probed)
+      .withColumn("cdist",
+        round(cosine(col("qv"), col("centroid"), col("qn"), norm(col("centroid"))), 6))
       .withColumn("prank", row_number().over(
         Window.partitionBy("qid").orderBy(col("cdist").desc, col("cell"))))
       .where(col("prank") <= nProbe)
@@ -304,9 +349,9 @@ object Ann {
   /** Self-contained IVF ANN: [[ivfBuild]] + [[ivfSearch]] in one call. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nCells: Int = 16, nProbe: Int = 4,
-              trainCap: Int = 100000,
+              iters: Int = 2,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val (cells, centroids) = ivfBuild(corpus, nCells, trainCap, idCol, vecCol)
+    val (cells, centroids) = ivfBuild(corpus, nCells, iters, idCol, vecCol)
     ivfSearch(cells, centroids, queries, k, nProbe, idCol, vecCol)
   }
 

@@ -673,8 +673,15 @@ object Pipeline {
       |FROM sig a JOIN sig b ON a.i = b.i AND a.source < b.source
       |GROUP BY a.source, b.source ORDER BY src_a, src_b""".stripMargin
 
-  /** C7b: IVF-bucketed ANN (KMeans coarse quantizer; rows-only oracle +
-    * recall spec).
+  /** C7b: IVF-bucketed ANN. The coarse quantizer is the deterministic
+    * seeded one ([[Ann.ivfBuild]]: md5-ordered seed vectors + 2 fixed
+    * Lloyd passes, decimal-mean updates, rounded-cosine assignment), so
+    * the whole pipeline — build INCLUDED — now carries a FULL hash oracle
+    * ([[annIvfSql]] unrolls the Lloyd passes as CTEs exactly like the
+    * kg_pagerank power iterations) instead of the rows-only check the
+    * irreproducible MLlib KMeans centroids forced. The cache table name is
+    * versioned (`v2`) so an index persisted by the KMeans build can never
+    * be served to the seeded probe.
     */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = embs(spark, dir)
@@ -693,7 +700,7 @@ object Pipeline {
     // any table read.
     try {
       val fp = graft.io.Fingerprint.ofPath(spark, s"$dir/embeddings.parquet")
-      val (cellsT, centT) = (s"graft_ivf_cells_$fp", s"graft_ivf_centroids_$fp")
+      val (cellsT, centT) = (s"graft_ivf_cells_v2_$fp", s"graft_ivf_centroids_v2_$fp")
       if (!spark.catalog.tableExists(cellsT) || !spark.catalog.tableExists(centT)) {
         Seq(cellsT, centT).foreach(graft.io.Bucketing.dropTable(spark, _))
         val (cells, cents) = Ann.ivfBuild(corpus)
@@ -709,6 +716,57 @@ object Pipeline {
             "running self-contained ivfBuild+ivfSearch")
         Ann.ivfTopK(queries, corpus, k = 5).withColumnRenamed("rank", "rnk")
     }
+  }
+
+  /** Full hash oracle for the seeded-quantizer IVF: seeds = first 16
+    * corpus vectors in md5(id) order; each Lloyd pass unrolls to an
+    * assignment CTE (argmax of the 6-dp-rounded cosine, ties → lowest
+    * cell — `row_number` twin of the engine's `array_position`-of-max) and
+    * a decimal-mean update CTE (the [[embedCentroidsSql]] recipe), with a
+    * left-join coalesce keeping empty cells' previous centroids; probing
+    * and re-ranking mirror [[annLshSql]]'s rounded-cosine windows. Rounding
+    * BEFORE every comparison is what makes the argmax engine-reproducible:
+    * a last-ulp `list_sum` vs left-to-right-fold drift cannot flip a cell
+    * choice.
+    */
+  val annIvfSql: String = {
+    val iters = 2
+    def nrm(a: String) = s"sqrt(list_sum([x*x FOR x IN $a]))"
+    def cos(a: String, b: String, na: String, nb: String) =
+      s"CASE WHEN $na * $nb > 0 THEN list_sum([pr[1]*pr[2] FOR pr IN list_zip($a, $b)]) / ($na * $nb) ELSE 0.0 END"
+    def assignCte(name: String, centTable: String) =
+      s"""$name AS (SELECT cid, v, nrm, cell FROM (
+         |  SELECT c.cid, c.v, c.nrm, ct.cell,
+         |    row_number() OVER (PARTITION BY c.cid
+         |      ORDER BY round(${cos("c.v", "ct.centroid", "c.nrm", nrm("ct.centroid"))}, 6) DESC, ct.cell) AS rn
+         |  FROM c CROSS JOIN $centTable ct) WHERE rn = 1)""".stripMargin
+    val lloyd = (1 to iters).map { i =>
+      s"""${assignCte(s"a$i", s"cent${i - 1}")},
+         |m$i AS (SELECT cell, pos, CAST(sum(CAST(x AS DECIMAL(27,10))) AS DOUBLE)/count(*) AS m
+         |  FROM (SELECT cell, unnest(v) AS x, unnest(range(1, len(v)+1)) AS pos FROM a$i) GROUP BY 1, 2),
+         |mc$i AS (SELECT cell, list(m ORDER BY pos) AS centroid FROM m$i GROUP BY cell),
+         |cent$i AS (SELECT p.cell, coalesce(n.centroid, p.centroid) AS centroid
+         |  FROM cent${i - 1} p LEFT JOIN mc$i n USING (cell))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |c AS (SELECT vec_id AS cid, v, ${nrm("v")} AS nrm FROM e WHERE vec_id >= 20),
+       |q AS (SELECT vec_id AS qid, v, ${nrm("v")} AS nrm FROM e WHERE vec_id < 20),
+       |cent0 AS (SELECT rn - 1 AS cell, v AS centroid FROM (
+       |  SELECT v, row_number() OVER (ORDER BY md5(cid::VARCHAR), cid) AS rn FROM c) WHERE rn <= 16),
+       |$lloyd,
+       |${assignCte("af", s"cent$iters")},
+       |pr AS (SELECT qid, qv, qn, cell FROM (
+       |  SELECT q.qid, q.v AS qv, q.nrm AS qn, ct.cell,
+       |    row_number() OVER (PARTITION BY q.qid
+       |      ORDER BY round(${cos("q.v", "ct.centroid", "q.nrm", nrm("ct.centroid"))}, 6) DESC, ct.cell) AS rn
+       |  FROM q CROSS JOIN cent$iters ct) WHERE rn <= 4),
+       |sc AS (SELECT pr.qid, a.cid,
+       |    round(${cos("pr.qv", "a.v", "pr.qn", "a.nrm")}, 6) AS cosine
+       |  FROM pr JOIN af a USING (cell)),
+       |r AS (SELECT qid, cid, cosine,
+       |  row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rnk FROM sc)
+       |SELECT qid, cid, cosine, rnk::INTEGER AS rnk FROM r WHERE rnk <= 5
+       |ORDER BY qid, rnk""".stripMargin
   }
 
   // ---- C34: int8 embedding quantization -----------------------------------

@@ -10,9 +10,10 @@ class EntryConsistencySpec extends SparkSpec {
   /** The only queries allowed to ship without a DuckDB oracle, each with a
     * documented necessity (see SURVEY §2).
     */
-  private val rowsOnlyByNecessity = Set(
-    "ann_ivf" // MLlib KMeans centroids are not reproducible outside Spark
-  )
+  private val rowsOnlyByNecessity = Set.empty[String]
+  // EMPTY as of round 8: ann_ivf's MLlib KMeans quantizer (the last entry —
+  // its centroids were not reproducible outside Spark) was replaced by the
+  // deterministic seeded quantizer, which carries a full DuckDB oracle.
 
   test("every query has an oracle, or is a documented rows-only exception") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet --
