@@ -203,15 +203,37 @@ object Dedup {
     // (df table, rarity ranking, prefix index, verification re-attach),
     // and without the checkpoint the tokenise subtree re-runs for each
     // (measured 8.9 s -> 1 s at sf0.1 on the salted-zipfian corpus)
-    prefixJoin(shingled(spread(docs), idCol, textCol).localCheckpoint(), minJaccard)
+    prefixJoin(shingledStaged(docs, idCol, textCol), minJaccard)
   }
+
+  /** The staged shingle base the prefix route consumes (spread across
+    * cores, tokenised once, pinned by localCheckpoint). Exposed so specs
+    * can feed [[prefixCandidates]]/[[verifyPrefixPairs]] the same base.
+    */
+  private[graft] def shingledStaged(docs: DataFrame, idCol: String = "doc_id",
+                                    textCol: String = "text"): DataFrame =
+    shingled(spread(docs), idCol, textCol).localCheckpoint()
+
+  /** Verification tail of the prefix route over its staged base. */
+  private[graft] def verifyPrefixPairs(cand: DataFrame, base: DataFrame,
+                                       minJaccard: Double): DataFrame =
+    verifyPairs(cand, base.select(col("id"), col("sh"), col("n")), minJaccard)
 
   /** Core of [[ngramJaccardPrefix]] over a prebuilt shingle base —
     * [[ngramJaccardAdaptive]] feeds it the STAGED arrays so the tokenise
     * pass is not re-run for the df table, the prefix index, and the
     * verification re-attach.
     */
-  private def prefixJoin(base: DataFrame, minJaccard: Double): DataFrame = {
+  private def prefixJoin(base: DataFrame, minJaccard: Double): DataFrame =
+    verifyPrefixPairs(prefixCandidates(base, minJaccard), base, minJaccard)
+
+  /** Candidate stage of the prefix route: the inverted prefix index join,
+    * the accumulated-overlap positional filter, and the PPJoin+ suffix
+    * filter. Returns the (a, b) pair set that [[verifyPrefixPairs]]
+    * verifies exactly. Exposed for the plan-audit/candidate-count specs.
+    */
+  private[graft] def prefixCandidates(base: DataFrame, minJaccard: Double,
+                                      suffix: Boolean = true): DataFrame = {
     // global rarity order: shingle -> document frequency, each record's
     // shingles re-ranked by (df, h)
     val ex = base.select(col("id"), col("n"), explode(col("sh")).as("h"))
@@ -241,8 +263,90 @@ object Dedup {
       // strictly tighter than the first-match bound min(na−ia₀, nb−ib₀).
       .where(col("c") + least(col("na") - col("ia") - 1, col("nb") - col("ib") - 1) >=
         ceil(lit(minJaccard) / (1 + minJaccard) * (col("na") + col("nb")) - lit(Eps)))
-      .select(col("a"), col("b"))
-    verifyPairs(cand, base.select(col("id"), col("sh"), col("n")), minJaccard)
+    if (suffix) suffixFilter(cand, ranked, minJaccard).select(col("a"), col("b"))
+    else cand.select(col("a"), col("b"))
+  }
+
+  /** PPJoin+ suffix filter (Xiao et al. 2008 §4), reformulated for the
+    * no-content-shuffle stance: instead of shipping suffixes to a per-pair
+    * recursive probe, each record keeps a THREE-PIVOT signature — the
+    * (df, h) rank-order values at the prefix end (`f`), the suffix median
+    * (`m`), and the array max (`l`), with their exact positions — and the
+    * filter evaluates a closed-form overlap bound from the two signatures
+    * alone (O(1) per candidate, codegen'd comparisons, no array access).
+    *
+    * The bound: split x's unmatched tail SA = positions ia+1..na−1 at x's
+    * median value mₓ (position pₓ > ia). Tokens of SA below mₓ can only
+    * match y-tokens below mₓ inside y's tail SB, whose count is bounded
+    * ABOVE by the step function of y's pivots (value < mₓ ⟹ position <
+    * the first y-pivot ≥ mₓ); tokens of SA at/above mₓ can only match
+    * SB's complement, bounded by |SB| minus the step-function bound BELOW.
+    * Both sides being sorted by the same total order makes every step
+    * exact (shingle hashes are distinct within a record). The symmetric
+    * split at y's median is intersected, as is the plain min(|SA|, |SB|)
+    * fallback. Candidates whose bound c + suffixBound falls below the
+    * required overlap ⌈t/(1+t)·(na+nb)⌉ are dropped before the
+    * verification re-attach — the pairs the positional filter keeps but a
+    * true suffix probe would kill (disjoint rare-token suffixes under a
+    * shared hot prefix token, the zipfian-corpus shape).
+    *
+    * Signatures ride two narrow id-keyed joins against the candidate set
+    * (pivot structs only — never the arrays), so the posting-list join
+    * stays lean and the filter's cost is O(candidates), not O(postings).
+    */
+  private def suffixFilter(cand: DataFrame, ranked: DataFrame,
+                           minJaccard: Double): DataFrame = {
+    val prefLen = (col("n") - ceil(col("n") * minJaccard - lit(Eps)) + 1).cast("int")
+    // pivot positions (0-based): prefix end pf = min(prefLen, n-1), suffix
+    // median pm = min(prefLen + (n - prefLen)/2, n-1), last pn = n-1 —
+    // clamped so signatures exist even when the prefix spans the record
+    val sig = ranked.select(col("id"),
+      least(prefLen, col("n") - 1).as("pf"),
+      least(prefLen + floor((col("n") - prefLen) / 2).cast("int"), col("n") - 1).as("pm"),
+      element_at(col("rk"), least(prefLen, col("n") - 1) + 1).as("vf"),
+      element_at(col("rk"),
+        least(prefLen + floor((col("n") - prefLen) / 2).cast("int"), col("n") - 1) + 1).as("vm"),
+      element_at(col("rk"), col("n")).as("vl"))
+    // upper/lower bounds on |{t ∈ tail(positions i+1..n-1) : t < w}| from
+    // the (value, position) pivot steps: values strictly below a pivot sit
+    // strictly before its position; values at/below it sit at/before it
+    def ub(w: Column, vf: Column, vm: Column, vl: Column,
+           pf: Column, pm: Column, n: Column, i: Column): Column =
+      when(w <= vf, greatest(pf - i - 1, lit(0)))
+        .when(w <= vm, greatest(pm - i - 1, lit(0)))
+        .when(w <= vl, greatest(n - i - 2, lit(0)))
+        .otherwise(n - i - 1)
+    def lb(w: Column, vf: Column, vm: Column, vl: Column,
+           pf: Column, pm: Column, n: Column, i: Column): Column =
+      when(w > vl, n - i - 1)
+        .when(w > vm, greatest(pm - i, lit(0)))
+        .when(w > vf, greatest(pf - i, lit(0)))
+        .otherwise(lit(0))
+    val sa = col("na") - col("ia") - 1
+    val sb = col("nb") - col("ib") - 1
+    // split SA at x's median (valid only when the median lies inside SA)
+    val bX = when(col("x.pm") > col("ia"),
+      least(col("x.pm") - col("ia") - 1,
+          ub(col("x.vm"), col("y.vf"), col("y.vm"), col("y.vl"),
+            col("y.pf"), col("y.pm"), col("nb"), col("ib"))) +
+        least(col("na") - col("x.pm"),
+          sb - lb(col("x.vm"), col("y.vf"), col("y.vm"), col("y.vl"),
+            col("y.pf"), col("y.pm"), col("nb"), col("ib"))))
+      .otherwise(least(sa, sb))
+    val bY = when(col("y.pm") > col("ib"),
+      least(col("y.pm") - col("ib") - 1,
+          ub(col("y.vm"), col("x.vf"), col("x.vm"), col("x.vl"),
+            col("x.pf"), col("x.pm"), col("na"), col("ia"))) +
+        least(col("nb") - col("y.pm"),
+          sa - lb(col("y.vm"), col("x.vf"), col("x.vm"), col("x.vl"),
+            col("x.pf"), col("x.pm"), col("na"), col("ia"))))
+      .otherwise(least(sa, sb))
+    val bound = least(least(sa, sb), bX, bY)
+    cand
+      .join(sig.as("x"), cand("a") === col("x.id"))
+      .join(sig.as("y"), cand("b") === col("y.id"))
+      .where(col("c") + greatest(bound, lit(0)) >=
+        ceil(lit(minJaccard) / (1 + minJaccard) * (col("na") + col("nb")) - lit(Eps)))
   }
 
   /** Partition-based (pigeonhole) exact similarity join — identical output

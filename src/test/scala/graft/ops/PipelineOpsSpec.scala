@@ -34,6 +34,37 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("PPJoin+ suffix filter prunes candidates the positional filter keeps — never a true pair") {
+    import spark.implicits._
+    // planted shape: pair (2i, 2i+1) shares a 3-word head unique to it
+    // (two df = 2 bigrams — the rare band, heading both rarity-ordered
+    // prefixes, so the posting join emits the pair), while the 5-word
+    // tails come from a pool of sequences reused by several NON-partner
+    // docs (bigram df ≥ 3 keeps tails out of the prefix) and partners get
+    // different sequences — disjoint tails. When the matched prefix run
+    // sits at the rank floor the positional bound degenerates to the
+    // unbeatable n−1, so these pairs survive it at any t ≤ (n−1)/(n+1);
+    // only a suffix probe can see the tails never intersect.
+    val pool = (0 until 4).map(k => (0 until 5).map(j => s"s${k}w$j").mkString(" "))
+    val m = 40
+    val docsP = (0 until m).map { i =>
+      (i.toLong, s"h${i / 2}a h${i / 2}b h${i / 2}c ${pool((i + i / 2) % 4)}")
+    }.toDF("doc_id", "text")
+    val baseP = Dedup.shingledStaged(docsP)
+    val posOnly = Dedup.prefixCandidates(baseP, 0.75, suffix = false).count()
+    val withSuf = Dedup.prefixCandidates(baseP, 0.75).count()
+    assert(withSuf < posOnly,
+      s"t=0.75: suffix filter pruned nothing ($withSuf of $posOnly)")
+    // exactness: the filtered route still finds exactly the brute pairs
+    for (t <- Seq(0.5, 0.75))
+      assert(pairs(Dedup.ngramJaccardPrefix(docsP, t)) ===
+        pairs(Dedup.ngramJaccard(docsP, t)), s"t=$t")
+    // and on the driver corpus the filter only ever shrinks the set
+    val base = Dedup.shingledStaged(docs)
+    assert(Dedup.prefixCandidates(base, 0.5).count() <=
+      Dedup.prefixCandidates(base, 0.5, suffix = false).count())
+  }
+
   test("dedup queries at scale never plan a broadcast all-pairs loop") {
     // (the GUARDED below-cutoff routes of dedup_ngram_jaccard and
     // dedup_embedding legitimately pick an exact broadcast all-pairs loop on
