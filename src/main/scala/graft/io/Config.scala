@@ -61,38 +61,153 @@ object Config {
     *   - b.parquet               "inputs.1" -> "b.parquet")
     * }}}
     * Consumers that accept lists ([[graft.etl.Workflow]] step `inputs`)
-    * read either form. Anchors/aliases and nested block maps inside
-    * sequence items remain out of scope (documented divergence — no YAML
-    * dependency is allowed in this build).
+    * read either form.
+    *
+    * Also covered (extended round 8 — closes the last documented YAML
+    * gaps): nested block maps inside sequence items (`- name: a` with
+    * continuation keys at the item's content indent → `steps.0.name`,
+    * `steps.0.inputs`, …), anchors/aliases (`key: &name …` / `other:
+    * *name`, both scalar and whole-subtree) with `<<: *name` merge keys
+    * (explicit keys win over merged ones, YAML semantics), and literal /
+    * folded block scalars (`key: |`, `key: >`, with `-`/`+` chomping).
+    * Flow collections (`[a, b]`, `{k: v}`) and multi-document streams
+    * remain out of scope (documented divergence — no YAML dependency is
+    * allowed in this build).
     */
   def parse(text: String, env: Map[String, String] = sys.env): Map[String, String] = {
-    val lines = interpolate(text, env).linesIterator
-      .map(l => (l.takeWhile(_ == ' ').length, l.trim))
-      .filter { case (_, t) => t.nonEmpty && !t.startsWith("#") }
-      .toList
+    val raw = interpolate(text, env).linesIterator.toArray
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // anchor name -> Left(scalar value) | Right(subtree path prefix)
+    val anchors = scala.collection.mutable.Map.empty[String, Either[String, String]]
     var stack = List.empty[(Int, String)] // (indent, key-prefix)
     val seqIdx = scala.collection.mutable.Map.empty[String, Int]
-    val out = Map.newBuilder[String, String]
-    lines.foreach { case (indent, line) =>
-      if (line == "-" || line.startsWith("- ")) {
-        // sequence item: belongs to the nearest key at indent <= item's
-        // (YAML permits items at the SAME indent as their key)
-        stack = stack.dropWhile(_._1 > indent)
-        val parent = stack.reverse.map(_._2).mkString(".")
-        val i = seqIdx.getOrElse(parent, 0)
-        seqIdx(parent) = i + 1
-        out += s"$parent.$i" -> scalar(line.stripPrefix("-"))
-      } else {
-        val (key, value) = line.span(_ != ':') match {
-          case (k, v) => (unquote(k.trim), scalar(v.drop(1)))
+    val Anchor = """&([\w.-]+)\s*(.*)""".r
+    val Alias = """\*([\w.-]+)""".r
+    val Block = """([|>])([+-]?)""".r
+
+    def copySubtree(from: String, to: String, keepExisting: Boolean): Unit =
+      out.toList.foreach { case (k, v) =>
+        if (k == from || k.startsWith(from + ".")) {
+          val dst = to + k.stripPrefix(from)
+          if (!keepExisting || !out.contains(dst)) out(dst) = v
         }
-        stack = stack.dropWhile(_._1 >= indent)
-        val path = (stack.reverse.map(_._2) :+ key).mkString(".")
-        if (value.isEmpty) stack = (indent, key) :: stack
-        else out += path -> value
+      }
+
+    /** Consumes a literal/folded block scalar after line `i`; returns
+      * (value, next line index). Content = lines more indented than the
+      * key (plus interior blanks); the first content line fixes the strip
+      * indent. Chomping: `-` drops trailing newlines, default keeps one,
+      * `+` keeps them all.
+      */
+    def blockScalar(style: Char, chomp: String, keyIndent: Int, start: Int): (String, Int) = {
+      var i = start
+      val body = scala.collection.mutable.ArrayBuffer.empty[String]
+      var strip = -1
+      while (i < raw.length && {
+        val ind = raw(i).takeWhile(_ == ' ').length
+        raw(i).trim.isEmpty || ind > keyIndent
+      }) {
+        if (raw(i).trim.isEmpty) body += ""
+        else {
+          if (strip < 0) strip = raw(i).takeWhile(_ == ' ').length
+          body += raw(i).drop(strip min raw(i).takeWhile(_ == ' ').length)
+        }
+        i += 1
+      }
+      var trailingBlanks = 0
+      while (body.nonEmpty && body.last.isEmpty) {
+        body.remove(body.length - 1); trailingBlanks += 1
+      }
+      val joined =
+        if (style == '|') body.mkString("\n")
+        else body.foldLeft(List.empty[String]) {
+          case (acc, "") => "" :: acc
+          case ("" :: rest, l) => l :: "" :: rest
+          case (prev :: rest, l) => s"$prev $l" :: rest
+          case (Nil, l) => l :: Nil
+        }.reverse.mkString("\n")
+      val value = chomp match {
+        case "-" => joined
+        case "+" => joined + "\n" * (trailingBlanks + 1)
+        case _ => if (joined.isEmpty) "" else joined + "\n"
+      }
+      (value, i)
+    }
+
+    /** One `key: value` (or bare alias/anchor value) at `path`: resolves
+      * anchors, aliases, and block indicators; returns the next line index
+      * and whether the key opened a section (caller pushes the frame).
+      */
+    def emit(path: String, rawValue: String, keyIndent: Int, next: Int): (Int, Boolean) =
+      rawValue.trim match {
+        case Anchor(name, rest) if rest.trim.isEmpty =>
+          anchors(name) = Right(path); (next, true)
+        case Anchor(name, rest) =>
+          val v = scalar(rest); anchors(name) = Left(v); out(path) = v; (next, false)
+        case Alias(name) => anchors.get(name) match {
+          case Some(Left(v)) => out(path) = v; (next, false)
+          case Some(Right(prefix)) => copySubtree(prefix, path, keepExisting = false); (next, false)
+          case None => out(path) = "*" + name; (next, false)
+        }
+        case Block(style, chomp) =>
+          val (v, ni) = blockScalar(style.head, chomp, keyIndent, next)
+          out(path) = v; (ni, false)
+        case t =>
+          val v = scalar(t)
+          if (v.isEmpty) (next, true) else { out(path) = v; (next, false) }
+      }
+
+    var i = 0
+    while (i < raw.length) {
+      val indent = raw(i).takeWhile(_ == ' ').length
+      val line = raw(i).trim
+      i += 1
+      if (line.nonEmpty && !line.startsWith("#")) {
+        if (line == "-" || line.startsWith("- ")) {
+          // sequence item: belongs to the nearest key at indent <= item's
+          // (YAML permits items at the SAME indent as their key)
+          stack = stack.dropWhile(_._1 > indent)
+          val parent = stack.reverse.map(_._2).mkString(".")
+          val idx = seqIdx.getOrElse(parent, 0)
+          seqIdx(parent) = idx + 1
+          val rest = line.stripPrefix("-")
+          val content = rest.dropWhile(_ == ' ')
+          val contentIndent = indent + (rest.length - content.length) + 1
+          if (!content.startsWith("\"") && !content.startsWith("'") &&
+              (content.contains(": ") || content.endsWith(":"))) {
+            // a block map starts INSIDE the item: the first key is on the
+            // dash line, siblings follow at the item's content indent —
+            // the frame sits one column left of it so they nest, while a
+            // sibling dash (or parent key) at the dash indent pops it
+            stack = (contentIndent - 1, idx.toString) :: stack
+            val (k, v) = content.span(_ != ':')
+            val path = (stack.reverse.map(_._2) :+ unquote(k.trim)).mkString(".")
+            val (ni, opened) = emit(path, v.drop(1), contentIndent - 1, i)
+            i = ni
+            if (opened) stack = (contentIndent, unquote(k.trim)) :: stack
+          } else {
+            val (ni, _) = emit(s"$parent.$idx", content, indent, i)
+            i = ni
+          }
+        } else {
+          val (key0, value) = line.span(_ != ':')
+          val key = unquote(key0.trim)
+          stack = stack.dropWhile(_._1 >= indent)
+          if (key == "<<") value.drop(1).trim match {
+            case Alias(name) => anchors.get(name).collect { case Right(prefix) =>
+              copySubtree(prefix, stack.reverse.map(_._2).mkString("."), keepExisting = true)
+            }
+            case _ => ()
+          } else {
+            val path = (stack.reverse.map(_._2) :+ key).mkString(".")
+            val (ni, opened) = emit(path, value.drop(1), indent, i)
+            i = ni
+            if (opened) stack = (indent, key) :: stack
+          }
+        }
       }
     }
-    out.result()
+    out.toMap
   }
 
   /** Builds a SparkSession from a parsed config: `master`, `appName`, and

@@ -96,6 +96,83 @@ class ConfigSpec extends graft.SparkSpec {
     assert(conf("foo.fallback") === "42")
   }
 
+  test("nested block maps inside sequence items flatten to indexed paths") {
+    val conf = Config.parse(
+      """steps:
+        |  - name: build      # first key on the dash line
+        |    kind: pg
+        |    inputs:
+        |      - a.parquet
+        |      - b.parquet
+        |  - name: load
+        |    kind: neo
+        |single:
+        |  - plain
+        |""".stripMargin, env = Map.empty)
+    assert(conf("steps.0.name") === "build")
+    assert(conf("steps.0.kind") === "pg")
+    assert(conf("steps.0.inputs.0") === "a.parquet")
+    assert(conf("steps.0.inputs.1") === "b.parquet")
+    assert(conf("steps.1.name") === "load")
+    assert(conf("steps.1.kind") === "neo")
+    assert(conf("single.0") === "plain")
+    // a quoted item containing ": " is still a scalar
+    assert(Config.parse("x:\n  - \"k: v\"\n", Map.empty)("x.0") === "k: v")
+  }
+
+  test("anchors, aliases, and merge keys resolve (scalar and subtree)") {
+    val conf = Config.parse(
+      """defaults: &base
+        |  retries: 3
+        |  timeout: 30
+        |password: &pw hunter2
+        |jobs:
+        |  fast:
+        |    <<: *base
+        |    timeout: 5      # explicit key beats the merged one
+        |  slow:
+        |    <<: *base
+        |copy: *base
+        |again: *pw
+        |""".stripMargin, env = Map.empty)
+    assert(conf("jobs.fast.retries") === "3")
+    assert(conf("jobs.fast.timeout") === "5")
+    assert(conf("jobs.slow.retries") === "3")
+    assert(conf("jobs.slow.timeout") === "30")
+    assert(conf("copy.retries") === "3")
+    assert(conf("copy.timeout") === "30")
+    assert(conf("again") === "hunter2")
+  }
+
+  test("merge-key precedence holds when the explicit key comes BEFORE the merge") {
+    val conf = Config.parse(
+      """defaults: &base
+        |  timeout: 30
+        |job:
+        |  timeout: 5
+        |  <<: *base
+        |""".stripMargin, env = Map.empty)
+    assert(conf("job.timeout") === "5")
+  }
+
+  test("literal and folded block scalars with chomping") {
+    val conf = Config.parse(
+      """query: |
+        |  SELECT *
+        |  FROM t
+        |note: >
+        |  folded into
+        |  one line
+        |
+        |  next paragraph
+        |stripped: |-
+        |  no trailing newline
+        |""".stripMargin, env = Map.empty)
+    assert(conf("query") === "SELECT *\nFROM t\n")
+    assert(conf("note") === "folded into one line\n\nnext paragraph\n")
+    assert(conf("stripped") === "no trailing newline")
+  }
+
   test("sparkSession builder consumes master/appName/config entries") {
     spark // force the shared test session so getOrCreate below reuses it
     val before = spark.conf.get("spark.sql.shuffle.partitions")
