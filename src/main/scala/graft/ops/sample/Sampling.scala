@@ -139,6 +139,37 @@ object Sampling {
     * order, so a bucket prefilter keeps exactly the candidate prefix) and
     * run the exact window on the survivors.
     */
+  /** Temperature-flattened domain mixing — the multilingual "alpha
+    * sampling" staple (mT5/XLM-R): per-domain weights are the corpus
+    * token SHARES raised to `alpha` ∈ (0, 1], so alpha = 1 keeps natural
+    * proportions and alpha → 0 flattens toward uniform, up-weighting
+    * low-resource domains. The weighted budget split and deterministic
+    * selection are [[mixToBudget]]'s (md5 order, budget-monotone).
+    *
+    * Weights are 6-dp-rounded before the split so the chosen mixture is
+    * engine-reproducible (`pow` implementations agree far beyond 6 dp;
+    * the raw shares are exact — integer token sums below 2^53).
+    *
+    * Scale: one keyed aggregate for the |domains|-row share table (map-
+    * side partials), broadcast back onto the corpus; everything else is
+    * [[mixToBudget]]'s one window. The share table is the trained-model
+    * shape — never corpus-sized.
+    */
+  def temperatureMix(df: DataFrame, sourceCol: String, idCol: String,
+                     tokens: Column, alpha: Double, totalBudget: Long,
+                     salt: String = ""): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1] (got $alpha)")
+    val shares = df.groupBy(col(sourceCol))
+      .agg(sum(tokens.cast("long")).as("__tok"))
+    val total = Option(shares.agg(sum("__tok")).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    require(total > 0, "temperatureMix: corpus has no tokens")
+    val wtab = shares.select(col(sourceCol),
+      round(pow(col("__tok").cast("double") / total, alpha), 6).as("__tw"))
+    mixToBudget(df.join(broadcast(wtab), sourceCol), sourceCol, idCol,
+      tokens, col("__tw"), totalBudget, salt).drop("__tw")
+  }
+
   def mixToBudget(df: DataFrame, sourceCol: String, idCol: String,
                   tokens: Column, weight: Column, totalBudget: Long,
                   salt: String = ""): DataFrame = {

@@ -343,6 +343,39 @@ object Pipeline {
       |WHERE r.cum_tokens - r.n_tokens < t.target
       |ORDER BY doc_id""".stripMargin
 
+  /** C48: temperature-flattened language mixing
+    * ([[graft.ops.sample.Sampling.temperatureMix]], alpha = 0.5) — the
+    * multilingual alpha-sampling step: shares are SQUARE-ROOTED before the
+    * budget split, so low-resource languages get more than their natural
+    * share. Same deterministic md5 selection and budget monotonicity as
+    * `corpus_mix`; the oracle recomputes the share table, the 6-dp
+    * weights, and the per-language targets in SQL.
+    */
+  def corpusTemperature(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.sample.Sampling.temperatureMix(
+        docs(spark, dir), "lang", "doc_id",
+        tokens = size(split(col("text"), " ")),
+        alpha = 0.5, totalBudget = 20000)
+      .select("doc_id", "lang", "n_tokens", "cum_tokens")
+      .orderBy("doc_id")
+
+  val corpusTemperatureSql: String =
+    """WITH d AS (SELECT doc_id, lang,
+      |    len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents),
+      |s AS (SELECT lang, sum(n_tokens)::DOUBLE AS tok FROM d GROUP BY lang),
+      |tot AS (SELECT sum(tok) AS t FROM s),
+      |w AS (SELECT lang, round(pow(tok / (SELECT t FROM tot), 0.5), 6) AS w FROM s),
+      |sw AS (SELECT sum(w) AS sum_w FROM w),
+      |tg AS (SELECT lang, floor(20000 * w / (SELECT sum_w FROM sw))::BIGINT AS target FROM w),
+      |r AS (SELECT d.doc_id, d.lang, d.n_tokens,
+      |    (sum(d.n_tokens) OVER (PARTITION BY d.lang
+      |      ORDER BY ('0x' || substring(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT, d.doc_id))::BIGINT AS cum_tokens
+      |  FROM d)
+      |SELECT r.doc_id, r.lang, r.n_tokens, r.cum_tokens
+      |FROM r JOIN tg USING (lang)
+      |WHERE r.cum_tokens - r.n_tokens < tg.target
+      |ORDER BY doc_id""".stripMargin
+
   /** C44: deterministic global shuffle into 8 training shards
     * ([[graft.ops.sample.Sampling.shardShuffle]]) — shard + within-shard
     * position as pure md5 functions of doc_id, the engine-reproducible

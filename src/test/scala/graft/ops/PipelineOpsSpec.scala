@@ -651,6 +651,37 @@ class PipelineOpsSpec extends SparkSpec {
       Sampling.mixToBudget(docs, "source", "doc_id", tokens, lit(0.0), 2000))
   }
 
+  test("temperatureMix flattens toward uniform as alpha shrinks, stays budget-monotone") {
+    import graft.ops.sample.Sampling
+    import spark.implicits._
+    // planted skew: domain "big" has 16x the token mass of "small"
+    val df = ((0 until 320).map(i => (i.toLong, "big", "t " * 10)) ++
+      (1000 until 1020).map(i => (i.toLong, "small", "t " * 10)))
+      .toDF("doc_id", "src", "text")
+    val tokens = size(split(col("text"), " "))
+    def selectedShare(alpha: Double, budget: Long = 1200): Double = {
+      val out = Sampling.temperatureMix(df, "src", "doc_id", tokens, alpha, budget)
+        .groupBy("src").agg(sum("n_tokens").as("tok"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      out.getOrElse("small", 0L).toDouble / (out.values.sum max 1L)
+    }
+    // natural share of "small" is 1/17; alpha-flattening must raise it,
+    // monotonically as alpha drops (sqrt share ratio 1:4 at 0.5)
+    val s10 = selectedShare(1.0)
+    val s05 = selectedShare(0.5)
+    val s02 = selectedShare(0.2)
+    assert(s05 > s10, s"alpha=0.5 share $s05 should beat natural $s10")
+    assert(s02 > s05, s"alpha=0.2 share $s02 should beat $s05")
+    // budget monotonicity carries over from mixToBudget
+    val ids = Sampling.temperatureMix(df, "src", "doc_id", tokens, 0.5, 1200)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val more = Sampling.temperatureMix(df, "src", "doc_id", tokens, 0.5, 2400)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.subsetOf(more) && more.size > ids.size)
+    assertThrows[IllegalArgumentException](
+      Sampling.temperatureMix(df, "src", "doc_id", tokens, 1.5, 1200))
+  }
+
   test("annIvf: persisted index is data-fingerprinted, rebuilt on regeneration, " +
       "and equals the self-contained build") {
     import java.nio.file.Files
