@@ -376,6 +376,56 @@ object Pipeline {
       |WHERE r.cum_tokens - r.n_tokens < tg.target
       |ORDER BY doc_id""".stripMargin
 
+  /** C49: distributed BPE merge training ([[graft.ops.text.Bpe.bpeTrain]],
+    * k = 6) — tokenizer-vocabulary induction over the corpus: the word-
+    * frequency table is built in one corpus scan, then each merge round is
+    * a keyed pair-count, a 1-row argmax (ties lexicographic), and a
+    * greedy-left merge fold with the winner as a literal. The oracle
+    * unrolls the six rounds as CTEs (the kg_pagerank pattern); greedy-left
+    * overlap resolution is reproduced relationally with a run-parity
+    * comprehension (merge at the 1st, 3rd, … position of each maximal run
+    * of overlapping matches — exactly what the engine's fold does).
+    */
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.text.Bpe.bpeTrain(docs(spark, dir), k = 6).orderBy("rank")
+
+  val bpeTrainSql: String = {
+    val k = 6
+    def pairCte(i: Int) =
+      s"""p$i AS (SELECT pr.l AS l, pr.r AS r, sum(f)::BIGINT AS c FROM (
+         |    SELECT unnest([ {'l': s[j], 'r': s[j+1]} for j in range(1, len(s)) ]) AS pr, f
+         |    FROM s${i - 1} WHERE len(s) > 1)
+         |  GROUP BY 1, 2),
+         |m$i AS (SELECT l, r, l || r AS m, c FROM p$i ORDER BY c DESC, l, r LIMIT 1)""".stripMargin
+    // LEFT JOIN ON true: an exhausted-vocab round has an EMPTY m$i — the
+    // NULL pair matches nothing and the state passes through unchanged
+    def mergeCte(i: Int) =
+      s"""x$i AS (SELECT f, s, mm.m AS mg,
+         |  [ (s[j] = mm.l AND s[j+1] = mm.r) for j in range(1, len(s)) ] AS mt
+         |  FROM s${i - 1} LEFT JOIN m$i mm ON true),
+         |y$i AS (SELECT f, s, mg, mt,
+         |  [ coalesce(mt[j], false) AND ((j - 1 - coalesce(list_max(
+         |      [q for q in range(1, j) if NOT coalesce(mt[q], false)]), 0)) % 2 = 0)
+         |    for j in range(1, len(mt)+1) ] AS ma
+         |  FROM x$i),
+         |s$i AS (SELECT f,
+         |  [ z for z in [ CASE WHEN j <= len(ma) AND ma[j] THEN mg
+         |                      WHEN j > 1 AND ma[j-1] THEN NULL
+         |                      ELSE s[j] END for j in range(1, len(s)+1) ]
+         |    if z IS NOT NULL ] AS s
+         |  FROM y$i)""".stripMargin
+    val rounds = (1 to k).map(i => pairCte(i) + ",\n" + mergeCte(i)).mkString(",\n")
+    val finals = (1 to k).map(i =>
+      s"SELECT $i AS rank, l AS lhs, r AS rhs, m AS merged, c AS pair_count FROM m$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH t AS (SELECT unnest(string_split_regex(text, '\\s+')) AS w FROM documents),
+       |w0 AS (SELECT w, count(*)::BIGINT AS f FROM t WHERE len(w) > 0 GROUP BY w),
+       |s0 AS (SELECT [w[j] for j in range(1, len(w)+1)] AS s, f FROM w0),
+       |$rounds
+       |SELECT rank::INT AS rank, lhs, rhs, merged, pair_count
+       |FROM ($finals) ORDER BY rank""".stripMargin
+  }
+
   /** C44: deterministic global shuffle into 8 training shards
     * ([[graft.ops.sample.Sampling.shardShuffle]]) — shard + within-shard
     * position as pure md5 functions of doc_id, the engine-reproducible

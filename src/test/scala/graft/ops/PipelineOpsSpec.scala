@@ -651,6 +651,56 @@ class PipelineOpsSpec extends SparkSpec {
       Sampling.mixToBudget(docs, "source", "doc_id", tokens, lit(0.0), 2000))
   }
 
+  test("bpeTrain matches an independent in-memory BPE on toy and real corpora") {
+    import graft.ops.text.Bpe
+    import spark.implicits._
+    // independent reference: the Sennrich et al. algorithm, driver-side
+    def refBpe(texts: Seq[String], k: Int): Seq[(String, String, Long)] = {
+      def merge(s: List[String], a: String, b: String): List[String] = s match {
+        case x :: y :: rest if x == a && y == b => (a + b) :: merge(rest, a, b)
+        case x :: rest => x :: merge(rest, a, b)
+        case Nil => Nil
+      }
+      var vocab: Map[List[String], Long] = texts.flatMap(_.split("\\s+"))
+        .filter(_.nonEmpty).groupBy(identity)
+        .map { case (w, ws) => w.split("").toList -> ws.size.toLong }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+      var done = false
+      while (out.length < k && !done) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+          .withDefaultValue(0L)
+        vocab.foreach { case (syms, f) =>
+          syms.zip(syms.drop(1)).foreach(p => counts(p) += f)
+        }
+        if (counts.isEmpty) done = true
+        else {
+          val ((a, b), c) = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+          out += ((a, b, c))
+          vocab = vocab.map { case (syms, f) => merge(syms, a, b) -> f }
+        }
+      }
+      out.toSeq
+    }
+    def learned(df: org.apache.spark.sql.DataFrame, k: Int) =
+      Bpe.bpeTrain(df, k).orderBy("rank")
+        .collect().map(r => (r.getString(1), r.getString(2), r.getLong(4))).toSeq
+
+    // the classic toy corpus: first merges are driven by 'newest'/'widest'
+    val toy = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val toyDf = toy.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    assert(learned(toyDf, 10) === refBpe(toy, 10))
+    // ... including early exhaustion (every word collapses to one symbol)
+    val tiny = Seq("ab", "ab", "cd")
+    val tinyDf = tiny.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val ex = learned(tinyDf, 50)
+    assert(ex === refBpe(tiny, 50) && ex.length < 50)
+
+    // the real documents table
+    val texts = docs.select("text").collect().map(_.getString(0)).toSeq
+    assert(learned(docs, 8) === refBpe(texts, 8))
+  }
+
   test("temperatureMix flattens toward uniform as alpha shrinks, stays budget-monotone") {
     import graft.ops.sample.Sampling
     import spark.implicits._
