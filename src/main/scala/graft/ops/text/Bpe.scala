@@ -29,7 +29,16 @@ object Bpe {
     * pair_count), rank 1-based in learned order. Stops early if the vocab
     * runs out of adjacent pairs (every remaining word is one symbol).
     */
-  def bpeTrain(docs: DataFrame, k: Int, textCol: String = "text"): DataFrame = {
+  def bpeTrain(docs: DataFrame, k: Int, textCol: String = "text"): DataFrame =
+    bpeTrainFull(docs, k, textCol)._1
+
+  /** [[bpeTrain]] plus the segmented vocabulary it ends with — (merges,
+    * vocab (word, freq, symbols)). The vocab IS the tokenizer: corpus
+    * tokenization is a word join against it ([[fertility]]), never a
+    * re-segmentation of raw text.
+    */
+  def bpeTrainFull(docs: DataFrame, k: Int, textCol: String = "text")
+      : (DataFrame, DataFrame) = {
     require(k >= 1, s"bpeTrain: k must be >= 1 (got $k)")
     val spark = docs.sparkSession
     // corpus -> vocabulary: the only corpus-sized pass
@@ -37,7 +46,7 @@ object Bpe {
       .select(explode(split(col(textCol), "\\s+")).as("w"))
       .where(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("freq"))
-      .select(col("freq"), split(col("w"), "").as("symbols"))
+      .select(col("w"), col("freq"), split(col("w"), "").as("symbols"))
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     var exhausted = false
@@ -62,9 +71,28 @@ object Bpe {
       }
     }
     import spark.implicits._
-    merges.toSeq.zipWithIndex
+    val mergesDf = merges.toSeq.zipWithIndex
       .map { case ((l, r, c), i) => (i + 1, l, r, l + r, c) }
       .toDF("rank", "lhs", "rhs", "merged", "pair_count")
+    (mergesDf, words.select(col("w"), col("freq"), col("symbols")))
+  }
+
+  /** Per-group tokenizer fertility under the trained vocab: BPE tokens per
+    * whitespace word — the tokenizer-efficiency metric a multilingual
+    * pipeline tracks per language. Corpus words join the SEGMENTED VOCAB
+    * (a dictionary lookup, broadcast-sized after any real merge count —
+    * never a re-segmentation of text), then one keyed aggregate.
+    */
+  def fertility(docs: DataFrame, vocab: DataFrame, groupCol: String,
+                textCol: String = "text"): DataFrame = {
+    val ws = docs
+      .select(col(groupCol), explode(split(col(textCol), "\\s+")).as("w"))
+      .where(length(col("w")) > 0)
+    ws.join(broadcast(vocab.select(col("w"), size(col("symbols")).as("nt"))), "w")
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("nt")).as("n_tokens"),
+        round(sum(col("nt")).cast("double") / count(lit(1)), 6).as("fertility"))
   }
 
   /** Greedy left-to-right merge of adjacent (l, r) into l+r — a fold whose

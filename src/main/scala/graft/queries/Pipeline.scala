@@ -389,8 +389,10 @@ object Pipeline {
   def bpeTrain(spark: SparkSession, dir: String): DataFrame =
     graft.ops.text.Bpe.bpeTrain(docs(spark, dir), k = 6).orderBy("rank")
 
-  val bpeTrainSql: String = {
-    val k = 6
+  /** Shared CTE prologue for the BPE oracles: vocab build + `k` unrolled
+    * merge rounds ending in segmented state `s$k` (w, f, s).
+    */
+  private def bpeRoundsSql(k: Int): String = {
     def pairCte(i: Int) =
       s"""p$i AS (SELECT pr.l AS l, pr.r AS r, sum(f)::BIGINT AS c FROM (
          |    SELECT unnest([ {'l': s[j], 'r': s[j+1]} for j in range(1, len(s)) ]) AS pr, f
@@ -400,31 +402,56 @@ object Pipeline {
     // LEFT JOIN ON true: an exhausted-vocab round has an EMPTY m$i — the
     // NULL pair matches nothing and the state passes through unchanged
     def mergeCte(i: Int) =
-      s"""x$i AS (SELECT f, s, mm.m AS mg,
+      s"""x$i AS (SELECT w, f, s, mm.m AS mg,
          |  [ (s[j] = mm.l AND s[j+1] = mm.r) for j in range(1, len(s)) ] AS mt
          |  FROM s${i - 1} LEFT JOIN m$i mm ON true),
-         |y$i AS (SELECT f, s, mg, mt,
+         |y$i AS (SELECT w, f, s, mg, mt,
          |  [ coalesce(mt[j], false) AND ((j - 1 - coalesce(list_max(
          |      [q for q in range(1, j) if NOT coalesce(mt[q], false)]), 0)) % 2 = 0)
          |    for j in range(1, len(mt)+1) ] AS ma
          |  FROM x$i),
-         |s$i AS (SELECT f,
+         |s$i AS (SELECT w, f,
          |  [ z for z in [ CASE WHEN j <= len(ma) AND ma[j] THEN mg
          |                      WHEN j > 1 AND ma[j-1] THEN NULL
          |                      ELSE s[j] END for j in range(1, len(s)+1) ]
          |    if z IS NOT NULL ] AS s
          |  FROM y$i)""".stripMargin
     val rounds = (1 to k).map(i => pairCte(i) + ",\n" + mergeCte(i)).mkString(",\n")
+    s"""t AS (SELECT unnest(string_split_regex(text, '\\s+')) AS w FROM documents),
+       |w0 AS (SELECT w, count(*)::BIGINT AS f FROM t WHERE len(w) > 0 GROUP BY w),
+       |s0 AS (SELECT w, [w[j] for j in range(1, len(w)+1)] AS s, f FROM w0),
+       |$rounds""".stripMargin
+  }
+
+  val bpeTrainSql: String = {
+    val k = 6
     val finals = (1 to k).map(i =>
       s"SELECT $i AS rank, l AS lhs, r AS rhs, m AS merged, c AS pair_count FROM m$i")
       .mkString("\nUNION ALL ")
-    s"""WITH t AS (SELECT unnest(string_split_regex(text, '\\s+')) AS w FROM documents),
-       |w0 AS (SELECT w, count(*)::BIGINT AS f FROM t WHERE len(w) > 0 GROUP BY w),
-       |s0 AS (SELECT [w[j] for j in range(1, len(w)+1)] AS s, f FROM w0),
-       |$rounds
+    s"""WITH ${bpeRoundsSql(k)}
        |SELECT rank::INT AS rank, lhs, rhs, merged, pair_count
        |FROM ($finals) ORDER BY rank""".stripMargin
   }
+
+  /** C50: per-language tokenizer fertility under the trained BPE vocab
+    * ([[graft.ops.text.Bpe.fertility]]) — BPE tokens per whitespace word,
+    * the tokenizer-efficiency metric a multilingual pipeline tracks.
+    * Tokenization is a dictionary join against the segmented vocab, never
+    * a re-segmentation of text.
+    */
+  def bpeFertility(spark: SparkSession, dir: String): DataFrame = {
+    val (_, vocab) = graft.ops.text.Bpe.bpeTrainFull(docs(spark, dir), k = 6)
+    graft.ops.text.Bpe.fertility(docs(spark, dir), vocab, "lang")
+      .orderBy("lang")
+  }
+
+  val bpeFertilitySql: String =
+    s"""WITH ${bpeRoundsSql(6)},
+       |cw AS (SELECT lang, unnest(string_split_regex(text, '\\s+')) AS w FROM documents)
+       |SELECT cw.lang, count(*)::BIGINT AS n_words, sum(len(v.s))::BIGINT AS n_tokens,
+       |  round(sum(len(v.s))::DOUBLE / count(*), 6) AS fertility
+       |FROM cw JOIN s6 v USING (w) WHERE len(cw.w) > 0
+       |GROUP BY cw.lang ORDER BY cw.lang""".stripMargin
 
   /** C44: deterministic global shuffle into 8 training shards
     * ([[graft.ops.sample.Sampling.shardShuffle]]) — shard + within-shard

@@ -701,6 +701,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(learned(docs, 8) === refBpe(texts, 8))
   }
 
+  test("bpe fertility: merges strictly compress vs character-level, floor at 1") {
+    import graft.ops.text.Bpe
+    val (_, vocab) = Bpe.bpeTrainFull(docs, k = 8)
+    val fert = Bpe.fertility(docs, vocab, "lang").collect()
+    assert(fert.nonEmpty)
+    // char-level fertility (avg word length) is the 0-merge ceiling
+    val charLevel = docs
+      .select(explode(split(col("text"), "\\s+")).as("w"))
+      .where(length(col("w")) > 0)
+      .agg(avg(length(col("w")))).head().getDouble(0)
+    fert.foreach { r =>
+      val f = r.getDouble(3)
+      assert(f >= 1.0 && f < charLevel,
+        s"${r.getString(0)}: fertility $f outside [1, $charLevel)")
+    }
+    // tokens conservation: vocab segmentation concatenates back to the word
+    import spark.implicits._
+    val broken = vocab.where(concat_ws("", col("symbols")) =!= col("w")).count()
+    assert(broken === 0L)
+  }
+
   test("temperatureMix flattens toward uniform as alpha shrinks, stays budget-monotone") {
     import graft.ops.sample.Sampling
     import spark.implicits._
