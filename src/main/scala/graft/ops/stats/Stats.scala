@@ -159,4 +159,36 @@ object Stats {
       .withColumn("z", z)
       .withColumn("is_anomaly", coalesce(abs(col("z")) > zThreshold, lit(false)))
   }
+
+  /** Pairwise contingency between binary keep/drop flags — the curation
+    * diagnostic that shows which quality filters agree, which are
+    * redundant, and which do unique work. For every flag pair: docs
+    * passing both, only one, or neither, plus the simple agreement rate.
+    *
+    * Scale: ONE corpus scan — all |pairs| × 4 cells are conditional sums
+    * in a single map-side-partial aggregate reduced to one row, exploded
+    * to pair rows after; nothing shuffles but the 4·|pairs| partial sums.
+    */
+  def flagAgreement(df: DataFrame, flags: Seq[String]): DataFrame = {
+    require(flags.size >= 2, s"flagAgreement: need >= 2 flags (got $flags)")
+    val pairs = for {
+      i <- flags.indices; j <- (i + 1) until flags.size
+    } yield (flags(i), flags(j))
+    val aggs = pairs.flatMap { case (a, b) => Seq(
+      sum(col(a) * col(b)).as(s"${a}__${b}__bb"),
+      sum(col(a) * (lit(1) - col(b))).as(s"${a}__${b}__ao"),
+      sum((lit(1) - col(a)) * col(b)).as(s"${a}__${b}__ob"),
+      sum((lit(1) - col(a)) * (lit(1) - col(b))).as(s"${a}__${b}__nn"))
+    }
+    val items = array(pairs.map { case (a, b) => struct(
+      lit(a).as("flag_a"), lit(b).as("flag_b"),
+      col(s"${a}__${b}__bb").as("both"), col(s"${a}__${b}__ao").as("only_a"),
+      col(s"${a}__${b}__ob").as("only_b"), col(s"${a}__${b}__nn").as("neither"))
+    }: _*)
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(items).as("p")).select("p.*")
+      .withColumn("agreement",
+        round((col("both") + col("neither")).cast("double") /
+          (col("both") + col("only_a") + col("only_b") + col("neither")), 6))
+  }
 }

@@ -1091,9 +1091,12 @@ object Pipeline {
     docs(spark, dir).select(col("doc_id") +: cols: _*).orderBy("doc_id")
   }
 
-  val qualityGopherSql: String = {
+  /** The gopher per-doc flag CTEs, shared by `quality_gopher` and
+    * `quality_agreement`.
+    */
+  private val gopherFlagsCte: String = {
     val en = TextOps.LangProfiles.head._2.map(w => s"'$w'").mkString("[", ",", "]")
-    s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+    s"""t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
        |f AS (SELECT doc_id, len(w)::BIGINT AS n_tokens,
        |  CASE WHEN len(w) BETWEEN 20 AND 100000 THEN 1 ELSE 0 END AS ok_token_count,
        |  CASE WHEN list_sum([length(x) for x in w])::DOUBLE / len(w) BETWEEN 3.0 AND 10.0
@@ -1104,12 +1107,51 @@ object Pipeline {
        |            / len(w) >= 0.8 THEN 1 ELSE 0 END AS ok_alpha_words,
        |  CASE WHEN len(list_filter(w, x -> list_contains($en, x))) >= 2
        |       THEN 1 ELSE 0 END AS ok_stopwords
-       |  FROM t)
+       |  FROM t)""".stripMargin
+  }
+
+  val qualityGopherSql: String =
+    s"""WITH $gopherFlagsCte
        |SELECT doc_id, n_tokens, ok_token_count, ok_mean_word_len, ok_symbol_ratio,
        |  ok_alpha_words, ok_stopwords,
        |  (ok_token_count * ok_mean_word_len * ok_symbol_ratio * ok_alpha_words
        |    * ok_stopwords)::INTEGER AS pass
        |FROM f ORDER BY doc_id""".stripMargin
+
+  /** C51: pairwise agreement between the gopher quality flags
+    * ([[graft.ops.stats.Stats.flagAgreement]]) — which filters are
+    * redundant and which do unique work. One corpus scan: every
+    * contingency cell is a conditional sum in a single map-side-partial
+    * aggregate; the result is |pairs| rows.
+    */
+  def qualityAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val flags = Seq("ok_token_count", "ok_mean_word_len", "ok_symbol_ratio",
+      "ok_alpha_words", "ok_stopwords")
+    val perDoc = docs(spark, dir).select(
+      TextOps.gopherColumns(col("text")).collect {
+        case (n, c) if flags.contains(n) => c.as(n)
+      }: _*)
+    graft.ops.stats.Stats.flagAgreement(perDoc, flags)
+      .orderBy("flag_a", "flag_b")
+  }
+
+  val qualityAgreementSql: String = {
+    val flags = Seq("ok_token_count", "ok_mean_word_len", "ok_symbol_ratio",
+      "ok_alpha_words", "ok_stopwords")
+    val pairs = for {
+      i <- flags.indices; j <- (i + 1) until flags.size
+    } yield (flags(i), flags(j))
+    val rows = pairs.map { case (a, b) =>
+      s"""SELECT '$a' AS flag_a, '$b' AS flag_b,
+         |  sum($a * $b)::BIGINT AS both,
+         |  sum($a * (1 - $b))::BIGINT AS only_a,
+         |  sum((1 - $a) * $b)::BIGINT AS only_b,
+         |  sum((1 - $a) * (1 - $b))::BIGINT AS neither,
+         |  round((sum($a * $b) + sum((1 - $a) * (1 - $b)))::DOUBLE / count(*), 6) AS agreement
+         |FROM f""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $gopherFlagsCte
+       |SELECT * FROM ($rows) ORDER BY flag_a, flag_b""".stripMargin
   }
 
   /** C43: multimodal near-dup END-TO-END — media payloads (UTF-8 bytes of

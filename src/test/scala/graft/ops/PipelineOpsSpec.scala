@@ -701,6 +701,30 @@ class PipelineOpsSpec extends SparkSpec {
     assert(learned(docs, 8) === refBpe(texts, 8))
   }
 
+  test("flagAgreement: cells partition the corpus, one scan, planted redundancy shows") {
+    import graft.ops.stats.Stats
+    import spark.implicits._
+    val df = Seq((1, 1, 1), (1, 1, 0), (0, 0, 1), (1, 0, 0), (0, 0, 0))
+      .toDF("fa", "fb", "fc")
+    val out = Stats.flagAgreement(df, Seq("fa", "fb", "fc"))
+    val rows = out.collect().map(r => (r.getString(0), r.getString(1),
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6)))
+    assert(rows.length === 3)
+    // every pair's four cells partition the 5 rows
+    rows.foreach { case (_, _, bb, ao, ob, nn, ag) =>
+      assert(bb + ao + ob + nn === 5L)
+      assert(ag >= 0.0 && ag <= 1.0)
+    }
+    // planted: fa/fb agree on 4 of 5; fb/fc on 3 of 5 (1 both + 2 neither)
+    val m = rows.map(r => (r._1, r._2) -> r._7).toMap
+    assert(m(("fa", "fb")) === 0.8)
+    assert(m(("fb", "fc")) === 0.6)
+    // single-scan shape: no exchange below the final one-row aggregate
+    val plan = Stats.flagAgreement(df, Seq("fa", "fb", "fc"))
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size <= 1, plan)
+  }
+
   test("bpe fertility: merges strictly compress vs character-level, floor at 1") {
     import graft.ops.text.Bpe
     val (_, vocab) = Bpe.bpeTrainFull(docs, k = 8)
