@@ -343,7 +343,7 @@ object Pipeline {
       |WHERE r.cum_tokens - r.n_tokens < t.target
       |ORDER BY doc_id""".stripMargin
 
-  /** C48: temperature-flattened language mixing
+  /** C49: temperature-flattened language mixing
     * ([[graft.ops.sample.Sampling.temperatureMix]], alpha = 0.5) — the
     * multilingual alpha-sampling step: shares are SQUARE-ROOTED before the
     * budget split, so low-resource languages get more than their natural
@@ -376,7 +376,7 @@ object Pipeline {
       |WHERE r.cum_tokens - r.n_tokens < tg.target
       |ORDER BY doc_id""".stripMargin
 
-  /** C49: distributed BPE merge training ([[graft.ops.text.Bpe.bpeTrain]],
+  /** C50: distributed BPE merge training ([[graft.ops.text.Bpe.bpeTrain]],
     * k = 6) — tokenizer-vocabulary induction over the corpus: the word-
     * frequency table is built in one corpus scan, then each merge round is
     * a keyed pair-count, a 1-row argmax (ties lexicographic), and a
@@ -433,7 +433,7 @@ object Pipeline {
        |FROM ($finals) ORDER BY rank""".stripMargin
   }
 
-  /** C50: per-language tokenizer fertility under the trained BPE vocab
+  /** C51: per-language tokenizer fertility under the trained BPE vocab
     * ([[graft.ops.text.Bpe.fertility]]) — BPE tokens per whitespace word,
     * the tokenizer-efficiency metric a multilingual pipeline tracks.
     * Tokenization is a dictionary join against the segmented vocab, never
@@ -1118,7 +1118,7 @@ object Pipeline {
        |    * ok_stopwords)::INTEGER AS pass
        |FROM f ORDER BY doc_id""".stripMargin
 
-  /** C51: pairwise agreement between the gopher quality flags
+  /** C52: pairwise agreement between the gopher quality flags
     * ([[graft.ops.stats.Stats.flagAgreement]]) — which filters are
     * redundant and which do unique work. One corpus scan: every
     * contingency cell is a conditional sum in a single map-side-partial
