@@ -458,6 +458,22 @@ object TextOps {
     * `pass`. Pure codegen Column work — at 100 TB this is a scan-speed
     * gate that feeds the curation pipeline's quality filter.
     */
+  /** The five individual gopher gate flags (excludes the derived
+    * `n_tokens`/`pass`) — the flag set `quality_agreement` and its
+    * streaming monitor cross-tabulate.
+    */
+  val GopherFlagNames: Seq[String] = Seq("ok_token_count", "ok_mean_word_len",
+    "ok_symbol_ratio", "ok_alpha_words", "ok_stopwords")
+
+  /** One 0/1 column per [[GopherFlagNames]] flag — the per-doc frame both
+    * the batch diagnostic and the streaming monitor aggregate, so their
+    * kernels cannot drift.
+    */
+  def gopherFlagFrame(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.select(gopherColumns(col(textCol)).collect {
+      case (n, c) if GopherFlagNames.contains(n) => c.as(n)
+    }: _*)
+
   def gopherColumns(text: Column, minTokens: Int = 20, maxTokens: Int = 100000)
       : Seq[(String, Column)] = {
     val ws = tokens(text)

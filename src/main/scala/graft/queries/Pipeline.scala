@@ -1124,20 +1124,13 @@ object Pipeline {
     * contingency cell is a conditional sum in a single map-side-partial
     * aggregate; the result is |pairs| rows.
     */
-  def qualityAgreement(spark: SparkSession, dir: String): DataFrame = {
-    val flags = Seq("ok_token_count", "ok_mean_word_len", "ok_symbol_ratio",
-      "ok_alpha_words", "ok_stopwords")
-    val perDoc = docs(spark, dir).select(
-      TextOps.gopherColumns(col("text")).collect {
-        case (n, c) if flags.contains(n) => c.as(n)
-      }: _*)
-    graft.ops.stats.Stats.flagAgreement(perDoc, flags)
+  def qualityAgreement(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.stats.Stats.flagAgreement(
+        TextOps.gopherFlagFrame(docs(spark, dir)), TextOps.GopherFlagNames)
       .orderBy("flag_a", "flag_b")
-  }
 
   val qualityAgreementSql: String = {
-    val flags = Seq("ok_token_count", "ok_mean_word_len", "ok_symbol_ratio",
-      "ok_alpha_words", "ok_stopwords")
+    val flags = TextOps.GopherFlagNames
     val pairs = for {
       i <- flags.indices; j <- (i + 1) until flags.size
     } yield (flags(i), flags(j))

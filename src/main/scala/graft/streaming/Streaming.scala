@@ -146,6 +146,22 @@ object Streaming {
           size(graft.ops.text.TextOps.tokens(col(textCol)))).as("b"))
       .groupBy("grp", "b").count()
 
+  /** D15: streaming filter-agreement monitor — the running pairwise
+    * contingency between the gopher quality flags over an ingest stream,
+    * complete mode. Both the per-doc flag frame
+    * ([[graft.ops.text.TextOps.gopherFlagFrame]]) and the conditional-sum
+    * cells ([[graft.ops.stats.Stats.flagAgreement]]) are the BATCH
+    * kernels verbatim, so after any stream prefix the monitor's table ==
+    * the batch `quality_agreement` diagnostic on the same prefix. State
+    * is the 4·|pairs| partial sums — O(1) however long the stream runs.
+    * The live view of whether a quality gate has gone redundant (or
+    * started disagreeing) as the ingest mix drifts.
+    */
+  def qualityAgreementMonitor(docs: DataFrame, textCol: String = "text"): DataFrame =
+    graft.ops.stats.Stats.flagAgreement(
+      graft.ops.text.TextOps.gopherFlagFrame(docs, textCol),
+      graft.ops.text.TextOps.GopherFlagNames)
+
   /** D9: streaming passage-frequency monitor — the CDC chunk projection
     * ([[graft.ops.dedup.Dedup.chunkFingerprints]], shared with the batch
     * [[graft.ops.dedup.Dedup.sharedPassages]] so chunking cannot drift)

@@ -450,6 +450,20 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed.toMap === batch)
   }
 
+  test("D15: streaming quality-agreement monitor equals the batch diagnostic") {
+    val stream = Streaming.qualityAgreementMonitor(Streaming.documentStream(spark, dir))
+    val q = stream.writeStream.format("memory").queryName("qa_monitor")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6))
+    val streamed = spark.table("qa_monitor").collect().map(key).toMap
+    val batch = Streaming.qualityAgreementMonitor(
+      spark.read.parquet(s"$dir/documents.parquet")).collect().map(key).toMap
+    assert(streamed.nonEmpty && streamed === batch)
+  }
+
   test("evalGramBloom of an empty eval set flags nothing") {
     import graft.ops.dedup.Dedup
     val batchDocs = spark.read.parquet(s"$dir/documents.parquet")
