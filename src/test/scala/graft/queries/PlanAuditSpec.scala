@@ -133,6 +133,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("corpus_temperature broadcasts the share table and windows once") {
+    val plan = planOf("corpus_temperature")
+    // the |domains|-row weight table rides a broadcast, never a shuffle join
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // exactly one window pass (the per-language running sum)
+    assert("Window".r.findAllIn(plan).size === 1, plan)
+  }
+
+  test("bpe_train's pair count aggregates map-side; no corpus-sized join") {
+    import graft.ops.text.Bpe
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // audit one round's pair-count stage (the per-round hot path)
+    val vocab = Bpe.bpeTrainFull(docs, k = 1)._2
+    val plan = vocab.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("quality_agreement reduces to one row in a single scan") {
+    val plan = planOf("quality_agreement")
+    // global conditional-sum aggregate: partial below, final above ONE
+    // single-partition exchange; no join anywhere
+    assert(plan.contains("partial"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert("Exchange".r.findAllIn(plan).size <= 1, plan)
+  }
+
   test("events_window aggregates map-side and scans only referenced columns") {
     val plan = planOf("events_window")
     assert(plan.contains("partial"), plan)
