@@ -160,6 +160,60 @@ object Stats {
       .withColumn("is_anomaly", coalesce(abs(col("z")) > zThreshold, lit(false)))
   }
 
+  /** HyperLogLog distinct-count estimate per group (Flajolet et al. 2007,
+    * m = 64 registers) — the cardinality member of the sketch family
+    * (Misra–Gries = frequency, MinHash = similarity, pow2 histogram =
+    * quantiles). Deliberately RELATIONAL, not a custom aggregate: the
+    * register table is plain (group, register, max-rho) rows, so sketches
+    * merge by `max` across corpora/partitions/days (union the register
+    * tables, re-aggregate), persist as a tiny table (64 rows per group),
+    * and reproduce bit-exactly in any engine — rho comes from the BINARY
+    * STRING LENGTH of the hash remainder (exact integer arithmetic, no
+    * floating log), the md5-derived 32-bit hash is the same
+    * cross-engine-stable hash the sampling ops use, and the register sum
+    * Σ2^-M is a sum of exact powers of two (order-independent in IEEE
+    * doubles below 53 bits).
+    *
+    * Scale: one keyed aggregate to (group, j) max-rho (map-side partials
+    * — the whole point of HLL), one 64-row-per-group reduce. The
+    * fixed-size answer to "how many distinct X per group" when exact
+    * distinct would shuffle the full value set.
+    */
+  def hllDistinct(df: DataFrame, groupCol: String, value: Column): DataFrame =
+    hllEstimate(hllRegisters(df, groupCol, value), groupCol)
+
+  /** The (group, register, max-rho) table [[hllDistinct]] reduces — the
+    * persistable/mergeable form: union register tables from any corpus
+    * split and re-aggregate by max before [[hllEstimate]].
+    */
+  def hllRegisters(df: DataFrame, groupCol: String, value: Column): DataFrame = {
+    val m = 64
+    // 32-bit md5 hash: bottom 6 bits pick the register, the remaining 26
+    // carry the geometric trial; rho = leading zeros within 26 bits + 1
+    val h = conv(substring(md5(value.cast("string")), 1, 8), 16, 10).cast("long")
+    df.select(col(groupCol), (h % m).cast("int").as("j"),
+        shiftrightunsigned(h, 6).as("w"))
+      .withColumn("rho", when(col("w") === 0, 27)
+        .otherwise(lit(27) - length(bin(col("w")))).cast("int"))
+      .groupBy(col(groupCol), col("j"))
+      .agg(max(col("rho")).as("mj"))
+  }
+
+  /** Estimate from a register table (small-range correction included). */
+  def hllEstimate(regs: DataFrame, groupCol: String): DataFrame = {
+    val m = 64
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    regs.groupBy(groupCol)
+      .agg((sum(expr("1.0 / shiftleft(cast(1 as bigint), mj)"))
+            + (lit(m) - count(lit(1))))
+          .as("s"),
+        (lit(m) - count(lit(1))).cast("long").as("v"))
+      .select(col(groupCol),
+        round(when(lit(alpha * m * m) / col("s") <= 2.5 * m && col("v") > 0,
+            lit(m.toDouble) * log(lit(m.toDouble) / col("v")))
+          .otherwise(lit(alpha * m * m) / col("s")), 4).as("est_distinct"))
+  }
+
   /** Pairwise contingency between binary keep/drop flags — the curation
     * diagnostic that shows which quality filters agree, which are
     * redundant, and which do unique work. For every flag pair: docs

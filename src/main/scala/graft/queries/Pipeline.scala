@@ -1118,6 +1118,41 @@ object Pipeline {
        |    * ok_stopwords)::INTEGER AS pass
        |FROM f ORDER BY doc_id""".stripMargin
 
+  /** C53: per-source HyperLogLog distinct-token estimate
+    * ([[graft.ops.stats.Stats.hllDistinct]], m = 64) alongside the exact
+    * count and relative error — the cardinality sketch whose register
+    * table merges by max and whose arithmetic (string-length rho, exact
+    * power-of-two sums, md5 hash) reproduces bit-exactly in DuckDB.
+    */
+  def corpusHll(spark: SparkSession, dir: String): DataFrame = {
+    val t = docs(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+    val est = graft.ops.stats.Stats.hllDistinct(t, "source", col("token"))
+    val exact = t.groupBy("source")
+      .agg(countDistinct(col("token")).as("exact_distinct"))
+    est.join(exact, "source")
+      .withColumn("rel_err", round(
+        abs(col("est_distinct") - col("exact_distinct")) / col("exact_distinct"), 6))
+      .orderBy("source")
+  }
+
+  val corpusHllSql: String = {
+    val am2 = (0.7213 / (1.0 + 1.079 / 64)) * 64 * 64 // same Scala double as the engine
+    s"""WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+       |h AS (SELECT source, ('0x' || substring(md5(token), 1, 8))::BIGINT AS hv FROM t),
+       |r AS (SELECT source, hv % 64 AS j,
+       |    CASE WHEN hv // 64 = 0 THEN 27 ELSE 27 - length(bin(hv // 64)) END AS rho FROM h),
+       |m AS (SELECT source, j, max(rho) AS mj FROM r GROUP BY 1, 2),
+       |a AS (SELECT source, sum(1.0 / (CAST(1 AS BIGINT) << mj)) + (64 - count(*)) AS s,
+       |    (64 - count(*))::BIGINT AS v FROM m GROUP BY source),
+       |e AS (SELECT source, round(CASE WHEN $am2 / s <= 160.0 AND v > 0
+       |    THEN 64.0 * ln(64.0 / v) ELSE $am2 / s END, 4) AS est_distinct FROM a),
+       |x AS (SELECT source, count(DISTINCT token)::BIGINT AS exact_distinct FROM t GROUP BY source)
+       |SELECT e.source, e.est_distinct, x.exact_distinct,
+       |  round(abs(e.est_distinct - x.exact_distinct) / x.exact_distinct, 6) AS rel_err
+       |FROM e JOIN x USING (source) ORDER BY source""".stripMargin
+  }
+
   /** C52: pairwise agreement between the gopher quality flags
     * ([[graft.ops.stats.Stats.flagAgreement]]) — which filters are
     * redundant and which do unique work. One corpus scan: every

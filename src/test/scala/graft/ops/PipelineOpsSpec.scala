@@ -701,6 +701,31 @@ class PipelineOpsSpec extends SparkSpec {
     assert(learned(docs, 8) === refBpe(texts, 8))
   }
 
+  test("hllDistinct: within theoretical error of exact, registers merge by max") {
+    import graft.ops.stats.Stats
+    val t = docs.select(col("source"), explode(split(col("text"), " ")).as("token"))
+    val est = Stats.hllDistinct(t, "source", col("token"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exact = t.groupBy("source").agg(countDistinct(col("token")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet === exact.keySet && est.nonEmpty)
+    // 1.04/sqrt(64) = 13% standard error; allow 3 sigma
+    exact.foreach { case (src, n) =>
+      assert(math.abs(est(src) - n) <= 0.39 * n + 3,
+        s"$src: est ${est(src)} vs exact $n")
+    }
+    // mergeability: register tables of two disjoint halves, unioned and
+    // re-aggregated by max, equal the whole-corpus registers
+    val (a, b) = (t.where(col("token") < "m"), t.where(col("token") >= "m"))
+    val merged = Stats.hllRegisters(a, "source", col("token"))
+      .union(Stats.hllRegisters(b, "source", col("token")))
+      .groupBy("source", "j").agg(max("mj").as("mj"))
+    val whole = Stats.hllRegisters(t, "source", col("token"))
+    def regSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+    assert(regSet(merged) === regSet(whole))
+  }
+
   test("flagAgreement: cells partition the corpus, one scan, planted redundancy shows") {
     import graft.ops.stats.Stats
     import spark.implicits._
