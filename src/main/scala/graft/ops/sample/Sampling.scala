@@ -139,6 +139,32 @@ object Sampling {
     * order, so a bucket prefilter keeps exactly the candidate prefix) and
     * run the exact window on the survivors.
     */
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis 2006):
+    * top-`n` rows by the key ln(u)/w, where u is the deterministic
+    * md5-uniform of the id — inclusion probability rises with weight
+    * (quality-weighted subsampling: keep 100k docs favouring high quality
+    * scores), the draw is exactly WOR, and because u is a pure id
+    * function the sample is reproducible across engines, layouts, and
+    * runs; `salt` derives independent draws. Keys are 6-dp-rounded with
+    * an id tie-break so last-ulp `ln` drift cannot reorder the cut.
+    *
+    * Rows with non-positive weight are excluded (they have no sampling
+    * mass; ln(u)/w would invert the order).
+    *
+    * Scale: top-n plans as TakeOrderedAndProject — per-partition heaps,
+    * driver merges n rows; no global sort, no shuffle of the corpus.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weight: Column, n: Int,
+                     salt: String = ""): DataFrame = {
+    require(n > 0, s"weightedSample: n must be positive (got $n)")
+    // u in (0, 1]: (hv + 1) / 2^32 of the 32-bit md5 hash
+    val u = (saltedOrder(col(idCol), salt) + 1).cast("double") / 4294967296.0
+    df.where(weight.cast("double") > 0)
+      .withColumn("es_key", round(log(u) / weight.cast("double"), 6))
+      .orderBy(col("es_key").desc, col(idCol))
+      .limit(n)
+  }
+
   /** Temperature-flattened domain mixing — the multilingual "alpha
     * sampling" staple (mT5/XLM-R): per-domain weights are the corpus
     * token SHARES raised to `alpha` ∈ (0, 1], so alpha = 1 keeps natural

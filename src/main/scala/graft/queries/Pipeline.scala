@@ -1118,6 +1118,26 @@ object Pipeline {
        |    * ok_stopwords)::INTEGER AS pass
        |FROM f ORDER BY doc_id""".stripMargin
 
+  /** C54: weighted sample without replacement
+    * ([[graft.ops.sample.Sampling.weightedSample]]) — 100 docs drawn
+    * Efraimidis–Spirakis-style with n_chars as the weight (longer docs
+    * proportionally likelier), deterministic md5 uniforms, exact WOR.
+    */
+  def sampleWeighted(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.sample.Sampling
+      .weightedSample(docs(spark, dir), "doc_id", col("n_chars"), n = 100)
+      .select("doc_id", "source", "n_chars", "es_key")
+      .orderBy(col("es_key").desc, col("doc_id"))
+
+  val sampleWeightedSql: String =
+    """WITH h AS (SELECT doc_id, source, n_chars,
+      |    ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT AS hv
+      |  FROM documents WHERE n_chars > 0),
+      |k AS (SELECT doc_id, source, n_chars,
+      |    round(ln((hv + 1) / 4294967296.0) / n_chars, 6) AS es_key FROM h)
+      |SELECT doc_id, source, n_chars, es_key FROM k
+      |ORDER BY es_key DESC, doc_id LIMIT 100""".stripMargin
+
   /** C53: per-source HyperLogLog distinct-token estimate
     * ([[graft.ops.stats.Stats.hllDistinct]], m = 64) alongside the exact
     * count and relative error — the cardinality sketch whose register

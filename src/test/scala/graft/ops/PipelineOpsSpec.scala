@@ -701,6 +701,34 @@ class PipelineOpsSpec extends SparkSpec {
     assert(learned(docs, 8) === refBpe(texts, 8))
   }
 
+  test("weightedSample: inclusion monotone in weight, exact WOR, deterministic, top-k plan") {
+    import graft.ops.sample.Sampling
+    import spark.implicits._
+    // planted: 200 light (w=1) + 200 heavy (w=10) rows; over many salted
+    // draws of 40, heavy rows must be included far more often
+    val df = ((0 until 200).map(i => (i.toLong, 1.0)) ++
+      (200 until 400).map(i => (i.toLong, 10.0))).toDF("doc_id", "w")
+    val draws = (0 until 30).map { s =>
+      Sampling.weightedSample(df, "doc_id", col("w"), n = 40, salt = s.toString)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    draws.foreach(d => assert(d.size === 40)) // exact WOR: no duplicates, exact n
+    val heavyRate = draws.map(_.count(_ >= 200L)).sum.toDouble / (30 * 40)
+    assert(heavyRate > 0.75, s"heavy inclusion rate $heavyRate not > 0.75")
+    // deterministic: same salt, different layout -> identical sample
+    val again = Sampling.weightedSample(df.repartition(7), "doc_id", col("w"),
+      n = 40, salt = "3").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again === draws(3))
+    // zero/negative weights carry no mass
+    val z = df.withColumn("w", when(col("doc_id") < 200, -1.0).otherwise(col("w")))
+    assert(Sampling.weightedSample(z, "doc_id", col("w"), 40)
+      .where(col("doc_id") < 200).count() === 0L)
+    // scale shape: distributed top-k, never a global sort
+    val plan = Sampling.weightedSample(df, "doc_id", col("w"), 40)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("hllDistinct: within theoretical error of exact, registers merge by max") {
     import graft.ops.stats.Stats
     val t = docs.select(col("source"), explode(split(col("text"), " ")).as("token"))
