@@ -769,4 +769,33 @@ object Relational {
       |  round(cnt::DOUBLE * n_keys / total_rows, 6) AS skew_ratio,
       |  n_keys, total_rows
       |FROM pk, t ORDER BY cnt DESC, l_suppkey LIMIT 10""".stripMargin
+
+  /** B36: Bloom-prefiltered semi-join under the driver oracle
+    * ([[graft.io.DataFrames.bloomSemiJoin]] → exact left-semi) — the
+    * 100 TB shape for "filter a huge fact side by a key set too large to
+    * broadcast as rows": the fixed-size filter has NO false negatives, so
+    * prefilter + exact join ≡ the exact join, which is precisely what the
+    * oracle checks (the reduction itself is spec-covered: FPR near
+    * theory, partition-invariant bits). Aggregated to per-flag totals so
+    * the oracle output is compact.
+    */
+  def qBloomSemijoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val keys = Tables.load(spark, dir, "orders")
+      .where(col("o_orderstatus") === "F")
+    graft.io.DataFrames
+      .bloomSemiJoin(li, col("l_orderkey"), keys, col("o_orderkey"))
+      .join(keys.select(col("o_orderkey").as("l_orderkey")), Seq("l_orderkey"), "left_semi")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  val qBloomSemijoinSql: String =
+    """SELECT l_returnflag, count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 }
