@@ -63,17 +63,23 @@ object Bench {
     // amortised implicitly — without the discard those costs land in
     // every measured pass's first rep and the min keeps them.
     val warmup = math.max(0, sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1").toInt)
+    // a query that throws in ANY pass is reported under "failed", never as
+    // a timing: time-to-exception is not a run time, and recording it as
+    // one poisons round-over-round comparison (the r8 artifact showed 7
+    // broken queries as the suite's "fastest")
+    val failed = scala.collection.mutable.SortedSet[String]()
     val passes = (1 to warmup + reps).map { pass =>
       picked.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          failed += name
         }
         name -> (System.nanoTime() - t0) / 1e9
       }.toMap
     }.drop(warmup)
-    val results = picked.map { case (name, _) =>
+    val results = picked.collect { case (name, _) if !failed(name) =>
       name -> passes.map(_(name)).min
     }
     // locale-independent formatting: %f would use comma decimals under some
@@ -81,9 +87,10 @@ object Bench {
     def f3(v: Double): String = (math.round(v * 1000) / 1000.0).toString
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val json =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","reps":$reps}"""
     println(json)
     // also drop the line in a plain file: sbt prefixes stdout with [info],
     // which can defeat the driver's JSON parse of the log stream
@@ -91,7 +98,7 @@ object Bench {
     // final SHORT machine line: the driver captures a bounded tail of stdout
     // and the ~2 KB per-query line can start before the window — a compact
     // last line guarantees the tail always contains one parseable record
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"reps":$reps}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"reps":$reps}""")
     spark.stop()
   }
 }

@@ -227,13 +227,25 @@ object Dedup {
   private def prefixJoin(base: DataFrame, minJaccard: Double): DataFrame =
     verifyPrefixPairs(prefixCandidates(base, minJaccard), base, minJaccard)
 
+  /** Threshold at or above which the PPJoin+ suffix filter is applied by
+    * default. The three-pivot bound is strong where prefixes are short and
+    * the positional bound degenerates (high t); at mid thresholds the
+    * measured prune is ~3 % of candidates (t=0.5, zipfian corpus) while the
+    * filter's two candidate-sized signature joins add ~40 % wall time — a
+    * net loss. Below the gate the candidate stage skips the filter; callers
+    * can force it either way with the explicit `suffix` argument.
+    */
+  private[graft] val SuffixGate = 0.6
+
   /** Candidate stage of the prefix route: the inverted prefix index join,
-    * the accumulated-overlap positional filter, and the PPJoin+ suffix
-    * filter. Returns the (a, b) pair set that [[verifyPrefixPairs]]
-    * verifies exactly. Exposed for the plan-audit/candidate-count specs.
+    * the accumulated-overlap positional filter, and (gated, see
+    * [[SuffixGate]]) the PPJoin+ suffix filter. Returns the (a, b) pair set
+    * that [[verifyPrefixPairs]] verifies exactly. Exposed for the
+    * plan-audit/candidate-count specs.
     */
   private[graft] def prefixCandidates(base: DataFrame, minJaccard: Double,
-                                      suffix: Boolean = true): DataFrame = {
+                                      suffix: Option[Boolean] = None): DataFrame = {
+    val useSuffix = suffix.getOrElse(minJaccard >= SuffixGate - Eps)
     // global rarity order: shingle -> document frequency, each record's
     // shingles re-ranked by (df, h)
     val ex = base.select(col("id"), col("n"), explode(col("sh")).as("h"))
@@ -263,7 +275,7 @@ object Dedup {
       // strictly tighter than the first-match bound min(na−ia₀, nb−ib₀).
       .where(col("c") + least(col("na") - col("ia") - 1, col("nb") - col("ib") - 1) >=
         ceil(lit(minJaccard) / (1 + minJaccard) * (col("na") + col("nb")) - lit(Eps)))
-    if (suffix) suffixFilter(cand, ranked, minJaccard).select(col("a"), col("b"))
+    if (useSuffix) suffixFilter(cand, ranked, minJaccard).select(col("a"), col("b"))
     else cand.select(col("a"), col("b"))
   }
 

@@ -7,15 +7,18 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: media (image/audio/video) travel as opaque
   * `binary` columns with typed metadata alongside.
   *
-  * The decode itself is STUBBED (no image/audio libs in this container) with
-  * a deterministic fake derived from the bytes — but the Spark-side shape is
-  * real: binary schema, per-partition batch decoding (the Scala analogue of
-  * an Arrow-batched pandas UDF), metadata struct contract, partition sizing.
-  * Swap `decodeStub` for a real codec and nothing else changes.
+  * Image payloads have a REAL decode path (in-JDK `javax.imageio`, header
+  * read only — enable with `graft.multimodal.realCodec=true`); audio/video
+  * and non-image bytes fall back to a deterministic fake derived from the
+  * byte content (no media libs in this container). Either way the
+  * Spark-side shape is identical: binary schema, per-partition batch
+  * decoding (the Scala analogue of an Arrow-batched pandas UDF), metadata
+  * struct contract, partition sizing. Swap the codec and nothing else
+  * changes.
   */
 object Multimodal {
 
-  /** Typed metadata produced by the (stubbed) decoder. */
+  /** Typed metadata produced by the decoder. */
   val MetaSchema: StructType = StructType(Seq(
     StructField("n_bytes", LongType, nullable = false),
     StructField("width", IntegerType, nullable = false),
@@ -23,15 +26,45 @@ object Multimodal {
     StructField("format", StringType, nullable = false)))
 
   /** Deterministic fake decode: metadata derived only from the byte content.
-    * A real implementation would parse the media header here.
+    * The stand-in for codecs this container lacks (audio/video); image
+    * bytes take [[decodeImage]] when the real-codec flag is on.
     */
   def decodeStub(bytes: Array[Byte]): Row = {
     val n = bytes.length.toLong
-    // ??? real codec goes here — deterministic fake below
     val w = (n % 640).toInt
     val h = ((n * 31) % 480).toInt
     Row(n, w, h, "img/fake")
   }
+
+  /** Real image decode via in-JDK `javax.imageio`: format sniffed from the
+    * header, dimensions read from the header ONLY (`reader.getWidth(0)`
+    * never materialises pixel data, so a corrupt tail or a 100 MB payload
+    * costs the same as a thumbnail). None for bytes no installed reader
+    * recognises — the caller falls back to the deterministic stub, so a
+    * mixed media column degrades per-row, not per-query.
+    */
+  def decodeImage(bytes: Array[Byte]): Option[Row] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, true, true)
+          Some(Row(bytes.length.toLong, reader.getWidth(0), reader.getHeight(0),
+            "img/" + reader.getFormatName.toLowerCase))
+        } catch { case scala.util.control.NonFatal(_) => None }
+        finally reader.dispose()
+      }
+    } finally if (iis != null) iis.close()
+  }
+
+  /** One row's decode under the resolved codec flag. */
+  private def decodeRow(bytes: Array[Byte], realCodec: Boolean): Row =
+    if (realCodec) decodeImage(bytes).getOrElse(decodeStub(bytes))
+    else decodeStub(bytes)
 
   /** Feature extraction from a binary media column: a deterministic
     * pseudo-embedding (splitmix64 of a byte-content hash per dimension,
@@ -106,24 +139,38 @@ object Multimodal {
     }(encoder)
   }
 
-  /** Attaches a binary `media` column (UTF-8 bytes of `textCol` — the test
-    * stand-in for real media payloads) plus decoded metadata.
+  /** Attaches decoded metadata to an EXISTING binary column. The codec is
+    * resolved once on the driver: explicit argument wins, else the session
+    * conf `graft.multimodal.realCodec` (default false — the deterministic
+    * stub, which every oracle assumes). With the real codec on, image
+    * payloads decode through [[decodeImage]] and unrecognised bytes fall
+    * back to the stub per row.
     *
     * Decoding runs per partition over an iterator (batch-shaped, like
     * `mapInPandas`): codecs amortise init cost across the partition, and
     * partitions stay bounded by `spark.sql.files.maxPartitionBytes`, so
     * executor memory is safe however large the table is.
     */
-  def withMediaMetadata(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val spark = df.sparkSession
-    val withBin = df.select(col(idCol), encode(col(textCol), "UTF-8").as("media"))
-    val outSchema = StructType(withBin.schema.fields :+ StructField("meta", MetaSchema, nullable = false))
+  def decodeMedia(df: DataFrame, binCol: String,
+                  realCodec: Option[Boolean] = None): DataFrame = {
+    val useReal = realCodec.getOrElse(
+      df.sparkSession.conf.get("graft.multimodal.realCodec", "false").toBoolean)
+    val outSchema = StructType(df.schema.fields :+ StructField("meta", MetaSchema, nullable = false))
     val encoder = org.apache.spark.sql.Encoders.row(outSchema)
-    withBin.mapPartitions { rows =>
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
       rows.map { r =>
-        val bytes = r.getAs[Array[Byte]]("media")
-        Row.fromSeq(r.toSeq :+ decodeStub(bytes))
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        Row.fromSeq(r.toSeq :+ decodeRow(bytes, useReal))
       }
     }(encoder)
   }
+
+  /** Attaches a binary `media` column (UTF-8 bytes of `textCol` — the test
+    * stand-in for real media payloads) plus decoded metadata; see
+    * [[decodeMedia]] for the codec/partition contract.
+    */
+  def withMediaMetadata(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    decodeMedia(
+      df.select(col(idCol), encode(col(textCol), "UTF-8").as("media")), "media")
 }

@@ -80,15 +80,23 @@ object Bpe {
   /** Per-group tokenizer fertility under the trained vocab: BPE tokens per
     * whitespace word — the tokenizer-efficiency metric a multilingual
     * pipeline tracks per language. Corpus words join the SEGMENTED VOCAB
-    * (a dictionary lookup, broadcast-sized after any real merge count —
-    * never a re-segmentation of text), then one keyed aggregate.
+    * (a dictionary lookup — never a re-segmentation of text), then one
+    * keyed aggregate.
+    *
+    * The vocab join is deliberately UNHINTED: a trained vocab from a small
+    * merge budget broadcasts fine, but at web scale |distinct whitespace
+    * words| is hundreds of millions of rows (URLs, typos, numbers) and a
+    * forced broadcast OOMs the driver. Left to AQE, the join picks
+    * broadcast-hash below `spark.sql.autoBroadcastJoinThreshold` and a
+    * plain keyed shuffle on `w` above it — the word-explode side shuffles
+    * by `w` at most once either way.
     */
   def fertility(docs: DataFrame, vocab: DataFrame, groupCol: String,
                 textCol: String = "text"): DataFrame = {
     val ws = docs
       .select(col(groupCol), explode(split(col(textCol), "\\s+")).as("w"))
       .where(length(col("w")) > 0)
-    ws.join(broadcast(vocab.select(col("w"), size(col("symbols")).as("nt"))), "w")
+    ws.join(vocab.select(col("w"), size(col("symbols")).as("nt")), "w")
       .groupBy(groupCol)
       .agg(count(lit(1)).as("n_words"),
         sum(col("nt")).as("n_tokens"),

@@ -181,21 +181,22 @@ object Relational {
     * pipeline in graft.streaming). Hour buckets via date_trunc — identical
     * semantics to `window(ts, "1 hour")` but hash-comparable to the oracle.
     *
-    * events.ts is TIMESTAMP(NANOS) parquet, which Spark reads as epoch-nano
-    * longs under `spark.sql.legacy.parquet.nanosAsLong` (set by
-    * Verify/Bench); it is converted to a micros timestamp here.
+    * `events.ts` arrives through [[Tables.eventTs]] (schema-adaptive:
+    * epoch-nano longs and parquet timestamps both normalise to
+    * TimestampType). The bucket is EMITTED as epoch microseconds (BIGINT,
+    * `unix_micros`) rather than a timestamp so the oracle compare is immune
+    * to engine timestamp representation drift (tz annotation, unit).
     */
-  def eventsWindow(spark: SparkSession, dir: String): DataFrame = {
-    val ts = timestamp_micros(expr("ts div 1000"))
-    Tables.load(spark, dir, "events")
-      .groupBy(date_trunc("hour", ts).as("bucket"), col("event_type"))
+  def eventsWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(unix_micros(date_trunc("hour", col("ts"))).as("bucket"),
+        col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         sum(dec(col("value"), 6)).cast("double").as("sum_value"))
       .orderBy("bucket", "event_type")
-  }
 
   val eventsWindowSql: String =
-    """SELECT date_trunc('hour', ts)::TIMESTAMP AS bucket, event_type, count(*) AS n_events,
+    """SELECT epoch_us(date_trunc('hour', ts))::BIGINT AS bucket, event_type, count(*) AS n_events,
       |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin
 
@@ -203,21 +204,20 @@ object Relational {
     * assigns every event to duration/slide = 3 overlapping windows; the
     * batch twin of the streaming hop-window shape. The oracle reproduces
     * Spark's epoch-aligned window assignment with integer nano arithmetic
-    * (bucket index minus k ∈ {0,1,2}).
+    * (bucket index minus k ∈ {0,1,2}); window starts are emitted as epoch
+    * micros (BIGINT) per the event-time output rule (see eventsWindow).
     */
-  def eventsHop(spark: SparkSession, dir: String): DataFrame = {
-    val ts = timestamp_micros(expr("ts div 1000"))
-    Tables.load(spark, dir, "events")
-      .groupBy(window(ts, "15 minutes", "5 minutes"), col("event_type"))
+  def eventsHop(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "15 minutes", "5 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         sum(dec(col("value"), 6)).cast("double").as("sum_value"))
-      .select(col("window.start").as("bucket"), col("event_type"),
+      .select(unix_micros(col("window.start")).as("bucket"), col("event_type"),
         col("n_events"), col("sum_value"))
       .orderBy("bucket", "event_type")
-  }
 
   val eventsHopSql: String =
-    """WITH w AS (SELECT make_timestamp(((epoch_ns(ts) // 300000000000) - k) * 300000000)
+    """WITH w AS (SELECT (((epoch_ns(ts) // 300000000000) - k) * 300000000)::BIGINT
       |    AS bucket, event_type, value
       |  FROM events CROSS JOIN (SELECT unnest([0, 1, 2]) AS k))
       |SELECT bucket, event_type, count(*) AS n_events,
@@ -242,16 +242,16 @@ object Relational {
     * nothing corpus-sized past the first aggregate.
     */
   def eventsAnomaly(spark: SparkSession, dir: String): DataFrame = {
-    val ts = timestamp_micros(expr("ts div 1000"))
-    val counts = Tables.load(spark, dir, "events")
-      .groupBy(date_trunc("hour", ts).as("bucket"), col("event_type"))
+    val counts = Tables.events(spark, dir)
+      .groupBy(unix_micros(date_trunc("hour", col("ts"))).as("bucket"),
+        col("event_type"))
       .agg(count(lit(1)).as("n_events"))
     graft.ops.stats.Stats.trailingZ(counts, "event_type", "bucket", "n_events")
       .orderBy("bucket", "event_type")
   }
 
   val eventsAnomalySql: String =
-    """WITH c AS (SELECT date_trunc('hour', ts)::TIMESTAMP AS bucket, event_type,
+    """WITH c AS (SELECT epoch_us(date_trunc('hour', ts))::BIGINT AS bucket, event_type,
       |    count(*)::BIGINT AS n_events FROM events GROUP BY 1, 2),
       |w AS (SELECT bucket, event_type, n_events,
       |    sum(n_events) OVER tw AS s1i,
@@ -367,9 +367,8 @@ object Relational {
     * reduced), one broadcast-joined distinct-activity count.
     */
   def eventsRetention(spark: SparkSession, dir: String): DataFrame = {
-    val ts = timestamp_micros(expr("ts div 1000"))
-    val ev = Tables.load(spark, dir, "events")
-      .select(col("user_id"), to_date(ts).as("day"))
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
     val first = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
     ev.join(first, "user_id")
       .where(datediff(col("day"), col("cohort_day")) <= 7)
@@ -570,8 +569,8 @@ object Relational {
     val orders = Tables.load(spark, dir, "orders")
       .select(col("o_custkey").as("k"), col("o_orderdate").as("t"),
         lit(0).as("is_probe"), lit(null).cast("long").as("event_id"))
-    val events = Tables.load(spark, dir, "events")
-      .select(col("user_id").as("k"), timestamp_micros(expr("ts div 1000")).as("t"),
+    val events = Tables.events(spark, dir)
+      .select(col("user_id").as("k"), col("ts").as("t"),
         lit(1).as("is_probe"), col("event_id"))
     // build rows sort before probes at equal t, so "at or before" includes ties
     val w = Window.partitionBy("k")
@@ -580,12 +579,15 @@ object Relational {
     orders.unionByName(events)
       .withColumn("order_date", max(when(col("is_probe") === 0, col("t"))).over(w))
       .where(col("is_probe") === 1 && col("order_date").isNotNull)
-      .select(col("event_id"), col("k").as("user_id"), col("order_date"))
+      // the union coerced the DATE build rows to timestamp; emit the DATE
+      // back so the output schema is engine-representation-proof
+      .select(col("event_id"), col("k").as("user_id"),
+        col("order_date").cast("date").as("order_date"))
       .orderBy("event_id")
   }
 
   val qAsOfSql: String =
-    """SELECT event_id, user_id, o_orderdate AS order_date
+    """SELECT event_id, user_id, o_orderdate::DATE AS order_date
       |FROM events ASOF JOIN (SELECT DISTINCT o_custkey, o_orderdate FROM orders) o
       |  ON user_id = o.o_custkey AND o.o_orderdate <= events.ts
       |ORDER BY event_id""".stripMargin
@@ -600,8 +602,8 @@ object Relational {
     * trades expansion factor vs bucket selectivity.
     */
   def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.load(spark, dir, "events")
-      .select(col("event_id"), col("user_id"), timestamp_micros(expr("ts div 1000")).as("t"))
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts").as("t"))
     val probes = ev.select(col("event_id"), col("user_id"), col("t"),
         explode(array(date_trunc("hour", col("t")),
           date_trunc("hour", col("t") + expr("INTERVAL 1 HOUR")))).as("bucket"))
@@ -730,12 +732,14 @@ object Relational {
     */
   def sessionizeEvents(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val events = Tables.load(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val events = Tables.events(spark, dir)
       .select("event_id", "ts", "user_id", "event_type", "value")
       .as[graft.streaming.Streaming.Event]
     graft.streaming.Streaming.sessionize(events, gapMinutes = 30)
       .toDF()
+      // session bounds as epoch micros (BIGINT) — see eventsWindow
+      .withColumn("session_start", unix_micros(col("session_start")))
+      .withColumn("session_end", unix_micros(col("session_end")))
       .orderBy("user_id", "session_start")
   }
 
@@ -746,8 +750,8 @@ object Relational {
       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
       |s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
       |    ROWS UNBOUNDED PRECEDING) AS sid FROM g)
-      |SELECT user_id, min(ts)::TIMESTAMP AS session_start,
-      |  max(ts)::TIMESTAMP AS session_end, count(*)::INTEGER AS n_events,
+      |SELECT user_id, epoch_us(min(ts))::BIGINT AS session_start,
+      |  epoch_us(max(ts))::BIGINT AS session_end, count(*)::INTEGER AS n_events,
       |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
 

@@ -14,7 +14,10 @@ import org.apache.spark.sql.types._
   */
 object Streaming {
 
-  /** events.parquet schema under `nanosAsLong` (ts arrives as epoch nanos). */
+  /** events.parquet schema under `nanosAsLong` (ts arrives as epoch nanos).
+    * Kept for fixtures that WRITE long-ts events; reading is schema-adaptive
+    * (see [[eventStream]]).
+    */
   val EventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", LongType),
     StructField("user_id", LongType), StructField("event_type", StringType),
@@ -24,12 +27,20 @@ object Streaming {
     * monitors directories, so the sf dir is the source path with a glob
     * filter selecting the events file(s) — works for single-file test
     * layouts and partitioned production layouts alike.
+    *
+    * `readStream` needs a declared schema; it is taken from the files
+    * present at start (one footer read), and `ts` is then normalised by
+    * [[graft.queries.Tables.eventTs]] — so epoch-nano-long and parquet
+    * timestamp events sources both stream with a TimestampType `ts`.
     */
-  def eventStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(EventsSchema)
+  def eventStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.option("pathGlobFilter", "events.parquet")
+      .parquet(dir).schema
+    val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    raw.withColumn("ts", graft.queries.Tables.eventTs(raw))
+  }
 
   /** D1: tumbling 1-hour window aggregation with a 10-minute watermark.
     * Works on both batch and streaming frames; late data beyond the

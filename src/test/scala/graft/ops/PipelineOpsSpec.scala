@@ -51,7 +51,7 @@ class PipelineOpsSpec extends SparkSpec {
       (i.toLong, s"h${i / 2}a h${i / 2}b h${i / 2}c ${pool((i + i / 2) % 4)}")
     }.toDF("doc_id", "text")
     val baseP = Dedup.shingledStaged(docsP)
-    val posOnly = Dedup.prefixCandidates(baseP, 0.75, suffix = false).count()
+    val posOnly = Dedup.prefixCandidates(baseP, 0.75, suffix = Some(false)).count()
     val withSuf = Dedup.prefixCandidates(baseP, 0.75).count()
     assert(withSuf < posOnly,
       s"t=0.75: suffix filter pruned nothing ($withSuf of $posOnly)")
@@ -59,10 +59,31 @@ class PipelineOpsSpec extends SparkSpec {
     for (t <- Seq(0.5, 0.75))
       assert(pairs(Dedup.ngramJaccardPrefix(docsP, t)) ===
         pairs(Dedup.ngramJaccard(docsP, t)), s"t=$t")
-    // and on the driver corpus the filter only ever shrinks the set
+    // and on the driver corpus the (forced-on) filter only ever shrinks
     val base = Dedup.shingledStaged(docs)
-    assert(Dedup.prefixCandidates(base, 0.5).count() <=
-      Dedup.prefixCandidates(base, 0.5, suffix = false).count())
+    assert(Dedup.prefixCandidates(base, 0.5, suffix = Some(true)).count() <=
+      Dedup.prefixCandidates(base, 0.5, suffix = Some(false)).count())
+  }
+
+  test("suffix filter is GATED: off below SuffixGate, on at/above it") {
+    import spark.implicits._
+    val tiny = Seq((1L, "a b c d e f"), (2L, "a b c d e g")).toDF("doc_id", "text")
+    val base = Dedup.shingledStaged(tiny)
+    def joins(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }.size
+    // below the gate (the zipf query's t=0.5) the default route plans the
+    // forced-OFF shape — no signature joins
+    assert(joins(Dedup.prefixCandidates(base, 0.5)) ===
+      joins(Dedup.prefixCandidates(base, 0.5, suffix = Some(false))))
+    // at/above the gate the default route plans the forced-ON shape, which
+    // carries strictly more joins (the two signature re-attaches)
+    val on75 = joins(Dedup.prefixCandidates(base, 0.75, suffix = Some(true)))
+    val off75 = joins(Dedup.prefixCandidates(base, 0.75, suffix = Some(false)))
+    assert(joins(Dedup.prefixCandidates(base, 0.75)) === on75)
+    assert(on75 > off75)
+    assert(Dedup.SuffixGate === 0.6)
   }
 
   test("dedup queries at scale never plan a broadcast all-pairs loop") {
@@ -318,6 +339,41 @@ class PipelineOpsSpec extends SparkSpec {
       assert(r.getAs[Array[Byte]]("resized").length ===
         r.getAs[Array[Byte]]("media").length / 4)
     }
+  }
+
+  test("real codec seam: javax.imageio decodes a PNG end-to-end, stub fallback otherwise") {
+    import spark.implicits._
+    // a real 17×9 PNG, generated in-JVM (no container media libs needed)
+    val img = new java.awt.image.BufferedImage(17, 9,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 17).foreach(x => img.setRGB(x, x % 9, 0xff00ff))
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", baos))
+    val png = baos.toByteArray
+    val notAnImage = "just some text bytes".getBytes("UTF-8")
+    val df = Seq((1L, png), (2L, notAnImage)).toDF("media_id", "media")
+
+    // real codec ON (explicit): the PNG header is decoded, foreign bytes
+    // degrade per-row to the deterministic stub
+    val real = Multimodal.decodeMedia(df, "media", realCodec = Some(true))
+      .select("media_id", "meta.*").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2), r.getInt(3), r.getString(4)))
+      .toMap
+    assert(real(1L) === ((png.length.toLong, 17, 9, "img/png")))
+    assert(real(2L)._4 === "img/fake")
+
+    // same through the session-conf flag (the production switch)
+    spark.conf.set("graft.multimodal.realCodec", "true")
+    try {
+      val viaConf = Multimodal.decodeMedia(df, "media")
+        .select("meta.format").as[String].collect().toSet
+      assert(viaConf === Set("img/png", "img/fake"))
+    } finally spark.conf.unset("graft.multimodal.realCodec")
+
+    // flag off (default): every row takes the stub — the oracle contract
+    val stub = Multimodal.decodeMedia(df, "media")
+      .select("meta.format").as[String].collect().toSet
+    assert(stub === Set("img/fake"))
   }
 
   test("tabmap scan prunes to the mapped columns only") {

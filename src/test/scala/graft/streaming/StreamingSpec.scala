@@ -9,8 +9,7 @@ class StreamingSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  private def batchEvents = spark.read.parquet(s"$dir/events.parquet")
-    .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  private def batchEvents = graft.queries.Tables.events(spark, dir)
 
   test("D1: stream window agg equals the batch twin (end-to-end memory sink)") {
     val stream = Streaming.windowAgg(Streaming.eventStream(spark, dir))
@@ -50,14 +49,14 @@ class StreamingSpec extends SparkSpec {
 
   test("D2: streaming dedup drops re-delivered events") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toString
-    val ev = spark.read.schema(Streaming.EventsSchema).parquet(s"$dir/events.parquet")
+    val ev = spark.read.parquet(s"$dir/events.parquet")
     ev.limit(100).write.parquet(s"$tmp/batch1")
     // re-deliver the same 100 events plus 50 new ones
     ev.limit(150).write.parquet(s"$tmp/batch2")
-    val src = spark.readStream.schema(Streaming.EventsSchema)
+    val raw = spark.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(s"$tmp/*/")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val src = raw.withColumn("ts", graft.queries.Tables.eventTs(raw))
     val query = Streaming.dedup(src).writeStream
       .format("memory").queryName("dedup_sink").outputMode("append").start()
     try query.processAllAvailable() finally query.stop()
@@ -73,7 +72,9 @@ class StreamingSpec extends SparkSpec {
       .format("memory").queryName("anomaly_buckets").outputMode("complete").start()
     try query.processAllAvailable() finally query.stop()
     // stage 2: the shared trailing-z stage scores the accumulated buckets
-    val streamed = Streaming.anomalyScores(spark.table("anomaly_buckets"))
+    // (bucket as epoch micros, matching the batch query's output rule)
+    val streamed = Streaming.anomalyScores(spark.table("anomaly_buckets")
+        .withColumn("bucket", unix_micros(col("bucket"))))
       .collect().map(_.toSeq).toSet
     val batch = graft.queries.Relational.eventsAnomaly(spark, dir)
       .collect().map(_.toSeq).toSet
@@ -87,20 +88,21 @@ class StreamingSpec extends SparkSpec {
     // two time-ordered files so the watermark advances between triggers and
     // the engine actually CLOSES windows (the documented production wiring)
     val tmp = java.nio.file.Files.createTempDirectory("graft-anom").toString
-    val ev = spark.read.schema(Streaming.EventsSchema).parquet(s"$dir/events.parquet")
+    val ev = spark.read.parquet(s"$dir/events.parquet")
       .orderBy("ts")
     val n = ev.count()
     ev.limit((n / 2).toInt).write.parquet(s"$tmp/batch1")
     ev.orderBy(col("ts").desc).limit((n - n / 2).toInt).write.parquet(s"$tmp/batch2")
-    val src = spark.readStream.schema(Streaming.EventsSchema)
+    val raw = spark.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(s"$tmp/*/")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val src = raw.withColumn("ts", graft.queries.Tables.eventTs(raw))
     val query = Streaming.windowAgg(src).writeStream
       .format("memory").queryName("anomaly_closed").outputMode("append").start()
     try query.processAllAvailable() finally query.stop()
 
     val closed = spark.table("anomaly_closed")
+      .withColumn("bucket", unix_micros(col("bucket")))
     // the watermark leaves the trailing bucket(s) open: a strict subset
     val closedKeys = closed.select("bucket", "event_type")
       .collect().map(_.toSeq).toSet
