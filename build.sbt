@@ -31,4 +31,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 109 queries x 4 passes x several codegen stages each compile thousands
+  // of generated classes; the default 240 MB JIT code cache can fill and
+  // silently disable compilation mid-suite (a uniform suite-wide slowdown)
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -466,6 +466,57 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed === batch)
   }
 
+  test("events ingestion is schema-adaptive: nanos-long and timestamp sources agree") {
+    // spec-owned fixtures in BOTH schemas the driver has shipped, so a
+    // future testdata regeneration can never redden the streaming suite:
+    // ts as int64 epoch-nanos (rounds <= 8) and as parquet TIMESTAMP
+    // micros (current). Same logical events, micro-exact values.
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dual").toString
+    val rows = Seq( // (event_id, ts in epoch MICROS, user_id, type, value, props)
+      (1L, 1000000000000000L, 7L, "view", 1.0, """{"k":1}"""),
+      (2L, 1000000000500000L, 7L, "click", 2.0, """{"k":2}"""),
+      (3L, 1000003600000007L, 9L, "view", 4.0, """{"k":3}"""))
+    // single-FILE layout like the driver's ($dir/events.parquet is a file,
+    // not a directory): stage the write, move the lone part file in place
+    def asSingleFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = s"$tmp/stage_$name"
+      df.coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$tmp/$name"))
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$tmp/$name/events.parquet"))
+    }
+    asSingleFile(rows.map { case (id, us, u, t, v, p) => (id, us * 1000L, u, t, v, p) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"), "nanos")
+    asSingleFile(rows.toDF("event_id", "ts_us", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("ts_us")).cast(TimestampNTZType))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props"), "micros")
+
+    for (d <- Seq(s"$tmp/nanos", s"$tmp/micros")) {
+      // both normalise to ONE downstream type
+      assert(graft.queries.Tables.events(spark, d).schema("ts").dataType
+        === TimestampType, d)
+    }
+    // batch query: identical output from either schema
+    def win(d: String) = graft.queries.Relational.eventsWindow(spark, d)
+      .collect().map(_.toSeq).toSeq
+    assert(win(s"$tmp/nanos") === win(s"$tmp/micros"))
+    assert(win(s"$tmp/nanos").nonEmpty)
+    // streaming source: identical window agg from either schema
+    def streamed(d: String, q: String) = {
+      val query = Streaming.windowAgg(Streaming.eventStream(spark, d))
+        .writeStream.format("memory").queryName(q).outputMode("complete").start()
+      try query.processAllAvailable() finally query.stop()
+      spark.table(q).collect().map(_.toSeq).toSet
+    }
+    val a = streamed(s"$tmp/nanos", "dual_nanos")
+    val b = streamed(s"$tmp/micros", "dual_micros")
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+
   test("evalGramBloom of an empty eval set flags nothing") {
     import graft.ops.dedup.Dedup
     val batchDocs = spark.read.parquet(s"$dir/documents.parquet")
