@@ -777,4 +777,25 @@ object TextOps {
         when(col("n_grams") > 0,
           col("n_novel").cast("double") / col("n_grams")).otherwise(lit(0.0)))
   }
+
+  /** Readability columns (Flesch reading ease) from three integer counts:
+    * whitespace words (the house tokenizer), sentence delimiters
+    * (`[.!?]+` runs, clamped to ≥ 1 so delimiter-free text scores as one
+    * sentence), and a vowel-group syllable proxy (`[aeiouy]+` runs — the
+    * standard dictionary-free estimator). The score is one closed-form
+    * double expression over those integers, so it is reproducible
+    * cross-engine; everything is a narrow codegen'd regexp pass, no
+    * shuffle. Cf. reference text-quality scoring (tabmap has none — this
+    * extends the pipeline block).
+    */
+  def readabilityColumns(text: Column): Seq[(String, Column)] = {
+    val words = size(tokens(text)).cast("long")
+    val sents = greatest(regexp_count(text, lit("[.!?]+")), lit(1)).cast("long")
+    val syll = regexp_count(lower(text), lit("[aeiouy]+")).cast("long")
+    val flesch = round(lit(206.835)
+      - lit(1.015) * (words.cast("double") / sents)
+      - lit(84.6) * (syll.cast("double") / words), 6)
+    Seq("n_words" -> words, "n_sentences" -> sents,
+      "n_syllables" -> syll, "flesch" -> flesch)
+  }
 }

@@ -1477,6 +1477,69 @@ object Pipeline {
       |FROM tf JOIN df USING (term) CROSS JOIN stats
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** C55: Flesch reading-ease readability over the corpus — the
+    * dictionary-free quality signal (see [[TextOps.readabilityColumns]];
+    * integer counts + one closed-form double, scan-speed, no shuffle).
+    */
+  def textReadability(spark: SparkSession, dir: String): DataFrame = {
+    val cols = TextOps.readabilityColumns(col("text")).map { case (n, c) => c.as(n) }
+    docs(spark, dir).select(col("doc_id") +: cols: _*).orderBy("doc_id")
+  }
+
+  val textReadabilitySql: String =
+    """SELECT doc_id,
+      |  len(string_split(text, ' '))::BIGINT AS n_words,
+      |  greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::BIGINT AS n_sentences,
+      |  len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT AS n_syllables,
+      |  round(206.835
+      |    - 1.015 * (len(string_split(text, ' '))::DOUBLE
+      |               / greatest(len(regexp_extract_all(text, '[.!?]+')), 1))
+      |    - 84.6 * (len(regexp_extract_all(lower(text), '[aeiouy]+'))::DOUBLE
+      |              / len(string_split(text, ' '))), 6) AS flesch
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** C56: Zipf profile of the corpus vocabulary — the top-50 tokens by
+    * frequency with their rank, plus the log-log OLS slope over those
+    * points (a healthy natural-language corpus sits near −1; template- or
+    * spam-dominated corpora flatten toward 0, so the slope is a cheap
+    * whole-corpus drift monitor).
+    *
+    * Scale shape: one keyed token count (map-side combined), then the
+    * top-50 via `orderBy(...).limit(50)` — Spark plans
+    * TakeOrderedAndProject, a DISTRIBUTED per-partition top-k merged on
+    * the driver, never a global sort or a single-task window over the
+    * vocabulary. Ranks and the 50-point regression run on the 50
+    * surviving rows; the slope re-attaches as a 1-row broadcast cross
+    * join. 6-dp round absorbs the 50-addend summation-order drift.
+    */
+  def corpusZipf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = docs(spark, dir)
+      .select(explode(TextOps.tokens(col("text"))).as("t"))
+      .where(length(col("t")) > 0)
+      .groupBy("t").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("t")).limit(50)
+    val ranked = freq.withColumn("rank",
+      row_number().over(Window.orderBy(col("freq").desc, col("t"))).cast("long"))
+    val x = log(col("rank").cast("double"))
+    val y = log(col("freq").cast("double"))
+    val slope = ranked.agg(count(lit(1)).cast("double").as("k"),
+        sum(x).as("sx"), sum(y).as("sy"), sum(x * y).as("sxy"), sum(x * x).as("sxx"))
+      .select(round((col("k") * col("sxy") - col("sx") * col("sy"))
+        / (col("k") * col("sxx") - col("sx") * col("sx")), 6).as("zipf_slope"))
+    ranked.crossJoin(slope).orderBy("rank")
+  }
+
+  val corpusZipfSql: String =
+    """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+      |f AS (SELECT t, count(*) AS freq FROM tok WHERE len(t) > 0 GROUP BY t),
+      |r AS (SELECT t, freq, row_number() OVER (ORDER BY freq DESC, t) AS rank FROM f
+      |      QUALIFY rank <= 50),
+      |s AS (SELECT round((count(*)*sum(ln(rank)*ln(freq)) - sum(ln(rank))*sum(ln(freq)))
+      |        / (count(*)*sum(ln(rank)*ln(rank)) - sum(ln(rank))*sum(ln(rank))), 6)
+      |        AS zipf_slope FROM r)
+      |SELECT t, freq, rank, zipf_slope FROM r CROSS JOIN s ORDER BY rank""".stripMargin
+
   /** C40: top-3 salient terms per document by TF-IDF (see
     * [[TextOps.tfidfTopK]]) — ranked through the TopKPerKey rewrite, so
     * only 3·|docs| rows survive to the final exchange.

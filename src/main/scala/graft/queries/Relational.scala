@@ -802,4 +802,97 @@ object Relational {
       |FROM lineitem
       |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** B37: LEAD/LAG offset window functions — each order beside its
+    * customer's previous and next order price, with the delta to the
+    * previous (first order deltas 0 via coalesce-to-self, a DEFINED value
+    * where a bare lag is null). The offset-function shapes B5 (rank) and
+    * B30 (frames) don't cover. One keyed window sort; money through
+    * decimal per the money-aggregate rule; (date, key) ordering is
+    * total, so offsets are deterministic.
+    */
+  def qLeadLag(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val price = dec(col("o_totalprice"))
+    Tables.load(spark, dir, "orders")
+      .where(col("o_custkey") % 100 === 0)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        price.cast("double").as("price"),
+        lag(price, 1).over(w).cast("double").as("prev_price"),
+        lead(price, 1).over(w).cast("double").as("next_price"),
+        (price - coalesce(lag(price, 1).over(w), price))
+          .cast("double").as("delta_prev"))
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+  }
+
+  val qLeadLagSql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate::TIMESTAMP AS o_orderdate,
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
+      |  CAST(lag(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS prev_price,
+      |  CAST(lead(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS next_price,
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,2))
+      |    - coalesce(lag(CAST(o_totalprice AS DECIMAL(18,2))) OVER w,
+      |               CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS delta_prev
+      |FROM orders WHERE o_custkey % 100 = 0
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
+
+  /** B38: ranking-family window functions — NTILE quartiles, dense_rank,
+    * percent_rank, cume_dist per order-status partition. The rank shapes
+    * B5 (rank/row_number) doesn't cover. The window ORDER BY is made TOTAL
+    * with the unique order key so tile/rank assignment is deterministic in
+    * both engines; the two rationals are exact divisions of integers,
+    * 6-dp-rounded.
+    */
+  def qRankFamily(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    Tables.load(spark, dir, "orders")
+      .where(col("o_custkey") % 100 === 0)
+      .select(col("o_orderstatus"), col("o_orderkey"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        dense_rank().over(w).cast("long").as("drank"),
+        round(percent_rank().over(w), 6).as("prank"),
+        round(cume_dist().over(w), 6).as("cdist"))
+      .orderBy("o_orderstatus", "o_orderkey")
+  }
+
+  val qRankFamilySql: String =
+    """SELECT o_orderstatus, o_orderkey,
+      |  ntile(4) OVER w AS quartile,
+      |  dense_rank() OVER w AS drank,
+      |  round(percent_rank() OVER w, 6) AS prank,
+      |  round(cume_dist() OVER w, 6) AS cdist
+      |FROM orders WHERE o_custkey % 100 = 0
+      |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_orderstatus, o_orderkey""".stripMargin
+
+  /** B39: conditional (FILTER-clause) aggregation — per-user event
+    * telemetry: total events, per-type conditional counts, first/last
+    * activity (epoch micros per the event-time output rule), exact value
+    * total. One keyed aggregate with every branch map-side combined;
+    * runs through the schema-adaptive [[Tables.events]] path.
+    */
+  def qEventsUserStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .where(col("user_id") % 50 === 0)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        count(when(col("event_type") === "view", 1)).as("n_view"),
+        count(when(col("event_type") === "click", 1)).as("n_click"),
+        count(when(col("event_type") === "purchase", 1)).as("n_purchase"),
+        unix_micros(min(col("ts"))).as("first_us"),
+        unix_micros(max(col("ts"))).as("last_us"),
+        sum(dec(col("value"), 6)).cast("double").as("sum_value"))
+      .orderBy("user_id")
+
+  val qEventsUserStatsSql: String =
+    """SELECT user_id, count(*) AS n_events,
+      |  count(*) FILTER (event_type = 'view') AS n_view,
+      |  count(*) FILTER (event_type = 'click') AS n_click,
+      |  count(*) FILTER (event_type = 'purchase') AS n_purchase,
+      |  epoch_us(min(ts))::BIGINT AS first_us,
+      |  epoch_us(max(ts))::BIGINT AS last_us,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM events WHERE user_id % 50 = 0
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
 }

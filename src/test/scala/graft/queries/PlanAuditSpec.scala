@@ -66,6 +66,39 @@ class PlanAuditSpec extends SparkSpec {
     assert(!readSchema.contains("props") && !readSchema.contains("user_id"), plan)
   }
 
+  test("corpus_zipf takes the vocabulary top-50 distributed, never a global sort") {
+    val plan = planOf("corpus_zipf")
+    // orderBy().limit(50) must plan TakeOrderedAndProject (per-partition
+    // top-k heaps merged on the driver) — a global Sort of the vocabulary
+    // before the limit would single-task the whole token table at scale
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // the token count keeps its map-side partial phase
+    assert(plan.contains("partial"), plan)
+    // the slope re-attach is the 1-row broadcast, not a shuffled join
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("new window queries (lead_lag, rank_family) sort once per window, no extra exchange") {
+    for (q <- Seq("q_lead_lag", "q_rank_family")) {
+      val plan = planOf(q)
+      // one hash exchange keys the window partitions; the final
+      // presentation orderBy may add a range exchange but no more
+      assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1, s"$q:\n$plan")
+      assert(plan.contains("Window"), s"$q:\n$plan")
+      // the key filter reaches the scan
+      assert(plan.contains("PushedFilters"), s"$q:\n$plan")
+    }
+  }
+
+  test("events_user_stats aggregates map-side over the pruned event columns") {
+    val plan = planOf("events_user_stats")
+    assert(plan.contains("partial"), plan)
+    val readSchema = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(plan).map(_.group(1)).getOrElse("")
+    assert(readSchema.nonEmpty, plan)
+    assert(!readSchema.contains("props") && !readSchema.contains("event_id"), plan)
+  }
+
   test("text filters (repetition/gopher/pii) stay narrow: no exchange at all") {
     for (q <- Seq("text_repetition", "quality_gopher", "pii_scrub")) {
       val plan = planOf(q)
