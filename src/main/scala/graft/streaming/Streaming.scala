@@ -157,6 +157,23 @@ object Streaming {
           size(graft.ops.text.TextOps.tokens(col(textCol)))).as("b"))
       .groupBy("grp", "b").count()
 
+  /** D16: streaming vocabulary top-k — the running top-`k` tokens by
+    * frequency over an ingest stream (complete mode: one keyed count, the
+    * engine's sort+limit on the |vocab|-row state). After any stream
+    * prefix the table equals the batch `corpus_zipf` query's ranked
+    * prefix on the same documents, so the drift monitor (Zipf slope,
+    * template takeover, vocabulary churn) reads straight off the sink —
+    * the spec computes the slope from this table with the identical OLS
+    * closed form. State is the token count map — |vocab| rows, the same
+    * state any streaming word count carries.
+    */
+  def zipfTopK(docs: DataFrame, k: Int = 50, textCol: String = "text"): DataFrame =
+    docs.select(explode(graft.ops.text.TextOps.tokens(col(textCol))).as("t"))
+      .where(length(col("t")) > 0)
+      .groupBy("t").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("t"))
+      .limit(k)
+
   /** D15: streaming filter-agreement monitor — the running pairwise
     * contingency between the gopher quality flags over an ingest stream,
     * complete mode. Both the per-doc flag frame

@@ -452,6 +452,32 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed.toMap === batch)
   }
 
+  test("D16: streaming vocabulary top-k equals the batch corpus_zipf ranked prefix") {
+    val stream = Streaming.zipfTopK(Streaming.documentStream(spark, dir), k = 50)
+    val q = stream.writeStream.format("memory").queryName("zipf_topk")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("zipf_topk").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSet
+    val batch = graft.queries.Pipeline.corpusZipf(spark, dir)
+      .select("t", "freq").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSet
+    assert(streamed.nonEmpty && streamed === batch)
+    // the monitor's slope (identical OLS closed form over the sink rows)
+    // equals the batch query's zipf_slope column
+    val rows = spark.table("zipf_topk").collect()
+      .sortBy(r => (-r.getLong(1), r.getString(0))).zipWithIndex
+      .map { case (r, i) => (math.log(i + 1.0), math.log(r.getLong(1).toDouble)) }
+    val k = rows.length.toDouble
+    val (sx, sy) = (rows.map(_._1).sum, rows.map(_._2).sum)
+    val (sxy, sxx) = (rows.map(p => p._1 * p._2).sum, rows.map(p => p._1 * p._1).sum)
+    val slope = BigDecimal((k * sxy - sx * sy) / (k * sxx - sx * sx))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val batchSlope = graft.queries.Pipeline.corpusZipf(spark, dir)
+      .select("zipf_slope").head().getDouble(0)
+    assert(math.abs(slope - batchSlope) <= 1e-6, s"$slope vs $batchSlope")
+  }
+
   test("D15: streaming quality-agreement monitor equals the batch diagnostic") {
     val stream = Streaming.qualityAgreementMonitor(Streaming.documentStream(spark, dir))
     val q = stream.writeStream.format("memory").queryName("qa_monitor")
