@@ -655,6 +655,39 @@ object Pipeline {
       |  row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) rnk FROM s)
       |SELECT qid, cid, cosine, rnk::INTEGER AS rnk FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
 
+  /** C57: embedding-quality telemetry — per-label L2-norm distribution
+    * (count, zero-vector count, min/max/mean). The ingest health check an
+    * embedding pipeline runs before ANN/dedup trusts the vectors: zero
+    * vectors poison cosine routes, collapsed norms flag a broken encoder.
+    * Per-vector norms are deterministic (the codegen dot's left-to-right
+    * double accumulation matches the oracle's sequential list_sum), then
+    * 6-dp-rounded BEFORE aggregating; the mean goes through an exact
+    * decimal sum ÷ once (the money-aggregate rule), so every output is
+    * partitioning-invariant. One narrow scan + one keyed aggregate.
+    */
+  def embedNormStats(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    embs(spark, dir)
+      .select(col("label"), round(Ann.norm(Ann.vec(col("embedding"))), 6).as("l2"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        count(when(col("l2") === 0, 1)).as("n_zero"),
+        min("l2").as("min_l2"), max("l2").as("max_l2"),
+        round((sum(col("l2").cast("decimal(27,10)")).cast("double")
+          / count(lit(1))), 6).as("mean_l2"))
+      .orderBy("label")
+  }
+
+  val embedNormStatsSql: String =
+    """WITH n AS (SELECT label,
+      |    round(sqrt(list_sum([x*x for x in embedding::DOUBLE[]])), 6) AS l2
+      |  FROM embeddings)
+      |SELECT label, count(*) AS n_vecs,
+      |  count(*) FILTER (l2 = 0) AS n_zero,
+      |  min(l2) AS min_l2, max(l2) AS max_l2,
+      |  round(sum(l2::DECIMAL(27,10))::DOUBLE / count(*), 6) AS mean_l2
+      |FROM n GROUP BY label ORDER BY label""".stripMargin
+
   /** C29: per-label centroid cosine — embedding-space cohesion/outlier
     * scoring. Decimal-summed centroids make the result bit-deterministic
     * under any partitioning (see Ann.centroidCosine).

@@ -895,4 +895,48 @@ object Relational {
       |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       |FROM events WHERE user_id % 50 = 0
       |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** B40: ordered string aggregation (LISTAGG/STRING_AGG) — the priority
+    * profile per order status as one delimited string. Determinism rule:
+    * the aggregate is order-sensitive, so the engine-side accumulation
+    * order must never reach the output — distinct values are SORTED
+    * before joining (collect_set → array_sort ↔ string_agg DISTINCT ...
+    * ORDER BY), making the result partitioning-invariant in both engines.
+    */
+  def qStringAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(array_join(array_sort(collect_set(col("o_orderpriority"))), "|").as("prios"),
+        count_distinct(col("o_orderpriority")).as("n_prios"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+
+  val qStringAggSql: String =
+    """SELECT o_orderstatus,
+      |  string_agg(DISTINCT o_orderpriority, '|' ORDER BY o_orderpriority) AS prios,
+      |  count(DISTINCT o_orderpriority) AS n_prios,
+      |  count(*) AS n
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** B41: multiple DISTINCT aggregates beside plain ones in a single
+    * grouped aggregation — per return flag: distinct parts, distinct
+    * suppliers, row count, exact quantity total. Spark plans this through
+    * the Expand operator (one duplicated stream per distinct set, partial
+    * aggregation retained on the plain branches); the semantics — not the
+    * operator — are what the oracle pins.
+    */
+  def qMultiDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(count_distinct(col("l_partkey")).as("n_parts"),
+        count_distinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n"),
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+      .orderBy("l_returnflag")
+
+  val qMultiDistinctSql: String =
+    """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+      |  count(DISTINCT l_suppkey) AS n_supps, count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 }

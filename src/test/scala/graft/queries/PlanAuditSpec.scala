@@ -90,6 +90,21 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q_multi_distinct expands once and keeps partial aggregation") {
+    val plan = planOf("q_multi_distinct")
+    assert(plan.contains("Expand"), plan)
+    assert(plan.contains("partial"), plan)
+  }
+
+  test("embed_norm_stats is one narrow scan + one keyed aggregate") {
+    val plan = planOf("embed_norm_stats")
+    assert(plan.contains("partial"), plan)
+    assert(!plan.contains("Join"), plan)
+    val readSchema = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(plan).map(_.group(1)).getOrElse("")
+    assert(!readSchema.contains("vec_id"), plan)
+  }
+
   test("events_user_stats aggregates map-side over the pruned event columns") {
     val plan = planOf("events_user_stats")
     assert(plan.contains("partial"), plan)
