@@ -61,4 +61,37 @@ object Checkpoint {
     */
   def savePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(basePath(path))
+
+  /** Format-parameterised checkpoint save/load for interop with non-parquet
+    * estates. `orc` is the drop-in columnar alternative (predicate pushdown
+    * + column pruning survive, spec-proven); `csv`/`json` are interchange
+    * sinks (row formats — no pushdown, headers on for csv so the reference's
+    * [[DataFrames.readTable]] defaults can read them back). Same
+    * stats-driven partition sizing as [[save]].
+    */
+  def saveAs(df: DataFrame, path: String, format: String,
+             targetPartitionBytes: Long = TargetPartitionBytes): DataFrame = {
+    val p = basePath(path)
+    val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val target = BigInt(targetPartitionBytes)
+    val wanted = ((estBytes + target - 1) / target).max(1)
+    val current = df.rdd.getNumPartitions
+    val out =
+      if (wanted < current) df.coalesce(wanted.toInt)
+      else if (wanted > current) df.repartition(wanted.toInt)
+      else df
+    val w = out.write.mode("overwrite")
+    (if (format == "csv") w.option("header", "true") else w).format(format).save(p)
+    out
+  }
+
+  /** Loads a checkpoint saved by [[saveAs]]. csv loads re-infer types (row
+    * formats carry no schema; callers pin schemas with
+    * [[DataFrames.castColumns]] when exactness matters).
+    */
+  def loadAs(spark: SparkSession, path: String, format: String): DataFrame = {
+    val r = spark.read.format(format)
+    (if (format == "csv") r.option("header", "true").option("inferSchema", "true") else r)
+      .load(basePath(path))
+  }
 }
