@@ -939,4 +939,61 @@ object Relational {
       |  count(DISTINCT l_suppkey) AS n_supps, count(*) AS n,
       |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** B42: UNPIVOT/melt — per-row line-item measures rotated long
+    * ((row, measure, value) triples), the wide→long reshape feeding
+    * generic per-measure aggregation. A narrow key filter keeps the
+    * oracle compact; values 6-dp-rounded only to fix the shared DOUBLE
+    * output column's representation.
+    */
+  def qUnpivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .where(col("l_orderkey") % 5000 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").as("qty"), col("l_extendedprice").as("price"),
+        col("l_discount").as("disc"))
+      .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("qty"), col("price"), col("disc")), "measure", "value")
+      .select(col("l_orderkey"), col("l_linenumber"), col("measure"),
+        round(col("value"), 6).as("value"))
+      .orderBy("l_orderkey", "l_linenumber", "measure")
+
+  val qUnpivotSql: String =
+    """SELECT l_orderkey, l_linenumber, measure, round(value, 6) AS value
+      |FROM (SELECT l_orderkey, l_linenumber, l_quantity AS qty,
+      |        l_extendedprice AS price, l_discount AS disc
+      |      FROM lineitem WHERE l_orderkey % 5000 = 0)
+      |UNPIVOT (value FOR measure IN (qty, price, disc))
+      |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin
+
+  /** B43: NULL-semantics parity batch — the behaviours engines disagree on
+    * when implemented casually, pinned cross-engine in one grouped query:
+    * grouping ON a null key (the NULLIF'd brand), `count(col)` skipping
+    * nulls vs `count(*)` not, plain `=` vs null-safe `<=>` (IS NOT
+    * DISTINCT FROM) equality — `n_eq` loses the both-null rows `n_nseq`
+    * keeps — and NULLS FIRST ordering of the null group.
+    */
+  def qNullSemantics(spark: SparkSession, dir: String): DataFrame = {
+    val brandN = nullif(col("p_brand"), lit("Brand#11"))
+    val brandM = nullif(upper(col("p_brand")), lit("BRAND#11"))
+    Tables.load(spark, dir, "part")
+      .select(brandN.as("brand_n"), brandM.as("brand_m"), col("p_size"))
+      .groupBy("brand_n")
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("brand_m")).as("n_m_nonnull"),
+        count(when(col("brand_n") === col("brand_m"), 1)).as("n_eq"),
+        count(when(col("brand_n") <=> col("brand_m"), 1)).as("n_nseq"),
+        count_distinct(col("p_size")).as("n_sizes"))
+      .orderBy(col("brand_n").asc_nulls_first)
+  }
+
+  val qNullSemanticsSql: String =
+    """WITH p AS (SELECT nullif(p_brand, 'Brand#11') AS brand_n,
+      |    nullif(upper(p_brand), 'BRAND#11') AS brand_m, p_size FROM part)
+      |SELECT brand_n, count(*) AS n_rows,
+      |  count(brand_m) AS n_m_nonnull,
+      |  count(*) FILTER (brand_n = brand_m) AS n_eq,
+      |  count(*) FILTER (brand_n IS NOT DISTINCT FROM brand_m) AS n_nseq,
+      |  count(DISTINCT p_size) AS n_sizes
+      |FROM p GROUP BY brand_n ORDER BY brand_n NULLS FIRST""".stripMargin
 }
