@@ -1573,6 +1573,62 @@ object Pipeline {
       |        AS zipf_slope FROM r)
       |SELECT t, freq, rank, zipf_slope FROM r CROSS JOIN s ORDER BY rank""".stripMargin
 
+  /** C58: vocabulary coverage curve — for each budget k, the fraction of
+    * the corpus token MASS covered by the top-k tokens (the
+    * tokenizer/vocab-budget diagnostic: how big must a vocab be before
+    * OOV mass is negligible). Exact integer arithmetic throughout
+    * (frequency sums, cumulative mass), one double division per output
+    * row.
+    *
+    * Scale shape: one keyed token count, then the top-max(k) rows via
+    * `orderBy().limit()` = TakeOrderedAndProject (distributed top-k, the
+    * C56 rule); the cumulative sum windows over that BOUNDED set (≤ the
+    * largest budget, here 50 rows), and the total mass is a 1-row
+    * broadcast cross join. The vocabulary itself never sorts globally.
+    */
+  def corpusCoverage(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budgets = Seq(5, 10, 20, 50)
+    val tok = docs(spark, dir)
+      .select(explode(TextOps.tokens(col("text"))).as("t"))
+      .where(length(col("t")) > 0)
+    val total = tok.agg(count(lit(1)).as("total_mass"))
+    val top = tok.groupBy("t").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("t")).limit(budgets.max)
+    val cum = top.withColumn("rank",
+        row_number().over(Window.orderBy(col("freq").desc, col("t"))).cast("long"))
+      .withColumn("top_mass",
+        sum("freq").over(Window.orderBy(col("freq").desc, col("t"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val ks = { import spark.implicits._; budgets.toDF("k") }
+    // a budget beyond the vocabulary covers the whole vocabulary: clamp
+    // each k to the top table's size (exact full coverage, never a
+    // missing row on small corpora)
+    val maxRank = cum.agg(max("rank").as("max_rank"))
+    ks.crossJoin(maxRank)
+      .join(cum, col("rank") === least(col("k").cast("long"), col("max_rank")))
+      .crossJoin(total)
+      .select(col("k"), col("top_mass"), col("total_mass"),
+        round(col("top_mass").cast("double") / col("total_mass"), 6).as("coverage"))
+      .orderBy("k")
+  }
+
+  val corpusCoverageSql: String =
+    """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+      |tt AS (SELECT t FROM tok WHERE len(t) > 0),
+      |total AS (SELECT count(*) AS total_mass FROM tt),
+      |f AS (SELECT t, count(*) AS freq FROM tt GROUP BY t),
+      |r AS (SELECT t, freq, row_number() OVER w AS rank,
+      |        sum(freq) OVER (w ROWS UNBOUNDED PRECEDING)::BIGINT AS top_mass
+      |      FROM f WINDOW w AS (ORDER BY freq DESC, t)
+      |      QUALIFY rank <= 50)
+      |SELECT k, top_mass, total_mass,
+      |  round(top_mass::DOUBLE / total_mass, 6) AS coverage
+      |FROM (SELECT unnest([5, 10, 20, 50]) AS k)
+      |CROSS JOIN (SELECT max(rank) AS max_rank FROM r)
+      |JOIN r ON rank = least(k, max_rank)
+      |CROSS JOIN total ORDER BY k""".stripMargin
+
   /** C40: top-3 salient terms per document by TF-IDF (see
     * [[TextOps.tfidfTopK]]) — ranked through the TopKPerKey rewrite, so
     * only 3·|docs| rows survive to the final exchange.

@@ -174,6 +174,25 @@ object Streaming {
       .orderBy(col("freq").desc, col("t"))
       .limit(k)
 
+  /** D17: streaming per-user event telemetry — the batch B39
+    * `events_user_stats` aggregate run in update mode: total + per-type
+    * conditional counts, first/last activity (epoch micros), exact value
+    * total. Every branch is an algebraic aggregate (count/min/max/
+    * decimal-sum), so state per user is O(1) and each trigger's emission
+    * for a user equals the batch query on the stream prefix — the live
+    * per-account activity view. State grows with |users|; bound it
+    * upstream with a watermarked window when user churn is unbounded.
+    */
+  def userStatsMonitor(events: DataFrame): DataFrame =
+    events.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        count(when(col("event_type") === "view", 1)).as("n_view"),
+        count(when(col("event_type") === "click", 1)).as("n_click"),
+        count(when(col("event_type") === "purchase", 1)).as("n_purchase"),
+        unix_micros(min(col("ts"))).as("first_us"),
+        unix_micros(max(col("ts"))).as("last_us"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
+
   /** D15: streaming filter-agreement monitor — the running pairwise
     * contingency between the gopher quality flags over an ingest stream,
     * complete mode. Both the per-doc flag frame

@@ -478,6 +478,20 @@ class StreamingSpec extends SparkSpec {
     assert(math.abs(slope - batchSlope) <= 1e-6, s"$slope vs $batchSlope")
   }
 
+  test("D17: streaming user-stats monitor equals the batch events_user_stats query") {
+    val stream = Streaming.userStatsMonitor(
+      Streaming.eventStream(spark, dir).where(col("user_id") % 50 === 0))
+    val q = stream.writeStream.format("memory").queryName("user_stats")
+      .outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+    // last emission per user = the completed aggregate
+    val streamed = spark.table("user_stats").collect()
+      .groupBy(_.getLong(0)).map { case (u, rows) => u -> rows.last.toSeq.drop(1) }
+    val batch = graft.queries.Relational.qEventsUserStats(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(streamed.nonEmpty && streamed.toMap === batch)
+  }
+
   test("D15: streaming quality-agreement monitor equals the batch diagnostic") {
     val stream = Streaming.qualityAgreementMonitor(Streaming.documentStream(spark, dir))
     val q = stream.writeStream.format("memory").queryName("qa_monitor")
