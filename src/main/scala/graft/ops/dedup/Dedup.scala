@@ -1135,4 +1135,71 @@ object Dedup {
       .select(col("component"), col("id").as("keep_id"),
         col("q").as("keep_q"), col("n_members"))
   }
+
+  /** Edit-distance near-dup pairs on a short normalised key (the first
+    * `keyLen` lowercased chars) — the dedup family for typo-level
+    * variation (titles, URLs, product names) that token-set Jaccard
+    * cannot see (one typo inside a word changes the token, not the edit
+    * distance).
+    *
+    * Candidates by the PartEnum pigeonhole (Arasu et al., VLDB 2006): cut
+    * each key into fixed `chunkLen`-char chunks at fixed positions; ≤
+    * `maxDist` edits touch ≤ maxDist chunks, so any pair within distance
+    * `maxDist` shares at least one INTACT chunk whenever the key carries
+    * ≥ maxDist+1 full chunks — and the intact chunk reappears in the
+    * other key within ±maxDist of its position (edits before it shift it
+    * by at most the net insertion/deletion count). So the candidate join
+    * is EQUI on (chunk content) with the |Δposition| ≤ maxDist and
+    * |Δlength| ≤ maxDist filters — keyed shuffle of ~(keyLen − chunkLen)
+    * short substrings per row, never all-pairs — and recall is exactly 1.
+    * Keys too short for maxDist+1 full chunks route to a per-length band
+    * joined across the ±maxDist adjacent lengths (bounded by the short-key
+    * population; rare when keyLen ≪ typical text). Survivors verify with
+    * the exact `levenshtein`.
+    */
+  def editDistancePairs(docs: DataFrame, maxDist: Int = 2, keyLen: Int = 32,
+                        chunkLen: Int = 8, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    require(maxDist < keyLen / chunkLen, "keyLen must hold maxDist+1 full chunks")
+    val base = docs
+      .select(col(idCol).as("id"),
+        lower(substring(col(textCol), 1, keyLen)).as("k"))
+      .where(length(col("k")) > 0)
+      .withColumn("len", length(col("k")))
+    val longEnough = base.where(col("len") >= (maxDist + 1) * chunkLen)
+    // fixed-position chunks of the probe side
+    val chunks = longEnough.select(col("id"), col("k"), col("len"),
+      posexplode(expr(
+        s"transform(sequence(0, int(len / $chunkLen) - 1), " +
+          s"i -> substring(k, i * $chunkLen + 1, $chunkLen))")).as(Seq("ci", "chunk")))
+      .select(col("id"), col("k"), col("len"),
+        (col("ci") * chunkLen).as("cpos"), col("chunk"))
+    // every chunkLen-substring of the build side, with its position
+    val subs = longEnough.select(col("id").as("id2"), col("k").as("k2"),
+      col("len").as("len2"),
+      posexplode(expr(
+        s"transform(sequence(0, len - $chunkLen), " +
+          s"i -> substring(k, i + 1, $chunkLen))")).as(Seq("spos", "sub")))
+    val longCand = chunks.join(subs,
+        col("chunk") === col("sub") && col("id") < col("id2") &&
+          abs(col("cpos") - col("spos")) <= maxDist &&
+          abs(col("len") - col("len2")) <= maxDist)
+      .select(col("id").as("a"), col("id2").as("b"),
+        col("k").as("ka"), col("k2").as("kb"))
+    // short keys: too few full chunks for the pigeonhole — band by length
+    // (a pair within maxDist differs by ≤ maxDist in length), all-pairs
+    // within the ±maxDist bands only
+    val short = base.where(col("len") < (maxDist + 1) * chunkLen)
+    val shortCand = short.as("x").join(short.as("y"),
+        col("x.id") < col("y.id") &&
+          abs(col("x.len") - col("y.len")) <= maxDist)
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        col("x.k").as("ka"), col("y.k").as("kb"))
+    longCand.unionByName(shortCand)
+      .dropDuplicates("a", "b")
+      .withColumn("dist", levenshtein(col("ka"), col("kb")).cast("long"))
+      .where(col("dist") <= maxDist)
+      .select(col("a"), col("b"), col("dist"))
+      .orderBy("a", "b")
+  }
 }

@@ -655,6 +655,24 @@ object Pipeline {
       |  row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) rnk FROM s)
       |SELECT qid, cid, cosine, rnk::INTEGER AS rnk FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
 
+  /** C59: edit-distance near-dup pairs on the normalised 32-char text key
+    * (see [[Dedup.editDistancePairs]]: PartEnum pigeonhole candidates —
+    * equi-join on intact chunks with position/length filters, exact
+    * recall, never all-pairs — then exact levenshtein verification). The
+    * typo-level dedup family token-set Jaccard cannot see. The oracle is
+    * a brute-force levenshtein join over the same keys (feasible at
+    * oracle scale; the length prefilter mirrors the |Δlen| ≤ d bound).
+    */
+  def dedupEdit(spark: SparkSession, dir: String): DataFrame =
+    Dedup.editDistancePairs(docs(spark, dir), maxDist = 2, keyLen = 32)
+
+  val dedupEditSql: String =
+    """WITH k AS (SELECT doc_id AS id, lower(substr(text, 1, 32)) AS k
+      |  FROM documents WHERE length(text) > 0)
+      |SELECT a.id AS a, b.id AS b, levenshtein(a.k, b.k)::BIGINT AS dist
+      |FROM k a JOIN k b ON a.id < b.id AND abs(length(a.k) - length(b.k)) <= 2
+      |WHERE levenshtein(a.k, b.k) <= 2 ORDER BY a, b""".stripMargin
+
   /** C57: embedding-quality telemetry — per-label L2-norm distribution
     * (count, zero-vector count, min/max/mean). The ingest health check an
     * embedding pipeline runs before ANN/dedup trusts the vectors: zero

@@ -65,6 +65,45 @@ class PipelineOpsSpec extends SparkSpec {
       Dedup.prefixCandidates(base, 0.5, suffix = Some(false)).count())
   }
 
+  test("edit-distance dedup: pigeonhole candidates find every pair a brute force finds") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "the quick brown fox jumps over it"),   // 32+ chars
+      (2L, "the quick crown fox jumps over it"),   // 1 substitution vs 1
+      (3L, "the quick brown fax jumps over itx"),  // 2 edits vs 1 (sub in chunk 2 + tail)
+      (4L, "xhe quick brown fox jumps over iz"),   // 2 subs vs 1, FIRST and LAST chunk touched
+      (5L, "a completely different sentence here"),
+      (6L, "short key one"),                       // short-key band (< 24 chars)
+      (7L, "short key oneX"),                      // 1 insertion vs 6
+      (8L, "the quickbrown fox jumps over it")     // deletion at chunk boundary vs 1
+    ).toDF("doc_id", "text")
+    val got = Dedup.editDistancePairs(rows, maxDist = 2, keyLen = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute-force twin over the same normalised keys
+    val keys = rows.collect().map(r => r.getLong(0) ->
+      r.getString(1).toLowerCase.take(32)).toMap
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val brute = (for {
+      (a, ka) <- keys; (b, kb) <- keys if a < b && lev(ka, kb) <= 2
+    } yield (a, b, lev(ka, kb).toLong)).toSet
+    assert(got === brute)
+    // the planted shapes are all found (distances on the TRUNCATED
+    // 32-char keys): substitution (1-2), first-chunk edit (1-4, the
+    // trailing z falls off the key), boundary deletion (1-8: the lost
+    // space shifts the tail, costing a second edit at the cut), and the
+    // short-key band (6-7)
+    assert(Set((1L, 2L, 1L), (1L, 4L, 1L), (1L, 8L, 2L), (6L, 7L, 1L)).subsetOf(got))
+    assert(got.contains((1L, 3L, 1L)))
+    // nothing within distance 2 of the unrelated doc
+    assert(!got.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
   test("suffix filter is GATED: off below SuffixGate, on at/above it") {
     import spark.implicits._
     val tiny = Seq((1L, "a b c d e f"), (2L, "a b c d e g")).toDF("doc_id", "text")
