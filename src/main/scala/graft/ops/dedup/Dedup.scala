@@ -1156,6 +1156,17 @@ object Dedup {
     * joined across the ±maxDist adjacent lengths (bounded by the short-key
     * population; rare when keyLen ≪ typical text). Survivors verify with
     * the exact `levenshtein`.
+    *
+    * Scale caveat (honest): the candidate join keys on raw chunk CONTENT,
+    * so a template corpus whose keys share a hot chunk (a common prefix
+    * phrase) concentrates that chunk's postings on one reducer and emits
+    * df² candidates for it — the same hot-token failure mode the PPJoin
+    * route guards with its df table. At that scale, prefilter hot chunks
+    * the way [[prefixCandidates]] ranks by rarity (drop chunks whose df
+    * exceeds a cutoff from the candidate key set and route their rows
+    * through the remaining chunks — recall holds as long as ≥ 1 of the
+    * maxDist+1 chunks stays indexed), or raise `chunkLen`. AQE's skew
+    * split absorbs moderate skew unaided.
     */
   def editDistancePairs(docs: DataFrame, maxDist: Int = 2, keyLen: Int = 32,
                         chunkLen: Int = 8, idCol: String = "doc_id",
