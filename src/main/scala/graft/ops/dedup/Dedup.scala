@@ -1157,16 +1157,14 @@ object Dedup {
     * population; rare when keyLen ≪ typical text). Survivors verify with
     * the exact `levenshtein`.
     *
-    * Scale caveat (honest): the candidate join keys on raw chunk CONTENT,
-    * so a template corpus whose keys share a hot chunk (a common prefix
-    * phrase) concentrates that chunk's postings on one reducer and emits
-    * df² candidates for it — the same hot-token failure mode the PPJoin
-    * route guards with its df table. At that scale, prefilter hot chunks
-    * the way [[prefixCandidates]] ranks by rarity (drop chunks whose df
-    * exceeds a cutoff from the candidate key set and route their rows
-    * through the remaining chunks — recall holds as long as ≥ 1 of the
-    * maxDist+1 chunks stays indexed), or raise `chunkLen`. AQE's skew
-    * split absorbs moderate skew unaided.
+    * Hot-chunk guard (the PPJoin rarity rule applied here): the pigeonhole
+    * needs ≥ 1 intact chunk among ANY maxDist+1 of a record's chunks — so
+    * the probe side indexes only its maxDist+1 globally RAREST chunks
+    * (one keyed df count + a ≤ 4-row per-record rank). A template corpus
+    * whose keys share a hot prefix phrase then skips that chunk wherever
+    * a record carries rarer ones, capping the hot posting list's df²
+    * candidate blow-up exactly as the prefix route's rarity ordering
+    * does — with recall still exactly 1.
     */
   def editDistancePairs(docs: DataFrame, maxDist: Int = 2, keyLen: Int = 32,
                         chunkLen: Int = 8, idCol: String = "doc_id",
@@ -1178,13 +1176,22 @@ object Dedup {
       .where(length(col("k")) > 0)
       .withColumn("len", length(col("k")))
     val longEnough = base.where(col("len") >= (maxDist + 1) * chunkLen)
-    // fixed-position chunks of the probe side
-    val chunks = longEnough.select(col("id"), col("k"), col("len"),
+    // fixed-position chunks of the probe side...
+    val allChunks = longEnough.select(col("id"), col("k"), col("len"),
       posexplode(expr(
         s"transform(sequence(0, int(len / $chunkLen) - 1), " +
           s"i -> substring(k, i * $chunkLen + 1, $chunkLen))")).as(Seq("ci", "chunk")))
       .select(col("id"), col("k"), col("len"),
         (col("ci") * chunkLen).as("cpos"), col("chunk"))
+    // ...thinned to each record's maxDist+1 RAREST chunks (recall-exact,
+    // see the hot-chunk guard note above)
+    val cdf = allChunks.groupBy("chunk").agg(count(lit(1)).as("cdf"))
+    val byRarity = Window.partitionBy("id")
+      .orderBy(col("cdf"), col("chunk"), col("cpos"))
+    val chunks = allChunks.join(cdf, "chunk")
+      .withColumn("rk", row_number().over(byRarity))
+      .where(col("rk") <= maxDist + 1)
+      .select(col("id"), col("k"), col("len"), col("cpos"), col("chunk"))
     // every chunkLen-substring of the build side, with its position
     val subs = longEnough.select(col("id").as("id2"), col("k").as("k2"),
       col("len").as("len2"),
