@@ -104,6 +104,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!got.exists(p => p._1 == 5L || p._2 == 5L))
   }
 
+  test("edit-distance dedup survives a template corpus: hot shared chunk, exact recall via rare tails") {
+    import spark.implicits._
+    // every key opens with the same hot chunk ("TEMPLATE" x60); tails are
+    // rare. The rarity guard indexes only tail chunks, so the hot chunk's
+    // df^2 posting list never forms — and the planted near-pair must
+    // still surface through its intact rare tail chunks.
+    // tails are a 2-letter code repeated 4 times, so any two template docs
+    // differ in >= 4 tail positions — never within distance 2 of each other
+    val docs = ((0 until 58).map { i =>
+      val code = s"${('a' + i / 26).toChar}${('a' + i % 26).toChar}"
+      (i.toLong, f"TEMPLATE doc$i%04d ${code * 4} x")
+    } ++
+      Seq((100L, "TEMPLATE aaaa bbbb cccc dddd eee"),
+          (101L, "TEMPLATE aaaa bbbb cccc dddd eeZ"))).toDF("doc_id", "text")
+    val got = Dedup.editDistancePairs(docs, maxDist = 2, keyLen = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.contains((100L, 101L, 1L)), s"planted pair lost: $got")
+    // no spurious pairs among the template docs (tails all differ by > 2)
+    assert(got.filterNot(_ == ((100L, 101L, 1L))).forall(p => p._1 >= 100L),
+      s"spurious template pairs: $got")
+  }
+
   test("suffix filter is GATED: off below SuffixGate, on at/above it") {
     import spark.implicits._
     val tiny = Seq((1L, "a b c d e f"), (2L, "a b c d e g")).toDF("doc_id", "text")
