@@ -222,6 +222,32 @@ object GraphEtl {
        |ends AS (SELECT f AS node FROM e UNION ALL SELECT tt FROM e)
        |SELECT node, count(*)::INTEGER AS degree FROM ends GROUP BY node ORDER BY node""".stripMargin
 
+  /** A5c: log-binned degree distribution of the PG graph — the power-law
+    * telemetry a KG health check reads (hub formation shows as mass in
+    * high buckets; a broken mapper as a spike at degree 1). Buckets via
+    * the integer-exact pow2 rule shared with the C39 histogram sketch
+    * (bit length of degree+1, no floating log); everything past the
+    * degree aggregate is |buckets| rows.
+    */
+  def kgDegreeHist(spark: SparkSession, dir: String): DataFrame =
+    pgDegrees(spark, dir)
+      .groupBy(graft.ops.stats.Stats.pow2Bucket(col("degree")).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_nodes"),
+        min("degree").as("min_deg"), max("degree").as("max_deg"))
+      .orderBy("bucket")
+
+  val kgDegreeHistSql: String =
+    s"""WITH t AS ($nationTriplesSql),
+       |e AS (SELECT max(CASE WHEN key = '@from' THEN value END) AS f,
+       |        max(CASE WHEN key = '@to' THEN value END) AS tt
+       |      FROM t GROUP BY id
+       |      HAVING f IS NOT NULL AND tt IS NOT NULL),
+       |ends AS (SELECT f AS node FROM e UNION ALL SELECT tt FROM e),
+       |d AS (SELECT node, count(*)::INTEGER AS degree FROM ends GROUP BY node)
+       |SELECT (length(bin(degree + 1)) - 1)::BIGINT AS bucket,
+       |  count(*) AS n_nodes, min(degree) AS min_deg, max(degree) AS max_deg
+       |FROM d GROUP BY 1 ORDER BY bucket""".stripMargin
+
   /** Supplier–nation–region KG edge set. With `withSupRegion` a derived
     * `servesRegion` edge closes each sup–nation–region path into a
     * triangle; without it the graph is the 2-level containment hierarchy.

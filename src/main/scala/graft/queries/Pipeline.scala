@@ -655,6 +655,59 @@ object Pipeline {
       |  row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) rnk FROM s)
       |SELECT qid, cid, cosine, rnk::INTEGER AS rnk FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
 
+  /** C60: distribution-drift monitor — the exact two-sample
+    * Kolmogorov–Smirnov distance between two sources' token-length
+    * distributions (max |cdf_a − cdf_b| over the integer support). The
+    * corpus-mix alarm completing the diff family: [[corpusDiff]] sees
+    * WHICH documents changed, this sees whether a source's SHAPE drifted
+    * (a scraper regression shifts the length profile long before content
+    * hashes notice).
+    *
+    * Exactness: the statistic is computed in INTEGER arithmetic —
+    * max |ca·nb − cb·na| over cumulative counts, divided once at the end
+    * — so it is bit-deterministic in both engines (no per-length double
+    * rounding to drift). Empty sides yield NULL (KS undefined), never a
+    * division error.
+    *
+    * Scale: one keyed (length) count with conditional branches, then a
+    * cumulative window over the DISTINCT-length table — support-sized
+    * (hundreds of rows for token lengths), not corpus-sized; totals ride
+    * a 1-row broadcast cross join.
+    */
+  def corpusDriftKs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(spark, dir).where(col("source").isin("src0", "src1"))
+      .select(col("source"), size(TextOps.tokens(col("text"))).cast("long").as("len"))
+    val c = d.groupBy("len").agg(
+      count(when(col("source") === "src0", 1)).as("a"),
+      count(when(col("source") === "src1", 1)).as("b"))
+    val cum = c.select(col("len"),
+      sum("a").over(Window.orderBy("len")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("ca"),
+      sum("b").over(Window.orderBy("len")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cb"))
+    val totals = c.agg(sum("a").as("na"), sum("b").as("nb"))
+    cum.crossJoin(totals)
+      .agg(first("na").as("na"), first("nb").as("nb"),
+        max(abs(col("ca") * col("nb") - col("cb") * col("na"))).as("ks_num"))
+      .select(col("na"), col("nb"),
+        when(col("na") * col("nb") > 0,
+          round(col("ks_num").cast("double") / (col("na") * col("nb")), 6)).as("ks"))
+  }
+
+  val corpusDriftKsSql: String =
+    """WITH d AS (SELECT source, len(string_split(text, ' '))::BIGINT AS len
+      |    FROM documents WHERE source IN ('src0', 'src1')),
+      |c AS (SELECT len, count(*) FILTER (source = 'src0') AS a,
+      |        count(*) FILTER (source = 'src1') AS b FROM d GROUP BY len),
+      |cum AS (SELECT len, sum(a) OVER w::BIGINT AS ca, sum(b) OVER w::BIGINT AS cb
+      |        FROM c WINDOW w AS (ORDER BY len ROWS UNBOUNDED PRECEDING)),
+      |t AS (SELECT sum(a)::BIGINT AS na, sum(b)::BIGINT AS nb FROM c)
+      |SELECT na, nb,
+      |  CASE WHEN na * nb > 0
+      |       THEN round(max(abs(ca * nb - cb * na))::DOUBLE / (na * nb), 6) END AS ks
+      |FROM cum CROSS JOIN t GROUP BY na, nb""".stripMargin
+
   /** C59: edit-distance near-dup pairs on the normalised 32-char text key
     * (see [[Dedup.editDistancePairs]]: PartEnum pigeonhole candidates —
     * equi-join on intact chunks with position/length filters, exact
