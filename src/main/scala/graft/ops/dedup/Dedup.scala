@@ -1152,10 +1152,13 @@ object Dedup {
     * is EQUI on (chunk content) with the |Δposition| ≤ maxDist and
     * |Δlength| ≤ maxDist filters — keyed shuffle of ~(keyLen − chunkLen)
     * short substrings per row, never all-pairs — and recall is exactly 1.
-    * Keys too short for maxDist+1 full chunks route to a per-length band
-    * joined across the ±maxDist adjacent lengths (bounded by the short-key
-    * population; rare when keyLen ≪ typical text). Survivors verify with
-    * the exact `levenshtein`.
+    * Keys too short for maxDist+1 full chunks route to a per-length band:
+    * each short key emits its 2·maxDist+1 admissible partner lengths as
+    * EQUI band keys, joined against every key whose length could pair
+    * with a short one (i.e. `len < boundary + maxDist`, which also covers
+    * pairs straddling the long/short boundary) — a keyed shuffle whose
+    * per-band cost is |short@band|·|keys@len|, never an unkeyed
+    * all-pairs. Survivors verify with the exact `levenshtein`.
     *
     * Hot-chunk guard (the PPJoin rarity rule applied here): the pigeonhole
     * needs ≥ 1 intact chunk among ANY maxDist+1 of a record's chunks — so
@@ -1204,15 +1207,27 @@ object Dedup {
           abs(col("len") - col("len2")) <= maxDist)
       .select(col("id").as("a"), col("id2").as("b"),
         col("k").as("ka"), col("k2").as("kb"))
-    // short keys: too few full chunks for the pigeonhole — band by length
-    // (a pair within maxDist differs by ≤ maxDist in length), all-pairs
-    // within the ±maxDist bands only
-    val short = base.where(col("len") < (maxDist + 1) * chunkLen)
-    val shortCand = short.as("x").join(short.as("y"),
-        col("x.id") < col("y.id") &&
-          abs(col("x.len") - col("y.len")) <= maxDist)
-      .select(col("x.id").as("a"), col("y.id").as("b"),
-        col("x.k").as("ka"), col("y.k").as("kb"))
+    // short keys: too few full chunks for the pigeonhole — band by length.
+    // A pair within maxDist differs by ≤ maxDist in length, so each short
+    // key emits its 2·maxDist+1 admissible partner lengths as EQUI band
+    // keys; the right side is every key short enough to pair with a short
+    // one (len < boundary + maxDist — the thin [boundary, boundary+maxDist)
+    // slice catches pairs straddling the long/short cut, which the
+    // pigeonhole cannot see because its short member has no intact chunk).
+    // Both-short pairs surface twice (x→y and y→x) — normalised to
+    // (least, greatest) and deduped downstream.
+    val boundary = (maxDist + 1) * chunkLen
+    val short = base.where(col("len") < boundary)
+    val shortSide = base.where(col("len") < boundary + maxDist)
+      .select(col("id").as("id2"), col("k").as("k2"), col("len").as("len2"))
+    val shortCand = short
+      .select(col("id"), col("k"),
+        explode(sequence(greatest(col("len") - maxDist, lit(1)),
+          col("len") + maxDist)).as("band"))
+      .join(shortSide, col("band") === col("len2") && col("id") =!= col("id2"))
+      .select(least(col("id"), col("id2")).as("a"),
+        greatest(col("id"), col("id2")).as("b"),
+        col("k").as("ka"), col("k2").as("kb"))
     longCand.unionByName(shortCand)
       .dropDuplicates("a", "b")
       .withColumn("dist", levenshtein(col("ka"), col("kb")).cast("long"))

@@ -19,6 +19,16 @@ class PipelineOpsSpec extends SparkSpec {
   private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
     df.select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  /** Reference Levenshtein for brute-force twins. */
+  private def levRef(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+      if (j == 0) i else if (i == 0) j else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
   test("dense (broadcast+merge-scan) and sparse (inverted-index) jaccard joins agree") {
     val dense = pairs(Dedup.ngramJaccard(docs, 0.5))
     val sparse = pairs(Dedup.ngramJaccardSparse(docs, 0.5))
@@ -102,6 +112,59 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.contains((1L, 3L, 1L)))
     // nothing within distance 2 of the unrelated doc
     assert(!got.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("edit-distance dedup: short-key corpus (200 titles < 24 chars) — banded recall equals brute force") {
+    import spark.implicits._
+    // the population the operator is motivated by: titles/URLs shorter
+    // than (maxDist+1)*chunkLen = 24 chars, which all route through the
+    // length-band branch. Recall must equal brute force, and the branch
+    // must plan a keyed join (PlanAuditSpec locks the no-BNL shape).
+    val titles = (0 until 200).map { i =>
+      val base = s"product ${('a' + i % 7).toChar} no ${i / 7}"
+      // every 10th title gets a 1-edit twin at id+1000
+      (i.toLong, base)
+    } ++ (0 until 200 by 10).map { i =>
+      (1000L + i, s"product ${('a' + i % 7).toChar} nX ${i / 7}")
+    }
+    val docs = titles.toDF("doc_id", "text")
+    val got = Dedup.editDistancePairs(docs, maxDist = 2, keyLen = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val keys = titles.map { case (id, t) => id -> t.toLowerCase.take(32) }.toMap
+    val brute = (for {
+      (a, ka) <- keys; (b, kb) <- keys
+      if a < b && math.abs(ka.length - kb.length) <= 2
+      d = levRef(ka, kb) if d <= 2
+    } yield (a, b, d.toLong)).toSet
+    assert(got === brute, s"missing=${brute -- got} spurious=${got -- brute}")
+    assert(got.size >= 20, s"fixture should plant >= 20 twin pairs, got ${got.size}")
+  }
+
+  test("edit-distance dedup: pairs straddling the long/short band boundary are found") {
+    import spark.implicits._
+    // boundary = (maxDist+1)*chunkLen = 24. Pairs with one key just below
+    // and one at/just above the cut (len 23 vs 24/25) sit in neither the
+    // pigeonhole (short member has no maxDist+1 intact chunks) nor a
+    // short-only band — the widened band right side must catch them.
+    val docs = Seq(
+      (1L, "abcdefghij klmnopqr uvw"),    // len 23 (short)
+      (2L, "abcdefghij klmnopqr uvwx"),   // len 24 (long) — 1 insertion vs 1
+      (3L, "abcdefghij klmnopqr uvwxy"),  // len 25 (long) — 2 insertions vs 1
+      (4L, "abcdefghij klmnopqr uvwxyz"), // len 26 — 3 edits vs 1: excluded
+      (5L, "zzzzzzzzzz zzzzzzzz zzz")     // len 23, unrelated
+    ).toDF("doc_id", "text")
+    val got = Dedup.editDistancePairs(docs, maxDist = 2, keyLen = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val keys = Map(1L -> "abcdefghij klmnopqr uvw", 2L -> "abcdefghij klmnopqr uvwx",
+      3L -> "abcdefghij klmnopqr uvwxy", 4L -> "abcdefghij klmnopqr uvwxyz",
+      5L -> "zzzzzzzzzz zzzzzzzz zzz")
+    val brute = (for {
+      (a, ka) <- keys; (b, kb) <- keys
+      if a < b; d = levRef(ka, kb) if d <= 2
+    } yield (a, b, d.toLong)).toSet
+    assert(got === brute, s"missing=${brute -- got} spurious=${got -- brute}")
+    // the cross-boundary pairs specifically (1-2 short-long, 1-3 short-long)
+    assert(Set((1L, 2L, 1L), (1L, 3L, 2L), (2L, 3L, 1L)).subsetOf(got), got.toString)
   }
 
   test("edit-distance dedup survives a template corpus: hot shared chunk, exact recall via rare tails") {

@@ -181,6 +181,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("dedup_edit plans keyed equi joins only — both chunk and length-band routes") {
+    val plan = planOf("dedup_edit")
+    // the PartEnum chunk join AND the short-key length-band join must both
+    // be equi-keyed: an inequality-only self-join here plans a
+    // BroadcastNestedLoopJoin that is O(|short|²) on exactly the
+    // title/URL corpora the operator targets
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("corpus_coverage takes the vocabulary top-k distributed, never a global sort") {
+    val plan = planOf("corpus_coverage")
+    // the top-max(k) cut must plan TakeOrderedAndProject (per-partition
+    // heaps), not a full vocabulary Sort before the limit
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // the token count keeps its map-side partial phase
+    assert(plan.contains("partial"), plan)
+  }
+
   test("corpus_temperature broadcasts the share table and windows once") {
     val plan = planOf("corpus_temperature")
     // the |domains|-row weight table rides a broadcast, never a shuffle join
