@@ -32,18 +32,30 @@ object Checkpoint {
     * plan's size estimate (reference behaviour: src/ketl/spark/utils.py:31
     * df_save). Returns the possibly-repartitioned frame.
     */
+  /** The stats-driven repartition shared by [[save]]/[[saveAs]]. Catalyst
+    * reports `sizeInBytes = spark.sql.defaultSizeInBytes` (≈ Long.MaxValue)
+    * for unsized sources — a count that would wrap `toInt` negative and in
+    * any case means "size unknown", so such frames keep their current
+    * partitioning instead of an absurd repartition.
+    */
+  private def sizedForWrite(df: DataFrame, targetPartitionBytes: Long): DataFrame = {
+    val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (estBytes >= BigInt(Long.MaxValue) / 2) df
+    else {
+      val target = BigInt(targetPartitionBytes)
+      val wanted = ((estBytes + target - 1) / target).max(1)
+        .min(BigInt(Int.MaxValue)).toInt
+      val current = df.rdd.getNumPartitions
+      if (wanted < current) df.coalesce(wanted)
+      else if (wanted > current) df.repartition(wanted)
+      else df
+    }
+  }
+
   def save(df: DataFrame, path: String,
            targetPartitionBytes: Long = TargetPartitionBytes): DataFrame = {
-    val p = basePath(path)
-    val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val target = BigInt(targetPartitionBytes)
-    val wanted = ((estBytes + target - 1) / target).max(1)
-    val current = df.rdd.getNumPartitions
-    val out =
-      if (wanted < current) df.coalesce(wanted.toInt)
-      else if (wanted > current) df.repartition(wanted.toInt)
-      else df
-    out.write.mode("overwrite").parquet(p)
+    val out = sizedForWrite(df, targetPartitionBytes)
+    out.write.mode("overwrite").parquet(basePath(path))
     out
   }
 
@@ -71,17 +83,9 @@ object Checkpoint {
     */
   def saveAs(df: DataFrame, path: String, format: String,
              targetPartitionBytes: Long = TargetPartitionBytes): DataFrame = {
-    val p = basePath(path)
-    val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val target = BigInt(targetPartitionBytes)
-    val wanted = ((estBytes + target - 1) / target).max(1)
-    val current = df.rdd.getNumPartitions
-    val out =
-      if (wanted < current) df.coalesce(wanted.toInt)
-      else if (wanted > current) df.repartition(wanted.toInt)
-      else df
+    val out = sizedForWrite(df, targetPartitionBytes)
     val w = out.write.mode("overwrite")
-    (if (format == "csv") w.option("header", "true") else w).format(format).save(p)
+    (if (format == "csv") w.option("header", "true") else w).format(format).save(basePath(path))
     out
   }
 

@@ -43,23 +43,26 @@ object Multimodal {
     * recognises — the caller falls back to the deterministic stub, so a
     * mixed media column degrades per-row, not per-query.
     */
-  def decodeImage(bytes: Array[Byte]): Option[Row] = {
-    val iis = javax.imageio.ImageIO.createImageInputStream(
-      new java.io.ByteArrayInputStream(bytes))
+  def decodeImage(bytes: Array[Byte]): Option[Row] =
     try {
-      val readers = javax.imageio.ImageIO.getImageReaders(iis)
-      if (!readers.hasNext) None
-      else {
-        val reader = readers.next()
-        try {
-          reader.setInput(iis, true, true)
-          Some(Row(bytes.length.toLong, reader.getWidth(0), reader.getHeight(0),
-            "img/" + reader.getFormatName.toLowerCase))
-        } catch { case scala.util.control.NonFatal(_) => None }
-        finally reader.dispose()
-      }
-    } finally if (iis != null) iis.close()
-  }
+      // createImageInputStream can itself return null (no stream SPI /
+      // cache trouble) — degrade to None, never let one row fail the query
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      if (iis == null) None
+      else try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis, true, true)
+            Some(Row(bytes.length.toLong, reader.getWidth(0), reader.getHeight(0),
+              "img/" + reader.getFormatName.toLowerCase))
+          } finally reader.dispose()
+        }
+      } finally iis.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** One row's decode under the resolved codec flag. */
   private def decodeRow(bytes: Array[Byte], realCodec: Boolean): Row =

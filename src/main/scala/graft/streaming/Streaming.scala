@@ -32,10 +32,16 @@ object Streaming {
     * present at start (one footer read), and `ts` is then normalised by
     * [[graft.queries.Tables.eventTs]] — so epoch-nano-long and parquet
     * timestamp events sources both stream with a TimestampType `ts`.
+    * When NO file exists yet (a stream started before its first input —
+    * the normal production cold start) the eager read cannot infer, and
+    * the declared [[EventsSchema]] takes over so the stream starts and
+    * waits instead of throwing.
     */
   def eventStream(spark: SparkSession, dir: String): DataFrame = {
-    val schema = spark.read.option("pathGlobFilter", "events.parquet")
-      .parquet(dir).schema
+    val schema =
+      try spark.read.option("pathGlobFilter", "events.parquet")
+        .parquet(dir).schema
+      catch { case _: org.apache.spark.sql.AnalysisException => EventsSchema }
     val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)

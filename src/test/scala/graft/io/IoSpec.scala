@@ -119,6 +119,24 @@ class IoSpec extends SparkSpec {
     assert(back.agg(sum("v")).collect()(0).getLong(0) === 999000L)
   }
 
+  test("unsized sources (default huge stats) save without a wrapped repartition count") {
+    // RDD-backed frames report sizeInBytes = defaultSizeInBytes (~Long.Max):
+    // the partition-count formula must not wrap toInt negative — unsized
+    // frames keep their current partitioning and the write still lands
+    val rdd = spark.sparkContext.parallelize(1L to 100L, 4)
+    val df = spark.createDataFrame(rdd.map(org.apache.spark.sql.Row(_)),
+      new org.apache.spark.sql.types.StructType()
+        .add("id", org.apache.spark.sql.types.LongType))
+    assert(df.queryExecution.optimizedPlan.stats.sizeInBytes >
+      BigInt(Long.MaxValue) / 2, "fixture no longer unsized")
+    val base = java.nio.file.Files.createTempDirectory("graft-unsized").toString
+    val out = Checkpoint.save(df, s"$base/p.parquet")
+    assert(out.rdd.getNumPartitions === 4)
+    assert(Checkpoint.load(spark, s"$base/p.parquet").count() === 100)
+    Checkpoint.saveAs(df, s"$base/o.orc", "orc")
+    assert(Checkpoint.loadAs(spark, s"$base/o.orc", "orc").count() === 100)
+  }
+
   test("ORC checkpoints round-trip with pushdown and pruning intact; csv/json interchange") {
     val base = java.nio.file.Files.createTempDirectory("graft-fmt").toString
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")

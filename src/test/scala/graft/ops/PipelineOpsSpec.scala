@@ -498,6 +498,10 @@ class PipelineOpsSpec extends SparkSpec {
     val stub = Multimodal.decodeMedia(df, "media")
       .select("meta.format").as[String].collect().toSet
     assert(stub === Set("img/fake"))
+
+    // degenerate payloads never throw — the per-row fallback contract
+    assert(Multimodal.decodeImage(Array.empty[Byte]).isEmpty)
+    assert(Multimodal.decodeImage(Array[Byte](0, 1, 2, 3)).isEmpty)
   }
 
   test("tabmap scan prunes to the mapped columns only") {

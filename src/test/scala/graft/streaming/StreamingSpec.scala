@@ -11,6 +11,21 @@ class StreamingSpec extends SparkSpec {
 
   private def batchEvents = graft.queries.Tables.events(spark, dir)
 
+  test("eventStream cold start: empty source dir falls back to the declared schema and waits") {
+    // production start-before-first-file: the eager schema read finds no
+    // events.parquet; the stream must still START (declared EventsSchema)
+    // instead of throwing AnalysisException
+    val empty = java.nio.file.Files.createTempDirectory("graft-cold").toString
+    val stream = Streaming.eventStream(spark, empty)
+    assert(stream.isStreaming)
+    assert(stream.schema("ts").dataType ===
+      org.apache.spark.sql.types.TimestampType)
+    val query = Streaming.windowAgg(stream).writeStream
+      .format("memory").queryName("cold_start").outputMode("complete").start()
+    try query.processAllAvailable() finally query.stop()
+    assert(spark.table("cold_start").count() === 0)
+  }
+
   test("D1: stream window agg equals the batch twin (end-to-end memory sink)") {
     val stream = Streaming.windowAgg(Streaming.eventStream(spark, dir))
     val query = stream.writeStream
