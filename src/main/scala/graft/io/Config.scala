@@ -44,6 +44,72 @@ object Config {
     else t.split(" #", 2)(0).trim
   }
 
+  /** Parses a flow collection value (`[a, b]` / `{k: v}`) into dotted-suffix
+    * → scalar pairs, or None when `t` is not one. Nested flow collections
+    * recurse (`[{k: v}]` → `0.k`); quotes protect commas/brackets/colons;
+    * a trailing ` # comment` after the closing bracket is allowed. Empty
+    * collections parse to zero pairs (the key simply has no entries — the
+    * reference's own `config: {}` default). Multi-document streams remain
+    * out of scope.
+    */
+  private def flowPairs(t0: String): Option[Seq[(String, String)]] = {
+    val t = t0.trim
+    // split `body` at top-level commas (depth 0, outside quotes)
+    def splitTop(body: String): Seq[String] = {
+      val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+      val cur = new StringBuilder
+      var depth = 0; var quote: Char = 0
+      body.foreach { c =>
+        if (quote != 0) { cur += c; if (c == quote) quote = 0 }
+        else c match {
+          case '"' | '\'' => quote = c; cur += c
+          case '[' | '{' => depth += 1; cur += c
+          case ']' | '}' => depth -= 1; cur += c
+          case ',' if depth == 0 => parts += cur.toString; cur.clear()
+          case other => cur += other
+        }
+      }
+      parts += cur.toString
+      parts.toSeq.map(_.trim).filter(_.nonEmpty)
+    }
+    // the collection body, iff the bracket closes with nothing but an
+    // optional comment after it
+    def body: Option[String] = {
+      var depth = 0; var quote: Char = 0; var end = -1; var i = 0
+      while (i < t.length && end < 0) {
+        val c = t(i)
+        if (quote != 0) { if (c == quote) quote = 0 }
+        else c match {
+          case '"' | '\'' => quote = c
+          case '[' | '{' => depth += 1
+          case ']' | '}' => depth -= 1; if (depth == 0) end = i
+          case _ => ()
+        }
+        i += 1
+      }
+      val tail = if (end < 0) "x" else t.substring(end + 1).trim
+      if (end >= 0 && (tail.isEmpty || tail.startsWith("#")))
+        Some(t.substring(1, end))
+      else None
+    }
+    if (t.startsWith("[")) body.map(splitTop(_).zipWithIndex.flatMap {
+      case (e, i) => flowPairs(e) match {
+        case Some(nested) => nested.map { case (sfx, v) => (s"$i.$sfx", v) }
+        case None => Seq((i.toString, unquote(e)))
+      }
+    })
+    else if (t.startsWith("{")) body.map(splitTop(_).flatMap { e =>
+      val (k, v) = e.span(_ != ':')
+      val vv = v.drop(1).trim
+      flowPairs(vv) match {
+        case Some(nested) =>
+          nested.map { case (sfx, x) => (s"${unquote(k.trim)}.$sfx", x) }
+        case None => Seq((unquote(k.trim), unquote(vv)))
+      }
+    })
+    else None
+  }
+
   /** Parses the indented `key: value` subset into dotted keys:
     * {{{
     * spark:
@@ -70,9 +136,11 @@ object Config {
     * *name`, both scalar and whole-subtree) with `<<: *name` merge keys
     * (explicit keys win over merged ones, YAML semantics), and literal /
     * folded block scalars (`key: |`, `key: >`, with `-`/`+` chomping).
-    * Flow collections (`[a, b]`, `{k: v}`) and multi-document streams
-    * remain out of scope (documented divergence — no YAML dependency is
-    * allowed in this build).
+    * Inline flow collections (round 10): `key: [a, b]` flattens like a
+    * block sequence (`key.0`, `key.1`), `key: {k: v}` like a block map
+    * (`key.k`), nesting and quoting respected ([[flowPairs]]). Only
+    * multi-document streams remain out of scope (documented divergence —
+    * no YAML dependency is allowed in this build).
     */
   def parse(text: String, env: Map[String, String] = sys.env): Map[String, String] = {
     val raw = interpolate(text, env).linesIterator.toArray
@@ -152,9 +220,14 @@ object Config {
         case Block(style, chomp) =>
           val (v, ni) = blockScalar(style.head, chomp, keyIndent, next)
           out(path) = v; (ni, false)
-        case t =>
-          val v = scalar(t)
-          if (v.isEmpty) (next, true) else { out(path) = v; (next, false) }
+        case t => flowPairs(t) match {
+          case Some(pairs) =>
+            pairs.foreach { case (sfx, v) => out(s"$path.$sfx") = v }
+            (next, false)
+          case None =>
+            val v = scalar(t)
+            if (v.isEmpty) (next, true) else { out(path) = v; (next, false) }
+        }
       }
 
     var i = 0
@@ -174,6 +247,7 @@ object Config {
           val content = rest.dropWhile(_ == ' ')
           val contentIndent = indent + (rest.length - content.length) + 1
           if (!content.startsWith("\"") && !content.startsWith("'") &&
+              !content.startsWith("[") && !content.startsWith("{") &&
               (content.contains(": ") || content.endsWith(":"))) {
             // a block map starts INSIDE the item: the first key is on the
             // dash line, siblings follow at the item's content indent —

@@ -57,6 +57,58 @@ class ConfigSpec extends graft.SparkSpec {
     assert(conf("timeout") === "15")
   }
 
+  test("flow collections: inline [a, b] and {k: v} flatten exactly like their block forms") {
+    val flow = Config.parse(
+      """steps:
+        |  inputs: [a.parquet, "b, c.parquet"]   # comment after the bracket
+        |spark:
+        |  config: {spark.ui.enabled: "false", spark.sql.shuffle.partitions: 32}
+        |empty_list: []
+        |empty_map: {}
+        |nested: [{name: n1, files: [x, y]}, {name: n2}]
+        |seq:
+        |  - [p, q]
+        |""".stripMargin, env = Map.empty)
+    assert(flow("steps.inputs.0") === "a.parquet")
+    assert(flow("steps.inputs.1") === "b, c.parquet") // quoted comma protected
+    assert(flow("spark.config.spark.ui.enabled") === "false")
+    assert(flow("spark.config.spark.sql.shuffle.partitions") === "32")
+    // empty collections emit no entries (the reference's `config: {}` default)
+    assert(!flow.keys.exists(_.startsWith("empty_list.")))
+    assert(!flow.keys.exists(_.startsWith("empty_map.")))
+    // nesting recurses to the same dotted paths a block document produces
+    assert(flow("nested.0.name") === "n1")
+    assert(flow("nested.0.files.0") === "x")
+    assert(flow("nested.0.files.1") === "y")
+    assert(flow("nested.1.name") === "n2")
+    // a flow collection as a block-sequence item
+    assert(flow("seq.0.0") === "p")
+    assert(flow("seq.0.1") === "q")
+
+    // equivalence: the flow and block spellings of the same document agree
+    val block = Config.parse(
+      """steps:
+        |  inputs:
+        |    - a.parquet
+        |    - "b, c.parquet"
+        |spark:
+        |  config:
+        |    spark.ui.enabled: "false"
+        |    spark.sql.shuffle.partitions: 32
+        |""".stripMargin, env = Map.empty)
+    assert(block.toSet.subsetOf(flow.toSet))
+
+    // the reference ensembl config's commented-out flow default, uncommented
+    // (tests/resources/ensembl/config.yml:13 `config: {}`)
+    val ens = Config.parse(
+      """spark:
+        |  appName: test_ketl_snake
+        |  config: {}
+        |""".stripMargin, env = Map.empty)
+    assert(ens("spark.appName") === "test_ketl_snake")
+    assert(!ens.keys.exists(_.startsWith("spark.config.")))
+  }
+
   test("a section header with a trailing comment is still a section header") {
     val conf = Config.parse(
       """workflow:   # orchestration section
