@@ -128,6 +128,107 @@ object NeoLoader {
     Report(nodes, edges, nodeBatches, edgeBatches, retries, skipNodes, skipEdges)
   }
 
+  /** Async variant (reference: src/ketl/io/neoloader.py:226
+    * `async_pg_jsonl_neo_loader`): same phase orchestration as [[load]] —
+    * nodes, id index, edges, done-flags — but within each partition up to
+    * `maxConcurrency` batch statements are IN FLIGHT at once through the
+    * transport (the reference's `loader_max_concurrency` event-loop
+    * bound, default 8 as in its test config, neoloader.py:195).
+    * Submission is semaphore-backpressured, so at most `maxConcurrency`
+    * statement strings are materialised per partition however large the
+    * stream — the reference's islice-batched memory bound. Retries run
+    * inside each in-flight task (the reference puts tenacity ON the batch
+    * loader coroutine, neoloader.py:399-410).
+    *
+    * Phase ordering survives the concurrency because each partition task
+    * awaits ALL its in-flight batches before completing, and the Spark
+    * action is a barrier across partitions — so every node batch has
+    * finished (cluster-wide) before the index statement runs, and every
+    * edge batch starts after it. The first terminal failure in any
+    * in-flight task rethrows and fails the load, as in [[load]].
+    */
+  def loadAsync(pg: DataFrame, transport: CypherTransport,
+                config: Config = Config(), maxConcurrency: Int = 8): Report = {
+    require(maxConcurrency >= 1, "maxConcurrency must be >= 1")
+    val nodesDone = flagExists(config, "nodes")
+    val edgesDone = flagExists(config, "edges")
+    val skipNodes = !config.doNodes || nodesDone
+    val skipEdges = !config.doEdges || (edgesDone && nodesDone)
+
+    var nodes = 0L; var nodeBatches = 0L
+    var edges = 0L; var edgeBatches = 0L
+    var retries = 0L
+
+    if (!skipNodes) {
+      val (n, b, r) = runPhaseAsync(pg, Graph.NodeType, transport, config, maxConcurrency)
+      nodes = n; nodeBatches = b; retries += r
+      transport.run(NeoCypher.NodeIndexStatement)
+      writeFlag(config, "nodes")
+    }
+    if (!skipEdges) {
+      val (n, b, r) = runPhaseAsync(pg, Graph.EdgeType, transport, config, maxConcurrency)
+      edges = n; edgeBatches = b; retries += r
+      writeFlag(config, "edges")
+    }
+    Report(nodes, edges, nodeBatches, edgeBatches, retries, skipNodes, skipEdges)
+  }
+
+  /** One async phase: per partition, a fixed pool of `maxConcurrency`
+    * workers drains the statement stream with semaphore backpressure;
+    * the partition emits its (elements, batches, retries) totals only
+    * after every in-flight batch completed.
+    */
+  private def runPhaseAsync(pg: DataFrame, elementType: String,
+                            transport: CypherTransport, config: Config,
+                            maxConcurrency: Int): (Long, Long, Long) = {
+    val spark = pg.sparkSession
+    import spark.implicits._
+    val maxRetries = config.maxRetries
+    val backoffMs = config.retryBackoffMs
+    val acc = NeoCypher.statementsWithCounts(pg, elementType,
+        config.batchSize, config.propertyConfig)
+      .mapPartitions { it =>
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(maxConcurrency)
+        try {
+          val sem = new java.util.concurrent.Semaphore(maxConcurrency)
+          val futures = scala.collection.mutable.ArrayBuffer
+            .empty[java.util.concurrent.Future[(Long, Long, Long)]]
+          it.foreach { case (stmt, nElems) =>
+            sem.acquire() // backpressure: bounds in-flight AND materialised statements
+            futures += pool.submit(
+              new java.util.concurrent.Callable[(Long, Long, Long)] {
+                override def call(): (Long, Long, Long) = try {
+                  var attempt = 1
+                  var done = false
+                  while (!done) {
+                    try { transport.run(stmt); done = true }
+                    catch { case e: TransientCypherError =>
+                      if (attempt > maxRetries) throw e
+                      if (backoffMs > 0) Thread.sleep(backoffMs * attempt)
+                      attempt += 1
+                    }
+                  }
+                  (nElems.toLong, 1L, (attempt - 1).toLong)
+                } finally sem.release()
+              })
+          }
+          // await everything; unwrap the executor's wrapper so callers see
+          // the transport's own exception, as in the sync path
+          val totals = futures.map { f =>
+            try f.get()
+            catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+          }
+          Iterator.single((totals.map(_._1).sum, totals.map(_._2).sum,
+            totals.map(_._3).sum))
+        } finally pool.shutdown()
+      }
+      .toDF("elems", "batches", "retries")
+      .agg(coalesce(sum("elems"), lit(0L)), coalesce(sum("batches"), lit(0L)),
+        coalesce(sum("retries"), lit(0L)))
+      .head()
+    (acc.getLong(0), acc.getLong(1), acc.getLong(2))
+  }
+
   /** One element-kind phase: statements stream per partition through the
     * transport with bounded retries; returns (elements, batches, retries)
     * aggregated distributively.

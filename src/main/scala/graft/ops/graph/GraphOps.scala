@@ -63,6 +63,36 @@ object GraphOps {
       .as[(Long, Long)].rdd.map { case (a, b) => Edge(a, b, ()) }
   }
 
+  /** Connected components of a PG edge set with STRING node keys: every
+    * node labelled with the lexicographically smallest node key of its
+    * component, plus the component size. The KG hygiene primitive —
+    * disconnected islands reveal broken cross-references before the graph
+    * ships to the database, and the component label is the natural
+    * partition key for downstream per-subgraph processing.
+    *
+    * GraphX connectedComponents propagates the minimum VERTEX ID by
+    * Pregel (label propagation, linear per superstep); because
+    * [[nodeIndex]] assigns vids in sorted node order, the minimum vid IS
+    * the lexicographically minimum node key — the relabel join is exact,
+    * not a convention. Size attaches via one keyed count join (no window
+    * over the full node set).
+    */
+  def components(pgEdges: DataFrame): DataFrame = {
+    val spark = pgEdges.sparkSession
+    import spark.implicits._
+    val e = endpoints(pgEdges)
+    val idx = nodeIndex(e)
+    val cc = XGraph.fromEdges(mapEdges(e, idx), ())
+      .connectedComponents().vertices.toDF("vid", "cvid")
+    val labelled = cc.join(idx, "vid")
+      .join(idx.select(col("vid").as("cvid"), col("node").as("component")), "cvid")
+      .select(col("node"), col("component"))
+    val sizes = labelled.groupBy("component").agg(count(lit(1)).as("component_size"))
+    labelled.join(sizes, "component")
+      .select(col("node"), col("component"), col("component_size"))
+      .orderBy("node")
+  }
+
   /** Static PageRank over a PG edge set via GraphX's Pregel implementation
     * (fixed iteration count, reset 0.15). Returns (node, rank) for every
     * node appearing in an edge. The GraphOpsSpec cross-validates this

@@ -8,9 +8,10 @@ import org.apache.spark.sql.types._
   * `binary` columns with typed metadata alongside.
   *
   * Image payloads have a REAL decode path (in-JDK `javax.imageio`, header
-  * read only — enable with `graft.multimodal.realCodec=true`); audio/video
-  * and non-image bytes fall back to a deterministic fake derived from the
-  * byte content (no media libs in this container). Either way the
+  * read only — enable with `graft.multimodal.realCodec=true`), and
+  * WAV/RIFF audio payloads a real header sniff ([[decodeWav]], pure JVM);
+  * other media and unrecognised bytes fall back to a deterministic fake
+  * derived from the byte content (no media libs in this container). Either way the
   * Spark-side shape is identical: binary schema, per-partition batch
   * decoding (the Scala analogue of an Arrow-batched pandas UDF), metadata
   * struct contract, partition sizing. Swap the codec and nothing else
@@ -64,9 +65,51 @@ object Multimodal {
       } finally iis.close()
     } catch { case scala.util.control.NonFatal(_) => None }
 
-  /** One row's decode under the resolved codec flag. */
+  /** Real audio-header sniff for WAV/RIFF payloads (pure JVM — RIFF is a
+    * length-prefixed chunk walk, no codec needed): finds the `fmt ` chunk
+    * and reports sample rate and channel count through the fixed
+    * [[MetaSchema]] as `width`=sampleRate, `height`=channels,
+    * `format`="audio/wav" (the schema is the contract; the mapping is
+    * documented here). Header-only like [[decodeImage]] — sample data is
+    * never touched, so payload size doesn't matter. None for anything
+    * that is not a well-formed RIFF/WAVE header, including truncated or
+    * adversarial chunk sizes — per-row fallback, never a query failure.
+    */
+  def decodeWav(bytes: Array[Byte]): Option[Row] =
+    try {
+      def ascii(o: Int) = new String(bytes, o, 4, "US-ASCII")
+      def le16(o: Int) = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+      def le32(o: Int): Long = (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+        ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+      if (bytes.length < 36 || ascii(0) != "RIFF" || ascii(8) != "WAVE") None
+      else {
+        // chunk walk from offset 12: [id:4][size:4][payload:size (word-aligned)]
+        var off = 12L
+        var res: Option[Row] = None
+        var ok = true
+        while (ok && res.isEmpty && off + 8 <= bytes.length) {
+          val o = off.toInt
+          val sz = le32(o + 4)
+          if (ascii(o) == "fmt " && sz >= 16 && off + 8 + 16 <= bytes.length) {
+            val channels = le16(o + 10)
+            val sampleRate = le32(o + 12)
+            if (channels > 0 && sampleRate > 0 && sampleRate <= Int.MaxValue)
+              res = Some(Row(bytes.length.toLong, sampleRate.toInt, channels, "audio/wav"))
+            else ok = false
+          }
+          off += 8 + sz + (sz & 1) // Long arithmetic: a 0xFFFFFFFF chunk
+          // size steps past the buffer and ends the walk, never overflows
+        }
+        res
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** One row's decode under the resolved codec flag: image header, then
+    * WAV header, then the deterministic stub.
+    */
   private def decodeRow(bytes: Array[Byte], realCodec: Boolean): Row =
-    if (realCodec) decodeImage(bytes).getOrElse(decodeStub(bytes))
+    if (realCodec)
+      decodeImage(bytes).orElse(decodeWav(bytes)).getOrElse(decodeStub(bytes))
     else decodeStub(bytes)
 
   /** Feature extraction from a binary media column: a deterministic

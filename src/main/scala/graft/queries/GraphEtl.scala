@@ -273,6 +273,39 @@ object GraphEtl {
     PgGraph.toPg(triples).where(col("type") === Graph.EdgeType)
   }
 
+  /** A33: connected components over the supplier–nation–region KG
+    * ([[graft.ops.graph.GraphOps.components]]) — every node labelled with
+    * the lexicographically smallest key of its component plus the
+    * component size. The containment hierarchy is a forest rooted at
+    * regions, so the expected shape is one component per region; an
+    * unexpected extra island is a broken cross-reference. Spark side is
+    * GraphX Pregel min-label propagation (linear per superstep); the
+    * oracle computes the transitive closure with a recursive CTE and
+    * min-key labelling — feasible exactly because the oracle-SF graph is
+    * small, while the Pregel route scales to KG-sized graphs.
+    */
+  def kgComponents(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.graph.GraphOps.components(
+      supRegionEdges(spark, dir, withSupRegion = true))
+
+  val kgComponentsSql: String =
+    """WITH RECURSIVE raw AS (
+      |  SELECT 'nation:' || n_nationkey AS f, 'region:' || n_regionkey AS t FROM nation
+      |  UNION ALL SELECT 'sup:' || s_suppkey, 'nation:' || s_nationkey FROM supplier
+      |  UNION ALL SELECT 'sup:' || s_suppkey, 'region:' || n_regionkey
+      |    FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+      |und AS (SELECT f AS x, t AS y FROM raw WHERE f <> t
+      |        UNION SELECT t, f FROM raw WHERE f <> t),
+      |reach(node, r) AS (
+      |  SELECT x, x FROM und
+      |  UNION
+      |  SELECT re.node, u.y FROM reach re JOIN und u ON u.x = re.r),
+      |comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+      |sizes AS (SELECT component, count(*) AS component_size
+      |  FROM comp GROUP BY component)
+      |SELECT node, component, component_size
+      |FROM comp JOIN sizes USING (component) ORDER BY node""".stripMargin
+
   /** A27: per-node triangle counts over the KG (GraphX TriangleCount —
     * distributed edge-partitioned set intersection). The derived
     * `servesRegion` edges close one triangle per supplier; the oracle

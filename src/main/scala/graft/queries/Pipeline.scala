@@ -1738,6 +1738,45 @@ object Pipeline {
       |FROM toks JOIN lm USING (tok)
       |GROUP BY id ORDER BY id""".stripMargin
 
+  /** C61: lexical-diversity telemetry per source — token count, vocabulary
+    * size, Shannon entropy (nats) and Simpson concentration of the token
+    * distribution. The mixture-health dial next to [[corpusZipf]]: a
+    * source whose entropy collapses (or Simpson spikes) is template spam
+    * regardless of its volume. Entropy via the sufficient-statistics
+    * identity H = ln N − Σ tf·ln tf / N, so one (source, token) count
+    * aggregate feeds one per-source aggregate — two keyed map-combined
+    * shuffles, no windows, no joins; rounding at the end only, the same
+    * discipline as the surprisal oracles.
+    */
+  def corpusDiversity(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("tf"))
+      .groupBy("source")
+      .agg(sum("tf").as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(col("tf").cast("double") * log(col("tf").cast("double"))).as("s1"),
+        sum(col("tf").cast("double") * col("tf").cast("double")).as("s2"))
+      .select(col("source"), col("n_tokens"), col("vocab"),
+        round(log(col("n_tokens").cast("double"))
+          - col("s1") / col("n_tokens"), 6).as("shannon"),
+        round(col("s2") / (col("n_tokens").cast("double") * col("n_tokens")), 6)
+          .as("simpson"))
+      .orderBy("source")
+
+  val corpusDiversitySql: String =
+    """WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |c AS (SELECT source, tok, count(*)::DOUBLE AS tf
+      |  FROM toks GROUP BY source, tok),
+      |a AS (SELECT source, sum(tf) AS n, count(*) AS vocab,
+      |    sum(tf * ln(tf)) AS s1, sum(tf * tf) AS s2
+      |  FROM c GROUP BY source)
+      |SELECT source, n::BIGINT AS n_tokens, vocab,
+      |  round(ln(n) - s1 / n, 6) AS shannon,
+      |  round(s2 / (n * n), 6) AS simpson
+      |FROM a ORDER BY source""".stripMargin
+
   // ---- C35: bigram-LM surprisal -------------------------------------------
 
   def textBigramSurprisal(spark: SparkSession, dir: String): DataFrame =

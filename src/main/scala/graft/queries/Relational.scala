@@ -996,4 +996,98 @@ object Relational {
       |  count(*) FILTER (brand_n IS NOT DISTINCT FROM brand_m) AS n_nseq,
       |  count(DISTINCT p_size) AS n_sizes
       |FROM p GROUP BY brand_n ORDER BY brand_n NULLS FIRST""".stripMargin
+
+  /** B44: latest-state compaction — one surviving row per user carrying
+    * the most recent event's type/value/time (epoch micros). The CDC /
+    * upsert-materialisation staple: collapse an append-only change stream
+    * to current state. Total ordering (ts, event_id) makes the survivor
+    * deterministic under timestamp ties. The rank-1 window is exactly the
+    * shape the TopKPerKey rewrite bounds: per-partition k=1 pruning
+    * BEFORE the exchange, so the shuffle carries ≤ |users|·partitions
+    * rows — compacting a 100 TB stream moves ~|users| rows, not the
+    * stream.
+    */
+  def qLatestPerKey(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 1)
+      .select(col("user_id"), unix_micros(col("ts")).as("last_us"),
+        col("event_type").as("last_type"), col("value").as("last_value"))
+      .orderBy("user_id")
+  }
+
+  val qLatestPerKeySql: String =
+    """WITH r AS (SELECT user_id, ts, event_type, value,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events)
+      |SELECT user_id, epoch_us(ts)::BIGINT AS last_us,
+      |  event_type AS last_type, value AS last_value
+      |FROM r WHERE rn <= 1 ORDER BY user_id""".stripMargin
+
+  /** B45: inter-arrival telemetry — per event type, the distribution of
+    * gaps between consecutive events (median / p95 / max, micros). The
+    * pipeline-health staple: a p95 gap spike is a stalled producer long
+    * before volume monitors notice. One keyed window (lag over the total
+    * (ts, event_id) order), then a keyed aggregate with exact
+    * interpolated percentiles — |types| groups, never a global sort.
+    */
+  def qEventsGapStats(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("ts"), col("event_id"))
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+      .where(col("gap_us").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        expr("percentile(gap_us, 0.5)").as("median_gap_us"),
+        expr("percentile(gap_us, 0.95)").as("p95_gap_us"),
+        max("gap_us").as("max_gap_us"))
+      .orderBy("event_type")
+  }
+
+  val qEventsGapStatsSql: String =
+    """WITH g AS (SELECT event_type,
+      |    epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY event_type
+      |      ORDER BY ts, event_id)) AS gap_us
+      |  FROM events)
+      |SELECT event_type, count(*) AS n_gaps,
+      |  quantile_cont(gap_us, 0.5) AS median_gap_us,
+      |  quantile_cont(gap_us, 0.95) AS p95_gap_us,
+      |  max(gap_us)::BIGINT AS max_gap_us
+      |FROM g WHERE gap_us IS NOT NULL
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** B46: top-k heaviest users per event type (count-desc, user-asc
+    * tiebreak) — the per-segment leaderboard shape. Written in the
+    * idiomatic window form, which the TopKPerKey rewrite turns into
+    * bounded per-partition heaps before the exchange: the aggregate
+    * output shuffles ≤ k·types·partitions rows instead of sorting every
+    * type's full user set.
+    */
+  def qTopUsersPerType(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("n_events").desc, col("user_id"))
+    Tables.events(spark, dir)
+      .groupBy("event_type", "user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec(col("value"), 6)).cast("double").as("sum_value"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("event_type"), col("rank").cast("long").as("rank"),
+        col("user_id"), col("n_events"), col("sum_value"))
+      .orderBy("event_type", "rank")
+  }
+
+  val qTopUsersPerTypeSql: String =
+    """WITH a AS (SELECT event_type, user_id, count(*) AS n_events,
+      |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |  FROM events GROUP BY event_type, user_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+      |    ORDER BY n_events DESC, user_id) AS rank FROM a)
+      |SELECT event_type, rank, user_id, n_events, sum_value
+      |FROM r WHERE rank <= 5 ORDER BY event_type, rank""".stripMargin
 }

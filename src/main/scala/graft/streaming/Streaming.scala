@@ -199,6 +199,25 @@ object Streaming {
         unix_micros(max(col("ts"))).as("last_us"),
         sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
 
+  /** D18: streaming latest-state compaction — the batch B44
+    * `events_latest_per_key` view maintained live in update mode: one row
+    * per user carrying the most recent event's time/type/value. The
+    * survivor is the MAX of the (ts, event_id, type, value) struct;
+    * struct comparison is field-lexicographic, so the (ts, event_id)
+    * prefix is the same total order the batch rank-1 window sorts by and
+    * the winner matches exactly under timestamp ties. max is algebraic —
+    * O(1) state per user, each trigger emits only users whose state
+    * changed: the continuously-materialised current-state table a CDC
+    * consumer reads instead of replaying the stream.
+    */
+  def latestPerKeyMonitor(events: DataFrame): DataFrame =
+    events.groupBy("user_id")
+      .agg(max(struct(col("ts"), col("event_id"),
+        col("event_type"), col("value"))).as("last"))
+      .select(col("user_id"), unix_micros(col("last.ts")).as("last_us"),
+        col("last.event_type").as("last_type"),
+        col("last.value").as("last_value"))
+
   /** D15: streaming filter-agreement monitor — the running pairwise
     * contingency between the gopher quality flags over an ingest stream,
     * complete mode. Both the per-doc flag frame

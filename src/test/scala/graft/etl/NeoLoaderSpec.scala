@@ -110,6 +110,57 @@ class NeoLoaderSpec extends SparkSpec {
     assert(third.nodesSkipped && third.edgesSkipped)
   }
 
+  test("async load: >= 2 batches in flight, phases still strictly ordered (ref async_pg_jsonl_neo_loader)") {
+    // a corpus wide enough for many single-element batches per phase
+    val wide = ((1 to 12).flatMap(i => Seq(
+      (s"N$i", Graph.TypeKey, "TestNode"))) ++
+      (1 to 12).flatMap(i => Seq(
+        (s"E$i", Graph.FromKey, s"N$i"), (s"E$i", Graph.ToKey, s"N${i % 12 + 1}"),
+        (s"E$i", Graph.TypeKey, "links")))).toDF("id", "key", "value")
+    val widePg = PgGraph.toPg(wide).coalesce(1) // one partition: overlap must
+    // come from the transport pool, not from Spark task parallelism
+    ProbeTransport.reset()
+    val report = NeoLoader.loadAsync(widePg, new ProbeTransport(sleepMs = 120),
+      NeoLoader.Config(batchSize = 1), maxConcurrency = 4)
+    assert(report.nodes === 12 && report.edges === 12)
+    assert(report.nodeBatches === 12 && report.edgeBatches === 12)
+
+    // concurrency: the probe saw at least 2 statements in flight at once
+    assert(ProbeTransport.maxInFlight.get() >= 2,
+      s"no overlap observed (max in flight = ${ProbeTransport.maxInFlight.get()})")
+
+    // ordered completion: every node batch FINISHED before the index
+    // statement started, and the index finished before any edge batch
+    // STARTED — the phase barrier holds despite the async submission
+    val ev = ProbeTransport.snapshot
+    val nodeEnd = ev.collect { case ("node", _, end) => end }.max
+    val idxStart = ev.collect { case ("index", start, _) => start }.min
+    val idxEnd = ev.collect { case ("index", _, end) => end }.max
+    val edgeStart = ev.collect { case ("edge", start, _) => start }.min
+    assert(nodeEnd <= idxStart, "an edge-phase prerequisite ran before node batches drained")
+    assert(idxEnd <= edgeStart, "an edge batch started before the id index existed")
+
+    // same element totals as the sync path on the same input
+    RecordingTransport.reset(failFirst = 0)
+    val sync = NeoLoader.load(widePg, new RecordingTransport,
+      NeoLoader.Config(batchSize = 1))
+    assert((sync.nodes, sync.edges) === ((report.nodes, report.edges)))
+  }
+
+  test("async load retries transient collisions inside in-flight tasks") {
+    RecordingTransport.reset(failFirst = 3)
+    val report = NeoLoader.loadAsync(pg, new RecordingTransport,
+      NeoLoader.Config(batchSize = 1, maxRetries = 3), maxConcurrency = 2)
+    assert(report.retries === 3)
+    assert(report.nodes === 3 && report.edges === 2)
+    // terminal failure still fails the load (Spark wraps the task failure)
+    RecordingTransport.reset(failFirst = Int.MaxValue)
+    intercept[org.apache.spark.SparkException] {
+      NeoLoader.loadAsync(pg, new RecordingTransport,
+        NeoLoader.Config(batchSize = 1, maxRetries = 2), maxConcurrency = 2)
+    }
+  }
+
   test("CLI loads a JSONL.pg file through the config-driven path") {
     RecordingTransport.reset(failFirst = 0)
     val dir = Files.createTempDirectory("neocli")
@@ -156,5 +207,35 @@ object RecordingTransport {
   def snapshot: List[String] = {
     import scala.jdk.CollectionConverters._
     statements.asScala.toList
+  }
+}
+
+/** Serializable concurrency probe: records per-statement (kind, start, end)
+  * nanos and the high-water mark of simultaneously in-flight statements.
+  * State lives in the companion so local-mode tasks and the driver share it.
+  */
+class ProbeTransport(sleepMs: Long) extends NeoLoader.CypherTransport {
+  override def run(statement: String): Unit = {
+    val inFlight = ProbeTransport.inFlight.incrementAndGet()
+    ProbeTransport.maxInFlight.getAndUpdate(m => math.max(m, inFlight))
+    val start = System.nanoTime()
+    Thread.sleep(sleepMs)
+    val kind =
+      if (statement.startsWith("CREATE INDEX")) "index"
+      else if (statement.contains("$edges")) "edge"
+      else "node"
+    ProbeTransport.events.add((kind, start, System.nanoTime()))
+    ProbeTransport.inFlight.decrementAndGet()
+  }
+}
+
+object ProbeTransport {
+  val events = new java.util.concurrent.CopyOnWriteArrayList[(String, Long, Long)]()
+  val inFlight = new java.util.concurrent.atomic.AtomicInteger(0)
+  val maxInFlight = new java.util.concurrent.atomic.AtomicInteger(0)
+  def reset(): Unit = { events.clear(); inFlight.set(0); maxInFlight.set(0) }
+  def snapshot: List[(String, Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    events.asScala.toList
   }
 }

@@ -13,6 +13,20 @@ class GraphOpsSpec extends SparkSpec {
     ("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "c")
   ).toDF("from", "to")
 
+  test("components label every island by its lexicographically smallest node, with sizes") {
+    val islands = Seq(
+      ("b", "a"), ("b", "c"),           // island {a,b,c} -> labelled "a"
+      ("e", "d"),                       // island {d,e}   -> labelled "d"
+      ("z", "y"), ("y", "x"), ("x", "z") // cycle {x,y,z} -> labelled "x"
+    ).toDF("from", "to")
+    val got = GraphOps.components(islands).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got === Map(
+      "a" -> ("a", 3L), "b" -> ("a", 3L), "c" -> ("a", 3L),
+      "d" -> ("d", 2L), "e" -> ("d", 2L),
+      "x" -> ("x", 3L), "y" -> ("x", 3L), "z" -> ("x", 3L)))
+  }
+
   test("pageRank agrees with an independent DataFrame power iteration") {
     val iters = 10
     val graphx = GraphOps.pageRank(edges, iters)

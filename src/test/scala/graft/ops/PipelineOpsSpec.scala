@@ -504,6 +504,51 @@ class PipelineOpsSpec extends SparkSpec {
     assert(Multimodal.decodeImage(Array[Byte](0, 1, 2, 3)).isEmpty)
   }
 
+  test("real codec seam: WAV/RIFF headers sniff sample rate and channels, pure JVM") {
+    import spark.implicits._
+    // a REAL wav file written by the JDK's own encoder (javax.sound.sampled)
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 2, true, false)
+    val pcm = new Array[Byte](8000 * 2 * 2) // 1 second of silence, stereo 16-bit
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, 8000)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    val wav = baos.toByteArray
+
+    val meta = Multimodal.decodeWav(wav)
+    assert(meta.isDefined, "JDK-written WAV not recognised")
+    val m = meta.get
+    assert(m.getLong(0) === wav.length.toLong)
+    assert(m.getInt(1) === 8000)   // width := sample rate
+    assert(m.getInt(2) === 2)      // height := channels
+    assert(m.getString(3) === "audio/wav")
+
+    // through the dataframe seam with the real codec: a mixed column of
+    // PNG + WAV + foreign bytes resolves per row
+    val img = new java.awt.image.BufferedImage(3, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val ibaos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", ibaos)
+    val df = Seq((1L, ibaos.toByteArray), (2L, wav),
+      (3L, "neither".getBytes("UTF-8"))).toDF("media_id", "media")
+    val formats = Multimodal.decodeMedia(df, "media", realCodec = Some(true))
+      .select("media_id", "meta.format").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(formats === Map(1L -> "img/png", 2L -> "audio/wav", 3L -> "img/fake"))
+
+    // degenerate/truncated RIFF never throws: fallback contract holds
+    assert(Multimodal.decodeWav("RIFF".getBytes("US-ASCII")).isEmpty)
+    assert(Multimodal.decodeWav(wav.take(20)).isEmpty)
+    // adversarial chunk walk: unknown first chunk claiming a 4 GiB size —
+    // the Long-arithmetic walk steps past the buffer and returns None
+    // instead of looping or overflowing into a bogus offset
+    val evil = wav.clone()
+    evil(12) = 'x'.toByte
+    evil(16) = -1; evil(17) = -1; evil(18) = -1; evil(19) = -1
+    assert(Multimodal.decodeWav(evil).isEmpty)
+  }
+
   test("tabmap scan prunes to the mapped columns only") {
     val plan = graft.queries.GraphEtl.tabmapNodes(spark, dir)
       .queryExecution.executedPlan.toString

@@ -200,6 +200,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("partial"), plan)
   }
 
+  test("events_latest_per_key and events_top_users plan the TopKPerKey rewrite, not a full window sort") {
+    for (q <- Seq("events_latest_per_key", "events_top_users")) {
+      val plan = planOf(q)
+      // the rank<=k window must become bounded per-partition heaps before
+      // the exchange — a WindowExec here sorts every key's full row set
+      assert(plan.contains("TopKPerKey"), s"$q:\n$plan")
+    }
+  }
+
+  test("events_gap_stats windows per type and keeps its map-side partial aggregate") {
+    val plan = planOf("events_gap_stats")
+    // the lag window partitions by event_type — never a global sort
+    assert(plan.contains("Exchange hashpartitioning(event_type"), plan)
+    assert(plan.contains("partial"), plan)
+  }
+
+  test("corpus_diversity is two keyed map-combined aggregates, no joins or windows") {
+    val plan = planOf("corpus_diversity")
+    assert(plan.contains("partial"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("corpus_temperature broadcasts the share table and windows once") {
     val plan = planOf("corpus_temperature")
     // the |domains|-row weight table rides a broadcast, never a shuffle join

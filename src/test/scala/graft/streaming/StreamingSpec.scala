@@ -507,6 +507,19 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed.toMap === batch)
   }
 
+  test("D18: streaming latest-per-key compaction equals the batch events_latest_per_key query") {
+    val stream = Streaming.latestPerKeyMonitor(Streaming.eventStream(spark, dir))
+    val q = stream.writeStream.format("memory").queryName("latest_state")
+      .outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+    // last emission per user = the current state after the full prefix
+    val streamed = spark.table("latest_state").collect()
+      .groupBy(_.getLong(0)).map { case (u, rows) => u -> rows.last.toSeq.drop(1) }
+    val batch = graft.queries.Relational.qLatestPerKey(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(streamed.nonEmpty && streamed.toMap === batch)
+  }
+
   test("D15: streaming quality-agreement monitor equals the batch diagnostic") {
     val stream = Streaming.qualityAgreementMonitor(Streaming.documentStream(spark, dir))
     val q = stream.writeStream.format("memory").queryName("qa_monitor")
