@@ -222,7 +222,7 @@ class ProbeTransport(sleepMs: Long) extends NeoLoader.CypherTransport {
     Thread.sleep(sleepMs)
     val kind =
       if (statement.startsWith("CREATE INDEX")) "index"
-      else if (statement.contains("$edges")) "edge"
+      else if (statement.contains("AS edge_js")) "edge"
       else "node"
     ProbeTransport.events.add((kind, start, System.nanoTime()))
     ProbeTransport.inFlight.decrementAndGet()
