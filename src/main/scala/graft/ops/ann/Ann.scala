@@ -410,4 +410,42 @@ object Ann {
         call_function("graft_jl_project", vec(col(vecCol)), lit(dimOut), lit(seed)),
         x => round(x, 6)).as("proj"))
   }
+
+  /** Product quantization codes: each vector split into `m` contiguous
+    * sub-vectors, each sub-space quantized INDEPENDENTLY by the same
+    * deterministic seeded quantizer as [[ivfBuild]] (md5-ordered seeds,
+    * fixed Lloyd passes, 6-dp-rounded-cosine argmax, decimal-mean
+    * updates) — so a vector compresses to m small codes (m·log2(nCells)
+    * bits instead of dims·32), the billion-scale ANN memory layout
+    * (Jégou et al., TPAMI 2011: the codebook cross-product spans
+    * nCells^m cells while training only m·nCells centroids). Emits per
+    * vector its m codes plus the rounded cosine of each sub-vector to
+    * its codeword (`fit_b` — the quantization-distortion telemetry that
+    * decides whether nCells/m are adequate before queries trust the
+    * codes). Classic PQ trains on L2; cosine per sub-space is used here
+    * for one determinism recipe across the ANN family (documented
+    * divergence).
+    *
+    * Scale shape: per sub-space, [[ivfBuild]]'s iters+1 narrow scans with
+    * LITERAL centroids (no shuffle beyond the decimal-mean agg); the m
+    * code frames join back id-keyed. The whole train+assign is
+    * reproducible in DuckDB CTEs, so `embed_pq` carries a full hash
+    * oracle like `ann_ivf`.
+    */
+  def pqAssign(corpus: DataFrame, m: Int = 2, nCells: Int = 8, iters: Int = 1,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(m >= 1, s"pqAssign: m must be >= 1 (got $m)")
+    val base = corpus.select(col(idCol).as("id"), vec(col(vecCol)).as("v"))
+    val parts = (0 until m).map { b =>
+      val sub = base.select(col("id"),
+        expr(s"slice(v, int(size(v) / $m) * $b + 1, int(size(v) / $m))").as("sv"))
+      val (cells, cents) = ivfBuild(sub, nCells, iters, "id", "sv")
+      cells.join(broadcast(cents), "cell")
+        .select(col("cid").as("id"),
+          col("cell").cast("long").as(s"code_$b"),
+          round(cosine(col("cv"), vec(col("centroid")),
+            col("cn"), norm(vec(col("centroid")))), 6).as(s"fit_$b"))
+    }
+    parts.reduce(_.join(_, "id"))
+  }
 }

@@ -983,6 +983,58 @@ object Pipeline {
        |ORDER BY qid, rnk""".stripMargin
   }
 
+  /** C62: product-quantization codes + per-block distortion
+    * ([[Ann.pqAssign]]: m=2 sub-spaces × 8 codewords, 1 Lloyd pass of the
+    * deterministic seeded quantizer per sub-space). Every vector
+    * compresses to 2 codes (6 bits total vs 16×32-bit floats) plus the
+    * rounded cosine of each half to its codeword — the memory layout
+    * billion-scale ANN serves from, with the distortion telemetry that
+    * says whether the codebook is adequate. Full hash oracle: both
+    * sub-space quantizers unroll to the same CTE chains as [[annIvfSql]]
+    * over `list_slice` halves.
+    */
+  def embedPq(spark: SparkSession, dir: String): DataFrame =
+    Ann.pqAssign(embs(spark, dir), m = 2, nCells = 8, iters = 1)
+      .withColumnRenamed("id", "vec_id")
+      .orderBy("vec_id")
+
+  val embedPqSql: String = {
+    val nCells = 8
+    def nrm(a: String) = s"sqrt(list_sum([x*x FOR x IN $a]))"
+    def cos(a: String, b: String, na: String, nb: String) =
+      s"CASE WHEN $na * $nb > 0 THEN list_sum([pr[1]*pr[2] FOR pr IN list_zip($a, $b)]) / ($na * $nb) ELSE 0.0 END"
+    def chain(b: Int): String = {
+      def assign(name: String, cent: String) =
+        s"""$name AS (SELECT cid, v, nrm, cell, fit FROM (
+           |  SELECT c.cid, c.v, c.nrm, ct.cell,
+           |    round(${cos("c.v", "ct.centroid", "c.nrm", nrm("ct.centroid"))}, 6) AS fit,
+           |    row_number() OVER (PARTITION BY c.cid
+           |      ORDER BY round(${cos("c.v", "ct.centroid", "c.nrm", nrm("ct.centroid"))}, 6) DESC, ct.cell) AS rn
+           |  FROM cn$b c CROSS JOIN $cent ct) WHERE rn = 1)""".stripMargin
+      s"""cn$b AS (SELECT vec_id AS cid,
+         |    list_slice(v, len(v) // 2 * $b + 1, len(v) // 2 * ${b + 1}) AS v,
+         |    ${nrm(s"list_slice(v, len(v) // 2 * $b + 1, len(v) // 2 * ${b + 1})")} AS nrm
+         |  FROM e),
+         |cent0_$b AS (SELECT rn - 1 AS cell, v AS centroid FROM (
+         |  SELECT v, row_number() OVER (ORDER BY md5(cid::VARCHAR), cid) AS rn
+         |  FROM cn$b) WHERE rn <= $nCells),
+         |${assign(s"a1_$b", s"cent0_$b")},
+         |m1_$b AS (SELECT cell, pos, CAST(sum(CAST(x AS DECIMAL(27,10))) AS DOUBLE)/count(*) AS m
+         |  FROM (SELECT cell, unnest(v) AS x, unnest(range(1, len(v)+1)) AS pos FROM a1_$b) GROUP BY 1, 2),
+         |mc1_$b AS (SELECT cell, list(m ORDER BY pos) AS centroid FROM m1_$b GROUP BY cell),
+         |cent1_$b AS (SELECT p.cell, coalesce(n.centroid, p.centroid) AS centroid
+         |  FROM cent0_$b p LEFT JOIN mc1_$b n USING (cell)),
+         |${assign(s"af_$b", s"cent1_$b")}""".stripMargin
+    }
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |${chain(0)},
+       |${chain(1)}
+       |SELECT a0.cid AS vec_id, a0.cell::BIGINT AS code_0, a0.fit AS fit_0,
+       |  a1.cell::BIGINT AS code_1, a1.fit AS fit_1
+       |FROM af_0 a0 JOIN af_1 a1 ON a0.cid = a1.cid
+       |ORDER BY vec_id""".stripMargin
+  }
+
   // ---- C34: int8 embedding quantization -----------------------------------
   // exploded to scalar rows for the driver compare (the library op returns
   // the packed array<tinyint> + scale); q compared as INT for a

@@ -465,6 +465,22 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("product quantization: codes bounded, cross-product spans beyond one codebook, fits sane") {
+    val got = Ann.pqAssign(embs, m = 2, nCells = 8, iters = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4)))
+    assert(got.length === embs.count())
+    assert(got.forall { case (_, c0, f0, c1, f1) =>
+      c0 >= 0 && c0 < 8 && c1 >= 0 && c1 < 8 &&
+        f0 >= -1.0 && f0 <= 1.0 && f1 >= -1.0 && f1 <= 1.0 })
+    // the PQ point: the (code_0, code_1) cross-product addresses more
+    // cells than either 8-codeword codebook alone
+    val pairs = got.map(g => (g._2, g._4)).distinct.length
+    assert(pairs > 8, s"cross-product collapsed to $pairs cells")
+    // codewords fit their own blocks reasonably (cosine to the assigned
+    // centroid should usually beat 0 — a degenerate codebook would not)
+    assert(got.count(g => g._3 > 0 && g._5 > 0) > got.length / 2)
+  }
+
   test("real codec seam: javax.imageio decodes a PNG end-to-end, stub fallback otherwise") {
     import spark.implicits._
     // a real 17×9 PNG, generated in-JVM (no container media libs needed)
