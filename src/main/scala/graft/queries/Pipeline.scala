@@ -1829,6 +1829,44 @@ object Pipeline {
       |  round(s2 / (n * n), 6) AS simpson
       |FROM a ORDER BY source""".stripMargin
 
+  /** C63: top-10 bigram phrases per source (count desc, phrase asc
+    * tiebreak) — the phrase-level template detector next to
+    * [[corpusDiversity]]: a boilerplate opener dominates its source's top
+    * bigrams long before single-token Zipf notices. The bigram stream
+    * reuses the zip_with-of-slices build (no per-element re-split); the
+    * rank ≤ 10 window is the TopKPerKey shape, so per-source heaps prune
+    * before the exchange and the vocabulary-sized count table never
+    * sorts whole.
+    */
+  def corpusNgramTopk(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy(col("n").desc, col("bigram"))
+    docs(spark, dir)
+      .select(col("source"), TextOps.tokens(col("text")).as("ws"))
+      .where(size(col("ws")) >= 2)
+      .select(col("source"), explode(zip_with(
+        slice(col("ws"), lit(1), size(col("ws")) - 1),
+        slice(col("ws"), lit(2), size(col("ws")) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("bigram"))
+      .groupBy("source", "bigram").agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 10)
+      .select(col("source"), col("rank").cast("long").as("rank"),
+        col("bigram"), col("n"))
+      .orderBy("source", "rank")
+  }
+
+  val corpusNgramTopkSql: String =
+    """WITH t AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+      |g AS (SELECT source,
+      |    unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bigram
+      |  FROM t WHERE len(w) >= 2),
+      |c AS (SELECT source, bigram, count(*) AS n FROM g GROUP BY source, bigram),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY source
+      |    ORDER BY n DESC, bigram) AS rank FROM c)
+      |SELECT source, rank, bigram, n FROM r WHERE rank <= 10
+      |ORDER BY source, rank""".stripMargin
+
   // ---- C35: bigram-LM surprisal -------------------------------------------
 
   def textBigramSurprisal(spark: SparkSession, dir: String): DataFrame =

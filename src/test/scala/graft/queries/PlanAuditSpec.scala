@@ -201,7 +201,7 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("events_latest_per_key and events_top_users plan the TopKPerKey rewrite, not a full window sort") {
-    for (q <- Seq("events_latest_per_key", "events_top_users")) {
+    for (q <- Seq("events_latest_per_key", "events_top_users", "corpus_ngram_topk")) {
       val plan = planOf(q)
       // the rank<=k window must become bounded per-partition heaps before
       // the exchange — a WindowExec here sorts every key's full row set
