@@ -448,4 +448,62 @@ object Ann {
     }
     parts.reduce(_.join(_, "id"))
   }
+
+  /** ADC (asymmetric distance computation) top-k search over PQ codes —
+    * the query half of [[pqAssign]] (Jégou et al., TPAMI 2011 §III-B):
+    * each query precomputes a LOOKUP TABLE of its similarity to every
+    * codeword per sub-space (m·nCells rounded cosines — tiny), and a
+    * corpus vector's approximate score is then m table lookups and a sum,
+    * never a d-dimensional dot product. This is why PQ is the
+    * billion-scale serving layout: the scan touches only the m·log2(nCells)
+    * bit codes, the float vectors stay cold.
+    *
+    * Scale shape: codes are built once at ingest ([[pqAssign]]'s
+    * iters+1 narrow scans per sub-space); per query batch the LUTs are a
+    * |queries| × m·nCells frame folded to one array row per (query,
+    * sub-space) and BROADCAST, so the code scan stays embarrassingly
+    * parallel with top-k per-partition heaps pruning before the exchange.
+    * ADC is deliberately a full code scan (the memory win, not candidate
+    * pruning) — compose with [[ivfBuild]] cells to prune candidates too
+    * (IVFADC). Scores are sums of 6-dp-rounded per-block cosines,
+    * re-rounded before ranking, so ranking is engine-reproducible.
+    */
+  def pqSearch(queries: DataFrame, corpus: DataFrame, k: Int,
+               m: Int = 2, nCells: Int = 8, iters: Int = 1,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(m >= 1, s"pqSearch: m must be >= 1 (got $m)")
+    graft.functions.GraftFunctions.register(queries.sparkSession)
+    val base = corpus.select(col(idCol).as("id"), vec(col(vecCol)).as("v"))
+    val qbase = queries.select(col(idCol).as("qid"), vec(col(vecCol)).as("qv"))
+    val parts = (0 until m).map { b =>
+      val csub = base.select(col("id"),
+        expr(s"slice(v, int(size(v) / $m) * $b + 1, int(size(v) / $m))").as("sv"))
+      val (cells, cents) = ivfBuild(csub, nCells, iters, "id", "sv")
+      val codes = cells.select(col("cid").as("id"), col("cell").as(s"code_$b"))
+      val qsub = qbase.select(col("qid"),
+        expr(s"slice(qv, int(size(qv) / $m) * $b + 1, int(size(qv) / $m))").as("sv"))
+        .withColumn("sn", norm(col("sv")))
+      // LUT: one row per query, sims ordered by cell so code indexes it
+      val lut = qsub.crossJoin(broadcast(cents))
+        .select(col("qid"), col("cell"),
+          round(cosine(col("sv"), vec(col("centroid")),
+            col("sn"), norm(vec(col("centroid")))), 6).as("sim"))
+        .groupBy("qid")
+        .agg(transform(array_sort(collect_list(struct(col("cell"), col("sim")))),
+          s => s.getField("sim")).as(s"lut_$b"))
+      (codes, lut)
+    }
+    val codes = parts.map(_._1).reduce(_.join(_, "id"))
+    val luts = parts.map(_._2).reduce(_.join(_, "qid"))
+    val score = (0 until m)
+      .map(b => element_at(col(s"lut_$b"), col(s"code_$b").cast("int") + 1))
+      .reduce(_ + _)
+    val w = Window.partitionBy("qid").orderBy(col("adc").desc, col("id"))
+    codes.crossJoin(broadcast(luts))
+      .withColumn("adc", round(score, 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("id").as("cid"), col("adc"), col("rank"))
+      .orderBy("qid", "rank")
+  }
 }

@@ -214,6 +214,49 @@ object Stats {
           .otherwise(lit(alpha * m * m) / col("s")), 4).as("est_distinct"))
   }
 
+  /** The d (row, bucket) coordinates of a value in a Count-Min sketch
+    * (Cormode & Muthukrishnan 2005): row j hashes the value with an
+    * independent md5-derived 32-bit hash (the j is salted into the hash
+    * input), bucket = hash mod w. Shared by the batch register build and
+    * the streaming monitor so the two sketches are the same table.
+    */
+  def cmsBuckets(value: Column, d: Int = 4, w: Int = 64): Column =
+    array((0 until d).map { j =>
+      struct(lit(j).as("j"),
+        (conv(substring(md5(concat(lit(s"$j:"), value.cast("string"))), 1, 8),
+          16, 10).cast("long") % w).cast("int").as("b"))
+    }: _*)
+
+  /** Count-Min register table: (j, b, c) counts, d·w rows TOTAL regardless
+    * of the value cardinality — the frequency-ESTIMATE member of the
+    * sketch family (Misra–Gries answers "which values are frequent"; CMS
+    * answers "how frequent is THIS value" for any value, one-sided: the
+    * estimate never undercounts). Deliberately relational like the HLL
+    * registers: counter tables from corpus splits/days merge by SUM
+    * (union + re-aggregate), persist as d·w rows, and reproduce
+    * bit-exactly in any engine. One keyed aggregate with map-side
+    * partials; every input row contributes d counter increments.
+    */
+  def cmsRegisters(df: DataFrame, value: Column, d: Int = 4, w: Int = 64): DataFrame =
+    df.select(explode(cmsBuckets(value, d, w)).as("jb"))
+      .groupBy(col("jb.j").as("j"), col("jb.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+
+  /** Point-frequency estimates from a register table: est(v) = min over
+    * the d counters at v's coordinates (each counter ≥ true count, so the
+    * min is the tightest one-sided bound). The register table is d·w rows
+    * — broadcast — so probing any number of values is a narrow map plus
+    * one broadcast join; the value stream is never re-shuffled.
+    */
+  def cmsEstimate(regs: DataFrame, probes: DataFrame, value: Column,
+                  d: Int = 4, w: Int = 64): DataFrame = {
+    val keyed = probes.withColumn("jb", explode(cmsBuckets(value, d, w)))
+      .withColumn("j", col("jb.j")).withColumn("b", col("jb.b")).drop("jb")
+    keyed.join(broadcast(regs), Seq("j", "b"), "left")
+      .groupBy(probes.columns.map(col): _*)
+      .agg(min(coalesce(col("c"), lit(0L))).as("est"))
+  }
+
   /** Pairwise contingency between binary keep/drop flags — the curation
     * diagnostic that shows which quality filters agree, which are
     * redundant, and which do unique work. For every flag pair: docs

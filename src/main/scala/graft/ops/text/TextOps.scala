@@ -798,4 +798,87 @@ object TextOps {
     Seq("n_words" -> words, "n_sentences" -> sents,
       "n_syllables" -> syll, "flesch" -> flesch)
   }
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003 — the MOSS algorithm): hash every char `k`-gram, slide a
+    * window of `w` consecutive hashes, and select each window's MINIMUM
+    * hash with the RIGHTMOST-occurrence tie-break; consecutive windows
+    * picking the same (position, hash) collapse to one fingerprint. The
+    * guarantee that makes this the local-fingerprinting standard: any
+    * shared substring of length ≥ k + w − 1 between two documents yields
+    * at least one IDENTICAL selected fingerprint in both, at any offset —
+    * unlike fixed-stride sampling. Density is ~2/(w+1) of the gram count.
+    *
+    * Scale shape: entirely NARROW — per-document selection with no
+    * shuffle; only the selected ~2/(w+1)·grams fingerprints are emitted.
+    * Pair detection downstream is then a keyed join on `fp` (the
+    * passage_dedup stance: fingerprints travel, text never does). The
+    * hash is the md5-prefix 32-bit integer the sampling ops use —
+    * engine-reproducible, so the whole selection carries a full SQL
+    * oracle. Documents shorter than k + w − 1 chars have no complete
+    * window and emit nothing (documented).
+    *
+    * Deliberately a typed `flatMap`, not array expressions — the one op
+    * in this file where the escape hatch is the RIGHT plan. The
+    * declarative form (transform to a hash array, then per-window fold
+    * with element_at) is quadratic in practice: InferFiltersFromGenerate
+    * plants a `size(fps) > 0` Filter under the explode, predicate
+    * pushdown substitutes the projection alias into it, and the inlined
+    * hash-array expression is then re-evaluated inside every window's
+    * fold — O(len²·w) md5s per document (observed as a hang on a
+    * 500-doc corpus). The sequential form is also asymptotically better:
+    * a monotonic deque gives amortized O(len) total vs O(len·w) for the
+    * best per-window fold. Hashing is plain JVM MessageDigest inside the
+    * partition iterator, so nothing is lost to interpretation overhead.
+    */
+  def winnow(df: DataFrame, k: Int = 5, w: Int = 4,
+             idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val session = df.sparkSession
+    import session.implicits._
+    df.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+      .where(length(col("text")) >= k + w - 1)
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.flatMap { case (id, text) =>
+          val n = text.length - k + 1
+          // gram hash = first 8 hex chars of md5 as an unsigned 32-bit int,
+          // identical to conv(substring(md5(gram),1,8),16,10) and therefore
+          // to the DuckDB oracle's ('0x'||substring(md5(g),1,8))::BIGINT
+          val hs = new Array[Long](n)
+          var i = 0
+          while (i < n) {
+            md.reset()
+            val d = md.digest(text.substring(i, i + k).getBytes("UTF-8"))
+            hs(i) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+              ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+            i += 1
+          }
+          // monotonic deque of gram indexes with increasing hash; evicting
+          // `>=` on push keeps the RIGHTMOST occurrence of equal minima, so
+          // the head is each window's winnowing selection. A selected head
+          // only ever moves forward, so de-dup is emit-on-change.
+          val deque = new java.util.ArrayDeque[Int](w + 1)
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+          var lastPicked = -1
+          var j = 0
+          while (j < n) {
+            while (!deque.isEmpty && hs(deque.peekLast) >= hs(j)) deque.pollLast()
+            deque.addLast(j)
+            val s = j - w + 1 // window covering grams s..j
+            if (s >= 0) {
+              while (deque.peekFirst < s) deque.pollFirst()
+              val p = deque.peekFirst
+              if (p != lastPicked) {
+                out += ((id, p + 1L, hs(p))) // 1-based position, oracle-aligned
+                lastPicked = p
+              }
+            }
+            j += 1
+          }
+          out
+        }
+      }
+      .toDF("doc_id", "pos", "fp")
+  }
 }

@@ -1035,6 +1035,75 @@ object Pipeline {
        |ORDER BY vec_id""".stripMargin
   }
 
+  /** C64: ADC top-k search over the PQ codes ([[Ann.pqSearch]]) — the
+    * query half of [[embedPq]]: per query, a lookup table of rounded
+    * cosines to every codeword per sub-space (2×8 values, broadcast), so
+    * scoring a corpus vector is 2 array lookups + a sum over its 6-bit
+    * code instead of a 16-dim dot product. The same queries/corpus split
+    * as `ann_ivf`; full hash oracle — the two sub-space quantizers unroll
+    * to the [[annIvfSql]] CTE chains over `list_slice` halves, then the
+    * LUT join and the rank window mirror the engine op for op.
+    */
+  def annPqSearch(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    Ann.pqSearch(e.where(col("vec_id") < 20), e.where(col("vec_id") >= 20),
+      k = 5, m = 2, nCells = 8, iters = 1)
+      .withColumnRenamed("rank", "rnk")
+  }
+
+  val annPqSearchSql: String = {
+    val nCells = 8
+    def nrm(a: String) = s"sqrt(list_sum([x*x FOR x IN $a]))"
+    def cos(a: String, b: String, na: String, nb: String) =
+      s"CASE WHEN $na * $nb > 0 THEN list_sum([pr[1]*pr[2] FOR pr IN list_zip($a, $b)]) / ($na * $nb) ELSE 0.0 END"
+    def chain(b: Int): String = {
+      def assign(name: String, cent: String) =
+        s"""$name AS (SELECT cid, cell FROM (
+           |  SELECT c.cid, ct.cell,
+           |    row_number() OVER (PARTITION BY c.cid
+           |      ORDER BY round(${cos("c.v", "ct.centroid", "c.nrm", nrm("ct.centroid"))}, 6) DESC, ct.cell) AS rn
+           |  FROM cn$b c CROSS JOIN $cent ct) WHERE rn = 1)""".stripMargin
+      s"""cn$b AS (SELECT cid,
+         |    list_slice(v, len(v) // 2 * $b + 1, len(v) // 2 * ${b + 1}) AS v,
+         |    ${nrm(s"list_slice(v, len(v) // 2 * $b + 1, len(v) // 2 * ${b + 1})")} AS nrm
+         |  FROM c),
+         |cent0_$b AS (SELECT rn - 1 AS cell, v AS centroid FROM (
+         |  SELECT v, row_number() OVER (ORDER BY md5(cid::VARCHAR), cid) AS rn
+         |  FROM cn$b) WHERE rn <= $nCells),
+         |a1_$b AS (SELECT cid, v, cell FROM (
+         |  SELECT c.cid, c.v, ct.cell,
+         |    row_number() OVER (PARTITION BY c.cid
+         |      ORDER BY round(${cos("c.v", "ct.centroid", "c.nrm", nrm("ct.centroid"))}, 6) DESC, ct.cell) AS rn
+         |  FROM cn$b c CROSS JOIN cent0_$b ct) WHERE rn = 1),
+         |m1_$b AS (SELECT cell, pos, CAST(sum(CAST(x AS DECIMAL(27,10))) AS DOUBLE)/count(*) AS m
+         |  FROM (SELECT cell, unnest(v) AS x, unnest(range(1, len(v)+1)) AS pos FROM a1_$b) GROUP BY 1, 2),
+         |mc1_$b AS (SELECT cell, list(m ORDER BY pos) AS centroid FROM m1_$b GROUP BY cell),
+         |cent1_$b AS (SELECT p.cell, coalesce(n.centroid, p.centroid) AS centroid
+         |  FROM cent0_$b p LEFT JOIN mc1_$b n USING (cell)),
+         |${assign(s"af_$b", s"cent1_$b")},
+         |qn$b AS (SELECT qid,
+         |    list_slice(v, len(v) // 2 * $b + 1, len(v) // 2 * ${b + 1}) AS v,
+         |    ${nrm(s"list_slice(v, len(v) // 2 * $b + 1, len(v) // 2 * ${b + 1})")} AS nrm
+         |  FROM q),
+         |lut$b AS (SELECT qn.qid, ct.cell,
+         |    round(${cos("qn.v", "ct.centroid", "qn.nrm", nrm("ct.centroid"))}, 6) AS sim
+         |  FROM qn$b qn CROSS JOIN cent1_$b ct)""".stripMargin
+    }
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |c AS (SELECT vec_id AS cid, v FROM e WHERE vec_id >= 20),
+       |q AS (SELECT vec_id AS qid, v FROM e WHERE vec_id < 20),
+       |${chain(0)},
+       |${chain(1)},
+       |sc AS (SELECT l0.qid, a0.cid, round(l0.sim + l1.sim, 6) AS adc
+       |  FROM af_0 a0 JOIN af_1 a1 ON a0.cid = a1.cid
+       |  JOIN lut0 l0 ON l0.cell = a0.cell
+       |  JOIN lut1 l1 ON l1.qid = l0.qid AND l1.cell = a1.cell),
+       |r AS (SELECT qid, cid, adc,
+       |  row_number() OVER (PARTITION BY qid ORDER BY adc DESC, cid) AS rnk FROM sc)
+       |SELECT qid, cid, adc, rnk::INTEGER AS rnk FROM r WHERE rnk <= 5
+       |ORDER BY qid, rnk""".stripMargin
+  }
+
   // ---- C34: int8 embedding quantization -----------------------------------
   // exploded to scalar rows for the driver compare (the library op returns
   // the packed array<tinyint> + scale); q compared as INT for a
@@ -1328,6 +1397,44 @@ object Pipeline {
        |  round(abs(e.est_distinct - x.exact_distinct) / x.exact_distinct, 6) AS rel_err
        |FROM e JOIN x USING (source) ORDER BY source""".stripMargin
   }
+
+  /** C65: Count-Min point-frequency estimates
+    * ([[graft.ops.stats.Stats.cmsRegisters]]/`cmsEstimate`, d=4 × w=64)
+    * probed at the corpus's top-10 exact tokens — the any-value frequency
+    * sketch completing the family (MG = which values are heavy, CMS = how
+    * heavy is THIS value; HLL = cardinality; pow2-hist = quantiles).
+    * Registers are one keyed map-combined aggregate to 256 rows (mergeable
+    * by SUM across splits); the probe side rides
+    * TakeOrderedAndProject top-10 then a broadcast register join. The
+    * estimate is one-sided (`overcount = est − exact ≥ 0` — hash
+    * collisions only ever ADD), which the oracle checks value-exactly.
+    */
+  def corpusCms(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+    val regs = graft.ops.stats.Stats.cmsRegisters(toks, col("token"))
+    val top = toks.groupBy("token").agg(count(lit(1)).as("exact"))
+      .orderBy(col("exact").desc, col("token")).limit(10)
+    graft.ops.stats.Stats.cmsEstimate(regs, top, col("token"))
+      .select(col("token"), col("exact"), col("est"),
+        (col("est") - col("exact")).as("overcount"))
+      .orderBy(col("exact").desc, col("token"))
+  }
+
+  val corpusCmsSql: String =
+    """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+      |h AS (SELECT j, ('0x' || substring(md5(j::VARCHAR || ':' || token), 1, 8))::BIGINT % 64 AS b
+      |  FROM t, range(0, 4) r(j)),
+      |regs AS (SELECT j, b, count(*) AS c FROM h GROUP BY j, b),
+      |x AS (SELECT token, count(*) AS exact FROM t GROUP BY token
+      |  ORDER BY exact DESC, token LIMIT 10),
+      |p AS (SELECT x.token, x.exact, r2.j,
+      |    ('0x' || substring(md5(r2.j::VARCHAR || ':' || x.token), 1, 8))::BIGINT % 64 AS b
+      |  FROM x, range(0, 4) r2(j)),
+      |e AS (SELECT token, exact, min(c) AS est
+      |  FROM p JOIN regs USING (j, b) GROUP BY token, exact)
+      |SELECT token, exact, est, est - exact AS overcount FROM e
+      |ORDER BY exact DESC, token""".stripMargin
 
   /** C52: pairwise agreement between the gopher quality flags
     * ([[graft.ops.stats.Stats.flagAgreement]]) — which filters are
@@ -1866,6 +1973,88 @@ object Pipeline {
       |    ORDER BY n DESC, bigram) AS rank FROM c)
       |SELECT source, rank, bigram, n FROM r WHERE rank <= 10
       |ORDER BY source, rank""".stripMargin
+
+  /** C66: winnowing fingerprint selection ([[TextOps.winnow]], MOSS —
+    * k=5 char grams, window w=4, rightmost-minimum rule): the
+    * plagiarism/clone-detection fingerprint family next to the CDC
+    * passage chunker (C36) — winnowing guarantees a shared substring of
+    * ≥ k+w−1 chars produces an identical fingerprint in both documents
+    * at ANY offset. Selection is narrow per-document array work (no
+    * shuffle at all in this query); the oracle reproduces the
+    * window-minimum + rightmost tie-break relationally (per-window
+    * rank over the g×g band join) on the same md5-prefix gram hashes.
+    */
+  def textWinnowing(spark: SparkSession, dir: String): DataFrame =
+    TextOps.winnow(docs(spark, dir)).orderBy("doc_id", "pos")
+
+  val textWinnowingSql: String =
+    """WITH d AS (SELECT doc_id, text FROM documents WHERE len(text) >= 8),
+      |g AS (SELECT doc_id, len(text) - 4 AS n, t.i,
+      |    ('0x' || substring(md5(substring(text, i::INTEGER, 5)), 1, 8))::BIGINT AS h
+      |  FROM d, LATERAL unnest(range(1, len(text) - 3)) t(i)),
+      |sel AS (SELECT doc_id, p, h FROM (
+      |  SELECT s.doc_id, s.i AS st, t.i AS p, t.h,
+      |    row_number() OVER (PARTITION BY s.doc_id, s.i ORDER BY t.h ASC, t.i DESC) AS rn
+      |  FROM g s JOIN g t ON t.doc_id = s.doc_id AND t.i BETWEEN s.i AND s.i + 3
+      |  WHERE s.i <= s.n - 3) WHERE rn = 1)
+      |SELECT DISTINCT doc_id, p AS pos, h AS fp FROM sel
+      |ORDER BY doc_id, pos""".stripMargin
+
+  /** C67: near-duplicate pair detection over the C66 winnowing
+    * fingerprints — the clone-detector completing the dedup family: where
+    * MinHash (C3) estimates whole-document set similarity, shared
+    * winnowing fingerprints witness shared CONTIGUOUS substrings (each
+    * common fingerprint certifies a common k-gram; the winnowing
+    * guarantee makes misses impossible for shared runs ≥ k+w−1 chars).
+    * Top-100 pairs by fingerprint containment (shared / smaller side).
+    *
+    * Scale shape: only (doc_id, fp) int pairs ever shuffle — text stays
+    * in the scan. The document-frequency guard (df ≤ 50) drops
+    * boilerplate fingerprints before the self-join, capping any
+    * posting list at df²/2 candidate pairs — the same hot-key stance as
+    * the MinHash band join and the contamination gram guard. Pair
+    * counting is one keyed aggregate; the final ranking rides
+    * TakeOrderedAndProject per-partition heaps, never a global sort.
+    */
+  def dedupWinnow(spark: SparkSession, dir: String): DataFrame = {
+    val fps = graft.ops.text.TextOps.winnow(docs(spark, dir))
+      .select(col("doc_id"), col("fp")).distinct()
+    val dfreq = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+    val keep = fps.join(dfreq.where(col("df") <= 50).select("fp"), Seq("fp"))
+    val sz = keep.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    keep.as("x").join(keep.as("y"),
+        col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(sz.as("sa"), col("a") === col("sa.doc_id"))
+      .join(sz.as("sb"), col("b") === col("sb.doc_id"))
+      .select(col("a"), col("b"), col("shared"),
+        round(col("shared").cast("double") /
+          least(col("sa.n"), col("sb.n")), 6).as("overlap"))
+      .orderBy(col("overlap").desc, col("a"), col("b")).limit(100)
+  }
+
+  val dedupWinnowSql: String =
+    """WITH d AS (SELECT doc_id, text FROM documents WHERE len(text) >= 8),
+      |g AS (SELECT doc_id, len(text) - 4 AS n, t.i,
+      |    ('0x' || substring(md5(substring(text, i::INTEGER, 5)), 1, 8))::BIGINT AS h
+      |  FROM d, LATERAL unnest(range(1, len(text) - 3)) t(i)),
+      |sel AS (SELECT doc_id, p, h FROM (
+      |  SELECT s.doc_id, s.i AS st, t.i AS p, t.h,
+      |    row_number() OVER (PARTITION BY s.doc_id, s.i ORDER BY t.h ASC, t.i DESC) AS rn
+      |  FROM g s JOIN g t ON t.doc_id = s.doc_id AND t.i BETWEEN s.i AND s.i + 3
+      |  WHERE s.i <= s.n - 3) WHERE rn = 1),
+      |f AS (SELECT DISTINCT doc_id, h AS fp FROM sel),
+      |dfreq AS (SELECT fp, count(*) AS df FROM f GROUP BY fp),
+      |keep AS (SELECT f.doc_id, f.fp FROM f JOIN dfreq USING (fp) WHERE df <= 50),
+      |sz AS (SELECT doc_id, count(*) AS n FROM keep GROUP BY doc_id),
+      |p AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared
+      |  FROM keep x JOIN keep y ON x.fp = y.fp AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT a, b, shared,
+      |  round(shared::DOUBLE / least(sa.n, sb.n), 6) AS overlap
+      |FROM p JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+      |ORDER BY overlap DESC, a, b LIMIT 100""".stripMargin
 
   // ---- C35: bigram-LM surprisal -------------------------------------------
 

@@ -837,6 +837,133 @@ object Relational {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
 
+  /** B47: boundary-value window functions — FIRST_VALUE / LAST_VALUE /
+    * NTH_VALUE over the full partition frame (UNBOUNDED PRECEDING →
+    * UNBOUNDED FOLLOWING): each order row sees its customer's first,
+    * latest and second order price — the "compare to my first purchase"
+    * shape B37's offset functions can't express (offsets are relative,
+    * boundaries are absolute). Total window ordering via the unique order
+    * key; money through the DECIMAL cast; NTH_VALUE is NULL for
+    * single-order customers in both engines.
+    */
+  def qFirstLast(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val price = dec(col("o_totalprice"))
+    Tables.load(spark, dir, "orders")
+      .where(col("o_custkey") % 100 === 0)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        price.cast("double").as("price"),
+        first(price).over(w).cast("double").as("first_price"),
+        last(price).over(w).cast("double").as("last_price"),
+        nth_value(price, 2).over(w).cast("double").as("second_price"))
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+  }
+
+  val qFirstLastSql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate::TIMESTAMP AS o_orderdate,
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
+      |  CAST(first_value(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS first_price,
+      |  CAST(last_value(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS last_price,
+      |  CAST(nth_value(CAST(o_totalprice AS DECIMAL(18,2)), 2) OVER w AS DOUBLE) AS second_price
+      |FROM orders WHERE o_custkey % 100 = 0
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
+
+  /** B48: bivariate statistics — Pearson correlation, population
+    * covariance and the OLS line of order price vs the customer's account
+    * balance, per order status. The determinism rule the engine-native
+    * `corr`/`covar_pop` aggregates break: their streaming float
+    * accumulations merge in partition order, so two engines (or two runs)
+    * disagree in the last bits. Here the five moments (Σx, Σy, Σxy, Σx²,
+    * Σy²) accumulate as EXACT decimal sums — associative, order-proof —
+    * and every statistic is one closed-form double expression from those
+    * sums, identical term-for-term in the oracle. One broadcast dim join,
+    * one keyed aggregate with map-side partials.
+    */
+  def qCorrelation(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    val c = Tables.load(spark, dir, "customer")
+    val x = dec(col("o_totalprice"))
+    val y = dec(col("c_acctbal"))
+    val nd = col("n").cast("double")
+    def d(s: String) = col(s).cast("double")
+    val covp = (d("sxy") - d("sx") * d("sy") / nd) / nd
+    val varx = (d("sxx") - d("sx") * d("sx") / nd) / nd
+    val vary = (d("syy") - d("sy") * d("sy") / nd) / nd
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum((x * y).cast("decimal(38,4)")).as("sxy"),
+        sum((x * x).cast("decimal(38,4)")).as("sxx"),
+        sum((y * y).cast("decimal(38,4)")).as("syy"))
+      .select(col("o_orderstatus"), col("n"),
+        round(covp, 6).as("covar_pop"),
+        round(covp / sqrt(varx * vary), 6).as("corr"),
+        round(covp / vary, 6).as("slope"),
+        round(d("sx") / nd - covp / vary * (d("sy") / nd), 6).as("intercept"))
+      .orderBy("o_orderstatus")
+  }
+
+  val qCorrelationSql: String =
+    """WITH j AS (SELECT o_orderstatus,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS x,
+      |    CAST(c_acctbal AS DECIMAL(18,2)) AS y
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |m AS (SELECT o_orderstatus, count(*) AS n,
+      |    sum(x) AS sx, sum(y) AS sy,
+      |    sum(CAST(x * y AS DECIMAL(38,4))) AS sxy,
+      |    sum(CAST(x * x AS DECIMAL(38,4))) AS sxx,
+      |    sum(CAST(y * y AS DECIMAL(38,4))) AS syy
+      |  FROM j GROUP BY o_orderstatus),
+      |s AS (SELECT o_orderstatus, n, n::DOUBLE AS nd,
+      |    sx::DOUBLE AS sxd, sy::DOUBLE AS syd, sxy::DOUBLE AS sxyd,
+      |    sxx::DOUBLE AS sxxd, syy::DOUBLE AS syyd FROM m)
+      |SELECT o_orderstatus, n,
+      |  round((sxyd - sxd * syd / nd) / nd, 6) AS covar_pop,
+      |  round(((sxyd - sxd * syd / nd) / nd)
+      |    / sqrt(((sxxd - sxd * sxd / nd) / nd) * ((syyd - syd * syd / nd) / nd)), 6) AS corr,
+      |  round(((sxyd - sxd * syd / nd) / nd) / ((syyd - syd * syd / nd) / nd), 6) AS slope,
+      |  round(sxd / nd - ((sxyd - sxd * syd / nd) / nd) / ((syyd - syd * syd / nd) / nd)
+      |    * (syd / nd), 6) AS intercept
+      |FROM s ORDER BY o_orderstatus""".stripMargin
+
+  /** B49: explicitly skew-salted fact⋈dim join, proven semantics-preserving
+    * — the oracle is the PLAIN join, so the salt must be invisible in the
+    * result. The 100 TB pattern for hot keys the optimizer can't see
+    * coming (AQE's skew-join splits oversized partitions at runtime, but
+    * only at shuffle boundaries it owns — pre-shuffled stages, streaming
+    * micro-batches, and bucketed inputs need the explicit form): the fact
+    * side salts each row `pmod(xxhash64(key), S)`, the dim side replicates
+    * every row S times via explode(sequence), and the join keys on
+    * (key, salt) — each hot fact key now spreads across S reducers at the
+    * cost of S× the (small) dim side's shuffle volume. Deterministic:
+    * the salt is a pure function of the key, so results are
+    * partitioning-independent. Revenue stays DECIMAL until the end.
+    */
+  def qSaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val S = 8
+    val l = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), dec(col("l_extendedprice")).as("price"))
+      .withColumn("salt", pmod(xxhash64(col("l_orderkey")), lit(S)).cast("int"))
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .withColumn("salt", explode(sequence(lit(0), lit(S - 1))))
+    l.join(o, l("l_orderkey") === o("o_orderkey") && l("salt") === o("salt"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("price")).cast("double").as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  val qSaltedJoinSql: String =
+    """SELECT o_orderpriority, count(*) AS n_items,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   /** B38: ranking-family window functions — NTILE quartiles, dense_rank,
     * percent_rank, cume_dist per order-status partition. The rank shapes
     * B5 (rank/row_number) doesn't cover. The window ORDER BY is made TOTAL

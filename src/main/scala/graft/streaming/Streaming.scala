@@ -163,6 +163,33 @@ object Streaming {
           size(graft.ops.text.TextOps.tokens(col(textCol)))).as("b"))
       .groupBy("grp", "b").count()
 
+  /** D19: streaming Count-Min frequency sketch — the running (j, b, c)
+    * register table of token counts over an ingest stream, update mode.
+    * The hash coordinates are SHARED with the batch sketch
+    * ([[graft.ops.stats.Stats.cmsBuckets]]) so the stream's state after
+    * any prefix IS the batch register table on that prefix: probe it with
+    * [[graft.ops.stats.Stats.cmsEstimate]] for live "how often has THIS
+    * value occurred" answers. State is d·w counters — 256 rows — bounded
+    * however long the stream runs and whatever the vocabulary grows to
+    * (the whole point of CMS over an exact streaming word count).
+    */
+  def cmsMonitor(docs: DataFrame, textCol: String = "text",
+                 d: Int = 4, w: Int = 64): DataFrame =
+    graft.ops.stats.Stats.cmsRegisters(
+      docs.select(explode(split(col(textCol), " ")).as("token")),
+      col("token"), d, w)
+
+  /** D20: streaming winnowing fingerprints — each arriving document's MOSS
+    * selection ([[graft.ops.text.TextOps.winnow]]) computed in-stream:
+    * STATELESS narrow per-document work (no state store, no watermark,
+    * append mode), so ingest fingerprinting runs at stream-scan speed and
+    * the emitted (doc_id, pos, fp) rows feed the C67 pair join or a live
+    * contamination probe downstream. Identical selection to batch by
+    * construction — the same mapPartitions kernel runs in both.
+    */
+  def winnowMonitor(docs: DataFrame, k: Int = 5, w: Int = 4): DataFrame =
+    graft.ops.text.TextOps.winnow(docs, k, w)
+
   /** D16: streaming vocabulary top-k — the running top-`k` tokens by
     * frequency over an ingest stream (complete mode: one keyed count, the
     * engine's sort+limit on the |vocab|-row state). After any stream

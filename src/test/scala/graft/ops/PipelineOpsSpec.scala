@@ -1197,4 +1197,74 @@ class PipelineOpsSpec extends SparkSpec {
     // one row per (hour bucket, type): same cardinality as the window agg
     assert(got.length === graft.queries.Relational.eventsWindow(spark, dir).count())
   }
+
+  test("winnowing: deque selection equals the per-window definition, incl. rightmost ties") {
+    import graft.ops.text.TextOps
+    import spark.implicits._
+    val k = 5; val w = 4
+    // repeated text forces equal-hash windows, exercising the tie-break
+    val texts = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "abcabcabcabcabcabc"), // period-3 grams: every window full of ties
+      (3L, "short"), // len < k+w-1: must emit nothing
+      (4L, "xyzxyzxy")) // exactly k+w-1: exactly one window
+    val got = TextOps.winnow(texts.toDF("doc_id", "text"), k, w).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // naive reference: per window, min hash with RIGHTMOST occurrence
+    def h(g: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(g.getBytes("UTF-8"))
+      ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    }
+    val expected = texts.flatMap { case (id, t) =>
+      if (t.length < k + w - 1) Seq.empty
+      else {
+        val hs = (0 to t.length - k).map(i => h(t.substring(i, i + k)))
+        (0 to hs.length - w).map { s =>
+          val win = (s until s + w).map(i => (hs(i), i))
+          val best = win.minBy { case (hh, i) => (hh, -i) } // min hash, rightmost
+          (id, best._2 + 1L, best._1)
+        }.distinct
+      }
+    }.toSet
+    assert(got === expected)
+    assert(!got.exists(_._1 == 3L) && got.count(_._1 == 4L) === 1)
+  }
+
+  test("winnowing guarantee: a shared substring >= k+w-1 chars fingerprints identically at any offset") {
+    import graft.ops.text.TextOps
+    import spark.implicits._
+    val shared = "identical passage text here"
+    val docs = Seq(
+      (1L, s"AAAA $shared BBBB"),
+      (2L, s"completely different prefix material $shared and a different suffix"),
+      (3L, "nothing in common with the others at all")).toDF("doc_id", "text")
+    val fps = TextOps.winnow(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert(fps(1L).intersect(fps(2L)).nonEmpty, "shared passage produced no common fingerprint")
+    assert(fps(1L).intersect(fps(3L)).isEmpty && fps(2L).intersect(fps(3L)).isEmpty)
+    // density: winnowing keeps ~2/(w+1) of grams, never more than the window count
+    val doc2 = docs.where(col("doc_id") === 2L).head().getString(1)
+    assert(fps(2L).size <= doc2.length - 5 + 1 - 3)
+  }
+
+  test("ADC/PQ search: a corpus member queried against the corpus scores itself maximal") {
+    val n = embs.count().toInt
+    val got = Ann.pqSearch(embs.where(col("vec_id") < 5), embs, k = n,
+      m = 2, nCells = 8, iters = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val byQ = got.groupBy(_._1)
+    assert(byQ.keySet === Set(0L, 1L, 2L, 3L, 4L))
+    byQ.foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_._4)
+      // ranks contiguous, scores non-increasing, every corpus vector scored
+      assert(sorted.map(_._4).toSeq === (1 to n))
+      assert(sorted.sliding(2).forall(p => p.head._3 >= p.last._3))
+      // the query's own code maximises every per-block LUT entry (the
+      // quantizer argmaxes the same rounded cosine the LUT stores), so the
+      // self row's ADC equals the global maximum
+      val self = sorted.find(_._2 == q).get
+      assert(self._3 === sorted.head._3, s"query $q: self adc ${self._3} < top ${sorted.head._3}")
+    }
+  }
 }

@@ -269,4 +269,37 @@ class StatsSpec extends SparkSpec {
       assert(flag === z.exists(v => math.abs(v) > 2))
     }
   }
+
+  // ---- Count-Min sketch ---------------------------------------------------
+
+  private def cmsRows(df: org.apache.spark.sql.DataFrame): Map[(Int, Int), Long] =
+    df.collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+
+  test("CMS estimates are one-sided: never below the exact count, exact absent collisions") {
+    val toks = Seq.tabulate(300)(i => s"w${i % 23}").toDF("token")
+    val exact = toks.groupBy("token").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val regs = Stats.cmsRegisters(toks, col("token"))
+    val probes = toks.distinct().withColumn("probe", col("token"))
+    val est = Stats.cmsEstimate(regs, probes, col("token")).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(est.keySet === exact.keySet)
+    // the one-sided guarantee: min-of-d counters >= true count, always
+    exact.foreach { case (t, n) => assert(est(t) >= n, s"$t: ${est(t)} < $n") }
+    // 23 values into 4×64 registers: at least one row is collision-free,
+    // so at least one estimate is EXACT (the min picks the clean row)
+    assert(exact.count { case (t, n) => est(t) == n } >= exact.size / 2)
+  }
+
+  test("CMS register tables from corpus splits merge by SUM to the whole-corpus sketch") {
+    val all = (1 to 200).map(i => (i.toLong, s"t${i % 17}")).toDF("id", "token")
+    val whole = cmsRows(Stats.cmsRegisters(all, col("token")))
+    val merged = cmsRows(
+      Stats.cmsRegisters(all.where(col("id") <= 90), col("token"))
+        .union(Stats.cmsRegisters(all.where(col("id") > 90), col("token")))
+        .groupBy("j", "b").agg(sum("c").as("c")))
+    assert(whole.nonEmpty && merged === whole)
+    // state bound: never more than d·w register rows, whatever the vocabulary
+    assert(whole.size <= 4 * 64)
+  }
 }

@@ -284,4 +284,48 @@ class PlanAuditSpec extends SparkSpec {
       .findAllMatchIn(plan).map(_.group(1)).toSeq
     assert(exchanges.forall(_.contains("key")), exchanges.mkString("; "))
   }
+
+  test("corpus_cms probes the broadcast register table and takes its top-k distributed") {
+    val plan = planOf("corpus_cms")
+    // the 256-row register table broadcasts to the probe side — the token
+    // stream is never re-shuffled to meet it
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // exact top-10 through per-partition heaps, not a global sort
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // both the register build and the exact count keep map-side partials
+    assert(plan.contains("partial"), plan)
+  }
+
+  test("text_winnowing selects fingerprints narrowly: no joins, no keyed shuffle at all") {
+    val plan = planOf("text_winnowing")
+    // the whole selection is per-document partition work; the only
+    // exchange is the presentation sort's range partitioning
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("MapPartitions"), plan)
+  }
+
+  test("dedup_winnow joins fingerprints only and ranks through bounded heaps") {
+    val plan = planOf("dedup_winnow")
+    // posting-list self-join and size attaches are all keyed equi joins —
+    // nothing degenerates to an all-pairs shape
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // top-100 through per-partition heaps, not a global sort
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // pair counting keeps its map-side partial
+    assert(plan.contains("partial"), plan)
+  }
+
+  test("q_salted_join keys on (key, salt) with no fallback to a loop join") {
+    val plan = planOf("q_salted_join")
+    // the whole point: the join stays a keyed equi join on the widened key
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // both join keys participate: salt appears in the join's key expressions
+    assert(plan.contains("salt"), plan)
+  }
 }

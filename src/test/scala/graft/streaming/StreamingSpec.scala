@@ -592,4 +592,42 @@ class StreamingSpec extends SparkSpec {
     val out = Streaming.contaminationFlags(batchDocs, bloom)
     assert(out.where(col("flagged")).count() === 0)
   }
+
+  test("D19: streaming Count-Min registers equal the batch sketch, state bounded at d·w") {
+    val stream = Streaming.cmsMonitor(Streaming.documentStream(spark, dir))
+    val q = stream.writeStream.format("memory").queryName("cms_regs")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val streamed = rows(spark.table("cms_regs"))
+    val batch = rows(graft.ops.stats.Stats.cmsRegisters(
+      spark.read.parquet(s"$dir/documents.parquet")
+        .select(explode(split(col("text"), " ")).as("token")), col("token")))
+    assert(streamed.nonEmpty && streamed === batch)
+    // the CMS point: state never exceeds d·w counters however the stream grows
+    assert(streamed.size <= 4 * 64)
+    // probing the streamed state answers point queries one-sidedly
+    val probes = Seq(("the", 0)).toDF("token", "x").drop("x")
+    val est = graft.ops.stats.Stats.cmsEstimate(
+      spark.table("cms_regs"), probes, col("token")).head().getLong(1)
+    val exact = spark.read.parquet(s"$dir/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("t"))
+      .where(col("t") === "the").count()
+    assert(est >= exact)
+  }
+
+  test("D20: streaming winnowing fingerprints equal the batch selection, stateless append") {
+    val stream = Streaming.winnowMonitor(Streaming.documentStream(spark, dir))
+    assert(stream.isStreaming)
+    val q = stream.writeStream.format("memory").queryName("winnow_fps")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val streamed = rows(spark.table("winnow_fps"))
+    val batch = rows(graft.ops.text.TextOps.winnow(
+      spark.read.parquet(s"$dir/documents.parquet")))
+    assert(streamed.nonEmpty && streamed === batch)
+  }
 }
