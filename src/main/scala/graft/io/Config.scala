@@ -110,6 +110,25 @@ object Config {
     else None
   }
 
+  /** Multi-document stream (round 10 — the final YAML gap): split on the
+    * standard column-0 `---` document-start and `...` document-end
+    * markers and parse each document independently. Sound without parser
+    * cooperation because block-scalar/collection CONTENT is always
+    * indented — a column-0 `---` can never be document content in the
+    * supported subset. Empty documents (e.g. a `...` immediately followed
+    * by `---`) are dropped; a leading `---` header is the normal case.
+    */
+  def parseAll(text: String, env: Map[String, String] = sys.env): Seq[Map[String, String]] = {
+    val docs = scala.collection.mutable.ArrayBuffer(
+      scala.collection.mutable.ArrayBuffer.empty[String])
+    text.linesIterator.foreach { l =>
+      if (l.matches("""---(\s.*)?""") || l.matches("""\.\.\.\s*"""))
+        docs += scala.collection.mutable.ArrayBuffer.empty[String]
+      else docs.last += l
+    }
+    docs.toSeq.map(_.mkString("\n")).filter(_.trim.nonEmpty).map(parse(_, env))
+  }
+
   /** Parses the indented `key: value` subset into dotted keys:
     * {{{
     * spark:
@@ -138,9 +157,10 @@ object Config {
     * folded block scalars (`key: |`, `key: >`, with `-`/`+` chomping).
     * Inline flow collections (round 10): `key: [a, b]` flattens like a
     * block sequence (`key.0`, `key.1`), `key: {k: v}` like a block map
-    * (`key.k`), nesting and quoting respected ([[flowPairs]]). Only
-    * multi-document streams remain out of scope (documented divergence —
-    * no YAML dependency is allowed in this build).
+    * (`key.k`), nesting and quoting respected ([[flowPairs]]). Multi-
+    * document streams parse via [[parseAll]] — no remaining YAML gaps in
+    * the subset real configs use (no YAML dependency is allowed in this
+    * build).
     */
   def parse(text: String, env: Map[String, String] = sys.env): Map[String, String] = {
     val raw = interpolate(text, env).linesIterator.toArray

@@ -36,6 +36,98 @@ object Ann {
   def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
     when(normA * normB > 0, dot(a, b) / (normA * normB)).otherwise(lit(0.0))
 
+  /** Top principal component of the embedding cloud by DETERMINISTIC
+    * power iteration — the PCA summary a pipeline watches for encoder
+    * drift (the dominant direction and how much variance it explains; a
+    * direction flip or an exploding share is an encoder regression), and
+    * the projection axis for 1-d data maps. Returns one row per dimension:
+    * (dim, loading, eigenvalue, var_share), eigenvalue/var_share repeated
+    * (the trained-model shape).
+    *
+    * Never materialises the dim×dim covariance: each iteration applies
+    * C·v = Σ (x−μ)·((x−μ)·v) directly — a narrow per-row scalar `s` (the
+    * centered dot with the CURRENT v as a literal, decimal-accumulated so
+    * the fold order cannot matter) followed by ONE |dim|-key map-combined
+    * aggregate Σ cx·s. Every engine-visible number is either an exact
+    * decimal sum or a 6-dp-rounded double, μ and each iterate v are
+    * rounded before use, and the sign is fixed by the largest-|loading|
+    * component (lowest dim on ties, flipped positive) — so 4 unrolled
+    * iterations reproduce bit-for-bit as DuckDB CTEs. Zero-variance input
+    * keeps the previous iterate (no 0/0), mirrored in the oracle.
+    *
+    * Scale: iters+3 corpus passes, all narrow except the |dim|-key aggs;
+    * driver holds dim-sized arrays only. The classic tradeoff vs a one-
+    * pass Gram accumulation (dim² state) is deliberate: at embedding
+    * dims ≥ 1k, dim² decimal state per partial is the memory hazard,
+    * per-pass narrow work is not.
+    */
+  def topPrincipalComponent(emb: DataFrame, iters: Int = 4,
+                            vecCol: String = "embedding"): DataFrame = {
+    require(iters >= 1, s"topPrincipalComponent: iters must be >= 1 (got $iters)")
+    val spark = emb.sparkSession
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def d10(x: Double) =
+      BigDecimal(x).setScale(10, BigDecimal.RoundingMode.HALF_UP)
+    val v = emb.select(vec(col(vecCol)).as("v"))
+    val nRows = v.count().toDouble
+    require(nRows > 0, "topPrincipalComponent: empty input")
+    // μ per dim: exact decimal sums, rounded once — dim rows to the driver
+    val mu = v.select(posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("pos")
+      .agg(round(sum(col("x").cast("decimal(27,10)")).cast("double") / nRows, 6)
+        .as("m"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val dim = mu.size
+    val muLit = typedLit((0 until dim).map(mu))
+    // centered vectors, staged once — every pass below reads this
+    val cv = v.select(transform(col("v"),
+        (x, i) => x - element_at(muLit, i + 1)).as("cv"))
+      .localCheckpoint()
+    // per-row centered dot with the current iterate: decimal-accumulated
+    // (associative), so engine/partition fold order cannot matter
+    def sCol(w: Seq[Double]): Column = {
+      val wLit = typedLit(w)
+      round(aggregate(
+        transform(col("cv"), (x, i) =>
+          (x * element_at(wLit, i + 1)).cast("decimal(27,10)")),
+        lit(java.math.BigDecimal.ZERO).cast("decimal(27,10)"),
+        (acc, y) => (acc + y).cast("decimal(27,10)")).cast("double"), 6).as("s")
+    }
+    var w: Seq[Double] = Seq.fill(dim)(r6(1.0 / math.sqrt(dim.toDouble)))
+    for (_ <- 1 to iters) {
+      val wr = cv.select(sCol(w), col("cv"))
+        .select(col("s"), posexplode(col("cv")).as(Seq("pos", "x")))
+        .groupBy("pos")
+        .agg(sum((col("x") * col("s")).cast("decimal(27,10)")).cast("double")
+          .as("wr"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      val raw = (0 until dim).map(wr.getOrElse(_, 0.0))
+      val n2 = raw.map(x => d10(x * x)).sum
+      if (n2.signum != 0) {
+        val norm = math.sqrt(n2.toDouble)
+        val l = raw.map(x => r6(x / norm))
+        val pivot = l.indices.minBy(i => (-math.abs(l(i)), i))
+        val sg = if (l(pivot) < 0) -1.0 else 1.0
+        w = l.map(_ * sg)
+      } // else: zero image — keep the previous iterate, like empty IVF cells
+    }
+    val fin = cv.select(sCol(w), col("cv"))
+      .agg(sum((col("s") * col("s")).cast("decimal(27,10)")).cast("double").as("s2"),
+        sum(aggregate(
+          transform(col("cv"), x => (x * x).cast("decimal(27,10)")),
+          lit(java.math.BigDecimal.ZERO).cast("decimal(27,10)"),
+          (acc, y) => (acc + y).cast("decimal(27,10)"))).cast("double").as("cx2"))
+      .head()
+    val lam = r6(fin.getDouble(0) / nRows)
+    val tv = r6(fin.getDouble(1) / nRows)
+    val share = if (tv == 0.0) 0.0 else r6(lam / tv)
+    import spark.implicits._
+    w.zipWithIndex.map { case (x, i) => ((i + 1).toLong, x, lam, share) }
+      .toDF("dim", "loading", "eigenvalue", "var_share")
+      .orderBy("dim")
+  }
+
   /** Per-label centroids and each vector's cosine to its label centroid —
     * the standard embedding-space diagnostic (cluster cohesion, outlier
     * and mislabel detection, data-selection scoring) ahead of training.
@@ -142,9 +234,18 @@ object Ann {
     * [[cosinePairsLsh]]. Exact all-pairs at a moderate threshold is
     * inherently Ω(n²) — above the cutoff the LSH route is the only plan
     * that survives scale, and its candidates are exactly verified.
+    *
+    * The cutoff is sized so the exact branch never exceeds ~34M pair
+    * cosines (sub-second on one executor). It was 100k until a 10×
+    * stress replica showed the cost curve: 20k vectors routed exact and
+    * ran 38× the 2k time — pure n², exactly as priced. A cutoff that
+    * admits 100k rows admits 5G pair evaluations; "exact because it still
+    * finishes" is not a scale plan, so the line sits where quadratic cost
+    * is genuinely negligible and everything past it pays the bounded LSH
+    * candidate volume instead.
     */
   def cosinePairsAdaptive(emb: DataFrame, minCosine: Double,
-                          maxExactRows: Int = 100000,
+                          maxExactRows: Int = 8192,
                           idCol: String = "vec_id", vecCol: String = "embedding",
                           groupCol: Option[String] = None): DataFrame = {
     // unlike a content-sampling probe, this is a pure ROW-COUNT probe
@@ -176,7 +277,7 @@ object Ann {
   def semanticDedup(emb: DataFrame, minCosine: Double,
                     labelCol: String = "label", idCol: String = "vec_id",
                     vecCol: String = "embedding",
-                    maxExactRows: Int = 100000): DataFrame =
+                    maxExactRows: Int = 8192): DataFrame =
     graft.ops.graph.GraphOps.connectedComponents(
       cosinePairsAdaptive(emb, minCosine, maxExactRows, idCol, vecCol,
         groupCol = Some(labelCol)))

@@ -566,6 +566,19 @@ object Dedup {
     *    the embedding near-dup's exact branch. Above the guards,
     *    [[minhashLsh]] — LSH-bucketed candidates with exact verification.
     *
+    * "Dense" is a RELATIVE predicate — `avgDf >= denseAvgDf` alone is
+    * scale-confounded: a corpus that grows by concatenating
+    * vocabulary-disjoint segments (new sites, new months, sharded crawls)
+    * keeps its absolute avg df while n runs away, and the bitmap loop's
+    * n²·(vocab/64) cost then dwarfs the inverted index's Σdf² ≈
+    * vocab·df̄² (measured: a 10× replica with per-copy vocabularies kept
+    * df̄≈160 ≥ 16, routed dense, and ran 46× the 1× time — the index
+    * route was ~700× cheaper on paper). So the dense branch additionally
+    * requires `avgDf / nDocs >= denseDensity`: a typical shingle must
+    * touch a constant FRACTION of the corpus, which is exactly when
+    * Σdf² ≈ density²·vocab·n² stops being meaningfully below n² and
+    * posting lists stop discriminating.
+    *
     * Exactness: the prefix and bitmap routes surface EVERY qualifying pair.
     * The large-dense LSH route has banding recall 1−(1−t^r)^b per pair
     * (defaults r=4, b=4; ≈1 for near-identical pairs, <1 for pairs at the
@@ -585,6 +598,7 @@ object Dedup {
   def ngramJaccardAdaptive(docs: DataFrame, minJaccard: Double,
                            idCol: String = "doc_id", textCol: String = "text",
                            denseAvgDf: Double = 16.0,
+                           denseDensity: Double = 0.02,
                            maxExactDocs: Long = 65536,
                            maxBitmapBytes: Long = 256L << 20,
                            maxBits: Int = 1 << 20,
@@ -596,14 +610,14 @@ object Dedup {
         approx_count_distinct("h").as("vocab"))
       .head()
     val avgDf = stats.getDouble(0) / math.max(1L, stats.getLong(1))
-    if (avgDf >= denseAvgDf) {
+    val nDocs = base.count()
+    if (avgDf >= denseAvgDf && avgDf >= denseDensity * nDocs) {
       // guards priced by eager scalars over the staged arrays — noise next
       // to the Ω(n²)-risk decision they inform. The vocabulary caps check
       // the stats job's HLL estimate FIRST (2% error, doubled for slack) so
       // a misrouted huge-vocabulary corpus never pays the index's
       // single-task sort; survivors build the staged index once and the
       // final guard uses its exact count.
-      val nDocs = base.count()
       val approxVocab = stats.getLong(1)
       def fallback(vocabBits: Long): DataFrame = {
         require(allowApproximate,

@@ -236,4 +236,77 @@ object GraphOps {
       .select(col("node"), col("degree"))
       .orderBy("node")
   }
+
+  /** Degree assortativity of the undirected simple graph (Newman 2002):
+    * Pearson correlation between the degrees at the two ends of every
+    * edge. Positive = hubs attach to hubs (social nets), negative = hubs
+    * attach to leaves (hub-and-spoke hierarchies, most KGs) — the one
+    * scalar that says which regime a graph is in, and an early-warning
+    * drift signal for an ETL suddenly producing star-shaped artifacts.
+    *
+    * Each edge contributes BOTH orientations, making Σx = Σy (the
+    * standard undirected symmetrisation), so one moment set suffices.
+    * All moments are exact integer sums (degrees are ints) — associative
+    * and partition-order-proof — and r is one closed-form double from
+    * them, term-identical in any engine. Shape: edge dedup + one keyed
+    * degree count + two degree-attach joins (co-keyed on the endpoint)
+    * + a single map-combined global aggregate; nothing holds more than
+    * the edge set, and the output is ONE row.
+    */
+  /** Per-node local clustering coefficient: triangles(v) /
+    * (deg(v)·(deg(v)−1)/2) over the canonical simple undirected graph —
+    * the density-of-neighbourhood signal (a KG entity whose neighbours
+    * all know each other is a tight community; a pure hub scores 0), and
+    * together with [[assortativity]] the standard pair of structural
+    * health scalars. Nodes of degree < 2 have no possible wedge and
+    * report NULL (not 0 — "no signal" and "open neighbourhood" are
+    * different facts, and both engines agree on the NULL).
+    *
+    * Triangle counts come from GraphX TriangleCount (distributed
+    * edge-partitioned set intersection); degrees are counted on the SAME
+    * canonicalised edge set (a<b, distinct, self-loops dropped) so the
+    * ratio can never mix a multigraph degree with a simple-graph triangle
+    * count. One keyed count + one broadcast-sized join back to the
+    * triangle vertices; |V| output rows.
+    */
+  def clusteringCoefficient(pgEdges: DataFrame): DataFrame = {
+    val u = endpoints(pgEdges)
+      .where(col("from") =!= col("to"))
+      .select(least(col("from"), col("to")).as("a"),
+        greatest(col("from"), col("to")).as("b"))
+      .distinct()
+    val deg = u.select(col("a").as("node")).union(u.select(col("b")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    val tri = triangles(pgEdges)
+    tri.join(deg, "node")
+      .select(col("node"), col("degree"), col("triangles").cast("long").as("triangles"),
+        when(col("degree") < 2, lit(null)).otherwise(
+          round(col("triangles").cast("double") * 2 /
+            (col("degree") * (col("degree") - 1)), 6)).as("lcc"))
+      .orderBy("node")
+  }
+
+  def assortativity(pgEdges: DataFrame): DataFrame = {
+    val u = endpoints(pgEdges)
+      .where(col("from") =!= col("to"))
+      .select(least(col("from"), col("to")).as("a"),
+        greatest(col("from"), col("to")).as("b"))
+      .distinct()
+    val degs = u.select(col("a").as("node")).union(u.select(col("b")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val oriented = u.union(u.select(col("b"), col("a")))
+    val m = col("m").cast("double")
+    val mean = col("sx").cast("double") / m
+    val den = col("sxx").cast("double") / m - mean * mean
+    oriented
+      .join(degs.select(col("node").as("a"), col("deg").as("dx")), "a")
+      .join(degs.select(col("node").as("b"), col("deg").as("dy")), "b")
+      .agg(count(lit(1)).as("m"), sum("dx").as("sx"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dx") * col("dy")).as("sxy"))
+      .select((col("m") / 2).cast("long").as("n_edges"),
+        when(den === 0, lit(null)).otherwise(
+          round((col("sxy").cast("double") / m - mean * mean) / den, 6))
+          .as("assortativity"))
+  }
 }

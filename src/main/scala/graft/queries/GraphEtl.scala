@@ -330,6 +330,67 @@ object GraphEtl {
       |SELECT n.node, coalesce(c, 0)::INTEGER AS triangles
       |FROM nodes n LEFT JOIN cnt USING (node) ORDER BY node""".stripMargin
 
+  /** A34: degree assortativity of the supplier–nation–region KG
+    * ([[graft.ops.graph.GraphOps.assortativity]]) — strongly negative
+    * here, as it must be: containment hierarchies attach many leaf
+    * suppliers to few nation/region hubs. Exact integer moments over both
+    * edge orientations, one output row; the closed form is term-identical
+    * in the oracle.
+    */
+  def kgAssortativity(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.graph.GraphOps.assortativity(
+      supRegionEdges(spark, dir, withSupRegion = true))
+
+  val kgAssortativitySql: String =
+    """WITH raw AS (
+      |  SELECT 'nation:' || n_nationkey AS f, 'region:' || n_regionkey AS t FROM nation
+      |  UNION ALL SELECT 'sup:' || s_suppkey, 'nation:' || s_nationkey FROM supplier
+      |  UNION ALL SELECT 'sup:' || s_suppkey, 'region:' || n_regionkey
+      |    FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+      |u AS (SELECT DISTINCT least(f, t) AS a, greatest(f, t) AS b FROM raw WHERE f <> t),
+      |d AS (SELECT node, count(*) AS deg FROM (
+      |  SELECT a AS node FROM u UNION ALL SELECT b FROM u) s GROUP BY node),
+      |o AS (SELECT a, b FROM u UNION ALL SELECT b AS a, a AS b FROM u),
+      |xy AS (SELECT da.deg AS dx, db.deg AS dy
+      |  FROM o JOIN d da ON da.node = o.a JOIN d db ON db.node = o.b),
+      |s AS (SELECT count(*) AS m, sum(dx) AS sx, sum(dx*dx) AS sxx, sum(dx*dy) AS sxy FROM xy)
+      |SELECT (m // 2)::BIGINT AS n_edges,
+      |  CASE WHEN sxx::DOUBLE / m - (sx::DOUBLE / m) * (sx::DOUBLE / m) = 0 THEN NULL
+      |    ELSE round((sxy::DOUBLE / m - (sx::DOUBLE / m) * (sx::DOUBLE / m))
+      |      / (sxx::DOUBLE / m - (sx::DOUBLE / m) * (sx::DOUBLE / m)), 6) END AS assortativity
+      |FROM s""".stripMargin
+
+  /** A35: per-node local clustering coefficient over the KG
+    * ([[graft.ops.graph.GraphOps.clusteringCoefficient]]) — triangle
+    * density of each node's neighbourhood: suppliers (deg 2, their
+    * nation+region pair connected) score 1.0, region hubs score near 0,
+    * degree-<2 nodes report NULL. The structural-health scalar pair with
+    * [[kgAssortativity]]. Oracle = the triangle-enumeration CTE joined
+    * against the canonical simple-graph degrees, term-identical ratio.
+    */
+  def kgClustering(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.graph.GraphOps.clusteringCoefficient(
+      supRegionEdges(spark, dir, withSupRegion = true))
+
+  val kgClusteringSql: String =
+    """WITH raw AS (
+      |  SELECT 'nation:' || n_nationkey AS f, 'region:' || n_regionkey AS t FROM nation
+      |  UNION ALL SELECT 'sup:' || s_suppkey, 'nation:' || s_nationkey FROM supplier
+      |  UNION ALL SELECT 'sup:' || s_suppkey, 'region:' || n_regionkey
+      |    FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+      |u AS (SELECT DISTINCT least(f, t) AS a, greatest(f, t) AS b FROM raw WHERE f <> t),
+      |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      |  FROM u e1 JOIN u e2 ON e2.a = e1.b JOIN u e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |parts AS (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri),
+      |cnt AS (SELECT node, count(*) AS c FROM parts GROUP BY node),
+      |d AS (SELECT node, count(*) AS degree FROM (
+      |  SELECT a AS node FROM u UNION ALL SELECT b FROM u) s GROUP BY node)
+      |SELECT d.node, d.degree, coalesce(c, 0)::BIGINT AS triangles,
+      |  CASE WHEN d.degree < 2 THEN NULL
+      |    ELSE round(coalesce(c, 0)::DOUBLE * 2 / (d.degree * (d.degree - 1)), 6)
+      |  END AS lcc
+      |FROM d LEFT JOIN cnt USING (node) ORDER BY node""".stripMargin
+
   /** A29: structural node similarity over the KG
     * ([[graft.ops.graph.GraphOps.nodeSimilarity]]) — neighbour-set Jaccard
     * for pairs sharing a neighbour, the entity-resolution primitive

@@ -759,6 +759,99 @@ object Pipeline {
       |  round(sum(l2::DECIMAL(27,10))::DOUBLE / count(*), 6) AS mean_l2
       |FROM n GROUP BY label ORDER BY label""".stripMargin
 
+  /** C68: per-DIMENSION embedding health — mean/std/min/max of every
+    * coordinate across the corpus, the drift profile C57's norm stats
+    * can't see (a dead dimension, a coordinate whose scale exploded after
+    * an encoder re-train, a clipped channel — all invisible in the norm,
+    * all obvious here; comparing two snapshots' rows is the standard
+    * embedding-space drift check). One narrow posexplode (×dim rows, no
+    * text/ids carried) into one keyed map-combined aggregate on the
+    * |dim|-sized key space; means and second moments via the established
+    * DECIMAL(27,10) sums so results are partition-order-proof; std is a
+    * closed form from the exact moments, term-identical in the oracle.
+    */
+  def embedDimStats(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val mean = col("sx").cast("double") / col("n")
+    embs(spark, dir)
+      .select(posexplode(graft.ops.ann.Ann.vec(col("embedding"))).as(Seq("pos", "x")))
+      .groupBy((col("pos") + 1).cast("long").as("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(27,10)")).as("sx"),
+        sum((col("x") * col("x")).cast("decimal(27,10)")).as("sxx"),
+        min("x").as("mn"), max("x").as("mx"))
+      .select(col("dim"), col("n"),
+        round(mean, 6).as("mean"),
+        round(sqrt(greatest(col("sxx").cast("double") / col("n") - mean * mean,
+          lit(0.0))), 6).as("std"),
+        round(col("mn"), 6).as("min_x"), round(col("mx"), 6).as("max_x"))
+      .orderBy("dim")
+  }
+
+  val embedDimStatsSql: String =
+    """WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+      |p AS (SELECT unnest(v) AS x, unnest(range(1, len(v)+1)) AS dim FROM e),
+      |s AS (SELECT dim, count(*) AS n, sum(CAST(x AS DECIMAL(27,10))) AS sx,
+      |    sum(CAST(x*x AS DECIMAL(27,10))) AS sxx, min(x) AS mn, max(x) AS mx
+      |  FROM p GROUP BY dim)
+      |SELECT dim, n, round(sx::DOUBLE/n, 6) AS mean,
+      |  round(sqrt(greatest(sxx::DOUBLE/n - (sx::DOUBLE/n)*(sx::DOUBLE/n), 0)), 6) AS std,
+      |  round(mn, 6) AS min_x, round(mx, 6) AS max_x
+      |FROM s ORDER BY dim""".stripMargin
+
+  /** C69: top principal component of the embedding cloud
+    * ([[graft.ops.ann.Ann.topPrincipalComponent]], 4 deterministic power
+    * iterations) — the dominant drift axis and its variance share, the
+    * PCA summary that catches an encoder regression (direction flip,
+    * exploding share) before downstream ANN quality degrades. Every
+    * engine-visible number is an exact decimal sum or a 6-dp round, so
+    * the oracle unrolls all four iterations as CTEs (the ann_ivf
+    * precedent): per-vector centered dots as decimal sums, per-dim
+    * images, exact decimal norms, sign fixed at the largest-|loading|
+    * component.
+    */
+  def embedTopPc(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.ann.Ann.topPrincipalComponent(embs(spark, dir))
+
+  val embedTopPcSql: String = {
+    val iters = 4
+    val head =
+      """WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM e),
+        |p AS MATERIALIZED (SELECT vec_id, unnest(v) AS x, unnest(range(1, len(v)+1)) AS dim FROM e),
+        |mu AS MATERIALIZED (SELECT dim, round(sum(CAST(x AS DECIMAL(27,10)))::DOUBLE / (SELECT n FROM n), 6) AS m
+        |  FROM p GROUP BY dim),
+        |cv AS MATERIALIZED (SELECT vec_id, p.dim, x - m AS cx FROM p JOIN mu ON mu.dim = p.dim),
+        |v0 AS MATERIALIZED (SELECT dim, round(1.0/sqrt((SELECT count(*)::DOUBLE FROM mu)), 6) AS w FROM mu),""".stripMargin
+    val its = (1 to iters).map { t =>
+      val pv = s"v${t - 1}"
+      s"""s$t AS MATERIALIZED (SELECT vec_id, round(sum(CAST(cx * w AS DECIMAL(27,10)))::DOUBLE, 6) AS s
+         |  FROM cv JOIN $pv ON $pv.dim = cv.dim GROUP BY vec_id),
+         |w$t AS MATERIALIZED (SELECT cv.dim, sum(CAST(cx * s AS DECIMAL(27,10)))::DOUBLE AS wr
+         |  FROM cv JOIN s$t USING (vec_id) GROUP BY cv.dim),
+         |n$t AS MATERIALIZED (SELECT sum(CAST(wr * wr AS DECIMAL(27,10))) AS n2 FROM w$t),
+         |g$t AS MATERIALIZED (SELECT CASE WHEN round(wr / sqrt((SELECT n2 FROM n$t)::DOUBLE), 6) < 0
+         |      THEN -1.0 ELSE 1.0 END AS sg
+         |  FROM w$t WHERE (SELECT n2 FROM n$t) <> 0
+         |  ORDER BY abs(round(wr / sqrt((SELECT n2 FROM n$t)::DOUBLE), 6)) DESC, dim LIMIT 1),
+         |v$t AS MATERIALIZED (SELECT w$t.dim,
+         |    CASE WHEN (SELECT n2 FROM n$t) = 0 THEN $pv.w
+         |      ELSE (SELECT sg FROM g$t) * round(wr / sqrt((SELECT n2 FROM n$t)::DOUBLE), 6)
+         |    END AS w
+         |  FROM w$t JOIN $pv ON $pv.dim = w$t.dim),""".stripMargin
+    }.mkString("\n")
+    val tail =
+      s"""sf AS MATERIALIZED (SELECT vec_id, round(sum(CAST(cx * w AS DECIMAL(27,10)))::DOUBLE, 6) AS s
+         |  FROM cv JOIN v$iters ON v$iters.dim = cv.dim GROUP BY vec_id),
+         |lam AS MATERIALIZED (SELECT round(sum(CAST(s * s AS DECIMAL(27,10)))::DOUBLE / (SELECT n FROM n), 6) AS ev FROM sf),
+         |tv AS MATERIALIZED (SELECT round(sum(CAST(cx * cx AS DECIMAL(27,10)))::DOUBLE / (SELECT n FROM n), 6) AS t FROM cv)
+         |SELECT dim::BIGINT AS dim, w AS loading, (SELECT ev FROM lam) AS eigenvalue,
+         |  CASE WHEN (SELECT t FROM tv) = 0 THEN 0.0
+         |    ELSE round((SELECT ev FROM lam) / (SELECT t FROM tv), 6) END AS var_share
+         |FROM v$iters ORDER BY dim""".stripMargin
+    s"$head\n$its\n$tail"
+  }
+
   /** C29: per-label centroid cosine — embedding-space cohesion/outlier
     * scoring. Decimal-summed centroids make the result bit-deterministic
     * under any partitioning (see Ann.centroidCosine).
@@ -1935,6 +2028,63 @@ object Pipeline {
       |  round(ln(n) - s1 / n, 6) AS shannon,
       |  round(s2 / (n * n), 6) AS simpson
       |FROM a ORDER BY source""".stripMargin
+
+  /** C70: top-20 collocations by pointwise mutual information — bigrams
+    * whose parts co-occur far above chance (PMI = ln P(u,w)/(P(u)P(w)),
+    * Church & Hanks 1990), the phrase-mining/tokenizer-merge-candidate
+    * signal raw frequency can't give (frequent bigrams of frequent words
+    * score ~0; "los angeles" scores high). A min-count floor (≥ 5) drops
+    * the hapax pairs whose PMI is maximal by accident — the standard
+    * guard. Two keyed map-combined count aggs (unigrams, bigrams), two
+    * keyed joins to attach part counts, totals as 1-row broadcast cross
+    * joins; all PMI inputs are exact integers and the ln expression is
+    * term-identical in the oracle, so the doubles agree bit-for-bit;
+    * top-20 via orderBy().limit() = TakeOrderedAndProject (per-partition
+    * heaps, no vocabulary-sized sort).
+    */
+  def corpusPmi(spark: SparkSession, dir: String): DataFrame = {
+    val ws = docs(spark, dir).select(TextOps.tokens(col("text")).as("ws"))
+      .localCheckpoint()
+    val uni = ws.select(explode(col("ws")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val totals = uni.agg(sum("c").cast("double").as("n_uni"))
+    val bi = ws.where(size(col("ws")) >= 2)
+      .select(explode(zip_with(
+        slice(col("ws"), lit(1), size(col("ws")) - 1),
+        slice(col("ws"), lit(2), size(col("ws")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+    val mTot = bi.agg(sum("n").cast("double").as("m_bi"))
+    bi.where(col("n") >= 5)
+      .join(uni.select(col("tok").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("tok").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(totals).crossJoin(mTot)
+      .select(col("w1"), col("w2"), col("n"),
+        round(log((col("n").cast("double") / col("m_bi")) /
+          ((col("c1").cast("double") / col("n_uni")) *
+            (col("c2").cast("double") / col("n_uni")))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
+  val corpusPmiSql: String =
+    """WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+      |uni AS (SELECT tok, count(*) AS c FROM (
+      |  SELECT unnest(w) AS tok FROM t) s GROUP BY tok),
+      |tot AS (SELECT sum(c)::DOUBLE AS n_uni FROM uni),
+      |bi AS (SELECT w1, w2, count(*) AS n FROM (
+      |  SELECT unnest([w[i] for i in range(1, len(w))]) AS w1,
+      |         unnest([w[i+1] for i in range(1, len(w))]) AS w2
+      |  FROM t WHERE len(w) >= 2) s GROUP BY w1, w2),
+      |m AS (SELECT sum(n)::DOUBLE AS m_bi FROM bi)
+      |SELECT w1, w2, n,
+      |  round(ln((n::DOUBLE / m_bi) / ((c1::DOUBLE / n_uni) * (c2::DOUBLE / n_uni))), 6) AS pmi
+      |FROM bi
+      |JOIN (SELECT tok AS w1, c AS c1 FROM uni) u1 USING (w1)
+      |JOIN (SELECT tok AS w2, c AS c2 FROM uni) u2 USING (w2), tot, m
+      |WHERE n >= 5
+      |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin
 
   /** C63: top-10 bigram phrases per source (count desc, phrase asc
     * tiebreak) — the phrase-level template detector next to

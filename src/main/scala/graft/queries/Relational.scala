@@ -385,6 +385,91 @@ object Relational {
       |WHERE day - cohort_day <= 7
       |GROUP BY 1, 2 ORDER BY cohort_day, day_n""".stripMargin
 
+  /** B52: interval concurrency by sweep line — how many orders are OPEN
+    * (placed, not yet fully shipped) on each day the level changes: the
+    * backlog/occupancy/concurrent-sessions shape that a join-per-day
+    * formulation quadratically cannot express. Each order contributes an
+    * interval [orderdate, max lineitem shipdate]; intervals become ±1
+    * boundary events, events aggregate per day (ONE keyed map-combined
+    * shuffle reducing 6M lineitems to |days| rows), and the level is a
+    * running sum over that bounded date support (~2.4k days at any SF —
+    * the same documented bounded single-partition window as the KS
+    * monitor; at a finer grain you'd range-partition by coarse time and
+    * prefix-merge). Epoch-day ints end-to-end.
+    */
+  def orderBacklog(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey").as("ok"))
+      .agg(max(to_date(col("l_shipdate"))).as("close"))
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey").as("ok"), to_date(col("o_orderdate")).as("open"))
+    val deltas = o.join(li, "ok")
+      .where(col("close") >= col("open"))
+      .select(explode(array(
+        struct(datediff(col("open"), lit("1970-01-01")).as("day"), lit(1).as("d")),
+        struct((datediff(col("close"), lit("1970-01-01")) + 1).as("day"),
+          lit(-1).as("d")))).as("e"))
+      .select(col("e.day").as("day"), col("e.d").as("d"))
+      .groupBy("day").agg(sum("d").as("net"))
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas.select(col("day").cast("long").as("day"),
+        col("net").cast("long").as("net_change"),
+        sum("net").over(w).cast("long").as("open_orders"))
+      .orderBy("day")
+  }
+
+  val orderBacklogSql: String =
+    """WITH li AS (SELECT l_orderkey AS ok, max(l_shipdate::DATE) AS close
+      |  FROM lineitem GROUP BY 1),
+      |o AS (SELECT o_orderkey AS ok, o_orderdate::DATE AS open FROM orders),
+      |iv AS (SELECT open, close FROM o JOIN li USING (ok) WHERE close >= open),
+      |ev AS (SELECT (open - DATE '1970-01-01') AS day, 1 AS d FROM iv
+      |  UNION ALL SELECT (close - DATE '1970-01-01') + 1, -1 FROM iv),
+      |g AS (SELECT day, sum(d) AS net FROM ev GROUP BY day)
+      |SELECT day::BIGINT AS day, net::BIGINT AS net_change,
+      |  (sum(net) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS open_orders
+      |FROM g ORDER BY day""".stripMargin
+
+  /** B51: gaps-and-islands — per-user consecutive-day activity streaks,
+    * the classic sessionisation-at-day-granularity shape (login streaks,
+    * daily-active runs, SLA continuity). The island id is the standard
+    * `day − row_number()` trick over each user's DISTINCT active days:
+    * consecutive days share the constant, a gap starts a new island — no
+    * self-join, no recursion. Two keyed aggregations + one per-user
+    * window over |active days| rows (never the raw event stream, which is
+    * reduced first); epoch-day ints end-to-end so the arithmetic is
+    * engine-identical.
+    */
+  def eventsStreaks(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val days = Tables.events(spark, dir)
+      .select(col("user_id"), datediff(to_date(col("ts")), lit("1970-01-01")).as("day"))
+      .distinct()
+    days
+      .withColumn("island", col("day") - row_number().over(w))
+      .groupBy("user_id", "island").agg(count(lit(1)).as("len"))
+      .groupBy("user_id").agg(
+        sum("len").as("active_days"),
+        count(lit(1)).as("n_streaks"),
+        max("len").as("max_streak"))
+      .orderBy("user_id")
+  }
+
+  val eventsStreaksSql: String =
+    """WITH days AS (SELECT DISTINCT user_id,
+      |    (ts::DATE - DATE '1970-01-01') AS day FROM events),
+      |isl AS (SELECT user_id,
+      |    day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS island
+      |  FROM days),
+      |runs AS (SELECT user_id, island, count(*) AS len
+      |  FROM isl GROUP BY user_id, island)
+      |SELECT user_id, sum(len)::BIGINT AS active_days, count(*) AS n_streaks,
+      |  max(len) AS max_streak
+      |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** B32: ordered funnel — users progressing view → click → purchase with
     * STRICT event-time ordering (each stage's first qualifying event must
     * be after the previous stage's), the standard conversion query. Three
@@ -963,6 +1048,44 @@ object Relational {
       |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** B50: FULL OUTER join with unmatched rows on BOTH sides — the
+    * reconciliation shape (ledger vs ledger, snapshot vs snapshot) the
+    * semi/anti/inner family can't express in one pass. The customer side
+    * is filtered to high-balance accounts so orders of low-balance
+    * customers genuinely dangle right; customers with no orders dangle
+    * left (natural in the data). Grouping on the coalesced segment keeps
+    * the null-key rows as a visible "(no customer)" bucket; count(col)
+    * vs count(*) splits each bucket into matched/side-only tallies —
+    * count's null-skipping is load-bearing and engine-identical. One
+    * keyed shuffle join (both sides co-partitioned on the key), one
+    * keyed aggregate.
+    */
+  def qFullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer")
+      .where(col("c_acctbal") > 5000)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_custkey"), dec(col("o_totalprice")).as("price"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+      .groupBy(coalesce(col("c_mktsegment"), lit("(no customer)")).as("segment"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("c_custkey")).as("n_cust_side"),
+        count(col("o_custkey")).as("n_order_side"),
+        sum(col("price")).cast("double").as("total_price"))
+      .orderBy("segment")
+  }
+
+  val qFullOuterSql: String =
+    """WITH c AS (SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 5000),
+      |o AS (SELECT o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders)
+      |SELECT coalesce(c_mktsegment, '(no customer)') AS segment,
+      |  count(*) AS n_rows,
+      |  count(c_custkey) AS n_cust_side,
+      |  count(o_custkey) AS n_order_side,
+      |  CAST(sum(price) AS DOUBLE) AS total_price
+      |FROM c FULL OUTER JOIN o ON c_custkey = o_custkey
+      |GROUP BY 1 ORDER BY segment""".stripMargin
 
   /** B38: ranking-family window functions — NTILE quartiles, dense_rank,
     * percent_rank, cume_dist per order-status partition. The rank shapes

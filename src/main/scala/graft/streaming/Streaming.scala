@@ -226,6 +226,82 @@ object Streaming {
         unix_micros(max(col("ts"))).as("last_us"),
         sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
 
+  /** Funnel-monitor state: the established stage times plus the pending
+    * out-of-order candidates the watermark has not yet retired. All times
+    * are epoch micros.
+    */
+  case class FunnelState(t1: Option[Long], clicks: List[Long],
+                         purchases: List[Long])
+
+  /** D21: streaming ordered-funnel monitor — the batch B32 `events_funnel`
+    * chained-min semantics (first view, first click AFTER it, first
+    * purchase AFTER that) maintained live per user, EXACT under
+    * out-of-order arrival. The subtlety an algebraic formulation misses:
+    * a click that doesn't qualify today (no earlier view yet) can start
+    * qualifying when an older view arrives, so the monitor must remember
+    * it — naive O(1) state is simply wrong on late data. State is instead
+    * the minimal sufficient set, pruned by the WATERMARK:
+    *
+    *   - a pending click `c` is dead once `c ≤ min(t1, watermark)` — any
+    *     future view `v` satisfies `v ≥ watermark`, so the first-view time
+    *     can never drop below `c` again (same argument retires purchases
+    *     against `t2`);
+    *   - a pending click strictly above the current `t2` is dead because
+    *     the qualifying set only grows, so `t2` only decreases.
+    *
+    * What remains is the out-of-order horizon: O(events inside the
+    * watermark lag) per user, the same bound every watermarked stateful
+    * op in this file carries. Each trigger emits the user's current
+    * funnel stage and stage times (== the batch funnel on the stream
+    * prefix, spec-proven including cross-batch out-of-order arrival) plus
+    * `n_pending` so the state-retirement behaviour is observable.
+    */
+  def funnelMonitor(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      // ts itself rides along unused: the watermark lives in the column's
+      // metadata, so projecting it away would detach the watermark from
+      // the stateful operator
+      .select(col("user_id").cast("long"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("ts"))
+      .withWatermark("ts", "30 minutes")
+      .as[(Long, String, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, String, Long, java.sql.Timestamp)],
+         state: GroupState[FunnelState]) =>
+          val s0 = state.getOption.getOrElse(FunnelState(None, Nil, Nil))
+          var t1 = s0.t1
+          var clicks = s0.clicks
+          var purchases = s0.purchases
+          rows.foreach { case (_, tpe, us, _) => tpe match {
+            case "view"     => if (t1.forall(us < _)) t1 = Some(us)
+            case "click"    => clicks ::= us
+            case "purchase" => purchases ::= us
+            case _          => ()
+          }}
+          // micros; on the very first batch no watermark exists yet → -inf
+          val wm =
+            if (state.getCurrentWatermarkMs() > 0) state.getCurrentWatermarkMs() * 1000L
+            else Long.MinValue
+          val t2 = t1.flatMap(v => clicks.filter(_ > v).minOption)
+          val t3 = t2.flatMap(c => purchases.filter(_ > c).minOption)
+          // retire: c ≤ min(watermark, stage-min) can never qualify again
+          // (every future candidate for the preceding stage arrives ≥ wm),
+          // and c above the (only-decreasing) next stage min is never the min
+          def cutoff(stage: Option[Long]) =
+            math.min(wm, stage.getOrElse(Long.MaxValue))
+          clicks = clicks.filter(c => c > cutoff(t1) && t2.forall(c <= _)).distinct
+          purchases = purchases.filter(p => p > cutoff(t2) && t3.forall(p <= _)).distinct
+          state.update(FunnelState(t1, clicks, purchases))
+          val stage = Seq(t1, t2, t3).takeWhile(_.isDefined).size
+          Iterator.single((user, stage, t1.getOrElse(-1L), t2.getOrElse(-1L),
+            t3.getOrElse(-1L), clicks.size + purchases.size))
+      }
+      .toDF("user_id", "stage", "t1_us", "t2_us", "t3_us", "n_pending")
+  }
+
   /** D18: streaming latest-state compaction — the batch B44
     * `events_latest_per_key` view maintained live in update mode: one row
     * per user carrying the most recent event's time/type/value. The

@@ -225,6 +225,30 @@ class ConfigSpec extends graft.SparkSpec {
     assert(conf("stripped") === "no trailing newline")
   }
 
+  test("multi-document streams split on --- / ... and parse independently") {
+    val docs = Config.parseAll(
+      """---
+        |name: first
+        |steps:
+        |  - a
+        |  - b
+        |...
+        |---
+        |name: second
+        |nested:
+        |  k: v
+        |""".stripMargin, env = Map.empty)
+    assert(docs.size === 2)
+    assert(docs(0)("name") === "first")
+    assert(docs(0)("steps.0") === "a" && docs(0)("steps.1") === "b")
+    assert(docs(1)("name") === "second" && docs(1)("nested.k") === "v")
+    // no markers → one document, identical to parse()
+    val single = "a: 1\nb:\n  c: 2\n"
+    assert(Config.parseAll(single, Map.empty) === Seq(Config.parse(single, Map.empty)))
+    // a dash-prefixed sequence item is NOT a document marker
+    assert(Config.parseAll("xs:\n  - x\n", Map.empty).head("xs.0") === "x")
+  }
+
   test("sparkSession builder consumes master/appName/config entries") {
     spark // force the shared test session so getOrCreate below reuses it
     val before = spark.conf.get("spark.sql.shuffle.partitions")

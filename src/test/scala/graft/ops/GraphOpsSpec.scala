@@ -132,4 +132,49 @@ class GraphOpsSpec extends SparkSpec {
     assert(pruned === manual)
     assert(pruned(("a", "b")) === ((2L, 1.0)))
   }
+
+  test("clusteringCoefficient: K4 scores 1, star hub 0, pendant NULL; multigraph collapses") {
+    def r(es: Seq[(String, String)]): Map[String, (Long, Long, Option[Double])] =
+      GraphOps.clusteringCoefficient(es.toDF("from", "to")).collect().map { row =>
+        row.getString(0) -> ((row.getLong(1), row.getLong(2),
+          if (row.isNullAt(3)) None else Some(row.getDouble(3))))
+      }.toMap
+    // K4: every node deg 3, 3 triangles each, lcc = 3/(3·2/2) = 1
+    val k4 = r(Seq(("a","b"),("a","c"),("a","d"),("b","c"),("b","d"),("c","d")))
+    assert(k4.values.forall(_ == ((3L, 3L, Some(1.0)))))
+    // triangle abc + pendant d on a: a deg 3 closes 1 of 3 wedges → 1/3;
+    // b,c stay fully closed; d deg 1 → NULL
+    val g = r(Seq(("a","b"),("a","c"),("b","c"),("a","d")))
+    assert(g("a") === ((3L, 1L, Some(0.333333))))
+    assert(g("b") === ((2L, 1L, Some(1.0))))
+    assert(g("d") === ((1L, 0L, None)))
+    // star: hub has every wedge open → 0.0, leaves NULL
+    val s = r(Seq(("hub","l1"),("hub","l2"),("hub","l3")))
+    assert(s("hub") === ((3L, 0L, Some(0.0))))
+    assert(s("l1") === ((1L, 0L, None)))
+    // duplicate/reversed edges and self-loops collapse to the simple graph
+    val m = r(Seq(("a","b"),("b","a"),("a","a"),("a","b"),("a","c"),("b","c")))
+    assert(m("a") === ((2L, 1L, Some(1.0))))
+  }
+
+  test("assortativity: hand-computed mixed graph, -1 on a star, NULL on a regular graph") {
+    def r(es: Seq[(String, String)]): (Long, Option[Double]) = {
+      val row = GraphOps.assortativity(es.toDF("from", "to")).head()
+      (row.getLong(0), if (row.isNullAt(1)) None else Some(row.getDouble(1)))
+    }
+    // triangle abc + pendant d on a: degrees a=3 b=2 c=2 d=1.
+    // moments over both orientations: M=8, Σx=18, Σx²=44, Σxy=38
+    // → r = (38/8 − (18/8)²) / (44/8 − (18/8)²) = −0.3125/0.4375 = −5/7
+    assert(r(Seq(("a","b"), ("a","c"), ("b","c"), ("a","d")))
+      === ((4L, Some(-0.714286))))
+    // star: the canonical perfectly disassortative graph — exactly −1
+    assert(r(Seq(("hub","l1"), ("hub","l2"), ("hub","l3")))
+      === ((3L, Some(-1.0))))
+    // regular graph (triangle): zero degree variance → undefined, NULL
+    // not NaN/inf (the guard both engines share)
+    assert(r(Seq(("a","b"), ("b","c"), ("c","a"))) === ((3L, None)))
+    // duplicate/reversed edges and self-loops collapse before counting
+    assert(r(Seq(("a","b"), ("b","a"), ("a","b"), ("a","a"), ("a","c"), ("b","c")))
+      === ((3L, None)))
+  }
 }

@@ -735,6 +735,31 @@ class PipelineOpsSpec extends SparkSpec {
       got.select("doc_id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("top principal component recovers a planted dominant direction, partition-invariant") {
+    import spark.implicits._
+    // points spread along u=(0.6,0.8) with tiny orthogonal noise — the
+    // power iteration must recover u (sign-fixed positive at the largest
+    // loading) with a variance share near 1
+    val rows = (1 to 40).map { i =>
+      val a = (i % 21) - 10.0
+      val b = ((i % 5) - 2.0) * 0.1
+      (i.toLong, Seq((a * 0.6 - b * 0.8).toFloat, (a * 0.8 + b * 0.6).toFloat))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val out = Ann.topPrincipalComponent(emb).collect()
+    assert(math.abs(out(0).getDouble(1) - 0.6) < 0.01 &&
+      math.abs(out(1).getDouble(1) - 0.8) < 0.01, out.mkString(","))
+    assert(out.head.getDouble(3) > 0.99)
+    // decimal accumulation: bit-identical under a different layout
+    val again = Ann.topPrincipalComponent(emb.repartition(7)).collect()
+    assert(again.map(_.toSeq).toSeq === out.map(_.toSeq).toSeq)
+    // zero-variance input: the iterate never moves (no 0/0), zero share
+    val flat = (1 to 8).map(i => (i.toLong, Seq(1f, 2f))).toDF("vec_id", "embedding")
+    val z = Ann.topPrincipalComponent(flat).collect()
+    assert(z.forall(r => r.getDouble(2) === 0.0 && r.getDouble(3) === 0.0))
+    assert(z.forall(r => r.getDouble(1) === 0.707107))
+  }
+
   test("centroid cosine flags the planted outlier and is partition-invariant") {
     import spark.implicits._
     // label 0 clusters near e1 with one vector pointing the other way;

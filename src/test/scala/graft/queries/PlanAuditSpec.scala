@@ -318,6 +318,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("partial"), plan)
   }
 
+  test("embed_dim_stats is one narrow explode into a map-combined aggregate, no joins") {
+    val plan = planOf("embed_dim_stats")
+    // posexplode widens ×dim in place; the only exchange carries the
+    // |dim|-sized groups after the partial aggregate
+    assert(plan.contains("Generate posexplode"), plan)
+    assert(plan.contains("partial"), plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("q_full_outer plans a single keyed full-outer join with map-side aggregation") {
+    val plan = planOf("q_full_outer")
+    assert(plan.contains("FullOuter"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("partial"), plan)
+  }
+
   test("q_salted_join keys on (key, salt) with no fallback to a loop join") {
     val plan = planOf("q_salted_join")
     // the whole point: the join stays a keyed equi join on the widened key

@@ -520,6 +520,58 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed.toMap === batch)
   }
 
+  test("D21: funnel monitor is exact under cross-batch out-of-order arrival and retires dead state") {
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-funnel").toString
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("ts", TimestampType)))
+    def write(name: String, rows: Seq[(Long, String, Long)]): Unit = {
+      import spark.implicits._
+      rows.toDF("user_id", "event_type", "epoch_s")
+        .select(col("user_id"), col("event_type"),
+          col("epoch_s").cast("timestamp").as("ts"))
+        .coalesce(1).write.parquet(s"$tmp/$name")
+    }
+    val t0 = 1000000000L
+    // batch 1: user 1's click+purchase arrive BEFORE their view (the case
+    // O(1)-state funnels get wrong); user 3 has a never-qualifying click
+    write("b1", Seq((1L, "click", t0 + 100), (1L, "purchase", t0 + 200),
+      (3L, "view", t0 + 100), (3L, "click", t0 + 50)))
+    val src = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .parquet(s"$tmp/*/")
+    val q = Streaming.funnelMonitor(src).writeStream
+      .format("memory").queryName("funnel").outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: the late view completes user 1's funnel retroactively;
+      // user 2 exercises the strict-order edge (click@t0+5 precedes its view)
+      write("b2", Seq((1L, "view", t0 + 50),
+        (2L, "view", t0 + 10), (2L, "click", t0 + 5), (2L, "click", t0 + 20)))
+      q.processAllAvailable()
+      // batch 3: far-future event advances the watermark way past t0
+      write("b3", Seq((9L, "view", t0 + 10 * 24 * 3600)))
+      q.processAllAvailable()
+      val before = spark.table("funnel").count()
+      // batch 4: no-op events re-touch each user so pruning is observable
+      val far = t0 + 10 * 24 * 3600 + 60
+      write("b4", Seq((1L, "other", far), (2L, "other", far), (3L, "other", far)))
+      q.processAllAvailable()
+      val last = spark.table("funnel").collect().drop(before.toInt)
+        .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getInt(5)))).toMap
+      def us(s: Long) = s * 1000000L
+      // user 1: full funnel, chained-min times == the batch B32 semantics;
+      // pending = the t2 witness click + the t3 witness purchase
+      assert(last(1L) === ((3, us(t0 + 50), us(t0 + 100), us(t0 + 200), 2)))
+      // user 2: click@t0+5 never qualifies (before the first view) and is
+      // dead once the watermark passes it — only the t2 witness remains
+      assert(last(2L) === ((2, us(t0 + 10), us(t0 + 20), -1L, 1)))
+      // user 3: the non-qualifying click is fully retired
+      assert(last(3L) === ((1, us(t0 + 100), -1L, -1L, 0)))
+    } finally q.stop()
+  }
+
   test("D15: streaming quality-agreement monitor equals the batch diagnostic") {
     val stream = Streaming.qualityAgreementMonitor(Streaming.documentStream(spark, dir))
     val q = stream.writeStream.format("memory").queryName("qa_monitor")
