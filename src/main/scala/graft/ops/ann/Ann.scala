@@ -199,7 +199,7 @@ object Ann {
     * a bucket-hash collision cannot smuggle a cross-group pair in.
     */
   def cosinePairsLsh(emb: DataFrame, minCosine: Double,
-                     planes: Int = 4, bands: Int = 16,
+                     planes: Int = 0, bands: Int = 16,
                      idCol: String = "vec_id", vecCol: String = "embedding",
                      groupCol: Option[String] = None): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
@@ -207,10 +207,25 @@ object Ann {
       (Seq(col(idCol).as("id"), vec(col(vecCol)).as("v")) ++
         groupCol.map(g => col(g).as("g"))): _*)
       .withColumn("nrm", norm(col("v")))
+    // planes must GROW with the corpus or LSH stays quadratic: a fixed
+    // p-plane band has only 2^p buckets, so buckets hold n/2^p vectors and
+    // per-band candidates are O(n²/2^p) — the 10× stress replica measured
+    // 107× on fixed p=4 (16 buckets of 1250 at 20k rows). Auto mode sizes
+    // 2^p ≥ n/32 (expected bucket ≤ 32 → candidates O(n·32·bands)),
+    // clamped to [4, 20]. The price is per-pair recall 1−(1−t^p)^bands
+    // declining as p grows — callers pinning a recall target pass explicit
+    // planes AND raise bands together.
+    val nPlanes =
+      if (planes > 0) planes
+      else {
+        val n = math.max(1L, base.count())
+        math.min(20, math.max(4,
+          math.ceil(math.log(math.max(1.0, n / 32.0)) / math.log(2.0)).toInt))
+      }
     val gCols = groupCol.map(_ => col("g")).toSeq
     val codes = base.select(
         (gCols :+ col("id")) :+
-          posexplode(srpCodes(col("v"), planes, bands)).as(Seq("bidx", "code")): _*)
+          posexplode(srpCodes(col("v"), nPlanes, bands)).as(Seq("bidx", "code")): _*)
       .select((gCols :+ col("id")) :+
         xxhash64((gCols :+ col("bidx")) :+ col("code"): _*).as("bh"): _*)
     val sameGroup = groupCol

@@ -453,6 +453,39 @@ object Pipeline {
        |FROM cw JOIN s6 v USING (w) WHERE len(cw.w) > 0
        |GROUP BY cw.lang ORDER BY cw.lang""".stripMargin
 
+  /** C72: BPE corpus ENCODING — the trained tokenizer applied: every
+    * document rewritten as its (word position, symbol position, token)
+    * stream under the segmented vocab, the step that turns a curated
+    * corpus into the token ids [[packSequences]] packs. Tokenization is
+    * the C51 dictionary join (words against the vocab — text is never
+    * re-segmented); positions come from the ORIGINAL whitespace split
+    * (empty tokens filtered after numbering) so both engines number
+    * identically. The vocab join is unhinted like C51 — AQE broadcasts a
+    * small trained vocab and falls back to one keyed shuffle on `w` at
+    * web-scale vocabularies.
+    */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val (_, vocab) = graft.ops.text.Bpe.bpeTrainFull(docs(spark, dir), k = 6)
+    docs(spark, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), "\\s+")).as(Seq("wpos", "w")))
+      .where(length(col("w")) > 0)
+      .join(vocab.select(col("w"), col("symbols")), "w")
+      .select(col("doc_id"), col("wpos").cast("long").as("wpos"),
+        posexplode(col("symbols")).as(Seq("spos", "token")))
+      .select(col("doc_id"), col("wpos"), col("spos").cast("long").as("spos"),
+        col("token"))
+      .orderBy("doc_id", "wpos", "spos")
+  }
+
+  val bpeEncodeSql: String =
+    s"""WITH ${bpeRoundsSql(6)},
+       |dw AS (SELECT doc_id, unnest(range(1, len(w)+1)) - 1 AS wpos, unnest(w) AS w
+       |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents))
+       |SELECT dw.doc_id, dw.wpos::BIGINT AS wpos,
+       |  unnest(range(1, len(v.s)+1)) - 1 AS spos, unnest(v.s) AS token
+       |FROM dw JOIN s6 v USING (w) WHERE len(dw.w) > 0
+       |ORDER BY doc_id, wpos, spos""".stripMargin
+
   /** C44: deterministic global shuffle into 8 training shards
     * ([[graft.ops.sample.Sampling.shardShuffle]]) — shard + within-shard
     * position as pure md5 functions of doc_id, the engine-reproducible
@@ -707,6 +740,70 @@ object Pipeline {
       |  CASE WHEN na * nb > 0
       |       THEN round(max(abs(ca * nb - cb * na))::DOUBLE / (na * nb), 6) END AS ks
       |FROM cum CROSS JOIN t GROUP BY na, nb""".stripMargin
+
+  /** C71: content-drift monitor — Jensen–Shannon divergence between two
+    * sources' unigram TOKEN distributions, the content-shape complement
+    * to [[corpusDriftKs]]'s length-shape test (a topic/template shift
+    * moves JS while lengths — and KS — stay put). JS is bounded, defined
+    * on disjoint supports (unlike KL), and symmetric: exactly the
+    * mixture-drift alarm.
+    *
+    * Determinism: per-token probabilities come from exact integer counts,
+    * each token's term is ONE double expression evaluated identically in
+    * both engines, and the vocab-sized sum routes through DECIMAL(27,10)
+    * casts (associative — partition/engine order cannot drift the sum);
+    * js_norm divides by a shared hardcoded ln 2 literal so no libm
+    * difference can leak in. Either side empty → NULL (divergence from
+    * nothing is undefined), never a division error.
+    *
+    * Scale: one keyed token count with conditional branches (map-side
+    * combined, |vocab| keys), totals as a 1-row broadcast, one global
+    * decimal-sum aggregate. Nothing corpus-sized past the first agg.
+    */
+  def corpusJs(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir).where(col("source").isin("src0", "src1"))
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("tok"))
+    val c = toks.groupBy("tok").agg(
+      count(when(col("source") === "src0", 1)).as("a"),
+      count(when(col("source") === "src1", 1)).as("b"))
+    val t = c.agg(sum("a").as("na"), sum("b").as("nb"))
+    val p = col("a").cast("double") / col("na")
+    val q = col("b").cast("double") / col("nb")
+    val m = (p + q) / 2
+    c.crossJoin(t)
+      .agg(first("na").as("na"), first("nb").as("nb"),
+        sum(when(col("a") > 0, p * log(p / m)).otherwise(lit(0.0))
+          .cast("decimal(27,10)")).as("sp"),
+        sum(when(col("b") > 0, q * log(q / m)).otherwise(lit(0.0))
+          .cast("decimal(27,10)")).as("sq"))
+      .select(col("na"), col("nb"),
+        when(col("na") * col("nb") > 0,
+          round((col("sp") + col("sq")).cast("double") * 0.5, 6)).as("js_nats"),
+        when(col("na") * col("nb") > 0,
+          round(round((col("sp") + col("sq")).cast("double") * 0.5, 6)
+            / 0.6931471805599453, 6)).as("js_norm"))
+  }
+
+  val corpusJsSql: String =
+    """WITH d AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+      |    FROM documents WHERE source IN ('src0', 'src1')),
+      |c AS (SELECT tok, count(*) FILTER (source = 'src0') AS a,
+      |        count(*) FILTER (source = 'src1') AS b FROM d GROUP BY tok),
+      |t AS (SELECT sum(a)::BIGINT AS na, sum(b)::BIGINT AS nb FROM c),
+      |s AS (SELECT na, nb,
+      |    sum(CAST(CASE WHEN a > 0 THEN (a::DOUBLE/na) *
+      |        ln((a::DOUBLE/na) / (((a::DOUBLE/na) + (b::DOUBLE/nb)) / 2))
+      |      ELSE 0.0 END AS DECIMAL(27,10))) AS sp,
+      |    sum(CAST(CASE WHEN b > 0 THEN (b::DOUBLE/nb) *
+      |        ln((b::DOUBLE/nb) / (((a::DOUBLE/na) + (b::DOUBLE/nb)) / 2))
+      |      ELSE 0.0 END AS DECIMAL(27,10))) AS sq
+      |  FROM c CROSS JOIN t GROUP BY na, nb)
+      |SELECT t.na, t.nb,
+      |  CASE WHEN t.na * t.nb > 0 THEN round((sp + sq)::DOUBLE * 0.5, 6) END AS js_nats,
+      |  CASE WHEN t.na * t.nb > 0
+      |    THEN round(round((sp + sq)::DOUBLE * 0.5, 6) / 0.6931471805599453, 6)
+      |  END AS js_norm
+      |FROM t LEFT JOIN s ON s.na = t.na AND s.nb = t.nb""".stripMargin
 
   /** C59: edit-distance near-dup pairs on the normalised 32-char text key
     * (see [[Dedup.editDistancePairs]]: PartEnum pigeonhole candidates —

@@ -385,6 +385,35 @@ object Relational {
       |WHERE day - cohort_day <= 7
       |GROUP BY 1, 2 ORDER BY cohort_day, day_n""".stripMargin
 
+  /** B53: MODE — the most frequent value per group (order priority per
+    * status, count attached, lexicographic tie-break), the categorical
+    * summary aggregate engines ship as MODE()/arg_max. Formulated as the
+    * rank-1 window over per-(group, value) counts so the TopKPerKey
+    * rewrite bounds it: per-partition 1-element heaps prune before the
+    * exchange, and only |groups|·|values| count rows — never raw orders —
+    * reach the window at all.
+    */
+  def qMode(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(col("n").desc, col("o_orderpriority"))
+    Tables.load(spark, dir, "orders")
+      .groupBy("o_orderstatus", "o_orderpriority").agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("o_orderstatus"), col("o_orderpriority").as("mode_priority"),
+        col("n"))
+      .orderBy("o_orderstatus")
+  }
+
+  val qModeSql: String =
+    """WITH c AS (SELECT o_orderstatus, o_orderpriority, count(*) AS n
+      |  FROM orders GROUP BY 1, 2),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+      |    ORDER BY n DESC, o_orderpriority) AS rk FROM c)
+      |SELECT o_orderstatus, o_orderpriority AS mode_priority, n
+      |FROM r WHERE rk = 1 ORDER BY o_orderstatus""".stripMargin
+
   /** B52: interval concurrency by sweep line — how many orders are OPEN
     * (placed, not yet fully shipped) on each day the level changes: the
     * backlog/occupancy/concurrent-sessions shape that a join-per-day

@@ -318,6 +318,38 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("partial"), plan)
   }
 
+  test("q_mode ranks through TopKPerKey bounded heaps, not a Window sort") {
+    val plan = planOf("q_mode")
+    assert(plan.contains("TopKPerKey"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("partial"), plan)
+  }
+
+  test("corpus_pmi takes its top-20 via TakeOrderedAndProject with map-combined counts") {
+    val plan = planOf("corpus_pmi")
+    // never a global sort of the bigram vocabulary
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.contains("partial"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("order_backlog reduces to per-day deltas before its bounded running-sum window") {
+    val plan = planOf("order_backlog")
+    // the keyed day aggregate (map-combined) runs BELOW the window, so the
+    // window input is the bounded date support, not the lineitem stream
+    assert(plan.contains("partial"), plan)
+    assert("Window".r.findAllIn(plan).size >= 1, plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("corpus_js counts map-side; the only loop join is the 1-row totals attach") {
+    val plan = planOf("corpus_js")
+    assert(plan.contains("partial"), plan)
+    // the totals cross join must ride a BROADCAST (1-row side), never a
+    // partitioned cartesian product
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("embed_dim_stats is one narrow explode into a map-combined aggregate, no joins") {
     val plan = planOf("embed_dim_stats")
     // posexplode widens ×dim in place; the only exchange carries the
