@@ -385,6 +385,38 @@ object Relational {
       |WHERE day - cohort_day <= 7
       |GROUP BY 1, 2 ORDER BY cohort_day, day_n""".stripMargin
 
+  /** B54: sliding-window COUNT DISTINCT — rolling 3-day distinct active
+    * users per day, the DAU/WAU retention metric. A window frame cannot
+    * express distinct-over-range, and a day×day self-join is quadratic in
+    * the range; instead each (user, day) activity fact EXPANDS to the
+    * `w` window-ends it contributes to (a narrow ×w explode of the
+    * already-distinct facts — never the raw stream) and one keyed
+    * count_distinct per window end does the rest. Output days restricted
+    * to observed activity days so the frame is well-defined at the range
+    * edges in both engines.
+    */
+  def eventsSlidingDau(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(spark, dir)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).as("day"))
+      .distinct()
+    val observed = days.select(col("day").as("wend")).distinct()
+    days.select(col("user_id"),
+        explode(sequence(col("day"), col("day") + 2)).as("wend"))
+      .join(observed, "wend")
+      .groupBy("wend").agg(count_distinct(col("user_id")).as("dau3"))
+      .select(col("wend").cast("long").as("day"), col("dau3"))
+      .orderBy("day")
+  }
+
+  val eventsSlidingDauSql: String =
+    """WITH d AS (SELECT DISTINCT user_id,
+      |    (ts::DATE - DATE '1970-01-01') AS day FROM events),
+      |a AS (SELECT DISTINCT day AS wend FROM d),
+      |c AS (SELECT user_id, unnest([day, day + 1, day + 2]) AS wend FROM d)
+      |SELECT wend::BIGINT AS day, count(DISTINCT user_id) AS dau3
+      |FROM c JOIN a USING (wend) GROUP BY wend ORDER BY day""".stripMargin
+
   /** B53: MODE — the most frequent value per group (order priority per
     * status, count attached, lexicographic tie-break), the categorical
     * summary aggregate engines ship as MODE()/arg_max. Formulated as the

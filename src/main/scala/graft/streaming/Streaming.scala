@@ -302,6 +302,27 @@ object Streaming {
       .toDF("user_id", "stage", "t1_us", "t2_us", "t3_us", "n_pending")
   }
 
+  /** D22: streaming rolling-DAU sketch — the B54 sliding distinct-user
+    * window maintained live as HyperLogLog registers per window end
+    * ([[graft.ops.stats.Stats.hllRegisters]], m = 64): each arriving
+    * event expands to the `windowDays` window-ends it touches and bumps
+    * max-rho registers. Two structural wins make this THE streaming
+    * form: HLL is duplicate-insensitive, so the batch twin's
+    * dropDuplicates stage vanishes (re-activity cannot move a max), and
+    * max is algebraic, so update-mode state is exactly 64 counters per
+    * window day — bounded forever, mergeable across streams by the same
+    * max. After any prefix the emitted register table IS the batch
+    * sketch on that prefix (spec-proven); probe with
+    * [[graft.ops.stats.Stats.hllEstimate]] for the live DAU readout.
+    */
+  def dauHllMonitor(events: DataFrame, windowDays: Int = 3): DataFrame =
+    graft.ops.stats.Stats.hllRegisters(
+      events.select(col("user_id"),
+          datediff(to_date(col("ts")), lit("1970-01-01")).as("day"))
+        .select(col("user_id"),
+          explode(sequence(col("day"), col("day") + (windowDays - 1))).as("wend")),
+      "wend", col("user_id"))
+
   /** D18: streaming latest-state compaction — the batch B44
     * `events_latest_per_key` view maintained live in update mode: one row
     * per user carrying the most recent event's time/type/value. The

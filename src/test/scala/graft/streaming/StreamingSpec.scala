@@ -572,6 +572,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("D22: streaming rolling-DAU HLL registers equal the batch sketch, estimate rides along") {
+    val stream = Streaming.dauHllMonitor(Streaming.eventStream(spark, dir))
+    val q = stream.writeStream.format("memory").queryName("dau_regs")
+      .outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+    // register maxima are monotone — the max emission per (wend, j) is final
+    val streamed = spark.table("dau_regs").collect()
+      .groupBy(r => (r.getInt(0), r.getInt(1)))
+      .map { case (k, rows) => k -> rows.map(_.getInt(2)).max }
+    val batch = Streaming.dauHllMonitor(
+      graft.queries.Tables.events(spark, dir)).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getInt(2)).toMap
+    assert(streamed.nonEmpty && streamed.toMap === batch)
+    // probing the stream's registers gives the batch estimate exactly
+    import spark.implicits._
+    val regsDf = streamed.toSeq.map { case ((w, j), m) => (w, j, m) }
+      .toDF("wend", "j", "mj")
+    val est = graft.ops.stats.Stats.hllEstimate(regsDf, "wend").collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val batchEst = graft.ops.stats.Stats.hllEstimate(
+      graft.queries.Tables.events(spark, dir)
+        .transform(Streaming.dauHllMonitor(_)), "wend").collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(est === batchEst)
+  }
+
   test("D15: streaming quality-agreement monitor equals the batch diagnostic") {
     val stream = Streaming.qualityAgreementMonitor(Streaming.documentStream(spark, dir))
     val q = stream.writeStream.format("memory").queryName("qa_monitor")
