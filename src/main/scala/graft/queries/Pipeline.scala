@@ -197,6 +197,48 @@ object Pipeline {
       |FROM ev JOIN tr USING (gram)
       |GROUP BY eval_id, train_id ORDER BY eval_id, train_id""".stripMargin
 
+  /** C73: benchmark DECONTAMINATION — the actionable half of C22 (the
+    * C48-to-C36 relationship): every training document scored by its
+    * eval-set 8-gram overlap and flagged keep/drop, the filter an
+    * eval-honest training pipeline actually applies before training.
+    * Reuses the C22 contamination join unchanged (no drift possible),
+    * reduces its pair output to per-train-doc totals, and left-joins the
+    * training corpus so CLEAN documents appear with zeroes — the output
+    * is |train docs| rows either way.
+    */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val hits = Dedup.contamination(docs(spark, dir),
+        isEval = col("source") === "src0", n = 8)
+      .groupBy("train_id").agg(sum("n_shared").as("grams_hit"),
+        count(lit(1)).as("n_eval_docs"))
+    docs(spark, dir).where(col("source") =!= "src0")
+      .select(col("doc_id").as("train_id"))
+      .join(hits, Seq("train_id"), "left")
+      .select(col("train_id"),
+        coalesce(col("grams_hit"), lit(0L)).as("grams_hit"),
+        coalesce(col("n_eval_docs"), lit(0L)).as("n_eval_docs"),
+        col("grams_hit").isNull.as("keep"))
+      .orderBy("train_id")
+  }
+
+  val decontaminateSql: String =
+    """WITH g AS (SELECT doc_id, source = 'src0' AS is_eval,
+      |    unnest(list_distinct([array_to_string(w[i:i+7], ' ')
+      |      for i in range(1, greatest(len(w) - 6, 1))])) AS gram
+      |  FROM (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents)),
+      |ev AS (SELECT doc_id AS eval_id, gram FROM g WHERE is_eval),
+      |tr AS (SELECT doc_id AS train_id, gram FROM g WHERE NOT is_eval),
+      |pairs AS (SELECT eval_id, train_id, count(*) AS n_shared
+      |  FROM ev JOIN tr USING (gram) GROUP BY eval_id, train_id),
+      |hits AS (SELECT train_id, sum(n_shared)::BIGINT AS grams_hit,
+      |    count(*) AS n_eval_docs FROM pairs GROUP BY train_id)
+      |SELECT d.doc_id AS train_id,
+      |  coalesce(grams_hit, 0) AS grams_hit,
+      |  coalesce(n_eval_docs, 0) AS n_eval_docs,
+      |  grams_hit IS NULL AS keep
+      |FROM documents d LEFT JOIN hits ON hits.train_id = d.doc_id
+      |WHERE d.source <> 'src0' ORDER BY train_id""".stripMargin
+
   /** C36: passage-level shared-content detection via content-defined
     * chunking (see [[Dedup.sharedPassages]]) — catches long passages
     * copied between otherwise-different documents, which document-level
@@ -1402,6 +1444,45 @@ object Pipeline {
        |SELECT doc_id, ${langs.map(l => s"${l}_tri").mkString(", ")},
        |  CASE $caseChain END AS pred
        |FROM (SELECT *, $greatest AS g FROM s) ORDER BY doc_id""".stripMargin
+  }
+
+  /** C74: language-ID confusion matrix — the trigram classifier (C18)
+    * EVALUATED against the corpus labels: (true lang, predicted lang,
+    * count, within-lang share), the accuracy/confusion telemetry a
+    * multilingual pipeline tracks per snapshot (an off-diagonal mass
+    * jump = profile drift or a scraper feeding mislabelled text). One
+    * narrow scoring scan (the same literal-replace counting as C18, so
+    * the two can never disagree) into one |langs|² keyed aggregate; the
+    * share window runs over that tiny matrix.
+    */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs(spark, dir)
+      .select(col("lang"), TextOps.trigramPredict(col("text")).as("pred"))
+      .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
+      .select(col("lang"), col("pred"), col("n"),
+        round(col("n").cast("double") /
+          sum("n").over(Window.partitionBy("lang")), 6).as("share"))
+      .orderBy("lang", "pred")
+  }
+
+  val langConfusionSql: String = {
+    def esc(s: String) = s.replace("'", "''")
+    val scores = TextOps.TrigramProfiles.map { case (lang, profile) =>
+      profile.map(t =>
+          s"(length(text) - length(replace(text, '${esc(t)}', ''))) / ${t.length}")
+        .mkString("(", " + ", s")::BIGINT AS ${lang}_tri")
+    }.mkString(",\n  ")
+    val langs = TextOps.TrigramProfiles.map(_._1)
+    val greatest = langs.map(l => s"${l}_tri").mkString("greatest(", ", ", ")")
+    val caseChain = langs.map(l => s"WHEN ${l}_tri = g THEN '$l'").mkString(" ")
+    s"""WITH s AS (SELECT lang, $scores FROM documents),
+       |p AS (SELECT lang, CASE $caseChain END AS pred
+       |  FROM (SELECT *, $greatest AS g FROM s)),
+       |c AS (SELECT lang, pred, count(*) AS n FROM p GROUP BY 1, 2)
+       |SELECT lang, pred, n,
+       |  round(n::DOUBLE / sum(n) OVER (PARTITION BY lang), 6) AS share
+       |FROM c ORDER BY lang, pred""".stripMargin
   }
 
   /** C19: profile TRAINING — top-10 tokens per language learned from the
