@@ -991,6 +991,54 @@ object Pipeline {
     s"$head\n$its\n$tail"
   }
 
+  /** C75: per-vector embedding outliers — max |z| over coordinates
+    * against the C68 per-dimension moments: a vector far outside the
+    * corpus distribution in ANY dimension is an encoder glitch / corrupt
+    * row / adversarial point that norm- and centroid-level checks (C57,
+    * C29) both miss when the bad mass hides in one coordinate. Per-dim
+    * means/stds are the C68 decimal-exact values rounded BEFORE use, each
+    * z is one double expression rounded per-dim (so the max — order-free
+    * — compares identically cross-engine), zero-variance dims score 0;
+    * one posexplode + broadcast of the |dim|-row stats table + one keyed
+    * max per vector.
+    */
+  def embedOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val p = embs(spark, dir)
+      .select(col("vec_id"),
+        posexplode(graft.ops.ann.Ann.vec(col("embedding"))).as(Seq("pos", "x")))
+    val mean = col("sx").cast("double") / col("n")
+    val stats = p.groupBy("pos")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(27,10)")).as("sx"),
+        sum((col("x") * col("x")).cast("decimal(27,10)")).as("sxx"))
+      .select(col("pos"), round(mean, 6).as("m"),
+        round(sqrt(greatest(col("sxx").cast("double") / col("n") - mean * mean,
+          lit(0.0))), 6).as("sd"))
+    p.join(broadcast(stats), "pos")
+      .select(col("vec_id"),
+        when(col("sd") > 0,
+          round(abs((col("x") - col("m")) / col("sd")), 6))
+          .otherwise(lit(0.0)).as("z"))
+      .groupBy("vec_id").agg(max("z").as("max_abs_z"))
+      .select(col("vec_id"), col("max_abs_z"),
+        (col("max_abs_z") > 4.0).as("is_outlier"))
+      .orderBy("vec_id")
+  }
+
+  val embedOutliersSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |p AS (SELECT vec_id, unnest(v) AS x, unnest(range(1, len(v)+1)) AS pos FROM e),
+      |s AS (SELECT pos, count(*) AS n, sum(CAST(x AS DECIMAL(27,10))) AS sx,
+      |    sum(CAST(x*x AS DECIMAL(27,10))) AS sxx FROM p GROUP BY pos),
+      |st AS (SELECT pos, round(sx::DOUBLE/n, 6) AS m,
+      |    round(sqrt(greatest(sxx::DOUBLE/n - (sx::DOUBLE/n)*(sx::DOUBLE/n), 0)), 6) AS sd
+      |  FROM s),
+      |z AS (SELECT vec_id,
+      |    CASE WHEN sd > 0 THEN round(abs((x - m) / sd), 6) ELSE 0.0 END AS z
+      |  FROM p JOIN st USING (pos))
+      |SELECT vec_id, max(z) AS max_abs_z, max(z) > 4.0 AS is_outlier
+      |FROM z GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
   /** C29: per-label centroid cosine — embedding-space cohesion/outlier
     * scoring. Decimal-summed centroids make the result bit-deterministic
     * under any partitioning (see Ann.centroidCosine).

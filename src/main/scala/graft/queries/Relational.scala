@@ -385,6 +385,41 @@ object Relational {
       |WHERE day - cohort_day <= 7
       |GROUP BY 1, 2 ORDER BY cohort_day, day_n""".stripMargin
 
+  /** B55: calendar-spine gap filling — daily order counts/revenue over
+    * the COMPLETE date range with zero rows for orderless days: the
+    * reporting/time-series shape a bare groupBy can't produce (missing
+    * days silently vanish, breaking window arithmetic downstream). The
+    * spine explodes from a 1-row min/max aggregate (never a driver loop),
+    * the daily totals reduce map-side, and the fill is one keyed left
+    * join; empty input yields an empty spine in both engines rather than
+    * a null row.
+    */
+  def ordersDateSpine(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+      .select(datediff(to_date(col("o_orderdate")), lit("1970-01-01")).as("day"),
+        dec(col("o_totalprice")).as("price"))
+    val daily = o.groupBy("day").agg(count(lit(1)).as("n_orders"),
+      sum("price").as("rev"))
+    o.agg(min("day").as("lo"), max("day").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+      .join(daily, Seq("day"), "left")
+      .select(col("day").cast("long").as("day"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("rev").cast("double"), lit(0.0)).as("revenue"))
+      .orderBy("day")
+  }
+
+  val ordersDateSpineSql: String =
+    """WITH o AS (SELECT (o_orderdate::DATE - DATE '1970-01-01') AS day,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders),
+      |d AS (SELECT day, count(*) AS n_orders, sum(price) AS rev
+      |  FROM o GROUP BY day),
+      |r AS (SELECT min(day) AS lo, max(day) AS hi FROM o),
+      |s AS (SELECT unnest(range(lo, hi + 1)) AS day FROM r)
+      |SELECT s.day::BIGINT AS day, coalesce(n_orders, 0) AS n_orders,
+      |  coalesce(rev::DOUBLE, 0.0) AS revenue
+      |FROM s LEFT JOIN d USING (day) ORDER BY day""".stripMargin
+
   /** B54: sliding-window COUNT DISTINCT — rolling 3-day distinct active
     * users per day, the DAU/WAU retention metric. A window frame cannot
     * express distinct-over-range, and a day×day self-join is quadratic in
