@@ -385,6 +385,50 @@ object Relational {
       |WHERE day - cohort_day <= 7
       |GROUP BY 1, 2 ORDER BY cohort_day, day_n""".stripMargin
 
+  /** B56: ratio-to-report — each market segment's share of its REGION's
+    * revenue: the percent-of-total window shape (no rank, no frame — a
+    * whole-partition total attached back to each row) that every BI layer
+    * leans on. Dims broadcast, revenue reduces map-side to
+    * |regions × segments| rows, and the share window runs over that tiny
+    * table; decimal-exact revenue, the share division done once in double
+    * and rounded identically in both engines.
+    */
+  def qRatioReport(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))
+    val n = Tables.load(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_regionkey"))
+    val r = Tables.load(spark, dir, "region")
+      .select(col("r_regionkey"), col("r_name"))
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_custkey"), dec(col("o_totalprice")).as("price"))
+    val w = Window.partitionBy("region")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name").as("region"), col("c_mktsegment").as("segment"))
+      .agg(sum("price").as("rev"))
+      .select(col("region"), col("segment"),
+        col("rev").cast("double").as("revenue"),
+        round(col("rev").cast("double") /
+          sum("rev").over(w).cast("double"), 6).as("region_share"))
+      .orderBy("region", "segment")
+  }
+
+  val qRatioReportSql: String =
+    """WITH rev AS (SELECT r_name AS region, c_mktsegment AS segment,
+      |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  GROUP BY 1, 2)
+      |SELECT region, segment, rev::DOUBLE AS revenue,
+      |  round(rev::DOUBLE / (sum(rev) OVER (PARTITION BY region))::DOUBLE, 6)
+      |    AS region_share
+      |FROM rev ORDER BY region, segment""".stripMargin
+
   /** B55: calendar-spine gap filling — daily order counts/revenue over
     * the COMPLETE date range with zero rows for orderless days: the
     * reporting/time-series shape a bare groupBy can't produce (missing

@@ -302,6 +302,19 @@ object Streaming {
       .toDF("user_id", "stage", "t1_us", "t2_us", "t3_us", "n_pending")
   }
 
+  /** D23: in-stream embedding-outlier flags — the batch-train /
+    * stream-score split (the D12 NB pattern) for embedding health: the
+    * per-dimension moment table ([[graft.ops.ann.Ann.dimStats]]) is
+    * trained batch-side at ingest and FROZEN as plan literals, so each
+    * arriving vector scores max-|z| in a stateless narrow map — no state
+    * store, no watermark, append mode, scan-speed. Per-dim rounding
+    * before the order-free max makes the stream's flags bit-equal to the
+    * batch C75 query on the same rows (spec-proven). The live tripwire
+    * for an encoder regression mid-ingest.
+    */
+  def outlierMonitor(emb: DataFrame, stats: DataFrame): DataFrame =
+    graft.ops.ann.Ann.outlierScores(emb, stats)
+
   /** D22: streaming rolling-DAU sketch — the B54 sliding distinct-user
     * window maintained live as HyperLogLog registers per window end
     * ([[graft.ops.stats.Stats.hllRegisters]], m = 64): each arriving

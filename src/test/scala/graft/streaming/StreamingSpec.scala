@@ -598,6 +598,21 @@ class StreamingSpec extends SparkSpec {
     assert(est === batchEst)
   }
 
+  test("D23: stream-scored embedding outliers equal the batch query") {
+    val batchEmb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val stats = graft.ops.ann.Ann.dimStats(batchEmb)
+    val src = spark.readStream.schema(batchEmb.schema)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+    val q = Streaming.outlierMonitor(src, stats).writeStream
+      .format("memory").queryName("emb_outliers").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("emb_outliers").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+    val batch = graft.queries.Pipeline.embedOutliers(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+    assert(streamed.nonEmpty && streamed === batch)
+  }
+
   test("D15: streaming quality-agreement monitor equals the batch diagnostic") {
     val stream = Streaming.qualityAgreementMonitor(Streaming.documentStream(spark, dir))
     val q = stream.writeStream.format("memory").queryName("qa_monitor")
