@@ -59,6 +59,31 @@ class GuardSpec extends SparkSpec {
     assert(pairs(Dedup.ngramJaccardAdaptive(salted, 0.5, allowApproximate = false)) === exact)
   }
 
+  test("segment-replicated dense corpus routes past the bitmap branch (relative-density guard) and stays exact") {
+    // 55 vocabulary-disjoint segments of 20 near-identical docs: absolute
+    // avg df stays ~18 (the pre-r10 guard alone would route BITMAP and pay
+    // n²·vocab/64 across segments) while relative density 18/1100 < 0.02
+    // sends it to the posting-list route, whose work is linear in segments
+    val docs = (for { k <- 1 to 55; i <- 1 to 20 } yield {
+      val base = ('a' to 'k').map(c => s"g$k$c").mkString(" ")
+      (k * 100L + i, if (i == 1) s"$base z$k" else base)
+    }).toDF("doc_id", "text")
+    val stats = docs
+      .select(explode(transform(graft.ops.text.TextOps.bigrams(col("text")),
+        sh => xxhash64(sh))).as("h"))
+      .agg(count(lit(1)).cast("double").as("postings"),
+        approx_count_distinct("h").as("vocab"))
+      .head()
+    val avgDf = stats.getDouble(0) / stats.getLong(1)
+    assert(avgDf >= 16.0, s"fixture must look dense in ABSOLUTE df (got $avgDf)")
+    assert(avgDf < 0.02 * 1100, "…but sparse RELATIVE to the corpus")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("a", "b").as[(Long, Long)].collect().toSet
+    val exact = pairs(Dedup.ngramJaccard(docs, 0.5))
+    assert(exact.size >= 55 * 190 / 2)
+    assert(pairs(Dedup.ngramJaccardAdaptive(docs, 0.5, allowApproximate = false)) === exact)
+  }
+
   test("one-token docs never pair: jaccard, minhash, and incremental agree with " +
       "the len(sh)>0-filtered oracles") {
     // the degenerate fixture the oracle NaN fix targets: one-token docs on
