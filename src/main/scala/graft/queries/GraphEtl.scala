@@ -360,6 +360,64 @@ object GraphEtl {
       |      / (sxx::DOUBLE / m - (sx::DOUBLE / m) * (sx::DOUBLE / m)), 6) END AS assortativity
       |FROM s""".stripMargin
 
+  /** A36: KG schema summary — the profile a user (or the NeoLoader's
+    * index planner) reads first: how many elements carry each node
+    * label, edge type, and property key. One pass over the PG frame
+    * (labels/map keys explode, three map-combined keyed counts, a
+    * |schema|-sized union) — on a 100 TB KG this is the ONLY query shape
+    * that answers "what is in this graph" without a full export. Runs on
+    * the multi-label chained mapping so label-set merging is exercised,
+    * not just per-row labels.
+    */
+  def kgSchema(spark: SparkSession, dir: String): DataFrame = {
+    val pg = PgGraph.toPg(Triples.chain(
+      nationTriples(spark, dir), multiSourceNationTriples(spark, dir)))
+    val lbl = pg.select(col("type"), explode(col("labels")).as("name"))
+    val nodeLabels = lbl.where(col("type") === Graph.NodeType)
+      .groupBy("name").agg(count(lit(1)).as("n"))
+      .select(lit("node_label").as("kind"), col("name"), col("n"))
+    val edgeTypes = lbl.where(col("type") === Graph.EdgeType)
+      .groupBy("name").agg(count(lit(1)).as("n"))
+      .select(lit("edge_type").as("kind"), col("name"), col("n"))
+    val propKeys = pg.select(explode(map_keys(col("properties"))).as("name"))
+      .groupBy("name").agg(count(lit(1)).as("n"))
+      .select(lit("prop_key").as("kind"), col("name"), col("n"))
+    nodeLabels.unionByName(edgeTypes).unionByName(propKeys)
+      .orderBy("kind", "name")
+  }
+
+  val kgSchemaSql: String =
+    """WITH t AS (
+      |  SELECT 'nation:' || n_nationkey AS id, 'hasName' AS key,
+      |      to_json(n_name)::VARCHAR AS value FROM nation
+      |  UNION ALL SELECT 'nation:' || n_nationkey, '@type', 'Nation' FROM nation
+      |  UNION ALL SELECT 'nation:' || n_nationkey, 'source', '"TPCH"' FROM nation
+      |  UNION ALL SELECT 'inRegion:nation:' || n_nationkey || '-region:' || n_regionkey,
+      |      '@type', 'inRegion' FROM nation
+      |  UNION ALL SELECT 'inRegion:nation:' || n_nationkey || '-region:' || n_regionkey,
+      |      '@from', 'nation:' || n_nationkey FROM nation
+      |  UNION ALL SELECT 'inRegion:nation:' || n_nationkey || '-region:' || n_regionkey,
+      |      '@to', 'region:' || n_regionkey FROM nation
+      |  UNION ALL SELECT 'nation:' || n_nationkey, 'hasName',
+      |      to_json(n_name)::VARCHAR FROM nation
+      |  UNION ALL SELECT 'nation:' || n_nationkey, '@type', 'Nation' FROM nation
+      |  UNION ALL SELECT 'nation:' || n_nationkey, 'dataSources', '"TPCH"' FROM nation
+      |  UNION ALL SELECT 'nation:' || n_nationkey, '@type', 'Place' FROM nation
+      |  UNION ALL SELECT 'nation:' || n_nationkey, 'dataSources', '"GEO"' FROM nation),
+      |e AS (SELECT id, max(CASE WHEN key = '@from' THEN 1 ELSE 0 END) = 1 AS is_edge
+      |  FROM t GROUP BY id),
+      |lab AS (SELECT DISTINCT t.id, value AS name, is_edge
+      |  FROM t JOIN e ON e.id = t.id WHERE key = '@type'),
+      |prop AS (SELECT DISTINCT id, key AS name FROM t
+      |  WHERE key NOT IN ('@type', '@from', '@to')),
+      |u AS (
+      |  SELECT 'node_label' AS kind, name, count(*) AS n
+      |  FROM lab WHERE NOT is_edge GROUP BY name
+      |  UNION ALL SELECT 'edge_type', name, count(*)
+      |  FROM lab WHERE is_edge GROUP BY name
+      |  UNION ALL SELECT 'prop_key', name, count(*) FROM prop GROUP BY name)
+      |SELECT kind, name, n FROM u ORDER BY kind, name""".stripMargin
+
   /** A35: per-node local clustering coefficient over the KG
     * ([[graft.ops.graph.GraphOps.clusteringCoefficient]]) — triangle
     * density of each node's neighbourhood: suppliers (deg 2, their
