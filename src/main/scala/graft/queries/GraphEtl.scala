@@ -360,6 +360,49 @@ object GraphEtl {
       |      / (sxx::DOUBLE / m - (sx::DOUBLE / m) * (sx::DOUBLE / m)), 6) END AS assortativity
       |FROM s""".stripMargin
 
+  /** A37: link prediction by structural similarity — the top candidate
+    * NON-edges ranked by neighbour-set Jaccard: pairs that share
+    * neighbourhood but are not yet connected, the classic
+    * missing-cross-reference / entity-merge suggestion list a KG curator
+    * reviews. Reuses [[graft.ops.graph.GraphOps.nodeSimilarity]] (scored
+    * pairs enumerate through the shared-neighbour inverted index, never
+    * all-pairs), removes existing edges with one keyed left-anti join,
+    * and takes the top 20 via orderBy().limit() — TakeOrderedAndProject
+    * per-partition heaps, no global sort. Jaccard is a single division
+    * of exact integers, so ranking is engine-identical unrounded.
+    */
+  def kgLinkPredict(spark: SparkSession, dir: String): DataFrame = {
+    val edges = supRegionEdges(spark, dir, withSupRegion = true)
+    val sim = graft.ops.graph.GraphOps.nodeSimilarity(edges, minJaccard = 0.2)
+    val u = edges.select(col("from"), col("to"))
+      .where(col("from").isNotNull && col("to").isNotNull && col("from") =!= col("to"))
+      .select(least(col("from"), col("to")).as("node_a"),
+        greatest(col("from"), col("to")).as("node_b"))
+      .distinct()
+    sim.join(u, Seq("node_a", "node_b"), "left_anti")
+      .orderBy(col("jaccard").desc, col("node_a"), col("node_b"))
+      .limit(20)
+  }
+
+  val kgLinkPredictSql: String =
+    """WITH raw AS (
+      |  SELECT 'nation:' || n_nationkey AS f, 'region:' || n_regionkey AS t FROM nation
+      |  UNION ALL SELECT 'sup:' || s_suppkey, 'nation:' || s_nationkey FROM supplier
+      |  UNION ALL SELECT 'sup:' || s_suppkey, 'region:' || n_regionkey
+      |    FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+      |u AS (SELECT DISTINCT least(f, t) AS a, greatest(f, t) AS b FROM raw WHERE f <> t),
+      |nb AS (SELECT a AS n, b AS m FROM u UNION ALL SELECT b, a FROM u),
+      |deg AS (SELECT n, count(*) AS d FROM nb GROUP BY n),
+      |c AS (SELECT x.n AS a, y.n AS b, count(*)::BIGINT AS common
+      |  FROM nb x JOIN nb y ON x.m = y.m AND x.n < y.n GROUP BY x.n, y.n),
+      |s AS (SELECT c.a AS node_a, c.b AS node_b, common,
+      |    common::DOUBLE / (da.d + db.d - common) AS jaccard
+      |  FROM c JOIN deg da ON da.n = c.a JOIN deg db ON db.n = c.b
+      |  WHERE common::DOUBLE / (da.d + db.d - common) >= 0.2)
+      |SELECT node_a, node_b, common, jaccard FROM s
+      |WHERE NOT EXISTS (SELECT 1 FROM u WHERE u.a = s.node_a AND u.b = s.node_b)
+      |ORDER BY jaccard DESC, node_a, node_b LIMIT 20""".stripMargin
+
   /** A36: KG schema summary — the profile a user (or the NeoLoader's
     * index planner) reads first: how many elements carry each node
     * label, edge type, and property key. One pass over the PG frame

@@ -1494,6 +1494,47 @@ object Pipeline {
        |FROM (SELECT *, $greatest AS g FROM s) ORDER BY doc_id""".stripMargin
   }
 
+  /** C76: token burstiness — variance-to-mean ratio of each token's
+    * per-document count over ALL documents (Church & Gale's burstiness:
+    * topical words arrive in bursts, VMR ≫ 1; function words spread
+    * evenly, VMR ≈ 1) — the lexical signal that separates content terms
+    * from glue BEFORE any stopword list exists, and a template detector
+    * (boilerplate tokens are extreme bursts). Zeros never materialise:
+    * mean and E[x²] come from Σcnt and Σcnt² over PRESENT docs divided
+    * by the total N, so the stats are exact integers until one closed
+    * form, rounded BEFORE the top-20 rank (ties collapse identically);
+    * df ≥ 10 floors out hapax noise. Two keyed map-combined aggs, a
+    * 1-row broadcast N, TakeOrderedAndProject for the top-20.
+    */
+  def corpusBurstiness(spark: SparkSession, dir: String): DataFrame = {
+    val c = docs(spark, dir)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy("tok", "doc_id").agg(count(lit(1)).as("cnt"))
+    val st = c.groupBy("tok").agg(sum("cnt").as("tf"),
+      sum(col("cnt") * col("cnt")).as("tf2"), count(lit(1)).as("df"))
+    val total = docs(spark, dir).agg(count(lit(1)).cast("double").as("nd"))
+    val mean = col("tf").cast("double") / col("nd")
+    st.where(col("df") >= 10).crossJoin(total)
+      .select(col("tok"), col("df"), col("tf"),
+        round((col("tf2").cast("double") / col("nd") - mean * mean) / mean, 6)
+          .as("vmr"))
+      .orderBy(col("vmr").desc, col("tok"))
+      .limit(20)
+  }
+
+  val corpusBurstinessSql: String =
+    """WITH c AS (SELECT doc_id, tok, count(*) AS cnt FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  GROUP BY doc_id, tok),
+      |st AS (SELECT tok, sum(cnt)::BIGINT AS tf, sum(cnt*cnt)::BIGINT AS tf2,
+      |    count(*) AS df FROM c GROUP BY tok),
+      |t AS (SELECT count(*)::DOUBLE AS nd FROM documents)
+      |SELECT tok, df, tf,
+      |  round((tf2::DOUBLE / nd - (tf::DOUBLE / nd) * (tf::DOUBLE / nd))
+      |    / (tf::DOUBLE / nd), 6) AS vmr
+      |FROM st, t WHERE df >= 10
+      |ORDER BY vmr DESC, tok LIMIT 20""".stripMargin
+
   /** C74: language-ID confusion matrix — the trigram classifier (C18)
     * EVALUATED against the corpus labels: (true lang, predicted lang,
     * count, within-lang share), the accuracy/confusion telemetry a

@@ -385,6 +385,31 @@ object Relational {
       |WHERE day - cohort_day <= 7
       |GROUP BY 1, 2 ORDER BY cohort_day, day_n""".stripMargin
 
+  /** B57: equi-width histogram — order totals bucketed at width 25 000
+    * with count / decimal-exact sum / min / max per bucket: the
+    * distribution profile behind pricing dashboards and the partition
+    * planner's size model. Bucketing is a pure narrow expression
+    * (floor of one double division of the raw value — identical IEEE op
+    * both engines), then ONE map-combined keyed aggregate to |buckets|
+    * rows; contrast with the pow2 sketch (C39) which serves the
+    * unbounded-domain case.
+    */
+  def qHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .select(floor(col("o_totalprice") / 25000).cast("long").as("bucket"),
+        col("o_totalprice").as("p"), dec(col("o_totalprice")).as("price"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        sum("price").cast("double").as("total"),
+        min("p").as("min_price"), max("p").as("max_price"))
+      .orderBy("bucket")
+
+  val qHistogramSql: String =
+    """SELECT floor(o_totalprice / 25000)::BIGINT AS bucket, count(*) AS n,
+      |  sum(CAST(o_totalprice AS DECIMAL(18,2)))::DOUBLE AS total,
+      |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+      |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin
+
   /** B56: ratio-to-report — each market segment's share of its REGION's
     * revenue: the percent-of-total window shape (no rank, no frame — a
     * whole-partition total attached back to each row) that every BI layer
