@@ -1494,6 +1494,39 @@ object Pipeline {
        |FROM (SELECT *, $greatest AS g FROM s) ORDER BY doc_id""".stripMargin
   }
 
+  /** C77: class-balanced sampling — equalise per-language document
+    * counts to the MINORITY class size (the classifier-training
+    * preparation step: a 10:1 language skew trains a majority-class
+    * predictor): per language, keep the first `min-count` documents in
+    * deterministic md5(id) order — the same reproducibility contract as
+    * every sampling op here (engine-, layout-, and run-stable; growing a
+    * majority class never changes the selection of the others). One
+    * |langs| count agg broadcast back, one per-language rank window over
+    * md5 order, rank ≤ k filter.
+    */
+  def sampleBalanced(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(spark, dir).select(col("doc_id"), col("lang"))
+    val kmin = d.groupBy("lang").agg(count(lit(1)).as("c"))
+      .agg(min("c").as("k"))
+    val w = Window.partitionBy("lang")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    d.withColumn("rk", row_number().over(w))
+      .crossJoin(kmin)
+      .where(col("rk") <= col("k"))
+      .select(col("doc_id"), col("lang"), col("rk").cast("long").as("rk"))
+      .orderBy("lang", "rk")
+  }
+
+  val sampleBalancedSql: String =
+    """WITH d AS (SELECT doc_id, lang FROM documents),
+      |k AS (SELECT min(c)::BIGINT AS k FROM (
+      |  SELECT lang, count(*) AS c FROM d GROUP BY lang)),
+      |r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+      |    ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk FROM d)
+      |SELECT doc_id, lang, rk FROM r, k WHERE rk <= k
+      |ORDER BY lang, rk""".stripMargin
+
   /** C76: token burstiness — variance-to-mean ratio of each token's
     * per-document count over ALL documents (Church & Gale's burstiness:
     * topical words arrive in bursts, VMR ≫ 1; function words spread

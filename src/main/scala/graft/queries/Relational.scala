@@ -385,6 +385,54 @@ object Relational {
       |WHERE day - cohort_day <= 7
       |GROUP BY 1, 2 ORDER BY cohort_day, day_n""".stripMargin
 
+  /** B58: moving MEDIAN — the trailing-3-orders median price per
+    * customer: a rank statistic over a window FRAME, which no engine's
+    * window aggregate family covers portably (mean smears outliers; the
+    * moving median is the robust smoother). Implemented as a bounded
+    * collect over the ROWS frame (≤ 3 decimals) + sort + explicit middle
+    * arithmetic — the even case sums EXACT decimals before one double
+    * division, so no interpolation-formula drift between engines (the
+    * native quantile's `x0 + (x1−x0)·q` is a different FP expression
+    * than `(x0+x1)/2` and can differ in the last ulp). Frame state is
+    * O(frame), per-customer windows sort only that customer's orders.
+    */
+  def qMovingMedian(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(-2, 0)
+    val sorted = array_sort(collect_list(dec(col("o_totalprice"))).over(w))
+    val n = size(sorted)
+    Tables.load(spark, dir, "orders")
+      .where(col("o_custkey") % 100 === 0)
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01")).as("day"),
+        col("o_orderdate"), sorted.as("fr"))
+      .select(col("o_custkey"), col("o_orderkey"), col("day"),
+        when(size(col("fr")) % 2 === 1,
+          element_at(col("fr"),
+            ((size(col("fr")) + 1) / 2).cast("int")).cast("double"))
+          .otherwise(
+            (element_at(col("fr"), (size(col("fr")) / 2).cast("int")) +
+              element_at(col("fr"), (size(col("fr")) / 2).cast("int") + 1))
+              .cast("double") / 2)
+          .as("med3"))
+      .orderBy("o_custkey", "day", "o_orderkey")
+  }
+
+  val qMovingMedianSql: String =
+    """WITH o AS (SELECT o_custkey, o_orderkey,
+      |    (o_orderdate::DATE - DATE '1970-01-01') AS day,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      |  FROM orders WHERE o_custkey % 100 = 0),
+      |f AS (SELECT o_custkey, o_orderkey, day,
+      |    list_sort(list(price) OVER (PARTITION BY o_custkey
+      |      ORDER BY day, o_orderkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) AS fr
+      |  FROM o)
+      |SELECT o_custkey, o_orderkey, day::INTEGER AS day,
+      |  CASE WHEN len(fr) % 2 = 1 THEN fr[(len(fr)+1)//2]::DOUBLE
+      |    ELSE (fr[len(fr)//2] + fr[len(fr)//2+1])::DOUBLE / 2 END AS med3
+      |FROM f ORDER BY o_custkey, day, o_orderkey""".stripMargin
+
   /** B57: equi-width histogram — order totals bucketed at width 25 000
     * with count / decimal-exact sum / min / max per bucket: the
     * distribution profile behind pricing dashboards and the partition

@@ -302,6 +302,23 @@ object Streaming {
       .toDF("user_id", "stage", "t1_us", "t2_us", "t3_us", "n_pending")
   }
 
+  /** D24: streaming value histogram — the B57 equi-width distribution
+    * profile maintained live per bucket in update mode: bucketing is the
+    * same narrow floor-divide, and every per-bucket statistic (count,
+    * decimal-exact sum, min, max) is algebraic, so state is O(|buckets|)
+    * forever and each emission equals the batch histogram on the stream
+    * prefix — the live "has the value distribution shifted" readout next
+    * to the volume monitor (D13). Runs identically on batch and stream
+    * frames (the batch run IS the spec's oracle).
+    */
+  def valueHistogram(events: DataFrame, width: Double = 10.0): DataFrame =
+    events
+      .select(floor(col("value") / width).cast("long").as("bucket"),
+        col("value"), col("value").cast(DecimalType(18, 6)).as("dv"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum("dv").cast("double").as("total"),
+        min("value").as("min_v"), max("value").as("max_v"))
+
   /** D23: in-stream embedding-outlier flags — the batch-train /
     * stream-score split (the D12 NB pattern) for embedding health: the
     * per-dimension moment table ([[graft.ops.ann.Ann.dimStats]]) is

@@ -598,6 +598,19 @@ class StreamingSpec extends SparkSpec {
     assert(est === batchEst)
   }
 
+  test("D24: streaming value histogram equals the batch histogram") {
+    val stream = Streaming.valueHistogram(Streaming.eventStream(spark, dir))
+    val q = stream.writeStream.format("memory").queryName("val_hist")
+      .outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+    // last emission per bucket = the full-prefix aggregate
+    val streamed = spark.table("val_hist").collect()
+      .groupBy(_.getLong(0)).map { case (b, rows) => b -> rows.last.toSeq.drop(1) }
+    val batch = Streaming.valueHistogram(graft.queries.Tables.events(spark, dir))
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(streamed.nonEmpty && streamed.toMap === batch)
+  }
+
   test("D23: stream-scored embedding outliers equal the batch query") {
     val batchEmb = spark.read.parquet(s"$dir/embeddings.parquet")
     val stats = graft.ops.ann.Ann.dimStats(batchEmb)
