@@ -318,6 +318,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("partial"), plan)
   }
 
+  test("q_histogram is one narrow bucket map into a map-combined aggregate") {
+    val plan = planOf("q_histogram")
+    assert(plan.contains("partial"), plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("kg_link_predict takes its head via TakeOrderedAndProject with no loop join") {
+    val plan = planOf("kg_link_predict")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("corpus_burstiness reduces map-side and ranks via TakeOrderedAndProject") {
+    val plan = planOf("corpus_burstiness")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.contains("partial"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("q_mode ranks through TopKPerKey bounded heaps, not a Window sort") {
     val plan = planOf("q_mode")
     assert(plan.contains("TopKPerKey"), plan)
