@@ -432,9 +432,10 @@ object Pipeline {
     graft.ops.text.Bpe.bpeTrain(docs(spark, dir), k = 6).orderBy("rank")
 
   /** Shared CTE prologue for the BPE oracles: vocab build + `k` unrolled
-    * merge rounds ending in segmented state `s$k` (w, f, s).
+    * merge rounds ending in segmented state `s$k` (w, f, s). `where`
+    * restricts the TRAINING corpus (C78 trains on one source).
     */
-  private def bpeRoundsSql(k: Int): String = {
+  private def bpeRoundsSql(k: Int, where: String = ""): String = {
     def pairCte(i: Int) =
       s"""p$i AS (SELECT pr.l AS l, pr.r AS r, sum(f)::BIGINT AS c FROM (
          |    SELECT unnest([ {'l': s[j], 'r': s[j+1]} for j in range(1, len(s)) ]) AS pr, f
@@ -459,7 +460,7 @@ object Pipeline {
          |    if z IS NOT NULL ] AS s
          |  FROM y$i)""".stripMargin
     val rounds = (1 to k).map(i => pairCte(i) + ",\n" + mergeCte(i)).mkString(",\n")
-    s"""t AS (SELECT unnest(string_split_regex(text, '\\s+')) AS w FROM documents),
+    s"""t AS (SELECT unnest(string_split_regex(text, '\\s+')) AS w FROM documents $where),
        |w0 AS (SELECT w, count(*)::BIGINT AS f FROM t WHERE len(w) > 0 GROUP BY w),
        |s0 AS (SELECT w, [w[j] for j in range(1, len(w)+1)] AS s, f FROM w0),
        |$rounds""".stripMargin
@@ -527,6 +528,45 @@ object Pipeline {
        |  unnest(range(1, len(v.s)+1)) - 1 AS spos, unnest(v.s) AS token
        |FROM dw JOIN s6 v USING (w) WHERE len(dw.w) > 0
        |ORDER BY doc_id, wpos, spos""".stripMargin
+
+  /** C78: cross-domain tokenizer transfer — the BPE vocab trained on ONE
+    * source scored against every other: per source, the dictionary-miss
+    * (OOV) rate and the resulting fertility when misses fall back to
+    * char-level splitting (the real cost model: an OOV word tokenises to
+    * its length). The number a team checks before reusing a tokenizer on
+    * a new domain — OOV-driven fertility blowup silently eats context
+    * windows. Training is the C50 pipeline on the filtered corpus; the
+    * scoring pass is one word-keyed left join (unhinted, as C51) and a
+    * keyed aggregate.
+    */
+  def tokenizerTransfer(spark: SparkSession, dir: String): DataFrame = {
+    val (_, vocab) = graft.ops.text.Bpe.bpeTrainFull(
+      docs(spark, dir).where(col("source") === "src0"), k = 6)
+    val ws = docs(spark, dir).where(col("source") =!= "src0")
+      .select(col("source"), explode(split(col("text"), "\\s+")).as("w"))
+      .where(length(col("w")) > 0)
+    ws.join(vocab.select(col("w"), size(col("symbols")).as("nt")), Seq("w"), "left")
+      .groupBy("source").agg(
+        count(lit(1)).as("n_words"),
+        count(when(col("nt").isNull, 1)).as("n_oov"),
+        round(count(when(col("nt").isNull, 1)).cast("double") / count(lit(1)), 6)
+          .as("oov_rate"),
+        round(sum(coalesce(col("nt"), length(col("w")))).cast("double")
+          / count(lit(1)), 6).as("fertility"))
+      .orderBy("source")
+  }
+
+  val tokenizerTransferSql: String =
+    s"""WITH ${bpeRoundsSql(6, "WHERE source = 'src0'")},
+       |cw AS (SELECT source, unnest(string_split_regex(text, '\\s+')) AS w
+       |  FROM documents WHERE source <> 'src0'),
+       |j AS (SELECT cw.source, cw.w, len(v.s) AS nt
+       |  FROM cw LEFT JOIN s6 v USING (w) WHERE len(cw.w) > 0)
+       |SELECT source, count(*) AS n_words,
+       |  count(*) FILTER (nt IS NULL) AS n_oov,
+       |  round((count(*) FILTER (nt IS NULL))::DOUBLE / count(*), 6) AS oov_rate,
+       |  round(sum(coalesce(nt, len(w)))::DOUBLE / count(*), 6) AS fertility
+       |FROM j GROUP BY source ORDER BY source""".stripMargin
 
   /** C44: deterministic global shuffle into 8 training shards
     * ([[graft.ops.sample.Sampling.shardShuffle]]) — shard + within-shard

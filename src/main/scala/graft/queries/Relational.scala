@@ -385,6 +385,33 @@ object Relational {
       |WHERE day - cohort_day <= 7
       |GROUP BY 1, 2 ORDER BY cohort_day, day_n""".stripMargin
 
+  /** B59: dormancy / churn-risk list — users whose LAST activity is more
+    * than 12 hours behind the stream's frontier (the global max event
+    * time): the re-engagement candidate list every product pipeline
+    * materialises. One keyed max per user (map-combined), the frontier
+    * as a 1-row broadcast, idle time in exact epoch-micros arithmetic —
+    * the relative-to-frontier formulation keeps the query meaningful on
+    * any data vintage (an absolute cutoff goes stale).
+    */
+  def eventsDormant(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("user_id"), col("ts"))
+    val last = ev.groupBy("user_id").agg(max("ts").as("last_ts"))
+    val gmax = ev.agg(max("ts").as("gmax"))
+    last.crossJoin(gmax)
+      .select(col("user_id"), unix_micros(col("last_ts")).as("last_us"),
+        (unix_micros(col("gmax")) - unix_micros(col("last_ts"))).as("idle_us"))
+      .where(col("idle_us") > 12L * 3600 * 1000000L)
+      .orderBy("user_id")
+  }
+
+  val eventsDormantSql: String =
+    """WITH l AS (SELECT user_id, epoch_us(max(ts))::BIGINT AS last_us
+      |  FROM events GROUP BY user_id),
+      |g AS (SELECT epoch_us(max(ts))::BIGINT AS gmax FROM events)
+      |SELECT user_id, last_us, gmax - last_us AS idle_us
+      |FROM l, g WHERE gmax - last_us > 43200000000
+      |ORDER BY user_id""".stripMargin
+
   /** B58: moving MEDIAN — the trailing-3-orders median price per
     * customer: a rank statistic over a window FRAME, which no engine's
     * window aggregate family covers portably (mean smears outliers; the
