@@ -319,6 +319,47 @@ object Streaming {
       .agg(count(lit(1)).as("n"), sum("dv").cast("double").as("total"),
         min("value").as("min_v"), max("value").as("max_v"))
 
+  /** D25: streaming dormancy detector — the batch B59 churn list as a
+    * LIVE alert, and the one member of the family that is impossible as
+    * a pure streaming aggregation: dormancy is the ABSENCE of events,
+    * and only a state timeout can observe absence. Per-user state is the
+    * last-seen event time (O(1)); each update arms an
+    * `EventTimeTimeout` at last + idle, and when the WATERMARK passes it
+    * — meaning no earlier event can still arrive, the exact moment the
+    * claim "idle for `idleMs`" becomes safe — the user emits once and
+    * the state clears (a later reactivation starts a fresh episode, so
+    * emissions are one-per-dormancy-episode by construction). The
+    * timeout is clamped above the current watermark so a user first
+    * seen already-stale alerts on the next trigger instead of throwing.
+    */
+  def dormancyMonitor(events: DataFrame, idleMs: Long = 12L * 3600 * 1000)
+      : DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long"), unix_micros(col("ts")).as("us"),
+        col("ts"))
+      .withWatermark("ts", "10 minutes")
+      .as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)],
+         state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove()
+            Iterator.single((user, last, idleMs))
+          } else {
+            val maxUs = (rows.map(_._2) ++ state.getOption.iterator).max
+            state.update(maxUs)
+            state.setTimeoutTimestamp(
+              math.max(maxUs / 1000 + idleMs, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+      .toDF("user_id", "last_us", "idle_ms")
+  }
+
   /** D23: in-stream embedding-outlier flags — the batch-train /
     * stream-score split (the D12 NB pattern) for embedding health: the
     * per-dimension moment table ([[graft.ops.ann.Ann.dimStats]]) is

@@ -611,6 +611,47 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed.toMap === batch)
   }
 
+  test("D25: dormancy detector alerts exactly the users the watermark proves idle") {
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dormant").toString
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType)))
+    def write(name: String, rows: Seq[(Long, Long)]): Unit = {
+      import spark.implicits._
+      rows.toDF("user_id", "epoch_s")
+        .select(col("user_id"), col("epoch_s").cast("timestamp").as("ts"))
+        .coalesce(1).write.parquet(s"$tmp/$name")
+    }
+    val t0 = 1000000000L
+    val h12 = 12L * 3600
+    // batch 1: users 1 and 2 active at t0; user 3 stays active later
+    write("b1", Seq((1L, t0), (2L, t0 + 60), (3L, t0)))
+    val src = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .parquet(s"$tmp/*/")
+    val q = Streaming.dormancyMonitor(src).writeStream
+      .format("memory").queryName("dormant").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: user 3 re-activates inside the idle window, and a far
+      // event pushes the watermark past t0 + 12h for everyone
+      write("b2", Seq((3L, t0 + 11 * 3600), (9L, t0 + 2 * 24 * 3600)))
+      q.processAllAvailable()
+      // batch 3: any event forces the trigger that fires pending timeouts
+      write("b3", Seq((9L, t0 + 2 * 24 * 3600 + 60)))
+      q.processAllAvailable()
+      val got = spark.table("dormant").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // users 1 and 2 idle > 12h behind the watermark → alerted with their
+      // last activity; user 3's re-activity reset the clock (its t0+11h
+      // timeout is also past the watermark, so it alerts too — but with
+      // the REFRESHED last_us); user 9 is the frontier and stays silent
+      assert(got(1L) === t0 * 1000000L)
+      assert(got(2L) === (t0 + 60) * 1000000L)
+      assert(got(3L) === (t0 + 11 * 3600) * 1000000L)
+      assert(!got.contains(9L))
+    } finally q.stop()
+  }
+
   test("D23: stream-scored embedding outliers equal the batch query") {
     val batchEmb = spark.read.parquet(s"$dir/embeddings.parquet")
     val stats = graft.ops.ann.Ann.dimStats(batchEmb)
