@@ -385,6 +385,43 @@ object Relational {
       |WHERE day - cohort_day <= 7
       |GROUP BY 1, 2 ORDER BY cohort_day, day_n""".stripMargin
 
+  /** B60: recency-weighted leaderboard — top users by exponentially
+    * DECAYED activity (half-life 6 h against the stream frontier): the
+    * trending/engagement ranking where yesterday's burst shouldn't beat
+    * this hour's activity, and plain counts (B46) can't express the
+    * fade. Each event's weight 2^(−Δt/half-life) is one closed-form
+    * double from exact integer micros — identical in both engines — and
+    * the per-user sum routes through DECIMAL(27,10) casts so the
+    * reduction is partition-order-proof; scores round before the rank.
+    * One keyed map-combined agg + a 1-row broadcast frontier +
+    * TakeOrderedAndProject for the top-10.
+    */
+  def eventsDecayed(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+    val g = ev.agg(max("us").as("gmax"))
+    val hl = 6.0 * 3600 * 1000000L
+    ev.crossJoin(g)
+      .select(col("user_id"),
+        pow(lit(2.0), -((col("gmax") - col("us")).cast("double") / hl))
+          .cast("decimal(27,10)").as("w"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("w").cast("double"), 6).as("score"))
+      .orderBy(col("score").desc, col("user_id"))
+      .limit(10)
+  }
+
+  val eventsDecayedSql: String =
+    """WITH ev AS (SELECT user_id, epoch_us(ts)::BIGINT AS us FROM events),
+      |g AS (SELECT max(us) AS gmax FROM ev),
+      |w AS (SELECT user_id,
+      |    CAST(pow(2.0, -((gmax - us)::DOUBLE / 21600000000.0)) AS DECIMAL(27,10)) AS w
+      |  FROM ev, g)
+      |SELECT user_id, count(*) AS n_events, round(sum(w)::DOUBLE, 6) AS score
+      |FROM w GROUP BY user_id
+      |ORDER BY score DESC, user_id LIMIT 10""".stripMargin
+
   /** B59: dormancy / churn-risk list — users whose LAST activity is more
     * than 12 hours behind the stream's frontier (the global max event
     * time): the re-engagement candidate list every product pipeline
