@@ -1567,6 +1567,53 @@ object Pipeline {
       |SELECT doc_id, lang, rk FROM r, k WHERE rk <= k
       |ORDER BY lang, rk""".stripMargin
 
+  /** C79: conditional bigram entropy H(w|u) — the corpus-predictability
+    * scalar next to C61's unigram entropy: how many nats the NEXT token
+    * carries given the current one (natural prose ≈ high but below
+    * unigram H; template/boilerplate corpora collapse toward 0 — the
+    * whole-corpus twin of the per-doc bigram surprisal C35, and the
+    * drift dial that moves when generation/spam enters the mix).
+    * H(w|u) = −Σ p(u,w)·ln(c(u,w)/c(u)) over bigram counts: every term
+    * is one double expression from exact integer counts, the vocab²-sized
+    * sum routes through DECIMAL casts (layout-proof), one row out. Two
+    * keyed map-combined count aggs + one count-attach join + a 1-row
+    * total broadcast.
+    */
+  def corpusBigramEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val ws = docs(spark, dir).select(TextOps.tokens(col("text")).as("ws"))
+    val bi = ws.where(size(col("ws")) >= 2)
+      .select(explode(zip_with(
+        slice(col("ws"), lit(1), size(col("ws")) - 1),
+        slice(col("ws"), lit(2), size(col("ws")) - 1),
+        (a, b) => struct(a.as("u"), b.as("w")))).as("p"))
+      .select(col("p.u").as("u"), col("p.w").as("w"))
+      .groupBy("u", "w").agg(count(lit(1)).as("cuw"))
+    val uni = bi.groupBy("u").agg(sum("cuw").as("cu"))
+    val m = bi.agg(sum("cuw").as("m"))
+    bi.join(uni, "u").crossJoin(m)
+      .agg(first("m").as("n_bigrams"),
+        sum(((col("cuw").cast("double") / col("m")) *
+          -log(col("cuw").cast("double") / col("cu")))
+          .cast("decimal(27,10)")).as("s"))
+      .select(col("n_bigrams").cast("long").as("n_bigrams"),
+        round(col("s").cast("double"), 6).as("cond_entropy"))
+  }
+
+  val corpusBigramEntropySql: String =
+    """WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+      |bi AS (SELECT u, w, count(*) AS cuw FROM (
+      |  SELECT unnest([w[i] for i in range(1, len(w))]) AS u,
+      |         unnest([w[i+1] for i in range(1, len(w))]) AS w
+      |  FROM t WHERE len(w) >= 2) s GROUP BY u, w),
+      |uni AS (SELECT u, sum(cuw)::BIGINT AS cu FROM bi GROUP BY u),
+      |m AS (SELECT sum(cuw)::BIGINT AS m FROM bi),
+      |agg AS (SELECT m,
+      |    sum(CAST((cuw::DOUBLE / m) * -ln(cuw::DOUBLE / cu)
+      |      AS DECIMAL(27,10))) AS s
+      |  FROM bi JOIN uni USING (u), m GROUP BY m)
+      |SELECT m.m AS n_bigrams, round(s::DOUBLE, 6) AS cond_entropy
+      |FROM m LEFT JOIN agg ON agg.m = m.m""".stripMargin
+
   /** C76: token burstiness — variance-to-mean ratio of each token's
     * per-document count over ALL documents (Church & Gale's burstiness:
     * topical words arrive in bursts, VMR ≫ 1; function words spread
