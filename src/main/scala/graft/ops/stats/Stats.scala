@@ -12,12 +12,13 @@ import org.apache.spark.sql.functions._
   *  - skewReport: one map-side-combined keyed shuffle to per-key counts
   *    (output = |keys|, not |rows|), then a tiny global agg broadcast back
   *    over the top-k slice. No row-level data survives the first exchange.
-  *  - percentiles: exact distributed percentiles via Spark's sort-based
-  *    `percentile` aggregate — one keyed shuffle; right for bounded group
-  *    counts (per-source corpus reporting). For percentiles OVER THE WHOLE
-  *    100 TB corpus use `approx_percentile` instead: the exact aggregate
-  *    materialises each group's values, and a single global group is the
-  *    degenerate case that does not scale.
+  *  - percentiles: exact distributed percentiles via the two-pass
+  *    rank-interpolation in [[percentilesExact]] — a disk-backed keyed
+  *    sort plus a broadcast count, O(1) reducer state, safe even when one
+  *    group spans the whole fact table. Spark's built-in `percentile`
+  *    aggregate (which buffers each group's value map in memory) is NOT
+  *    used anywhere; when an approximation suffices, `approx_percentile`
+  *    or the [[histQuantiles]] pow2 sketch is cheaper still (no sort).
   */
 object Stats {
 
@@ -99,23 +100,85 @@ object Stats {
       .orderBy(groupCol, "p")
   }
 
+  /** Exact interpolated percentiles per group WITHOUT per-group value
+    * buffering — the scale-safe default for exact percentiles. Spark's
+    * built-in `percentile` aggregate materialises each group's distinct
+    * values in a single reducer's TypedImperativeAggregate buffer, so a
+    * fact-table-sized group (3 return flags over all of 100 TB of
+    * lineitem) is an executor OOM. This two-pass formulation keeps O(1)
+    * reducer state everywhere:
+    *
+    *  1. rank pass — `row_number` over a keyed sort (`Window.partitionBy
+    *     (group).orderBy(value)`): the sort is Spark's disk-backed
+    *     external sort and `row_number` streams over it, no buffering;
+    *  2. count pass — a map-side-combined per-group count (|groups| rows)
+    *     broadcast back onto the ranked rows;
+    *  3. per row, the PERCENTILE_CONT target position pos = p·(n−1) is
+    *     computable locally; only the rows whose rank is ⌊pos⌋+1 or
+    *     ⌈pos⌉+1 feed a conditional `max`, so the final aggregate holds
+    *     exactly 2·|pcts| doubles per group.
+    *
+    * Interpolation replicates Spark's `Percentile.getPercentile` formula
+    * bit-for-bit — `v_lo` when ⌈pos⌉ = ⌊pos⌋, else
+    * `(⌈pos⌉−pos)·v_lo + (pos−⌊pos⌋)·v_hi` — which is the ANSI
+    * PERCENTILE_CONT semantics DuckDB's `quantile_cont` also implements,
+    * so cross-engine hashes are unchanged by the rewrite.
+    *
+    * Nulls: ignored for ranking/positions (like both engines' aggregate);
+    * `n` in the output counts ALL rows (the `count(*)` a report expects).
+    * The input is evaluated twice (rank + count branches) — callers with
+    * an expensive derived input should persist it or accept the recompute
+    * (a count-only scan prunes to two columns under parquet).
+    *
+    * Output: one row per group — `groupCol`, `n`, then one double column
+    * per (fraction, name) in `pcts` order.
+    */
+  def percentilesExact(df: DataFrame, groupCol: String, valueCol: Column,
+                       pcts: Seq[(Double, String)]): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall { case (p, _) => p >= 0 && p <= 1 },
+      "pcts must be non-empty fractions in [0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val vals = df.select(col(groupCol).as("__g"), valueCol.cast("double").as("__v"))
+    val counts = vals.groupBy("__g")
+      .agg(count(lit(1)).as("__n_all"), count(col("__v")).as("__n"))
+    val ranked = vals.where(col("__v").isNotNull)
+      .withColumn("__rk", row_number().over(Window.partitionBy("__g").orderBy("__v")))
+      .join(broadcast(counts), "__g")
+    def pos(i: Int): Column = lit(pcts(i)._1) * (col("__n") - 1).cast("double")
+    val aggs =
+      pcts.indices.flatMap { i =>
+        // only the two straddling ranks contribute; everything else is null
+        Seq(max(when(col("__rk") === floor(pos(i)) + 1, col("__v"))).as(s"__lo_$i"),
+          max(when(col("__rk") === ceil(pos(i)) + 1, col("__v"))).as(s"__hi_$i"))
+      } :+ first(col("__n_all")).as("__n_out")
+    val perGroup = ranked.groupBy("__g").agg(first(col("__n")).as("__n"), aggs: _*)
+    val outs = pcts.zipWithIndex.map { case ((_, name), i) =>
+      val lo = floor(pos(i))
+      val hi = ceil(pos(i))
+      when(hi === lo, col(s"__lo_$i"))
+        .otherwise((hi.cast("double") - pos(i)) * col(s"__lo_$i") +
+          (pos(i) - lo.cast("double")) * col(s"__hi_$i")).as(name)
+    }
+    perGroup.select(col("__g").as(groupCol) +: col("__n_out").as("n") +: outs: _*)
+  }
+
   /** Exact percentiles of `valueCol` per `groupCol` (linear interpolation,
     * the ANSI PERCENTILE_CONT semantics both Spark's `percentile` and
-    * DuckDB's `quantile_cont` implement).
+    * DuckDB's `quantile_cont` implement), auto-labelled `p<pct>` and
+    * rounded to 6dp. Routes through [[percentilesExact]], so it is safe
+    * for fact-sized groups — no per-group value map is ever buffered.
     */
   def percentilesBy(df: DataFrame, groupCol: String, valueCol: Column,
                     pcts: Seq[Double]): DataFrame = {
-    require(pcts.nonEmpty && pcts.forall(p => p >= 0 && p <= 1),
-      "pcts must be non-empty fractions in [0, 1]")
-    val aggs = pcts.map { p =>
+    val named = pcts.map { p =>
       // setScale before stripping: 0.9·100 is 90.00000000000001 in binary
       val label = "p" + BigDecimal(p * 100).setScale(4, BigDecimal.RoundingMode.HALF_UP)
         .underlying.stripTrailingZeros.toPlainString.replace(".", "_")
-      round(percentile(col("__v"), lit(p)), 6).as(label)
+      (p, label)
     }
-    df.select(col(groupCol), valueCol.cast("double").as("__v"))
-      .groupBy(groupCol)
-      .agg(count(lit(1)).as("n"), aggs: _*)
+    val exact = percentilesExact(df, groupCol, valueCol, named)
+    exact.select(col(groupCol) +: col("n") +:
+      named.map { case (_, l) => round(col(l), 6).as(l) }: _*)
   }
 
   /** Trailing-window z-score over an already-aggregated count table: each

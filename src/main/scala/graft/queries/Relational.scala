@@ -822,13 +822,26 @@ object Relational {
       |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
       |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
 
-  /** B14: exact interpolated percentiles per group. */
-  def qMedian(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "lineitem")
-      .groupBy("l_returnflag")
-      .agg(expr("percentile(l_quantity, 0.5)").as("median_qty"),
-        expr("percentile(l_extendedprice, 0.9)").as("p90_price"))
+  /** B14: exact interpolated percentiles per group — via the two-pass
+    * rank-interpolation ([[graft.ops.stats.Stats.percentilesExact]]), NOT
+    * Spark's in-memory `percentile` aggregate: with 3 return flags over
+    * all of lineitem, each group is ~1/3 of the fact table and the
+    * built-in aggregate would buffer that group's value map on a single
+    * reducer. The two-pass form keeps O(1) reducer state (disk-backed
+    * keyed sort + broadcast counts) at identical PERCENTILE_CONT
+    * semantics. Two value columns → two independent rank passes, joined
+    * on the 3-row outputs.
+    */
+  def qMedian(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val med = graft.ops.stats.Stats.percentilesExact(
+      li, "l_returnflag", col("l_quantity"), Seq((0.5, "median_qty")))
+    val p90 = graft.ops.stats.Stats.percentilesExact(
+      li, "l_returnflag", col("l_extendedprice"), Seq((0.9, "p90_price")))
+    med.join(p90, "l_returnflag")
+      .select("l_returnflag", "median_qty", "p90_price")
       .orderBy("l_returnflag")
+  }
 
   val qMedianSql: String =
     """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty,
@@ -1558,21 +1571,28 @@ object Relational {
     * gaps between consecutive events (median / p95 / max, micros). The
     * pipeline-health staple: a p95 gap spike is a stalled producer long
     * before volume monitors notice. One keyed window (lag over the total
-    * (ts, event_id) order), then a keyed aggregate with exact
-    * interpolated percentiles — |types| groups, never a global sort.
+    * (ts, event_id) order), then exact interpolated percentiles via the
+    * two-pass rank form ([[graft.ops.stats.Stats.percentilesExact]]):
+    * inter-arrival gaps in micros are near-unique, so Spark's in-memory
+    * `percentile` aggregate would buffer an |events|-sized value map per
+    * event type on one reducer — the two-pass form keeps O(1) reducer
+    * state. The rank window re-partitions on the same event_type key the
+    * lag window used, so the keyed sort is the only heavy exchange.
     */
   def qEventsGapStats(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))
-    Tables.events(spark, dir)
+    val gaps = Tables.events(spark, dir)
       .select(col("event_type"), col("ts"), col("event_id"))
       .withColumn("gap_us",
         unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
       .where(col("gap_us").isNotNull)
-      .groupBy("event_type")
-      .agg(count(lit(1)).as("n_gaps"),
-        expr("percentile(gap_us, 0.5)").as("median_gap_us"),
-        expr("percentile(gap_us, 0.95)").as("p95_gap_us"),
-        max("gap_us").as("max_gap_us"))
+    val pcts = graft.ops.stats.Stats.percentilesExact(
+      gaps, "event_type", col("gap_us"),
+      Seq((0.5, "median_gap_us"), (0.95, "p95_gap_us")))
+    val maxes = gaps.groupBy("event_type").agg(max("gap_us").as("max_gap_us"))
+    pcts.join(maxes, "event_type")
+      .select(col("event_type"), col("n").as("n_gaps"),
+        col("median_gap_us"), col("p95_gap_us"), col("max_gap_us"))
       .orderBy("event_type")
   }
 

@@ -232,6 +232,38 @@ class StatsSpec extends SparkSpec {
     assert(b.getDouble(3) === 15.0)  // midpoint interpolation
   }
 
+  test("percentilesExact bit-matches Spark's in-memory percentile aggregate") {
+    // the two-pass rank form must reproduce Percentile.getPercentile's
+    // doubles EXACTLY (same ⌊pos⌋/⌈pos⌉ weighted sum), or the DuckDB
+    // quantile_cont hash oracles would drift. Pseudo-random values with
+    // duplicates, negatives, odd/even group sizes, and nulls.
+    val rows = (0 until 500).map { i =>
+      val g = "g" + (i % 7)
+      val v: java.lang.Double =
+        if (i % 31 == 0) null
+        else ((i * 2654435761L) % 1000).toDouble / 7.0 - 40.0
+      (g, v)
+    }
+    val df = rows.toDF("g", "v")
+    val pcts = Seq(0.0, 0.1, 0.5, 0.73, 0.95, 1.0)
+    val got = Stats.percentilesExact(df, "g", col("v"),
+        pcts.zipWithIndex.map { case (p, i) => (p, s"q$i") })
+      .orderBy("g").collect()
+    val want = df.groupBy("g")
+      .agg(count(lit(1)).as("n"),
+        pcts.map(p => expr(s"percentile(v, $p)")): _*)
+      .orderBy("g").collect()
+    assert(got.length === want.length)
+    got.zip(want).foreach { case (g2, w) =>
+      assert(g2.getString(0) === w.getString(0))
+      assert(g2.getLong(1) === w.getLong(1)) // n counts all rows, nulls included
+      pcts.indices.foreach { i =>
+        assert(g2.getDouble(2 + i) === w.getDouble(2 + i),
+          s"group ${w.getString(0)} pct ${pcts(i)}")
+      }
+    }
+  }
+
   // ---- trailingZ ----------------------------------------------------------
 
   test("trailingZ matches a brute-force reference on generated counts") {

@@ -216,6 +216,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("partial"), plan)
   }
 
+  test("exact-percentile queries never plan the in-memory percentile aggregate") {
+    // Spark's `percentile` TypedImperativeAggregate buffers each group's
+    // value map on one reducer — with fact-sized groups (3 return flags
+    // over all of lineitem; per-type gap distributions) that is an
+    // executor OOM at 100 TB. The two-pass rank-interpolation must keep
+    // the aggregate out of the plan entirely: ranking is a streaming
+    // row_number over a disk-backed sort, state is O(pcts) per group.
+    for (q <- Seq("q_median", "events_gap_stats", "corpus_percentiles")) {
+      val plan = planOf(q)
+      assert(!plan.contains("percentile("), s"$q:\n$plan")
+      // the rank window runs over a keyed (never global) sort
+      assert(plan.contains("Exchange hashpartitioning"), s"$q:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$q:\n$plan")
+    }
+  }
+
   test("corpus_diversity is two keyed map-combined aggregates, no joins or windows") {
     val plan = planOf("corpus_diversity")
     assert(plan.contains("partial"), plan)
