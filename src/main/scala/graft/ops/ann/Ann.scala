@@ -299,19 +299,38 @@ object Ann {
     * finishes" is not a scale plan, so the line sits where quadratic cost
     * is genuinely negligible and everything past it pays the bounded LSH
     * candidate volume instead.
+    *
+    * NOTE (behavior change vs earlier releases): the cutoff dropped
+    * 100000 → 8192, so 8k–100k-row corpora that used to get exact
+    * all-pairs results now route to LSH, whose per-pair banding recall is
+    * < 1 near the threshold (candidates are still exactly verified —
+    * no false pairs, only possible misses). Callers that need the old
+    * exactness guarantee must opt in explicitly: `allowApproximate =
+    * false` makes the router THROW instead of silently degrading, exactly
+    * like [[graft.ops.dedup.Dedup.ngramJaccardAdaptive]]; raising
+    * `maxExactRows` keeps the exact route at a priced-in n² cost.
     */
   def cosinePairsAdaptive(emb: DataFrame, minCosine: Double,
                           maxExactRows: Int = 8192,
                           idCol: String = "vec_id", vecCol: String = "embedding",
-                          groupCol: Option[String] = None): DataFrame = {
+                          groupCol: Option[String] = None,
+                          allowApproximate: Boolean = true): DataFrame = {
     // unlike a content-sampling probe, this is a pure ROW-COUNT probe
     // ("are there more than maxExactRows rows?") — counts are invariant to
     // file/partition layout, so the head-limit cannot misroute; it merely
     // bounds the scan at maxExactRows+1 rows
     val small = emb.select(col(idCol)).limit(maxExactRows + 1).count() <= maxExactRows
     if (small) cosinePairs(emb, minCosine, idCol, vecCol, groupCol)
-    else cosinePairsLsh(emb, minCosine, idCol = idCol, vecCol = vecCol,
-      groupCol = groupCol)
+    else {
+      require(allowApproximate,
+        s"cosinePairsAdaptive: corpus exceeds maxExactRows=$maxExactRows and " +
+          "allowApproximate=false — exact all-pairs is Ω(n²); raise " +
+          "maxExactRows to pay that cost deliberately, or accept the " +
+          "LSH route (exact verification, banding recall < 1 near the " +
+          "threshold)")
+      cosinePairsLsh(emb, minCosine, idCol = idCol, vecCol = vecCol,
+        groupCol = groupCol)
+    }
   }
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023,
@@ -333,10 +352,11 @@ object Ann {
   def semanticDedup(emb: DataFrame, minCosine: Double,
                     labelCol: String = "label", idCol: String = "vec_id",
                     vecCol: String = "embedding",
-                    maxExactRows: Int = 8192): DataFrame =
+                    maxExactRows: Int = 8192,
+                    allowApproximate: Boolean = true): DataFrame =
     graft.ops.graph.GraphOps.connectedComponents(
       cosinePairsAdaptive(emb, minCosine, maxExactRows, idCol, vecCol,
-        groupCol = Some(labelCol)))
+        groupCol = Some(labelCol), allowApproximate = allowApproximate))
       .select(col("id").as(idCol), col("component"),
         (col("id") === col("component")).as("keep"))
       .orderBy(idCol)
@@ -568,8 +588,23 @@ object Ann {
         x => round(x, 6)).as("proj"))
   }
 
+  /** Sub-vector slice for PQ block `b` of `m`: blocks 0..m−2 take
+    * ⌊dim/m⌋ components; the LAST block absorbs the `dim % m` remainder
+    * (its length is dim − ⌊dim/m⌋·(m−1)), so every coordinate is scored —
+    * earlier releases silently dropped the trailing remainder from both
+    * codes and ADC scores when dim was not divisible by m. For divisible
+    * dims the expression is identical, so existing codes/oracles are
+    * unchanged.
+    */
+  private def pqSlice(vcol: String, m: Int, b: Int): String =
+    if (b == m - 1)
+      s"slice($vcol, int(size($vcol) / $m) * $b + 1, size($vcol) - int(size($vcol) / $m) * $b)"
+    else
+      s"slice($vcol, int(size($vcol) / $m) * $b + 1, int(size($vcol) / $m))"
+
   /** Product quantization codes: each vector split into `m` contiguous
-    * sub-vectors, each sub-space quantized INDEPENDENTLY by the same
+    * sub-vectors (the last absorbing any `dim % m` remainder — see
+    * [[pqSlice]]), each sub-space quantized INDEPENDENTLY by the same
     * deterministic seeded quantizer as [[ivfBuild]] (md5-ordered seeds,
     * fixed Lloyd passes, 6-dp-rounded-cosine argmax, decimal-mean
     * updates) — so a vector compresses to m small codes (m·log2(nCells)
@@ -594,8 +629,7 @@ object Ann {
     require(m >= 1, s"pqAssign: m must be >= 1 (got $m)")
     val base = corpus.select(col(idCol).as("id"), vec(col(vecCol)).as("v"))
     val parts = (0 until m).map { b =>
-      val sub = base.select(col("id"),
-        expr(s"slice(v, int(size(v) / $m) * $b + 1, int(size(v) / $m))").as("sv"))
+      val sub = base.select(col("id"), expr(pqSlice("v", m, b)).as("sv"))
       val (cells, cents) = ivfBuild(sub, nCells, iters, "id", "sv")
       cells.join(broadcast(cents), "cell")
         .select(col("cid").as("id"),
@@ -633,12 +667,10 @@ object Ann {
     val base = corpus.select(col(idCol).as("id"), vec(col(vecCol)).as("v"))
     val qbase = queries.select(col(idCol).as("qid"), vec(col(vecCol)).as("qv"))
     val parts = (0 until m).map { b =>
-      val csub = base.select(col("id"),
-        expr(s"slice(v, int(size(v) / $m) * $b + 1, int(size(v) / $m))").as("sv"))
+      val csub = base.select(col("id"), expr(pqSlice("v", m, b)).as("sv"))
       val (cells, cents) = ivfBuild(csub, nCells, iters, "id", "sv")
       val codes = cells.select(col("cid").as("id"), col("cell").as(s"code_$b"))
-      val qsub = qbase.select(col("qid"),
-        expr(s"slice(qv, int(size(qv) / $m) * $b + 1, int(size(qv) / $m))").as("sv"))
+      val qsub = qbase.select(col("qid"), expr(pqSlice("qv", m, b)).as("sv"))
         .withColumn("sn", norm(col("sv")))
       // LUT: one row per query, sims ordered by cell so code indexes it
       val lut = qsub.crossJoin(broadcast(cents))

@@ -237,22 +237,6 @@ object GraphOps {
       .orderBy("node")
   }
 
-  /** Degree assortativity of the undirected simple graph (Newman 2002):
-    * Pearson correlation between the degrees at the two ends of every
-    * edge. Positive = hubs attach to hubs (social nets), negative = hubs
-    * attach to leaves (hub-and-spoke hierarchies, most KGs) — the one
-    * scalar that says which regime a graph is in, and an early-warning
-    * drift signal for an ETL suddenly producing star-shaped artifacts.
-    *
-    * Each edge contributes BOTH orientations, making Σx = Σy (the
-    * standard undirected symmetrisation), so one moment set suffices.
-    * All moments are exact integer sums (degrees are ints) — associative
-    * and partition-order-proof — and r is one closed-form double from
-    * them, term-identical in any engine. Shape: edge dedup + one keyed
-    * degree count + two degree-attach joins (co-keyed on the endpoint)
-    * + a single map-combined global aggregate; nothing holds more than
-    * the edge set, and the output is ONE row.
-    */
   /** Per-node local clustering coefficient: triangles(v) /
     * (deg(v)·(deg(v)−1)/2) over the canonical simple undirected graph —
     * the density-of-neighbourhood signal (a KG entity whose neighbours
@@ -286,6 +270,22 @@ object GraphOps {
       .orderBy("node")
   }
 
+  /** Degree assortativity of the undirected simple graph (Newman 2002):
+    * Pearson correlation between the degrees at the two ends of every
+    * edge. Positive = hubs attach to hubs (social nets), negative = hubs
+    * attach to leaves (hub-and-spoke hierarchies, most KGs) — the one
+    * scalar that says which regime a graph is in, and an early-warning
+    * drift signal for an ETL suddenly producing star-shaped artifacts.
+    *
+    * Each edge contributes BOTH orientations, making Σx = Σy (the
+    * standard undirected symmetrisation), so one moment set suffices.
+    * All moments are exact integer sums (degrees are ints) — associative
+    * and partition-order-proof — and r is one closed-form double from
+    * them, term-identical in any engine. Shape: edge dedup + one keyed
+    * degree count + two degree-attach joins (co-keyed on the endpoint)
+    * + a single map-combined global aggregate; nothing holds more than
+    * the edge set, and the output is ONE row.
+    */
   def assortativity(pgEdges: DataFrame): DataFrame = {
     val u = endpoints(pgEdges)
       .where(col("from") =!= col("to"))

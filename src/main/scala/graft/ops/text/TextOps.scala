@@ -833,14 +833,23 @@ object TextOps {
     */
   def winnow(df: DataFrame, k: Int = 5, w: Int = 4,
              idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val session = df.sparkSession
-    import session.implicits._
-    df.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    // the id passes through OPAQUELY (no cast): a Row encoder carries the
+    // caller's id type to the output unchanged, so string/uuid document
+    // ids survive — an earlier cast-to-long turned them into nulls that
+    // crashed the non-nullable Long encoder at runtime
+    val pruned = df.select(col(idCol).as("doc_id"), col(textCol).cast("string").as("text"))
       .where(length(col("text")) >= k + w - 1)
-      .as[(Long, String)]
-      .mapPartitions { rows =>
+    val outSchema = StructType(Seq(
+      pruned.schema("doc_id").copy(name = "doc_id"),
+      StructField("pos", LongType, nullable = false),
+      StructField("fp", LongType, nullable = false)))
+    pruned.mapPartitions { rows =>
         val md = java.security.MessageDigest.getInstance("MD5")
-        rows.flatMap { case (id, text) =>
+        rows.flatMap { r =>
+          val id = r.get(0)
+          val text = r.getString(1)
           val n = text.length - k + 1
           // gram hash = first 8 hex chars of md5 as an unsigned 32-bit int,
           // identical to conv(substring(md5(gram),1,8),16,10) and therefore
@@ -859,7 +868,7 @@ object TextOps {
           // the head is each window's winnowing selection. A selected head
           // only ever moves forward, so de-dup is emit-on-change.
           val deque = new java.util.ArrayDeque[Int](w + 1)
-          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+          val out = scala.collection.mutable.ArrayBuffer.empty[Row]
           var lastPicked = -1
           var j = 0
           while (j < n) {
@@ -870,7 +879,7 @@ object TextOps {
               while (deque.peekFirst < s) deque.pollFirst()
               val p = deque.peekFirst
               if (p != lastPicked) {
-                out += ((id, p + 1L, hs(p))) // 1-based position, oracle-aligned
+                out += Row(id, p + 1L, hs(p)) // 1-based position, oracle-aligned
                 lastPicked = p
               }
             }
@@ -878,7 +887,6 @@ object TextOps {
           }
           out
         }
-      }
-      .toDF("doc_id", "pos", "fp")
+      }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 }

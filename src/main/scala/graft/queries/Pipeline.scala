@@ -1331,9 +1331,12 @@ object Pipeline {
            |    row_number() OVER (PARTITION BY c.cid
            |      ORDER BY round(${cos("c.v", "ct.centroid", "c.nrm", nrm("ct.centroid"))}, 6) DESC, ct.cell) AS rn
            |  FROM cn$b c CROSS JOIN $cent ct) WHERE rn = 1)""".stripMargin
+      // last sub-space (m=2 → b=1) absorbs any dim % m remainder, like
+      // Ann.pqSlice; identical to the halved end for even dims
+      val sliceEnd = if (b == 1) "len(v)" else s"len(v) // 2 * ${b + 1}"
       s"""cn$b AS (SELECT vec_id AS cid,
-         |    list_slice(v, len(v) // 2 * $b + 1, len(v) // 2 * ${b + 1}) AS v,
-         |    ${nrm(s"list_slice(v, len(v) // 2 * $b + 1, len(v) // 2 * ${b + 1})")} AS nrm
+         |    list_slice(v, len(v) // 2 * $b + 1, $sliceEnd) AS v,
+         |    ${nrm(s"list_slice(v, len(v) // 2 * $b + 1, $sliceEnd)")} AS nrm
          |  FROM e),
          |cent0_$b AS (SELECT rn - 1 AS cell, v AS centroid FROM (
          |  SELECT v, row_number() OVER (ORDER BY md5(cid::VARCHAR), cid) AS rn
@@ -1383,9 +1386,12 @@ object Pipeline {
            |    row_number() OVER (PARTITION BY c.cid
            |      ORDER BY round(${cos("c.v", "ct.centroid", "c.nrm", nrm("ct.centroid"))}, 6) DESC, ct.cell) AS rn
            |  FROM cn$b c CROSS JOIN $cent ct) WHERE rn = 1)""".stripMargin
+      // last sub-space (m=2 → b=1) absorbs any dim % m remainder, like
+      // Ann.pqSlice; identical to the halved end for even dims
+      val sliceEnd = if (b == 1) "len(v)" else s"len(v) // 2 * ${b + 1}"
       s"""cn$b AS (SELECT cid,
-         |    list_slice(v, len(v) // 2 * $b + 1, len(v) // 2 * ${b + 1}) AS v,
-         |    ${nrm(s"list_slice(v, len(v) // 2 * $b + 1, len(v) // 2 * ${b + 1})")} AS nrm
+         |    list_slice(v, len(v) // 2 * $b + 1, $sliceEnd) AS v,
+         |    ${nrm(s"list_slice(v, len(v) // 2 * $b + 1, $sliceEnd)")} AS nrm
          |  FROM c),
          |cent0_$b AS (SELECT rn - 1 AS cell, v AS centroid FROM (
          |  SELECT v, row_number() OVER (ORDER BY md5(cid::VARCHAR), cid) AS rn
@@ -1402,8 +1408,8 @@ object Pipeline {
          |  FROM cent0_$b p LEFT JOIN mc1_$b n USING (cell)),
          |${assign(s"af_$b", s"cent1_$b")},
          |qn$b AS (SELECT qid,
-         |    list_slice(v, len(v) // 2 * $b + 1, len(v) // 2 * ${b + 1}) AS v,
-         |    ${nrm(s"list_slice(v, len(v) // 2 * $b + 1, len(v) // 2 * ${b + 1})")} AS nrm
+         |    list_slice(v, len(v) // 2 * $b + 1, $sliceEnd) AS v,
+         |    ${nrm(s"list_slice(v, len(v) // 2 * $b + 1, $sliceEnd)")} AS nrm
          |  FROM q),
          |lut$b AS (SELECT qn.qid, ct.cell,
          |    round(${cos("qn.v", "ct.centroid", "qn.nrm", nrm("ct.centroid"))}, 6) AS sim

@@ -1273,6 +1273,57 @@ class PipelineOpsSpec extends SparkSpec {
     assert(fps(2L).size <= doc2.length - 5 + 1 - 3)
   }
 
+  test("winnowing preserves the caller's id type (string ids fingerprint like long ids)") {
+    import graft.ops.text.TextOps
+    import spark.implicits._
+    val text = "the quick brown fox jumps over the lazy dog again"
+    val asLong = TextOps.winnow(Seq((7L, text)).toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    val strDf = TextOps.winnow(Seq(("doc-seven", text)).toDF("doc_id", "text"))
+    // id column keeps its string type end-to-end — no silent cast-to-long
+    assert(strDf.schema("doc_id").dataType ===
+      org.apache.spark.sql.types.StringType)
+    val asStr = strDf.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(asStr.forall(_._1 == "doc-seven"))
+    assert(asStr.map(t => (t._2, t._3)).toSet === asLong)
+  }
+
+  test("adaptive cosine pairs with allowApproximate=false refuse the silent LSH downgrade") {
+    val e = intercept[IllegalArgumentException] {
+      Ann.cosinePairsAdaptive(embs, 0.45, maxExactRows = 10,
+        allowApproximate = false).collect()
+    }
+    assert(e.getMessage.contains("maxExactRows"))
+    // below the cutoff the flag is inert: the exact route runs either way
+    val small = embs.where(col("vec_id") < 8)
+    val exact = Ann.cosinePairs(small, 0.45).collect().map(_.toSeq).toSet
+    val flagged = Ann.cosinePairsAdaptive(small, 0.45,
+      allowApproximate = false).collect().map(_.toSeq).toSet
+    assert(flagged === exact)
+  }
+
+  test("PQ remainder dims: the last sub-space absorbs dim % m instead of dropping it") {
+    import spark.implicits._
+    // 5-dim vectors, m=2 → blocks are dims 1-2 and 3-5. The pair below is
+    // identical except in dim 5; with the old floor(dim/m) slices both
+    // blocks ignored dim 5 entirely, making the two vectors
+    // PQ-indistinguishable (identical codes AND fits).
+    val vecs = Seq(
+      (0L, Array(0f, 1f, 0f, 0f, 1f)),
+      (1L, Array(0f, 1f, 0f, 0f, -1f)),
+      (2L, Array(1f, 0f, 1f, 0f, 0f)),
+      (3L, Array(0f, 1f, 1f, 1f, 0f))).toDF("vec_id", "embedding")
+    val got = Ann.pqAssign(vecs, m = 2, nCells = 2, iters = 1).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    // block 0 (dims 1-2) identical → identical code_0/fit_0...
+    assert(got(0L)._1 === got(1L)._1 && got(0L)._2 === got(1L)._2)
+    // ...but the remainder-bearing block 1 sees dim 5 and distinguishes
+    assert(got(0L)._3 != got(1L)._3 || got(0L)._4 != got(1L)._4,
+      "dim 5 is still invisible to PQ — remainder dropped")
+  }
+
   test("ADC/PQ search: a corpus member queried against the corpus scores itself maximal") {
     val n = embs.count().toInt
     val got = Ann.pqSearch(embs.where(col("vec_id") < 5), embs, k = n,
