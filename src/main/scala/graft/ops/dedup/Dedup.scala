@@ -1093,6 +1093,90 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Exact-substring scrub at CHARACTER granularity over winnowing
+    * fingerprints ([[TextOps.winnow]]) — the action half of
+    * `dedup_winnow`, and the sub-chunk complement of [[scrubPassages]]:
+    * CDC chunks only certify duplication that aligns to full chunks,
+    * while every selected winnowing fingerprint certifies a k-char
+    * substring shared verbatim, at any offset (Schleimer et al. 2003;
+    * Lee et al. 2022 dedup semantics at substring granularity).
+    *
+    * Mechanics: a fingerprint selected in ≥ `minDocs` distinct documents
+    * elects its globally-first occurrence (min (doc_id, pos)) as keeper;
+    * every OTHER occurrence masks its k-char span. Because consecutive
+    * winnowing selections are at most `w` grams apart and k > w by
+    * default, the masked spans of a shared run overlap into one
+    * contiguous island — merging overlapping/adjacent spans (classic
+    * islands: running-max end, new island when s > max+1) therefore
+    * removes the full interior of every duplicated run, not just the
+    * sampled grams. Only the run's outermost ≤ k+w−2 chars (whose
+    * selection windows straddle the boundary and may differ per doc) can
+    * survive — below the k+w−1 certification threshold, so a second pass
+    * finds nothing (the idempotence the spec asserts).
+    *
+    * Scale shape: only (doc_id, pos, fp) ints shuffle — the keeper
+    * election is two keyed map-combined aggs (per-(fp,doc) min pos, then
+    * per-fp min (doc,pos) + doc count), the island merge windows over
+    * the per-doc mask spans (tiny), and text is touched exactly once, in
+    * the final doc_id-keyed join where each document splices its kept
+    * pieces with one `aggregate` fold over its merged spans.
+    *
+    * Returns every input document: (doc_id, text_scrubbed, n_masked)
+    * where n_masked counts removed characters (merged spans are
+    * disjoint, so the sum is exact).
+    */
+  def scrubWinnow(docs: DataFrame, k: Int = 5, w: Int = 4, minDocs: Int = 2,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(minDocs >= 1, "minDocs must be >= 1")
+    require(k > w, s"scrubWinnow needs k > w (got k=$k, w=$w): selection " +
+      "spacing is at most w grams, so k-char spans of consecutive " +
+      "selections only chain into full-run coverage when k exceeds w")
+    val base = spread(docs)
+    val fps = TextOps.winnow(base, k, w, idCol, textCol)
+    // keeper election — identical stance to scrubPassages: pre-collapse
+    // per (fp, doc) so a hot fingerprint never floods the global agg
+    val firstIn = fps.groupBy("fp", "doc_id").agg(min("pos").as("mpos"))
+    val keepers = firstIn.groupBy("fp")
+      .agg(count(lit(1)).as("n_docs"),
+        min(struct(col("doc_id"), col("mpos"))).as("keeper"))
+      .where(col("n_docs") >= minDocs)
+      .select(col("fp"), col("keeper.doc_id").as("kid"),
+        col("keeper.mpos").as("kpos"))
+    val masks = fps.join(keepers, "fp")
+      .where(!(col("doc_id") === col("kid") && col("pos") === col("kpos")))
+      .select(col("doc_id"), col("pos").as("s"), (col("pos") + k - 1).as("e"))
+    // merge overlapping/adjacent spans per doc: running max of prior ends,
+    // a gap (> 1 char) starts a new island
+    val byDoc = Window.partitionBy("doc_id").orderBy("s", "e")
+    val merged = masks
+      .withColumn("pm", max("e").over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("ni", when(col("pm").isNull || col("s") > col("pm") + 1, 1).otherwise(0))
+      .withColumn("isl", sum("ni").over(byDoc))
+      .groupBy("doc_id", "isl").agg(min("s").as("ms"), max("e").as("me"))
+    val spansPerDoc = merged.groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("ms"), col("me")))).as("spans"),
+        sum(col("me") - col("ms") + 1).as("n_masked"))
+    // splice the kept pieces: fold (prevEnd, acc) over the sorted spans,
+    // then append the tail after the last mask — one pass over the text
+    val spliced = aggregate(
+      col("spans"),
+      struct(lit(0L).as("pe"), lit("").as("acc")),
+      (st, sp) => struct(
+        sp.getField("me").as("pe"),
+        concat(st.getField("acc"),
+          col(textCol).substr(st.getField("pe") + 1,
+            sp.getField("ms") - st.getField("pe") - 1)).as("acc")),
+      st => concat(st.getField("acc"),
+        col(textCol).substr(st.getField("pe") + 1,
+          length(col(textCol)) - st.getField("pe"))))
+    base.select(col(idCol).as("doc_id"), col(textCol))
+      .join(spansPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("spans").isNull, col(textCol)).otherwise(spliced).as("text_scrubbed"),
+        coalesce(col("n_masked"), lit(0L)).cast("long").as("n_masked"))
+      .orderBy("doc_id")
+  }
+
   /** A materialised Bloom filter WITH the parameters it was built with —
     * probing with mismatched bits/numHashes silently breaks the
     * no-false-negative guarantee (wrong modulus) or throws (out-of-range

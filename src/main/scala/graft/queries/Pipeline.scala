@@ -317,6 +317,71 @@ object Pipeline {
       |  ON dr.doc_id = c.doc_id AND dr.cidx = c.cidx
       |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
 
+  /** C80: substring-granularity exact dedup scrub ([[Dedup.scrubWinnow]])
+    * — detection AND removal below CDC-chunk alignment: every winnowing
+    * fingerprint shared across documents certifies a k-char verbatim
+    * substring; masking all non-keeper spans and merging overlaps (k > w
+    * makes in-run spans chain) removes the full interior of every
+    * duplicated run, at any offset, keeping only the globally-first copy.
+    * Complements `passage_scrub` (C48), which can only act on duplication
+    * aligned to whole content-defined chunks.
+    */
+  def scrubWinnowQ(spark: SparkSession, dir: String): DataFrame =
+    Dedup.scrubWinnow(docs(spark, dir))
+
+  /** The oracle reproduces the winnowing selection relationally (the C66
+    * per-window rank CTEs), elects keepers, merges mask islands with the
+    * classic running-max window, and splices kept substrings with an
+    * ordered string_agg over gap pieces plus one tail piece per doc.
+    */
+  val scrubWinnowSql: String =
+    """WITH dd AS (SELECT doc_id, text FROM documents WHERE len(text) >= 8),
+      |g AS (SELECT doc_id, len(text) - 4 AS n, t.i,
+      |    ('0x' || substring(md5(substring(text, i::INTEGER, 5)), 1, 8))::BIGINT AS h
+      |  FROM dd, LATERAL unnest(range(1, len(text) - 3)) t(i)),
+      |sel AS (SELECT doc_id, p, h FROM (
+      |  SELECT s.doc_id, s.i AS st, t.i AS p, t.h,
+      |    row_number() OVER (PARTITION BY s.doc_id, s.i ORDER BY t.h ASC, t.i DESC) AS rn
+      |  FROM g s JOIN g t ON t.doc_id = s.doc_id AND t.i BETWEEN s.i AND s.i + 3
+      |  WHERE s.i <= s.n - 3) WHERE rn = 1),
+      |f AS (SELECT DISTINCT doc_id, p AS pos, h AS fp FROM sel),
+      |firstin AS (SELECT fp, doc_id, min(pos) AS mpos FROM f GROUP BY 1, 2),
+      |keep AS (SELECT fp, min(doc_id) AS kid FROM firstin
+      |  GROUP BY fp HAVING count(*) >= 2),
+      |k2 AS (SELECT keep.fp, keep.kid, fi.mpos AS kpos FROM keep
+      |  JOIN firstin fi ON fi.fp = keep.fp AND fi.doc_id = keep.kid),
+      |masks AS (SELECT f.doc_id, f.pos AS s, f.pos + 4 AS e
+      |  FROM f JOIN k2 ON f.fp = k2.fp
+      |  WHERE NOT (f.doc_id = k2.kid AND f.pos = k2.kpos)),
+      |m2 AS (SELECT doc_id, s, e, max(e) OVER (PARTITION BY doc_id
+      |    ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+      |  FROM masks),
+      |m3 AS (SELECT doc_id, s, e,
+      |    CASE WHEN pm IS NULL OR s > pm + 1 THEN 1 ELSE 0 END AS ni FROM m2),
+      |m4 AS (SELECT doc_id, s, e,
+      |    sum(ni) OVER (PARTITION BY doc_id ORDER BY s, e) AS isl FROM m3),
+      |mg AS (SELECT doc_id, isl, min(s) AS ms, max(e) AS me
+      |  FROM m4 GROUP BY 1, 2),
+      |sp AS (SELECT doc_id, ms, me,
+      |    lag(me, 1, 0) OVER (PARTITION BY doc_id ORDER BY ms) AS pe,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY ms DESC) AS rdesc
+      |  FROM mg),
+      |pc AS (SELECT sp.doc_id, ms AS ord,
+      |    substring(dd.text, (pe + 1)::INTEGER, (ms - pe - 1)::INTEGER) AS piece
+      |  FROM sp JOIN dd USING (doc_id)
+      |  UNION ALL
+      |  SELECT sp.doc_id, 2147483647 AS ord,
+      |    substring(dd.text, (me + 1)::INTEGER) AS piece
+      |  FROM sp JOIN dd USING (doc_id) WHERE rdesc = 1),
+      |agg AS (SELECT doc_id, string_agg(piece, '' ORDER BY ord) AS ts
+      |  FROM pc GROUP BY doc_id),
+      |cnt AS (SELECT doc_id, sum(me - ms + 1)::BIGINT AS n_masked
+      |  FROM mg GROUP BY doc_id)
+      |SELECT d.doc_id, coalesce(agg.ts, d.text) AS text_scrubbed,
+      |  coalesce(cnt.n_masked, 0)::BIGINT AS n_masked
+      |FROM documents d LEFT JOIN agg USING (doc_id) LEFT JOIN cnt USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
   /** C30: asymmetric containment of the src0 reference docs in the rest of
     * the corpus — quote/near-subset detection that a Jaccard threshold
     * can't express.

@@ -79,4 +79,66 @@ class ScrubSpec extends SparkSpec {
     assert(out.count() === 6L)
     assert(out.select("doc_id").distinct().count() === 6L)
   }
+
+  // ---- scrubWinnow: substring-granularity removal -------------------------
+
+  // a long verbatim run planted at DIFFERENT offsets, deliberately NOT
+  // aligned to any CDC boundary — the case scrubPassages cannot act on
+  private val run = "zq0 zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8 zq9"
+
+  private def winnowCorpus = Seq(
+    10L -> s"alpha beta $run gamma delta epsilon",
+    11L -> s"completely different leading material then $run and more",
+    12L -> s"third copy starts now $run trailing words here",
+    13L -> "untouched document with no shared substrings at all whatsoever"
+  ).toDF("doc_id", "text")
+
+  test("scrubWinnow removes the interior of an unaligned duplicated run, keeps the first copy") {
+    val out = Dedup.scrubWinnow(winnowCorpus).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // doc 10 (lowest id) keeps the run verbatim
+    assert(out(10L)._1.contains(run))
+    assert(out(10L)._2 === 0L)
+    // docs 11 and 12 lose its interior — only the outermost ≤ k+w−2 = 7
+    // chars of each end can survive (boundary-window slack), so no
+    // certifiable (≥ 8 char) fragment of the run remains
+    for (id <- Seq(11L, 12L)) {
+      val (txt, masked) = out(id)
+      assert(masked > (run.length - 2 * 7).toLong, s"doc $id masked only $masked chars")
+      assert(!txt.contains(run.substring(4, run.length - 4)), s"doc $id kept the run interior: $txt")
+      // non-duplicated surroundings survive
+      assert(txt.contains(if (id == 11L) "completely different" else "third copy starts"))
+    }
+    // untouched doc round-trips byte-identical
+    assert(out(13L)._1 === "untouched document with no shared substrings at all whatsoever")
+    assert(out(13L)._2 === 0L)
+  }
+
+  test("scrubWinnow is idempotent: a second pass masks nothing") {
+    val once = Dedup.scrubWinnow(winnowCorpus)
+      .select(col("doc_id"), col("text_scrubbed").as("text"))
+    val twice = Dedup.scrubWinnow(once)
+    assert(twice.agg(sum("n_masked")).head.getLong(0) === 0L)
+    // and the texts are unchanged by the second pass
+    val a = once.orderBy("doc_id").collect().map(_.getString(1)).toSeq
+    val b = twice.orderBy("doc_id").collect().map(_.getString(1)).toSeq
+    assert(a === b)
+  }
+
+  test("scrubWinnow emits one row per input doc; n_masked is the exact char count removed") {
+    val out = Dedup.scrubWinnow(winnowCorpus).collect()
+    assert(out.length === 4)
+    out.foreach { r =>
+      val orig = winnowCorpus.where(col("doc_id") === r.getLong(0))
+        .head().getString(1)
+      assert(orig.length - r.getString(1).length === r.getLong(2),
+        s"doc ${r.getLong(0)}: length delta != n_masked")
+    }
+  }
+
+  test("scrubWinnow rejects k <= w (span chaining precondition)") {
+    intercept[IllegalArgumentException] {
+      Dedup.scrubWinnow(winnowCorpus, k = 4, w = 4)
+    }
+  }
 }
