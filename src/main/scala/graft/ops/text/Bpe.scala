@@ -77,6 +77,124 @@ object Bpe {
     (mergesDf, words.select(col("w"), col("freq"), col("symbols")))
   }
 
+  /** Batched BPE training — [[bpeTrainFull]]'s scale path: the sequential
+    * trainer costs one driver round-trip + one |vocab| aggregate PER
+    * MERGE, which a real 32k-merge vocabulary cannot afford. Here each
+    * round learns up to `batch` merges from ONE aggregate, and the
+    * accepted batch is PROVABLY identical to running the sequential
+    * algorithm merge-by-merge — this is exact batching, not an
+    * approximation. A sorted candidate prefix (count desc, then (l, r) —
+    * the sequential tie-break) is accepted greedily; candidate i is
+    * accepted only while ALL of:
+    *
+    *  1. its symbols are disjoint from every accepted pair's symbols and
+    *     merged strings (disjoint merges commute, and neither count can
+    *     be changed by the other's application);
+    *  2. its count strictly exceeds B_i, the largest count any pair
+    *     CREATED by the accepted merges could have — bounded exactly by
+    *     the per-pair neighbor maxima computed in the same aggregate
+    *     (every created pair (x, lr)/(lr, y)/(l₁r₁, l₂r₂) occurrence is
+    *     an occurrence of an accepted pair with that neighbor, so its
+    *     count ≤ the accepted pair's hottest single neighbor);
+    *  3. its merged string is not an existing alphabet symbol (a
+    *     provenance collision — e.g. learning ("ab","c") when "abc"
+    *     already exists — would let created occurrences inflate an
+    *     existing pair's count past the bound in 2). The alphabet is
+    *     tracked driver-side: initial distinct symbols + learned merges.
+    *
+    * Acceptance stops at the FIRST violation (prefix, never skip-and-
+    * continue): every pair sorted above an accepted p_j is then itself
+    * accepted, so at p_j's sequential turn no original pair outranks it
+    * (originals only lose count), no created pair reaches c_j (guard 2),
+    * and ties resolve in the same sorted order — hence merge list, ranks,
+    * recorded counts, and final vocab all coincide with sequential. The
+    * worst case (every round degenerates to batch=1) IS the sequential
+    * algorithm; real zipfian corpora accept large prefixes because head
+    * pair counts dwarf their neighbor bounds.
+    *
+    * Cost: ⌈k / accepted-per-round⌉ rounds, each one |vocab|-token
+    * aggregate (the neighbor bounds ride the same explode) + one narrow
+    * merge-map fold — a k=256 vocabulary trains in tens of rounds instead
+    * of 256. Returns the same (merges, vocab) pair as [[bpeTrainFull]].
+    */
+  def bpeTrainBatched(docs: DataFrame, k: Int, batch: Int = 32,
+                      textCol: String = "text"): (DataFrame, DataFrame) = {
+    require(k >= 1, s"bpeTrainBatched: k must be >= 1 (got $k)")
+    require(batch >= 1, s"bpeTrainBatched: batch must be >= 1 (got $batch)")
+    val spark = docs.sparkSession
+    var words = docs
+      .select(explode(split(col(textCol), "\\s+")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(col("w"), col("freq"), split(col("w"), "").as("symbols"))
+      .localCheckpoint()
+    // driver-side alphabet for guard 3: initial symbols are single chars
+    val alphabet = scala.collection.mutable.Set.empty[String]
+    words.select(explode(col("symbols")).as("s")).distinct().collect()
+      .foreach(r => alphabet += r.getString(0))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var exhausted = false
+    while (merges.length < k && !exhausted) {
+      // one pass: pair counts + the hottest left/right neighbor per pair
+      val x = words
+        .where(size(col("symbols")) > 1)
+        .select(col("freq"), explode(transform(
+          sequence(lit(1), size(col("symbols")) - 1),
+          j => struct(
+            element_at(col("symbols"), j).as("l"),
+            element_at(col("symbols"), j + 1).as("r"),
+            when(j > 1, element_at(col("symbols"), j - 1)).as("ln"),
+            when(j + 2 <= size(col("symbols")),
+              element_at(col("symbols"), j + 2)).as("rn")))).as("p"))
+        .select(col("freq"), col("p.l"), col("p.r"), col("p.ln"), col("p.rn"))
+      val counts = x.groupBy("l", "r").agg(sum("freq").as("c"))
+      def nbBound(nCol: String) = x.where(col(nCol).isNotNull)
+        .groupBy(col("l"), col("r"), col(nCol).as("nb"))
+        .agg(sum("freq").as("nc"))
+        .groupBy("l", "r").agg(max("nc").as(nCol + "b"))
+      val top = counts
+        .join(nbBound("ln"), Seq("l", "r"), "left")
+        .join(nbBound("rn"), Seq("l", "r"), "left")
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(math.min(batch, k - merges.length))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          math.max(if (r.isNullAt(3)) 0L else r.getLong(3),
+            if (r.isNullAt(4)) 0L else r.getLong(4))))
+      if (top.isEmpty) exhausted = true
+      else {
+        val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        val used = scala.collection.mutable.Set.empty[String]
+        var bound = 0L // B_i: max created-pair count over accepted merges
+        var open = true
+        for ((l, r, c, nb) <- top if open) {
+          val merged = l + r
+          val ok =
+            (accepted.isEmpty || c > bound) && // guard 2 (first is free)
+              !used.contains(l) && !used.contains(r) && // guard 1
+              !used.contains(merged) &&
+              !alphabet.contains(merged) // guard 3
+          if (ok) {
+            accepted += ((l, r, c))
+            used += l; used += r; used += merged
+            bound = math.max(bound, nb)
+          } else open = false // prefix semantics: never skip-and-continue
+        }
+        merges ++= accepted
+        accepted.foreach { case (l, r, _) => alphabet += l + r }
+        words = words
+          .withColumn("symbols",
+            mergePairs(col("symbols"), accepted.map(a => (a._1, a._2)).toSeq))
+          .localCheckpoint()
+      }
+    }
+    import spark.implicits._
+    val mergesDf = merges.toSeq.zipWithIndex
+      .map { case ((l, r, c), i) => (i + 1, l, r, l + r, c) }
+      .toDF("rank", "lhs", "rhs", "merged", "pair_count")
+    (mergesDf, words.select(col("w"), col("freq"), col("symbols")))
+  }
+
   /** Per-group tokenizer fertility under the trained vocab: BPE tokens per
     * whitespace word — the tokenizer-efficiency metric a multilingual
     * pipeline tracks per language. Corpus words join the SEGMENTED VOCAB
@@ -113,4 +231,23 @@ object Bpe {
       when(size(acc) > 0 && element_at(acc, -1) === lit(l) && s === lit(r),
           concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
         .otherwise(concat(acc, array(s))))
+
+  /** One-pass application of a BATCH of pairwise-disjoint merges: the
+    * accepted pairs become a literal lookup map keyed "l␀r" and the same
+    * greedy left-to-right fold as [[mergePair]] consults it once per
+    * symbol — one expression regardless of batch size. Disjointness
+    * guarantees no chaining (a just-merged token can never be the l of
+    * another accepted pair), so simultaneous application equals any
+    * sequential order of the batch.
+    */
+  private def mergePairs(symbols: Column, pairs: Seq[(String, String)]): Column = {
+    val m = typedlit(pairs.map { case (l, r) => (l + " " + r) -> (l + r) }.toMap)
+    aggregate(symbols, typedlit(Seq.empty[String]), (acc, s) => {
+      val key = concat(element_at(acc, -1), lit(" "), s)
+      val hit = element_at(m, key)
+      when(size(acc) > 0 && hit.isNotNull,
+          concat(slice(acc, lit(1), size(acc) - 1), array(hit)))
+        .otherwise(concat(acc, array(s)))
+    })
+  }
 }

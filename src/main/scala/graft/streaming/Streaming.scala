@@ -48,6 +48,31 @@ object Streaming {
     raw.withColumn("ts", graft.queries.Tables.eventTs(raw))
   }
 
+  /** Switches the session's streaming state store to RocksDB — the
+    * production backend for every stateful operator in this file (the
+    * sessionize/funnel/dormancy/retained-dedup monitors, all
+    * flatMapGroupsWithState). The default HDFSBackedStateStoreProvider
+    * keeps every key's state in executor heap; at the 100M-key scale a
+    * per-user monitor reaches on a real event stream that is an executor
+    * OOM, while RocksDB spills state to local disk with a bounded block
+    * cache and adds changelog checkpointing. The conf is read at QUERY
+    * start, so call this before `writeStream.start()`; checkpoints are
+    * backend-specific (HDFS-backed and RocksDB layouts differ), so
+    * restarts must keep the backend they started with — new checkpoint
+    * for a backend migration.
+    *
+    * The same setting rides the config file path unchanged:
+    * `config.spark.sql.streaming.stateStore.providerClass: ...RocksDBStateStoreProvider`
+    * in a [[graft.io.Config]] YAML reaches the session builder verbatim.
+    */
+  def useRocksDbStateStore(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
+  /** Reverts [[useRocksDbStateStore]] to the default in-memory provider. */
+  def useDefaultStateStore(spark: SparkSession): Unit =
+    spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
   /** D1: tumbling 1-hour window aggregation with a 10-minute watermark.
     * Works on both batch and streaming frames; late data beyond the
     * watermark is dropped by the engine in streaming mode.

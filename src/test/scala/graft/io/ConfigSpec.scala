@@ -261,4 +261,18 @@ class ConfigSpec extends graft.SparkSpec {
       assert(s.conf.get("spark.sql.shuffle.partitions") === "2")
     } finally spark.conf.set("spark.sql.shuffle.partitions", before)
   }
+
+  test("the streaming state-store backend rides the config path to the session") {
+    // a YAML-configured pipeline selects RocksDB for its stateful
+    // monitors without code changes — the conf key must reach the session
+    spark
+    try {
+      val s = Config.sparkSession(Map(
+        "master" -> "local[2]",
+        "config.spark.sql.streaming.stateStore.providerClass" ->
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
+      assert(s.conf.get("spark.sql.streaming.stateStore.providerClass")
+        .endsWith("RocksDBStateStoreProvider"))
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }

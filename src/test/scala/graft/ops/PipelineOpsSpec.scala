@@ -971,6 +971,36 @@ class PipelineOpsSpec extends SparkSpec {
     assert(learned(docs, 8) === refBpe(texts, 8))
   }
 
+  test("bpeTrainBatched is merge-for-merge identical to the sequential trainer") {
+    import graft.ops.text.Bpe
+    import spark.implicits._
+    def merges(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("rank").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4))).toSeq
+    def vocab(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1),
+        r.getSeq[String](2).toList)).toSet
+
+    // the Sennrich toy corpus — the published reference trace
+    val toy = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val (sm, sv) = Bpe.bpeTrainFull(toy, k = 10)
+    val (bm, bv) = Bpe.bpeTrainBatched(toy, k = 10, batch = 8)
+    assert(merges(bm) === merges(sm))
+    assert(vocab(bv) === vocab(sv))
+
+    // the real documents table: zipfian counts, ties, punctuation — the
+    // guards (neighbor bound, prefix stop, alphabet collision) all fire
+    val (sm2, sv2) = Bpe.bpeTrainFull(docs, k = 12)
+    val (bm2, bv2) = Bpe.bpeTrainBatched(docs, k = 12, batch = 5)
+    assert(merges(bm2) === merges(sm2))
+    assert(vocab(bv2) === vocab(sv2))
+    // batch=1 degenerates to the sequential algorithm by construction
+    val (bm3, _) = Bpe.bpeTrainBatched(toy, k = 6, batch = 1)
+    assert(merges(bm3) === merges(sm).take(6))
+  }
+
   test("weightedSample: inclusion monotone in weight, exact WOR, deterministic, top-k plan") {
     import graft.ops.sample.Sampling
     import spark.implicits._

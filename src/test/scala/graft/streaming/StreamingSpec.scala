@@ -393,6 +393,51 @@ class StreamingSpec extends SparkSpec {
     assert(emitted() === Seq(Streaming.UserSession(7L, ts(0), ts(10), 2, 3.0)))
   }
 
+  test("D3c: the sessionize monitor restarts from checkpoint on the RocksDB state backend") {
+    // same two-run recovery scenario as D3b, but with the state store on
+    // RocksDB (the 100M-key production backend — heap-bounded, disk-backed,
+    // changelog-checkpointed) instead of the default in-memory provider.
+    // Passing proves the stateful kernels are backend-agnostic AND that the
+    // buffered session survives a cold restart through RocksDB snapshots.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-rocksdb").toString
+    val src = s"$tmp/src"
+    val ckpt = s"$tmp/ckpt"
+    val outDir = s"$tmp/out"
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val schema = org.apache.spark.sql.Encoders.product[Streaming.Event].schema
+    def run(): Unit = {
+      val events = spark.readStream.schema(schema).parquet(src)
+        .as[Streaming.Event]
+      val q = Streaming.sessionize(events, gapMinutes = 30, emitOpen = false)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[Streaming.UserSession], _: Long) =>
+          batch.write.mode("append").parquet(outDir): Unit
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    Streaming.useRocksDbStateStore(spark)
+    try {
+      Seq(Streaming.Event(1, ts(0), 7L, "click", 1.0),
+          Streaming.Event(2, ts(10), 7L, "click", 2.0))
+        .toDS().write.parquet(src)
+      run()
+      assert(!new java.io.File(outDir).exists() ||
+        spark.read.parquet(outDir).isEmpty,
+        "the open session must stay buffered in RocksDB, not emitted")
+      // fresh query, same checkpoint: the session closes only if RocksDB
+      // recovered the buffered state and the source resumed past batch 1
+      Seq(Streaming.Event(3, ts(100), 7L, "view", 4.0))
+        .toDS().write.mode("append").parquet(src)
+      run()
+      val got = spark.read
+        .schema(org.apache.spark.sql.Encoders.product[Streaming.UserSession].schema)
+        .parquet(outDir).as[Streaming.UserSession].collect().toSeq
+      assert(got === Seq(Streaming.UserSession(7L, ts(0), ts(10), 2, 3.0)))
+    } finally Streaming.useDefaultStateStore(spark)
+  }
+
   test("D3: sessionize splits on gaps > 30min and aggregates per session") {
     def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
     val events = Seq(
