@@ -109,16 +109,32 @@ object Bpe {
     * and ties resolve in the same sorted order — hence merge list, ranks,
     * recorded counts, and final vocab all coincide with sequential. The
     * worst case (every round degenerates to batch=1) IS the sequential
-    * algorithm; real zipfian corpora accept large prefixes because head
-    * pair counts dwarf their neighbor bounds.
+    * algorithm.
     *
-    * Cost: ⌈k / accepted-per-round⌉ rounds, each one |vocab|-token
-    * aggregate (the neighbor bounds ride the same explode) + one narrow
-    * merge-map fold — a k=256 vocabulary trains in tens of rounds instead
-    * of 256. Returns the same (merges, vocab) pair as [[bpeTrainFull]].
+    * MEASURED acceptance honesty: exactness is corpus-dependent and
+    * inherently serial when merges contend — on a zipfian hex-word corpus
+    * (3k vocab, 270k tokens) the guards accept 2–6 pairs/round (k=256 in
+    * ~100 rounds, ~2.5× fewer than sequential), because the top pair's
+    * hottest-neighbor bound genuinely reaches the next candidates'
+    * counts: sequential BPE would really interleave the created pairs.
+    * That is a property of the ALGORITHM's serial dependency, not of this
+    * implementation. For a production 32k-merge budget where bit-exact
+    * sequential rank order is not required, `exact = false` switches to
+    * the standard synchronous approximation (cf. parallel tokenizer
+    * trainers): every pairwise-disjoint candidate in the top-`batch` is
+    * accepted (skip-and-continue, no count guard), giving ~⌈k/batch⌉
+    * rounds unconditionally; merge ORDER may then locally deviate from
+    * sequential where counts contend, while each accepted pair was still
+    * a true top-`batch` pair of its round (vocab quality is equivalent —
+    * the fertility spec pins it).
+    *
+    * Cost: rounds × (one vocab-token-sized quad aggregate + one narrow
+    * merge-map fold). Returns the same (merges, vocab) pair as
+    * [[bpeTrainFull]].
     */
   def bpeTrainBatched(docs: DataFrame, k: Int, batch: Int = 32,
-                      textCol: String = "text"): (DataFrame, DataFrame) = {
+                      textCol: String = "text",
+                      exact: Boolean = true): (DataFrame, DataFrame) = {
     require(k >= 1, s"bpeTrainBatched: k must be >= 1 (got $k)")
     require(batch >= 1, s"bpeTrainBatched: batch must be >= 1 (got $batch)")
     val spark = docs.sparkSession
@@ -136,7 +152,10 @@ object Bpe {
     var exhausted = false
     while (merges.length < k && !exhausted) {
       // one pass: pair counts + the hottest left/right neighbor per pair
-      val x = words
+      // ONE corpus-vocab-sized shuffle per round: occurrences reduce to
+      // (l, r, ln, rn) quads first; counts and both neighbor bounds then
+      // derive from the quad table (|distinct quads| rows, cheap)
+      val quads = words
         .where(size(col("symbols")) > 1)
         .select(col("freq"), explode(transform(
           sequence(lit(1), size(col("symbols")) - 1),
@@ -146,11 +165,13 @@ object Bpe {
             when(j > 1, element_at(col("symbols"), j - 1)).as("ln"),
             when(j + 2 <= size(col("symbols")),
               element_at(col("symbols"), j + 2)).as("rn")))).as("p"))
-        .select(col("freq"), col("p.l"), col("p.r"), col("p.ln"), col("p.rn"))
-      val counts = x.groupBy("l", "r").agg(sum("freq").as("c"))
-      def nbBound(nCol: String) = x.where(col(nCol).isNotNull)
+        .groupBy(col("p.l"), col("p.r"), col("p.ln"), col("p.rn"))
+        .agg(sum("freq").as("f"))
+        .localCheckpoint()
+      val counts = quads.groupBy("l", "r").agg(sum("f").as("c"))
+      def nbBound(nCol: String) = quads.where(col(nCol).isNotNull)
         .groupBy(col("l"), col("r"), col(nCol).as("nb"))
-        .agg(sum("freq").as("nc"))
+        .agg(sum("f").as("nc"))
         .groupBy("l", "r").agg(max("nc").as(nCol + "b"))
       val top = counts
         .join(nbBound("ln"), Seq("l", "r"), "left")
@@ -167,20 +188,32 @@ object Bpe {
         val used = scala.collection.mutable.Set.empty[String]
         var bound = 0L // B_i: max created-pair count over accepted merges
         var open = true
+        def accept(l: String, r: String, c: Long, nb: Long): Unit = {
+          accepted += ((l, r, c))
+          used += l; used += r; used += l + r
+          bound = math.max(bound, nb)
+        }
         for ((l, r, c, nb) <- top if open) {
           val merged = l + r
-          val ok =
-            (accepted.isEmpty || c > bound) && // guard 2 (first is free)
-              !used.contains(l) && !used.contains(r) && // guard 1
-              !used.contains(merged) &&
-              !alphabet.contains(merged) // guard 3
-          if (ok) {
-            accepted += ((l, r, c))
-            used += l; used += r; used += merged
-            bound = math.max(bound, nb)
-          } else open = false // prefix semantics: never skip-and-continue
+          val disjoint = // guard 1 (also required by the one-fold apply)
+            !used.contains(l) && !used.contains(r) && !used.contains(merged)
+          if (exact) {
+            val ok = disjoint &&
+              !alphabet.contains(merged) && // guard 3
+              (accepted.isEmpty || c > bound) // guard 2 (first is free)
+            // prefix semantics: never skip-and-continue
+            if (ok) accept(l, r, c, nb) else open = false
+          } else if (disjoint) {
+            // approximate: every disjoint top-`batch` pair merges this
+            // round; conflicting candidates are skipped, not a stop — the
+            // round always accepts the top pair, so progress is guaranteed
+            accept(l, r, c, nb)
+          }
         }
         merges ++= accepted
+        if (sys.env.contains("GRAFT_BPE_DEBUG"))
+          println(s"[bpe] round: accepted ${accepted.length}/${top.length} " +
+            s"(total ${merges.length}/$k)")
         accepted.foreach { case (l, r, _) => alphabet += l + r }
         words = words
           .withColumn("symbols",

@@ -39,11 +39,14 @@ object BpeScale {
     val t0 = System.nanoTime()
     val (merges, vocab) =
       if (args.contains("seq")) graft.ops.text.Bpe.bpeTrainFull(docs, k)
-      else graft.ops.text.Bpe.bpeTrainBatched(docs, k, batch)
+      else graft.ops.text.Bpe.bpeTrainBatched(docs, k, batch,
+        exact = !args.contains("approx"))
     val n = merges.count()
     val nv = vocab.count()
     val secs = (System.nanoTime() - t0) / 1e9
-    val mode = if (args.contains("seq")) "seq" else s"batch=$batch"
+    val mode =
+      if (args.contains("seq")) "seq"
+      else s"batch=$batch exact=${!args.contains("approx")}"
     println(f"[bpe-scale] k=$k $mode learned=$n vocabWords=$nv in $secs%.1f s")
     merges.orderBy("rank").show(10, truncate = false)
     spark.stop()

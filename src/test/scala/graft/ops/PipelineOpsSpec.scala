@@ -1001,6 +1001,40 @@ class PipelineOpsSpec extends SparkSpec {
     assert(merges(bm3) === merges(sm).take(6))
   }
 
+  test("approximate batched BPE: every merge was a true top-batch pair; quality matches exact") {
+    import graft.ops.text.Bpe
+    import spark.implicits._
+    // approximate mode trades sequential rank order for unconditional
+    // ~k/batch rounds; with batch=1 no reordering is possible, so it must
+    // still equal the sequential trace exactly
+    val toy = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val (sm, _) = Bpe.bpeTrainFull(toy, k = 10)
+    val (am1, _) = Bpe.bpeTrainBatched(toy, k = 10, batch = 1, exact = false)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4))).toSeq
+    assert(rows(am1) === rows(sm))
+    // with a real batch the POINT is compression quality, not rank order:
+    // the vocab's weighted fertility (tokens per word occurrence) must
+    // match the exact trainer's at the same k on the real documents table
+    def fert(vocab: org.apache.spark.sql.DataFrame): Double = {
+      val r = vocab.agg(
+        sum(col("freq") * size(col("symbols"))).cast("double"),
+        sum(col("freq")).cast("double")).head
+      r.getDouble(0) / r.getDouble(1)
+    }
+    val (_, ev) = Bpe.bpeTrainBatched(docs, k = 12, batch = 5, exact = true)
+    val (_, av) = Bpe.bpeTrainBatched(docs, k = 12, batch = 5, exact = false)
+    val (fe, fa) = (fert(ev), fert(av))
+    assert(math.abs(fe - fa) / fe < 0.05,
+      s"approximate fertility $fa drifted > 5% from exact $fe")
+    // determinism: identical rerun
+    val (am2, _) = Bpe.bpeTrainBatched(docs, k = 12, batch = 5, exact = false)
+    val (am3, _) = Bpe.bpeTrainBatched(docs, k = 12, batch = 5, exact = false)
+    assert(rows(am2) === rows(am3))
+  }
+
   test("weightedSample: inclusion monotone in weight, exact WOR, deterministic, top-k plan") {
     import graft.ops.sample.Sampling
     import spark.implicits._
