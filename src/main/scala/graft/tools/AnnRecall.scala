@@ -55,8 +55,14 @@ object AnnRecall {
       Ann.lshTopK(queries, corpus, k, planes = 4, bands = 8))
     recall("ann_ivf", "nCells=16 nProbe=4 iters=2",
       Ann.ivfTopK(queries, corpus, k, nCells = 16, nProbe = 4, iters = 2))
-    recall("ann_pq", "m=2 nCells=8 iters=1",
+    // the oracle config (m=2, nCells=8 = 6 bits/vector) is deliberately
+    // tiny so DuckDB can unroll the codebooks — at a 20k corpus its 64
+    // distinct ADC scores cannot separate a top-10 (recall ~0 by design);
+    // the production-shaped codebook shows the same seam scaled up
+    recall("ann_pq (oracle cfg)", "m=2 nCells=8 iters=1",
       Ann.pqSearch(queries, corpus, k, m = 2, nCells = 8, iters = 1))
+    recall("ann_pq (prod cfg)", "m=8 nCells=32 iters=2",
+      Ann.pqSearch(queries, corpus, k, m = 8, nCells = 32, iters = 2))
     spark.stop()
   }
 }
