@@ -666,6 +666,25 @@ object Ann {
     graft.functions.GraftFunctions.register(queries.sparkSession)
     val base = corpus.select(col(idCol).as("id"), vec(col(vecCol)).as("v"))
     val qbase = queries.select(col(idCol).as("qid"), vec(col(vecCol)).as("qv"))
+    val (codes, luts) = pqCodesAndLuts(base, qbase, m, nCells, iters)
+    val w = Window.partitionBy("qid").orderBy(col("adc").desc, col("id"))
+    codes.crossJoin(broadcast(luts))
+      .withColumn("adc", round(adcScore(m), 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("id").as("cid"), col("adc"), col("rank"))
+      .orderBy("qid", "rank")
+  }
+
+  /** Shared PQ machinery for [[pqSearch]] and [[ivfPqSearch]]: per
+    * sub-space, deterministic codebook training + corpus codes, and each
+    * query's LUT of rounded codeword cosines (ordered by cell so the code
+    * indexes it). Returns (codes keyed `id` with `code_0..m-1`, luts keyed
+    * `qid` with `lut_0..m-1`).
+    */
+  private def pqCodesAndLuts(base: DataFrame, qbase: DataFrame,
+                             m: Int, nCells: Int, iters: Int)
+      : (DataFrame, DataFrame) = {
     val parts = (0 until m).map { b =>
       val csub = base.select(col("id"), expr(pqSlice("v", m, b)).as("sv"))
       val (cells, cents) = ivfBuild(csub, nCells, iters, "id", "sv")
@@ -682,14 +701,65 @@ object Ann {
           s => s.getField("sim")).as(s"lut_$b"))
       (codes, lut)
     }
-    val codes = parts.map(_._1).reduce(_.join(_, "id"))
-    val luts = parts.map(_._2).reduce(_.join(_, "qid"))
-    val score = (0 until m)
-      .map(b => element_at(col(s"lut_$b"), col(s"code_$b").cast("int") + 1))
-      .reduce(_ + _)
+    (parts.map(_._1).reduce(_.join(_, "id")),
+      parts.map(_._2).reduce(_.join(_, "qid")))
+  }
+
+  /** ADC score: sum of m LUT lookups, one per code block. */
+  private def adcScore(m: Int): Column = (0 until m)
+    .map(b => element_at(col(s"lut_$b"), col(s"code_$b").cast("int") + 1))
+    .reduce(_ + _)
+
+  /** IVFADC (Jégou et al., TPAMI 2011 §III-C): the coarse IVF index
+    * prunes CANDIDATES while PQ codes compress the SCAN — the two
+    * approximations compose into the full billion-scale serving layout.
+    * Corpus vectors are assigned a coarse cell ([[ivfBuild]]) once at
+    * ingest alongside their PQ codes; per query batch, the `nProbe`
+    * nearest coarse cells are chosen against the broadcast centroid
+    * table, and ADC scoring then touches ONLY the probed cells' code
+    * rows — ~nProbe/nCells of the corpus, each candidate costing m table
+    * lookups instead of a d-dim dot product.
+    *
+    * Deliberate divergence from the paper, shared with [[pqAssign]]:
+    * codebooks quantize the RAW sub-vectors by rounded cosine, not L2
+    * residuals against the coarse centroid — one determinism recipe
+    * across the ANN family, engine-reproducible end to end. With
+    * `nProbe = nCells` (probe everything) the result is EXACTLY
+    * [[pqSearch]] (the spec asserts it), so the coarse level is a pure
+    * candidate filter, never a score change.
+    *
+    * Scale shape: codes + cell ids are the only corpus-sized frame (ints;
+    * float vectors stay cold); probes (|queries|·nProbe rows) and LUTs
+    * (|queries| rows) broadcast; the rank window prunes through bounded
+    * per-partition heaps before the exchange.
+    */
+  def ivfPqSearch(queries: DataFrame, corpus: DataFrame, k: Int,
+                  nCells: Int = 16, nProbe: Int = 4, ivfIters: Int = 2,
+                  m: Int = 2, pqCells: Int = 8, pqIters: Int = 1,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(m >= 1, s"ivfPqSearch: m must be >= 1 (got $m)")
+    require(nProbe >= 1 && nProbe <= nCells,
+      s"ivfPqSearch: nProbe must be in [1, nCells] (got $nProbe of $nCells)")
+    graft.functions.GraftFunctions.register(queries.sparkSession)
+    val (coarse, coarseCents) = ivfBuild(corpus, nCells, ivfIters, idCol, vecCol)
+    val base = corpus.select(col(idCol).as("id"), vec(col(vecCol)).as("v"))
+    val qbase = queries.select(col(idCol).as("qid"), vec(col(vecCol)).as("qv"))
+    val (codes, luts) = pqCodesAndLuts(base, qbase, m, pqCells, pqIters)
+    val withCell = codes.join(coarse.select(col("cid").as("id"), col("cell")), "id")
+    val q = qbase.withColumn("qn", norm(col("qv")))
+    val probes = q.crossJoin(broadcast(coarseCents))
+      // rounded BEFORE ranking, like ivfSearch: probe choice must be
+      // engine-reproducible
+      .withColumn("cdist",
+        round(cosine(col("qv"), col("centroid"), col("qn"), norm(col("centroid"))), 6))
+      .withColumn("prank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cdist").desc, col("cell"))))
+      .where(col("prank") <= nProbe)
+      .select("qid", "cell")
     val w = Window.partitionBy("qid").orderBy(col("adc").desc, col("id"))
-    codes.crossJoin(broadcast(luts))
-      .withColumn("adc", round(score, 6))
+    withCell.join(broadcast(probes), "cell")
+      .join(broadcast(luts), "qid")
+      .withColumn("adc", round(adcScore(m), 6))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("qid"), col("id").as("cid"), col("adc"), col("rank"))

@@ -63,6 +63,9 @@ object AnnRecall {
       Ann.pqSearch(queries, corpus, k, m = 2, nCells = 8, iters = 1))
     recall("ann_pq (prod cfg)", "m=8 nCells=32 iters=2",
       Ann.pqSearch(queries, corpus, k, m = 8, nCells = 32, iters = 2))
+    recall("ivfadc", "nCells=16 nProbe=4 + m=8 pqCells=32",
+      Ann.ivfPqSearch(queries, corpus, k, nCells = 16, nProbe = 4,
+        ivfIters = 2, m = 8, pqCells = 32, pqIters = 2))
     spark.stop()
   }
 }

@@ -1388,6 +1388,38 @@ class PipelineOpsSpec extends SparkSpec {
       "dim 5 is still invisible to PQ — remainder dropped")
   }
 
+  test("IVFADC: full probing equals pqSearch exactly; pruning stays within probed cells") {
+    val queries = embs.where(col("vec_id") < 5)
+    // nProbe = nCells → the coarse level filters nothing: ADC results must
+    // be EXACTLY pqSearch's (same deterministic codebooks, same scores)
+    val full = Ann.ivfPqSearch(queries, embs, k = 8,
+        nCells = 4, nProbe = 4, ivfIters = 1, m = 2, pqCells = 8, pqIters = 1)
+      .collect().map(_.toSeq).toSeq
+    val plain = Ann.pqSearch(queries, embs, k = 8,
+        m = 2, nCells = 8, iters = 1)
+      .collect().map(_.toSeq).toSeq
+    assert(full === plain)
+    // nProbe = 1: every candidate must come from its query's single best
+    // coarse cell — the pruning is real, not cosmetic
+    val (coarse, cents) = Ann.ivfBuild(embs, nCells = 4, iters = 1)
+    val cellOf = coarse.select("cid", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val pruned = Ann.ivfPqSearch(queries, embs, k = 8,
+      nCells = 4, nProbe = 1, ivfIters = 1, m = 2, pqCells = 8, pqIters = 1)
+    val rows = pruned.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.nonEmpty)
+    val probedCell = rows.groupBy(_._1).view.mapValues(_.map(p => cellOf(p._2)).toSet)
+    // all candidates of one query share one cell (the probed one)
+    probedCell.foreach { case (q, cs) =>
+      assert(cs.size === 1, s"query $q drew candidates from cells $cs under nProbe=1")
+    }
+    // and fewer candidates are reachable than the full scan ranks
+    assert(rows.length <= full.length)
+    intercept[IllegalArgumentException] {
+      Ann.ivfPqSearch(queries, embs, k = 1, nCells = 4, nProbe = 9)
+    }
+  }
+
   test("ADC/PQ search: a corpus member queried against the corpus scores itself maximal") {
     val n = embs.count().toInt
     val got = Ann.pqSearch(embs.where(col("vec_id") < 5), embs, k = n,

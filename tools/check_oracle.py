@@ -30,9 +30,15 @@ def _fmt(v):
 
 def main(sfdir, outdir):
     con = duckdb.connect()
+    import os
     for t in TABLES:
+        # driver fixtures are single files; Spark-written replicas (the sf1
+        # stress dir) are DIRECTORIES of part files — glob those
+        src = f"{sfdir}/{t}.parquet"
+        if os.path.isdir(src):
+            src = f"{src}/*.parquet"
         try:
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
         except Exception:
             pass
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))

@@ -18,8 +18,12 @@ TABLES = ["region","nation","customer","supplier","part","orders","lineitem",
 def main(sfdir, outdir):
     con = duckdb.connect()
     for t in TABLES:
+        # single-file driver fixtures OR Spark-written part-file directories
+        src = f"{sfdir}/{t}.parquet"
+        if os.path.isdir(src):
+            src = f"{src}/*.parquet"
         try:
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
         except Exception:
             pass
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
