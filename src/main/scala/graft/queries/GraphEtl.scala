@@ -366,14 +366,22 @@ object GraphEtl {
     * missing-cross-reference / entity-merge suggestion list a KG curator
     * reviews. Reuses [[graft.ops.graph.GraphOps.nodeSimilarity]] (scored
     * pairs enumerate through the shared-neighbour inverted index, never
-    * all-pairs), removes existing edges with one keyed left-anti join,
-    * and takes the top 20 via orderBy().limit() — TakeOrderedAndProject
-    * per-partition heaps, no global sort. Jaccard is a single division
-    * of exact integers, so ranking is engine-identical unrounded.
+    * all-pairs) WITH the hub guard ON (`maxHubDegree = 10`, the A30b
+    * stance): a super-node neighbour connects everything to everything —
+    * for link prediction that is pure noise (sharing "the" region
+    * predicts nothing) while costing deg² candidate pairs per hub; the
+    * r11 sf1 stress measured the unguarded form at 16× on 10× data
+    * (fixed |regions| → hub degree grows with SF → pairs grow as its
+    * square), the guarded form scales linearly. Existing edges drop with
+    * one keyed left-anti join; top 20 via orderBy().limit() —
+    * TakeOrderedAndProject per-partition heaps, no global sort. Jaccard
+    * is a single division of exact integers, so ranking is
+    * engine-identical unrounded.
     */
   def kgLinkPredict(spark: SparkSession, dir: String): DataFrame = {
     val edges = supRegionEdges(spark, dir, withSupRegion = true)
-    val sim = graft.ops.graph.GraphOps.nodeSimilarity(edges, minJaccard = 0.2)
+    val sim = graft.ops.graph.GraphOps.nodeSimilarity(edges, minJaccard = 0.2,
+      maxHubDegree = 10)
     val u = edges.select(col("from"), col("to"))
       .where(col("from").isNotNull && col("to").isNotNull && col("from") =!= col("to"))
       .select(least(col("from"), col("to")).as("node_a"),
@@ -391,7 +399,10 @@ object GraphEtl {
       |  UNION ALL SELECT 'sup:' || s_suppkey, 'region:' || n_regionkey
       |    FROM supplier JOIN nation ON s_nationkey = n_nationkey),
       |u AS (SELECT DISTINCT least(f, t) AS a, greatest(f, t) AS b FROM raw WHERE f <> t),
-      |nb AS (SELECT a AS n, b AS m FROM u UNION ALL SELECT b, a FROM u),
+      |nb0 AS (SELECT a AS n, b AS m FROM u UNION ALL SELECT b, a FROM u),
+      |hub AS (SELECT n FROM (SELECT n, count(*) AS d FROM nb0 GROUP BY n) s WHERE d > 10),
+      |nb AS (SELECT n, m FROM nb0
+      |  WHERE n NOT IN (SELECT n FROM hub) AND m NOT IN (SELECT n FROM hub)),
       |deg AS (SELECT n, count(*) AS d FROM nb GROUP BY n),
       |c AS (SELECT x.n AS a, y.n AS b, count(*)::BIGINT AS common
       |  FROM nb x JOIN nb y ON x.m = y.m AND x.n < y.n GROUP BY x.n, y.n),
