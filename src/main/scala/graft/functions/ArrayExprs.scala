@@ -188,6 +188,55 @@ object SortedIntersectCount {
   }
 }
 
+/** Count of elements ≤ `value` in a SORTED `array<double>` — the monotone
+  * bucket id the exact-percentile selection route assigns per row against
+  * its group's cut-point array. A `size(filter(cuts, c -> c <= v))`
+  * higher-order-function formulation runs the lambda interpreted per
+  * element (99 evals/row on the percentile cut grid); this compiles to a
+  * codegen'd binary search — O(log n) per row inside whole-stage codegen.
+  * The array must be sorted ascending (the caller's contract; cut arrays
+  * from `approx_percentile` are); null elements are a hard error like
+  * every expression in this file.
+  */
+case class SortedBucket(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_sorted_bucket"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), DoubleType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<double>, double), got ${l.sql} and ${r.sql}")
+    }
+
+  override def nullSafeEval(a: Any, v: Any): Any =
+    SortedBucket.bucket(a.asInstanceOf[ArrayData], v.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, v) => s"graft.functions.SortedBucket.bucket($a, $v)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SortedBucket =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedBucket {
+  /** Upper-bound binary search: |{i : a(i) <= v}| for ascending `a`. */
+  def bucket(a: ArrayData, v: Double): Int = {
+    var lo = 0
+    var hi = a.numElements()
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (a.isNullAt(mid))
+        throw new IllegalArgumentException(
+          "graft_sorted_bucket: null element in cut array")
+      if (a.getDouble(mid) <= v) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+}
+
 /** Per-chunk content hashes of a sorted `array<long>` for the pigeonhole
   * (partition-based) exact set-similarity join — cf. Deng et al., "A
   * partition-based method for exact set similarity joins" (PVLDB 2015).

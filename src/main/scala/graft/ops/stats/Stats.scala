@@ -134,11 +134,48 @@ object Stats {
     * per (fraction, name) in `pcts` order.
     */
   def percentilesExact(df: DataFrame, groupCol: String, valueCol: Column,
-                       pcts: Seq[(Double, String)]): DataFrame = {
+                       pcts: Seq[(Double, String)],
+                       maxBucketedGroups: Int = 64,
+                       fewGroupsHint: Option[Boolean] = None): DataFrame = {
     require(pcts.nonEmpty && pcts.forall { case (p, _) => p >= 0 && p <= 1 },
       "pcts must be non-empty fractions in [0, 1]")
-    import org.apache.spark.sql.expressions.Window
     val vals = df.select(col(groupCol).as("__g"), valueCol.cast("double").as("__v"))
+    // ROUTER — both routes are exact; they differ in where the sort
+    // parallelism comes from. A keyed sort gets one task PER GROUP, so
+    // with few groups (3 return flags over all of lineitem) it would run
+    // on 3 tasks no matter the cluster; the bucketed-selection route
+    // stays fully parallel there. With MANY groups the keyed sort is
+    // already parallel and the selection's per-group cut table would not
+    // be collectable — so high cardinality routes to the sort. The probe
+    // is bounded (reads at most maxBucketedGroups+1 distinct groups);
+    // callers who KNOW their group cardinality (a 3-flag dimension, a
+    // per-source report) pass `fewGroupsHint` and skip the probe scan.
+    val fewGroups = fewGroupsHint.getOrElse(
+      vals.select("__g").distinct()
+        .limit(maxBucketedGroups + 1).count() <= maxBucketedGroups)
+    val perGroup =
+      if (fewGroups) percentilesBySelection(vals, pcts)
+      else percentilesBySort(vals, pcts)
+    def pos(i: Int): Column = lit(pcts(i)._1) * (col("__n") - 1).cast("double")
+    val outs = pcts.zipWithIndex.map { case ((_, name), i) =>
+      val lo = floor(pos(i))
+      val hi = ceil(pos(i))
+      when(hi === lo, col(s"__lo_$i"))
+        .otherwise((hi.cast("double") - pos(i)) * col(s"__lo_$i") +
+          (pos(i) - lo.cast("double")) * col(s"__hi_$i")).as(name)
+    }
+    perGroup.select(col("__g").as(groupCol) +: col("__n_all").as("n") +: outs: _*)
+  }
+
+  /** Sort route: rank every non-null value per group with `row_number`
+    * over a disk-backed keyed sort, broadcast counts back, and keep only
+    * the 2·|pcts| straddling-rank values per group. O(1) reducer state;
+    * parallelism = |groups| (each group is one sorted run).
+    * Returns (`__g`, `__n`, `__n_all`, `__lo_i`/`__hi_i` per pct).
+    */
+  private def percentilesBySort(vals: DataFrame,
+                                pcts: Seq[(Double, String)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val counts = vals.groupBy("__g")
       .agg(count(lit(1)).as("__n_all"), count(col("__v")).as("__n"))
     val ranked = vals.where(col("__v").isNotNull)
@@ -150,16 +187,83 @@ object Stats {
         // only the two straddling ranks contribute; everything else is null
         Seq(max(when(col("__rk") === floor(pos(i)) + 1, col("__v"))).as(s"__lo_$i"),
           max(when(col("__rk") === ceil(pos(i)) + 1, col("__v"))).as(s"__hi_$i"))
-      } :+ first(col("__n_all")).as("__n_out")
-    val perGroup = ranked.groupBy("__g").agg(first(col("__n")).as("__n"), aggs: _*)
-    val outs = pcts.zipWithIndex.map { case ((_, name), i) =>
-      val lo = floor(pos(i))
-      val hi = ceil(pos(i))
-      when(hi === lo, col(s"__lo_$i"))
-        .otherwise((hi.cast("double") - pos(i)) * col(s"__lo_$i") +
-          (pos(i) - lo.cast("double")) * col(s"__hi_$i")).as(name)
+      } :+ first(col("__n_all")).as("__n_all")
+    ranked.groupBy("__g").agg(first(col("__n")).as("__n"), aggs: _*)
+  }
+
+  /** Selection route (classic two-phase distributed selection): bucket
+    * values by per-group cut points, count per (group, bucket) — one
+    * fully-parallel map-combined aggregate, never a full sort — locate
+    * which bucket holds each PERCENTILE_CONT target rank from the tiny
+    * cumulative bucket table, then rank ONLY the target buckets' rows
+    * (≈ 2·|pcts| buckets of ~1% of a group each). The cut points come
+    * from `approx_percentile`, but exactness does NOT depend on them:
+    * any monotone bucketing yields the same exact answer (the bucket
+    * merely narrows where the global rank lives — local rank + bucket
+    * offset IS the global rank); the sketch just makes bucket sizes
+    * even. The cut table is localCheckpoint-ed so both passes bucket
+    * identically. No stage sorts more than a bucket; parallelism is
+    * |groups|·|target buckets| regardless of group count.
+    */
+  private def percentilesBySelection(vals: DataFrame,
+                                     pcts: Seq[(Double, String)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grid = (1 to 99).map(_ / 100.0).mkString("array(", ",", ")")
+    // low accuracy on purpose: the sketch only PLACES buckets (any
+    // monotone cuts are exact); precision buys nothing but sketch cost
+    val cuts = vals.where(col("__v").isNotNull).groupBy("__g")
+      .agg(expr(s"approx_percentile(__v, $grid, 100)").as("__cuts"))
+      .localCheckpoint() // both passes MUST see identical cut points
+    graft.functions.GraftFunctions.register(vals.sparkSession)
+    val withB = vals.join(broadcast(cuts), "__g")
+      // codegen'd binary search, not a filter() lambda: the HOF would run
+      // interpreted per cut element — 99 evals/row on the fact table
+      .withColumn("__b", when(col("__v").isNotNull,
+        call_function("graft_sorted_bucket", col("__cuts"), col("__v"))))
+    // one parallel pass: per-bucket counts; the null bucket counts nulls
+    val counts = withB.groupBy("__g", "__b").agg(count(lit(1)).as("__cnt"))
+      .localCheckpoint()
+    val totals = counts.groupBy("__g")
+      .agg(sum(when(col("__b").isNotNull, col("__cnt"))).as("__n"),
+        sum(col("__cnt")).as("__n_all"))
+    val cum = counts.where(col("__b").isNotNull)
+      .withColumn("__cum_before",
+        coalesce(sum("__cnt").over(
+          Window.partitionBy("__g").orderBy("__b")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    // target ranks per (group, pct): both straddling ranks of the
+    // PERCENTILE_CONT position, located in their buckets by offset
+    val ranks = totals.where(col("__n") > 0)
+      .select(col("__g"), col("__n"),
+        posexplode(array(pcts.map { case (p, _) => lit(p) }: _*)).as(Seq("__i", "__p")))
+      .withColumn("__pos", col("__p") * (col("__n") - 1).cast("double"))
+      .select(col("__g"), col("__i"),
+        explode(array(
+          struct(lit("lo").as("__w"), (floor(col("__pos")) + 1).as("__rank")),
+          struct(lit("hi").as("__w"), (ceil(col("__pos")) + 1).as("__rank")))).as("__t"))
+      .select(col("__g"), col("__i"), col("__t.__w").as("__w"),
+        col("__t.__rank").as("__rank"))
+    val bucketTargets = ranks.join(cum, Seq("__g"))
+      .where(col("__rank") > col("__cum_before") &&
+        col("__rank") <= col("__cum_before") + col("__cnt"))
+      .select(col("__g"), col("__b"), col("__i"), col("__w"),
+        (col("__rank") - col("__cum_before")).as("__off"))
+    // second pass: rank only the target buckets' rows
+    val candidates = withB.where(col("__b").isNotNull)
+      .join(broadcast(bucketTargets.select("__g", "__b").distinct()), Seq("__g", "__b"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("__g", "__b").orderBy("__v")).cast("long"))
+    val picked = candidates.join(broadcast(bucketTargets),
+        candidates("__g") === bucketTargets("__g") &&
+          candidates("__b") === bucketTargets("__b") &&
+          col("__rn") === col("__off"))
+      .select(candidates("__g"), col("__i"), col("__w"), col("__v"))
+    val aggs = pcts.indices.flatMap { i =>
+      Seq(max(when(col("__i") === i && col("__w") === "lo", col("__v"))).as(s"__lo_$i"),
+        max(when(col("__i") === i && col("__w") === "hi", col("__v"))).as(s"__hi_$i"))
     }
-    perGroup.select(col("__g").as(groupCol) +: col("__n_out").as("n") +: outs: _*)
+    picked.groupBy("__g").agg(aggs.head, aggs.tail: _*)
+      .join(totals, "__g")
   }
 
   /** Exact percentiles of `valueCol` per `groupCol` (linear interpolation,
@@ -169,14 +273,16 @@ object Stats {
     * for fact-sized groups — no per-group value map is ever buffered.
     */
   def percentilesBy(df: DataFrame, groupCol: String, valueCol: Column,
-                    pcts: Seq[Double]): DataFrame = {
+                    pcts: Seq[Double],
+                    fewGroupsHint: Option[Boolean] = None): DataFrame = {
     val named = pcts.map { p =>
       // setScale before stripping: 0.9·100 is 90.00000000000001 in binary
       val label = "p" + BigDecimal(p * 100).setScale(4, BigDecimal.RoundingMode.HALF_UP)
         .underlying.stripTrailingZeros.toPlainString.replace(".", "_")
       (p, label)
     }
-    val exact = percentilesExact(df, groupCol, valueCol, named)
+    val exact = percentilesExact(df, groupCol, valueCol, named,
+      fewGroupsHint = fewGroupsHint)
     exact.select(col(groupCol) +: col("n") +:
       named.map { case (_, l) => round(col(l), 6).as(l) }: _*)
   }

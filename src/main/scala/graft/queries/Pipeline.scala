@@ -2217,7 +2217,8 @@ object Pipeline {
   def corpusPercentiles(spark: SparkSession, dir: String): DataFrame =
     graft.ops.stats.Stats.percentilesBy(
       docs(spark, dir), "source", size(TextOps.tokens(col("text"))),
-      pcts = Seq(0.25, 0.5, 0.9, 0.99))
+      pcts = Seq(0.25, 0.5, 0.9, 0.99),
+      fewGroupsHint = Some(true)) // |sources| is a bounded enum
       .orderBy("source")
 
   /** Both engines implement ANSI PERCENTILE_CONT (linear interpolation at

@@ -835,9 +835,11 @@ object Relational {
   def qMedian(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(spark, dir, "lineitem")
     val med = graft.ops.stats.Stats.percentilesExact(
-      li, "l_returnflag", col("l_quantity"), Seq((0.5, "median_qty")))
+      li, "l_returnflag", col("l_quantity"), Seq((0.5, "median_qty")),
+      fewGroupsHint = Some(true)) // 3 return flags, statically known
     val p90 = graft.ops.stats.Stats.percentilesExact(
-      li, "l_returnflag", col("l_extendedprice"), Seq((0.9, "p90_price")))
+      li, "l_returnflag", col("l_extendedprice"), Seq((0.9, "p90_price")),
+      fewGroupsHint = Some(true))
     med.join(p90, "l_returnflag")
       .select("l_returnflag", "median_qty", "p90_price")
       .orderBy("l_returnflag")
@@ -1588,7 +1590,8 @@ object Relational {
       .where(col("gap_us").isNotNull)
     val pcts = graft.ops.stats.Stats.percentilesExact(
       gaps, "event_type", col("gap_us"),
-      Seq((0.5, "median_gap_us"), (0.95, "p95_gap_us")))
+      Seq((0.5, "median_gap_us"), (0.95, "p95_gap_us")),
+      fewGroupsHint = Some(true)) // |event types| is a bounded enum
     val maxes = gaps.groupBy("event_type").agg(max("gap_us").as("max_gap_us"))
     pcts.join(maxes, "event_type")
       .select(col("event_type"), col("n").as("n_gaps"),

@@ -262,6 +262,14 @@ class StatsSpec extends SparkSpec {
           s"group ${w.getString(0)} pct ${pcts(i)}")
       }
     }
+    // both routes are exact: the bucketed-selection route (default for 7
+    // groups) and the keyed-sort route (forced via maxBucketedGroups = 0)
+    // must return identical rows
+    val sorted = Stats.percentilesExact(df, "g", col("v"),
+        pcts.zipWithIndex.map { case (p, i) => (p, s"q$i") },
+        maxBucketedGroups = 0)
+      .orderBy("g").collect()
+    got.zip(sorted).foreach { case (a, b) => assert(a === b) }
   }
 
   // ---- trailingZ ----------------------------------------------------------
