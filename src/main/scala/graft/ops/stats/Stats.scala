@@ -55,10 +55,13 @@ object Stats {
     length(bin(valueCol.cast("long") + 1)) - 1
 
   /** Approximate quantiles from a power-of-two histogram sketch — the
-    * whole-corpus shape [[percentilesBy]]'s scaladoc points at: the exact
-    * aggregate materialises every group's values, which a single global
-    * group (percentiles over ALL of 100 TB) cannot afford. Here the state
-    * is O(|groups| · log₂ maxValue) bucket counts: the first aggregate
+    * single-scan, no-sort option for whole-corpus quantiles. (Since r11
+    * the exact path also handles a single global group —
+    * [[percentilesExact]]'s selection route ranks only the target
+    * buckets — so choose by cost, not feasibility: this sketch is one
+    * map-combined aggregate and ~2× relative error; the exact route pays
+    * two more passes for the exact value.) State here is
+    * O(|groups| · log₂ maxValue) bucket counts: the first aggregate
     * map-side-combines to at most ~64 rows per group, everything after
     * runs on that sketch.
     *

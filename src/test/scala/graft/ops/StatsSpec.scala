@@ -272,6 +272,26 @@ class StatsSpec extends SparkSpec {
     got.zip(sorted).foreach { case (a, b) => assert(a === b) }
   }
 
+  test("percentilesExact handles the single global group exactly — the shape the old aggregate forbade") {
+    // percentiles over the WHOLE corpus used to be the degenerate case
+    // (one group = one reducer's in-memory value map); the selection
+    // route makes it exact AND parallel. Reference: in-memory sort.
+    val vs = (0 until 2000).map(i => ((i * 48271) % 1009).toDouble / 3.0)
+    val df = vs.map(v => ("all", v)).toDF("g", "v")
+    val got = Stats.percentilesExact(df, "g", col("v"),
+      Seq((0.5, "p50"), (0.999, "p999")), fewGroupsHint = Some(true)).head
+    val sorted = vs.sorted
+    def ref(p: Double): Double = {
+      val pos = p * (vs.size - 1)
+      val (lo, hi) = (math.floor(pos).toInt, math.ceil(pos).toInt)
+      if (lo == hi) sorted(lo)
+      else (hi - pos) * sorted(lo) + (pos - lo) * sorted(hi)
+    }
+    assert(got.getLong(1) === 2000L)
+    assert(got.getDouble(2) === ref(0.5))
+    assert(got.getDouble(3) === ref(0.999))
+  }
+
   // ---- trailingZ ----------------------------------------------------------
 
   test("trailingZ matches a brute-force reference on generated counts") {
