@@ -159,8 +159,13 @@ object Sampling {
     require(n > 0, s"weightedSample: n must be positive (got $n)")
     // u in (0, 1]: (hv + 1) / 2^32 of the 32-bit md5 hash
     val u = (saltedOrder(col(idCol), salt) + 1).cast("double") / 4294967296.0
+    // sign-of-zero normalisation: rounding a tiny negative key to 6dp
+    // yields -0.0 in engines that keep IEEE signed zero and +0.0 in those
+    // that round through decimal (Spark) — value-equal but string-distinct
+    // cross-engine, so pin +0.0 explicitly (the sf1 sweep caught this)
+    val key = round(log(u) / weight.cast("double"), 6)
     df.where(weight.cast("double") > 0)
-      .withColumn("es_key", round(log(u) / weight.cast("double"), 6))
+      .withColumn("es_key", when(key === 0.0, lit(0.0)).otherwise(key))
       .orderBy(col("es_key").desc, col(idCol))
       .limit(n)
   }

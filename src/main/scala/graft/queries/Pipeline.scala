@@ -1905,13 +1905,18 @@ object Pipeline {
       .select("doc_id", "source", "n_chars", "es_key")
       .orderBy(col("es_key").desc, col("doc_id"))
 
+  /** `CASE k0 = 0` pins +0.0: DuckDB's round keeps IEEE -0.0 on tiny
+    * negative keys, Spark's decimal round does not — value-equal but
+    * string-distinct under the driver's hash.
+    */
   val sampleWeightedSql: String =
     """WITH h AS (SELECT doc_id, source, n_chars,
       |    ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT AS hv
       |  FROM documents WHERE n_chars > 0),
       |k AS (SELECT doc_id, source, n_chars,
-      |    round(ln((hv + 1) / 4294967296.0) / n_chars, 6) AS es_key FROM h)
-      |SELECT doc_id, source, n_chars, es_key FROM k
+      |    round(ln((hv + 1) / 4294967296.0) / n_chars, 6) AS k0 FROM h)
+      |SELECT doc_id, source, n_chars,
+      |  CASE WHEN k0 = 0 THEN 0.0 ELSE k0 END AS es_key FROM k
       |ORDER BY es_key DESC, doc_id LIMIT 100""".stripMargin
 
   /** C53: per-source HyperLogLog distinct-token estimate
