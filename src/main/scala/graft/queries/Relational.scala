@@ -422,6 +422,31 @@ object Relational {
       |FROM w GROUP BY user_id
       |ORDER BY score DESC, user_id LIMIT 10""".stripMargin
 
+  /** B61: WHOLE-TABLE exact percentiles — the single-global-group shape
+    * that was flatly infeasible with an in-memory percentile aggregate
+    * (one reducer buffering every price in the corpus) and that r11's
+    * selection route makes exact AND parallel: bucket by sketch cut
+    * points (codegen'd binary search), one map-combined (bucket → count)
+    * aggregate, then rank only the few target buckets. `fewGroupsHint`
+    * skips the router probe — one group, statically known. The
+    * interpolation is the same PERCENTILE_CONT weighted sum as B14, so
+    * DuckDB's `quantile_cont` hashes identically.
+    */
+  def qGlobalPercentiles(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.stats.Stats.percentilesExact(
+      Tables.load(spark, dir, "lineitem").withColumn("all", lit("all")),
+      "all", col("l_extendedprice"),
+      Seq((0.5, "p50_price"), (0.95, "p95_price"), (0.99, "p99_price")),
+      fewGroupsHint = Some(true))
+      .select("n", "p50_price", "p95_price", "p99_price")
+
+  val qGlobalPercentilesSql: String =
+    """SELECT count(*) AS n,
+      |  quantile_cont(l_extendedprice, 0.5) AS p50_price,
+      |  quantile_cont(l_extendedprice, 0.95) AS p95_price,
+      |  quantile_cont(l_extendedprice, 0.99) AS p99_price
+      |FROM lineitem""".stripMargin
+
   /** B59: dormancy / churn-risk list — users whose LAST activity is more
     * than 12 hours behind the stream's frontier (the global max event
     * time): the re-engagement candidate list every product pipeline
