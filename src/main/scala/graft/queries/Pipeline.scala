@@ -1547,6 +1547,107 @@ object Pipeline {
       |  FROM e CROSS JOIN sl)
       |SELECT vec_id, j::INT AS pos, p FROM proj ORDER BY vec_id, pos""".stripMargin
 
+  /** C81: IVFADC search ([[Ann.ivfPqSearch]], Jégou §III-C) — the coarse
+    * 4-cell IVF prunes candidates to each query's 2 probed cells while
+    * the m=2×8 PQ codes compress the scan to table lookups; the composed
+    * billion-scale serving layout, full-hash-oracle-checked: the oracle
+    * unrolls BOTH quantizer levels (the C64 PQ chains verbatim plus a
+    * full-vector coarse chain in the C7b style), reproduces the probe
+    * ranking, and prunes the ADC join to the probed cells.
+    */
+  def annIvfAdc(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    Ann.ivfPqSearch(e.where(col("vec_id") < 20), e.where(col("vec_id") >= 20),
+      k = 5, nCells = 4, nProbe = 2, ivfIters = 1, m = 2, pqCells = 8,
+      pqIters = 1)
+      .withColumnRenamed("rank", "rnk")
+  }
+
+  val annIvfAdcSql: String = {
+    val nCells = 8 // PQ codewords per sub-space (the C64 chains)
+    def nrm(a: String) = s"sqrt(list_sum([x*x FOR x IN $a]))"
+    def cos(a: String, b: String, na: String, nb: String) =
+      s"CASE WHEN $na * $nb > 0 THEN list_sum([pr[1]*pr[2] FOR pr IN list_zip($a, $b)]) / ($na * $nb) ELSE 0.0 END"
+    def chain(b: Int): String = {
+      def assign(name: String, cent: String) =
+        s"""$name AS (SELECT cid, cell FROM (
+           |  SELECT c.cid, ct.cell,
+           |    row_number() OVER (PARTITION BY c.cid
+           |      ORDER BY round(${cos("c.v", "ct.centroid", "c.nrm", nrm("ct.centroid"))}, 6) DESC, ct.cell) AS rn
+           |  FROM cn$b c CROSS JOIN $cent ct) WHERE rn = 1)""".stripMargin
+      val sliceEnd = if (b == 1) "len(v)" else s"len(v) // 2 * ${b + 1}"
+      s"""cn$b AS (SELECT cid,
+         |    list_slice(v, len(v) // 2 * $b + 1, $sliceEnd) AS v,
+         |    ${nrm(s"list_slice(v, len(v) // 2 * $b + 1, $sliceEnd)")} AS nrm
+         |  FROM c),
+         |cent0_$b AS (SELECT rn - 1 AS cell, v AS centroid FROM (
+         |  SELECT v, row_number() OVER (ORDER BY md5(cid::VARCHAR), cid) AS rn
+         |  FROM cn$b) WHERE rn <= $nCells),
+         |a1_$b AS (SELECT cid, v, cell FROM (
+         |  SELECT c.cid, c.v, ct.cell,
+         |    row_number() OVER (PARTITION BY c.cid
+         |      ORDER BY round(${cos("c.v", "ct.centroid", "c.nrm", nrm("ct.centroid"))}, 6) DESC, ct.cell) AS rn
+         |  FROM cn$b c CROSS JOIN cent0_$b ct) WHERE rn = 1),
+         |m1_$b AS (SELECT cell, pos, CAST(sum(CAST(x AS DECIMAL(27,10))) AS DOUBLE)/count(*) AS m
+         |  FROM (SELECT cell, unnest(v) AS x, unnest(range(1, len(v)+1)) AS pos FROM a1_$b) GROUP BY 1, 2),
+         |mc1_$b AS (SELECT cell, list(m ORDER BY pos) AS centroid FROM m1_$b GROUP BY cell),
+         |cent1_$b AS (SELECT p.cell, coalesce(n.centroid, p.centroid) AS centroid
+         |  FROM cent0_$b p LEFT JOIN mc1_$b n USING (cell)),
+         |${assign(s"af_$b", s"cent1_$b")},
+         |qn$b AS (SELECT qid,
+         |    list_slice(v, len(v) // 2 * $b + 1, $sliceEnd) AS v,
+         |    ${nrm(s"list_slice(v, len(v) // 2 * $b + 1, $sliceEnd)")} AS nrm
+         |  FROM q),
+         |lut$b AS (SELECT qn.qid, ct.cell,
+         |    round(${cos("qn.v", "ct.centroid", "qn.nrm", nrm("ct.centroid"))}, 6) AS sim
+         |  FROM qn$b qn CROSS JOIN cent1_$b ct)""".stripMargin
+    }
+    // coarse IVF level: 4 cells, 1 Lloyd pass, FULL vectors — the C7b
+    // chain shape with g-prefixed names so it composes with the PQ chains
+    val coarse =
+      s"""cc AS (SELECT cid, v, ${nrm("v")} AS nrm FROM c),
+         |gq AS (SELECT qid, v, ${nrm("v")} AS nrm FROM q),
+         |gcent0 AS (SELECT rn - 1 AS cell, v AS centroid FROM (
+         |  SELECT v, row_number() OVER (ORDER BY md5(cid::VARCHAR), cid) AS rn
+         |  FROM cc) WHERE rn <= 4),
+         |ga1 AS (SELECT cid, v, cell FROM (
+         |  SELECT c.cid, c.v, ct.cell,
+         |    row_number() OVER (PARTITION BY c.cid
+         |      ORDER BY round(${cos("c.v", "ct.centroid", "c.nrm", nrm("ct.centroid"))}, 6) DESC, ct.cell) AS rn
+         |  FROM cc c CROSS JOIN gcent0 ct) WHERE rn = 1),
+         |gm1 AS (SELECT cell, pos, CAST(sum(CAST(x AS DECIMAL(27,10))) AS DOUBLE)/count(*) AS m
+         |  FROM (SELECT cell, unnest(v) AS x, unnest(range(1, len(v)+1)) AS pos FROM ga1) GROUP BY 1, 2),
+         |gmc1 AS (SELECT cell, list(m ORDER BY pos) AS centroid FROM gm1 GROUP BY cell),
+         |gcent1 AS (SELECT p.cell, coalesce(n.centroid, p.centroid) AS centroid
+         |  FROM gcent0 p LEFT JOIN gmc1 n USING (cell)),
+         |gaf AS (SELECT cid, cell FROM (
+         |  SELECT c.cid, ct.cell,
+         |    row_number() OVER (PARTITION BY c.cid
+         |      ORDER BY round(${cos("c.v", "ct.centroid", "c.nrm", nrm("ct.centroid"))}, 6) DESC, ct.cell) AS rn
+         |  FROM cc c CROSS JOIN gcent1 ct) WHERE rn = 1),
+         |gpr AS (SELECT qid, cell FROM (
+         |  SELECT q.qid, ct.cell,
+         |    row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY round(${cos("q.v", "ct.centroid", "q.nrm", nrm("ct.centroid"))}, 6) DESC, ct.cell) AS rn
+         |  FROM gq q CROSS JOIN gcent1 ct) WHERE rn <= 2)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |c AS (SELECT vec_id AS cid, v FROM e WHERE vec_id >= 20),
+       |q AS (SELECT vec_id AS qid, v FROM e WHERE vec_id < 20),
+       |${chain(0)},
+       |${chain(1)},
+       |$coarse,
+       |sc AS (SELECT p.qid, a0.cid, round(l0.sim + l1.sim, 6) AS adc
+       |  FROM af_0 a0 JOIN af_1 a1 ON a0.cid = a1.cid
+       |  JOIN gaf g ON g.cid = a0.cid
+       |  JOIN gpr p ON p.cell = g.cell
+       |  JOIN lut0 l0 ON l0.qid = p.qid AND l0.cell = a0.cell
+       |  JOIN lut1 l1 ON l1.qid = p.qid AND l1.cell = a1.cell),
+       |r AS (SELECT qid, cid, adc,
+       |  row_number() OVER (PARTITION BY qid ORDER BY adc DESC, cid) AS rnk FROM sc)
+       |SELECT qid, cid, adc, rnk::INTEGER AS rnk FROM r WHERE rnk <= 5
+       |ORDER BY qid, rnk""".stripMargin
+  }
+
   // ---- C8: language id ----------------------------------------------------
 
   def textLangId(spark: SparkSession, dir: String): DataFrame = {
