@@ -135,11 +135,18 @@ object Stats {
     *
     * Output: one row per group — `groupCol`, `n`, then one double column
     * per (fraction, name) in `pcts` order.
+    *
+    * `disc = true` switches to ANSI PERCENTILE_DISC semantics (DuckDB's
+    * `quantile_disc`, Spark's `percentile_disc`): the single value at
+    * rank max(1, ⌈p·n⌉) — the smallest value whose cumulative
+    * distribution reaches p — returned verbatim, no interpolation. Same
+    * routes, same state bounds; only the target-rank arithmetic changes.
     */
   def percentilesExact(df: DataFrame, groupCol: String, valueCol: Column,
                        pcts: Seq[(Double, String)],
                        maxBucketedGroups: Int = 64,
-                       fewGroupsHint: Option[Boolean] = None): DataFrame = {
+                       fewGroupsHint: Option[Boolean] = None,
+                       disc: Boolean = false): DataFrame = {
     require(pcts.nonEmpty && pcts.forall { case (p, _) => p >= 0 && p <= 1 },
       "pcts must be non-empty fractions in [0, 1]")
     val vals = df.select(col(groupCol).as("__g"), valueCol.cast("double").as("__v"))
@@ -156,16 +163,31 @@ object Stats {
     val fewGroups = fewGroupsHint.getOrElse(
       vals.select("__g").distinct()
         .limit(maxBucketedGroups + 1).count() <= maxBucketedGroups)
+    // target ranks per pct: CONT fetches both straddling ranks of
+    // pos = p·(n−1) and interpolates; DISC (ANSI PERCENTILE_DISC /
+    // DuckDB quantile_disc) fetches the single rank max(1, ⌈p·n⌉) — the
+    // smallest value whose cume_dist reaches p — and returns it verbatim
+    def rankOf(p: Column, n: Column): (Column, Column) =
+      if (disc) {
+        val r = greatest(ceil(p * n), lit(1L)).cast("long")
+        (r, r)
+      } else {
+        val pos = p * (n - 1).cast("double")
+        ((floor(pos) + 1).cast("long"), (ceil(pos) + 1).cast("long"))
+      }
     val perGroup =
-      if (fewGroups) percentilesBySelection(vals, pcts)
-      else percentilesBySort(vals, pcts)
+      if (fewGroups) percentilesBySelection(vals, pcts, rankOf)
+      else percentilesBySort(vals, pcts, rankOf)
     def pos(i: Int): Column = lit(pcts(i)._1) * (col("__n") - 1).cast("double")
     val outs = pcts.zipWithIndex.map { case ((_, name), i) =>
-      val lo = floor(pos(i))
-      val hi = ceil(pos(i))
-      when(hi === lo, col(s"__lo_$i"))
-        .otherwise((hi.cast("double") - pos(i)) * col(s"__lo_$i") +
-          (pos(i) - lo.cast("double")) * col(s"__hi_$i")).as(name)
+      if (disc) col(s"__lo_$i").as(name)
+      else {
+        val lo = floor(pos(i))
+        val hi = ceil(pos(i))
+        when(hi === lo, col(s"__lo_$i"))
+          .otherwise((hi.cast("double") - pos(i)) * col(s"__lo_$i") +
+            (pos(i) - lo.cast("double")) * col(s"__hi_$i")).as(name)
+      }
     }
     perGroup.select(col("__g").as(groupCol) +: col("__n_all").as("n") +: outs: _*)
   }
@@ -177,19 +199,21 @@ object Stats {
     * Returns (`__g`, `__n`, `__n_all`, `__lo_i`/`__hi_i` per pct).
     */
   private def percentilesBySort(vals: DataFrame,
-                                pcts: Seq[(Double, String)]): DataFrame = {
+                                pcts: Seq[(Double, String)],
+                                rankOf: (Column, Column) => (Column, Column))
+      : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val counts = vals.groupBy("__g")
       .agg(count(lit(1)).as("__n_all"), count(col("__v")).as("__n"))
     val ranked = vals.where(col("__v").isNotNull)
       .withColumn("__rk", row_number().over(Window.partitionBy("__g").orderBy("__v")))
       .join(broadcast(counts), "__g")
-    def pos(i: Int): Column = lit(pcts(i)._1) * (col("__n") - 1).cast("double")
     val aggs =
       pcts.indices.flatMap { i =>
-        // only the two straddling ranks contribute; everything else is null
-        Seq(max(when(col("__rk") === floor(pos(i)) + 1, col("__v"))).as(s"__lo_$i"),
-          max(when(col("__rk") === ceil(pos(i)) + 1, col("__v"))).as(s"__hi_$i"))
+        val (lo, hi) = rankOf(lit(pcts(i)._1), col("__n"))
+        // only the target ranks contribute; everything else is null
+        Seq(max(when(col("__rk") === lo, col("__v"))).as(s"__lo_$i"),
+          max(when(col("__rk") === hi, col("__v"))).as(s"__hi_$i"))
       } :+ first(col("__n_all")).as("__n_all")
     ranked.groupBy("__g").agg(first(col("__n")).as("__n"), aggs: _*)
   }
@@ -209,7 +233,9 @@ object Stats {
     * |groups|·|target buckets| regardless of group count.
     */
   private def percentilesBySelection(vals: DataFrame,
-                                     pcts: Seq[(Double, String)]): DataFrame = {
+                                     pcts: Seq[(Double, String)],
+                                     rankOf: (Column, Column) => (Column, Column))
+      : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val grid = (1 to 99).map(_ / 100.0).mkString("array(", ",", ")")
     // low accuracy on purpose: the sketch only PLACES buckets (any
@@ -236,14 +262,14 @@ object Stats {
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
     // target ranks per (group, pct): both straddling ranks of the
     // PERCENTILE_CONT position, located in their buckets by offset
+    val (loR, hiR) = rankOf(col("__p"), col("__n"))
     val ranks = totals.where(col("__n") > 0)
       .select(col("__g"), col("__n"),
         posexplode(array(pcts.map { case (p, _) => lit(p) }: _*)).as(Seq("__i", "__p")))
-      .withColumn("__pos", col("__p") * (col("__n") - 1).cast("double"))
       .select(col("__g"), col("__i"),
         explode(array(
-          struct(lit("lo").as("__w"), (floor(col("__pos")) + 1).as("__rank")),
-          struct(lit("hi").as("__w"), (ceil(col("__pos")) + 1).as("__rank")))).as("__t"))
+          struct(lit("lo").as("__w"), loR.as("__rank")),
+          struct(lit("hi").as("__w"), hiR.as("__rank")))).as("__t"))
       .select(col("__g"), col("__i"), col("__t.__w").as("__w"),
         col("__t.__rank").as("__rank"))
     val bucketTargets = ranks.join(cum, Seq("__g"))

@@ -447,6 +447,29 @@ object Relational {
       |  quantile_cont(l_extendedprice, 0.99) AS p99_price
       |FROM lineitem""".stripMargin
 
+  /** B62: ANSI PERCENTILE_DISC per group — discrete quantiles of the
+    * order-quantity distribution: unlike B14's interpolated CONT these
+    * return VALUES THAT EXIST in the data (the smallest value whose
+    * cume_dist reaches p), which is what inventory/batching decisions
+    * want from an integral-valued column. Same scale-safe machinery as
+    * B14/B61 (`disc = true` only changes the target-rank arithmetic to
+    * max(1, ⌈p·n⌉) and skips interpolation).
+    */
+  def qPercentileDisc(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.stats.Stats.percentilesExact(
+      Tables.load(spark, dir, "lineitem"),
+      "l_linestatus", col("l_quantity"),
+      Seq((0.25, "q25"), (0.5, "q50"), (0.75, "q75")),
+      fewGroupsHint = Some(true), disc = true)
+      .orderBy("l_linestatus")
+
+  val qPercentileDiscSql: String =
+    """SELECT l_linestatus, count(*) AS n,
+      |  quantile_disc(l_quantity, 0.25) AS q25,
+      |  quantile_disc(l_quantity, 0.5) AS q50,
+      |  quantile_disc(l_quantity, 0.75) AS q75
+      |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
   /** B59: dormancy / churn-risk list — users whose LAST activity is more
     * than 12 hours behind the stream's frontier (the global max event
     * time): the re-engagement candidate list every product pipeline

@@ -272,6 +272,36 @@ class StatsSpec extends SparkSpec {
     got.zip(sorted).foreach { case (a, b) => assert(a === b) }
   }
 
+  test("percentilesExact disc mode bit-matches Spark's percentile_disc on both routes") {
+    val rows = (0 until 400).map { i =>
+      val g = "g" + (i % 5)
+      val v: java.lang.Double =
+        if (i % 37 == 0) null else ((i * 2654435761L) % 500).toDouble / 3.0
+      (g, v)
+    }
+    val df = rows.toDF("g", "v")
+    val pcts = Seq(0.0, 0.1, 0.5, 0.73, 1.0)
+    val named = pcts.zipWithIndex.map { case (p, i) => (p, s"q$i") }
+    val want = df.groupBy("g")
+      .agg(count(lit(1)).as("n"),
+        pcts.map(p =>
+          expr(s"percentile_disc($p) WITHIN GROUP (ORDER BY v)")): _*)
+      .orderBy("g").collect()
+    for (force <- Seq(64, 0)) { // selection route, then sort route
+      val got = Stats.percentilesExact(df, "g", col("v"), named,
+          maxBucketedGroups = force, disc = true)
+        .orderBy("g").collect()
+      assert(got.length === want.length)
+      got.zip(want).foreach { case (g2, w) =>
+        assert(g2.getString(0) === w.getString(0))
+        pcts.indices.foreach { i =>
+          assert(g2.getDouble(2 + i) === w.getDouble(2 + i),
+            s"route=$force group ${w.getString(0)} pct ${pcts(i)}")
+        }
+      }
+    }
+  }
+
   test("percentilesExact handles the single global group exactly — the shape the old aggregate forbade") {
     // percentiles over the WHOLE corpus used to be the degenerate case
     // (one group = one reducer's in-memory value map); the selection
