@@ -195,8 +195,11 @@ object SortedIntersectCount {
   * element (99 evals/row on the percentile cut grid); this compiles to a
   * codegen'd binary search — O(log n) per row inside whole-stage codegen.
   * The array must be sorted ascending (the caller's contract; cut arrays
-  * from `approx_percentile` are); null elements are a hard error like
-  * every expression in this file.
+  * from `approx_percentile` are); null elements throw — but only when the
+  * binary search PROBES one (O(log n) midpoints per call), so detection
+  * is best-effort, not a full-array validation. Internal callers (the
+  * percentile cut arrays) never produce nulls; external callers who need
+  * a hard guarantee must validate the array once themselves.
   */
 case class SortedBucket(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -129,12 +129,23 @@ object Stats {
     *
     * Nulls: ignored for ranking/positions (like both engines' aggregate);
     * `n` in the output counts ALL rows (the `count(*)` a report expects).
+    * A group whose values are ALL null still yields its output row — `n`
+    * populated, every percentile column NULL — matching Spark's
+    * `percentile` aggregate (both routes left-join the per-group totals
+    * over the ranked/picked results, so no group is dropped).
     * The input is evaluated twice (rank + count branches) — callers with
     * an expensive derived input should persist it or accept the recompute
     * (a count-only scan prunes to two columns under parquet).
     *
     * Output: one row per group — `groupCol`, `n`, then one double column
     * per (fraction, name) in `pcts` order.
+    *
+    * Router probe cost: when `fewGroupsHint` is None the router pays one
+    * extra distinct-limit-count scan of the group column (bounded at
+    * `maxBucketedGroups + 1` distinct groups, but it still reads the
+    * input once). Callers who know their group cardinality — a 3-flag
+    * dimension, a per-source report — should pass the hint and skip it;
+    * every shipped query does.
     *
     * `disc = true` switches to ANSI PERCENTILE_DISC semantics (DuckDB's
     * `quantile_disc`, Spark's `percentile_disc`): the single value at
@@ -207,15 +218,20 @@ object Stats {
       .agg(count(lit(1)).as("__n_all"), count(col("__v")).as("__n"))
     val ranked = vals.where(col("__v").isNotNull)
       .withColumn("__rk", row_number().over(Window.partitionBy("__g").orderBy("__v")))
-      .join(broadcast(counts), "__g")
+      .join(broadcast(counts.select("__g", "__n")), "__g")
     val aggs =
       pcts.indices.flatMap { i =>
         val (lo, hi) = rankOf(lit(pcts(i)._1), col("__n"))
         // only the target ranks contribute; everything else is null
         Seq(max(when(col("__rk") === lo, col("__v"))).as(s"__lo_$i"),
           max(when(col("__rk") === hi, col("__v"))).as(s"__hi_$i"))
-      } :+ first(col("__n_all")).as("__n_all")
-    ranked.groupBy("__g").agg(first(col("__n")).as("__n"), aggs: _*)
+      }
+    // LEFT join FROM counts: a group whose values are ALL null has no
+    // ranked rows, but must still yield an output row (n populated,
+    // every percentile NULL) — matching Spark's in-memory `percentile`
+    // aggregate, which returns such groups rather than dropping them.
+    counts.join(ranked.groupBy("__g").agg(aggs.head, aggs.tail: _*),
+      Seq("__g"), "left")
   }
 
   /** Selection route (classic two-phase distributed selection): bucket
@@ -244,7 +260,10 @@ object Stats {
       .agg(expr(s"approx_percentile(__v, $grid, 100)").as("__cuts"))
       .localCheckpoint() // both passes MUST see identical cut points
     graft.functions.GraftFunctions.register(vals.sparkSession)
-    val withB = vals.join(broadcast(cuts), "__g")
+    // LEFT join: a group whose values are ALL null has no cuts row (the
+    // sketch only sees non-null values) — its rows must survive so the
+    // group still reaches `totals` and the final output
+    val withB = vals.join(broadcast(cuts), Seq("__g"), "left")
       // codegen'd binary search, not a filter() lambda: the HOF would run
       // interpreted per cut element — 99 evals/row on the fact table
       .withColumn("__b", when(col("__v").isNotNull,
@@ -253,7 +272,7 @@ object Stats {
     val counts = withB.groupBy("__g", "__b").agg(count(lit(1)).as("__cnt"))
       .localCheckpoint()
     val totals = counts.groupBy("__g")
-      .agg(sum(when(col("__b").isNotNull, col("__cnt"))).as("__n"),
+      .agg(coalesce(sum(when(col("__b").isNotNull, col("__cnt"))), lit(0L)).as("__n"),
         sum(col("__cnt")).as("__n_all"))
     val cum = counts.where(col("__b").isNotNull)
       .withColumn("__cum_before",
@@ -291,8 +310,11 @@ object Stats {
       Seq(max(when(col("__i") === i && col("__w") === "lo", col("__v"))).as(s"__lo_$i"),
         max(when(col("__i") === i && col("__w") === "hi", col("__v"))).as(s"__hi_$i"))
     }
-    picked.groupBy("__g").agg(aggs.head, aggs.tail: _*)
-      .join(totals, "__g")
+    // LEFT join FROM totals: all-NULL groups have no picked rows but
+    // still yield an output row (n populated, percentiles NULL), same
+    // contract as the sort route and Spark's `percentile` aggregate
+    totals.join(picked.groupBy("__g").agg(aggs.head, aggs.tail: _*),
+      Seq("__g"), "left")
   }
 
   /** Exact percentiles of `valueCol` per `groupCol` (linear interpolation,

@@ -101,6 +101,13 @@ object Bpe {
     *     already exists — would let created occurrences inflate an
     *     existing pair's count past the bound in 2). The alphabet is
     *     tracked driver-side: initial distinct symbols + learned merges.
+    *     The FIRST candidate of a round is exempt (like guard 2): the
+    *     sequential algorithm merges the top pair regardless, conflating
+    *     the collision identically — the exemption both preserves the
+    *     equivalence proof and guarantees progress (a colliding top pair
+    *     would otherwise accept zero merges and loop forever). A
+    *     colliding first merge ends its round so counts are recomputed
+    *     under the conflation before further prefix reasoning.
     *
     * Acceptance stops at the FIRST violation (prefix, never skip-and-
     * continue): every pair sorted above an accepted p_j is then itself
@@ -184,32 +191,7 @@ object Bpe {
             if (r.isNullAt(4)) 0L else r.getLong(4))))
       if (top.isEmpty) exhausted = true
       else {
-        val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
-        val used = scala.collection.mutable.Set.empty[String]
-        var bound = 0L // B_i: max created-pair count over accepted merges
-        var open = true
-        def accept(l: String, r: String, c: Long, nb: Long): Unit = {
-          accepted += ((l, r, c))
-          used += l; used += r; used += l + r
-          bound = math.max(bound, nb)
-        }
-        for ((l, r, c, nb) <- top if open) {
-          val merged = l + r
-          val disjoint = // guard 1 (also required by the one-fold apply)
-            !used.contains(l) && !used.contains(r) && !used.contains(merged)
-          if (exact) {
-            val ok = disjoint &&
-              !alphabet.contains(merged) && // guard 3
-              (accepted.isEmpty || c > bound) // guard 2 (first is free)
-            // prefix semantics: never skip-and-continue
-            if (ok) accept(l, r, c, nb) else open = false
-          } else if (disjoint) {
-            // approximate: every disjoint top-`batch` pair merges this
-            // round; conflicting candidates are skipped, not a stop — the
-            // round always accepts the top pair, so progress is guaranteed
-            accept(l, r, c, nb)
-          }
-        }
+        val accepted = acceptPrefix(top, alphabet, exact)
         merges ++= accepted
         if (sys.env.contains("GRAFT_BPE_DEBUG"))
           println(s"[bpe] round: accepted ${accepted.length}/${top.length} " +
@@ -254,6 +236,63 @@ object Bpe {
         round(sum(col("nt")).cast("double") / count(lit(1)), 6).as("fertility"))
   }
 
+  /** Candidate-acceptance prefix for one [[bpeTrainBatched]] round.
+    * `top` is the sorted candidate list (count desc, then (l, r) — the
+    * sequential tie-break) as (l, r, count, hottest-neighbor bound);
+    * returns the accepted (l, r, count) prefix. Factored out so the
+    * guard logic — including the first-candidate waiver below — is
+    * directly unit-testable (a corpus that organically puts a colliding
+    * pair on TOP could not be found in an 800k-corpus search; the waiver
+    * is defensive).
+    *
+    * Exact mode guards (candidate i accepted only while ALL hold):
+    * disjointness (guard 1), count > created-pair bound (guard 2),
+    * merged string not already an alphabet symbol (guard 3). Guards 2
+    * and 3 are WAIVED for the first candidate of a round: accepting the
+    * top pair alone IS the sequential step (sequential BPE merges it
+    * regardless, conflating a provenance collision identically). Without
+    * the waiver a colliding top pair would accept zero merges, leave
+    * `words` unchanged, and re-run the identical aggregate forever — a
+    * livelock. A colliding first merge still ENDS its round (returns a
+    * 1-element prefix): occurrences of the collided symbol are conflated
+    * from that point on, so counts must be recomputed before any further
+    * prefix reasoning holds.
+    */
+  private[ops] def acceptPrefix(top: Seq[(String, String, Long, Long)],
+                                 alphabet: scala.collection.Set[String],
+                                 exact: Boolean): Seq[(String, String, Long)] = {
+    val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    val used = scala.collection.mutable.Set.empty[String]
+    var bound = 0L // B_i: max created-pair count over accepted merges
+    var open = true
+    def accept(l: String, r: String, c: Long, nb: Long): Unit = {
+      accepted += ((l, r, c))
+      used += l; used += r; used += l + r
+      bound = math.max(bound, nb)
+    }
+    for ((l, r, c, nb) <- top if open) {
+      val merged = l + r
+      val disjoint = // guard 1 (also required by the one-fold apply)
+        !used.contains(l) && !used.contains(r) && !used.contains(merged)
+      if (exact) {
+        val first = accepted.isEmpty
+        val collides = alphabet.contains(merged) // guard 3
+        val ok = disjoint && (first || (!collides && c > bound))
+        // prefix semantics: never skip-and-continue
+        if (ok) {
+          accept(l, r, c, nb)
+          if (first && collides) open = false
+        } else open = false
+      } else if (disjoint) {
+        // approximate: every disjoint top-`batch` pair merges this
+        // round; conflicting candidates are skipped, not a stop — the
+        // round always accepts the top pair, so progress is guaranteed
+        accept(l, r, c, nb)
+      }
+    }
+    accepted.toSeq
+  }
+
   /** Greedy left-to-right merge of adjacent (l, r) into l+r — a fold whose
     * accumulator tail decides: just-merged symbols compare as the merged
     * STRING, so they never re-merge within the same round (a,a,a under
@@ -274,9 +313,9 @@ object Bpe {
     * sequential order of the batch.
     */
   private def mergePairs(symbols: Column, pairs: Seq[(String, String)]): Column = {
-    val m = typedlit(pairs.map { case (l, r) => (l + " " + r) -> (l + r) }.toMap)
+    val m = typedlit(pairs.map { case (l, r) => (l + "\u0000" + r) -> (l + r) }.toMap)
     aggregate(symbols, typedlit(Seq.empty[String]), (acc, s) => {
-      val key = concat(element_at(acc, -1), lit(" "), s)
+      val key = concat(element_at(acc, -1), lit("\u0000"), s)
       val hit = element_at(m, key)
       when(size(acc) > 0 && hit.isNotNull,
           concat(slice(acc, lit(1), size(acc) - 1), array(hit)))

@@ -1035,6 +1035,35 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows(am2) === rows(am3))
   }
 
+  test("acceptPrefix: colliding top candidate accepts alone and ends the round (no livelock)") {
+    import graft.ops.text.Bpe
+    // r11 advisor finding: if a round's FIRST sorted candidate fails
+    // guard 3 (its merged string already in the alphabet), the old code
+    // accepted ZERO merges and re-ran the identical aggregate forever.
+    // The waiver accepts the top pair alone — exactly the sequential
+    // step, which conflates the collision the same way — and ends the
+    // round so counts are recomputed under the conflation. (No corpus
+    // that organically puts a colliding pair on top was found in an
+    // 800k-corpus search; the prefix function is tested directly.)
+    val alphabet = Set("a", "b", "c", "ab", "abc")
+    // top candidate ("a","bc")→"abc" collides; a non-colliding runner-up
+    // with a count above the bound would be accepted in a normal round
+    val top = Seq(("a", "bc", 90L, 10L), ("x", "y", 80L, 5L))
+    val got = Bpe.acceptPrefix(top, alphabet, exact = true)
+    assert(got === Seq(("a", "bc", 90L)),
+      "colliding first candidate must be accepted ALONE (round ends)")
+    // non-colliding top: normal prefix acceptance continues past it
+    val top2 = Seq(("p", "q", 90L, 10L), ("x", "y", 80L, 5L), ("u", "v", 9L, 1L))
+    assert(Bpe.acceptPrefix(top2, alphabet, exact = true) ===
+      Seq(("p", "q", 90L), ("x", "y", 80L)),
+      "guard 2 stops at u,v (count 9 <= bound 10) after accepting two")
+    // collision at a NON-first position still ends the round before it
+    val top3 = Seq(("p", "q", 90L, 10L), ("ab", "c", 80L, 5L))
+    assert(Bpe.acceptPrefix(top3, alphabet, exact = true) === Seq(("p", "q", 90L)))
+    // approximate mode skips the collision question entirely (no guard 3)
+    assert(Bpe.acceptPrefix(top, alphabet, exact = false).map(_._1) === Seq("a", "x"))
+  }
+
   test("weightedSample: inclusion monotone in weight, exact WOR, deterministic, top-k plan") {
     import graft.ops.sample.Sampling
     import spark.implicits._

@@ -392,4 +392,42 @@ class StatsSpec extends SparkSpec {
     // state bound: never more than d·w register rows, whatever the vocabulary
     assert(whole.size <= 4 * 64)
   }
+
+  test("percentilesExact keeps all-NULL groups on both routes (n populated, percentiles NULL)") {
+    // r11 advisor finding: both routes used to DROP a group whose values
+    // are all null (no ranked/picked rows survive the inner join),
+    // contradicting the scaladoc and Spark's percentile aggregate, which
+    // returns the group with n and NULL percentiles. Mixed fixture: one
+    // normal group, one all-null, one partially null.
+    val rows: Seq[(String, java.lang.Double)] =
+      (1 to 20).map(i => ("full", i.toDouble: java.lang.Double)) ++
+      (1 to 7).map(_ => ("empty", null: java.lang.Double)) ++
+      (1 to 10).map(i =>
+        ("mixed", if (i % 2 == 0) null else i.toDouble): (String, java.lang.Double))
+    val df = rows.toDF("g", "v")
+    val named = Seq((0.0, "q0"), (0.5, "q1"), (1.0, "q2"))
+    val want = df.groupBy("g")
+      .agg(count(lit(1)).as("n"),
+        Seq(0.0, 0.5, 1.0).map(p => expr(s"percentile(v, $p)")): _*)
+      .orderBy("g").collect()
+    for ((force, disc) <- Seq((64, false), (0, false), (64, true), (0, true))) {
+      val got = Stats.percentilesExact(df, "g", col("v"), named,
+          maxBucketedGroups = force, disc = disc)
+        .orderBy("g").collect()
+      assert(got.length === 3, s"route=$force disc=$disc: all 3 groups must survive")
+      assert(got.map(_.getString(0)).toSeq === Seq("empty", "full", "mixed"))
+      got.zip(want).foreach { case (g2, w) =>
+        assert(g2.getLong(1) === w.getLong(1),
+          s"route=$force disc=$disc n for ${w.getString(0)}")
+      }
+      val empty = got(0)
+      (2 to 4).foreach(i => assert(empty.isNullAt(i),
+        s"route=$force disc=$disc: all-NULL group must yield NULL percentiles"))
+      // non-degenerate groups unchanged by the fix (cont mode = aggregate)
+      if (!disc) got.zip(want).foreach { case (g2, w) =>
+        if (w.getString(0) != "empty")
+          (2 to 4).foreach(i => assert(g2.getDouble(i) === w.getDouble(i)))
+      }
+    }
+  }
 }

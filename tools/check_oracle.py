@@ -63,14 +63,23 @@ def main(sfdir, outdir):
                   ("OK" if len(spark_rows) > 0 else "EMPTY!"))
             continue
         timer = None
+        # done-flag guards the timer race: if the Timer fires after
+        # fetchall() returned but before cancel(), a bare con.interrupt()
+        # would flag the connection with no query running and the NEXT
+        # oracle's execute() would raise InterruptException spuriously
+        done = []
+        def _interrupt():
+            if not done:
+                con.interrupt()
         try:
             if TIMEOUT_S:
                 import threading
-                timer = threading.Timer(TIMEOUT_S, con.interrupt)
+                timer = threading.Timer(TIMEOUT_S, _interrupt)
                 timer.start()
             duck_rel = con.execute(oracle[name])
             duck_cols = [c[0] for c in duck_rel.description]
             duck_rows = duck_rel.fetchall()
+            done.append(True)
         except duckdb.InterruptException:
             print(f"TIMEOUT {name}: oracle exceeded {TIMEOUT_S}s (oracle-side scale limit)")
             n_timeout += 1
@@ -80,6 +89,7 @@ def main(sfdir, outdir):
             n_fail += 1
             continue
         finally:
+            done.append(True)
             if timer is not None:
                 timer.cancel()
         sc, sr = norm(spark_rows, spark_cols)
