@@ -74,6 +74,7 @@ object GraftFunctions {
         bits = exprs(2).eval().asInstanceOf[Int],
         numHashes = exprs(3).eval().asInstanceOf[Int])
     },
+    "graft_normalize_text" -> { exprs => NormalizeText(exprs(0)) },
     "graft_trigram_best" -> { exprs =>
       import org.apache.spark.sql.catalyst.util.ArrayData
       def strs(a: ArrayData): Seq[String] =

@@ -2248,6 +2248,67 @@ object Pipeline {
        |FROM s4 ORDER BY c_custkey""".stripMargin
   }
 
+  /** C82: Unicode text normalization — the curation stage that runs AHEAD
+    * of every dedup/fingerprint op so composed vs decomposed spellings,
+    * zero-width-injected copies, and case variants of the same document
+    * hash identically. One native codegen'd expression
+    * ([[graft.functions.NormalizeText]]): strip zero-width + controls →
+    * NFC → simple per-codepoint case fold (the context-free mapping
+    * DuckDB/utf8proc `lower` also implements — NOT `String.toLowerCase`,
+    * whose final-sigma/locale rules diverge cross-engine; the fixture
+    * plants Σ…Σ and İ to pin this). The synthetic corpus is ASCII, so
+    * each doc is decorated with a deterministic unicode prefix by
+    * `doc_id % 5` (decomposed accents / zero-width / controls / composed
+    * + Greek + dotted-I / none) — the last branch proves the identity
+    * path, `changed = false`.
+    *
+    * Scale: embarrassingly parallel narrow map over the text column —
+    * no shuffle at all (the orderBy is presentation-only); at 100 TB
+    * this is a pure scan-transform stage that fuses into whatever
+    * pipeline consumes it.
+    */
+  def textNormalize(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val deco = when(pmod(col("doc_id"), lit(5)) === 0,
+        lit("A\u0301 CAFE\u0301 ")) // decomposed: NFC composes, then folds
+      .when(pmod(col("doc_id"), lit(5)) === 1,
+        lit("Z\u200bW\u200dJ\ufeff ")) // zero-width chars: stripped
+      .when(pmod(col("doc_id"), lit(5)) === 2,
+        lit("CTRL\u0007\u0001\u009f-X\tOK ")) // controls stripped, tab kept
+      .when(pmod(col("doc_id"), lit(5)) === 3,
+        // E-acute, sigma...final-sigma context, dotted I — pins the
+        // SIMPLE case mapping both engines implement
+        lit("\u00c9clair \u03a3\u039f\u03a6\u039f\u03a3 \u0130st "))
+      .otherwise(lit("")) // identity path: text is already normalized
+    docs(spark, dir)
+      .select(col("doc_id"), concat(deco, col("text")).as("raw"))
+      .select(col("doc_id"), col("raw"),
+        call_function("graft_normalize_text", col("raw")).as("norm"))
+      .select(col("doc_id"), col("norm"),
+        length(col("raw")).cast("long").as("n_raw"),
+        length(col("norm")).cast("long").as("n_norm"),
+        (col("norm") =!= col("raw")).as("changed"))
+      .orderBy("doc_id")
+  }
+
+  val textNormalizeSql: String =
+    """WITH t AS (SELECT doc_id,
+      |  CASE doc_id % 5
+      |    WHEN 0 THEN 'A' || chr(769) || ' CAFE' || chr(769) || ' '
+      |    WHEN 1 THEN 'Z' || chr(8203) || 'W' || chr(8205) || 'J' || chr(65279) || ' '
+      |    WHEN 2 THEN 'CTRL' || chr(7) || chr(1) || chr(159) || '-X' || chr(9) || 'OK '
+      |    WHEN 3 THEN chr(201) || 'clair ' || chr(931) || chr(927) || chr(934)
+      |                || chr(927) || chr(931) || ' ' || chr(304) || 'st '
+      |    ELSE '' END || text AS raw FROM documents),
+      |n AS (SELECT doc_id, raw,
+      |  lower(nfc_normalize(regexp_replace(raw,
+      |    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x{0080}-\x{009F}\x{200B}-\x{200D}\x{FEFF}]',
+      |    '', 'g'))) AS norm FROM t)
+      |SELECT doc_id, norm, length(raw)::BIGINT AS n_raw,
+      |  length(norm)::BIGINT AS n_norm,
+      |  norm <> raw AS changed
+      |FROM n ORDER BY doc_id""".stripMargin
+
   /** C28: exact per-source heavy hitters (tokens with count > n/k) via the
     * Misra–Gries sketch-then-recount plan — the oracle recomputes the full
     * (source, token) counts directly; same answer, but the sketch plan

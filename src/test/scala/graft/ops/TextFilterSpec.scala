@@ -159,4 +159,34 @@ class TextFilterSpec extends SparkSpec {
     assert(out.head.getDouble(1) ===
       BigDecimal(model.bias).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
+
+  test("NormalizeText: strip -> NFC -> simple fold, order-dependent and idempotent") {
+    import graft.functions.NormalizeText
+    import org.apache.spark.unsafe.types.UTF8String
+    def n(s: String): String =
+      NormalizeText.normalize(UTF8String.fromString(s)).toString
+    // NFC composes decomposed accents; composed and decomposed spellings
+    // land on the SAME normalized string (the dedup motivation)
+    assert(n("cafe\u0301") === "caf\u00e9")
+    assert(n("caf\u00e9") === "caf\u00e9")
+    // zero-width chars and controls stripped; \t \n \r kept
+    assert(n("a\u200bb\u200cc\u200dd\ufeffe") === "abcde")
+    assert(n("x\u0007y\u0001z\u009fq\u007f!") === "xyzq!")
+    assert(n("a\tb\nc\rd") === "a\tb\nc\rd")
+    // strip BEFORE NFC: a zero-width char between base and combining mark
+    // must not block composition
+    assert(n("e\u200b\u0301") === "\u00e9")
+    // SIMPLE fold: final-sigma context folds to plain sigma (no
+    // contextual \u03c2), dotted I to plain i — matching DuckDB lower
+    assert(n("\u03a3\u039f\u03a6\u039f\u03a3") === "\u03c3\u03bf\u03c6\u03bf\u03c3")
+    assert(n("\u0130stanbul STRASSE \u00df") === "istanbul strasse \u00df")
+    // idempotent: normalizing a normalized string is the identity
+    val mixed = "A\u0301 CAFE\u0301 Z\u200bW CTRL\u0007-X \u00c9 \u03a3\u039f\u03a3"
+    assert(n(n(mixed)) === n(mixed))
+    // the Column route (registered function) agrees with the kernel
+    graft.functions.GraftFunctions.register(spark)
+    val got = Seq((1L, mixed)).toDF("id", "t")
+      .select(call_function("graft_normalize_text", col("t"))).head.getString(0)
+    assert(got === n(mixed))
+  }
 }

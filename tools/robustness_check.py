@@ -46,7 +46,14 @@ COPY (
     ({doc0 + 0}, 'solo', 'en', 'src0', 4),
     ({doc0 + 1}, '', 'en', 'src1', 0),
     ({doc0 + 2}, 'a  b', 'de', 'src2', 4),
-    ({doc0 + 3}, 'x y', 'en', 'src1', 3)
+    ({doc0 + 3}, 'x y', 'en', 'src1', 3),
+    -- combining-mark rows (r11 verdict #6): decomposed e+0301 vs composed
+    -- e-acute — identical after NFC; zero-width-split token; C1 control.
+    -- Exercises text_normalize's whole pipeline and every tokenizer op's
+    -- handling of multi-codepoint graphemes.
+    ({doc0 + 4}, 'cafe' || chr(769) || ' latte', 'fr', 'src2', 11),
+    ({doc0 + 5}, 'caf' || chr(233) || ' latte', 'fr', 'src2', 10),
+    ({doc0 + 6}, 'zero' || chr(8203) || 'width MIXED' || chr(133) || 'Case', 'en', 'src0', 21)
   ) t(doc_id, text, lang, source, n_chars)
 ) TO '{dst}/documents.parquet' (FORMAT PARQUET)
 """)
