@@ -166,6 +166,65 @@ object GraphOps {
       .orderBy("node")
   }
 
+  /** Synchronous label propagation (community detection) over an
+    * undirected PG edge set, via GraphX Pregel with a DETERMINISTIC
+    * tie-break — GraphX's own `LabelPropagation.run` picks `maxBy` over a
+    * hash map, so equal-count ties depend on map iteration order and the
+    * result is not reproducible across runs/partitionings; this variant
+    * picks (count desc, label asc), and because [[nodeIndex]] assigns
+    * vids in sorted node-key order the winning vid IS the
+    * lexicographically smallest winning node key — exactly reproducible
+    * in ANSI SQL (`ORDER BY c DESC, label`).
+    *
+    * Semantics (the oracle unrolls this recurrence as `iterations` CTE
+    * levels): l0(v) = v; l_i(v) = the most frequent label among v's
+    * neighbours under l_{i-1}, ties to the smallest label. All updates
+    * in a superstep read the PREVIOUS superstep's labels (synchronous),
+    * so a fixed iteration count gives a deterministic, engine-independent
+    * result — the kg_pagerank/kg_bfs oracle pattern. Edges are
+    * canonicalised (undirected, deduplicated) first so orientation or
+    * duplicate rows never double a neighbour's vote.
+    *
+    * Scale: one Pregel superstep shuffles messages along edges — linear
+    * in |E| per iteration, no driver-side graph. Message maps merge by
+    * per-label count sum, so a vertex's merged map is bounded by the
+    * number of DISTINCT labels among its neighbours — it starts at
+    * deg(v) for hubs (the standard LPA hub cost) and shrinks as
+    * communities consolidate; the fixed low iteration count (default 5)
+    * is also the published guidance, since LPA label quality peaks in
+    * the first handful of sweeps.
+    */
+  def labelPropagation(pgEdges: DataFrame, iterations: Int = 5): DataFrame = {
+    val spark = pgEdges.sparkSession
+    import spark.implicits._
+    val e = endpoints(pgEdges)
+    val idx = nodeIndex(e)
+    val canon = e.select(least(col("from"), col("to")).as("from"),
+        greatest(col("from"), col("to")).as("to"))
+      .where(col("from") =!= col("to")).distinct()
+    val g = XGraph.fromEdges(mapEdges(canon, idx), ())
+      .mapVertices((vid, _) => vid)
+    val res = g.pregel(
+        Map.empty[Long, Long], iterations,
+        org.apache.spark.graphx.EdgeDirection.Either)(
+      (_, lbl, msg) =>
+        if (msg.isEmpty) lbl
+        else msg.minBy { case (l, c) => (-c, l) }._1,
+      t => Iterator((t.srcId, Map(t.dstAttr -> 1L)),
+        (t.dstId, Map(t.srcAttr -> 1L))),
+      (a, b) => (a.keySet ++ b.keySet).iterator
+        .map(k => k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap)
+    val labelled = res.vertices.toDF("vid", "cvid")
+      .join(idx, "vid")
+      .join(idx.select(col("vid").as("cvid"), col("node").as("community")), "cvid")
+      .select(col("node"), col("community"))
+    val sizes = labelled.groupBy("community")
+      .agg(count(lit(1)).as("community_size"))
+    labelled.join(sizes, "community")
+      .select(col("node"), col("community"), col("community_size"))
+      .orderBy("node")
+  }
+
   /** Structural node similarity over an undirected PG edge set: Jaccard of
     * neighbour sets for every node pair sharing at least one neighbour —
     * the KG entity-resolution primitive (two records pointing at the same

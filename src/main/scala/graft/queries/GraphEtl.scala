@@ -646,6 +646,54 @@ object GraphEtl {
       |SELECT etype, label, count(*) AS n FROM elems
       |GROUP BY etype, label ORDER BY etype, label""".stripMargin
 
+  /** A38: community detection over the supplier→nation→region KG by
+    * synchronous label propagation ([[graft.ops.graph.GraphOps
+    * .labelPropagation]], 5 fixed supersteps, deterministic
+    * count-desc/label-asc tie-break). A fixed iteration count makes the
+    * recurrence engine-independent, so the oracle unrolls all five
+    * sweeps as CTE levels over the symmetrised edge list — the
+    * kg_pagerank/kg_bfs pattern. Completes the KG analytics staples next
+    * to CC / PageRank / triangles / clustering / assortativity.
+    */
+  def kgCommunities(spark: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.load(spark, dir, "nation")
+    val supplier = Tables.load(spark, dir, "supplier")
+    val triples = Triples.chain(
+      Triples.edges(nation, "inRegion",
+        Triples.wrap(col("n_nationkey"), "nation:"),
+        Triples.wrap(col("n_regionkey"), "region:")),
+      Triples.edges(supplier, "basedIn",
+        Triples.wrap(col("s_suppkey"), "sup:"),
+        Triples.wrap(col("s_nationkey"), "nation:")))
+    graft.ops.graph.GraphOps.labelPropagation(
+      PgGraph.toPg(triples).where(col("type") === Graph.EdgeType),
+      iterations = 5)
+  }
+
+  val kgCommunitiesSql: String = {
+    val iters = (1 to 5).map { i =>
+      s"""cand$i AS (SELECT u.node, l.label, count(*) AS c
+         |  FROM und u JOIN l${i - 1} l ON u.nb = l.node GROUP BY u.node, l.label),
+         |l$i AS (SELECT node, label FROM (
+         |  SELECT node, label,
+         |    row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+         |  FROM cand$i) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH base AS (
+       |  SELECT 'sup:' || s_suppkey AS f, 'nation:' || s_nationkey AS t FROM supplier
+       |  UNION ALL
+       |  SELECT 'nation:' || n_nationkey, 'region:' || n_regionkey FROM nation),
+       |e0 AS (SELECT DISTINCT least(f, t) AS a, greatest(f, t) AS b
+       |       FROM base WHERE f <> t),
+       |und AS (SELECT a AS node, b AS nb FROM e0 UNION ALL SELECT b, a FROM e0),
+       |l0 AS (SELECT DISTINCT node, node AS label FROM und),
+       |$iters
+       |SELECT l.node, l.label AS community, s.community_size
+       |FROM l5 l JOIN (SELECT label, count(*) AS community_size FROM l5
+       |                GROUP BY label) s ON s.label = l.label
+       |ORDER BY l.node""".stripMargin
+  }
+
   /** A20: 2-hop traversal over the KG edge set itself — suppliers per
     * region via `sup -basedIn-> nation -inRegion-> region`, answered from
     * the PG elements (edge self-join on the intermediate node), not from

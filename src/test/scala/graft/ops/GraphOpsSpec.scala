@@ -157,6 +157,53 @@ class GraphOpsSpec extends SparkSpec {
     assert(m("a") === ((2L, 1L, Some(1.0))))
   }
 
+  test("labelPropagation: planted two-clique graph, deterministic ties, reference recurrence") {
+    // two disjoint K4 cliques: LPA must converge each to its smallest
+    // member's label within the default 5 sweeps, never mixing them
+    def clique(ns: Seq[String]) =
+      for (i <- ns.indices; j <- (i + 1) until ns.size) yield (ns(i), ns(j))
+    val planted = (clique(Seq("a1", "a2", "a3", "a4")) ++
+      clique(Seq("b1", "b2", "b3", "b4"))).toDF("from", "to")
+    val got = GraphOps.labelPropagation(planted).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(Seq("a1", "a2", "a3", "a4").forall(n => got(n) === ("a1", 4L)))
+    assert(Seq("b1", "b2", "b3", "b4").forall(n => got(n) === ("b1", 4L)))
+
+    // reference: the same synchronous recurrence as DataFrame iterations
+    // (the oracle's shape), on a messier graph with reversed/duplicate
+    // edges and a bridge — the Pregel path must match it exactly
+    val messy = Seq(
+      ("a", "b"), ("b", "a"), ("b", "c"), ("c", "a"), ("a", "c"),
+      ("c", "d"), // bridge
+      ("d", "e"), ("e", "f"), ("f", "d"), ("f", "e")).toDF("from", "to")
+    def reference(e: DataFrame, iters: Int): Map[String, String] = {
+      val canon = e.select(least(col("from"), col("to")).as("a"),
+          greatest(col("from"), col("to")).as("b"))
+        .where(col("a") =!= col("b")).distinct()
+      val und = canon.union(canon.select(col("b"), col("a")))
+        .toDF("node", "nb")
+      var lbl = und.select(col("node")).distinct()
+        .select(col("node"), col("node").as("label"))
+      for (_ <- 1 to iters) {
+        import org.apache.spark.sql.expressions.Window
+        lbl = und.join(lbl.select(col("node").as("nb"), col("label")), "nb")
+          .groupBy("node", "label").agg(count(lit(1)).as("c"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("node").orderBy(col("c").desc, col("label"))))
+          .where(col("rn") === 1).select("node", "label")
+      }
+      lbl.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    }
+    val want = reference(messy, 5)
+    val pregel = GraphOps.labelPropagation(messy).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(pregel === want)
+    // determinism: an identical rerun returns the identical assignment
+    val rerun = GraphOps.labelPropagation(messy).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rerun === pregel)
+  }
+
   test("assortativity: hand-computed mixed graph, -1 on a star, NULL on a regular graph") {
     def r(es: Seq[(String, String)]): (Long, Option[Double]) = {
       val row = GraphOps.assortativity(es.toDF("from", "to")).head()
