@@ -152,12 +152,18 @@ object Stats {
     * rank max(1, ⌈p·n⌉) — the smallest value whose cumulative
     * distribution reaches p — returned verbatim, no interpolation. Same
     * routes, same state bounds; only the target-rank arithmetic changes.
+    *
+    * `maxRankRows` bounds the selection route's final ranking stage: a
+    * target bucket bigger than this re-buckets once more (depth-2
+    * selection) before ranking, so no single task ever sorts more than
+    * ~grid⁻² of a group — the straggler bound for fact-sized groups.
     */
   def percentilesExact(df: DataFrame, groupCol: String, valueCol: Column,
                        pcts: Seq[(Double, String)],
                        maxBucketedGroups: Int = 64,
                        fewGroupsHint: Option[Boolean] = None,
-                       disc: Boolean = false): DataFrame = {
+                       disc: Boolean = false,
+                       maxRankRows: Long = 10000000L): DataFrame = {
     require(pcts.nonEmpty && pcts.forall { case (p, _) => p >= 0 && p <= 1 },
       "pcts must be non-empty fractions in [0, 1]")
     val vals = df.select(col(groupCol).as("__g"), valueCol.cast("double").as("__v"))
@@ -187,7 +193,7 @@ object Stats {
         ((floor(pos) + 1).cast("long"), (ceil(pos) + 1).cast("long"))
       }
     val perGroup =
-      if (fewGroups) percentilesBySelection(vals, pcts, rankOf)
+      if (fewGroups) percentilesBySelection(vals, pcts, rankOf, maxRankRows)
       else percentilesBySort(vals, pcts, rankOf)
     def pos(i: Int): Column = lit(pcts(i)._1) * (col("__n") - 1).cast("double")
     val outs = pcts.zipWithIndex.map { case ((_, name), i) =>
@@ -250,7 +256,8 @@ object Stats {
     */
   private def percentilesBySelection(vals: DataFrame,
                                      pcts: Seq[(Double, String)],
-                                     rankOf: (Column, Column) => (Column, Column))
+                                     rankOf: (Column, Column) => (Column, Column),
+                                     maxRankRows: Long = 10000000L)
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val grid = (1 to 99).map(_ / 100.0).mkString("array(", ",", ")")
@@ -296,16 +303,78 @@ object Stats {
         col("__rank") <= col("__cum_before") + col("__cnt"))
       .select(col("__g"), col("__b"), col("__i"), col("__w"),
         (col("__rank") - col("__cum_before")).as("__off"))
-    // second pass: rank only the target buckets' rows
-    val candidates = withB.where(col("__b").isNotNull)
-      .join(broadcast(bucketTargets.select("__g", "__b").distinct()), Seq("__g", "__b"))
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy("__g", "__b").orderBy("__v")).cast("long"))
-    val picked = candidates.join(broadcast(bucketTargets),
-        candidates("__g") === bucketTargets("__g") &&
-          candidates("__b") === bucketTargets("__b") &&
-          col("__rn") === col("__off"))
-      .select(candidates("__g"), col("__i"), col("__w"), col("__v"))
+    // second pass: rank only the target buckets' rows. A target bucket is
+    // ~1% of a group, which at extreme scale is STILL one window task's
+    // external sort (the r11 straggler note) — so the bucket sizes (known
+    // for free from `counts`) gate a depth-2 recursion: oversized target
+    // buckets are re-bucketed ONCE with their own per-bucket cut grid
+    // before ranking, bounding any task's sort at ~grid⁻² of a group.
+    // Exactness is unaffected by where the sub-cuts land, by the same
+    // monotone-bucketing argument as level 1 (local rank + cumulative
+    // offset IS the bucket-local rank). The probe is a driver action over
+    // the checkpointed tiny (group, bucket) count table, so the common
+    // case (every target bucket under `maxRankRows`) keeps exactly the
+    // single-level plan.
+    val sized = bucketTargets
+      .join(counts.select(col("__g"), col("__b"), col("__cnt").as("__bcnt")),
+        Seq("__g", "__b"))
+      .localCheckpoint()
+    val maxTarget = {
+      val r = sized.agg(max("__bcnt")).head
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    val nonNull = withB.where(col("__b").isNotNull)
+    def rankAndPick(targets: DataFrame): DataFrame = {
+      val cand = nonNull
+        .join(broadcast(targets.select("__g", "__b").distinct()), Seq("__g", "__b"))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy("__g", "__b").orderBy("__v")).cast("long"))
+      cand.join(broadcast(targets.select("__g", "__b", "__i", "__w", "__off")),
+          Seq("__g", "__b"))
+        .where(col("__rn") === col("__off"))
+        .select(col("__g"), col("__i"), col("__w"), col("__v"))
+    }
+    val picked =
+      if (maxTarget <= maxRankRows) rankAndPick(sized)
+      else {
+        val small = sized.where(col("__bcnt") <= maxRankRows)
+        val big = sized.where(col("__bcnt") > maxRankRows)
+        // materialise ONLY the oversized buckets' narrow (g, b, v) rows:
+        // everything below derives from this slice (≈ |oversized
+        // targets| · bucket size rows), never rescanning the input
+        val rows2 = nonNull
+          .join(broadcast(big.select("__g", "__b").distinct()), Seq("__g", "__b"))
+          .select("__g", "__b", "__v")
+          .localCheckpoint()
+        val cuts2 = rows2.groupBy("__g", "__b")
+          .agg(expr(s"approx_percentile(__v, $grid, 100)").as("__cuts2"))
+          .localCheckpoint() // both sub-passes MUST see identical cuts
+        val withB2 = rows2.join(broadcast(cuts2), Seq("__g", "__b"))
+          .withColumn("__b2",
+            call_function("graft_sorted_bucket", col("__cuts2"), col("__v")))
+        val counts2 = withB2.groupBy("__g", "__b", "__b2")
+          .agg(count(lit(1)).as("__cnt2"))
+          .localCheckpoint()
+        val cum2 = counts2.withColumn("__cum2",
+          coalesce(sum("__cnt2").over(
+            Window.partitionBy("__g", "__b").orderBy("__b2")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        val targets2 = big.join(cum2, Seq("__g", "__b"))
+          .where(col("__off") > col("__cum2") &&
+            col("__off") <= col("__cum2") + col("__cnt2"))
+          .select(col("__g"), col("__b"), col("__b2"), col("__i"), col("__w"),
+            (col("__off") - col("__cum2")).as("__off2"))
+        val cand2 = withB2
+          .join(broadcast(targets2.select("__g", "__b", "__b2").distinct()),
+            Seq("__g", "__b", "__b2"))
+          .withColumn("__rn", row_number().over(
+            Window.partitionBy("__g", "__b", "__b2").orderBy("__v")).cast("long"))
+        val picked2 = cand2
+          .join(broadcast(targets2), Seq("__g", "__b", "__b2"))
+          .where(col("__rn") === col("__off2"))
+          .select(col("__g"), col("__i"), col("__w"), col("__v"))
+        rankAndPick(small).unionByName(picked2)
+      }
     val aggs = pcts.indices.flatMap { i =>
       Seq(max(when(col("__i") === i && col("__w") === "lo", col("__v"))).as(s"__lo_$i"),
         max(when(col("__i") === i && col("__w") === "hi", col("__v"))).as(s"__hi_$i"))

@@ -393,6 +393,63 @@ class StatsSpec extends SparkSpec {
     assert(whole.size <= 4 * 64)
   }
 
+  test("percentilesExact depth-2 selection (forced) is bit-identical to single-level and the aggregate") {
+    // maxRankRows = 3 forces EVERY target bucket through the recursive
+    // re-bucket path (buckets hold ~5 rows here); results must be
+    // bit-identical to the default route and to Spark's in-memory
+    // aggregate, in both cont and disc modes, with nulls and duplicates
+    val rows = (0 until 600).map { i =>
+      val g = "g" + (i % 3)
+      val v: java.lang.Double =
+        if (i % 41 == 0) null
+        else ((i * 1103515245L) % 700).toDouble / 11.0 - 20.0
+      (g, v)
+    }
+    val df = rows.toDF("g", "v")
+    val pcts = Seq(0.0, 0.25, 0.5, 0.77, 0.999, 1.0)
+    val named = pcts.zipWithIndex.map { case (p, i) => (p, s"q$i") }
+    for (disc <- Seq(false, true)) {
+      val deep = Stats.percentilesExact(df, "g", col("v"), named,
+          fewGroupsHint = Some(true), disc = disc, maxRankRows = 3L)
+        .orderBy("g").collect()
+      val flat = Stats.percentilesExact(df, "g", col("v"), named,
+          fewGroupsHint = Some(true), disc = disc)
+        .orderBy("g").collect()
+      assert(deep.toSeq === flat.toSeq, s"disc=$disc")
+      val agg = if (disc)
+        df.groupBy("g").agg(count(lit(1)).as("n"),
+          pcts.map(p => expr(s"percentile_disc($p) WITHIN GROUP (ORDER BY v)")): _*)
+          .orderBy("g").collect()
+      else
+        df.groupBy("g").agg(count(lit(1)).as("n"),
+          pcts.map(p => expr(s"percentile(v, $p)")): _*)
+          .orderBy("g").collect()
+      deep.zip(agg).foreach { case (d, w) =>
+        assert(d.getString(0) === w.getString(0))
+        assert(d.getLong(1) === w.getLong(1))
+        pcts.indices.foreach { i =>
+          assert(d.getDouble(2 + i) === w.getDouble(2 + i),
+            s"disc=$disc group ${w.getString(0)} pct ${pcts(i)}")
+        }
+      }
+    }
+    // mixed sizing: threshold between bucket sizes so SOME targets stay
+    // single-level and SOME recurse — the union path
+    val skew = ((0 until 400).map(i => ("big", (i * 48271 % 997).toDouble)) ++
+      (0 until 12).map(i => ("tiny", i.toDouble))).toDF("g", "v")
+    val got = Stats.percentilesExact(skew, "g", col("v"),
+        Seq((0.5, "p50"), (0.9, "p90")), fewGroupsHint = Some(true),
+        maxRankRows = 2L)
+      .orderBy("g").collect()
+    val want = skew.groupBy("g")
+      .agg(count(lit(1)).as("n"),
+        expr("percentile(v, 0.5)").as("p50"), expr("percentile(v, 0.9)").as("p90"))
+      .orderBy("g").collect()
+    got.zip(want).foreach { case (g2, w) =>
+      assert(g2.getDouble(2) === w.getDouble(2) && g2.getDouble(3) === w.getDouble(3))
+    }
+  }
+
   test("percentilesExact keeps all-NULL groups on both routes (n populated, percentiles NULL)") {
     // r11 advisor finding: both routes used to DROP a group whose values
     // are all null (no ranked/picked rows survive the inner join),
