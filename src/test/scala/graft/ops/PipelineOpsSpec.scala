@@ -389,6 +389,17 @@ class PipelineOpsSpec extends SparkSpec {
     assert(pairs(Ann.cosinePairsAdaptive(embs, 0.45)) === exact)
     // and the LSH path above a tiny cutoff
     assert(pairs(Ann.cosinePairsAdaptive(embs, 0.45, maxExactRows = 10)) === lsh)
+    // multi-probe (Hamming ≤ 1 per band): still no false positives, and
+    // the candidate set SUPERSETS single-probe — recall can only rise
+    val mp = pairs(Ann.cosinePairsLsh(embs, 0.45, multiProbe = true))
+    assert(mp.subsetOf(exact))
+    assert(lsh.subsetOf(mp),
+      "multi-probe must find every single-probe pair (own bucket is probed too)")
+    val mpRecall = (exact intersect mp).size.toDouble / exact.size
+    assert(mpRecall >= recall, s"multi-probe recall $mpRecall below single-probe $recall")
+    // knob is plumbed through the adaptive router
+    assert(pairs(Ann.cosinePairsAdaptive(embs, 0.45, maxExactRows = 10,
+      multiProbe = true)) === mp)
   }
 
   test("IVF ANN reaches decent recall of brute-force top-5") {
