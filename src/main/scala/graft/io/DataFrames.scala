@@ -48,6 +48,26 @@ object DataFrames {
     if (df.rdd.getNumPartitions < dp) df.repartition(dp) else df
   }
 
+  /** Session conf key switching [[stage]] from executor-local staging to
+    * RELIABLE checkpointing (`df.checkpoint()`: materialised to the
+    * SparkContext checkpoint directory — set `sc.setCheckpointDir` to
+    * durable storage first — and lineage truncated).
+    */
+  val ReliableStagingKey = "spark.graft.staging.reliable"
+
+  /** Stage an intermediate so ONE computation feeds every downstream
+    * consumer. Default: `localCheckpoint` — executor memory-and-disk,
+    * cheapest, but a lost executor fails the job instead of recomputing
+    * (the right trade for rerunnable hours-long dedup jobs). A multi-day
+    * pipeline sets `spark.graft.staging.reliable=true` on the session to
+    * route the SAME staging points through reliable checkpoints that
+    * survive executor loss; results are identical either way (both are
+    * pure materialisation barriers — spec-pinned in DedupSpec).
+    */
+  def stage(df: DataFrame): DataFrame =
+    if (df.sparkSession.conf.get(ReliableStagingKey, "false").toBoolean) df.checkpoint()
+    else df.localCheckpoint()
+
   def saltedJoin(big: DataFrame, small: DataFrame, bigKey: Column, smallKey: Column,
                  salts: Int, joinType: String = "inner"): DataFrame = {
     val saltedBig = big.withColumn("__salt", (rand(17) * salts).cast("int"))

@@ -28,8 +28,10 @@ import graft.ops.text.TextOps
   *    consumer — the multi-pass stage-once tradeoff, storage ≈ input.
   *    The cost is fault-tolerance: a lost executor fails the query instead
   *    of recomputing. Right for dedup jobs (hours, rerunnable); a
-  *    multi-day pipeline should stage through Checkpoint.save (reliable
-  *    storage) at the same point instead.
+  *    multi-day pipeline sets `spark.graft.staging.reliable=true` (plus
+  *    `sc.setCheckpointDir` on durable storage) to route the SAME staging
+  *    points through reliable checkpoints — identical results, executor
+  *    loss survivable (see [[graft.io.DataFrames.stage]]).
   *  - simhash: 64-bit signature as a narrow map (native expression);
   *    pigeonhole chunk banding finds all pairs within the hamming
   *    threshold without O(n²).
@@ -54,6 +56,13 @@ object Dedup {
     * a few-split source across cores first.
     */
   private def spread(df: DataFrame): DataFrame = graft.io.DataFrames.spread(df)
+
+  /** See [[graft.io.DataFrames.stage]] — every staging point below is
+    * local-checkpoint by default and flips to RELIABLE checkpointing under
+    * `spark.graft.staging.reliable=true` (multi-day pipelines that must
+    * survive executor loss; results identical, spec-pinned).
+    */
+  private def stage(df: DataFrame): DataFrame = graft.io.DataFrames.stage(df)
 
   /** Shared base: (id, sh = sorted distinct xxhash64 bigram shingles, n).
     * Shingle-less docs can't be near-dups (and would 0-divide).
@@ -212,7 +221,7 @@ object Dedup {
     */
   private[graft] def shingledStaged(docs: DataFrame, idCol: String = "doc_id",
                                     textCol: String = "text"): DataFrame =
-    shingled(spread(docs), idCol, textCol).localCheckpoint()
+    shingled(spread(docs), idCol, textCol).transform(stage)
 
   /** Verification tail of the prefix route over its staged base. */
   private[graft] def verifyPrefixPairs(cand: DataFrame, base: DataFrame,
@@ -457,7 +466,7 @@ object Dedup {
     // survivors stage ONCE: the vocab index and the bitmap build both
     // consume the shingled base, and the exact count below enforces the
     // precise cap
-    val base = raw.localCheckpoint()
+    val base = raw.transform(stage)
     val (idx, vocabBits) = vocabIndex(base)
     require(vocabBits <= maxBits,
       s"ngramJaccardBitmap: vocabulary $vocabBits exceeds $maxBits bits — " +
@@ -476,7 +485,7 @@ object Dedup {
     val idx = base.select(explode(col("sh")).as("h")).distinct()
       .withColumn("pos",
         (row_number().over(Window.orderBy("h")) - 1).cast("int"))
-      .localCheckpoint()
+      .transform(stage)
     (idx, idx.count())
   }
 
@@ -497,7 +506,7 @@ object Dedup {
       .agg(collect_list(col("pos")).as("ps"))
       .select(col("id"), col("n"),
         call_function("graft_bitmap", col("ps"), lit(nWords)).as("bm"))
-      .localCheckpoint()
+      .transform(stage)
     // spread the probe side: AQE coalesces the small staged bits to few
     // partitions, which would serialise the O(n²) popcount loop on one
     // core — the repartition shuffles only the tiny staged bitmaps
@@ -604,7 +613,7 @@ object Dedup {
                            maxBits: Int = 1 << 20,
                            allowApproximate: Boolean = true): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val base = shingled(spread(docs), idCol, textCol).localCheckpoint()
+    val base = shingled(spread(docs), idCol, textCol).transform(stage)
     val stats = base.select(explode(col("sh")).as("h"))
       .agg(count(lit(1)).cast("double").as("postings"),
         approx_count_distinct("h").as("vocab"))
@@ -699,7 +708,7 @@ object Dedup {
       // see minhashIndex: empty-set signatures are identical and would
       // band-collide quadratically before verification discards them
       .where(col("n") > 0)
-      .localCheckpoint()
+      .transform(stage)
     // band join carries (id, bucket-hash) ONLY — the heavy sorted-shingle
     // arrays do NOT ride the ×bands explode through the shuffle. The band
     // index folds into the bucket hash, and a hash collision across buckets
@@ -756,7 +765,7 @@ object Dedup {
                           idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     graft.functions.GraftFunctions.register(newDocs.sparkSession)
     val rows = numHashes / bands
-    val newBase = minhashIndex(newDocs, numHashes, idCol, textCol).localCheckpoint()
+    val newBase = minhashIndex(newDocs, numHashes, idCol, textCol).transform(stage)
     // The union is consumed twice (band join + verification re-attach).
     // Only the BATCH side is staged here: a production index is a
     // checkpointed parquet whose two streaming scans are cheap, and
@@ -818,7 +827,7 @@ object Dedup {
         array_sort(transform(TextOps.bigrams(col(textCol)), sh => xxhash64(sh))).as("sh"))
       .withColumn("n", size(col("sh")))
       .where(col("n") > 0)
-      .localCheckpoint() // both branches below consume it: tokenise once
+      .transform(stage) // both branches below consume it: tokenise once
     val ref = base.where(col("is_ref"))
       .select(col("id").as("ref_id"), col("sh").as("rsh"), col("n").as("rn"))
     base.where(!col("is_ref"))
@@ -871,7 +880,7 @@ object Dedup {
         explode(ngramHashes(col(textCol), n)).as("h"))
     // staged: the guard count and the broadcast build both consume it, and
     // the eval-side explode should run once, not twice
-    val evGrams = base.where(col("is_eval")).select("h").distinct().localCheckpoint()
+    val evGrams = base.where(col("is_eval")).select("h").distinct().transform(stage)
     val reduced = evGrams.count() <= maxBroadcastGrams
     // above the row-broadcast cutoff the semi-join reduction switches to a
     // FIXED-size Bloom of the eval gram hashes (8 MiB at the default bits)
@@ -1065,7 +1074,7 @@ object Dedup {
         filter(zip_with(col("starts"), col("ends"), (s, e) =>
           when(e >= s, concat_ws(" ", slice(col("ws"), s, e - s + 1)))),
           c => c.isNotNull).as("chunks"))
-      .localCheckpoint()
+      .transform(stage)
     // ids-only projection of qualifying chunk occurrences
     val occ = chunked
       .select(col("doc_id"), posexplode(col("chunks")).as(Seq("cidx", "chunk")))

@@ -360,6 +360,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(lsh === exact)
   }
 
+  test("reliable staging mode gives identical dedup results and writes real checkpoints") {
+    val local = pairs(Dedup.minhashLsh(docs, 0.5))
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-ck").toString
+    spark.sparkContext.setCheckpointDir(ckDir)
+    spark.conf.set(graft.io.DataFrames.ReliableStagingKey, "true")
+    try {
+      val reliable = pairs(Dedup.minhashLsh(docs, 0.5))
+      assert(reliable === local)
+      // the reliable path must have actually materialised to the dir —
+      // otherwise this spec would pass with the flag silently ignored
+      def files(d: java.io.File): Seq[java.io.File] = {
+        val cs = Option(d.listFiles).map(_.toSeq).getOrElse(Nil)
+        cs.filter(_.isFile) ++ cs.filter(_.isDirectory).flatMap(files)
+      }
+      assert(files(new java.io.File(ckDir)).nonEmpty, s"no checkpoint files under $ckDir")
+    } finally spark.conf.set(graft.io.DataFrames.ReliableStagingKey, "false")
+  }
+
   test("simhash catches most planted near-identical pairs") {
     val sim = pairs(Dedup.simhash(docs, maxHamming = 3))
     // simhash is token-frequency based: near-identical shingle SETS usually
@@ -1044,6 +1062,14 @@ class PipelineOpsSpec extends SparkSpec {
     val (am2, _) = Bpe.bpeTrainBatched(docs, k = 12, batch = 5, exact = false)
     val (am3, _) = Bpe.bpeTrainBatched(docs, k = 12, batch = 5, exact = false)
     assert(rows(am2) === rows(am3))
+    // monotone merge budget: a bigger k never learns FEWER merges. (The
+    // smaller trace is NOT always a prefix of the larger: the final
+    // round's `limit(k - learned)` truncates the candidate window, which
+    // changes skip-and-continue decisions — e.g. with the window cut to 2
+    // a conflicting candidate hides the disjoint one ranked 3rd, and the
+    // next round's recount then prefers the pair the merge just created.)
+    val (am4, _) = Bpe.bpeTrainBatched(docs, k = 24, batch = 5, exact = false)
+    assert(am4.count() >= am2.count())
   }
 
   test("acceptPrefix: colliding top candidate accepts alone and ends the round (no livelock)") {
