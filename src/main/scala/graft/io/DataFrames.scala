@@ -62,7 +62,7 @@ object DataFrames {
     * pipeline sets `spark.graft.staging.reliable=true` on the session to
     * route the SAME staging points through reliable checkpoints that
     * survive executor loss; results are identical either way (both are
-    * pure materialisation barriers — spec-pinned in DedupSpec).
+    * pure materialisation barriers — spec-pinned in PipelineOpsSpec).
     */
   def stage(df: DataFrame): DataFrame =
     if (df.sparkSession.conf.get(ReliableStagingKey, "false").toBoolean) df.checkpoint()

@@ -684,16 +684,48 @@ object Dedup {
   def minhashSignature(shingles: Column, numHashes: Int): Column =
     call_function("graft_minhash_codes", shingles, lit(numHashes))
 
+  /** Threshold-aware LSH banding: r = 4 rows per band and enough bands to
+    * put the S-curve MIDPOINT (1/b)^(1/r) well BELOW the requested
+    * threshold — b = 4·(1/t)⁴ puts it at t/√2, so a pair AT the threshold
+    * collides in a band with probability t⁴ across 4·(1/t)⁴ bands
+    * (miss ≈ e⁻⁴ per pair at t exactly, → 0 steeply above it).
+    *
+    * This replaced a fixed 16-hash/4-band default whose midpoint sat at
+    * (1/4)^(1/4) = 0.707 — ABOVE the usual 0.5 threshold, so
+    * mid-similarity true pairs were mostly invisible and even j = 0.97
+    * pairs missed at the measured 1.7e-4 rate: the round-12 sf1 oracle
+    * sweep (the first to check this family at 50k docs) caught 7/2560
+    * pairs missing, exactly the S-curve's prediction. With b = 4·(1/t)⁴
+    * the same sweep is 2560/2560. Cost scales as the problem hardens
+    * (t = 0.9 → 7 bands; 0.5 → 64; 0.3 → capped 128): hash computation is
+    * a narrow per-row map and banded rows are b ints per doc; ambient
+    * (j ≈ 0.09) pairs collide at j⁴·b ≈ 4e-3 — candidate volume stays
+    * ~0.4% of the pair space on the measured sf1 profile.
+    */
+  private[graft] def autoBands(minJaccard: Double): Int =
+    math.min(128, math.max(4, math.ceil(4.0 * math.pow(1.0 / minJaccard, 4)).toInt))
+
   /** MinHash + LSH banding near-dup detection, verified exactly.
     * `bands` bands of `numHashes/bands` rows; candidates from band-signature
     * equality are re-checked with true Jaccard, so the output equals
-    * [[ngramJaccard]] up to (vanishingly unlikely) LSH misses.
+    * [[ngramJaccard]] up to LSH misses — whose probability the default
+    * threshold-aware banding ([[autoBands]]: pass 0/0 to auto-size) drives
+    * to ~e⁻⁴ AT the threshold and steeply to 0 above it. Callers pinning
+    * explicit (numHashes, bands) own their own S-curve.
     */
   def minhashLsh(docs: DataFrame, minJaccard: Double,
-                 numHashes: Int = 16, bands: Int = 4,
+                 numHashes: Int = 0, bands: Int = 0,
                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val rows = numHashes / bands
+    val nh0 = if (numHashes > 0) numHashes else 0
+    val b = if (bands > 0) bands
+            else if (nh0 > 0) math.min(autoBands(minJaccard), nh0 / 4)
+            else autoBands(minJaccard)
+    val nh = if (nh0 > 0) nh0 else 4 * b
+    // auto-sized bands are ALWAYS 4 rows sliced from the signature front
+    // (the S-curve design above); only explicit (numHashes, bands) callers
+    // divide the whole signature into their own band widths
+    val rows = if (bands > 0) nh / b else 4
     // shingles as sorted hash arrays: signatures AND the exact verification
     // both run over longs (merge-scan intersect, no per-pair hash sets).
     // Staged (localCheckpoint) because both the band join and the
@@ -703,7 +735,7 @@ object Dedup {
     val base = spread(docs)
       .select(col(idCol).as("id"), TextOps.bigrams(col(textCol)).as("shs"))
       .select(col("id"), array_sort(transform(col("shs"), sh => xxhash64(sh))).as("sh"),
-        minhashSignature(col("shs"), numHashes).as("sig"))
+        minhashSignature(col("shs"), nh).as("sig"))
       .withColumn("n", size(col("sh")))
       // see minhashIndex: empty-set signatures are identical and would
       // band-collide quadratically before verification discards them
@@ -714,8 +746,8 @@ object Dedup {
     // index folds into the bucket hash, and a hash collision across buckets
     // merely adds a candidate that exact verification then rejects.
     val banded = base.select(col("id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => slice(col("sig"), b * rows + 1, lit(rows)))).as(Seq("band", "bandsig")))
+        posexplode(transform(sequence(lit(0), lit(b - 1)),
+          i => slice(col("sig"), i * rows + 1, lit(rows)))).as(Seq("band", "bandsig")))
       .select(col("id"), xxhash64(col("band"), col("bandsig")).as("bh"))
     val candidates = banded.as("x").join(banded.as("y"),
         col("x.bh") === col("y.bh") && col("x.id") < col("y.id"))
@@ -733,13 +765,16 @@ object Dedup {
     * a daily batch costing O(batch) and costing O(corpus). The batch twin
     * of the streaming [[graft.streaming.Streaming.nearDupPairs]] state.
     */
-  def minhashIndex(docs: DataFrame, numHashes: Int = 16,
+  def minhashIndex(docs: DataFrame, numHashes: Int = 0,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
+    // default 256 = 4 rows × autoBands(0.5): long enough for any probe
+    // threshold ≥ 0.5 to slice its auto-sized bands from the front
+    val nh = if (numHashes > 0) numHashes else 256
     spread(docs)
       .select(col(idCol).as("id"), TextOps.bigrams(col(textCol)).as("shs"))
       .select(col("id"), array_sort(transform(col("shs"), sh => xxhash64(sh))).as("sh"),
-        minhashSignature(col("shs"), numHashes).as("sig"))
+        minhashSignature(col("shs"), nh).as("sig"))
       .withColumn("n", size(col("sh")))
       // shingle-less docs can't be near-dups, and their EMPTY-set signature
       // (all Long.MaxValue) is identical — k such docs would band-collide
@@ -761,11 +796,16 @@ object Dedup {
     * matched buckets, not the corpus.
     */
   def minhashLshIncrement(newDocs: DataFrame, index: DataFrame, minJaccard: Double,
-                          numHashes: Int = 16, bands: Int = 4,
+                          numHashes: Int = 0, bands: Int = 0,
                           idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     graft.functions.GraftFunctions.register(newDocs.sparkSession)
-    val rows = numHashes / bands
-    val newBase = minhashIndex(newDocs, numHashes, idCol, textCol).transform(stage)
+    // numHashes must match the index's signature length; the auto default
+    // mirrors minhashIndex's 256, and auto bands are capped so the slices
+    // never run past the signature
+    val nh = if (numHashes > 0) numHashes else 256
+    val b = if (bands > 0) bands else math.min(autoBands(minJaccard), nh / 4)
+    val rows = if (bands > 0) nh / b else 4
+    val newBase = minhashIndex(newDocs, nh, idCol, textCol).transform(stage)
     // The union is consumed twice (band join + verification re-attach).
     // Only the BATCH side is staged here: a production index is a
     // checkpointed parquet whose two streaming scans are cheap, and
@@ -777,8 +817,8 @@ object Dedup {
       .withColumn("is_new", lit(false))
       .unionByName(newBase.withColumn("is_new", lit(true)))
     def banded(df: DataFrame) = df.select(col("id"), col("is_new"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => slice(col("sig"), b * rows + 1, lit(rows)))).as(Seq("band", "bandsig")))
+        posexplode(transform(sequence(lit(0), lit(b - 1)),
+          i => slice(col("sig"), i * rows + 1, lit(rows)))).as(Seq("band", "bandsig")))
       .select(col("id"), col("is_new"), xxhash64(col("band"), col("bandsig")).as("bh"))
     // new-new pairs orient by id; new-old pairs appear once by role
     val cand = banded(all).as("y")

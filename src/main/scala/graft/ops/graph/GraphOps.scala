@@ -110,6 +110,38 @@ object GraphOps {
       .orderBy("node")
   }
 
+  /** Katz centrality over a DIRECTED PG edge set: x₀ = 1,
+    * x_{k+1}(v) = 1 + α·Σ_{u→v} x_k(u), a FIXED iteration count — every
+    * node scores the attenuated count of walks ending at it (α^length
+    * weighting), the influence measure that, unlike PageRank, does not
+    * dilute a source's contribution by its out-degree (a hub endorsing
+    * many nodes endorses each fully). Fixed iterations + the β = 1 base
+    * make the recurrence unroll to k oracle CTE levels (the kg_pagerank
+    * pattern); α must stay below 1/λ_max for the truncation to be a
+    * contraction (default 0.2 suits the shallow supplier→nation→region
+    * KG, spectral radius < 5).
+    *
+    * Distribution: one aggregateMessages (keyed sum along in-edges) per
+    * iteration over partitioned edge RDDs — linear in |E| per step, no
+    * driver-side graph. Message merge order is engine-chosen, so like
+    * pageRank the result is rounded to 6 dp, far above double
+    * accumulation-order noise at KG degrees.
+    */
+  def katz(pgEdges: DataFrame, alpha: Double = 0.2, iterations: Int = 8): DataFrame = {
+    val spark = pgEdges.sparkSession
+    import spark.implicits._
+    val e = endpoints(pgEdges)
+    val idx = nodeIndex(e)
+    var g = XGraph.fromEdges(mapEdges(e, idx), ()).mapVertices((_, _) => 1.0)
+    for (_ <- 1 to iterations) {
+      val msgs = g.aggregateMessages[Double](ctx => ctx.sendToDst(ctx.srcAttr), _ + _)
+      g = g.outerJoinVertices(msgs)((_, _, m) => 1.0 + alpha * m.getOrElse(0.0))
+    }
+    idx.join(g.vertices.toDF("vid", "katz"), "vid")
+      .select(col("node"), round(col("katz"), 6).as("katz"))
+      .orderBy("node")
+  }
+
   /** Per-node triangle counts of a PG edge set via GraphX's TriangleCount
     * (edge-partitioned set intersection — the distributed formulation;
     * `TriangleCount.run` canonicalises direction and drops self/duplicate

@@ -694,6 +694,48 @@ object GraphEtl {
        |ORDER BY l.node""".stripMargin
   }
 
+  /** A39: Katz centrality over the supplier→nation→region KG
+    * ([[graft.ops.graph.GraphOps.katz]], α = 0.2, 8 fixed iterations) —
+    * the influence staple PageRank misrepresents on endorsement graphs:
+    * PageRank divides a source's mass by its out-degree, Katz counts
+    * every attenuated incoming walk fully, so a nation backed by many
+    * suppliers scores by HOW MANY endorse it, not by how exclusive each
+    * endorsement is. Fixed iterations ⇒ the oracle unrolls the
+    * x_{k+1} = 1 + α·Aᵀx_k recurrence as 8 CTE levels (the kg_pagerank
+    * pattern); both sides round once to 6 dp.
+    */
+  def kgKatz(spark: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.load(spark, dir, "nation")
+    val supplier = Tables.load(spark, dir, "supplier")
+    val triples = Triples.chain(
+      Triples.edges(nation, "inRegion",
+        Triples.wrap(col("n_nationkey"), "nation:"),
+        Triples.wrap(col("n_regionkey"), "region:")),
+      Triples.edges(supplier, "basedIn",
+        Triples.wrap(col("s_suppkey"), "sup:"),
+        Triples.wrap(col("s_nationkey"), "nation:")))
+    graft.ops.graph.GraphOps.katz(
+      PgGraph.toPg(triples).where(col("type") === Graph.EdgeType))
+  }
+
+  val kgKatzSql: String = {
+    val iters = (1 to 8).map { i =>
+      s"""x$i AS (SELECT n.node, 1.0 + 0.2 * coalesce(sum(p.x), 0) AS x
+         |  FROM nodes n
+         |  LEFT JOIN (SELECT e.dst, x.x FROM e JOIN x${i - 1} x ON e.src = x.node) p
+         |    ON p.dst = n.node
+         |  GROUP BY n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT 'sup:' || s_suppkey AS src, 'nation:' || s_nationkey AS dst FROM supplier
+       |  UNION ALL
+       |  SELECT 'nation:' || n_nationkey, 'region:' || n_regionkey FROM nation),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |x0 AS (SELECT node, 1.0::DOUBLE AS x FROM nodes),
+       |$iters
+       |SELECT node, round(x, 6) AS katz FROM x8 ORDER BY node""".stripMargin
+  }
+
   /** A20: 2-hop traversal over the KG edge set itself — suppliers per
     * region via `sup -basedIn-> nation -inRegion-> region`, answered from
     * the PG elements (edge self-join on the intermediate node), not from

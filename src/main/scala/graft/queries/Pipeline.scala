@@ -3103,6 +3103,80 @@ object Pipeline {
       |SELECT split, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
       |FROM labeled GROUP BY split ORDER BY split""".stripMargin
 
+  /** C83: DSIR-style importance weights (Xie et al. 2023, Data Selection
+    * via Importance Resampling) — every training document scored by how
+    * target-like its hashed-bigram profile is: weight = Σ over bigram
+    * occurrences of log p̂_target(bucket) − log p̂_raw(bucket), with
+    * add-one smoothing over B = 1024 md5 buckets. `src0` plays the target
+    * domain, everything else is the raw pool — the standard
+    * pretraining-corpus selection op next to decontaminate (C73) and
+    * quality_distill (C42): DSIR selects FOR a domain where those filter
+    * AGAINST contamination/noise.
+    *
+    * Determinism: buckets are the repo's md5-prefix hash (the
+    * split_assign/sampling recipe, byte-identical in DuckDB); each
+    * bucket's log-ratio is ONE double expression over exact integer
+    * counts evaluated identically in both engines; per-document sums
+    * route through DECIMAL(27,10) casts (associative — partition order
+    * cannot drift), rounded once; a rounded-to-zero weight pins +0.0 on
+    * both sides (the sample_weighted signed-zero lesson). Scale: one
+    * bigram explode → B-key map-combined count, the 1024-row ratio table
+    * broadcasts back, one keyed per-doc aggregate — nothing corpus-sized
+    * shuffles twice.
+    */
+  def corpusDsir(spark: SparkSession, dir: String): DataFrame = {
+    val B = 1024
+    val d = docs(spark, dir)
+    val grams = d
+      .select(col("doc_id"), col("source"), TextOps.tokens(col("text")).as("ws"))
+      .where(size(col("ws")) >= 2)
+      .select(col("doc_id"), col("source"),
+        explode(zip_with(slice(col("ws"), lit(1), size(col("ws")) - 1),
+          slice(col("ws"), lit(2), size(col("ws")) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("g"))
+      .withColumn("b", conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long") % B)
+    val c = grams.groupBy("b").agg(
+      count(when(col("source") === "src0", 1)).as("ct"),
+      count(when(col("source") =!= "src0", 1)).as("cr"))
+    val tot = c.agg(sum("ct").as("nt"), sum("cr").as("nr"))
+    val lr = c.crossJoin(tot).select(col("b"),
+      (log((col("ct") + 1).cast("double") / (col("nt") + B)) -
+        log((col("cr") + 1).cast("double") / (col("nr") + B))).as("lr"))
+    val perDoc = grams.where(col("source") =!= "src0")
+      .join(broadcast(lr), "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        round(sum(col("lr").cast("decimal(27,10)")).cast("double"), 6).as("w"))
+    d.where(col("source") =!= "src0").select(col("doc_id").as("train_id"))
+      .join(perDoc.withColumnRenamed("doc_id", "train_id"), Seq("train_id"), "left")
+      .select(col("train_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        when(coalesce(col("w"), lit(0.0)) === 0.0, lit(0.0))
+          .otherwise(col("w")).as("dsir_weight"))
+      .orderBy("train_id")
+  }
+
+  val corpusDsirSql: String =
+    """WITH t AS (SELECT doc_id, source, string_split(text, ' ') w FROM documents),
+      |g AS (SELECT doc_id, source,
+      |    unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS g
+      |  FROM t WHERE len(w) >= 2),
+      |gb AS (SELECT doc_id, source,
+      |    ('0x' || substring(md5(g), 1, 8))::BIGINT % 1024 AS b FROM g),
+      |c AS (SELECT b, count(*) FILTER (source = 'src0') AS ct,
+      |        count(*) FILTER (source <> 'src0') AS cr FROM gb GROUP BY b),
+      |tot AS (SELECT sum(ct)::BIGINT AS nt, sum(cr)::BIGINT AS nr FROM c),
+      |lr AS (SELECT b, ln((ct + 1)::DOUBLE / (nt + 1024))
+      |             - ln((cr + 1)::DOUBLE / (nr + 1024)) AS lr FROM c, tot),
+      |pd AS (SELECT gb.doc_id, count(*) AS n_grams,
+      |    round(sum(CAST(lr AS DECIMAL(27,10)))::DOUBLE, 6) AS w
+      |  FROM gb JOIN lr USING (b) WHERE source <> 'src0' GROUP BY gb.doc_id)
+      |SELECT d.doc_id AS train_id,
+      |  coalesce(n_grams, 0) AS n_grams,
+      |  CASE WHEN coalesce(w, 0.0) = 0.0 THEN 0.0 ELSE w END AS dsir_weight
+      |FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
+      |WHERE d.source <> 'src0' ORDER BY train_id""".stripMargin
+
   // ---- C12: multimodal binary columns -------------------------------------
 
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame =

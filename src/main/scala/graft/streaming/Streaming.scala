@@ -611,22 +611,29 @@ object Streaming {
     * agree).
     */
   def nearDupPairs(docs: DataFrame, minJaccard: Double,
-                   numHashes: Int = 16, bands: Int = 4,
+                   numHashes: Int = 0, bands: Int = 0,
                    idCol: String = "doc_id", textCol: String = "text"): Dataset[NearDup] = {
     val spark = docs.sparkSession
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
-    val rows = numHashes / bands
+    // threshold-aware auto-banding shared with the batch operator (see
+    // Dedup.autoBands: the r12 sf1 sweep showed the old fixed 16/4 put the
+    // S-curve midpoint ABOVE a 0.5 threshold); explicit params override
+    val b = if (bands > 0) bands
+            else math.min(graft.ops.dedup.Dedup.autoBands(minJaccard),
+              if (numHashes > 0) numHashes / 4 else Int.MaxValue)
+    val nh = if (numHashes > 0) numHashes else 4 * b
+    val rows = if (bands > 0) nh / b else 4
     val banded = docs
       .select(col(idCol).cast("long").as("id"),
         graft.ops.text.TextOps.bigrams(col(textCol)).as("shs"))
       .select(col("id"),
         array_sort(transform(col("shs"), s => xxhash64(s))).as("sh"),
-        graft.ops.dedup.Dedup.minhashSignature(col("shs"), numHashes).as("sig"))
+        graft.ops.dedup.Dedup.minhashSignature(col("shs"), nh).as("sig"))
       .where(size(col("sh")) > 0)
       .select(col("id"), col("sh"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => slice(col("sig"), b * rows + 1, lit(rows)))).as(Seq("band", "bandsig")))
+        posexplode(transform(sequence(lit(0), lit(b - 1)),
+          i => slice(col("sig"), i * rows + 1, lit(rows)))).as(Seq("band", "bandsig")))
       .select(xxhash64(col("band"), col("bandsig")).as("bh"), col("id"), col("sh"))
       .as[BandedDoc]
 
@@ -676,23 +683,28 @@ object Streaming {
     */
   def nearDupPairsRetained(docs: DataFrame, minJaccard: Double,
                            tsCol: String, retention: String = "1 hour",
-                           numHashes: Int = 16, bands: Int = 4,
+                           numHashes: Int = 0, bands: Int = 0,
                            idCol: String = "doc_id", textCol: String = "text"): Dataset[NearDup] = {
     val spark = docs.sparkSession
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
-    val rows = numHashes / bands
+    // same threshold-aware auto-banding as nearDupPairs / Dedup.minhashLsh
+    val b = if (bands > 0) bands
+            else math.min(graft.ops.dedup.Dedup.autoBands(minJaccard),
+              if (numHashes > 0) numHashes / 4 else Int.MaxValue)
+    val nh = if (numHashes > 0) numHashes else 4 * b
+    val rows = if (bands > 0) nh / b else 4
     val banded = docs
       .withWatermark(tsCol, retention)
       .select(col(idCol).cast("long").as("id"), col(tsCol).as("ts"),
         graft.ops.text.TextOps.bigrams(col(textCol)).as("shs"))
       .select(col("id"), col("ts"),
         array_sort(transform(col("shs"), s => xxhash64(s))).as("sh"),
-        graft.ops.dedup.Dedup.minhashSignature(col("shs"), numHashes).as("sig"))
+        graft.ops.dedup.Dedup.minhashSignature(col("shs"), nh).as("sig"))
       .where(size(col("sh")) > 0)
       .select(col("id"), col("ts"), col("sh"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => slice(col("sig"), b * rows + 1, lit(rows)))).as(Seq("band", "bandsig")))
+        posexplode(transform(sequence(lit(0), lit(b - 1)),
+          i => slice(col("sig"), i * rows + 1, lit(rows)))).as(Seq("band", "bandsig")))
       .select(xxhash64(col("band"), col("bandsig")).as("bh"), col("id"), col("sh"), col("ts"))
       .as[TsBandedDoc]
 

@@ -27,6 +27,38 @@ class GraphOpsSpec extends SparkSpec {
       "x" -> ("x", 3L), "y" -> ("x", 3L), "z" -> ("x", 3L)))
   }
 
+  test("katz agrees with an independent DataFrame recurrence and counts endorsements undiluted") {
+    val iters = 8
+    val alpha = 0.2
+    val graphx = GraphOps.katz(edges, alpha, iters)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+    // independent recurrence: x0 = 1, x_{k+1}(v) = 1 + alpha * sum of
+    // incoming x_k(u) — no out-degree division anywhere
+    val nodes = edges.select(col("from").as("node"))
+      .union(edges.select(col("to"))).distinct()
+    var x: DataFrame = nodes.withColumn("x", lit(1.0))
+    for (_ <- 1 to iters) {
+      val in = edges
+        .join(x.withColumnRenamed("node", "from"), "from")
+        .groupBy(col("to").as("node")).agg(sum("x").as("in_sum"))
+      x = nodes.join(in, Seq("node"), "left")
+        .select(col("node"),
+          (lit(1.0) + lit(alpha) * coalesce(col("in_sum"), lit(0.0))).as("x"))
+    }
+    val manual = x.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(graphx.keySet === manual.keySet)
+    graphx.foreach { case (n, v) =>
+      assert(math.abs(v - manual(n)) < 1e-6, s"node $n: graphx $v vs manual $manual")
+    }
+    // the PageRank-vs-Katz distinction this op exists for: "a" endorses
+    // two nodes (b, c); Katz credits BOTH fully, so c (in: b, a, d) must
+    // outrank b (in: a only) by more than a's split endorsement would give
+    assert(graphx("c") > graphx("b"))
+    // source-only node: no in-edges, katz = 1 exactly
+    assert(graphx("d") === 1.0)
+  }
+
   test("pageRank agrees with an independent DataFrame power iteration") {
     val iters = 10
     val graphx = GraphOps.pageRank(edges, iters)

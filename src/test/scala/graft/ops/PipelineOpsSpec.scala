@@ -360,6 +360,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(lsh === exact)
   }
 
+  test("corpus_dsir ranks target-like raw docs above raw-typical ones; gramless docs score 0") {
+    import spark.implicits._
+    // planted domains: src0 (target) speaks "alpha beta", the raw pool
+    // speaks "zeta omega" — a raw doc quoting the target's bigrams must
+    // get a higher importance weight than a raw-typical doc
+    val dir = java.nio.file.Files.createTempDirectory("graft-dsir").toString
+    val planted =
+      (1L to 10L).map(i => (i, "src0", "alpha beta alpha beta alpha")) ++ Seq(
+        (100L, "src1", "alpha beta alpha beta"), // target-like raw doc
+        (101L, "src1", "zeta omega zeta omega"), // raw-typical doc
+        (102L, "src1", "solo"))                  // no bigrams at all
+    planted.toDF("doc_id", "source", "text")
+      .withColumn("lang", lit("en"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.queries.Pipeline.corpusDsir(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet === Set(100L, 101L, 102L))
+    assert(got(100L)._2 > got(101L)._2,
+      s"target-like ${got(100L)} must outrank raw-typical ${got(101L)}")
+    assert(got(102L) === ((0L, 0.0)))
+  }
+
   test("reliable staging mode gives identical dedup results and writes real checkpoints") {
     val local = pairs(Dedup.minhashLsh(docs, 0.5))
     val ckDir = java.nio.file.Files.createTempDirectory("graft-ck").toString
