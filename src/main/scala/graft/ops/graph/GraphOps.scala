@@ -142,6 +142,45 @@ object GraphOps {
       .orderBy("node")
   }
 
+  /** HITS hubs-and-authorities over a DIRECTED PG edge set: h₀ = 1,
+    * a_k(v) = Σ_{u→v} h_{k−1}(u), h_k(u) = Σ_{u→v} a_k(v), a FIXED
+    * iteration count with ONE final L1 normalisation — the bipartite
+    * influence split Katz/PageRank collapse (an authority is endorsed BY
+    * good hubs; a hub endorses good authorities; the two scores are
+    * different rankings on any non-symmetric graph).
+    *
+    * Normalisation is deliberately DEFERRED to the end: the textbook
+    * per-iteration norm only rescales (the recurrence is linear), and one
+    * final division keeps every intermediate an order-insensitive sum of
+    * products — so the DuckDB oracle unrolls the recurrence exactly (the
+    * kg_pagerank pattern) with no per-iteration rounding to drift.
+    * Magnitudes grow like λ_max^k: 8 iterations on a KG with degree
+    * ~10⁴ stays ~1e32, far inside double range; the final scores are
+    * ratios, rounded once to 6 dp. Two aggregateMessages per iteration,
+    * linear in |E| per step.
+    */
+  def hits(pgEdges: DataFrame, iterations: Int = 8): DataFrame = {
+    val spark = pgEdges.sparkSession
+    import spark.implicits._
+    val e = endpoints(pgEdges)
+    val idx = nodeIndex(e)
+    var g = XGraph.fromEdges(mapEdges(e, idx), ()).mapVertices((_, _) => (1.0, 0.0))
+    for (_ <- 1 to iterations) {
+      val auth = g.aggregateMessages[Double](ctx => ctx.sendToDst(ctx.srcAttr._1), _ + _)
+      g = g.outerJoinVertices(auth)((_, hv, a) => (hv._1, a.getOrElse(0.0)))
+      val hub = g.aggregateMessages[Double](ctx => ctx.sendToSrc(ctx.dstAttr._2), _ + _)
+      g = g.outerJoinVertices(hub)((_, hv, h) => (h.getOrElse(0.0), hv._2))
+    }
+    val scores = g.vertices.map { case (vid, (h, a)) => (vid, h, a) }
+      .toDF("vid", "h", "a")
+    val tot = scores.agg(sum("h").as("sh"), sum("a").as("sa"))
+    idx.join(scores, "vid").crossJoin(tot)
+      .select(col("node"),
+        round(when(col("sh") > 0, col("h") / col("sh")).otherwise(0.0), 6).as("hub"),
+        round(when(col("sa") > 0, col("a") / col("sa")).otherwise(0.0), 6).as("authority"))
+      .orderBy("node")
+  }
+
   /** Per-node triangle counts of a PG edge set via GraphX's TriangleCount
     * (edge-partitioned set intersection — the distributed formulation;
     * `TriangleCount.run` canonicalises direction and drops self/duplicate

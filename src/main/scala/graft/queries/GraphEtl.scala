@@ -736,6 +736,52 @@ object GraphEtl {
        |SELECT node, round(x, 6) AS katz FROM x8 ORDER BY node""".stripMargin
   }
 
+  /** A40: HITS hubs & authorities over the supplier→nation→region KG
+    * ([[graft.ops.graph.GraphOps.hits]], 8 fixed iterations, one final L1
+    * normalisation) — the bipartite influence split: suppliers are pure
+    * hubs (they only endorse), regions pure authorities, nations both.
+    * Deferred normalisation keeps every intermediate an order-free sum,
+    * so the oracle unrolls a_k/h_k as 2×8 CTE levels and normalises once
+    * (both sides round once to 6 dp).
+    */
+  def kgHits(spark: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.load(spark, dir, "nation")
+    val supplier = Tables.load(spark, dir, "supplier")
+    val triples = Triples.chain(
+      Triples.edges(nation, "inRegion",
+        Triples.wrap(col("n_nationkey"), "nation:"),
+        Triples.wrap(col("n_regionkey"), "region:")),
+      Triples.edges(supplier, "basedIn",
+        Triples.wrap(col("s_suppkey"), "sup:"),
+        Triples.wrap(col("s_nationkey"), "nation:")))
+    graft.ops.graph.GraphOps.hits(
+      PgGraph.toPg(triples).where(col("type") === Graph.EdgeType))
+  }
+
+  val kgHitsSql: String = {
+    val iters = (1 to 8).map { i =>
+      s"""a$i AS (SELECT n.node, coalesce(sum(p.h), 0) AS a FROM nodes n
+         |  LEFT JOIN (SELECT e.dst, h.h FROM e JOIN h${i - 1} h ON e.src = h.node) p
+         |    ON p.dst = n.node GROUP BY n.node),
+         |h$i AS (SELECT n.node, coalesce(sum(p.a), 0) AS h FROM nodes n
+         |  LEFT JOIN (SELECT e.src, a.a FROM e JOIN a$i a ON e.dst = a.node) p
+         |    ON p.src = n.node GROUP BY n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT 'sup:' || s_suppkey AS src, 'nation:' || s_nationkey AS dst FROM supplier
+       |  UNION ALL
+       |  SELECT 'nation:' || n_nationkey, 'region:' || n_regionkey FROM nation),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |h0 AS (SELECT node, 1.0::DOUBLE AS h FROM nodes),
+       |$iters,
+       |tot AS (SELECT (SELECT sum(h) FROM h8) AS sh, (SELECT sum(a) FROM a8) AS sa)
+       |SELECT h8.node,
+       |  round(CASE WHEN sh > 0 THEN h / sh ELSE 0.0 END, 6) AS hub,
+       |  round(CASE WHEN sa > 0 THEN a / sa ELSE 0.0 END, 6) AS authority
+       |FROM h8 JOIN a8 ON a8.node = h8.node, tot
+       |ORDER BY h8.node""".stripMargin
+  }
+
   /** A20: 2-hop traversal over the KG edge set itself — suppliers per
     * region via `sup -basedIn-> nation -inRegion-> region`, answered from
     * the PG elements (edge self-join on the intermediate node), not from

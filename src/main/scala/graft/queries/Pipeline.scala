@@ -752,20 +752,33 @@ object Pipeline {
     * xor(h%256, byte)` is the 64-bit xor); per document, bit i of the code
     * is set iff more than half the token hashes have it set. The pair join
     * is the EXHAUSTIVE O(n²) hamming check — pigeonhole banding in the
-    * engine is lossless, so exhaustive is the correct reference. ASCII
-    * corpus ⇒ codepoints are the UTF-8 bytes the engine hashes.
+    * engine is lossless, so exhaustive is the correct reference. The
+    * fold runs over the token's UTF-8 BYTES — codepoints expand
+    * arithmetically (the 1/2/3/4-byte UTF-8 layout as integer division),
+    * exactly the byte sequence the engine's `getBytes` hashes, so the
+    * oracle is exact on ANY Unicode text, not just ASCII (the round-12
+    * combining-mark fixture rows caught the codepoint shortcut).
     */
+  private val utf8BytesSql: String =
+    """flatten([CASE
+      |          WHEN u < 128 THEN [u]
+      |          WHEN u < 2048 THEN [192 + u // 64, 128 + u % 64]
+      |          WHEN u < 65536 THEN [224 + u // 4096, 128 + (u // 64) % 64, 128 + u % 64]
+      |          ELSE [240 + u // 262144, 128 + (u // 4096) % 64, 128 + (u // 64) % 64, 128 + u % 64]
+      |        END FOR u IN [unicode(ch)::HUGEINT FOR ch IN list_filter(string_split(TOKEN, ''), c -> c <> '')]])""".stripMargin
+
   val dedupSimhashSql: String =
     """WITH hs AS (
       |  SELECT doc_id,
       |    [list_reduce(
       |       list_prepend(14695981039346656037::HUGEINT,
-      |         [unicode(ch)::HUGEINT FOR ch IN list_filter(string_split(t, ''), c -> c <> '')]),
+      |         UTF8BYTES),
       |       (h, b) -> ((h // 256 * 256 + xor(h % 256, b)) * 1099511628211::HUGEINT)
       |                 % 18446744073709551616::HUGEINT
       |     ) FOR t IN string_split(text, ' ')] AS hlist
-      |  FROM documents),
-      |codes AS (
+      |  FROM documents),""".stripMargin
+      .replace("UTF8BYTES", utf8BytesSql.replace("TOKEN", "t")) + "\n" +
+    """codes AS (
       |  SELECT doc_id,
       |    list_sum([CASE WHEN 2 * list_sum([(h >> i) % 2 FOR h IN hlist]) > len(hlist)
       |                   THEN (1::HUGEINT << i) ELSE 0::HUGEINT END
@@ -1283,7 +1296,8 @@ object Pipeline {
   /** Full hash oracle for the MinHash sketch: position i of a source's
     * signature is the minimum over its tokens of
     * splitmix64(fnv1a64(token) XOR (i · golden)) — FNV-1a reproduced as in
-    * [[dedupSimhashSql]] (HUGEINT mod-2^64 byte fold, ASCII corpus) and
+    * [[dedupSimhashSql]] (HUGEINT mod-2^64 fold over the arithmetic
+    * UTF-8 byte expansion — exact for any Unicode text) and
     * the splitmix64 finalizer as in [[annLshSql]] (split 64×64 multiplies).
     * The engine takes the min over SIGNED longs, so values convert to
     * signed before the min; DISTINCT tokens per source leave minima
@@ -1295,7 +1309,7 @@ object Pipeline {
       |fnv AS (SELECT source,
       |    list_reduce(
       |      list_prepend(14695981039346656037::HUGEINT,
-      |        [unicode(ch)::HUGEINT FOR ch IN list_filter(string_split(tok, ''), c -> c <> '')]),
+      |        UTF8BYTES),
       |      (h, b) -> ((h // 256 * 256 + xor(h % 256, b)) * 1099511628211::HUGEINT)
       |                % 18446744073709551616::HUGEINT) AS base
       |  FROM toks),
@@ -1314,6 +1328,7 @@ object Pipeline {
       |  (sum(CASE WHEN a.h = b.h THEN 1 ELSE 0 END))::DOUBLE / 64.0 AS est_jaccard
       |FROM sig a JOIN sig b ON a.i = b.i AND a.source < b.source
       |GROUP BY a.source, b.source ORDER BY src_a, src_b""".stripMargin
+      .replace("UTF8BYTES", utf8BytesSql.replace("TOKEN", "tok"))
 
   /** C7b: IVF-bucketed ANN. The coarse quantizer is the deterministic
     * seeded one ([[Ann.ivfBuild]]: md5-ordered seed vectors + 2 fixed

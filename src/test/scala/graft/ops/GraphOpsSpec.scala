@@ -59,6 +59,41 @@ class GraphOpsSpec extends SparkSpec {
     assert(graphx("d") === 1.0)
   }
 
+  test("hits agrees with an independent recurrence; hub/authority roles split correctly") {
+    val iters = 8
+    val got = GraphOps.hits(edges, iters).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+
+    // independent recurrence with the same deferred-normalisation design
+    val nodes = edges.select(col("from").as("node"))
+      .union(edges.select(col("to"))).distinct()
+    var hv: DataFrame = nodes.withColumn("h", lit(1.0))
+    var av: DataFrame = null
+    for (_ <- 1 to iters) {
+      val a = edges.join(hv.withColumnRenamed("node", "from"), "from")
+        .groupBy(col("to").as("node")).agg(sum("h").as("in_sum"))
+      av = nodes.join(a, Seq("node"), "left")
+        .select(col("node"), coalesce(col("in_sum"), lit(0.0)).as("a"))
+      val h = edges.join(av.withColumnRenamed("node", "to"), "to")
+        .groupBy(col("from").as("node")).agg(sum("a").as("out_sum"))
+      hv = nodes.join(h, Seq("node"), "left")
+        .select(col("node"), coalesce(col("out_sum"), lit(0.0)).as("h"))
+    }
+    val hs = hv.agg(sum("h")).head.getDouble(0)
+    val as = av.agg(sum("a")).head.getDouble(0)
+    val hm = hv.collect().map(r => r.getString(0) -> r.getDouble(1) / hs).toMap
+    val am = av.collect().map(r => r.getString(0) -> r.getDouble(1) / as).toMap
+    assert(got.keySet === hm.keySet)
+    got.foreach { case (n, (hub, auth)) =>
+      assert(math.abs(hub - hm(n)) < 1e-6, s"hub $n: $hub vs ${hm(n)}")
+      assert(math.abs(auth - am(n)) < 1e-6, s"auth $n: $auth vs ${am(n)}")
+    }
+    // role split: d only endorses (pure hub) — zero authority; no node
+    // endorses d, and c is endorsed by everyone — top authority
+    assert(got("d")._2 === 0.0)
+    assert(got.values.map(_._2).max === got("c")._2)
+  }
+
   test("pageRank agrees with an independent DataFrame power iteration") {
     val iters = 10
     val graphx = GraphOps.pageRank(edges, iters)
