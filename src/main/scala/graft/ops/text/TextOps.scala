@@ -889,4 +889,62 @@ object TextOps {
         }
       }(org.apache.spark.sql.Encoders.row(outSchema))
   }
+
+  /** RAKE keyword extraction (Rose et al. 2010, Rapid Automatic Keyword
+    * Extraction): candidate phrases are the maximal runs of consecutive
+    * non-stopword tokens; each word scores degree/frequency over the
+    * document's phrase occurrences (degree = Σ lengths of the phrases it
+    * appears in, with multiplicity); a phrase scores the sum of its
+    * words' scores; the document keeps its `topK` phrases by
+    * (score desc, phrase asc). The classic zero-training keyphrase
+    * extractor — next to [[graft.queries.Pipeline.docTfidfTopk]]'s
+    * corpus-statistical unigrams, RAKE surfaces multi-word PHRASES from
+    * document-local structure alone.
+    *
+    * Determinism: word scores are ONE BIGINT/BIGINT double division;
+    * phrase sums route through DECIMAL(27,10) (associative — partition
+    * order cannot drift), rounded once, and RANKING happens on the
+    * rounded score so both engines see identical order. Scale: phrase
+    * splitting is pure narrow Column work (the CDC span pattern), then
+    * two keyed aggregates ((doc, word), (doc, phrase)) and a per-doc
+    * top-K window — nothing corpus-sized beyond the keyed shuffles.
+    */
+  def rakeKeywords(docs: DataFrame, stopwords: Seq[String] = LangProfiles.head._2,
+                   topK: Int = 3, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sw = typedlit(stopwords)
+    val spans = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("ws"))
+      .select(col("doc_id"), col("ws"), size(col("ws")).as("n"))
+      .where(col("n") >= 1)
+      .select(col("doc_id"), col("ws"), col("n"),
+        filter(sequence(lit(1), col("n")),
+          i => array_contains(sw, element_at(col("ws"), i))).as("bidx"))
+      .select(col("doc_id"), col("ws"),
+        concat(array(lit(1)), transform(col("bidx"), b => b + 1)).as("starts"),
+        concat(transform(col("bidx"), b => b - 1), array(col("n"))).as("ends"))
+    val phrases = spans.select(col("doc_id"),
+      explode(filter(zip_with(col("starts"), col("ends"),
+          (s, e) => when(e >= s, slice(col("ws"), s, e - s + 1))),
+        p => p.isNotNull)).as("pw"))
+    val wsc = phrases
+      .select(col("doc_id"), size(col("pw")).as("plen"), explode(col("pw")).as("word"))
+      .groupBy("doc_id", "word")
+      .agg((sum("plen").cast("double") / count(lit(1))).as("s"))
+    val pdis = phrases
+      .select(col("doc_id"), array_join(col("pw"), " ").as("phrase"), col("pw"))
+      .distinct()
+    val psc = pdis
+      .select(col("doc_id"), col("phrase"), explode(col("pw")).as("word"))
+      .join(wsc, Seq("doc_id", "word"))
+      .groupBy("doc_id", "phrase")
+      .agg(round(sum(col("s").cast("decimal(27,10)")).cast("double"), 6).as("rake_score"))
+    val w = Window.partitionBy("doc_id").orderBy(col("rake_score").desc, col("phrase"))
+    psc.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .select(col("doc_id"), col("rank").cast("long").as("rank"),
+        col("phrase"), col("rake_score"))
+      .orderBy("doc_id", "rank")
+  }
 }

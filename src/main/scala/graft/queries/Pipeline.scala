@@ -3192,6 +3192,43 @@ object Pipeline {
       |FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
       |WHERE d.source <> 'src0' ORDER BY train_id""".stripMargin
 
+  /** C84: RAKE keyphrase extraction ([[TextOps.rakeKeywords]]) — top-3
+    * multi-word phrases per document from stopword-split runs, scored by
+    * the degree/frequency word statistic. The oracle reproduces the span
+    * split (the passage-chunker slice pattern), the BIGINT-ratio word
+    * scores, and the decimal-summed, rounded-then-ranked phrase scores.
+    */
+  def textKeywords(spark: SparkSession, dir: String): DataFrame =
+    TextOps.rakeKeywords(docs(spark, dir))
+
+  val textKeywordsSql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |t AS (SELECT doc_id, ws, len(ws) AS n FROM d WHERE len(ws) >= 1),
+      |b AS (SELECT doc_id, ws, n,
+      |    [i FOR i IN range(1, n+1)
+      |     IF list_contains(['the','a','of','and','to','in','is'], ws[i])] AS bidx
+      |  FROM t),
+      |se AS (SELECT doc_id, ws,
+      |    list_prepend(1, [i + 1 FOR i IN bidx]) AS starts,
+      |    list_append([i - 1 FOR i IN bidx], n) AS ends FROM b),
+      |ph AS (SELECT doc_id,
+      |    unnest([ws[starts[j]:ends[j]] FOR j IN range(1, len(starts)+1)
+      |            IF ends[j] >= starts[j]]) AS pw
+      |  FROM se),
+      |wocc AS (SELECT doc_id, len(pw) AS plen, unnest(pw) AS word FROM ph),
+      |wsc AS (SELECT doc_id, word, sum(plen)::DOUBLE / count(*) AS s
+      |  FROM wocc GROUP BY doc_id, word),
+      |pdis AS (SELECT DISTINCT doc_id, array_to_string(pw, ' ') AS phrase, pw FROM ph),
+      |pw2 AS (SELECT doc_id, phrase, unnest(pw) AS word FROM pdis),
+      |psc AS (SELECT p.doc_id, p.phrase,
+      |    round(sum(CAST(w.s AS DECIMAL(27,10)))::DOUBLE, 6) AS rake_score
+      |  FROM pw2 p JOIN wsc w ON w.doc_id = p.doc_id AND w.word = p.word
+      |  GROUP BY p.doc_id, p.phrase),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+      |    ORDER BY rake_score DESC, phrase) AS rank FROM psc)
+      |SELECT doc_id, rank::BIGINT AS rank, phrase, rake_score FROM r
+      |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
   // ---- C12: multimodal binary columns -------------------------------------
 
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame =

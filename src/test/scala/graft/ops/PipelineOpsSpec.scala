@@ -382,6 +382,20 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got(102L) === ((0L, 0.0)))
   }
 
+  test("RAKE keywords score degree/frequency over stopword-split phrases") {
+    import spark.implicits._
+    // "big data the big data pipeline a fast run" splits into phrases
+    // [big data], [big data pipeline], [fast run]; degree/freq: big 5/2,
+    // data 5/2, pipeline 3/1, fast 2/1, run 2/1 — so the phrase scores
+    // are 8.0, 5.0, 4.0 in that rank order
+    val d = Seq((1L, "big data the big data pipeline a fast run"))
+      .toDF("doc_id", "text")
+    val got = graft.ops.text.TextOps.rakeKeywords(d).collect()
+      .map(r => (r.getLong(1), r.getString(2), r.getDouble(3)))
+    assert(got.toSeq === Seq(
+      (1L, "big data pipeline", 8.0), (2L, "big data", 5.0), (3L, "fast run", 4.0)))
+  }
+
   test("reliable staging mode gives identical dedup results and writes real checkpoints") {
     val local = pairs(Dedup.minhashLsh(docs, 0.5))
     val ckDir = java.nio.file.Files.createTempDirectory("graft-ck").toString
