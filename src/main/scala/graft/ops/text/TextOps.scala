@@ -850,7 +850,13 @@ object TextOps {
         rows.flatMap { r =>
           val id = r.get(0)
           val text = r.getString(1)
-          val n = text.length - k + 1
+          // positions and gram windows count CODEPOINTS, not UTF-16 units:
+          // Spark's own substr/length Columns (which scrubWinnow splices
+          // with) and DuckDB both index by codepoint, and a java.lang.String
+          // window would split a surrogate pair in half — the r12 emoji
+          // fixture row measured the resulting off-by-one fingerprint set.
+          val cps = text.codePoints().toArray
+          val n = cps.length - k + 1
           // gram hash = first 8 hex chars of md5 as an unsigned 32-bit int,
           // identical to conv(substring(md5(gram),1,8),16,10) and therefore
           // to the DuckDB oracle's ('0x'||substring(md5(g),1,8))::BIGINT
@@ -858,7 +864,7 @@ object TextOps {
           var i = 0
           while (i < n) {
             md.reset()
-            val d = md.digest(text.substring(i, i + k).getBytes("UTF-8"))
+            val d = md.digest(new String(cps, i, k).getBytes("UTF-8"))
             hs(i) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
               ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
             i += 1

@@ -53,7 +53,12 @@ COPY (
     -- handling of multi-codepoint graphemes.
     ({doc0 + 4}, 'cafe' || chr(769) || ' latte', 'fr', 'src2', 11),
     ({doc0 + 5}, 'caf' || chr(233) || ' latte', 'fr', 'src2', 10),
-    ({doc0 + 6}, 'zero' || chr(8203) || 'width MIXED' || chr(133) || 'Case', 'en', 'src0', 21)
+    ({doc0 + 6}, 'zero' || chr(8203) || 'width MIXED' || chr(133) || 'Case', 'en', 'src0', 21),
+    -- astral-plane row (r12): a 4-byte UTF-8 emoji is TWO UTF-16 units on
+    -- the JVM but ONE codepoint in DuckDB — pins the arithmetic UTF-8
+    -- byte expansion in the FNV oracles, dedup_edit's ASCII-subsequence
+    -- key, and every tokenizer op against surrogate-pair counting drift.
+    ({doc0 + 7}, 'hot ' || chr(128293) || ' take ' || chr(128293) || ' news', 'en', 'src0', 14)
   ) t(doc_id, text, lang, source, n_chars)
 ) TO '{dst}/documents.parquet' (FORMAT PARQUET)
 """)
