@@ -341,18 +341,21 @@ object Ann {
     * false` makes the router THROW instead of silently degrading, exactly
     * like [[graft.ops.dedup.Dedup.ngramJaccardAdaptive]]; raising
     * `maxExactRows` keeps the exact route at a priced-in n² cost.
-    * `multiProbe = true` is the in-between: stay on the scale path but
-    * buy most misses back (0.970 pair recall at the 20k sf1 replica vs
-    * 0.891 single-probe; 0.992 with bands=32) for a ×(planes+1)
-    * candidate-volume factor — the right default for dedup pipelines
-    * where a missed near-dup costs more than the extra verify pass.
+    * `multiProbe = true` — the DEFAULT here since round 13 — stays on
+    * the scale path but buys most misses back (0.970 pair recall at the
+    * 20k sf1 replica vs 0.891 single-probe; 0.992 with bands=32) for a
+    * ×(planes+1) candidate-volume factor: the right default for dedup
+    * pipelines, where a missed near-dup costs more than the extra verify
+    * pass (measured 21 s vs 5 s at the 20k replica — priced and linear).
+    * Pass `multiProbe = false` to keep the cheaper single-probe banding
+    * for recall-tolerant similarity reporting.
     */
   def cosinePairsAdaptive(emb: DataFrame, minCosine: Double,
                           maxExactRows: Int = 8192,
                           idCol: String = "vec_id", vecCol: String = "embedding",
                           groupCol: Option[String] = None,
                           allowApproximate: Boolean = true,
-                          multiProbe: Boolean = false): DataFrame = {
+                          multiProbe: Boolean = true): DataFrame = {
     // unlike a content-sampling probe, this is a pure ROW-COUNT probe
     // ("are there more than maxExactRows rows?") — counts are invariant to
     // file/partition layout, so the head-limit cannot misroute; it merely
@@ -392,7 +395,7 @@ object Ann {
                     vecCol: String = "embedding",
                     maxExactRows: Int = 8192,
                     allowApproximate: Boolean = true,
-                    multiProbe: Boolean = false): DataFrame =
+                    multiProbe: Boolean = true): DataFrame =
     graft.ops.graph.GraphOps.connectedComponents(
       cosinePairsAdaptive(emb, minCosine, maxExactRows, idCol, vecCol,
         groupCol = Some(labelCol), allowApproximate = allowApproximate,

@@ -718,8 +718,13 @@ object Dedup {
                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val nh0 = if (numHashes > 0) numHashes else 0
+    // floor at 1: an explicit numHashes < 4 with auto bands would compute
+    // nh0/4 = 0 bands — sequence(0, -1) then slices with a NEGATIVE start,
+    // silently degenerating the banding (output stays correct only because
+    // verification is exact, but recall/cost behaviour is meaningless).
+    // One band = the whole (short) signature is the honest reading.
     val b = if (bands > 0) bands
-            else if (nh0 > 0) math.min(autoBands(minJaccard), nh0 / 4)
+            else if (nh0 > 0) math.max(1, math.min(autoBands(minJaccard), nh0 / 4))
             else autoBands(minJaccard)
     val nh = if (nh0 > 0) nh0 else 4 * b
     // auto-sized bands are ALWAYS 4 rows sliced from the signature front
@@ -799,11 +804,26 @@ object Dedup {
                           numHashes: Int = 0, bands: Int = 0,
                           idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     graft.functions.GraftFunctions.register(newDocs.sparkSession)
+    // Explicit bands REQUIRE explicit numHashes: under the auto default
+    // (256, mirroring minhashIndex) a legacy bands=4 call would silently
+    // get 64-row bands (per-band hit probability j^64 — near-zero recall at
+    // any realistic threshold), and against an older shorter-signature
+    // index the band slices would run past the signature into empty
+    // bandsigs, collapsing every doc into ONE bucket (quadratic
+    // verification). Index migration note: numHashes here must equal the
+    // signature length the index was BUILT with — a mismatch either
+    // truncates the banding or hits the same empty-slice collapse.
+    require(bands <= 0 || numHashes > 0,
+      "minhashLshIncrement: explicit `bands` requires explicit `numHashes` " +
+        "matching the index's signature length (auto numHashes=256 with " +
+        "caller-chosen bands gives 256/bands-row bands and slices past " +
+        "shorter index signatures)")
     // numHashes must match the index's signature length; the auto default
     // mirrors minhashIndex's 256, and auto bands are capped so the slices
-    // never run past the signature
+    // never run past the signature (and floored at 1 — see minhashLsh)
     val nh = if (numHashes > 0) numHashes else 256
-    val b = if (bands > 0) bands else math.min(autoBands(minJaccard), nh / 4)
+    val b = if (bands > 0) bands
+            else math.max(1, math.min(autoBands(minJaccard), nh / 4))
     val rows = if (bands > 0) nh / b else 4
     val newBase = minhashIndex(newDocs, nh, idCol, textCol).transform(stage)
     // The union is consumed twice (band join + verification re-attach).
@@ -1174,6 +1194,69 @@ object Dedup {
     * where n_masked counts removed characters (merged spans are
     * disjoint, so the sum is exact).
     */
+  /** The persistable side of incremental winnowing dedup: each document's
+    * DISTINCT selected fingerprints as (doc_id, fp) posting rows — the
+    * exact-substring analogue of [[minhashIndex]] (a checkpointed parquet
+    * in production, probed per batch by [[winnowIncrement]]). Positions
+    * are deliberately dropped: pair detection needs only set overlap, and
+    * an int-pair index is the smallest thing that can certify shared
+    * k-grams.
+    */
+  def winnowIndex(docs: DataFrame, k: Int = 5, w: Int = 4,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    graft.ops.text.TextOps.winnow(docs, k, w, idCol, textCol)
+      .select(col("doc_id"), col("fp")).distinct()
+
+  /** Incremental exact-substring dedup: every pair with fingerprint
+    * containment ≥ `minOverlap` where at least one side is in `newDocs` —
+    * (new × indexed) and (new × new), exactly as the full-corpus winnow
+    * pair pass would report them restricted to the batch (the
+    * [[minhashLshIncrement]] contract, transplanted to the winnowing
+    * certificate family so substring-level dedup also runs per-batch at
+    * ingest). Containment = shared / min fingerprint count, computed on
+    * the df-guarded sets and thresholded on the ROUNDED 6-dp value (both
+    * engines compare identical values).
+    *
+    * Plan: only the batch is winnowed; its (batch-sized) guarded posting
+    * rows BROADCAST against the index's postings, so the index is
+    * streamed with no shuffle on the pair side. The df guard (df ≤
+    * `maxDf` over index ∪ batch) and the guarded per-doc sizes each cost
+    * one keyed count over the index — the same two streaming index scans
+    * the minhash increment prices in for a checkpointed parquet; a
+    * production deployment amortises both by persisting (fp, df) and
+    * (doc_id, n) sidecars next to the postings. Per-batch pair work
+    * scales with the batch and its matched postings, never the corpus².
+    */
+  def winnowIncrement(newDocs: DataFrame, index: DataFrame,
+                      minOverlap: Double = 0.5, maxDf: Int = 50,
+                      k: Int = 5, w: Int = 4,
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val newFps = winnowIndex(newDocs, k, w, idCol, textCol).transform(stage)
+    val all = index.select(col("doc_id"), col("fp"))
+      .withColumn("is_new", lit(false))
+      .unionByName(newFps.withColumn("is_new", lit(true)))
+    val dfreq = all.groupBy("fp").agg(count(lit(1)).as("df"))
+    val keep = all.join(dfreq.where(col("df") <= maxDf).select("fp"), Seq("fp"))
+    val sz = keep.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val keepNew = keep.where(col("is_new"))
+    // new-new pairs orient by id; new-old pairs appear once by role
+    val cand = keep.as("y")
+      .join(broadcast(keepNew.as("x")),
+        col("x.fp") === col("y.fp") && col("x.doc_id") =!= col("y.doc_id") &&
+          (!col("y.is_new") || col("x.doc_id") < col("y.doc_id")))
+      .groupBy(least(col("x.doc_id"), col("y.doc_id")).as("a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("b"))
+      .agg(count(lit(1)).as("shared"))
+    cand
+      .join(sz.as("sa"), col("a") === col("sa.doc_id"))
+      .join(sz.as("sb"), col("b") === col("sb.doc_id"))
+      .select(col("a"), col("b"), col("shared"),
+        round(col("shared").cast("double") /
+          least(col("sa.n"), col("sb.n")), 6).as("overlap"))
+      .where(col("overlap") >= minOverlap)
+      .orderBy("a", "b")
+  }
+
   def scrubWinnow(docs: DataFrame, k: Int = 5, w: Int = 4, minDocs: Int = 2,
                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(minDocs >= 1, "minDocs must be >= 1")

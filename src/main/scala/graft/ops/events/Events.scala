@@ -1,0 +1,102 @@
+package graft.ops.events
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Event-stream pattern matching (MATCH_RECOGNIZE-lite CEP).
+  *
+  * The r12 `events_pattern` query hardcoded the view→clicks→purchase motif
+  * `vc*p`; this lifts pattern and event-char mapping into arguments on a
+  * library operator so any motif — alternation, `+`, bounded repeats,
+  * anchors — runs through the same one-keyed-aggregate kernel, and the
+  * DuckDB oracle twin ([[matchPatternSql]]) is GENERATED from the same
+  * (pattern, mapping) pair, so engine and oracle can never disagree about
+  * which motif they count.
+  *
+  * Semantics: each key's event history reduces to a compact type string
+  * (one char per event, (ts, tie)-ordered so timestamp ties are
+  * deterministic) and the regex counts leftmost non-overlapping
+  * occurrences — the counting rule both java.util.regex (Spark
+  * `regexp_extract_all`) and RE2 (DuckDB) implement identically for the
+  * supported subset. Patterns must stay in the RE2-compatible subset
+  * (no backreferences, no lookaround): that is also the backtracking-safe
+  * subset, so a hostile event sequence cannot blow up match time.
+  *
+  * Scale shape: ONE keyed aggregate builds each key's string — state
+  * bounded by that key's event count, the sessionize-class per-key
+  * contract — then a narrow scan-side regex over |keys| rows, no window
+  * over the global stream and no shuffle beyond the single groupBy.
+  * At 100 TB the per-key string is the only memory term; a key with
+  * millions of events needs pre-bucketing by (key, day) upstream, same
+  * as any per-user sequence analytic.
+  */
+object Events {
+
+  /** Per-event single-char encoding: explicit `charMap` entries first
+    * (event_type → char), default = first char of the type name. Shared
+    * by engine and oracle builders below.
+    */
+  private def validateCharMap(charMap: Map[String, String]): Unit =
+    require(charMap.values.forall(_.length == 1),
+      s"matchPattern: charMap values must be single chars, got $charMap")
+
+  private def encodeCol(typeCol: String, charMap: Map[String, String]): Column = {
+    val base = substring(col(typeCol), 1, 1)
+    charMap.foldLeft(base) { case (acc, (t, c)) =>
+      when(col(typeCol) === t, lit(c)).otherwise(acc)
+    }
+  }
+
+  /** Count non-overlapping occurrences of `pattern` in each key's
+    * (ts, tie)-ordered event-type string. Returns
+    * `(key, n_events, n_matches)`; `keepZero = false` (the CEP reading:
+    * only keys where the motif fired) drops zero-match keys.
+    */
+  def matchPattern(events: DataFrame, pattern: String,
+                   charMap: Map[String, String] = Map.empty,
+                   keyCol: String = "user_id", tsCol: String = "ts",
+                   tieCol: String = "event_id", typeCol: String = "event_type",
+                   keepZero: Boolean = false): DataFrame = {
+    validateCharMap(charMap)
+    val seqd = events
+      .select(col(keyCol), col(tsCol), col(tieCol),
+        encodeCol(typeCol, charMap).as("ch"))
+      .groupBy(keyCol)
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col(tsCol), col(tieCol), col("ch")))),
+        s => s.getField("ch")), "").as("seq"))
+      .select(col(keyCol), length(col("seq")).cast("long").as("n_events"),
+        size(regexp_extract_all(col("seq"), lit(pattern), lit(0)))
+          .cast("long").as("n_matches"))
+    val filtered = if (keepZero) seqd else seqd.where(col("n_matches") > 0)
+    filtered.orderBy(keyCol)
+  }
+
+  /** DuckDB oracle twin generated from the SAME (pattern, charMap) as
+    * [[matchPattern]] — single-quote escaping is the only transformation
+    * applied to the pattern string.
+    */
+  def matchPatternSql(pattern: String,
+                      charMap: Map[String, String] = Map.empty,
+                      keyCol: String = "user_id", tsCol: String = "ts",
+                      tieCol: String = "event_id", typeCol: String = "event_type",
+                      table: String = "events",
+                      keepZero: Boolean = false): String = {
+    validateCharMap(charMap)
+    val pat = pattern.replace("'", "''")
+    val enc =
+      if (charMap.isEmpty) s"substr($typeCol, 1, 1)"
+      else charMap.map { case (t, c) =>
+        s"WHEN $typeCol = '${t.replace("'", "''")}' THEN '$c'"
+      }.mkString("CASE ", " ", s" ELSE substr($typeCol, 1, 1) END")
+    val filter = if (keepZero) ""
+                 else s"\nWHERE len(regexp_extract_all(seq, '$pat')) > 0"
+    s"""WITH s AS (SELECT $keyCol,
+       |    string_agg($enc, '' ORDER BY $tsCol, $tieCol) AS seq
+       |  FROM $table GROUP BY $keyCol)
+       |SELECT $keyCol, length(seq)::BIGINT AS n_events,
+       |  len(regexp_extract_all(seq, '$pat'))::BIGINT AS n_matches
+       |FROM s$filter
+       |ORDER BY $keyCol""".stripMargin
+  }
+}

@@ -367,6 +367,56 @@ object GraphOps {
       .orderBy("node")
   }
 
+  /** Newman modularity of a node partition over the canonical simple
+    * undirected graph (a<b, distinct, self-loops dropped):
+    * Q = Σ_c (e_c/m − (d_c/(2m))²) where e_c = intra-community edges,
+    * d_c = degree sum of community c, m = total edges. The quality
+    * scalar that makes [[labelPropagation]] output MEASURABLE the way
+    * [[clusteringCoefficient]]/[[assortativity]] measure raw structure —
+    * "did LPA find real communities (Q ≫ 0) or noise (Q ≈ 0)".
+    *
+    * Returns one row per community: `(community, n_nodes, degree_sum,
+    * intra_edges, contribution)` — the first four are EXACT integers
+    * (hash-comparable cross-engine), the contribution is the one double,
+    * rounded once at 6 dp with the division order written identically in
+    * the SQL twin (no pow(): explicit self-multiplication on both
+    * sides). Global Q = sum(contribution) before rounding.
+    *
+    * Scale shape: one edge pass for degrees (explode + keyed count), one
+    * two-sided membership join for intra-edges (shuffle on node id, the
+    * join Spark would pick for any |V|-sized dimension), one |C|-keyed
+    * agg, and a 1-row total-edge-count crossed in (broadcast). Nothing
+    * is quadratic and no per-community state exceeds a counter.
+    */
+  def modularity(pgEdges: DataFrame, membership: DataFrame,
+                 nodeCol: String = "node", commCol: String = "community"): DataFrame = {
+    val canon = endpoints(pgEdges)
+      .where(col("from") =!= col("to"))
+      .select(least(col("from"), col("to")).as("a"),
+        greatest(col("from"), col("to")).as("b"))
+      .distinct()
+    val mem = membership.select(col(nodeCol).as("node"), col(commCol).as("community"))
+    val deg = canon.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val ds = deg.join(mem, "node").groupBy("community")
+      .agg(sum("deg").as("degree_sum"), count(lit(1)).as("n_nodes"))
+    val intra = canon
+      .join(mem.select(col("node").as("a"), col("community").as("ca")), "a")
+      .join(mem.select(col("node").as("b"), col("community").as("cb")), "b")
+      .where(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community")).agg(count(lit(1)).as("intra_edges"))
+    val m = canon.agg(count(lit(1)).cast("double").as("m"))
+    val dOver2m = col("degree_sum").cast("double") / (lit(2.0) * col("m"))
+    ds.join(intra, Seq("community"), "left")
+      .na.fill(0L, Seq("intra_edges"))
+      .crossJoin(m)
+      .select(col("community"), col("n_nodes"), col("degree_sum"),
+        col("intra_edges"),
+        round(col("intra_edges").cast("double") / col("m") -
+          dOver2m * dOver2m, 6).as("contribution"))
+      .orderBy("community")
+  }
+
   /** Per-node local clustering coefficient: triangles(v) /
     * (deg(v)·(deg(v)−1)/2) over the canonical simple undirected graph —
     * the density-of-neighbourhood signal (a KG entity whose neighbours

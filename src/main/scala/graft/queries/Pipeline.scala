@@ -797,41 +797,123 @@ object Pipeline {
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
     Ann.cosinePairsAdaptive(embs(spark, dir), minCosine = 0.45)
 
-  val dedupEmbeddingSql: String =
-    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
-      |n AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) nrm FROM e),
-      |p AS (SELECT a.vec_id AS a, b.vec_id AS b,
-      |  round(CASE WHEN a.nrm*b.nrm > 0 THEN list_sum([pr[1]*pr[2] for pr in list_zip(a.v, b.v)]) / (a.nrm*b.nrm) ELSE 0.0 END, 6) AS cosine
-      |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
-      |SELECT a, b, cosine FROM p WHERE cosine >= 0.45 ORDER BY a, b""".stripMargin
+  /** One full splitmix64 application in DuckDB HUGEINT mod-2^64 arithmetic
+    * (the [[embedProjectSql]] recipe, factored so it can be CHAINED): six
+    * CTEs `{pfx}1..{pfx}6` mapping `src`'s column `x` to the mixed value
+    * `y`, carrying `keys` through. Matches
+    * [[graft.functions.SrpCodes.mix64]] bit-for-bit (add-φ, two
+    * xorshift-multiply rounds split hi/lo 32 bits for the mod-2^64
+    * product, final xorshift).
+    */
+  private def mix64Ctes(pfx: String, keys: String, src: String): String =
+    s"""${pfx}1 AS (SELECT $keys, (x + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT AS y FROM $src),
+       |${pfx}2 AS (SELECT $keys, xor(y, y >> 30) AS y FROM ${pfx}1),
+       |${pfx}3 AS (SELECT $keys, (((y >> 32) * 13787848793156543929::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT + (y % 4294967296::HUGEINT) * 13787848793156543929::HUGEINT) % 18446744073709551616::HUGEINT AS y FROM ${pfx}2),
+       |${pfx}4 AS (SELECT $keys, xor(y, y >> 27) AS y FROM ${pfx}3),
+       |${pfx}5 AS (SELECT $keys, (((y >> 32) * 10723151780598845931::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT + (y % 4294967296::HUGEINT) * 10723151780598845931::HUGEINT) % 18446744073709551616::HUGEINT AS y FROM ${pfx}4),
+       |${pfx}6 AS (SELECT $keys, xor(y, y >> 31) AS y FROM ${pfx}5)""".stripMargin
+
+  /** ROUTE-AWARE near-dup pair CTE block shared by the C5/C47 oracles:
+    * reproduces [[Ann.cosinePairsAdaptive]] (multiProbe default) exactly in
+    * DuckDB at EVERY scale — the row-count router (n ≤ 8192 → exact
+    * all-pairs; above → SRP-LSH), the splitmix64 hyperplane stream chained
+    * three deep (band key → plane key → per-dim sign, seed 17, the
+    * Ann.srpCodes derivation), auto-sized planes 2^p ≥ n/32 clamped
+    * [4,20], bands = 16, multi-probe banding (own bucket + every 1-bit
+    * flip ⇒ a band hits iff Hamming ≤ 1), and exact 6-dp cosine
+    * verification of candidates. EACH route's input CTE is guarded by the
+    * count predicate, so the quadratic branch is empty — and costs
+    * nothing — above the cutoff, and the LSH scaffolding joins against an
+    * empty corpus below it: one SQL string is correct at sf0.01 (exact
+    * route) AND the sf1 stress replica (LSH route), closing the last two
+    * documented-divergence cells of the r12 sf1 sweep. Bucket equality is
+    * (band, code[, label]) — what the engine's xxhash64 bucket-key
+    * equality means modulo 64-bit collisions (the media_frame_dedup
+    * precedent). Yields `rpairs(a, b, cosine)` thresholded at
+    * `minCosine`.
+    */
+  private def cosineAdaptivePairsCtes(minCosine: String, withGroup: Boolean): String = {
+    val g = if (withGroup) ", label" else ""
+    val gx = if (withGroup) ", x.label" else ""
+    val gJoinAb = if (withGroup) " AND a.label = b.label" else ""
+    val gJoinXy = if (withGroup) " AND x.label = y.label" else ""
+    def cosAb = "round(CASE WHEN a.nrm*b.nrm > 0 THEN list_sum([pr[1]*pr[2] for pr in list_zip(a.v, b.v)]) / (a.nrm*b.nrm) ELSE 0.0 END, 6)"
+    s"""e AS (SELECT vec_id$g, embedding::DOUBLE[] AS v FROM embeddings),
+       |n0 AS MATERIALIZED (SELECT vec_id$g, v,
+       |    sqrt(list_sum([x*x for x in v])) AS nrm FROM e),
+       |nr AS (SELECT count(*) AS n FROM n0),
+       |xe AS (SELECT n0.* FROM n0, nr WHERE nr.n <= 8192),
+       |px AS (SELECT a.vec_id AS a, b.vec_id AS b, $cosAb AS cosine
+       |  FROM xe a JOIN xe b ON a.vec_id < b.vec_id$gJoinAb),
+       |pp AS (SELECT least(20, greatest(4,
+       |    ceil(log2(greatest(n, 1) / 32.0))))::BIGINT AS p FROM nr),
+       |bk0 AS (SELECT bd, (17::HUGEINT + bd::HUGEINT * 4294967296::HUGEINT) AS x
+       |  FROM range(0, 16) t(bd)),
+       |${mix64Ctes("bk", "bd", "bk0")},
+       |pls AS (SELECT unnest(range(0, p)) AS pl FROM pp),
+       |pk0 AS (SELECT bd, pl, xor(bk6.y, pl::HUGEINT) AS x
+       |  FROM bk6 CROSS JOIN pls),
+       |${mix64Ctes("pk", "bd, pl", "pk0")},
+       |sg0 AS (SELECT bd, pl, i,
+       |    xor(pk6.y, (i::HUGEINT * 11400714819323198485::HUGEINT)
+       |      % 18446744073709551616::HUGEINT) AS x
+       |  FROM pk6 CROSS JOIN range(0, 64) t(i)),
+       |${mix64Ctes("sg", "bd, pl, i", "sg0")},
+       |sl AS (SELECT bd, pl,
+       |    list(CASE WHEN y % 2 = 1 THEN 1.0 ELSE -1.0 END ORDER BY i) AS sv
+       |  FROM sg6 GROUP BY bd, pl),
+       |xl AS MATERIALIZED (SELECT n0.* FROM n0, nr WHERE nr.n > 8192),
+       |prj AS (SELECT x.vec_id$gx, s.bd, s.pl,
+       |    list_sum([pr[1]*pr[2] for pr in list_zip(x.v, s.sv)]) AS proj
+       |  FROM xl x CROSS JOIN sl s),
+       |codes AS MATERIALIZED (SELECT vec_id$g, bd,
+       |    sum(CASE WHEN proj > 0 THEN 1::BIGINT << pl ELSE 0 END)::BIGINT AS code
+       |  FROM prj GROUP BY vec_id$g, bd),
+       |prb AS (SELECT vec_id$g, bd, code FROM codes
+       |  UNION ALL
+       |  SELECT vec_id$g, bd, xor(code, 1::BIGINT << pl) AS code
+       |  FROM codes CROSS JOIN pls),
+       |cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+       |  FROM prb x JOIN codes y
+       |    ON x.bd = y.bd AND x.code = y.code AND x.vec_id < y.vec_id$gJoinXy),
+       |vf AS (SELECT c.a, c.b, $cosAb AS cosine
+       |  FROM cand c JOIN n0 a ON a.vec_id = c.a JOIN n0 b ON b.vec_id = c.b),
+       |rpairs AS MATERIALIZED (
+       |  SELECT a, b, cosine FROM px WHERE cosine >= $minCosine
+       |  UNION ALL
+       |  SELECT a, b, cosine FROM vf WHERE cosine >= $minCosine)""".stripMargin
+  }
+
+  lazy val dedupEmbeddingSql: String =
+    "WITH " + cosineAdaptivePairsCtes("0.45", withGroup = false) +
+      "\nSELECT a, b, cosine FROM rpairs ORDER BY a, b"
 
   /** C47: SemDeDup-style semantic dedup ([[Ann.semanticDedup]]) — duplicate
     * families from within-cluster cosine pairs (cluster = the embedding
-    * table's label column), min-id survivor per family. The oracle
-    * recomputes the within-label pairs exactly and closes them with the
-    * recursive-CTE transitive closure (the dedup_clusters pattern).
+    * table's label column), min-id survivor per family. The oracle builds
+    * the within-label pairs through the ROUTE-AWARE adaptive twin
+    * ([[cosineAdaptivePairsCtes]]: exact below the cutoff, group-folded
+    * multi-probe SRP-LSH above — so it checks the engine's actual route
+    * at the sf1 replica too) and closes them with the recursive-CTE
+    * transitive closure (the dedup_clusters pattern).
     */
   def dedupSemantic(spark: SparkSession, dir: String): DataFrame =
     Ann.semanticDedup(embs(spark, dir), minCosine = 0.45)
 
-  val dedupSemanticSql: String =
-    """WITH RECURSIVE
-      |e AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
-      |n AS (SELECT vec_id, label, v, sqrt(list_sum([x*x for x in v])) nrm FROM e),
-      |p AS (SELECT a.vec_id AS a, b.vec_id AS b,
-      |  round(CASE WHEN a.nrm*b.nrm > 0 THEN list_sum([pr[1]*pr[2] for pr in list_zip(a.v, b.v)]) / (a.nrm*b.nrm) ELSE 0.0 END, 6) AS cosine
-      |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id),
-      |pairs AS (SELECT a, b FROM p WHERE cosine >= 0.45),
-      |ed AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
-      |reach(src, dst) AS (
-      |  SELECT a, b FROM ed
-      |  UNION
-      |  SELECT r.src, ed.b FROM reach r JOIN ed ON r.dst = ed.a),
-      |verts AS (SELECT a AS id FROM pairs UNION SELECT b FROM pairs)
-      |SELECT v.id AS vec_id, least(v.id, min(r.dst)) AS component,
-      |  v.id = least(v.id, min(r.dst)) AS keep
-      |FROM verts v LEFT JOIN reach r ON r.src = v.id
-      |GROUP BY v.id ORDER BY vec_id""".stripMargin
+  lazy val dedupSemanticSql: String =
+    "WITH RECURSIVE\n" + cosineAdaptivePairsCtes("0.45", withGroup = true) +
+      """,
+        |pairs AS (SELECT a, b FROM rpairs),
+        |ed AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT a, b FROM ed
+        |  UNION
+        |  SELECT r.src, ed.b FROM reach r JOIN ed ON r.dst = ed.a),
+        |verts AS (SELECT a AS id FROM pairs UNION SELECT b FROM pairs)
+        |SELECT v.id AS vec_id, least(v.id, min(r.dst)) AS component,
+        |  v.id = least(v.id, min(r.dst)) AS keep
+        |FROM verts v LEFT JOIN reach r ON r.src = v.id
+        |GROUP BY v.id ORDER BY vec_id""".stripMargin
 
   // ---- C6: brute-force cosine top-k ---------------------------------------
 
@@ -2897,6 +2979,48 @@ object Pipeline {
         |FROM pr JOIN szk sa ON sa.doc_id = a JOIN szk sb ON sb.doc_id = b
         |ORDER BY overlap DESC, a, b LIMIT 100""".stripMargin
 
+  /** C85: incremental winnowing dedup ([[Dedup.winnowIncrement]]) — the
+    * src0 batch probes a [[Dedup.winnowIndex]] built over the rest of the
+    * corpus (inline + localCheckpoint here, a persisted parquet in
+    * production): containment-thresholded pairs with ≥ 1 batch side,
+    * equal by construction to the full-corpus winnow pair pass restricted
+    * to the batch (WinnowIncrementSpec proves the restriction equality).
+    * Completes the ingest-time story the minhash family already has
+    * (C3b/D7): exact-substring dedup now also runs per-batch.
+    */
+  def dedupWinnowInc(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    Dedup.winnowIncrement(
+      d.where(col("source") === "src0"),
+      Dedup.winnowIndex(d.where(col("source") =!= "src0")).localCheckpoint(),
+      minOverlap = 0.5)
+  }
+
+  /** Same asymptotics as [[dedupWinnowSql]] (sf1-proven): packed
+    * sliding-window selection, df-guarded posting join — plus the is_new
+    * flag and the (x.is_new OR y.is_new) batch restriction from the
+    * dedup_incremental oracle. Threshold compares the ROUNDED overlap,
+    * matching the engine exactly.
+    */
+  lazy val dedupWinnowIncSql: String =
+    "WITH dd AS (SELECT doc_id, text FROM documents WHERE len(text) >= 8),\n" +
+      winnowSelSql + ",\n" +
+      """f AS MATERIALIZED (SELECT DISTINCT doc_id, h AS fp FROM sel),
+        |flag AS (SELECT f.doc_id, f.fp, d.source = 'src0' AS is_new
+        |  FROM f JOIN documents d USING (doc_id)),
+        |dfreq AS (SELECT fp, count(*) AS df FROM flag GROUP BY fp),
+        |keep AS MATERIALIZED (SELECT flag.* FROM flag JOIN dfreq USING (fp) WHERE df <= 50),
+        |szk AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM keep GROUP BY doc_id),
+        |pr AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared
+        |  FROM keep x JOIN keep y ON x.fp = y.fp AND x.doc_id < y.doc_id
+        |    AND (x.is_new OR y.is_new)
+        |  GROUP BY 1, 2)
+        |SELECT a, b, shared,
+        |  round(shared::DOUBLE / least(sa.n, sb.n), 6) AS overlap
+        |FROM pr JOIN szk sa ON sa.doc_id = a JOIN szk sb ON sb.doc_id = b
+        |WHERE round(shared::DOUBLE / least(sa.n, sb.n), 6) >= 0.5
+        |ORDER BY a, b""".stripMargin
+
   // ---- C35: bigram-LM surprisal -------------------------------------------
 
   def textBigramSurprisal(spark: SparkSession, dir: String): DataFrame =
@@ -3201,12 +3325,19 @@ object Pipeline {
   def textKeywords(spark: SparkSession, dir: String): DataFrame =
     TextOps.rakeKeywords(docs(spark, dir))
 
-  val textKeywordsSql: String =
-    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+  // Shared with the engine side: rakeKeywords' default stopword list IS
+  // TextOps.LangProfiles.head._2 — building the SQL literal from the same
+  // Seq means a profile edit/reorder can never desynchronise the oracle.
+  // lazy: composed SQL vals must not race object initialisation order.
+  private lazy val rakeStopwordsSqlList: String =
+    TextOps.LangProfiles.head._2.map(w => s"'$w'").mkString("[", ",", "]")
+
+  lazy val textKeywordsSql: String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       |t AS (SELECT doc_id, ws, len(ws) AS n FROM d WHERE len(ws) >= 1),
       |b AS (SELECT doc_id, ws, n,
       |    [i FOR i IN range(1, n+1)
-      |     IF list_contains(['the','a','of','and','to','in','is'], ws[i])] AS bidx
+      |     IF list_contains($rakeStopwordsSqlList, ws[i])] AS bidx
       |  FROM t),
       |se AS (SELECT doc_id, ws,
       |    list_prepend(1, [i + 1 FOR i IN bidx]) AS starts,

@@ -840,46 +840,42 @@ object Relational {
       |  CASE WHEN n_click > 0 THEN n_purchase::DOUBLE / n_click ELSE 0.0 END AS conv_purchase
       |FROM c""".stripMargin
 
-  /** B63: MATCH_RECOGNIZE-lite event-sequence pattern matching — each
-    * user's event history reduces to a compact per-user type string (one
-    * char per event, (ts, event_id)-ordered so ties are deterministic)
-    * and a regex counts non-overlapping occurrences of the
-    * view→clicks→purchase motif `vc*p`. Where [[eventsFunnel]] asks "did
-    * the user EVER progress v→c→p" (min-timestamp chaining),
-    * this asks HOW MANY TIMES the contiguous motif fired — the CEP
-    * (complex-event-processing) question SQL engines expose as
-    * MATCH_RECOGNIZE, here as groupBy + codegen'd regex, no window over
-    * the global stream.
-    *
-    * Scale shape: ONE keyed aggregate builds each user's string (state
-    * bounded by that user's event count — the sessionize-class per-key
-    * contract), then a narrow scan-side regex; both engines produce the
-    * same leftmost non-overlapping match list for this
-    * backtracking-free pattern.
+  /** B63: MATCH_RECOGNIZE-lite event-sequence pattern matching — counts
+    * non-overlapping firings of the view→clicks→purchase motif `vc*p` per
+    * user. Where [[eventsFunnel]] asks "did the user EVER progress v→c→p"
+    * (min-timestamp chaining), this asks HOW MANY TIMES the contiguous
+    * motif fired — the CEP question SQL engines expose as MATCH_RECOGNIZE.
+    * Since r13 the motif is an ARGUMENT on the library operator
+    * ([[graft.ops.events.Events.matchPattern]]: one keyed aggregate builds
+    * the per-user type string, then a narrow scan-side regex) and the
+    * oracle is GENERATED from the same pattern string, so engine and
+    * oracle cannot disagree about the motif.
     */
-  def eventsPattern(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.load(spark, dir, "events")
-      .select(col("user_id"), col("ts"), col("event_id"),
-        substring(col("event_type"), 1, 1).as("ch"))
-    ev.groupBy("user_id")
-      .agg(array_join(transform(
-        array_sort(collect_list(struct(col("ts"), col("event_id"), col("ch")))),
-        s => s.getField("ch")), "").as("seq"))
-      .select(col("user_id"), length(col("seq")).cast("long").as("n_events"),
-        size(regexp_extract_all(col("seq"), lit("vc*p"), lit(0)))
-          .cast("long").as("n_matches"))
-      .where(col("n_matches") > 0)
-      .orderBy("user_id")
-  }
+  def eventsPattern(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.events.Events.matchPattern(
+      Tables.load(spark, dir, "events"), "vc*p")
 
-  val eventsPatternSql: String =
-    """WITH s AS (SELECT user_id,
-      |    string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
-      |  FROM events GROUP BY user_id)
-      |SELECT user_id, length(seq)::BIGINT AS n_events,
-      |  len(regexp_extract_all(seq, 'vc*p'))::BIGINT AS n_matches
-      |FROM s WHERE len(regexp_extract_all(seq, 'vc*p')) > 0
-      |ORDER BY user_id""".stripMargin
+  // lazy: composed SQL vals must not race object initialisation order
+  lazy val eventsPatternSql: String =
+    graft.ops.events.Events.matchPatternSql("vc*p")
+
+  /** B64: abandoned-cart CEP motif — users whose history ends with
+    * clicks never followed by a purchase (`vc+[^P]*$`, ≤ 1 match per user
+    * by the `$` anchor). Exercises the parameterized pieces the B63 motif
+    * does not: `+`, a negated class, an anchor, and a NON-DEFAULT event
+    * char mapping (purchase → 'P'); if the engine or the oracle dropped
+    * the mapping, purchases would encode as 'p', `[^P]*` would swallow
+    * them, and false "abandoned" users would split the two sides — the
+    * mapping plumbing is what this oracle checks.
+    */
+  def eventsAbandon(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.events.Events.matchPattern(
+      Tables.load(spark, dir, "events"), "vc+[^P]*$",
+      charMap = Map("purchase" -> "P"))
+
+  lazy val eventsAbandonSql: String =
+    graft.ops.events.Events.matchPatternSql("vc+[^P]*$",
+      charMap = Map("purchase" -> "P"))
 
   /** B12: TPC-H-Q6-style filter-aggregate through the SQL entry path
     * (spark.sql over registered views) — the other half of the API surface.

@@ -618,10 +618,12 @@ object Streaming {
     graft.functions.GraftFunctions.register(spark)
     // threshold-aware auto-banding shared with the batch operator (see
     // Dedup.autoBands: the r12 sf1 sweep showed the old fixed 16/4 put the
-    // S-curve midpoint ABOVE a 0.5 threshold); explicit params override
+    // S-curve midpoint ABOVE a 0.5 threshold); explicit params override.
+    // Floored at 1 band: numHashes < 4 would otherwise yield b = 0 and a
+    // negative-start slice (see Dedup.minhashLsh).
     val b = if (bands > 0) bands
-            else math.min(graft.ops.dedup.Dedup.autoBands(minJaccard),
-              if (numHashes > 0) numHashes / 4 else Int.MaxValue)
+            else math.max(1, math.min(graft.ops.dedup.Dedup.autoBands(minJaccard),
+              if (numHashes > 0) numHashes / 4 else Int.MaxValue))
     val nh = if (numHashes > 0) numHashes else 4 * b
     val rows = if (bands > 0) nh / b else 4
     val banded = docs
@@ -689,9 +691,10 @@ object Streaming {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
     // same threshold-aware auto-banding as nearDupPairs / Dedup.minhashLsh
+    // (incl. the ≥ 1 band floor for numHashes < 4)
     val b = if (bands > 0) bands
-            else math.min(graft.ops.dedup.Dedup.autoBands(minJaccard),
-              if (numHashes > 0) numHashes / 4 else Int.MaxValue)
+            else math.max(1, math.min(graft.ops.dedup.Dedup.autoBands(minJaccard),
+              if (numHashes > 0) numHashes / 4 else Int.MaxValue))
     val nh = if (numHashes > 0) numHashes else 4 * b
     val rows = if (bands > 0) nh / b else 4
     val banded = docs

@@ -1,0 +1,98 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.ops.events.Events
+
+/** Parameterized CEP ([[Events.matchPattern]]): regex shapes beyond the
+  * oracle-checked `vc*p` / `vc+[^P]*$` motifs — alternation, bounded
+  * repeats, `+`, anchors — plus the charMap / keepZero / tie-break
+  * plumbing, on hand-built sequences with known match counts.
+  */
+class EventsSpec extends SparkSpec {
+
+  import org.apache.spark.sql.functions._
+
+  /** (user, seq-of-type-names) → events rows with ts = position. */
+  private def ev(rows: (Long, Seq[String])*) = {
+    import spark.implicits._
+    rows.flatMap { case (u, types) =>
+      types.zipWithIndex.map { case (t, i) => (u, i.toLong, i.toLong, t) }
+    }.toDF("user_id", "ts", "event_id", "event_type")
+  }
+
+  private def counts(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+
+  private val V = "view"; private val C = "click"
+  private val P = "purchase"; private val E = "error"
+
+  test("vc*p counts non-overlapping motif firings, not just presence") {
+    // u1: vcp vp → 2; u2: vccc (no p) → 0 (dropped); u3: p v c p → 1
+    val df = Events.matchPattern(
+      ev(1L -> Seq(V, C, P, V, P), 2L -> Seq(V, C, C, C),
+         3L -> Seq(P, V, C, P)), "vc*p")
+    assert(counts(df) === Map(1L -> 2L, 3L -> 1L))
+  }
+
+  test("alternation (vp|vc) takes the leftmost non-overlapping reading") {
+    // u1: v p v c v → matches at 0 (vp) and 2 (vc) = 2
+    val df = Events.matchPattern(ev(1L -> Seq(V, P, V, C, V)), "(vp|vc)")
+    assert(counts(df) === Map(1L -> 2L))
+  }
+
+  test("bounded repeat c{2,3} counts greedy non-overlapping runs") {
+    // u1: cccc c → greedy: ccc + (cc impossible from 1 left?) cccc|c:
+    // "ccccc" → match ccc at 0, then cc at 3 = 2 matches
+    val df = Events.matchPattern(ev(1L -> Seq(C, C, C, C, C)), "c{2,3}")
+    assert(counts(df) === Map(1L -> 2L))
+  }
+
+  test("+ and end-anchor: abandoned-cart fires at most once per user") {
+    // u1: v c c e (clicks, never purchased) → 1
+    // u2: v c p (purchased) → 0; u3: v c p v c → abandoned AFTER a
+    //   purchase: the default p-encoding still blocks [^p]* crossing it,
+    //   but the match starting at the second v reaches $ → 1
+    val df = Events.matchPattern(
+      ev(1L -> Seq(V, C, C, E), 2L -> Seq(V, C, P), 3L -> Seq(V, C, P, V, C)),
+      "vc+[^p]*$")
+    assert(counts(df) === Map(1L -> 1L, 3L -> 1L))
+  }
+
+  test("charMap overrides the first-char default and keepZero keeps misses") {
+    // map error → 'x'; pattern vx fires only if the mapping is honored
+    // (default encoding would be 'e')
+    val df = Events.matchPattern(ev(1L -> Seq(V, E), 2L -> Seq(V, C)),
+      "vx", charMap = Map(E -> "x"), keepZero = true)
+    assert(counts(df) === Map(1L -> 1L, 2L -> 0L))
+  }
+
+  test("timestamp ties break on the tie column deterministically") {
+    import spark.implicits._
+    // two events at ts=0: event_id order decides v-before-c vs c-before-v
+    val df0 = Seq((1L, 0L, 0L, V), (1L, 0L, 1L, C), (1L, 1L, 2L, P))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    assert(counts(Events.matchPattern(df0, "vcp")) === Map(1L -> 1L))
+    val df1 = Seq((1L, 0L, 1L, V), (1L, 0L, 0L, C), (1L, 1L, 2L, P))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    assert(counts(Events.matchPattern(df1, "vcp", keepZero = true)) ===
+      Map(1L -> 0L))
+  }
+
+  test("multi-char charMap values are rejected on both builders") {
+    intercept[IllegalArgumentException] {
+      Events.matchPattern(ev(1L -> Seq(V)), "v", charMap = Map(V -> "vv"))
+    }
+    intercept[IllegalArgumentException] {
+      Events.matchPatternSql("v", charMap = Map(V -> "vv"))
+    }
+  }
+
+  test("generated oracle SQL embeds the same pattern and mapping") {
+    val sql = Events.matchPatternSql("vc+[^P]*$", charMap = Map(P -> "P"))
+    assert(sql.contains("'vc+[^P]*$'"))
+    assert(sql.contains("WHEN event_type = 'purchase' THEN 'P'"))
+    assert(sql.contains("ELSE substr(event_type, 1, 1) END"))
+    // single quotes in the pattern are escaped, not injected
+    assert(Events.matchPatternSql("a'b").contains("'a''b'"))
+  }
+}

@@ -271,6 +271,42 @@ class GraphOpsSpec extends SparkSpec {
     assert(rerun === pregel)
   }
 
+  test("modularity: planted two-clique bridge, hand-computed, degenerate partitions") {
+    // two triangles bridged by one edge: m = 7; the planted partition has
+    // e_c = 3, d_c = 7 for each side -> contribution 3/7 - (7/14)^2 each
+    val bridged = Seq(
+      ("n1", "n2"), ("n1", "n3"), ("n2", "n3"),
+      ("n4", "n5"), ("n4", "n6"), ("n5", "n6"),
+      ("n3", "n4")).toDF("from", "to")
+    val mem = Seq("n1" -> "A", "n2" -> "A", "n3" -> "A",
+      "n4" -> "B", "n5" -> "B", "n6" -> "B").toDF("node", "community")
+    val got = GraphOps.modularity(bridged, mem).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    val want = BigDecimal(3.0 / 7 - 0.25).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got === Map("A" -> ((3L, 7L, 3L, want)), "B" -> ((3L, 7L, 3L, want))))
+    // Q of the planted partition is strongly positive
+    assert(got.values.map(_._4).sum > 0.35)
+
+    // one-community partition: Q = m/m - 1 = 0 exactly
+    val one = mem.select(col("node"), lit("all").as("community"))
+    val qOne = GraphOps.modularity(bridged, one).collect()
+    assert(qOne.length === 1 && qOne(0).getDouble(4) === 0.0)
+
+    // singleton partition: every e_c = 0, contribution = -(d_v/2m)^2 < 0
+    val singletons = mem.select(col("node"), col("node").as("community"))
+    val qSing = GraphOps.modularity(bridged, singletons).collect()
+    assert(qSing.length === 6)
+    assert(qSing.forall(r => r.getLong(3) === 0L && r.getDouble(4) < 0.0))
+
+    // duplicate/reversed edges and self-loops collapse to the simple graph
+    val messy = bridged.union(Seq(("n2", "n1"), ("n1", "n1"), ("n1", "n2"))
+      .toDF("from", "to"))
+    val gotMessy = GraphOps.modularity(messy, mem).collect()
+      .map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(gotMessy === got.map { case (k, v) => k -> v._4 })
+  }
+
   test("assortativity: hand-computed mixed graph, -1 on a star, NULL on a regular graph") {
     def r(es: Seq[(String, String)]): (Long, Option[Double]) = {
       val row = GraphOps.assortativity(es.toDF("from", "to")).head()

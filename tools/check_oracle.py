@@ -63,23 +63,33 @@ def main(sfdir, outdir):
                   ("OK" if len(spark_rows) > 0 else "EMPTY!"))
             continue
         timer = None
-        # done-flag guards the timer race: if the Timer fires after
-        # fetchall() returned but before cancel(), a bare con.interrupt()
-        # would flag the connection with no query running and the NEXT
-        # oracle's execute() would raise InterruptException spuriously
+        # done-flag + lock guard the timer race: the check-and-interrupt is
+        # atomic against the done-append, so a timer that loses the race
+        # skips the interrupt. The one window neither closes — fetchall()
+        # has RETURNED but the done-append hasn't run when the timer checks
+        # — leaves a stale interrupt flag on the connection with no query
+        # running; the sentinel SELECT 1 before the NEXT timed oracle
+        # absorbs that flag so the real execute() never raises spuriously.
+        import threading
         done = []
+        lock = threading.Lock()
         def _interrupt():
-            if not done:
-                con.interrupt()
+            with lock:
+                if not done:
+                    con.interrupt()
         try:
             if TIMEOUT_S:
-                import threading
+                try:
+                    con.execute("SELECT 1").fetchall()
+                except duckdb.InterruptException:
+                    pass  # stale flag from a prior oracle's late timer
                 timer = threading.Timer(TIMEOUT_S, _interrupt)
                 timer.start()
             duck_rel = con.execute(oracle[name])
             duck_cols = [c[0] for c in duck_rel.description]
             duck_rows = duck_rel.fetchall()
-            done.append(True)
+            with lock:
+                done.append(True)
         except duckdb.InterruptException:
             print(f"TIMEOUT {name}: oracle exceeded {TIMEOUT_S}s (oracle-side scale limit)")
             n_timeout += 1
@@ -89,7 +99,8 @@ def main(sfdir, outdir):
             n_fail += 1
             continue
         finally:
-            done.append(True)
+            with lock:
+                done.append(True)
             if timer is not None:
                 timer.cancel()
         sc, sr = norm(spark_rows, spark_cols)
