@@ -19,17 +19,38 @@ import graft.SparkSpec
   * plan-shape review.
   *
   * Queries whose plan embeds session-lifetime state (the IVF persisted
-  * index falls back between warehouse states) are excluded by name.
+  * index) are snapshotted under PINNED cache states instead of excluded:
+  * `ann_ivf@cold` drops the fingerprinted index tables first (the plan
+  * that builds + probes), `ann_ivf@warm` re-derives the plan immediately
+  * after (the probe against the now-persisted tables) — both states are
+  * reproducible, so both plans are regression-guarded.
   */
 class PlanSnapshotSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
   private val resource = "src/test/resources/plan_signatures.json"
 
-  // ann_ivf: plan depends on whether the fingerprinted index table is
-  // already persisted in the warehouse (build-vs-probe fallback);
-  // dedup_incremental shares the same persisted-index seam
-  private val excluded = Set("ann_ivf", "dedup_incremental")
+  // ann_ivf's REGULAR entry is replaced by the two pinned-state variants
+  // below — an unpinned snapshot would flap with whatever warehouse state
+  // the previous run left behind
+  private val excluded = Set("ann_ivf")
+
+  /** Pinned-cache-state variants, evaluated IN ORDER (cold's construction
+    * persists the index that warm then probes). dedup_incremental needs no
+    * variant: its index is an inline localCheckpoint whose plan shape
+    * (Scan ExistingRDD) is construction-deterministic — it holds a regular
+    * entry since r13.
+    */
+  private def pinnedVariants: Seq[(String, () => String)] = {
+    def dropIvf(): Unit = {
+      val fp = graft.io.Fingerprint.ofPath(spark, s"$dir/embeddings.parquet")
+      Seq(s"graft_ivf_cells_v2_$fp", s"graft_ivf_centroids_v2_$fp")
+        .foreach(graft.io.Bucketing.dropTable(spark, _))
+    }
+    Seq(
+      "ann_ivf@cold" -> (() => { dropIvf(); signature("ann_ivf") }),
+      "ann_ivf@warm" -> (() => signature("ann_ivf")))
+  }
 
   private def signature(name: String): String = {
     // sparkPlan, not executedPlan: the pre-adaptive physical plan is what
@@ -40,7 +61,10 @@ class PlanSnapshotSpec extends SparkSpec {
       .queryExecution.sparkPlan
     val names = scala.collection.mutable.ArrayBuffer.empty[String]
     plan.foreach(p => names += p.nodeName)
+    // the IVF table names embed the DATA fingerprint (file sizes/mtimes) —
+    // normalise it so a fixture regeneration can't break the snapshot
     names.mkString(">")
+      .replaceAll("(graft_ivf_[a-z]+_v2_)[0-9a-f]+", "$1FP")
   }
 
   private def load(): Map[String, String] = {
@@ -55,9 +79,16 @@ class PlanSnapshotSpec extends SparkSpec {
 
   test("every query's physical plan shape matches its frozen signature") {
     val names = graft.SparkEntry.queries.keySet -- excluded
+    // pinned variants are evaluated lazily AND in declaration order — the
+    // cold snapshot's side effect (persisting the index) is what makes the
+    // warm snapshot's state
+    val variantSigs: Seq[(String, () => String)] = pinnedVariants
+    val allNames = names ++ variantSigs.map(_._1)
     if (sys.env.contains("GRAFT_REGEN_PLANS")) {
-      val entries = names.toSeq.sorted
+      val regular = names.toSeq.sorted
         .map(n => s"""  "$n": "${signature(n)}"""")
+      val pinned = variantSigs.map { case (n, f) => s"""  "$n": "${f()}"""" }
+      val entries = (regular ++ pinned).sorted
       java.nio.file.Files.createDirectories(
         java.nio.file.Paths.get("src/test/resources"))
       java.nio.file.Files.write(java.nio.file.Paths.get(resource),
@@ -65,15 +96,21 @@ class PlanSnapshotSpec extends SparkSpec {
       info(s"regenerated ${entries.size} plan signatures")
     } else {
       val want = load()
-      // the snapshot must cover exactly the non-excluded query set — a new
-      // query without a frozen plan (or a stale entry) fails until regen
-      assert(want.keySet === names,
-        s"signature file out of sync: missing=${(names -- want.keySet).toSeq.sorted}, " +
-          s"stale=${(want.keySet -- names).toSeq.sorted} — regenerate with GRAFT_REGEN_PLANS=1")
-      val bad = names.toSeq.sorted.flatMap { n =>
+      // the snapshot must cover exactly the non-excluded query set plus the
+      // pinned variants — a new query without a frozen plan (or a stale
+      // entry) fails until regen
+      assert(want.keySet === allNames,
+        s"signature file out of sync: missing=${(allNames -- want.keySet).toSeq.sorted}, " +
+          s"stale=${(want.keySet -- allNames).toSeq.sorted} — regenerate with GRAFT_REGEN_PLANS=1")
+      val regularBad = names.toSeq.sorted.flatMap { n =>
         val got = signature(n)
         if (got == want(n)) None else Some(s"$n:\n  frozen: ${want(n)}\n  got:    $got")
       }
+      val pinnedBad = variantSigs.flatMap { case (n, f) =>
+        val got = f()
+        if (got == want(n)) None else Some(s"$n:\n  frozen: ${want(n)}\n  got:    $got")
+      }
+      val bad = regularBad ++ pinnedBad
       assert(bad.isEmpty,
         s"${bad.size} plan shape(s) drifted:\n${bad.mkString("\n")}\n" +
           "If intended, regenerate with GRAFT_REGEN_PLANS=1 and review the diff.")
