@@ -36,11 +36,11 @@ object Events {
     * (event_type → char), default = first char of the type name. Shared
     * by engine and oracle builders below.
     */
-  private def validateCharMap(charMap: Map[String, String]): Unit =
+  private[graft] def validateCharMap(charMap: Map[String, String]): Unit =
     require(charMap.values.forall(_.length == 1),
       s"matchPattern: charMap values must be single chars, got $charMap")
 
-  private def encodeCol(typeCol: String, charMap: Map[String, String]): Column = {
+  private[graft] def encodeCol(typeCol: String, charMap: Map[String, String]): Column = {
     val base = substring(col(typeCol), 1, 1)
     charMap.foldLeft(base) { case (acc, (t, c)) =>
       when(col(typeCol) === t, lit(c)).otherwise(acc)

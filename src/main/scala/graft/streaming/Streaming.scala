@@ -327,6 +327,58 @@ object Streaming {
       .toDF("user_id", "stage", "t1_us", "t2_us", "t3_us", "n_pending")
   }
 
+  final case class PatEvent(user_id: Long, ts_us: Long, tie: Long, ch: String)
+  final case class PatternCount(user_id: Long, n_events: Long, n_matches: Long)
+
+  /** D26: streaming CEP motif monitor — the batch B63/B64
+    * [[graft.ops.events.Events.matchPattern]] as a per-user stateful
+    * stream: each user's `flatMapGroupsWithState` group holds the FULL
+    * (ts, tie, ch) event list and every batch re-sorts and re-counts, so
+    * each emission is EXACTLY the batch answer over everything seen so
+    * far — out-of-order arrivals are absorbed by construction (a late
+    * event changes the next emission, never corrupts state), the same
+    * stance as the D21 funnel. Pattern and event-char mapping are the
+    * SAME arguments as the batch op, so one motif definition serves
+    * batch, oracle, and stream.
+    *
+    * Emits one (user, n_events, n_matches) row per user per batch
+    * (append; latest per user wins at the consumer — the D8/D24 update
+    * convention). State per user is that user's event count — the
+    * sessionize-class contract; a production stream bounds it with an
+    * ingest watermark + EventTimeTimeout exactly like [[dormancyMonitor]],
+    * which changes none of the logic. Runs identically on a batch frame
+    * (each group arrives complete in one call) — the batch run AND the
+    * batch operator are both oracles (StreamingSpec checks all three
+    * agree).
+    */
+  def patternMonitor(events: DataFrame, pattern: String,
+                     charMap: Map[String, String] = Map.empty): Dataset[PatternCount] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    graft.ops.events.Events.validateCharMap(charMap)
+    // compile once on the driver: a malformed pattern fails at plan time,
+    // not per-task; java.util.regex.Pattern is serializable
+    val compiled = java.util.regex.Pattern.compile(pattern)
+    val typed = events
+      .select(col("user_id").cast("long").as("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("event_id").cast("long").as("tie"),
+        graft.ops.events.Events.encodeCol("event_type", charMap).as("ch"))
+      .as[PatEvent]
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[PatEvent], state: GroupState[List[PatEvent]]) =>
+          val all = it.foldLeft(state.getOption.getOrElse(Nil))((acc, e) => e :: acc)
+          state.update(all)
+          val seq = all.sortBy(e => (e.ts_us, e.tie)).iterator
+            .map(_.ch).mkString
+          val m = compiled.matcher(seq)
+          var n = 0L
+          while (m.find()) n += 1
+          Iterator.single(PatternCount(uid, seq.length.toLong, n))
+      }
+  }
+
   /** D24: streaming value histogram — the B57 equi-width distribution
     * profile maintained live per bucket in update mode: bucketing is the
     * same narrow floor-divide, and every per-bucket statistic (count,
@@ -753,6 +805,64 @@ object Streaming {
             state.setTimeoutTimestamp(maxTs + 1)
             out.result().iterator
           }
+      }
+  }
+
+  final case class FpDoc(fp: Long, id: Long)
+  final case class FpPair(a: Long, b: Long, fp: Long)
+
+  /** D27: streaming winnowing pair witnesses — the C85
+    * [[graft.ops.dedup.Dedup.winnowIncrement]] family at ingest, the
+    * exact-substring counterpart of D7: each arriving document is winnowed
+    * (same MOSS kernel as the batch index), every selected fingerprint's
+    * bucket is a `flatMapGroupsWithState` group holding its member ids,
+    * and a new member emits one (a, b, fp) WITNESS row against each
+    * existing member — every row certifies a shared k-gram between the two
+    * documents, immediately, as data streams in. A document re-presenting
+    * the same fingerprint (another position, another batch) is absorbed by
+    * the membership set, so each (pair, fp) witness is emitted EXACTLY
+    * once and the per-pair witness count aggregated downstream equals the
+    * batch [[graft.ops.dedup.Dedup.winnowIndex]] self-join's `shared`
+    * count regardless of how the stream is batched (StreamingSpec asserts
+    * the set equality).
+    *
+    * Deliberately emits certificates, not thresholded containment: the
+    * containment denominator (per-doc guarded fingerprint count) and the
+    * df guard are FINAL-corpus facts a stream cannot know mid-flight —
+    * they belong to the consumer (aggregate + join sizes, or the batch
+    * increment op on a checkpoint), exactly as D8 emits Misra–Gries
+    * CANDIDATES for the batch verifier. `maxBucket` hard-stops a
+    * boilerplate fingerprint's bucket (the streaming face of the batch
+    * df ≤ 50 guard): a saturated bucket emits nothing further, bounding
+    * any bucket's pair volume at maxBucket²/2; state is otherwise
+    * NoTimeout and a production stream bounds it with the D7b
+    * retention-watermark pattern unchanged.
+    */
+  def winnowPairMonitor(docs: DataFrame, k: Int = 5, w: Int = 4,
+                        maxBucket: Int = Int.MaxValue): Dataset[FpPair] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val fps = graft.ops.text.TextOps.winnow(docs, k, w)
+      .select(col("fp"), col("doc_id").cast("long").as("id"))
+      .as[FpDoc]
+    fps.groupByKey(_.fp)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (fp: Long, it: Iterator[FpDoc], state: GroupState[List[Long]]) =>
+          var members = state.getOption.getOrElse(Nil)
+          val out = List.newBuilder[FpPair]
+          it.foreach { d =>
+            if (!members.contains(d.id)) {
+              if (members.size < maxBucket) {
+                members.foreach { o =>
+                  val (a, b) = if (o < d.id) (o, d.id) else (d.id, o)
+                  out += FpPair(a, b, fp)
+                }
+              }
+              members ::= d.id
+            }
+          }
+          state.update(members)
+          out.result().iterator
       }
   }
 

@@ -822,4 +822,81 @@ class StreamingSpec extends SparkSpec {
       spark.read.parquet(s"$dir/documents.parquet")))
     assert(streamed.nonEmpty && streamed === batch)
   }
+
+  test("D26: streaming CEP motif monitor equals the batch operator, absorbing out-of-order arrivals") {
+    import org.apache.spark.sql.types._
+    // split by event_id parity: every user's history interleaves the two
+    // batches, so most arrivals land out of (ts, tie) order mid-stream —
+    // the re-sort-on-emit contract is what keeps the final counts exact
+    val ev = batchEvents.select("event_id", "ts", "user_id", "event_type")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cep").toString
+    ev.where(col("event_id") % 2 === 1).coalesce(1).write.parquet(s"$tmp/b1")
+    ev.where(col("event_id") % 2 === 0).coalesce(1).write.parquet(s"$tmp/b2")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType)))
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/*/")
+    val q = Streaming.patternMonitor(src, "vc*p").writeStream
+      .format("memory").queryName("cep_counts").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    // one emission per user per batch; n_events grows monotonically, so the
+    // max-n_events row per user is the final state
+    val streamed = spark.table("cep_counts").collect()
+      .groupBy(_.getLong(0))
+      .map { case (u, rs) => val r = rs.maxBy(_.getLong(1))
+        (u, r.getLong(1), r.getLong(2)) }.toSet
+    val batch = graft.ops.events.Events
+      .matchPattern(batchEvents, "vc*p", keepZero = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed.nonEmpty && streamed === batch)
+    assert(streamed.exists(_._3 > 0)) // the motif actually fires somewhere
+    // batch-mode run of the SAME op (each group complete in one call)
+    val twin = Streaming.patternMonitor(batchEvents, "vc*p").collect()
+      .map(p => (p.user_id, p.n_events, p.n_matches)).toSet
+    assert(twin === batch)
+  }
+
+  test("D27: winnow pair witnesses aggregate to the batch index self-join across batch splits") {
+    import org.apache.spark.sql.types._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-wpm").toString
+    docs.where(col("doc_id") % 2 === 0).coalesce(1).write.parquet(s"$tmp/b1")
+    docs.where(col("doc_id") % 2 === 1).coalesce(1).write.parquet(s"$tmp/b2")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/*/")
+    val q = Streaming.winnowPairMonitor(src).writeStream
+      .format("memory").queryName("wpm_pairs").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("wpm_pairs").groupBy("a", "b")
+      .agg(count(lit(1)).as("shared")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val idx = graft.ops.dedup.Dedup.winnowIndex(docs)
+    val batch = idx.as("x").join(idx.as("y"),
+        col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("shared")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed.nonEmpty && streamed === batch)
+  }
+
+  test("D27: a saturated fingerprint bucket stops emitting (the streaming df guard)") {
+    import spark.implicits._
+    val boiler = "identical boilerplate fingerprint text for every doc"
+    val docs = (1L to 4L).map(i => (i, boiler)).toDF("doc_id", "text")
+    // cap 2: the 3rd and 4th members of every bucket arrive into a full
+    // bucket and certify nothing
+    val got = Streaming.winnowPairMonitor(docs, maxBucket = 2)
+      .collect().map(p => (p.a, p.b)).toSet
+    // uncapped, all 6 pairs certify
+    val all = Streaming.winnowPairMonitor(docs)
+      .collect().map(p => (p.a, p.b)).toSet
+    assert(all === (for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)).toSet)
+    // capped at 2 members, exactly one pair certifies per bucket (WHICH
+    // pair depends on within-group arrival order — asserted by size)
+    assert(got.size === 1 && all.contains(got.head))
+  }
 }
