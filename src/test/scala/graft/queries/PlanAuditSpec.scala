@@ -402,6 +402,38 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("partial"), plan)
   }
 
+  test("events_abandon (parameterized CEP) is one keyed aggregate, no join, no window") {
+    val plan = planOf("events_abandon")
+    // the whole CEP: ONE shuffle into the per-user sequence aggregate, then
+    // a narrow scan-side regex — a window-over-the-stream or self-join
+    // formulation would be the 100 TB regression this guards against
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(plan.contains("partial"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("dedup_winnow_inc broadcasts the batch postings against the streamed index") {
+    val plan = planOf("dedup_winnow_inc")
+    // per-batch contract: the (small) guarded batch side broadcasts; the
+    // corpus-sized index must never re-key through a shuffle join
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("partial"), plan)
+  }
+
+  test("kg_modularity keeps membership joins keyed; only the 1-row edge count crosses") {
+    val plan = planOf("kg_modularity")
+    // the single BroadcastNestedLoopJoin is the 1-row total-edge-count
+    // attach (benign by construction); everything |V|/|E|-sized must stay
+    // a keyed equi join and aggregate map-side
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("partial"), plan)
+    assert(plan.split("BroadcastNestedLoopJoin").length - 1 === 1, plan)
+  }
+
   test("q_salted_join keys on (key, salt) with no fallback to a loop join") {
     val plan = planOf("q_salted_join")
     // the whole point: the join stays a keyed equi join on the widened key
