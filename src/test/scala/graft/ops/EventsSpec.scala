@@ -87,6 +87,32 @@ class EventsSpec extends SparkSpec {
     }
   }
 
+  test("random histories with timestamp ties match a driver-side reference") {
+    // cross-checks the DISTRIBUTED pieces (collect_list + struct array_sort
+    // + field projection) against plain driver code on adversarial inputs:
+    // duplicate timestamps, interleaved users, multiple motif firings
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val types = Vector("view", "click", "purchase", "error", "signup")
+    for (pattern <- Seq("vc*p", "(vp|vc)", "c{2,3}", "vc+[^p]*$")) {
+      val rows = (0 until 400).map { i =>
+        // ts drawn from a SMALL range so ties are common
+        (rnd.nextInt(8).toLong, rnd.nextInt(20).toLong, i.toLong,
+          types(rnd.nextInt(types.size)))
+      }
+      val want = rows.groupBy(_._1).map { case (u, es) =>
+        val seq = es.sortBy(e => (e._2, e._3)).map(_._4.head).mkString
+        val m = java.util.regex.Pattern.compile(pattern).matcher(seq)
+        var n = 0L; while (m.find()) n += 1
+        (u, seq.length.toLong, n)
+      }.filter(_._3 > 0).toSet
+      val got = Events.matchPattern(
+          rows.toDF("user_id", "ts", "event_id", "event_type"), pattern)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === want, s"pattern $pattern")
+    }
+  }
+
   test("generated oracle SQL embeds the same pattern and mapping") {
     val sql = Events.matchPatternSql("vc+[^P]*$", charMap = Map(P -> "P"))
     assert(sql.contains("'vc+[^P]*$'"))

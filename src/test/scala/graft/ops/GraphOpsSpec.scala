@@ -307,6 +307,34 @@ class GraphOpsSpec extends SparkSpec {
     assert(gotMessy === got.map { case (k, v) => k -> v._4 })
   }
 
+  test("modularity: random graphs and partitions match a driver-side reference") {
+    val rnd = new scala.util.Random(17)
+    for (_ <- 1 to 5) {
+      val nV = 8 + rnd.nextInt(8)
+      val raw = Seq.fill(30)((s"n${rnd.nextInt(nV)}", s"n${rnd.nextInt(nV)}"))
+      val canon = raw.filter(e => e._1 != e._2)
+        .map(e => if (e._1 < e._2) e else e.swap).distinct
+      val nodes = canon.flatMap(e => Seq(e._1, e._2)).distinct
+      val mem = nodes.map(n => (n, s"c${rnd.nextInt(3)}"))
+      val cm = mem.toMap
+      val m = canon.size.toDouble
+      val deg = canon.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val want = mem.groupBy(_._2).map { case (c, ns) =>
+        val dC = ns.map(n => deg(n._1)).sum
+        val eC = canon.count(e => cm(e._1) == c && cm(e._2) == c).toLong
+        val contrib = BigDecimal(eC / m - (dC / (2 * m)) * (dC / (2 * m)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        c -> ((ns.size.toLong, dC, eC, contrib))
+      }
+      val got = GraphOps.modularity(raw.toDF("from", "to"),
+          mem.toDF("node", "community")).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4)))).toMap
+      assert(got === want)
+    }
+  }
+
   test("assortativity: hand-computed mixed graph, -1 on a star, NULL on a regular graph") {
     def r(es: Seq[(String, String)]): (Long, Option[Double]) = {
       val row = GraphOps.assortativity(es.toDF("from", "to")).head()
