@@ -422,6 +422,115 @@ object Relational {
       |FROM w GROUP BY user_id
       |ORDER BY score DESC, user_id LIMIT 10""".stripMargin
 
+  /** B65: multi-touch purchase attribution — for every purchase, the
+    * user's view/click touches within a 24 h lookback, credited per touch
+    * type under the three standard models at once: first-touch,
+    * last-touch, and any-touch reach (purchases_touched), plus raw touch
+    * volume. All four are EXACT integers (no fractional linear credit —
+    * a cross-engine double-sum trap for zero analytic gain when the
+    * per-model counts are available exactly); first/last election is the
+    * deterministic (ts, event_id) order. The marketing-analytics staple
+    * next to the funnel (B32: did the user progress) and the CEP motif
+    * (B63: how many times): WHICH channel gets the conversion credit.
+    *
+    * Scale shape: the purchase×touch pairing is a user-keyed equi join
+    * with a time-band predicate (the q_range_join stance) — per-user
+    * work bounded by that user's 24 h activity, never a global cross;
+    * the first/last election windows partition by purchase id (per-
+    * purchase touch lists, sessionize-class state); final agg is
+    * |touch types| rows.
+    */
+  def eventsAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("tus"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("pid"), col("tus").as("pts"))
+    val touches = ev.where(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("event_id").as("tid"),
+        col("event_type").as("touch_type"), col("tus").as("tts"))
+    val lookbackUs = 24L * 3600 * 1000000
+    val joined = purchases.join(touches, Seq("user_id"))
+      .where(col("tts") < col("pts") && col("tts") >= col("pts") - lookbackUs)
+      .select(col("pid"), col("touch_type"), col("tts"), col("tid"))
+    val byPurchase = Window.partitionBy("pid")
+    val ranked = joined
+      .withColumn("rn_first", row_number().over(
+        byPurchase.orderBy(col("tts"), col("tid"))))
+      .withColumn("rn_last", row_number().over(
+        byPurchase.orderBy(col("tts").desc, col("tid").desc)))
+    ranked.groupBy("touch_type")
+      .agg(count(lit(1)).as("n_touches"),
+        countDistinct("pid").as("purchases_touched"),
+        sum(when(col("rn_first") === 1, 1L).otherwise(0L)).as("first_touch"),
+        sum(when(col("rn_last") === 1, 1L).otherwise(0L)).as("last_touch"))
+      .orderBy("touch_type")
+  }
+
+  val eventsAttributionSql: String =
+    """WITH ev AS (SELECT user_id, event_id, event_type,
+      |    epoch_us(ts)::BIGINT AS tus FROM events),
+      |p AS (SELECT user_id, event_id AS pid, tus AS pts FROM ev
+      |  WHERE event_type = 'purchase'),
+      |t AS (SELECT user_id, event_id AS tid, event_type AS touch_type,
+      |    tus AS tts FROM ev WHERE event_type IN ('view', 'click')),
+      |j AS (SELECT p.pid, t.touch_type, t.tts, t.tid
+      |  FROM p JOIN t USING (user_id)
+      |  WHERE t.tts < p.pts AND t.tts >= p.pts - 86400000000),
+      |r AS (SELECT pid, touch_type,
+      |    row_number() OVER (PARTITION BY pid ORDER BY tts, tid) AS rn_first,
+      |    row_number() OVER (PARTITION BY pid ORDER BY tts DESC, tid DESC) AS rn_last
+      |  FROM j)
+      |SELECT touch_type, count(*) AS n_touches,
+      |  count(DISTINCT pid) AS purchases_touched,
+      |  sum(CASE WHEN rn_first = 1 THEN 1 ELSE 0 END)::BIGINT AS first_touch,
+      |  sum(CASE WHEN rn_last = 1 THEN 1 ELSE 0 END)::BIGINT AS last_touch
+      |FROM r GROUP BY touch_type ORDER BY touch_type""".stripMargin
+
+  /** B66: behavioural transition matrix — counts of consecutive
+    * (prev_type → next_type) steps within each user's (ts, event_id)-
+    * ordered history, with the row-conditional transition probability
+    * (one division of exact integers, rounded once at 6 dp) — the
+    * first-order Markov profile behind "what do users do after X"
+    * questions and the drift monitor for behavioural change. Counts are
+    * exact ints; ordering ties break on event_id like every other
+    * sequence query.
+    *
+    * Scale shape: ONE per-user window (lag — per-key state is a single
+    * row, the cheapest sessionize-class shape) into a |types|²-keyed
+    * map-combined aggregate; output ≤ |types|² rows.
+    */
+  def eventsMarkov(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tus"), col("event_id"))
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("tus"), col("event_id"))
+    val steps = ev
+      .withColumn("prev_type", lag("event_type", 1).over(byUser))
+      .where(col("prev_type").isNotNull)
+    val totals = Window.partitionBy("prev_type")
+    steps.groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p",
+        round(col("n").cast("double") / sum("n").over(totals), 6))
+      .select(col("prev_type"), col("next_type"), col("n"), col("p"))
+      .orderBy("prev_type", "next_type")
+  }
+
+  val eventsMarkovSql: String =
+    """WITH ev AS (SELECT user_id, event_type, epoch_us(ts)::BIGINT AS tus,
+      |    event_id FROM events),
+      |s AS (SELECT user_id, event_type AS next_type,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY tus, event_id)
+      |      AS prev_type
+      |  FROM ev),
+      |c AS (SELECT prev_type, next_type, count(*) AS n FROM s
+      |  WHERE prev_type IS NOT NULL GROUP BY prev_type, next_type)
+      |SELECT prev_type, next_type, n,
+      |  round(n::DOUBLE / sum(n) OVER (PARTITION BY prev_type), 6) AS p
+      |FROM c ORDER BY prev_type, next_type""".stripMargin
+
   /** B61: WHOLE-TABLE exact percentiles — the single-global-group shape
     * that was flatly infeasible with an in-memory percentile aggregate
     * (one reducer buffering every price in the corpus) and that r11's
