@@ -78,6 +78,58 @@ def time_noop(df):
     return min(times[1:])
 
 
+def pg_convert_workload(spark, part, orders):
+    """triples -> PG-Format through the reference's triples_2_pg_df
+    (4 filtered groupBys + 3 joins, src/ketl/io/core.py:16). The input
+    triples (A1 nodes + A2 edges) are CACHED and materialised first so
+    the timing isolates the conversion — graft.tools.BenchPgConvert does
+    the same on its side.
+    """
+    # ketl.io.core imports a helper package absent from this container, so
+    # the function body (src/ketl/io/core.py:56-112) is reproduced verbatim
+    # in plan terms below — 5 filtered groupBys + 4 left joins on id —
+    # which is the thing being timed.
+    from pyspark.sql import functions as F
+
+    def triples_2_pg_df(triples_df):
+        type_labels = (triples_df.filter(F.col("key") == "@type")
+                       .groupBy("id").agg(F.collect_set("value").alias("labels")))
+        from_values = (triples_df.filter(F.col("key") == "@from")
+                       .groupBy("id").agg(F.first("value").alias("from")))
+        to_values = (triples_df.filter(F.col("key") == "@to")
+                     .groupBy("id").agg(F.first("value").alias("to")))
+        property_values = (triples_df
+                           .filter(~F.col("key").isin("@type", "@from", "@to"))
+                           .groupBy("id", "key")
+                           .agg(F.collect_set("value").alias("values")))
+        properties = property_values.groupBy("id").agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("key"), F.col("values")))
+            ).alias("properties"))
+        result = (triples_df.select("id").distinct()
+                  .join(type_labels, on="id", how="left")
+                  .join(from_values, on="id", how="left")
+                  .join(to_values, on="id", how="left")
+                  .join(properties, on="id", how="left"))
+        result = result.withColumn(
+            "properties",
+            F.when(F.col("properties").isNull(), F.create_map())
+             .otherwise(F.col("properties")))
+        return result.withColumn(
+            "type",
+            F.when(F.col("from").isNotNull(), F.lit("edge"))
+             .otherwise(F.lit("node")))
+
+    triples = nodes_mapper().map(part).union(edges_mapper().map(orders))
+    triples = triples.cache()
+    n_triples = triples.count()
+    pg = triples_2_pg_df(triples)
+    n_rows = pg.count()
+    secs = time_noop(pg)
+    triples.unpersist()
+    return secs, n_triples, n_rows
+
+
 def main(sfdir):
     spark = (SparkSession.builder.master("local[32]")
              .appName("ketl-reference-bench")
@@ -96,6 +148,10 @@ def main(sfdir):
         triples = mapper.map(src)
         out["rows"][name] = triples.count()
         out["queries"][name] = round(time_noop(triples), 3)
+    secs, n_triples, n_rows = pg_convert_workload(spark, part, orders)
+    out["queries"]["pg_convert"] = round(secs, 3)
+    out["rows"]["pg_convert"] = n_rows
+    out["rows"]["pg_convert_input_triples"] = n_triples
     out["value"] = round(sum(out["queries"].values()), 3)
     out["metric"] = "reference_total"
     out["unit"] = "sec"
