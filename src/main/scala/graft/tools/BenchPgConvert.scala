@@ -42,11 +42,28 @@ object BenchPgConvert {
       (System.nanoTime() - t0) / 1e9
     }
     val best = times.drop(1).min
+
+    // head-to-head partner of the reference's pg_df_2_pg_jsonl (driver
+    // toLocalIterator + per-row json.dumps): graft's DISTRIBUTED JSONL
+    // write, timed over the same CACHED PG frame so only the
+    // serialization+write is measured
+    val pgCached = pg.cache()
+    pgCached.count()
+    val jsonlDir = java.nio.file.Files.createTempDirectory("graft-pg-jsonl").toString
+    val jTimes = (0 to reps).map { i =>
+      val t0 = System.nanoTime()
+      graft.etl.PgGraph.writeJsonl(pgCached, s"$jsonlDir/p$i")
+      (System.nanoTime() - t0) / 1e9
+    }
+    val jBest = jTimes.drop(1).min
+
     // RAW println to stdout, the Bench convention — grep '^{'
     // scalastyle:off println
     println(s"""{"metric":"pg_convert","value":${math.round(best * 1000) / 1000.0},""" +
+      s""""jsonl_write":${math.round(jBest * 1000) / 1000.0},""" +
       s""""unit":"sec","rows":$nRows,"input_triples":$nTriples,"sf":"$sfDir","reps":$reps}""")
     // scalastyle:on println
+    pgCached.unpersist()
     triples.unpersist()
     spark.stop()
   }

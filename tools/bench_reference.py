@@ -126,8 +126,35 @@ def pg_convert_workload(spark, part, orders):
     pg = triples_2_pg_df(triples)
     n_rows = pg.count()
     secs = time_noop(pg)
+
+    # pg_df_2_pg_jsonl (src/ketl/io/core.py:130): toLocalIterator + per-row
+    # json.loads/json.dumps ON THE DRIVER — reproduced verbatim below (its
+    # dump_output helper import is absent from the container). The PG frame
+    # is cached first so the timing isolates the serialization+write, as
+    # graft.tools.BenchPgConvert does for its distributed writeJsonl.
+    import json as _json
+    pg = pg.cache()
+    pg.count()
+
+    def jsonl_pass(path):
+        t0 = time.monotonic()
+        with open(path, "w") as fh:
+            for row in pg.toLocalIterator():
+                properties = {k: [_json.loads(v) for v in vlist]
+                              for k, vlist in row.properties.items()}
+                elem = {"type": row.type, "id": row.id, "labels": row.labels,
+                        "properties": properties}
+                if row.type == "edge":
+                    elem["from"] = row["from"]
+                    elem["to"] = row["to"]
+                fh.write(_json.dumps(elem) + "\n")
+        return time.monotonic() - t0
+
+    jtimes = [jsonl_pass(f"/tmp/ref_pg_{i}.jsonl") for i in range(REPS + 1)]
+    jsonl_secs = min(jtimes[1:])
+    pg.unpersist()
     triples.unpersist()
-    return secs, n_triples, n_rows
+    return secs, n_triples, n_rows, jsonl_secs
 
 
 def main(sfdir):
@@ -148,8 +175,9 @@ def main(sfdir):
         triples = mapper.map(src)
         out["rows"][name] = triples.count()
         out["queries"][name] = round(time_noop(triples), 3)
-    secs, n_triples, n_rows = pg_convert_workload(spark, part, orders)
+    secs, n_triples, n_rows, jsonl_secs = pg_convert_workload(spark, part, orders)
     out["queries"]["pg_convert"] = round(secs, 3)
+    out["queries"]["pg_jsonl_write"] = round(jsonl_secs, 3)
     out["rows"]["pg_convert"] = n_rows
     out["rows"]["pg_convert_input_triples"] = n_triples
     out["value"] = round(sum(out["queries"].values()), 3)
