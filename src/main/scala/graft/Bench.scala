@@ -95,6 +95,17 @@ object Bench {
     // also drop the line in a plain file: sbt prefixes stdout with [info],
     // which can defeat the driver's JSON parse of the log stream
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), json + "\n")
+    // tail-safe per-query record: the driver keeps only the LAST ~2000 chars
+    // of stdout, and the ~4 KB keyed map above starts before that window —
+    // r13's archived tail reconstructed only ~83/180 timings. Integer
+    // milliseconds in SORTED-KEY order compress the full suite to ~1 KB, so
+    // this line plus the final total line always fit whole in the window.
+    // Reconstruction: zip `values` with the sorted non-failed query keys
+    // (equivalently: the sorted key set of bench.json's "queries" map, or
+    // oracle_sql.json's keys minus `failed`).
+    val msJson = results.map { case (_, v) => math.round(v * 1000).toString }
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"timings_ms","order":"sorted_keys","n":${results.size},"failed":$failedJson,"values":$msJson}""")
     // final SHORT machine line: the driver captures a bounded tail of stdout
     // and the ~2 KB per-query line can start before the window — a compact
     // last line guarantees the tail always contains one parseable record

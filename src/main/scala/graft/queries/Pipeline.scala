@@ -854,10 +854,12 @@ object Pipeline {
        |pk0 AS (SELECT bd, pl, xor(bk6.y, pl::HUGEINT) AS x
        |  FROM bk6 CROSS JOIN pls),
        |${mix64Ctes("pk", "bd, pl", "pk0")},
+       |dm AS (SELECT max(len(v))::BIGINT AS d FROM e),
+       |dms AS (SELECT unnest(range(0, d)) AS i FROM dm),
        |sg0 AS (SELECT bd, pl, i,
        |    xor(pk6.y, (i::HUGEINT * 11400714819323198485::HUGEINT)
        |      % 18446744073709551616::HUGEINT) AS x
-       |  FROM pk6 CROSS JOIN range(0, 64) t(i)),
+       |  FROM pk6 CROSS JOIN dms),
        |${mix64Ctes("sg", "bd, pl, i", "sg0")},
        |sl AS (SELECT bd, pl,
        |    list(CASE WHEN y % 2 = 1 THEN 1.0 ELSE -1.0 END ORDER BY i) AS sv
@@ -1339,7 +1341,8 @@ object Pipeline {
       |pk_4 AS (SELECT b, p, xor(y, y >> 27) y FROM pk_3),
       |pk_5 AS (SELECT b, p, (((y >> 32) * 10723151780598845931::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT + (y % 4294967296::HUGEINT) * 10723151780598845931::HUGEINT) % 18446744073709551616::HUGEINT y FROM pk_4),
       |pk AS (SELECT b, p, xor(y, y >> 31) x FROM pk_5),
-      |di AS (SELECT b, p, i, xor(x, (i::HUGEINT * 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT) x FROM pk, range(0,64) d(i)),
+      |dmx AS (SELECT unnest(range(0, (SELECT max(len(v)) FROM e))) AS i),
+      |di AS (SELECT b, p, i, xor(x, (i::HUGEINT * 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT) x FROM pk, dmx),
       |sg_1 AS (SELECT b, p, i, (x + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT y FROM di),
       |sg_2 AS (SELECT b, p, i, xor(y, y >> 30) y FROM sg_1),
       |sg_3 AS (SELECT b, p, i, (((y >> 32) * 13787848793156543929::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT + (y % 4294967296::HUGEINT) * 13787848793156543929::HUGEINT) % 18446744073709551616::HUGEINT y FROM sg_2),
@@ -1655,7 +1658,7 @@ object Pipeline {
       |  FROM e)
       |SELECT vec_id, scale, i::INT AS pos,
       |  CASE WHEN scale = 0 THEN 0 ELSE round(v[i+1] / scale * 127)::INT END AS q
-      |FROM s, range(0, 64) t(i)
+      |FROM s, unnest(range(0, len(v))) t(i)
       |ORDER BY vec_id, pos""".stripMargin
 
   // ---- C41: Johnson–Lindenstrauss sign projection -------------------------
@@ -1671,10 +1674,12 @@ object Pipeline {
     */
   val embedProjectSql: String =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+      |dm AS (SELECT max(len(v))::HUGEINT AS d FROM e),
+      |dmi AS (SELECT unnest(range(0, d::BIGINT)) AS i, d FROM dm),
       |ij AS (SELECT j, i,
-      |    ((j::HUGEINT * 64 + i::HUGEINT) * 11400714819323198485::HUGEINT + 17::HUGEINT)
+      |    ((j::HUGEINT * d + i::HUGEINT) * 11400714819323198485::HUGEINT + 17::HUGEINT)
       |      % 18446744073709551616::HUGEINT AS x
-      |  FROM range(0,16) a(j), range(0,64) b(i)),
+      |  FROM range(0,16) a(j) CROSS JOIN dmi),
       |m1 AS (SELECT j, i, (x + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT y FROM ij),
       |m2 AS (SELECT j, i, xor(y, y >> 30) y FROM m1),
       |m3 AS (SELECT j, i, (((y >> 32) * 13787848793156543929::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT + (y % 4294967296::HUGEINT) * 13787848793156543929::HUGEINT) % 18446744073709551616::HUGEINT y FROM m2),

@@ -849,16 +849,24 @@ object Streaming {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (fp: Long, it: Iterator[FpDoc], state: GroupState[List[Long]]) =>
           var members = state.getOption.getOrElse(Nil)
+          // Set shadow of the List state for O(1) membership (the state
+          // encoder wants the List; contains on it is O(n) per arrival)
+          val seen = scala.collection.mutable.HashSet.empty[Long]
+          seen ++= members
+          var size = seen.size
           val out = List.newBuilder[FpPair]
           it.foreach { d =>
-            if (!members.contains(d.id)) {
-              if (members.size < maxBucket) {
-                members.foreach { o =>
-                  val (a, b) = if (o < d.id) (o, d.id) else (d.id, o)
-                  out += FpPair(a, b, fp)
-                }
+            // a saturated bucket can never emit again, so tracking further
+            // membership serves nothing — skip the append too, capping the
+            // state list itself at maxBucket (not just the pair volume)
+            if (size < maxBucket && !seen(d.id)) {
+              members.foreach { o =>
+                val (a, b) = if (o < d.id) (o, d.id) else (d.id, o)
+                out += FpPair(a, b, fp)
               }
               members ::= d.id
+              seen += d.id
+              size += 1
             }
           }
           state.update(members)
