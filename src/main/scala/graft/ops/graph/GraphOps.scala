@@ -237,6 +237,73 @@ object GraphOps {
       .orderBy("node")
   }
 
+  /** Weighted single-source(-set) shortest paths over an undirected PG
+    * edge set — the min-plus generalisation of [[bfsDistances]] (reference
+    * context: path queries over the loaded KG; the bulk form runs here,
+    * not in the graph DB). `wEdges` carries (from, to, `weightCol`); any
+    * non-negative integral edge property serves as the weight. Seeds start
+    * at 0, every other node at +inf; each Pregel superstep relaxes
+    * `dist(src) + w` across both orientations and vertices keep the MIN —
+    * after convergence (or the `maxHops` cap: distances using at most
+    * maxHops edges — the standard bounded-relaxation semantics) a node's
+    * value is its exact shortest weighted distance. Unreachable nodes
+    * produce NO row (their +inf sentinel is filtered, mirroring
+    * bfsDistances). Ties need no tie-break: min over equal path weights
+    * is the weight itself, so the result is deterministic for any
+    * partitioning/arrival order.
+    *
+    * Negative weights are REJECTED (one cheap agg before the graph
+    * build): min-plus relaxation's optimal substructure needs ≥ 0, and a
+    * silent wrong answer on a negative edge is worse than the guard's
+    * cost. Long weights keep sums exact — no float drift between engines.
+    *
+    * Scale: one superstep shuffles at most |E| messages (only improved
+    * vertices re-send — Pregel's active-set semantics); the vid space is
+    * [[nodeIndex]]'s dense sorted ids, no driver-side graph. The oracle
+    * unrolls the relaxation as chained min-distance CTE levels with the
+    * weight in the join (the kg_bfs recipe).
+    */
+  def sssp(wEdges: DataFrame, seeds: Seq[String], maxHops: Int = 10,
+           weightCol: String = "weight"): DataFrame = {
+    val spark = wEdges.sparkSession
+    import spark.implicits._
+    val e = wEdges.select(col("from"), col("to"),
+        col(weightCol).cast("long").as("w"))
+      .where(col("from").isNotNull && col("to").isNotNull)
+    val minW = e.agg(min(col("w"))).head().get(0)
+    require(minW == null || minW.asInstanceOf[Long] >= 0L,
+      s"sssp: negative edge weight $minW — min-plus relaxation requires " +
+        "non-negative weights (Bellman-Ford with negative cycles has no " +
+        "shortest paths; route negative-weight graphs elsewhere)")
+    val idx = nodeIndex(e)
+    val seedVids = idx.filter(col("node").isin(seeds: _*))
+      .select("vid").as[Long].collect().toSet
+    val bcSeeds = spark.sparkContext.broadcast(seedVids)
+    val mapped = e
+      .join(idx.select(col("node").as("from"), col("vid").as("fvid")), "from")
+      .join(idx.select(col("node").as("to"), col("vid").as("tvid")), "to")
+      .select(col("fvid"), col("tvid"), col("w"))
+      .as[(Long, Long, Long)].rdd.map { case (a, b, w) => Edge(a, b, w) }
+    val g = XGraph.fromEdges(mapped, ()).mapVertices((vid, _) =>
+      if (bcSeeds.value.contains(vid)) 0L else Long.MaxValue)
+    val dists = g.pregel(Long.MaxValue, maxIterations = maxHops)(
+      (_, d, msg) => math.min(d, msg),
+      t => {
+        val out =
+          if (t.srcAttr != Long.MaxValue && t.srcAttr + t.attr < t.dstAttr)
+            Iterator((t.dstId, t.srcAttr + t.attr)) else Iterator.empty
+        val back =
+          if (t.dstAttr != Long.MaxValue && t.dstAttr + t.attr < t.srcAttr)
+            Iterator((t.srcId, t.dstAttr + t.attr)) else Iterator.empty
+        out ++ back
+      },
+      math.min)
+      .vertices.filter(_._2 != Long.MaxValue).toDF("vid", "dist")
+    idx.join(dists, "vid")
+      .select(col("node"), col("dist"))
+      .orderBy("node")
+  }
+
   /** Synchronous label propagation (community detection) over an
     * undirected PG edge set, via GraphX Pregel with a DETERMINISTIC
     * tie-break — GraphX's own `LabelPropagation.run` picks `maxBy` over a

@@ -596,6 +596,57 @@ object GraphEtl {
        |SELECT node, dist::INTEGER AS dist FROM d4 ORDER BY node""".stripMargin
   }
 
+  /** A42: weighted SSSP from the region seed set over the containment
+    * hierarchy ([[graft.ops.graph.GraphOps.sssp]], Pregel min-plus
+    * relaxation) — the weighted companion of [[kgBfs]], completing the
+    * classic-path-primitive set beside BFS/PageRank/Katz/HITS/CC/LPA.
+    * Edge weights are an integral per-edge property (here derived
+    * deterministically from the keys — nation→region carries
+    * n_nationkey%5+1, supplier→nation s_suppkey%7+1 — so both engines
+    * price identical paths with exact Long sums; any non-negative
+    * numeric edge property slots in unchanged). The oracle unrolls the
+    * min-plus relaxation as chained min-distance CTE levels with the
+    * weight riding the join — the kg_bfs recipe, `+ e.w` instead of
+    * `+ 1`; four levels cover the hierarchy's ≤ 2-edge shortest paths
+    * with convergence slack.
+    */
+  def kgSssp(spark: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.load(spark, dir, "nation")
+    val supplier = Tables.load(spark, dir, "supplier")
+    val edges = nation.select(
+        concat(lit("nation:"), col("n_nationkey")).as("from"),
+        concat(lit("region:"), col("n_regionkey")).as("to"),
+        (col("n_nationkey") % 5 + 1).cast("long").as("weight"))
+      .unionByName(supplier.select(
+        concat(lit("sup:"), col("s_suppkey")).as("from"),
+        concat(lit("nation:"), col("s_nationkey")).as("to"),
+        (col("s_suppkey") % 7 + 1).cast("long").as("weight")))
+    val seeds = Tables.load(spark, dir, "region")
+      .select(concat(lit("region:"), col("r_regionkey")))
+      .collect().map(_.getString(0)).toSeq
+    graft.ops.graph.GraphOps.sssp(edges, seeds)
+  }
+
+  val kgSsspSql: String = {
+    val levels = (1 to 4).map { i =>
+      s"""d$i AS (SELECT node, min(dist) AS dist FROM (
+         |  SELECT node, dist FROM d${i - 1}
+         |  UNION ALL SELECT e.b, d.dist + e.w FROM e2 e JOIN d${i - 1} d ON e.a = d.node
+         |) s GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH raw AS (
+       |  SELECT 'nation:' || n_nationkey AS f, 'region:' || n_regionkey AS t,
+       |    (n_nationkey % 5 + 1)::BIGINT AS w FROM nation
+       |  UNION ALL SELECT 'sup:' || s_suppkey, 'nation:' || s_nationkey,
+       |    (s_suppkey % 7 + 1)::BIGINT FROM supplier),
+       |e2 AS (SELECT f AS a, t AS b, w FROM raw UNION ALL SELECT t, f, w FROM raw),
+       |d0 AS (SELECT DISTINCT a AS node, 0::BIGINT AS dist
+       |  FROM (SELECT a FROM e2 UNION ALL SELECT b FROM e2) s(a)
+       |  WHERE a LIKE 'region:%'),
+       |$levels
+       |SELECT node, dist FROM d4 ORDER BY node""".stripMargin
+  }
+
   /** A18 (flagship): the reference's whole flow in one query — three tables
     * mapped to a knowledge graph (nodes for regions/nations/suppliers,
     * edges for containment/location), aggregated to PG elements, summarised

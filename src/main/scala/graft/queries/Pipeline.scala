@@ -132,6 +132,28 @@ object Pipeline {
 
   val dedupMinhashSql: String = jaccardPairsSql
 
+  // ---- C2c: the adaptive router's ABOVE-GUARD fallback route --------------
+  // C2 rides the bitmap/prefix exact routes at every shipped fixture (the
+  // guards only engage at ~100x the dense corpus), so the router's
+  // production fallback — dense AND too big for the exact join →
+  // [[Dedup.minhashLsh]] with a warning — was the one branch the driver
+  // gate never exercised (spec-forced only, r13 verdict #1). This query
+  // parameterizes the router PAST the guard: density thresholds zeroed
+  // (every corpus reads as dense, including the degenerate robustness
+  // fixture regardless of its shape) and maxExactDocs=64 (all fixtures
+  // carry 500..50k docs), so the stats probe, the guard arithmetic, and
+  // the fallback branch itself run end-to-end at every SF. The oracle is
+  // the exact pair set (C2/C3's shared stance): the fallback's output IS
+  // minhashLsh's exactly-verified pairs, whose equality to the exact set
+  // at these thresholds/scales is the measured r12 result (2560/2560 at
+  // the sf1 replica after the threshold-aware banding fix) — a residual
+  // banding miss here FAILS the row, which is precisely the gate's job.
+  def dedupNgramFallback(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardAdaptive(docs(spark, dir), minJaccard = 0.5,
+      denseAvgDf = 0.0, denseDensity = 0.0, maxExactDocs = 64)
+
+  val dedupNgramFallbackSql: String = jaccardPairsSql
+
   /** C3b: near-dup pairs → dedup clusters via GraphX connected components
     * (canonical representative = min doc_id of the component). Oracle:
     * recursive-CTE transitive closure + min-reachable-id in SQL —

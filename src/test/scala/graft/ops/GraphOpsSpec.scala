@@ -160,6 +160,39 @@ class GraphOpsSpec extends SparkSpec {
     assert(capped === Map("s" -> 0, "x1" -> 1))
   }
 
+  test("sssp: min-plus beats hop-count, all-1 weights degrade to BFS, negatives refused") {
+    import spark.implicits._
+    // triangle a-b (10), a-c (1), c-b (1): the 2-edge path to b is cheaper
+    // than the direct edge — BFS would say 1 hop, min-plus must say 2
+    val tri = Seq(("a", "b", 10L), ("a", "c", 1L), ("c", "b", 1L))
+      .toDF("from", "to", "weight")
+    val got = GraphOps.sssp(tri, Seq("a")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("a" -> 0L, "b" -> 2L, "c" -> 1L))
+    // unreachable island produces no row; determinism across re-runs
+    val island = tri.unionByName(Seq(("i1", "i2", 3L)).toDF("from", "to", "weight"))
+    val r1 = GraphOps.sssp(island, Seq("a")).collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(r1.map(_._1).toSet === Set("a", "b", "c"))
+    assert(r1.toSeq === GraphOps.sssp(island, Seq("a")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq)
+    // all-1 weights == BFS hop counts (the min-plus/BFS equivalence)
+    val edges = Seq(("s", "x1"), ("x2", "x1"), ("x2", "x3")).toDF("from", "to")
+    val unit = edges.withColumn("weight", lit(1L))
+    val viaSssp = GraphOps.sssp(unit, Seq("s")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val viaBfs = GraphOps.bfsDistances(edges, Seq("s")).collect()
+      .map(r => r.getString(0) -> r.getInt(1).toLong).toMap
+    assert(viaSssp === viaBfs)
+    // maxHops caps the relaxation depth
+    val capped = GraphOps.sssp(unit, Seq("s"), maxHops = 1).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(capped === Map("s" -> 0L, "x1" -> 1L))
+    // negative weights break min-plus optimal substructure: refuse
+    assertThrows[IllegalArgumentException] {
+      GraphOps.sssp(Seq(("a", "b", -1L)).toDF("from", "to", "weight"), Seq("a"))
+    }
+  }
+
   test("nodeIndex is a deterministic bijection — distinct nodes never merge") {
     val many = spark.range(5000)
       .select(concat(lit("n"), col("id")).as("from"),

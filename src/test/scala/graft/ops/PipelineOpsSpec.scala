@@ -254,6 +254,20 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("C2c: dedup_ngram_fallback rides the router's LSH fallback at fixture scale") {
+    // the driver query parameterizes the router past the guard
+    // (density thresholds zeroed, maxExactDocs=64 < every fixture's
+    // 500..50k docs) — assert it actually lands on the minhashLsh branch,
+    // not the exact bitmap loop, and that the branch's output IS
+    // minhashLsh's on the same corpus/threshold
+    val viaRouter = graft.SparkEntry.queries("dedup_ngram_fallback")(spark, dir)
+    val plan = viaRouter.queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("bandsig"), "expected the LSH banding join")
+    assert(!plan.contains("graft_bitmap"), "must not take the dense exact loop")
+    assert(pairs(viaRouter) === pairs(Dedup.minhashLsh(docs, 0.5)))
+    assert(pairs(viaRouter).nonEmpty)
+  }
+
   /** n docs of 30 mostly-unique tokens each, with two planted duplicates. */
   private def zipfianCorpus(n: Int): org.apache.spark.sql.DataFrame = {
     val zipf = spark.range(n).select(col("id").as("doc_id"),
