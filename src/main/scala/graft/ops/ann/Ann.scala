@@ -404,6 +404,106 @@ object Ann {
         (col("id") === col("component")).as("keep"))
       .orderBy(idCol)
 
+  /** SRP signature INDEX of an embedding corpus: (id, v, nrm, planes,
+    * codes) — the build-once half of INCREMENTAL embedding dedup, the
+    * [[graft.ops.dedup.Dedup.minhashIndex]] of the cosine family (C3b has
+    * minhash, C85 winnowing; this closes the symmetry gap for C5/C47).
+    * Persist via `Checkpoint.save` at ingest and probe each new batch
+    * with [[cosineIncrement]]: the corpus is normed and SRP-coded exactly
+    * once across all future increments — at 100 TB the difference between
+    * a daily batch costing O(batch + matched buckets) and O(corpus).
+    *
+    * `planes` auto-sizes from the CORPUS count exactly like
+    * [[cosinePairsLsh]] (2^p ≥ n/32 clamped [4,20] — a fixed p is the
+    * round-10 quadratic), and the chosen value rides along as a column:
+    * the index is self-describing, so a probe can never band against it
+    * with a mismatched plane count (the C3b signature-length migration
+    * hazard, solved structurally). `bands` is recoverable as
+    * `size(codes)`.
+    */
+  def srpIndex(emb: DataFrame, planes: Int = 0, bands: Int = 16,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val base = emb.select(col(idCol).as("id"), vec(col(vecCol)).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val p =
+      if (planes > 0) planes
+      else {
+        val n = math.max(1L, base.count())
+        math.min(20, math.max(4,
+          math.ceil(math.log(math.max(1.0, n / 32.0)) / math.log(2.0)).toInt))
+      }
+    base.select(col("id"), col("v"), col("nrm"), lit(p).as("planes"),
+      srpCodes(col("v"), p, bands).as("codes"))
+  }
+
+  /** Incremental embedding near-dup detection: every pair with cosine ≥
+    * `minCosine` where at least one side is in `newEmb` — (new × indexed)
+    * and (new × new), exactly verified; indexed × indexed pairs are the
+    * previous runs' output and are not re-found. `index` is a
+    * [[srpIndex]] frame (typically loaded from a checkpoint).
+    *
+    * Plan (the C3b stance, SRP edition): only the NEW batch is normed and
+    * coded, with the plane count read off the index (one 1-row lookup —
+    * never a recount of the corpus); the batch's probe codes — own bucket
+    * plus every 1-bit flip per band under `multiProbe`, the
+    * [[cosinePairsLsh]] knob — BROADCAST against the union of the index's
+    * and the batch's banded postings, so the index is scanned once with
+    * no shuffle; and exact verification re-attaches vectors through two
+    * broadcast joins of the (small) candidate set against the union
+    * corpus. Per-batch cost scales with the batch and the matched
+    * buckets, not the corpus. One-sided probing loses nothing: Hamming ≤
+    * 1 is symmetric, so a (new, old) pair is found by the new side's
+    * probe exactly when a full two-sided pass would find it — which is
+    * what makes the increment EQUAL to the full [[cosinePairsLsh]] pass
+    * restricted to ≥ 1 batch side (spec-proven).
+    */
+  def cosineIncrement(newEmb: DataFrame, index: DataFrame, minCosine: Double,
+                      idCol: String = "vec_id", vecCol: String = "embedding",
+                      multiProbe: Boolean = true): DataFrame = {
+    graft.functions.GraftFunctions.register(newEmb.sparkSession)
+    val hd = index.select(col("planes"), size(col("codes")).as("bands")).head()
+    val p = hd.getInt(0)
+    val b = hd.getInt(1)
+    // batch-only coding; staged because probes, postings, and the verify
+    // corpus all consume it (without staging the norm+code pass re-runs
+    // per consumer, serialised whenever the batch is one input split)
+    val newBase = graft.io.DataFrames.stage(
+      graft.io.DataFrames.spread(newEmb)
+        .select(col(idCol).as("id"), vec(col(vecCol)).as("v"))
+        .withColumn("nrm", norm(col("v")))
+        .withColumn("codes", srpCodes(col("v"), p, b)))
+    val newPost = newBase.select(col("id"),
+      posexplode(col("codes")).as(Seq("bidx", "code")))
+    val probes =
+      if (!multiProbe) newPost
+      else newPost.select(col("id"), col("bidx"),
+        explode(array(col("code") +:
+          (0 until p).map(j => col("code").bitwiseXOR(lit(1L << j))): _*)).as("code"))
+    val probeH = probes.select(col("id"),
+      xxhash64(col("bidx"), col("code")).as("bh"))
+    // the index side ships (id, bucket-hash) ONLY — vectors never ride
+    // the ×bands posting explode
+    val allH = index.select(col("id"),
+        posexplode(col("codes")).as(Seq("bidx", "code")))
+      .unionByName(newPost)
+      .select(col("id"), xxhash64(col("bidx"), col("code")).as("bh"))
+    val cand = broadcast(probeH).as("x").join(allH.as("y"),
+        col("x.bh") === col("y.bh") && col("x.id") =!= col("y.id"))
+      .select(least(col("x.id"), col("y.id")).as("a"),
+        greatest(col("x.id"), col("y.id")).as("b"))
+      .dropDuplicates("a", "b")
+    val corpus = index.select(col("id"), col("v"), col("nrm"))
+      .unionByName(newBase.select(col("id"), col("v"), col("nrm")))
+    broadcast(cand)
+      .join(corpus.select(col("id").as("a"), col("v").as("va"), col("nrm").as("na")), "a")
+      .join(corpus.select(col("id").as("b"), col("v").as("vb"), col("nrm").as("nb")), "b")
+      .select(col("a"), col("b"),
+        round(cosine(col("va"), col("vb"), col("na"), col("nb")), 6).as("cosine"))
+      .where(col("cosine") >= minCosine)
+      .orderBy("a", "b")
+  }
+
   /** Int8 scalar quantization of the embedding column: per-vector max-abs
     * scale, components rounded to [-127, 127] — the standard 4× storage
     * cut for an at-scale embedding store (and the memory lever that lets

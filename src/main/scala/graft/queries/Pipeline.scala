@@ -854,22 +854,17 @@ object Pipeline {
     * precedent). Yields `rpairs(a, b, cosine)` thresholded at
     * `minCosine`.
     */
-  private def cosineAdaptivePairsCtes(minCosine: String, withGroup: Boolean): String = {
-    val g = if (withGroup) ", label" else ""
-    val gx = if (withGroup) ", x.label" else ""
-    val gJoinAb = if (withGroup) " AND a.label = b.label" else ""
-    val gJoinXy = if (withGroup) " AND x.label = y.label" else ""
-    def cosAb = "round(CASE WHEN a.nrm*b.nrm > 0 THEN list_sum([pr[1]*pr[2] for pr in list_zip(a.v, b.v)]) / (a.nrm*b.nrm) ELSE 0.0 END, 6)"
-    s"""e AS (SELECT vec_id$g, embedding::DOUBLE[] AS v FROM embeddings),
-       |n0 AS MATERIALIZED (SELECT vec_id$g, v,
-       |    sqrt(list_sum([x*x for x in v])) AS nrm FROM e),
-       |nr AS (SELECT count(*) AS n FROM n0),
-       |xe AS (SELECT n0.* FROM n0, nr WHERE nr.n <= 8192),
-       |px AS (SELECT a.vec_id AS a, b.vec_id AS b, $cosAb AS cosine
-       |  FROM xe a JOIN xe b ON a.vec_id < b.vec_id$gJoinAb),
-       |pp AS (SELECT least(20, greatest(4,
-       |    ceil(log2(greatest(n, 1) / 32.0))))::BIGINT AS p FROM nr),
-       |bk0 AS (SELECT bd, (17::HUGEINT + bd::HUGEINT * 4294967296::HUGEINT) AS x
+  /** The splitmix64 SRP hyperplane stream as chained CTEs — band key →
+    * plane key → per-dim sign (seed 17, the Ann.srpCodes derivation) —
+    * producing `pls` (plane ids) and `sl` (per-(band, plane) ±1 sign
+    * lists, one sign per data dimension). Assumes upstream CTEs `e`
+    * (with the vector column `v`) and `pp` (the plane count `p`) —
+    * factored so the adaptive-pair and increment oracles size `p` from
+    * DIFFERENT corpora (total vs index-side count) over one shared
+    * derivation.
+    */
+  private def srpSignCtes: String =
+    s"""bk0 AS (SELECT bd, (17::HUGEINT + bd::HUGEINT * 4294967296::HUGEINT) AS x
        |  FROM range(0, 16) t(bd)),
        |${mix64Ctes("bk", "bd", "bk0")},
        |pls AS (SELECT unnest(range(0, p)) AS pl FROM pp),
@@ -885,7 +880,24 @@ object Pipeline {
        |${mix64Ctes("sg", "bd, pl, i", "sg0")},
        |sl AS (SELECT bd, pl,
        |    list(CASE WHEN y % 2 = 1 THEN 1.0 ELSE -1.0 END ORDER BY i) AS sv
-       |  FROM sg6 GROUP BY bd, pl),
+       |  FROM sg6 GROUP BY bd, pl)""".stripMargin
+
+  private def cosineAdaptivePairsCtes(minCosine: String, withGroup: Boolean): String = {
+    val g = if (withGroup) ", label" else ""
+    val gx = if (withGroup) ", x.label" else ""
+    val gJoinAb = if (withGroup) " AND a.label = b.label" else ""
+    val gJoinXy = if (withGroup) " AND x.label = y.label" else ""
+    def cosAb = "round(CASE WHEN a.nrm*b.nrm > 0 THEN list_sum([pr[1]*pr[2] for pr in list_zip(a.v, b.v)]) / (a.nrm*b.nrm) ELSE 0.0 END, 6)"
+    s"""e AS (SELECT vec_id$g, embedding::DOUBLE[] AS v FROM embeddings),
+       |n0 AS MATERIALIZED (SELECT vec_id$g, v,
+       |    sqrt(list_sum([x*x for x in v])) AS nrm FROM e),
+       |nr AS (SELECT count(*) AS n FROM n0),
+       |xe AS (SELECT n0.* FROM n0, nr WHERE nr.n <= 8192),
+       |px AS (SELECT a.vec_id AS a, b.vec_id AS b, $cosAb AS cosine
+       |  FROM xe a JOIN xe b ON a.vec_id < b.vec_id$gJoinAb),
+       |pp AS (SELECT least(20, greatest(4,
+       |    ceil(log2(greatest(n, 1) / 32.0))))::BIGINT AS p FROM nr),
+       |$srpSignCtes,
        |xl AS MATERIALIZED (SELECT n0.* FROM n0, nr WHERE nr.n > 8192),
        |prj AS (SELECT x.vec_id$gx, s.bd, s.pl,
        |    list_sum([pr[1]*pr[2] for pr in list_zip(x.v, s.sv)]) AS proj
@@ -911,6 +923,56 @@ object Pipeline {
   lazy val dedupEmbeddingSql: String =
     "WITH " + cosineAdaptivePairsCtes("0.45", withGroup = false) +
       "\nSELECT a, b, cosine FROM rpairs ORDER BY a, b"
+
+  /** C5b: incremental embedding dedup ([[Ann.cosineIncrement]]) — the
+    * vec_id%10==0 batch probes an [[Ann.srpIndex]] built over the rest
+    * (inline + localCheckpoint here, a persisted checkpoint in
+    * production): cosine-thresholded pairs with ≥ 1 batch side. Closes
+    * the incremental symmetry gap (C3b minhash, C85 winnow, now the
+    * cosine family). The oracle reproduces the increment's actual
+    * machinery — planes sized from the INDEX side's count, codes for all
+    * vectors, multi-probe flips for the batch only, candidate join
+    * against everyone, exact 6-dp verification — so it checks the SRP
+    * probe route itself at every scale (the r13 route-aware stance), not
+    * an exact-pairs proxy whose equality would hinge on recall.
+    */
+  def dedupEmbeddingInc(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    Ann.cosineIncrement(
+      e.where(pmod(col("vec_id"), lit(10)) === 0),
+      Ann.srpIndex(e.where(pmod(col("vec_id"), lit(10)) =!= 0)).localCheckpoint(),
+      minCosine = 0.45)
+  }
+
+  lazy val dedupEmbeddingIncSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+       |    vec_id % 10 = 0 AS is_new FROM embeddings),
+       |n0 AS MATERIALIZED (SELECT vec_id, is_new, v,
+       |    sqrt(list_sum([x*x for x in v])) AS nrm FROM e),
+       |nr AS (SELECT count(*) AS n FROM n0 WHERE NOT is_new),
+       |pp AS (SELECT least(20, greatest(4,
+       |    ceil(log2(greatest(n, 1) / 32.0))))::BIGINT AS p FROM nr),
+       |$srpSignCtes,
+       |prj AS (SELECT x.vec_id, x.is_new, s.bd, s.pl,
+       |    list_sum([pr[1]*pr[2] for pr in list_zip(x.v, s.sv)]) AS proj
+       |  FROM n0 x CROSS JOIN sl s),
+       |codes AS MATERIALIZED (SELECT vec_id, is_new, bd,
+       |    sum(CASE WHEN proj > 0 THEN 1::BIGINT << pl ELSE 0 END)::BIGINT AS code
+       |  FROM prj GROUP BY vec_id, is_new, bd),
+       |prb AS (SELECT vec_id, bd, code FROM codes WHERE is_new
+       |  UNION ALL
+       |  SELECT vec_id, bd, xor(code, 1::BIGINT << pl) AS code
+       |  FROM codes CROSS JOIN pls WHERE is_new),
+       |cand AS (SELECT DISTINCT least(x.vec_id, y.vec_id) AS a,
+       |    greatest(x.vec_id, y.vec_id) AS b
+       |  FROM prb x JOIN codes y
+       |    ON x.bd = y.bd AND x.code = y.code AND x.vec_id <> y.vec_id),
+       |vf AS (SELECT c.a, c.b,
+       |    round(CASE WHEN a.nrm*b.nrm > 0
+       |      THEN list_sum([pr[1]*pr[2] for pr in list_zip(a.v, b.v)]) / (a.nrm*b.nrm)
+       |      ELSE 0.0 END, 6) AS cosine
+       |  FROM cand c JOIN n0 a ON a.vec_id = c.a JOIN n0 b ON b.vec_id = c.b)
+       |SELECT a, b, cosine FROM vf WHERE cosine >= 0.45 ORDER BY a, b""".stripMargin
 
   /** C47: SemDeDup-style semantic dedup ([[Ann.semanticDedup]]) — duplicate
     * families from within-cluster cosine pairs (cluster = the embedding
