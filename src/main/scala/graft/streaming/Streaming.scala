@@ -379,6 +379,59 @@ object Streaming {
       }
   }
 
+  final case class MkEvent(user_id: Long, ts_us: Long, tie: Long,
+                           event_type: String)
+  final case class MkTransition(user_id: Long, prev_type: String,
+                                next_type: String, ts_us: Long)
+
+  /** D29: streaming behavioural-transition witnesses — the batch B66
+    * `events_markov` lag kernel at ingest: per user, each arriving event
+    * emits one (prev_type → next_type) transition row against the user's
+    * LAST event, and the state advances — O(1) state per user (the
+    * single last-event row, the D17/D18 algebraic-class bound), append
+    * mode. The |types|² count matrix and the row-conditional
+    * probabilities are the consumer's aggregate (the D27 witness
+    * stance): counts of the emitted witnesses grouped by (prev, next)
+    * equal the batch operator's `n` on any stream prefix.
+    *
+    * Ordering: within a batch, a user's rows are re-sorted by
+    * (ts_us, tie) before stepping — intra-batch disorder is absorbed.
+    * ACROSS batches the lag recurrence is inherently order-coupled: a
+    * late event older than the stored last would retroactively SPLIT an
+    * already-emitted transition, which no O(1)-state stream can retract.
+    * The exactness contract is therefore per-user in-order arrival
+    * across batches (any time-ordered batching — the natural shape of a
+    * replayed log or a watermark-sorted feed); a deployment with
+    * unbounded disorder uses the D26 full-history stance and pays
+    * O(events) state for it. This is the same priced trade the
+    * incremental dedup family documents: per-batch cost O(batch), not
+    * O(history).
+    */
+  def markovMonitor(events: DataFrame): Dataset[MkTransition] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .select(col("user_id").cast("long").as("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("event_id").cast("long").as("tie"),
+        col("event_type"))
+      .as[MkEvent]
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[MkEvent], state: GroupState[MkEvent]) =>
+          val sorted = it.toIndexedSeq.sortBy(e => (e.ts_us, e.tie))
+          var last = state.getOption.orNull
+          val out = List.newBuilder[MkTransition]
+          sorted.foreach { e =>
+            if (last != null)
+              out += MkTransition(uid, last.event_type, e.event_type, e.ts_us)
+            last = e
+          }
+          if (last != null) state.update(last)
+          out.result().iterator
+      }
+  }
+
   /** D24: streaming value histogram — the B57 equi-width distribution
     * profile maintained live per bucket in update mode: bucketing is the
     * same narrow floor-divide, and every per-bucket statistic (count,
@@ -549,6 +602,47 @@ object Streaming {
       col(leftKey) === col(rightKey) &&
         col(rightTs) >= col(leftTs) - expr(s"INTERVAL $bandBefore") &&
         col(rightTs) <= col(leftTs) + expr(s"INTERVAL $bandAfter"))
+  }
+
+  /** D28: streaming multi-touch attribution witnesses — the batch B65
+    * `events_attribution` join half run live on the [[bandJoin]]
+    * machinery: purchases × their preceding touches (view/click) within
+    * the `lookback` event-time band, per user. Each emitted row
+    * (pid, touch_type, tts_us, tid) certifies one attributable touch for
+    * one purchase, exactly once, as soon as both sides have arrived —
+    * out-of-order pairs inside the watermark are found by the join
+    * buffer, which is what makes the emitted WITNESS SET equal to the
+    * batch join on any batching (StreamingSpec asserts it, including a
+    * late touch arriving after its purchase's batch).
+    *
+    * The first/last-touch ELECTION and the per-type rollup are
+    * deliberately the consumer's aggregate (the D8/D27 witness stance):
+    * "first touch" is a fact about the FINAL attributable set of a
+    * purchase, which a stream only knows once the watermark closes the
+    * purchase's band — a late-arriving OLDER touch re-elects the winner.
+    * Emitting witnesses makes that re-election the consumer's trivially
+    * correct max/min instead of a retraction protocol. State is the D5
+    * bound: both sides buffered for watermark + band, proportional to
+    * the band width, never the stream length. The strict `tts < pts`
+    * batch predicate rides as a post-join filter on the band join's
+    * closed interval.
+    */
+  def attributionMonitor(events: DataFrame,
+                         watermark: String = "1 hour",
+                         lookback: String = "24 hours"): DataFrame = {
+    val ev = events.select(col("user_id"), col("event_id"),
+      col("event_type"), col("ts"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("pid"),
+        col("ts").as("pts"))
+    val touches = ev.where(col("event_type").isin("view", "click"))
+      .select(col("user_id").as("t_user"), col("event_id").as("tid"),
+        col("event_type").as("touch_type"), col("ts").as("tts"))
+    bandJoin(purchases, touches, "p_user", "t_user", "pts", "tts",
+      watermark = watermark, bandBefore = lookback, bandAfter = "0 seconds")
+      .where(col("tts") < col("pts"))
+      .select(col("pid"), col("touch_type"),
+        unix_micros(col("tts")).as("tts_us"), col("tid"))
   }
 
   /** documents.parquet schema, for the file-stream source. */

@@ -899,4 +899,108 @@ class StreamingSpec extends SparkSpec {
     // pair depends on within-group arrival order — asserted by size)
     assert(got.size === 1 && all.contains(got.head))
   }
+
+  test("D28: attribution witnesses match the batch join and re-aggregate to events_attribution") {
+    val q = Streaming.attributionMonitor(Streaming.eventStream(spark, dir))
+      .writeStream.format("memory").queryName("attr_w").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("attr_w").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    // identical call on batch frames = the witness oracle
+    val batch = Streaming.attributionMonitor(batchEvents).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed.nonEmpty && streamed === batch)
+    // consumer-side election + rollup over the witnesses == the batch B65
+    // aggregate (same rn_first/rn_last election, same per-type rollup)
+    val byP = org.apache.spark.sql.expressions.Window.partitionBy("pid")
+    val ranked = spark.table("attr_w")
+      .withColumn("rn_first", row_number().over(
+        byP.orderBy(col("tts_us"), col("tid"))))
+      .withColumn("rn_last", row_number().over(
+        byP.orderBy(col("tts_us").desc, col("tid").desc)))
+    val agg = ranked.groupBy("touch_type")
+      .agg(count(lit(1)).as("n_touches"),
+        countDistinct("pid").as("purchases_touched"),
+        sum(when(col("rn_first") === 1, 1L).otherwise(0L)).as("first_touch"),
+        sum(when(col("rn_last") === 1, 1L).otherwise(0L)).as("last_touch"))
+      .orderBy("touch_type").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val b65 = graft.queries.Relational.eventsAttribution(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(agg === b65)
+  }
+
+  test("D28: a late OLDER touch inside the watermark still attributes and re-elects first-touch") {
+    import org.apache.spark.sql.types._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // b1: the purchase and a 09:45 view; b2 (late): an OLDER 09:30 view —
+    // arriving after the purchase's batch, within the 1 h watermark
+    val rows1 = Seq((100L, t("2026-01-01 10:00:00"), 1L, "purchase"),
+      (2L, t("2026-01-01 09:45:00"), 1L, "view"))
+    val rows2 = Seq((1L, t("2026-01-01 09:30:00"), 1L, "view"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-attr").toString
+    import spark.implicits._
+    rows1.toDF("event_id", "ts", "user_id", "event_type")
+      .coalesce(1).write.parquet(s"$tmp/b1")
+    rows2.toDF("event_id", "ts", "user_id", "event_type")
+      .coalesce(1).write.parquet(s"$tmp/b2")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType)))
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/*/")
+    val q = Streaming.attributionMonitor(src).writeStream
+      .format("memory").queryName("attr_late").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("attr_late").collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toSet
+    // both touches certified for the purchase...
+    assert(got === Set((100L, 1L), (100L, 2L)))
+    // ...and the consumer's min-time election now names the LATE arrival
+    val first = spark.table("attr_late").orderBy(col("tts_us"), col("tid"))
+      .collect().head.getLong(3)
+    assert(first === 1L)
+  }
+
+  test("D29: markov transition witnesses re-count to events_markov across time-ordered batches") {
+    import org.apache.spark.sql.types._
+    // two batches split at the global (ts, event_id) median: every user's
+    // arrival order across batches respects their own timeline (the
+    // monitor's cross-batch contract), while intra-batch file order is
+    // whatever parquet wrote — intra-batch disorder is re-sorted
+    val ev = batchEvents.select("event_id", "ts", "user_id", "event_type")
+    val half = ev.count() / 2
+    val ranked = ev.withColumn("rn", row_number().over(
+      org.apache.spark.sql.expressions.Window.orderBy(col("ts"), col("event_id"))))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mkv").toString
+    ranked.where(col("rn") <= half).drop("rn")
+      .coalesce(1).write.parquet(s"$tmp/b1")
+    ranked.where(col("rn") > half).drop("rn")
+      .coalesce(1).write.parquet(s"$tmp/b2")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType)))
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/*/")
+    val q = Streaming.markovMonitor(src).writeStream
+      .format("memory").queryName("mkv_w").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    // consumer rollup: counts + row-conditional p over the witnesses
+    val totals = org.apache.spark.sql.expressions.Window.partitionBy("prev_type")
+    val agg = spark.table("mkv_w")
+      .groupBy("prev_type", "next_type").agg(count(lit(1)).as("n"))
+      .withColumn("p", round(col("n").cast("double") / sum("n").over(totals), 6))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val b66 = graft.queries.Relational.eventsMarkov(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(agg.nonEmpty && agg === b66)
+    // batch-mode run of the SAME op (each group complete in one call,
+    // fully shuffled input): the re-sort absorbs intra-batch disorder
+    val twin = Streaming.markovMonitor(
+        ev.orderBy(col("event_id"))) // any order ≠ (ts, tie)
+      .groupBy("prev_type", "next_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(twin === b66.map(x => (x._1, x._2, x._3)))
+  }
 }
