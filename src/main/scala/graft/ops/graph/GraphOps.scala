@@ -13,6 +13,8 @@ import graft.model.Graph
   */
 object GraphOps {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Connected components of an undirected pair graph (e.g. near-duplicate
     * pairs from graft.ops.dedup): every member is assigned the minimum id
     * of its component — the canonical-representative step that turns
@@ -381,11 +383,28 @@ object GraphOps {
     * pairs. The pruning is self-consistent: hubs leave the numerator AND
     * the denominator, so the result is exactly [[nodeSimilarity]] of the
     * hub-pruned graph (spec-proven), never a mixed score. `maxHubDegree =
-    * 0` disables the guard (the oracle-checked configuration; the default
-    * keeps it off so the SQL twin is the full definition).
+    * 0` leaves the cap to the AUTO guard below.
+    *
+    * AUTO hub guard (the [[graft.ops.dedup.Dedup.ngramJaccardAdaptive]]
+    * stance — the op prices its own quadratic instead of trusting every
+    * caller to): with no explicit `maxHubDegree`, the degree HISTOGRAM of
+    * the neighbour relation (one agg over the staged relation; distinct
+    * degree values are O(√|E|), so the driver-side histogram is provably
+    * bounded) estimates candidate volume Σ_m d_m(d_m−1)/2 and, when it
+    * exceeds `maxCandidates`, engages the LARGEST degree cap whose kept
+    * estimate stays inside the budget — logged loudly, and conservative
+    * in the safe direction (pruning hubs only shrinks survivors'
+    * degrees, so the post-prune volume is ≤ the estimate). Below the
+    * budget nothing engages and the result is the full exact definition —
+    * which is why the oracle-checked driver query stays bit-identical at
+    * every shipped fixture while a 100× hub graph gets a bounded plan
+    * instead of a 10¹²-candidate join. `maxCandidates = 0` disables the
+    * probe (the documented exact-baseline configuration at any size);
+    * an explicit `maxHubDegree` also skips it (the caller owns the cap).
     */
   def nodeSimilarity(pgEdges: DataFrame, minJaccard: Double,
-                     maxHubDegree: Int = 0): DataFrame = {
+                     maxHubDegree: Int = 0,
+                     maxCandidates: Long = 50000000L): DataFrame = {
     val e = endpoints(pgEdges)
     // undirected distinct neighbour relation (both orientations)
     val nbAll = e.select(col("from").as("n"), col("to").as("m"))
@@ -393,13 +412,35 @@ object GraphOps {
       .where(col("n") =!= col("m"))
       .distinct()
       .localCheckpoint() // staged: degrees AND the pair join both read it
+    val hubCap =
+      if (maxHubDegree > 0 || maxCandidates <= 0) maxHubDegree
+      else {
+        val hist = nbAll.groupBy("n").agg(count(lit(1)).as("d"))
+          .groupBy("d").agg(count(lit(1)).as("cnt"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+        var kept = 0L
+        var cap = 0L
+        var engaged = false
+        hist.foreach { case (d, c) =>
+          val add = c * d * (d - 1) / 2
+          if (!engaged && kept + add <= maxCandidates) { kept += add; cap = d }
+          else engaged = true
+        }
+        if (engaged)
+          log.warn(s"nodeSimilarity: estimated candidate volume exceeds " +
+            s"maxCandidates=$maxCandidates — auto hub guard engaged at " +
+            s"degree $cap (kept estimate $kept); neighbours above the cap " +
+            "are pruned from scoring (scores = nodeSimilarity of the " +
+            "pruned graph)")
+        if (engaged) math.max(1L, cap).toInt else 0
+      }
     val nb =
-      if (maxHubDegree <= 0) nbAll
+      if (hubCap <= 0) nbAll
       else {
         // delete the hub VERTEX (both sides of the symmetric relation) —
         // leaving hubs as sources would still score (node, hub) pairs
         val hubs = nbAll.groupBy("n").agg(count(lit(1)).as("d"))
-          .where(col("d") > maxHubDegree).select("n")
+          .where(col("d") > hubCap).select("n")
         nbAll
           .join(broadcast(hubs.withColumnRenamed("n", "m")), Seq("m"), "left_anti")
           .join(broadcast(hubs), Seq("n"), "left_anti")

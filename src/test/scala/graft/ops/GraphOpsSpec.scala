@@ -233,6 +233,34 @@ class GraphOpsSpec extends SparkSpec {
     assert(pruned(("a", "b")) === ((2L, 1.0)))
   }
 
+  test("node similarity auto hub guard: engages on a skewed graph == explicit cap, silent otherwise") {
+    import spark.implicits._
+    def simMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    // skewed: hub h neighbours 40 spokes (candidate estimate 40·39/2 =
+    // 780 through h) plus a small clique-ish cluster of degree ≤ 3
+    val spokes = (0 until 40).map(i => (s"s$i", "h"))
+    val clique = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"), ("c", "x"))
+    val skewed = (spokes ++ clique).toDF("from", "to")
+    // budget 100 < 780: the auto guard must engage, and at this histogram
+    // the largest affordable cap is degree 3 (all non-hub degrees) —
+    // equal by definition to the explicit cap at 3
+    val auto = simMap(GraphOps.nodeSimilarity(skewed, 0.0, maxCandidates = 100))
+    val explicit3 = simMap(GraphOps.nodeSimilarity(skewed, 0.0, maxHubDegree = 3))
+    assert(auto === explicit3)
+    assert(auto.nonEmpty)
+    // generous budget: the guard stays silent and the result is the full
+    // unguarded definition
+    val silent = simMap(GraphOps.nodeSimilarity(skewed, 0.0))
+    val unguarded = simMap(GraphOps.nodeSimilarity(skewed, 0.0, maxCandidates = 0))
+    assert(silent === unguarded)
+    // the skew actually matters: the hub-mediated pairs exist unguarded
+    // and are absent under the engaged guard
+    assert(unguarded.keySet.exists { case (p, q) => p.startsWith("s") && q.startsWith("s") })
+    assert(!auto.keySet.exists { case (p, q) => p.startsWith("s") && q.startsWith("s") })
+  }
+
   test("clusteringCoefficient: K4 scores 1, star hub 0, pendant NULL; multigraph collapses") {
     def r(es: Seq[(String, String)]): Map[String, (Long, Long, Option[Double])] =
       GraphOps.clusteringCoefficient(es.toDF("from", "to")).collect().map { row =>
