@@ -93,6 +93,54 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** 64-bit perceptual difference hash (dHash) of a media frame's byte
+  * grid as a native codegen expression: the frame is read as a row-major
+  * 9×8 grid of unsigned byte intensities and bit r·8+c is set iff the
+  * right neighbour is brighter — grid index r·9+c — exactly the classic
+  * image dHash over a 9×8 downsample, with the deterministic decode
+  * stub's byte window standing in for decoded luma (real codecs slot in
+  * upstream without touching this). Pure integer arithmetic, so a DuckDB
+  * oracle reproduces it bit-for-bit from the same windows; frames shorter
+  * than 72 bytes treat missing bytes as 0, matching any engine reading
+  * the same zero-padded window.
+  */
+case class DHash64(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_dhash64"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.sql}")
+  }
+
+  override def nullSafeEval(bytes: Any): Any =
+    DHash64.hash(bytes.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, b => s"graft.functions.DHash64.hash($b)")
+
+  override protected def withNewChildInternal(newChild: Expression): DHash64 =
+    copy(child = newChild)
+}
+
+object DHash64 {
+  def hash(b: Array[Byte]): Long = {
+    var code = 0L
+    var k = 0
+    while (k < 64) {
+      val i = k + k / 8 // row-major 9-wide grid: r*9+c for bit r*8+c
+      val p = if (i < b.length) b(i) & 0xff else 0
+      val q = if (i + 1 < b.length) b(i + 1) & 0xff else 0
+      if (q > p) code |= 1L << k
+      k += 1
+    }
+    code
+  }
+}
+
 /** MinHash signature of a token/shingle array: `numHashes` minima of
   * seeded hashes (FNV-1a base, splitmix64 seed mixing) in one pass —
   * replaces an interpreted `transform(sequence, s -> array_min(transform(…)))`

@@ -18,6 +18,7 @@ object GraftFunctions {
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_dot" -> { exprs => DotProduct(exprs(0), exprs(1)) },
     "graft_simhash64" -> { exprs => SimHash64(exprs(0)) },
+    "graft_dhash64" -> { exprs => DHash64(exprs(0)) },
     "graft_intersect_count" -> { exprs => SortedIntersectCount(exprs(0), exprs(1)) },
     "graft_sorted_bucket" -> { exprs => SortedBucket(exprs(0), exprs(1)) },
     "graft_minhash_codes" -> { exprs =>

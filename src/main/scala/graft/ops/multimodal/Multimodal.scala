@@ -166,6 +166,61 @@ object Multimodal {
     }(encoder)
   }
 
+  /** Perceptual frame near-dup pairs: media pairs sharing ≥ `minShared`
+    * NEAR-duplicate frames — the dHash extension of the exact-md5 frame
+    * dedup (C43). Each sampled frame ([[sampleFrames]], the batch-shaped
+    * decode seam — a real decoder's luma grid slots in unchanged) hashes
+    * to a 64-bit difference hash (graft.functions.DHash64: 9×8 grid,
+    * right-neighbour brightness comparisons — pure integer arithmetic, so
+    * the DuckDB twin reproduces it bit-for-bit), and frames within
+    * `maxHamming` bits count as the same visual content even when bytes
+    * differ (re-encode, small overlay, brightness-preserving noise).
+    *
+    * Pair search is the C4 SimHash machinery verbatim: pigeonhole chunk
+    * banding (hamming ≤ h ⇒ some 64/nChunks-bit chunk equal — lossless),
+    * so candidates come from chunk-equality joins, never all-pairs; only
+    * 64-bit codes ride the exchange (frames/payloads never shuffle); a
+    * per-code document-frequency guard (df ≤ `maxDf`) keeps boilerplate
+    * frames (intros, test cards, black frames) from squaring a posting
+    * list. `n_near` counts the distinct (code_a, code_b) near pairs
+    * between two media — ≥ `minShared` of them certifies shared visual
+    * sequence, not one lucky collision.
+    */
+  def frameNearDup(df: DataFrame, idCol: String, binCol: String,
+                   maxHamming: Int = 3, frameBytes: Int = 72, stride: Int = 1,
+                   maxDf: Int = 50, minShared: Long = 2): DataFrame = {
+    require(maxHamming <= 31, "banding needs chunks > maxHamming; 64 bits cap this at 31")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    // staged: the df guard and the banded join both consume the code set —
+    // without the checkpoint the frame-sampling mapPartitions runs twice
+    val fps = sampleFrames(df, idCol, binCol, frameBytes, stride)
+      .select(col(idCol).as("id"),
+        call_function("graft_dhash64", col("frame")).as("code64"))
+      .distinct()
+      .localCheckpoint()
+    val dfc = fps.groupBy("code64").agg(count(lit(1)).as("dfc"))
+    val kept = fps.join(dfc, "code64").where(col("dfc") <= maxDf)
+      .select(col("id"), col("code64"))
+    val nChunks = Seq(4, 8, 16, 32).find(_ > maxHamming).get
+    val chunkLen = 64 / nChunks
+    val mask = (1L << chunkLen) - 1
+    val chunks = kept.select(col("id"), col("code64"),
+      posexplode(array((0 until nChunks).map(c =>
+        shiftrightunsigned(col("code64"), c * chunkLen).bitwiseAND(mask)): _*))
+        .as(Seq("cidx", "code")))
+    val cand = chunks.as("x").join(chunks.as("y"),
+        col("x.cidx") === col("y.cidx") && col("x.code") === col("y.code")
+          && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        col("x.code64").as("ca"), col("y.code64").as("cb"))
+      .dropDuplicates("a", "b", "ca", "cb")
+    cand
+      .where(bit_count(col("ca").bitwiseXOR(col("cb"))) <= maxHamming)
+      .groupBy("a", "b").agg(count(lit(1)).as("n_near"))
+      .where(col("n_near") >= minShared)
+      .orderBy("a", "b")
+  }
+
   /** Resize stub: a deterministic downsample of the payload (every
     * `factor`-th byte) plus updated metadata — the byte-level stand-in for
     * an image resize, keeping the binary-in/binary-out contract.

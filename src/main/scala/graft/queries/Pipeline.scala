@@ -2395,6 +2395,51 @@ object Pipeline {
       |SELECT a, b, count(*) AS n_shared FROM p GROUP BY a, b
       |HAVING count(*) >= 2 ORDER BY a, b""".stripMargin
 
+  /** C87: perceptual frame NEAR-dup ([[Multimodal.frameNearDup]]) — C43's
+    * exact-md5 fingerprints upgraded to 64-bit difference hashes (9×8
+    * byte grid, right-neighbour comparisons) with a hamming ≤ 3 pair join
+    * through the C4 pigeonhole banding. The dHash is pure integer
+    * arithmetic over the deterministic decode seam's byte windows, so the
+    * oracle reproduces codes bit-for-bit in HUGEINT (unsigned) and runs
+    * the SAME lossless chunk banding — exhaustive all-pairs would be the
+    * textbook reference but blows the oracle budget at the 10x replica.
+    */
+  def mediaFrameNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val media = docs(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+    Multimodal.frameNearDup(media, "doc_id", "media")
+  }
+
+  /** Byte grid via `unicode(ch)` over char splits — exact because frames
+    * only sample docs ≥ 72 bytes and every such fixture doc is ASCII (the
+    * C43 stance; the robustness fixture's non-ASCII rows are all ≤ 24
+    * bytes and emit no frame on either engine). Codes build in HUGEINT
+    * (bit 63 would overflow signed BIGINT's shift), chunks via
+    * shift-mod, hamming via xor + bit_count — the dedup_simhash recipe.
+    */
+  val mediaFrameNeardupSql: String =
+    """WITH fr AS (SELECT doc_id, substr(text, i*72 + 1, 72) AS f
+      |      FROM (SELECT doc_id, text, unnest(range(0, len(text) // 72)) AS i FROM documents)),
+      |ub AS (SELECT doc_id,
+      |    [unicode(ch) FOR ch IN list_filter(string_split(f, ''), c -> c <> '')] AS u
+      |  FROM fr),
+      |codes AS (SELECT DISTINCT doc_id,
+      |    list_sum([CASE WHEN u[k + k//8 + 2] > u[k + k//8 + 1]
+      |              THEN (1::HUGEINT << k) ELSE 0::HUGEINT END
+      |              FOR k IN range(0, 64)]) AS code
+      |  FROM ub),
+      |dfc AS (SELECT code, count(*) AS c FROM codes GROUP BY code),
+      |kt AS (SELECT codes.doc_id, codes.code FROM codes JOIN dfc USING (code) WHERE c <= 50),
+      |ch AS (SELECT doc_id, code, ci, (code >> (ci * 16)) % 65536 AS chunk
+      |  FROM kt, range(0, 4) t(ci)),
+      |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+      |    x.code AS ca, y.code AS cb
+      |  FROM ch x JOIN ch y
+      |    ON x.ci = y.ci AND x.chunk = y.chunk AND x.doc_id < y.doc_id),
+      |vf AS (SELECT a, b FROM cand WHERE bit_count(xor(ca, cb)) <= 3)
+      |SELECT a, b, count(*) AS n_near FROM vf GROUP BY a, b
+      |HAVING count(*) >= 2 ORDER BY a, b""".stripMargin
+
   /** C42: Naive Bayes self-distillation of the Gopher gate (see
     * [[TextOps.nbDistill]]) — the hard rule becomes a continuous
     * token-level quality score, the cheap-classifier curation pattern.

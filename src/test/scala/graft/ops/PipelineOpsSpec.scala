@@ -544,6 +544,35 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("dHash: hand-computed grids; frameNearDup pairs perturbed copies, not strangers") {
+    import spark.implicits._
+    // ascending bytes: every right neighbour brighter => all 64 bits set;
+    // constant bytes: none
+    val asc = Array.tabulate(72)(i => (10 + i).toByte)
+    assert(graft.functions.DHash64.hash(asc) === -1L)
+    assert(graft.functions.DHash64.hash(Array.fill(72)(7.toByte)) === 0L)
+    // swapping two adjacent mid-frame bytes flips exactly the one
+    // comparison whose orientation reverses
+    def swap4041(f: Array[Byte]) = {
+      val g = f.clone(); val t = g(40); g(40) = g(41); g(41) = t; g
+    }
+    assert(java.lang.Long.bitCount(
+      graft.functions.DHash64.hash(asc) ^
+        graft.functions.DHash64.hash(swap4041(asc))) === 1)
+    // planted media: A = two distinct frames; B = the same frames each
+    // perturbed within hamming 1 (md5-EXACT dedup would see nothing);
+    // C = flat frames, far from both
+    val alt = Array.tabulate(72)(i => (if (i % 2 == 0) 40 else 90).toByte)
+    val a = asc ++ alt
+    val b = swap4041(asc) ++ swap4041(alt)
+    val c = Array.fill(144)(7.toByte)
+    val media = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "media")
+    val got = graft.ops.multimodal.Multimodal
+      .frameNearDup(media, "doc_id", "media").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((1L, 2L, 2L)))
+  }
+
   test("product quantization: codes bounded, cross-product spans beyond one codebook, fits sane") {
     val got = Ann.pqAssign(embs, m = 2, nCells = 8, iters = 1).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4)))
