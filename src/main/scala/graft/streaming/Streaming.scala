@@ -902,6 +902,89 @@ object Streaming {
       }
   }
 
+  final case class SrpDoc(bh: Long, id: Long, v: Array[Double], nrm: Double)
+  final case class CosPair(a: Long, b: Long, cosine: Double)
+
+  /** D30: streaming embedding near-dup detection — the SRP-LSH cosine
+    * pipeline as a stateful stream, completing the ingest-time family
+    * (D7 minhash, D27 winnowing; batch twin C5b `cosineIncrement`).
+    * Arriving vectors are SRP-banded exactly like the batch operator
+    * ([[graft.ops.ann.Ann.cosinePairsLsh]]: native one-pass codes,
+    * hashed (band, code) buckets); each bucket is a
+    * `flatMapGroupsWithState` group holding its members' (id, v, nrm),
+    * and a new arrival is verified with the EXACT 6-dp cosine against
+    * them — every emitted pair is exact, immediately, as data streams
+    * in. Single-probe banding: recall is the batch op's single-probe
+    * S-curve (the priced trade; the batch increment runs multi-probe
+    * because an INDEX can afford probe fan-out a per-event stream
+    * cannot), and false positives are impossible.
+    *
+    * `planes` is a fixed capacity knob (default 8 ≈ the auto-sizing at
+    * 8k vectors): a stream cannot auto-size planes on an unknown final
+    * corpus, so the caller pins the bucket geometry — exactly like
+    * numHashes in D7. A pair matching in several bands emits once per
+    * band (independent groups); consumers dedupe on (a, b). State per
+    * bucket holds member VECTORS (the verify payload — heavier than
+    * D7's shingle arrays by dims×8 bytes/member) and grows with the
+    * corpus under NoTimeout; a production stream bounds it with the
+    * D7b retention-watermark pattern unchanged.
+    */
+  def cosinePairMonitor(emb: DataFrame, minCosine: Double,
+                        planes: Int = 8, bands: Int = 16,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): Dataset[CosPair] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val banded = emb
+      .select(col(idCol).cast("long").as("id"),
+        graft.ops.ann.Ann.vec(col(vecCol)).as("v"))
+      .withColumn("nrm", graft.ops.ann.Ann.norm(col("v")))
+      .select(col("id"), col("v"), col("nrm"),
+        posexplode(graft.ops.ann.Ann.srpCodes(col("v"), planes, bands))
+          .as(Seq("bidx", "code")))
+      .select(xxhash64(col("bidx"), col("code")).as("bh"),
+        col("id"), col("v"), col("nrm"))
+      .as[SrpDoc]
+
+    def cos(x: SrpDoc, y: SrpDoc): Double = {
+      if (x.nrm * y.nrm <= 0) return 0.0
+      var s = 0.0
+      var i = 0
+      val n = math.min(x.v.length, y.v.length)
+      while (i < n) { s += x.v(i) * y.v(i); i += 1 }
+      // the exact rounding path of Spark's round(col, 6) on doubles
+      // (BigDecimal HALF_UP), so emitted values match the batch operator
+      // bit-for-bit
+      BigDecimal(s / (x.nrm * y.nrm))
+        .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+
+    banded.groupByKey(_.bh)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, it: Iterator[SrpDoc], state: GroupState[List[SrpDoc]]) =>
+          var members = state.getOption.getOrElse(Nil)
+          val seen = scala.collection.mutable.HashSet.empty[Long]
+          members.foreach(m => seen += m.id)
+          val out = List.newBuilder[CosPair]
+          it.foreach { d =>
+            if (!seen(d.id)) {
+              members.foreach { o =>
+                val c = cos(o, d)
+                if (c >= minCosine) {
+                  val (a, b) = if (o.id < d.id) (o.id, d.id) else (d.id, o.id)
+                  out += CosPair(a, b, c)
+                }
+              }
+              members ::= d
+              seen += d.id
+            }
+          }
+          state.update(members)
+          out.result().iterator
+      }
+  }
+
   final case class FpDoc(fp: Long, id: Long)
   final case class FpPair(a: Long, b: Long, fp: Long)
 

@@ -900,6 +900,36 @@ class StreamingSpec extends SparkSpec {
     assert(got.size === 1 && all.contains(got.head))
   }
 
+  test("D30: streaming cosine near-dup matches the batch op and the stream's batch twin") {
+    import org.apache.spark.sql.types._
+    val embs = spark.read.parquet(s"$dir/embeddings.parquet")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cpm").toString
+    embs.where(col("vec_id") % 2 === 0).coalesce(1).write.parquet(s"$tmp/b1")
+    embs.where(col("vec_id") % 2 === 1).coalesce(1).write.parquet(s"$tmp/b2")
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/*/")
+    val q = Streaming.cosinePairMonitor(src, 0.45).writeStream
+      .format("memory").queryName("cos_pairs").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    // per-band duplicate emissions dedupe at the consumer
+    val streamed = spark.table("cos_pairs").dropDuplicates("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // the batch operator with the SAME pinned geometry (single probe)
+    val batchOp = graft.ops.ann.Ann
+      .cosinePairsLsh(embs, 0.45, planes = 8, bands = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed.nonEmpty && streamed === batchOp)
+    // batch-mode run of the same op (each bucket complete in one call)
+    val twin = Streaming.cosinePairMonitor(embs, 0.45)
+      .dropDuplicates("a", "b").collect()
+      .map(p => (p.a, p.b, p.cosine)).toSet
+    assert(twin === batchOp)
+  }
+
   test("D28: attribution witnesses match the batch join and re-aggregate to events_attribution") {
     val q = Streaming.attributionMonitor(Streaming.eventStream(spark, dir))
       .writeStream.format("memory").queryName("attr_w").outputMode("append").start()
