@@ -306,6 +306,73 @@ object GraphOps {
       .orderBy("node")
   }
 
+  /** Landmark harmonic closeness over an undirected PG edge set — the
+    * scale answer to closeness centrality: exact closeness needs
+    * all-pairs distances (O(n·|E|), dead at KG size), so the standard
+    * practice scores against k LANDMARKS instead. Landmarks are the
+    * first `k` nodes in md5(node-key) order — a deterministic,
+    * content-derived sample both engines reproduce exactly (the
+    * sampling-family stance: pure function of the data, stable across
+    * layout/partitioning). One Pregel run carries a per-vertex
+    * landmark→distance map (state and messages bounded by k entries —
+    * NOT one run per landmark, so the edge set is traversed
+    * min(diameter, maxHops) times total); per node the score is the sum
+    * of reciprocal distances to the landmarks it reaches (harmonic form:
+    * defined on disconnected graphs, where classic closeness breaks),
+    * summed in lidx order as a left fold so the double is
+    * bit-reproducible, rounded once at 6 dp. Nodes reaching no landmark
+    * emit no row; a landmark's self-distance 0 counts as reached but
+    * adds nothing to the harmonic sum.
+    */
+  def landmarkCloseness(pgEdges: DataFrame, k: Int = 8,
+                        maxHops: Int = 10): DataFrame = {
+    val spark = pgEdges.sparkSession
+    import spark.implicits._
+    val e = endpoints(pgEdges)
+    val idx = nodeIndex(e)
+    // k rows to the driver — bounded by the parameter, like BFS seeds
+    val lms = idx.select(col("vid"), col("node"))
+      .withColumn("h", md5(col("node")))
+      .orderBy("h", "node").limit(k)
+      .select("vid").as[Long].collect().zipWithIndex
+      .map { case (vid, i) => vid -> i }.toMap
+    val bcLms = spark.sparkContext.broadcast(lms)
+
+    def mergeMin(a: Map[Int, Int], b: Map[Int, Int]): Map[Int, Int] =
+      (a.keySet ++ b.keySet).iterator
+        .map(l => l -> math.min(a.getOrElse(l, Int.MaxValue),
+          b.getOrElse(l, Int.MaxValue))).toMap
+
+    val g = XGraph.fromEdges(mapEdges(e, idx), ())
+      .mapVertices((vid, _) =>
+        bcLms.value.get(vid).map(l => Map(l -> 0)).getOrElse(Map.empty[Int, Int]))
+    val res = g.pregel(Map.empty[Int, Int], maxIterations = maxHops)(
+      (_, m, msg) => mergeMin(m, msg),
+      t => {
+        def improving(src: Map[Int, Int], dst: Map[Int, Int]): Map[Int, Int] =
+          src.iterator.map { case (l, d) => l -> (d + 1) }
+            .filter { case (l, d) => d < dst.getOrElse(l, Int.MaxValue) }.toMap
+        val fwd = improving(t.srcAttr, t.dstAttr)
+        val bwd = improving(t.dstAttr, t.srcAttr)
+        (if (fwd.nonEmpty) Iterator((t.dstId, fwd)) else Iterator.empty) ++
+          (if (bwd.nonEmpty) Iterator((t.srcId, bwd)) else Iterator.empty)
+      },
+      mergeMin)
+    val scored = res.vertices
+      .filter(_._2.nonEmpty)
+      .map { case (vid, m) =>
+        val harmonic = m.toSeq.sortBy(_._1)
+          .foldLeft(0.0) { case (acc, (_, d)) =>
+            if (d > 0) acc + 1.0 / d else acc }
+        (vid, m.size, harmonic)
+      }
+      .toDF("vid", "n_reached", "h0")
+    idx.join(scored, "vid")
+      .select(col("node"), col("n_reached").cast("long").as("n_reached"),
+        round(col("h0"), 6).as("harmonic"))
+      .orderBy("node")
+  }
+
   /** Synchronous label propagation (community detection) over an
     * undirected PG edge set, via GraphX Pregel with a DETERMINISTIC
     * tie-break — GraphX's own `LabelPropagation.run` picks `maxBy` over a

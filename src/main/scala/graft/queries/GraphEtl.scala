@@ -647,6 +647,45 @@ object GraphEtl {
        |SELECT node, dist FROM d4 ORDER BY node""".stripMargin
   }
 
+  /** A43: landmark harmonic closeness over the containment hierarchy
+    * ([[graft.ops.graph.GraphOps.landmarkCloseness]]) — closeness
+    * centrality at KG scale: k=8 md5-ordered landmark nodes (a
+    * deterministic content-derived sample both engines reproduce), ONE
+    * Pregel run carrying a k-bounded landmark→distance map, harmonic
+    * scoring (defined on disconnected graphs) summed in lidx order and
+    * rounded once. The oracle unrolls the multi-landmark BFS as the
+    * kg_bfs relaxation levels keyed by (node, lidx), then aggregates the
+    * reciprocal-distance list in the same fold order.
+    */
+  def kgCloseness(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.graph.GraphOps.landmarkCloseness(
+      supRegionEdges(spark, dir, withSupRegion = false))
+
+  val kgClosenessSql: String = {
+    val levels = (1 to 4).map { i =>
+      s"""d$i AS (SELECT node, lidx, min(dist) AS dist FROM (
+         |  SELECT node, lidx, dist FROM d${i - 1}
+         |  UNION ALL SELECT e.b, d.lidx, d.dist + 1
+         |    FROM e2 e JOIN d${i - 1} d ON e.a = d.node
+         |) s GROUP BY node, lidx)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH raw AS (
+       |  SELECT 'nation:' || n_nationkey AS f, 'region:' || n_regionkey AS t FROM nation
+       |  UNION ALL SELECT 'sup:' || s_suppkey, 'nation:' || s_nationkey FROM supplier),
+       |e2 AS (SELECT f AS a, t AS b FROM raw UNION ALL SELECT t, f FROM raw),
+       |nodes AS (SELECT DISTINCT a AS node
+       |  FROM (SELECT a FROM e2 UNION ALL SELECT b FROM e2) t(a)),
+       |lm AS (SELECT node, lidx FROM (
+       |    SELECT node, row_number() OVER (ORDER BY md5(node), node) - 1 AS lidx
+       |    FROM nodes) WHERE lidx < 8),
+       |d0 AS (SELECT node, lidx, 0 AS dist FROM lm),
+       |$levels
+       |SELECT node, count(*) AS n_reached,
+       |  round(list_sum(list(CASE WHEN dist > 0 THEN 1.0 / dist ELSE 0.0 END
+       |    ORDER BY lidx)), 6) AS harmonic
+       |FROM d4 GROUP BY node ORDER BY node""".stripMargin
+  }
+
   /** A18 (flagship): the reference's whole flow in one query — three tables
     * mapped to a knowledge graph (nodes for regions/nations/suppliers,
     * edges for containment/location), aggregated to PG elements, summarised

@@ -193,6 +193,32 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("landmarkCloseness: all-landmarks == hand harmonic centrality; k bounds; determinism") {
+    import spark.implicits._
+    // path a-b-c plus island d-e; with k >= n every node is a landmark, so
+    // the score IS classic harmonic centrality (hand-computed)
+    val edges = Seq(("a", "b"), ("b", "c"), ("d", "e")).toDF("from", "to")
+    val got = GraphOps.landmarkCloseness(edges, k = 10).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got === Map(
+      "a" -> ((3L, 1.5)), "b" -> ((3L, 2.0)), "c" -> ((3L, 1.5)),
+      "d" -> ((2L, 1.0)), "e" -> ((2L, 1.0))))
+    // k=1: exactly one landmark; every node in its component reaches it,
+    // the other island reaches nothing and emits no row
+    val one = GraphOps.landmarkCloseness(edges, k = 1).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(one.values.forall(_ == 1L))
+    assert(one.keySet === Set("a", "b", "c") || one.keySet === Set("d", "e"))
+    // deterministic across re-runs (md5-ordered landmark pick)
+    val rerun = GraphOps.landmarkCloseness(edges, k = 1).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(rerun === one)
+    // maxHops truncates: with 1 hop, c can never see a's landmark entry
+    val capped = GraphOps.landmarkCloseness(edges, k = 10, maxHops = 1).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(capped("b") === 3L && capped("a") === 2L)
+  }
+
   test("nodeIndex is a deterministic bijection — distinct nodes never merge") {
     val many = spark.range(5000)
       .select(concat(lit("n"), col("id")).as("from"),
