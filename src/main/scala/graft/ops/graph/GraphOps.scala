@@ -306,6 +306,59 @@ object GraphOps {
       .orderBy("node")
   }
 
+  /** k-core of an undirected PG edge set — the standard degeneracy
+    * pruning (Seidman 1983): repeatedly peel nodes of degree < k until
+    * the fixpoint; what survives is the maximal subgraph where every
+    * node keeps ≥ k neighbours. The KG hygiene/density primitive:
+    * cores isolate the densely cross-referenced backbone from pendant
+    * chains, and "node leaves the 2-core" is a cheaper structural-decay
+    * alarm than any centrality. Returns surviving (node, core_degree)
+    * — each node's degree INSIDE the core.
+    *
+    * Iterative DataFrame peel, not a driver-side graph: each round is
+    * one degree aggregate over the surviving edge set + two semi-joins
+    * restricting edges to surviving endpoints, checkpointed so the
+    * lineage stays flat; the loop stops at the fixpoint (edge count
+    * unchanged) or `maxIter`. Edges shrink monotonically, so every
+    * round costs at most the previous round's |E| — the peel cascade
+    * depth (not |V|) bounds the round count, and on hierarchical KGs
+    * that depth is the hierarchy depth. Canonicalised (a < b, distinct)
+    * first so multi-edges and orientation can never inflate a degree.
+    * The oracle unrolls the same peel as fixed CTE rounds — post-
+    * fixpoint rounds are no-ops, so an unroll ≥ the cascade depth is
+    * exact.
+    */
+  def kcore(pgEdges: DataFrame, k: Int = 2, maxIter: Int = 20): DataFrame = {
+    require(k >= 1, "kcore: k must be >= 1")
+    val e0 = endpoints(pgEdges)
+    var edges = e0.select(least(col("from"), col("to")).as("a"),
+        greatest(col("from"), col("to")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+      .localCheckpoint()
+    var n = edges.count()
+    var changed = n > 0
+    var iter = 0
+    while (changed && iter < maxIter) {
+      val deg = edges.select(col("a").as("n"))
+        .unionAll(edges.select(col("b").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+      val keep = deg.where(col("d") >= k).select("n")
+      val pruned = edges
+        .join(keep.withColumnRenamed("n", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("n", "b"), Seq("b"), "left_semi")
+        .localCheckpoint()
+      val m = pruned.count()
+      changed = m < n
+      edges = pruned
+      n = m
+      iter += 1
+    }
+    edges.select(col("a").as("node"))
+      .unionAll(edges.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("core_degree"))
+      .orderBy("node")
+  }
+
   /** Landmark harmonic closeness over an undirected PG edge set — the
     * scale answer to closeness centrality: exact closeness needs
     * all-pairs distances (O(n·|E|), dead at KG size), so the standard

@@ -686,6 +686,42 @@ object GraphEtl {
        |FROM d4 GROUP BY node ORDER BY node""".stripMargin
   }
 
+  /** A44: 2-core of the KG with the derived `servesRegion` edges
+    * ([[graft.ops.graph.GraphOps.kcore]]) — degeneracy peel isolating
+    * the densely cross-referenced backbone: pendant chains (nations
+    * without suppliers) strip, the supplier–nation–region triangles
+    * survive with their in-core degrees. The oracle unrolls the same
+    * peel as 6 MATERIALIZED CTE rounds (each: degree count over the
+    * surviving canonical edge set, edges restricted to endpoints with
+    * degree ≥ k) — the cascade depth on this hierarchy is ≤ 2, so the
+    * unroll is past the fixpoint and exact.
+    */
+  def kgKcore(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.graph.GraphOps.kcore(
+      supRegionEdges(spark, dir, withSupRegion = true), k = 2)
+
+  val kgKcoreSql: String = {
+    val rounds = (1 to 6).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT n, count(*) AS c FROM (
+         |  SELECT a AS n FROM e${i - 1} UNION ALL SELECT b FROM e${i - 1}) t
+         |  GROUP BY n),
+         |e$i AS MATERIALIZED (SELECT e.a, e.b FROM e${i - 1} e
+         |  JOIN d$i x ON x.n = e.a JOIN d$i y ON y.n = e.b
+         |  WHERE x.c >= 2 AND y.c >= 2)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH raw AS (
+       |  SELECT 'nation:' || n_nationkey AS f, 'region:' || n_regionkey AS t FROM nation
+       |  UNION ALL SELECT 'sup:' || s_suppkey, 'nation:' || s_nationkey FROM supplier
+       |  UNION ALL SELECT 'sup:' || s_suppkey, 'region:' || n_regionkey
+       |    FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+       |e0 AS MATERIALIZED (SELECT DISTINCT least(f, t) AS a, greatest(f, t) AS b
+       |  FROM raw WHERE f <> t),
+       |$rounds
+       |SELECT node, count(*) AS core_degree FROM (
+       |  SELECT a AS node FROM e6 UNION ALL SELECT b FROM e6) t
+       |GROUP BY node ORDER BY node""".stripMargin
+  }
+
   /** A18 (flagship): the reference's whole flow in one query — three tables
     * mapped to a knowledge graph (nodes for regions/nations/suppliers,
     * edges for containment/location), aggregated to PG elements, summarised

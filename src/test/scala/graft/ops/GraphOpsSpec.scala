@@ -219,6 +219,28 @@ class GraphOpsSpec extends SparkSpec {
     assert(capped("b") === 3L && capped("a") === 2L)
   }
 
+  test("kcore: triangle survives, pendant chain cascades out, multigraph collapses") {
+    import spark.implicits._
+    // triangle a-b-c with a pendant chain c-d-e: d has degree 2 BEFORE
+    // the peel but loses e in round 1 — the cascade is the point
+    val g = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e"),
+      // duplicate + reversed edges must not inflate degrees
+      ("b", "a"), ("e", "d")).toDF("from", "to")
+    val got = GraphOps.kcore(g, k = 2).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("a" -> 2L, "b" -> 2L, "c" -> 2L))
+    // k=1 keeps everything (after canonicalisation every node has >= 1)
+    val all = GraphOps.kcore(g, k = 1).collect().map(_.getString(0)).toSet
+    assert(all === Set("a", "b", "c", "d", "e"))
+    // k=3: the triangle's degree-2 nodes peel too — empty core
+    assert(GraphOps.kcore(g, k = 3).collect().isEmpty)
+    // maxIter truncates the cascade: one round removes e (degree 1) but
+    // d (still degree 2 pre-peel) survives that single round
+    val one = GraphOps.kcore(g, k = 2, maxIter = 1).collect()
+      .map(_.getString(0)).toSet
+    assert(one === Set("a", "b", "c", "d"))
+  }
+
   test("nodeIndex is a deterministic bijection — distinct nodes never merge") {
     val many = spark.range(5000)
       .select(concat(lit("n"), col("id")).as("from"),
