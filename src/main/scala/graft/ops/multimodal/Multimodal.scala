@@ -128,7 +128,9 @@ object Multimodal {
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](binIdx)
         var h = 0xcbf29ce484222325L
-        bytes.foreach { b => h ^= (b & 0xffL); h *= 0x100000001b3L }
+        // NULL payload == empty payload: the FNV basis alone seeds the
+        // pseudo-embedding, the row survives
+        if (bytes != null) bytes.foreach { b => h ^= (b & 0xffL); h *= 0x100000001b3L }
         val v = Array.tabulate(dims) { i =>
           val m = graft.functions.SrpCodes.mix64(h + i)
           (m.toDouble / Long.MaxValue.toDouble).toFloat
@@ -157,7 +159,10 @@ object Multimodal {
     df.mapPartitions { rows =>
       rows.flatMap { r =>
         val bytes = r.getAs[Array[Byte]](binIdx)
-        val nFrames = bytes.length / (frameBytes * stride)
+        // a NULL payload yields no frames — one poison row must not kill
+        // a corpus-scale job, and "no media, no frames" is the only
+        // coherent semantic (the SQL twins' len(NULL) propagates the same)
+        val nFrames = if (bytes == null) 0 else bytes.length / (frameBytes * stride)
         (0 until nFrames).iterator.map { i =>
           Row(r.get(idIdx), i, bytes.slice(i * frameBytes * stride,
             i * frameBytes * stride + frameBytes))
@@ -234,7 +239,10 @@ object Multimodal {
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](binIdx)
         // ??? real scaling goes here — deterministic byte decimation below
-        val out = Array.tabulate(bytes.length / factor)(i => bytes(i * factor))
+        // (NULL payload resizes to empty, same poison-row stance as decode)
+        val out =
+          if (bytes == null) Array.emptyByteArray
+          else Array.tabulate(bytes.length / factor)(i => bytes(i * factor))
         Row.fromSeq(r.toSeq :+ out)
       }
     }(encoder)
@@ -262,7 +270,10 @@ object Multimodal {
     df.mapPartitions { rows =>
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](binIdx)
-        Row.fromSeq(r.toSeq :+ decodeRow(bytes, useReal))
+        // NULL payload decodes like an empty one (stub metadata), so a
+        // poison row degrades to unknown-media instead of an executor NPE
+        Row.fromSeq(r.toSeq :+
+          decodeRow(if (bytes == null) Array.emptyByteArray else bytes, useReal))
       }
     }(encoder)
   }

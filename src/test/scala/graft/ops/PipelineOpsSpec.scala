@@ -544,6 +544,30 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("multimodal seam survives NULL payloads — poison rows degrade, never NPE") {
+    import spark.implicits._
+    val media = Seq((1L, "some text long enough to window " * 8), (2L, null))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+    // frames: the NULL payload yields none, the real one yields some
+    val frames = Multimodal.sampleFrames(media, "doc_id", "media",
+      frameBytes = 16, stride = 2).collect()
+    assert(frames.nonEmpty && frames.forall(_.getLong(0) == 1L))
+    // decode: NULL decodes like empty (stub, n_bytes 0) instead of failing
+    val meta = Multimodal.decodeMedia(media, "media").collect()
+      .map(r => r.getLong(0) -> r.getStruct(2).getLong(0)).toMap
+    assert(meta(2L) === 0L && meta(1L) > 0L)
+    // embed + resize: both rows survive
+    assert(Multimodal.fakeEmbed(media, "media", dims = 4).count() === 2L)
+    val rz = Multimodal.resize(media, "media", factor = 4).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("resized").length).toMap
+    assert(rz(2L) === 0)
+    // and the near-dup pipeline end-to-end: completing without an
+    // exception is the contract; one doc can't pair with itself
+    val pairs = Multimodal.frameNearDup(media, "doc_id", "media").collect()
+    assert(pairs.isEmpty)
+  }
+
   test("dHash: hand-computed grids; frameNearDup pairs perturbed copies, not strangers") {
     import spark.implicits._
     // ascending bytes: every right neighbour brighter => all 64 bits set;
