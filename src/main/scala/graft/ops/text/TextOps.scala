@@ -297,11 +297,17 @@ object TextOps {
                     idCol: String = "doc_id", textCol: String = "text",
                     partitions: Option[Int] = None)
       : org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions.{col, pmod, lit, size => fsize, spark_partition_id}
+    import org.apache.spark.sql.functions.{col, pmod, lit, size => fsize, spark_partition_id, coalesce, greatest}
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types._
     val keyed = docs
-      .select(col(idCol).cast("long").as("id"), fsize(tokens(col(textCol))).as("n_tokens"))
+      // poison-row stance (the multimodal-seam rule): a NULL text packs as
+      // 0 tokens (size(null) is null/-1 by conf — both would corrupt the
+      // budget or NPE the row reader), and a NULL id cannot be packed at
+      // all — dropped rather than crashing the partition
+      .where(col(idCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
+        greatest(lit(0), coalesce(fsize(tokens(col(textCol))), lit(0))).as("n_tokens"))
     val sized = partitions match {
       case Some(p) =>
         keyed.withColumn("part", pmod(col("id"), lit(p)).cast("int"))

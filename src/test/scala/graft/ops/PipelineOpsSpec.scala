@@ -724,6 +724,18 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("sequence packing survives NULL text and NULL ids (poison-row stance)") {
+    import spark.implicits._
+    val poisoned = Seq((Some(1L), "a b c"), (Some(2L), null), (None, "x y"))
+      .toDF("doc_id", "text")
+    val seqs = graft.ops.text.TextOps
+      .packSequences(poisoned, tokenBudget = 10, partitions = Some(1)).collect()
+    val ids = seqs.flatMap(_.getAs[scala.collection.Seq[Long]]("doc_ids")).sorted
+    // null text packs as 0 tokens; the unidentifiable null-id row drops
+    assert(ids.toSeq === Seq(1L, 2L))
+    assert(seqs.map(_.getAs[Long]("total_tokens")).sum === 3L)
+  }
+
   test("hash split/sample: reproducible, near-weight fractions, monotone samples") {
     import graft.ops.sample.Sampling
     val assigned = docs.select(col("doc_id"),
