@@ -483,19 +483,26 @@ object Ann {
     val probeH = probes.select(col("id"),
       xxhash64(col("bidx"), col("code")).as("bh"))
     // the index side ships (id, bucket-hash) ONLY — vectors never ride
-    // the ×bands posting explode
+    // the ×bands posting explode. Join sizing is deliberately left to
+    // AQE: a small batch's probes broadcast at runtime (index scanned
+    // once, no shuffle — the common increment shape) and an oversize
+    // batch degrades to a keyed shuffle join. A FORCED broadcast hint
+    // here died at the 100x replica: a 20k-vector batch's multi-probe
+    // rows (×bands ×(planes+1)) are a ~1 GB driver collect, over
+    // spark.driver.maxResultSize — a small-batch assumption
+    // masquerading as a plan. Same stance on the verify re-attach.
     val allH = index.select(col("id"),
         posexplode(col("codes")).as(Seq("bidx", "code")))
       .unionByName(newPost)
       .select(col("id"), xxhash64(col("bidx"), col("code")).as("bh"))
-    val cand = broadcast(probeH).as("x").join(allH.as("y"),
+    val cand = probeH.as("x").join(allH.as("y"),
         col("x.bh") === col("y.bh") && col("x.id") =!= col("y.id"))
       .select(least(col("x.id"), col("y.id")).as("a"),
         greatest(col("x.id"), col("y.id")).as("b"))
       .dropDuplicates("a", "b")
     val corpus = index.select(col("id"), col("v"), col("nrm"))
       .unionByName(newBase.select(col("id"), col("v"), col("nrm")))
-    broadcast(cand)
+    cand
       .join(corpus.select(col("id").as("a"), col("v").as("va"), col("nrm").as("na")), "a")
       .join(corpus.select(col("id").as("b"), col("v").as("vb"), col("nrm").as("nb")), "b")
       .select(col("a"), col("b"),
