@@ -18,6 +18,8 @@ import org.apache.spark.sql.expressions.Window
   */
 object Ann {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** embedding cast to array<double>. */
   def vec(c: Column): Column = c.cast("array<double>")
 
@@ -263,7 +265,8 @@ object Ann {
                      planes: Int = 0, bands: Int = 16,
                      idCol: String = "vec_id", vecCol: String = "embedding",
                      groupCol: Option[String] = None,
-                     multiProbe: Boolean = false): DataFrame = {
+                     multiProbe: Boolean = false,
+                     maxCandidates: Long = 200000000L): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val base = emb.select(
       (Seq(col(idCol).as("id"), vec(col(vecCol)).as("v")) ++
@@ -277,13 +280,51 @@ object Ann {
     // clamped to [4, 20]. The price is per-pair recall 1−(1−t^p)^bands
     // declining as p grows — callers pinning a recall target pass explicit
     // planes AND raise bands together.
+    // One bounded count serves both the auto-sizing and the budget guard
+    // below; like nodeSimilarity's degree probe it runs EAGERLY at plan
+    // construction — routing must happen before the plan exists.
+    val n = if (planes > 0 && maxCandidates <= 0L) 1L
+            else math.max(1L, base.count())
     val nPlanes =
       if (planes > 0) planes
+      else math.min(20, math.max(4,
+        math.ceil(math.log(math.max(1.0, n / 32.0)) / math.log(2.0)).toInt))
+    // Candidate-volume BUDGET (the nodeSimilarity auto-hub-guard stance:
+    // the op prices its own blowup instead of trusting every caller to).
+    // Expected candidate volume is n · bucket · bands · probes-per-band
+    // with bucket = n/2^p — all known before any wide work launches. Above
+    // `maxCandidates`, multi-probe degrades to single-probe (×(planes+1)
+    // cheaper; measured recall 0.970 → 0.891 at the 20k replica — a priced
+    // trade, logged loudly). If even SINGLE-probe volume exceeds the
+    // budget the op REFUSES with the levers named: the default budget is
+    // sized for a single-process harness (the 200k-vector multi-probe run
+    // spilled >60 GB of disk on one box at ~1.1B candidates); a cluster
+    // deployment raises it with its executor count, or passes 0 to
+    // disable pricing entirely. Fixtures through the 20k sf1 replica sit
+    // ≥3× below the default budget, so the guard is silent everywhere the
+    // oracle runs — and the oracle mirrors this predicate arithmetically,
+    // so even a corpus that DOES trip it stays oracle-exact.
+    val expBucket = math.max(1.0, n.toDouble / (1L << math.min(62, nPlanes)))
+    def volume(probesPerBand: Int): Double =
+      n.toDouble * expBucket * bands.toDouble * probesPerBand.toDouble
+    val effMultiProbe =
+      if (!multiProbe || maxCandidates <= 0L) multiProbe
+      else if (volume(nPlanes + 1) <= maxCandidates.toDouble) true
       else {
-        val n = math.max(1L, base.count())
-        math.min(20, math.max(4,
-          math.ceil(math.log(math.max(1.0, n / 32.0)) / math.log(2.0)).toInt))
+        log.warn(s"cosinePairsLsh: priced multi-probe candidate volume " +
+          f"${volume(nPlanes + 1)}%.3g exceeds maxCandidates=$maxCandidates " +
+          s"— degrading to single-probe banding (×${nPlanes + 1} cheaper; " +
+          "recall trade priced in the scaladoc). Raise maxCandidates (or " +
+          "pass 0) to keep multi-probe at this scale.")
+        false
       }
+    require(maxCandidates <= 0L ||
+        volume(if (effMultiProbe) nPlanes + 1 else 1) <= maxCandidates.toDouble,
+      f"cosinePairsLsh: priced candidate volume ${volume(1)}%.3g exceeds " +
+        s"maxCandidates=$maxCandidates even single-probe — raise " +
+        "maxCandidates in proportion to available executors, raise " +
+        "planes/lower bands to shrink buckets, or pass maxCandidates=0 " +
+        "to pay the priced volume deliberately")
     val gCols = groupCol.map(_ => col("g")).toSeq
     val raw = base.select(
       (gCols :+ col("id")) :+
@@ -295,7 +336,7 @@ object Ann {
     // multi-probe: own code + every 1-bit flip — a band hit is now
     // Hamming(x, y) ≤ 1 instead of == 0
     val probes =
-      if (!multiProbe) codes
+      if (!effMultiProbe) codes
       else hashed(raw.select(
         (gCols :+ col("id") :+ col("bidx")) :+
           explode(array(col("code") +:
@@ -348,14 +389,19 @@ object Ann {
     * pipelines, where a missed near-dup costs more than the extra verify
     * pass (measured 21 s vs 5 s at the 20k replica — priced and linear).
     * Pass `multiProbe = false` to keep the cheaper single-probe banding
-    * for recall-tolerant similarity reporting.
+    * for recall-tolerant similarity reporting. `maxCandidates` bounds the
+    * PRICED candidate volume of the LSH route (see [[cosinePairsLsh]]):
+    * above it multi-probe degrades to single-probe with a loud log; far
+    * above it the op refuses with the levers named — the default config
+    * can no longer die in a disk spill it priced in advance.
     */
   def cosinePairsAdaptive(emb: DataFrame, minCosine: Double,
                           maxExactRows: Int = 8192,
                           idCol: String = "vec_id", vecCol: String = "embedding",
                           groupCol: Option[String] = None,
                           allowApproximate: Boolean = true,
-                          multiProbe: Boolean = true): DataFrame = {
+                          multiProbe: Boolean = true,
+                          maxCandidates: Long = 200000000L): DataFrame = {
     // unlike a content-sampling probe, this is a pure ROW-COUNT probe
     // ("are there more than maxExactRows rows?") — counts are invariant to
     // file/partition layout, so the head-limit cannot misroute; it merely
@@ -370,7 +416,8 @@ object Ann {
           "LSH route (exact verification, banding recall < 1 near the " +
           "threshold)")
       cosinePairsLsh(emb, minCosine, idCol = idCol, vecCol = vecCol,
-        groupCol = groupCol, multiProbe = multiProbe)
+        groupCol = groupCol, multiProbe = multiProbe,
+        maxCandidates = maxCandidates)
     }
   }
 
@@ -395,11 +442,12 @@ object Ann {
                     vecCol: String = "embedding",
                     maxExactRows: Int = 8192,
                     allowApproximate: Boolean = true,
-                    multiProbe: Boolean = true): DataFrame =
+                    multiProbe: Boolean = true,
+                    maxCandidates: Long = 200000000L): DataFrame =
     graft.ops.graph.GraphOps.connectedComponents(
       cosinePairsAdaptive(emb, minCosine, maxExactRows, idCol, vecCol,
         groupCol = Some(labelCol), allowApproximate = allowApproximate,
-        multiProbe = multiProbe))
+        multiProbe = multiProbe, maxCandidates = maxCandidates))
       .select(col("id").as(idCol), col("component"),
         (col("id") === col("component")).as("keep"))
       .orderBy(idCol)
@@ -462,9 +510,18 @@ object Ann {
                       idCol: String = "vec_id", vecCol: String = "embedding",
                       multiProbe: Boolean = true): DataFrame = {
     graft.functions.GraftFunctions.register(newEmb.sparkSession)
-    val hd = index.select(col("planes"), size(col("codes")).as("bands")).head()
-    val p = hd.getInt(0)
-    val b = hd.getInt(1)
+    // an EMPTY index is the natural bootstrap of the persist-at-ingest
+    // workflow (first batch, nothing indexed yet): auto-size planes from
+    // the batch with srpIndex's formula instead of throwing on head() —
+    // the first increment still finds its new×new pairs
+    val (p, b) = index.select(col("planes"), size(col("codes")).as("bands"))
+      .take(1).headOption match {
+        case Some(hd) => (hd.getInt(0), hd.getInt(1))
+        case None =>
+          val n = math.max(1L, newEmb.count())
+          (math.min(20, math.max(4,
+            math.ceil(math.log(math.max(1.0, n / 32.0)) / math.log(2.0)).toInt)), 16)
+      }
     // batch-only coding; staged because probes, postings, and the verify
     // corpus all consume it (without staging the norm+code pass re-runs
     // per consumer, serialised whenever the batch is one input split)

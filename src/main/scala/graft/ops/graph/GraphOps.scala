@@ -269,9 +269,14 @@ object GraphOps {
            weightCol: String = "weight"): DataFrame = {
     val spark = wEdges.sparkSession
     import spark.implicits._
+    // a NULL weight would survive the endpoint filter AND the negative-
+    // weight require (min() skips nulls) only to NPE in the tuple decode
+    // below with an opaque executor error — filter it like the endpoints
+    // (an unweighted edge cannot participate in min-plus relaxation)
     val e = wEdges.select(col("from"), col("to"),
         col(weightCol).cast("long").as("w"))
-      .where(col("from").isNotNull && col("to").isNotNull)
+      .where(col("from").isNotNull && col("to").isNotNull &&
+        col(weightCol).isNotNull)
     val minW = e.agg(min(col("w"))).head().get(0)
     require(minW == null || minW.asInstanceOf[Long] >= 0L,
       s"sssp: negative edge weight $minW — min-plus relaxation requires " +
@@ -426,6 +431,113 @@ object GraphOps {
       .orderBy("node")
   }
 
+  /** Landmark (sampled) Brandes betweenness over an undirected PG edge
+    * set — the scale answer to betweenness centrality (exact Brandes is
+    * one BFS + dependency sweep per SOURCE: all-pairs work, dead at KG
+    * size), completing the centrality family beside degree/PageRank/Katz/
+    * HITS/closeness/k-core. Landmarks are the first `k` nodes in
+    * md5(node-key) order (the [[landmarkCloseness]] sample: deterministic,
+    * content-derived, engine-independent); the score is the UNNORMALISED
+    * sum of per-landmark dependencies δ_s(v) = Σ_{w: succ(v)}
+    * σ_sv/σ_sw·(1+δ_s(w)) over v ≠ s (Brandes 2001, "A faster algorithm
+    * for betweenness centrality", J. Math. Sociol. — the sampled variant
+    * is Brandes/Pich 2007). Nodes on no landmark-rooted shortest path
+    * emit no row.
+    *
+    * Both sweeps are synchronous (node, lidx)-keyed DataFrame recurrences
+    * — the A43 stance, no driver-side graph:
+    *  - FORWARD: level-synchronous BFS with path counting. Level i is one
+    *    keyed join of the dist-(i−1) frontier against the canonicalised
+    *    neighbour relation + one map-combined σ sum + one anti-join
+    *    against the reached set (σ is complete the round a node is first
+    *    reached, because every shortest path arrives on that exact
+    *    level); the loop stops when the frontier empties (≤ diameter
+    *    rounds, ≤ `maxHops`).
+    *  - BACKWARD: δ recomputed from scratch each round over the static
+    *    successor relation (v, w, lidx, σ_v/σ_w) — the recurrence has
+    *    dependency depth = max dist, so maxDist rounds reach the exact
+    *    fixpoint, and post-fixpoint rounds are no-ops (what lets the
+    *    oracle unroll a FIXED count of CTE levels ≥ the depth).
+    * Edges are canonicalised (least/greatest, distinct) first: parallel
+    * or reversed duplicates would inflate σ, unlike plain BFS where they
+    * are harmless. δ is rounded to 6 dp each round and the final
+    * per-node sum over ≤ k rounded addends is rounded once more — the
+    * textSurprisal stance: every addend is bit-identical across engines,
+    * only the sum order is not, and 6 dp absorbs it.
+    *
+    * Scale: each round shuffles at most |E|·k narrow (node, lidx) rows
+    * with map-side combine; driver state is k landmark keys + one max-
+    * dist scalar + a per-round count (all bounded); lineage is flattened
+    * with localCheckpoint like [[kcore]].
+    */
+  def landmarkBetweenness(pgEdges: DataFrame, k: Int = 8,
+                          maxHops: Int = 10): DataFrame = {
+    val spark = pgEdges.sparkSession
+    import spark.implicits._
+    val e = endpoints(pgEdges)
+    val canon = e.select(least(col("from"), col("to")).as("a"),
+        greatest(col("from"), col("to")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    // both orientations: the traversal relation (staged — every round of
+    // both sweeps reads it)
+    val nb = canon.unionAll(canon.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
+    // k landmark keys to the driver — bounded by the parameter (A43)
+    val lms = nb.select(col("a").as("node")).distinct()
+      .withColumn("h", md5(col("node")))
+      .orderBy("h", "node").limit(k)
+      .select("node").as[String].collect().zipWithIndex
+    val lmDf = lms.map { case (n, i) => (n, i) }.toSeq.toDF("node", "lidx")
+
+    // forward: reached(node, lidx, dist, sigma)
+    var reached = lmDf.select(col("node"), col("lidx"),
+      lit(0).as("dist"), lit(1L).as("sigma")).localCheckpoint()
+    var frontier = reached
+    var level = 1
+    while (level <= maxHops && !frontier.isEmpty) {
+      val cand = nb.join(frontier.withColumnRenamed("node", "a"), "a")
+        .groupBy(col("b").as("node"), col("lidx"))
+        .agg(sum(col("sigma")).as("sigma"))
+      frontier = cand
+        .join(reached.select("node", "lidx"), Seq("node", "lidx"), "left_anti")
+        .select(col("node"), col("lidx"), lit(level).as("dist"), col("sigma"))
+        .localCheckpoint()
+      reached = reached.unionByName(frontier).localCheckpoint()
+      level += 1
+    }
+
+    // static successor relation: v at dist d, neighbour w at dist d+1,
+    // carrying the σ ratio (one deterministic double division)
+    val succ = nb
+      .join(reached.select(col("node").as("a"), col("lidx"),
+        col("dist").as("dv"), col("sigma").as("sv")), Seq("a"))
+      .join(reached.select(col("node").as("b"), col("lidx"),
+        col("dist").as("dw"), col("sigma").as("sw")), Seq("b", "lidx"))
+      .where(col("dw") === col("dv") + 1)
+      .select(col("a").as("v"), col("lidx"), col("dv"),
+        (col("sv").cast("double") / col("sw")).as("r"), col("b").as("w"))
+      .localCheckpoint()
+    val maxDRow = reached.agg(max(col("dist"))).head()
+    val maxD = if (maxDRow.isNullAt(0)) 0 else maxDRow.getInt(0)
+
+    // backward: δ recomputed synchronously; fixpoint at maxD rounds
+    var delta = succ.select(col("v").as("node"), col("lidx"), col("dv"),
+      lit(0.0).as("delta")).where(lit(false))
+    for (_ <- 1 to maxD) {
+      delta = succ
+        .join(delta.select(col("node").as("w"), col("lidx"),
+          col("delta").as("dw8")), Seq("w", "lidx"), "left")
+        .groupBy(col("v").as("node"), col("lidx"), col("dv"))
+        .agg(round(sum(col("r") * (lit(1.0) + coalesce(col("dw8"), lit(0.0)))), 6)
+          .as("delta"))
+        .localCheckpoint()
+    }
+    delta.where(col("dv") > 0)
+      .groupBy("node")
+      .agg(round(sum(col("delta")), 6).as("betweenness"))
+      .orderBy("node")
+  }
+
   /** Synchronous label propagation (community detection) over an
     * undirected PG edge set, via GraphX Pregel with a DETERMINISTIC
     * tie-break — GraphX's own `LabelPropagation.run` picks `maxBy` over a
@@ -521,6 +633,13 @@ object GraphOps {
     * instead of a 10¹²-candidate join. `maxCandidates = 0` disables the
     * probe (the documented exact-baseline configuration at any size);
     * an explicit `maxHubDegree` also skips it (the caller owns the cap).
+    * The probe is EAGER — it runs a (bounded, histogram-sized) Spark job
+    * during DataFrame construction, like the row-count router in
+    * [[graft.ops.ann.Ann.cosinePairsAdaptive]]: routing decisions must be
+    * made before the plan is built, and the price is one O(√|E|)-row agg.
+    * If even the smallest degree bucket alone exceeds the budget (every
+    * cap would prune essentially everything), the guard REFUSES with a
+    * descriptive error rather than returning a near-empty result.
     */
   def nodeSimilarity(pgEdges: DataFrame, minJaccard: Double,
                      maxHubDegree: Int = 0,
@@ -546,13 +665,24 @@ object GraphOps {
           if (!engaged && kept + add <= maxCandidates) { kept += add; cap = d }
           else engaged = true
         }
+        // if even the SMALLEST degree bucket blows the budget, any cap the
+        // guard could pick prunes essentially every edge — a near-empty
+        // result behind a log line is a silent wrong answer, so refuse
+        // loudly instead (the ngramJaccardAdaptive allowApproximate=false
+        // stance): the caller must either own the cap or own the cost
+        require(!engaged || cap >= 1L,
+          s"nodeSimilarity: even degree-${hist.headOption.map(_._1).getOrElse(0L)} " +
+            s"nodes alone exceed maxCandidates=$maxCandidates — no degree cap " +
+            "yields a non-trivial result inside the budget; pass an explicit " +
+            "maxHubDegree to own the prune, or maxCandidates=0 to pay the " +
+            "exact quadratic deliberately")
         if (engaged)
           log.warn(s"nodeSimilarity: estimated candidate volume exceeds " +
             s"maxCandidates=$maxCandidates — auto hub guard engaged at " +
             s"degree $cap (kept estimate $kept); neighbours above the cap " +
             "are pruned from scoring (scores = nodeSimilarity of the " +
             "pruned graph)")
-        if (engaged) math.max(1L, cap).toInt else 0
+        if (engaged) cap.toInt else 0
       }
     val nb =
       if (hubCap <= 0) nbAll

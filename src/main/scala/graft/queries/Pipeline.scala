@@ -848,7 +848,12 @@ object Pipeline {
     * nothing — above the cutoff, and the LSH scaffolding joins against an
     * empty corpus below it: one SQL string is correct at sf0.01 (exact
     * route) AND the sf1 stress replica (LSH route), closing the last two
-    * documented-divergence cells of the r12 sf1 sweep. Bucket equality is
+    * documented-divergence cells of the r12 sf1 sweep. The r15 candidate
+    * BUDGET is mirrored too (`vm`: the multi-probe flip branch empties
+    * exactly when the engine's priced volume n·bucket·16·(p+1) exceeds
+    * the default 200M budget and it degrades to single-probe — same
+    * arithmetic, same operand order), so the oracle stays route-exact
+    * even on a corpus big enough to trip the guard. Bucket equality is
     * (band, code[, label]) — what the engine's xxhash64 bucket-key
     * equality means modulo 64-bit collisions (the media_frame_dedup
     * precedent). Yields `rpairs(a, b, cosine)` thresholded at
@@ -905,10 +910,12 @@ object Pipeline {
        |codes AS MATERIALIZED (SELECT vec_id$g, bd,
        |    sum(CASE WHEN proj > 0 THEN 1::BIGINT << pl ELSE 0 END)::BIGINT AS code
        |  FROM prj GROUP BY vec_id$g, bd),
+       |vm AS (SELECT (n::DOUBLE * greatest(n::DOUBLE / pow(2::DOUBLE, p), 1.0)
+       |    * 16.0 * (p + 1)) <= 200000000.0 AS mp FROM nr, pp),
        |prb AS (SELECT vec_id$g, bd, code FROM codes
        |  UNION ALL
        |  SELECT vec_id$g, bd, xor(code, 1::BIGINT << pl) AS code
-       |  FROM codes CROSS JOIN pls),
+       |  FROM codes CROSS JOIN pls CROSS JOIN vm WHERE vm.mp),
        |cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
        |  FROM prb x JOIN codes y
        |    ON x.bd = y.bd AND x.code = y.code AND x.vec_id < y.vec_id$gJoinXy),
@@ -2413,7 +2420,11 @@ object Pipeline {
   /** Byte grid via `unicode(ch)` over char splits — exact because frames
     * only sample docs ≥ 72 bytes and every such fixture doc is ASCII (the
     * C43 stance; the robustness fixture's non-ASCII rows are all ≤ 24
-    * bytes and emit no frame on either engine). Codes build in HUGEINT
+    * bytes and emit no frame on either engine). The invariant is ENFORCED,
+    * not assumed: tools/robustness_check.py asserts it when building its
+    * fixture and PipelineOpsSpec asserts it over the shipped testdata, so
+    * a generator change cannot silently un-pin the char-vs-byte framing
+    * equivalence. Codes build in HUGEINT
     * (bit 63 would overflow signed BIGINT's shift), chunks via
     * shift-mod, hamming via xor + bit_count — the dedup_simhash recipe.
     */
@@ -3196,8 +3207,14 @@ object Pipeline {
     * fold is linear and its per-index output zips back positionally.
     */
   val packSequencesSql: String =
-    """WITH d AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n,
-      |    (doc_id % 8)::INTEGER AS part FROM documents),
+    // poison-row twin of the engine's stance (TextOps.packSequences): a
+    // NULL id is dropped, NULL text packs as 0 tokens — without the
+    // coalesce a NULL count poisons the whole part's list_reduce (acc[2] +
+    // NULL > 512 is NULL, so the ELSE branch fires forever)
+    """WITH d AS (SELECT doc_id,
+      |    coalesce(len(string_split(text, ' ')), 0)::BIGINT AS n,
+      |    (doc_id % 8)::INTEGER AS part FROM documents
+      |  WHERE doc_id IS NOT NULL),
       |parts AS (SELECT part,
       |    list(doc_id ORDER BY doc_id) AS ids, list(n ORDER BY doc_id) AS ns
       |  FROM d GROUP BY part),

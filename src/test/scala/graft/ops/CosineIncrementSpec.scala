@@ -39,6 +39,24 @@ class CosineIncrementSpec extends SparkSpec {
     assert(inc.forall(p => batchIds(p._1) || batchIds(p._2)))
   }
 
+  test("bootstrap: an EMPTY index auto-sizes from the batch and still finds new x new pairs") {
+    // the natural first state of the persist-at-ingest workflow — must not
+    // throw on the 1-row metadata read, and the first batch's own
+    // duplicates must still certify. With nothing indexed the increment is
+    // exactly a full multi-probe pass over the batch (same auto-sizing).
+    val vA = Array.tabulate(8)(i => (i + 1).toFloat)
+    val batch = Seq((10L, vA), (11L, vA),
+      (12L, Array.tabulate(8)(i => if (i == 7) 5f else 0f)))
+      .toDF("vec_id", "embedding")
+    val empty = Ann.srpIndex(embs.where(lit(false)))
+    val inc = rows(Ann.cosineIncrement(batch, empty, minCosine = 0.99))
+    // both sides auto-size from the same 3-row corpus, so the increment is
+    // literally the full pass here
+    val full = rows(Ann.cosinePairsLsh(batch, 0.99, multiProbe = true))
+    assert(inc === full)
+    assert(inc.map(p => (p._1, p._2)) === Set((10L, 11L)))
+  }
+
   test("planted duplicates: new x old and new x new certify, orthogonal does not") {
     val vA = Array.tabulate(8)(i => (i + 1).toFloat)
     val vB = Array.tabulate(8)(i => if (i == 0) 1f else 0f)

@@ -309,6 +309,34 @@ class GraphOpsSpec extends SparkSpec {
     assert(!auto.keySet.exists { case (p, q) => p.startsWith("s") && q.startsWith("s") })
   }
 
+  test("node similarity auto hub guard: refuses when no cap fits the budget (never a silent near-empty prune)") {
+    import spark.implicits._
+    // a 100-cycle: EVERY node has degree 2, so the smallest histogram
+    // bucket alone estimates 100 candidates — over a budget of 50 there
+    // is no degree cap that keeps anything, and degree-1 pruning would
+    // return near-nothing behind a log line. The guard must throw instead.
+    val cycle = (0 until 100).map(i => (s"n$i", s"n${(i + 1) % 100}"))
+      .toDF("from", "to")
+    val e = intercept[IllegalArgumentException] {
+      GraphOps.nodeSimilarity(cycle, 0.0, maxCandidates = 50)
+    }
+    assert(e.getMessage.contains("maxCandidates"), e.getMessage)
+    // the same graph with the probe disabled computes the exact definition
+    assert(GraphOps.nodeSimilarity(cycle, 0.0, maxCandidates = 0).count() > 0)
+  }
+
+  test("sssp: a NULL weight is filtered like NULL endpoints, not an executor NPE") {
+    import spark.implicits._
+    val g = Seq(("a", "b", java.lang.Long.valueOf(10L)),
+      ("a", "c", null.asInstanceOf[java.lang.Long]),
+      ("c", "b", java.lang.Long.valueOf(1L)))
+      .toDF("from", "to", "weight")
+    // the null-weight edge a-c is dropped: c is only reachable through b
+    val got = GraphOps.sssp(g, Seq("a")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("a" -> 0L, "b" -> 10L, "c" -> 11L))
+  }
+
   test("clusteringCoefficient: K4 scores 1, star hub 0, pendant NULL; multigraph collapses") {
     def r(es: Seq[(String, String)]): Map[String, (Long, Long, Option[Double])] =
       GraphOps.clusteringCoefficient(es.toDF("from", "to")).collect().map { row =>

@@ -103,6 +103,49 @@ class GuardSpec extends SparkSpec {
       Dedup.minhashIndex(docs.where(col("source") =!= "src0")), 0.5)) === Set((2L, 3L)))
   }
 
+  test("cosine LSH candidate budget: over-budget multi-probe degrades to EXACTLY the single-probe output") {
+    // 200 vectors, auto planes p=4 (200/32 -> clamp 4): priced volumes are
+    // single 200*12.5*16 = 40k, multi 40k*5 = 200k. A budget between the
+    // two must degrade multi-probe to single-probe — and the degraded
+    // result must BE the single-probe result, not some third behavior.
+    val emb = (0 until 200).map { i =>
+      val s = if (i >= 100) i - 100 else i // planted dups: i ~ i+100
+      (i.toLong, Array.tabulate(8)(j => math.sin(s * 8 + j + 1).toFloat))
+    }.toDF("vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val single = rows(graft.ops.ann.Ann.cosinePairsLsh(emb, 0.9,
+      multiProbe = false, maxCandidates = 0L))
+    assert(single.nonEmpty, "planted duplicates must pair")
+    val degraded = rows(graft.ops.ann.Ann.cosinePairsLsh(emb, 0.9,
+      multiProbe = true, maxCandidates = 100000L))
+    assert(degraded === single)
+    // under budget the guard is silent: multi-probe output identical to
+    // the unpriced (maxCandidates=0) multi-probe run
+    assert(rows(graft.ops.ann.Ann.cosinePairsLsh(emb, 0.9,
+      multiProbe = true, maxCandidates = 200000000L)) ===
+      rows(graft.ops.ann.Ann.cosinePairsLsh(emb, 0.9,
+        multiProbe = true, maxCandidates = 0L)))
+  }
+
+  test("cosine LSH candidate budget: refuses when even single-probe volume exceeds it") {
+    val emb = (0 until 200).map(i =>
+      (i.toLong, Array.tabulate(8)(j => math.sin(i * 8 + j + 1).toFloat)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.ann.Ann.cosinePairsLsh(emb, 0.9,
+        multiProbe = true, maxCandidates = 10000L)
+    }
+    assert(e.getMessage.contains("even single-probe"),
+      s"the refusal must name the single-probe floor: ${e.getMessage}")
+    // and the adaptive entry threads the budget through its LSH route
+    val e2 = intercept[IllegalArgumentException] {
+      graft.ops.ann.Ann.cosinePairsAdaptive(emb, 0.9, maxExactRows = 10,
+        maxCandidates = 10000L)
+    }
+    assert(e2.getMessage.contains("even single-probe"))
+  }
+
   test("containment: shingle-less (one-token) docs are excluded on BOTH sides") {
     // doc 1 (ref) and doc 4 (corpus) have a single token -> zero bigrams.
     // Neither may appear in the output (0/0 must not become NaN >= t, the

@@ -597,6 +597,22 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.toSeq === Seq((1L, 2L, 2L)))
   }
 
+  test("fixture invariant: every document long enough to emit a media frame is ASCII") {
+    // the C43/C87 oracles frame by CHARACTERS while the engine frames the
+    // UTF-8 BYTES of encode(text) — exact only while every doc that can
+    // emit a frame (>= 64 bytes, the smaller of the two ops' thresholds)
+    // has byte length == char length. A generator change that ships long
+    // non-ASCII docs must fail HERE, not as a silent oracle divergence
+    // (tools/robustness_check.py asserts the same invariant on its fixture).
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("text"))
+      .where(col("text").isNotNull &&
+        octet_length(col("text")) >= 64 &&
+        octet_length(col("text")) =!= length(col("text")))
+    assert(d.count() === 0L,
+      "non-ASCII document >= 64 bytes: C43/C87 char-framed oracles would diverge")
+  }
+
   test("product quantization: codes bounded, cross-product spans beyond one codebook, fits sane") {
     val got = Ann.pqAssign(embs, m = 2, nCells = 8, iters = 1).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4)))

@@ -58,10 +58,31 @@ COPY (
     -- the JVM but ONE codepoint in DuckDB — pins the arithmetic UTF-8
     -- byte expansion in the FNV oracles, dedup_edit's ASCII-subsequence
     -- key, and every tokenizer op against surrogate-pair counting drift.
-    ({doc0 + 7}, 'hot ' || chr(128293) || ' take ' || chr(128293) || ' news', 'en', 'src0', 14)
+    ({doc0 + 7}, 'hot ' || chr(128293) || ' take ' || chr(128293) || ' news', 'en', 'src0', 14),
+    -- NULL poison rows (r14 advisor): a NULL text (valid id) and a NULL id
+    -- (valid text). The engine's stance is documented per-op (NULL text
+    -- packs/counts as empty, NULL ids are dropped where an id is required);
+    -- these rows make the gate actually exercise that path instead of the
+    -- equivalence resting on fixtures that never produce NULLs.
+    ({doc0 + 8}, NULL, 'en', 'src0', 0),
+    (NULL, 'orphan row with no id', 'en', 'src1', 21)
   ) t(doc_id, text, lang, source, n_chars)
 ) TO '{dst}/documents.parquet' (FORMAT PARQUET)
 """)
+# media-framing invariant (r14 advisor): the frame-dedup oracles (C43/C87)
+# frame by CHARACTERS while the engine frames UTF-8 BYTES of encode(text) —
+# exact only while every doc long enough to emit a frame (>= 64 bytes, the
+# smaller of the two ops' thresholds) is pure ASCII (byte length == char
+# length). Enforce it on the fixture so a generator change can never
+# silently un-pin the equivalence.
+bad_media = con.execute(f"""
+  SELECT count(*) FROM read_parquet('{dst}/documents.parquet')
+  WHERE text IS NOT NULL AND strlen(text) >= 64 AND strlen(text) <> len(text)
+""").fetchone()[0]
+assert bad_media == 0, (
+    f"{bad_media} document rows are >= 64 bytes AND non-ASCII: the C43/C87 "
+    "char-framed oracles would diverge from the engine's byte framing — "
+    "keep non-ASCII rows under 64 bytes or rewrite the oracles on bytes")
 # degenerate embeddings: a zero vector (cosine 0/0 -> ANSI crash if
 # unguarded) and an exact duplicate of corpus vector 30 (tie-breaking)
 con.execute(f"""
