@@ -722,6 +722,65 @@ object GraphEtl {
        |GROUP BY node ORDER BY node""".stripMargin
   }
 
+  /** A45: landmark Brandes betweenness over the KG with the derived
+    * `servesRegion` edges ([[graft.ops.graph.GraphOps.landmarkBetweenness]])
+    * — the last classic centrality beside degree/PageRank/Katz/HITS/
+    * closeness/k-core, at the only betweenness semantics that survives
+    * scale (k md5-ordered landmarks, not all-pairs). The triangle edges
+    * matter: they create MULTIPLE shortest paths (σ > 1), so the oracle
+    * checks the path-counting arithmetic (σ ratios), not just distances.
+    * The oracle unrolls the forward BFS-with-σ as cumulative (node, lidx)
+    * relaxation levels (the kg_closeness recipe plus a σ sum and an
+    * anti-join for first-reach) and the backward dependency recurrence as
+    * fixed rounds over the static successor relation — post-fixpoint
+    * rounds are no-ops, so 4 unrolled levels ≥ the hierarchy's depth are
+    * exact at every fixture.
+    */
+  def kgBetweenness(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.graph.GraphOps.landmarkBetweenness(
+      supRegionEdges(spark, dir, withSupRegion = true))
+
+  val kgBetweennessSql: String = {
+    val fwd = (1 to 4).map { i =>
+      s"""c$i AS (SELECT e.b AS node, f.lidx, sum(f.sigma)::BIGINT AS sigma
+         |  FROM e2 e JOIN r${i - 1} f ON e.a = f.node AND f.dist = ${i - 1}
+         |  GROUP BY e.b, f.lidx),
+         |r$i AS MATERIALIZED (SELECT * FROM r${i - 1}
+         |  UNION ALL
+         |  SELECT c.node, c.lidx, $i AS dist, c.sigma FROM c$i c
+         |  WHERE NOT EXISTS (SELECT 1 FROM r${i - 1} r
+         |    WHERE r.node = c.node AND r.lidx = c.lidx))""".stripMargin
+    }.mkString(",\n")
+    val bwd = (1 to 4).map { i =>
+      s"""b$i AS (SELECT sc.v AS node, sc.lidx, sc.dv,
+         |    round(sum(sc.r * (1 + coalesce(b.delta, 0.0))), 6) AS delta
+         |  FROM sc LEFT JOIN b${i - 1} b ON b.node = sc.w AND b.lidx = sc.lidx
+         |  GROUP BY sc.v, sc.lidx, sc.dv)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH raw AS (
+       |  SELECT 'nation:' || n_nationkey AS f, 'region:' || n_regionkey AS t FROM nation
+       |  UNION ALL SELECT 'sup:' || s_suppkey, 'nation:' || s_nationkey FROM supplier
+       |  UNION ALL SELECT 'sup:' || s_suppkey, 'region:' || n_regionkey
+       |    FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+       |e0 AS MATERIALIZED (SELECT DISTINCT least(f, t) AS a, greatest(f, t) AS b
+       |  FROM raw WHERE f <> t),
+       |e2 AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+       |nodes AS (SELECT DISTINCT a AS node FROM e2),
+       |lm AS (SELECT node, lidx FROM (
+       |    SELECT node, row_number() OVER (ORDER BY md5(node), node) - 1 AS lidx
+       |    FROM nodes) WHERE lidx < 8),
+       |r0 AS (SELECT node, lidx, 0 AS dist, 1::BIGINT AS sigma FROM lm),
+       |$fwd,
+       |sc AS MATERIALIZED (SELECT v.node AS v, v.lidx, v.dist AS dv,
+       |    v.sigma::DOUBLE / w.sigma AS r, w.node AS w
+       |  FROM e2 e JOIN r4 v ON e.a = v.node
+       |  JOIN r4 w ON e.b = w.node AND w.lidx = v.lidx AND w.dist = v.dist + 1),
+       |b0 AS (SELECT v AS node, lidx, 0 AS dv, 0.0::DOUBLE AS delta FROM sc WHERE false),
+       |$bwd
+       |SELECT node, round(sum(delta), 6) AS betweenness
+       |FROM b4 WHERE dv > 0 GROUP BY node ORDER BY node""".stripMargin
+  }
+
   /** A18 (flagship): the reference's whole flow in one query — three tables
     * mapped to a knowledge graph (nodes for regions/nations/suppliers,
     * edges for containment/location), aggregated to PG elements, summarised

@@ -219,6 +219,34 @@ class GraphOpsSpec extends SparkSpec {
     assert(capped("b") === 3L && capped("a") === 2L)
   }
 
+  test("landmarkBetweenness: k >= n == hand Brandes on a path; diamond counts sigma=2 paths; k bounds") {
+    import spark.implicits._
+    def bMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // path a-b-c-d (duplicate + reversed edges must not inflate sigma):
+    // hand Brandes over ordered pairs — b interior to (a,c),(a,d),(c,a),
+    // (d,a) = 4, c symmetric; endpoints interior to nothing, NO row
+    val path = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("b", "a"), ("c", "b"))
+      .toDF("from", "to")
+    assert(bMap(GraphOps.landmarkBetweenness(path, k = 10)) ===
+      Map("b" -> 4.0, "c" -> 4.0))
+    // diamond x-y1-z, x-y2-z: two shortest x..z paths (sigma = 2) split
+    // the dependency — every node scores exactly 1.0 by hand
+    val diamond = Seq(("x", "y1"), ("x", "y2"), ("y1", "z"), ("y2", "z"))
+      .toDF("from", "to")
+    assert(bMap(GraphOps.landmarkBetweenness(diamond, k = 10)) ===
+      Map("x" -> 1.0, "y1" -> 1.0, "y2" -> 1.0, "z" -> 1.0))
+    // k bounds the sample: with ONE landmark only that source's
+    // dependencies accumulate — scores are a subset of the k=all run's
+    // per-source contributions and never exceed them
+    val one = bMap(GraphOps.landmarkBetweenness(path, k = 1))
+    val all = bMap(GraphOps.landmarkBetweenness(path, k = 10))
+    assert(one.keySet.subsetOf(all.keySet))
+    assert(one.forall { case (n, v) => v <= all(n) })
+    // deterministic across re-runs (md5-ordered landmark pick)
+    assert(bMap(GraphOps.landmarkBetweenness(path, k = 1)) === one)
+  }
+
   test("kcore: triangle survives, pendant chain cascades out, multigraph collapses") {
     import spark.implicits._
     // triangle a-b-c with a pendant chain c-d-e: d has degree 2 BEFORE
