@@ -106,7 +106,12 @@ object Dedup {
   def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
             prefixTokens: Int = 10): DataFrame = {
     val key = concat_ws(" ", slice(split(col(textCol), " "), 1, prefixTokens))
-    docs.select(col(idCol).as("id"), md5(key).as("key_hash"))
+    docs
+      // a NULL text cannot attest equality (concat_ws would silently key it
+      // as the EMPTY string, pairing "missing" with "empty" — the r15 NULL
+      // poison-row finding), and a NULL id cannot be canonicalised
+      .where(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("id"), md5(key).as("key_hash"))
       .groupBy("key_hash")
       .agg(min("id").as("canonical_id"), count(lit(1)).as("n_dups"),
         array_join(array_sort(collect_list(col("id").cast("string"))), ",").as("members"))
@@ -985,19 +990,37 @@ object Dedup {
     * exhaustive. Chunk extraction and the final hamming check are plain
     * bit ops (`shiftrightunsigned`/`bit_count`), all codegen'd.
     */
-  def simhash(docs: DataFrame, maxHamming: Int = 3,
-              idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    require(maxHamming <= 31, "banding needs chunks > maxHamming; 64 bits cap this at 31")
+  /** The one-pass 64-bit SimHash projection shared by [[simhash]],
+    * [[simhashIndex]], and [[simhashIncrement]] — kept in one place so the
+    * batch and incremental paths cannot drift (the C3b signature-sharing
+    * stance).
+    */
+  private def simhashCodes(docs: DataFrame, idCol: String,
+                           textCol: String): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.select(col(idCol).as("id"),
+      call_function("graft_simhash64", TextOps.tokens(col(textCol))).as("code64"))
+  }
+
+  /** Pigeonhole chunk postings of a (id, code64) frame: the smallest
+    * power-of-two chunk count strictly above `maxHamming` — a pair within
+    * the threshold must agree on ≥ 1 full chunk, so a join on
+    * (chunk index, chunk code) is exhaustive. Pure codegen bit ops.
+    */
+  private def simhashChunks(codes: DataFrame, maxHamming: Int): DataFrame = {
     val nChunks = Seq(4, 8, 16, 32).find(_ > maxHamming).get
     val chunkLen = 64 / nChunks
     val mask = (1L << chunkLen) - 1
-    val base = docs.select(col(idCol).as("id"),
-      call_function("graft_simhash64", TextOps.tokens(col(textCol))).as("code64"))
-    val chunks = base.select(col("id"), col("code64"),
+    codes.select(col("id"), col("code64"),
       posexplode(array((0 until nChunks).map(c =>
         shiftrightunsigned(col("code64"), c * chunkLen).bitwiseAND(mask)): _*))
         .as(Seq("cidx", "code")))
+  }
+
+  def simhash(docs: DataFrame, maxHamming: Int = 3,
+              idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(maxHamming <= 31, "banding needs chunks > maxHamming; 64 bits cap this at 31")
+    val chunks = simhashChunks(simhashCodes(docs, idCol, textCol), maxHamming)
     val candidates = chunks.as("x").join(chunks.as("y"),
         col("x.cidx") === col("y.cidx") && col("x.code") === col("y.code")
           && col("x.id") < col("y.id"))
@@ -1005,6 +1028,62 @@ object Dedup {
         col("x.code64").as("ca"), col("y.code64").as("cb"))
       .dropDuplicates("a", "b")
     candidates
+      .select(col("a"), col("b"),
+        bit_count(col("ca").bitwiseXOR(col("cb"))).cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .orderBy("a", "b")
+  }
+
+  /** SimHash signature INDEX of a corpus: (id, code64) — the build-once
+    * half of INCREMENTAL SimHash dedup, completing the incremental family
+    * (minhash C3b, winnow C85, embedding C5b; SimHash was the one member
+    * without a twin). Persist via `Checkpoint.save` at ingest and probe
+    * each new batch with [[simhashIncrement]]: the corpus TEXT is
+    * tokenised and vote-packed exactly once across all future increments —
+    * the expensive half; the pigeonhole chunk postings are NOT stored
+    * because deriving them is four shift-mask codegen ops per row at probe
+    * time, cheaper than persisting (and re-reading) a 4× posting table,
+    * and it leaves `maxHamming` a probe-time knob instead of a baked-in
+    * index parameter (the C3b signature-length migration hazard, avoided
+    * structurally: the raw code carries no banding assumptions).
+    */
+  def simhashIndex(docs: DataFrame,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    simhashCodes(docs, idCol, textCol)
+
+  /** Incremental SimHash near-dup detection: every pair with hamming ≤
+    * `maxHamming` where at least one side is in `newDocs` — (new × indexed)
+    * and (new × new); indexed × indexed pairs are the previous runs'
+    * output and are not re-found. `index` is a [[simhashIndex]] frame
+    * (typically loaded from a checkpoint).
+    *
+    * Plan (the C3b stance, SimHash edition): only the NEW batch is
+    * tokenised and hashed (staged — its codes feed the probe side AND the
+    * union); probes are the batch's chunk postings joined against the
+    * postings of index ∪ batch, so old × old pairs can never form; the
+    * pair set dedups on the canonical (least, greatest) orientation and
+    * verifies with one exact xor/bit_count. One-sided probing loses
+    * nothing: chunk agreement is symmetric, so the increment EQUALS the
+    * full [[simhash]] pass restricted to ≥ 1 batch side (spec-proven).
+    * Per-batch cost scales with the batch and the matched chunk buckets,
+    * not the corpus text.
+    */
+  def simhashIncrement(newDocs: DataFrame, index: DataFrame,
+                       maxHamming: Int = 3,
+                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(maxHamming <= 31, "banding needs chunks > maxHamming; 64 bits cap this at 31")
+    val newCodes = stage(simhashCodes(spread(newDocs), idCol, textCol))
+    val all = index.select(col("id"), col("code64")).unionByName(newCodes)
+    val cand = simhashChunks(newCodes, maxHamming).as("x")
+      .join(simhashChunks(all, maxHamming).as("y"),
+        col("x.cidx") === col("y.cidx") && col("x.code") === col("y.code")
+          && col("x.id") =!= col("y.id"))
+      .select(least(col("x.id"), col("y.id")).as("a"),
+        greatest(col("x.id"), col("y.id")).as("b"),
+        // hamming is symmetric — the canonical swap cannot change it
+        col("x.code64").as("ca"), col("y.code64").as("cb"))
+      .dropDuplicates("a", "b")
+    cand
       .select(col("a"), col("b"),
         bit_count(col("ca").bitwiseXOR(col("cb"))).cast("long").as("hamming"))
       .where(col("hamming") <= maxHamming)
@@ -1127,9 +1206,13 @@ object Dedup {
                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(minDocs >= 1, "minDocs must be >= 1")
     require(minTokens >= 1, "minTokens must be >= 1")
+    // a scrub rewrites keyed content: a NULL id cannot be elected against
+    // deterministically (engines disagree where NULL sorts) and a NULL
+    // text has nothing to rewrite — both are dropped (r15 NULL stance)
+    val clean = docs.where(col(idCol).isNotNull && col(textCol).isNotNull)
     // staged: the chunk arrays feed BOTH the fingerprint election and the
     // final reconstruction — one tokenisation pass
-    val chunked = chunkSpans(spread(docs), divisor, idCol, textCol)
+    val chunked = chunkSpans(spread(clean), divisor, idCol, textCol)
       .select(col("doc_id"),
         filter(zip_with(col("starts"), col("ends"), (s, e) =>
           when(e >= s, concat_ws(" ", slice(col("ws"), s, e - s + 1)))),
@@ -1263,7 +1346,9 @@ object Dedup {
     require(k > w, s"scrubWinnow needs k > w (got k=$k, w=$w): selection " +
       "spacing is at most w grams, so k-char spans of consecutive " +
       "selections only chain into full-run coverage when k exceeds w")
-    val base = spread(docs)
+    // same NULL stance as scrubPassages: keeper elections need the id,
+    // rewriting needs the text
+    val base = spread(docs.where(col(idCol).isNotNull && col(textCol).isNotNull))
     val fps = TextOps.winnow(base, k, w, idCol, textCol)
     // keeper election — identical stance to scrubPassages: pre-collapse
     // per (fp, doc) so a hot fingerprint never floods the global agg

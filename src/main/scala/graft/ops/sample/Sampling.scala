@@ -71,7 +71,11 @@ object Sampling {
     val order = saltedOrder(col(idCol), salt)
     val w = Window.partitionBy(col(strataCol)).orderBy(order, col(idCol))
     val n = Window.partitionBy(col(strataCol))
-    df.withColumn("__rank", row_number().over(w))
+    // deterministic content-derived selection REQUIRES the key: a NULL id
+    // has no md5 order (engines even disagree where NULL sorts), so it
+    // would silently shift every rank after it — drop it (r15 NULL stance)
+    df.where(col(idCol).isNotNull)
+      .withColumn("__rank", row_number().over(w))
       .withColumn("__n", count(lit(1)).over(n))
       .where(col("__rank") <= ceil(col("__n") * fraction))
       .drop("__rank", "__n")
@@ -190,14 +194,18 @@ object Sampling {
                      tokens: Column, alpha: Double, totalBudget: Long,
                      salt: String = ""): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1] (got $alpha)")
-    val shares = df.groupBy(col(sourceCol))
+    // NULL-id rows are excluded from the SHARE table too, not just the
+    // selection — otherwise an unselectable row would still tilt the
+    // mixture it can never be part of (r15 NULL stance)
+    val base = df.where(col(idCol).isNotNull)
+    val shares = base.groupBy(col(sourceCol))
       .agg(sum(tokens.cast("long")).as("__tok"))
     val total = Option(shares.agg(sum("__tok")).head().get(0))
       .map(_.asInstanceOf[Long]).getOrElse(0L)
     require(total > 0, "temperatureMix: corpus has no tokens")
     val wtab = shares.select(col(sourceCol),
       round(pow(col("__tok").cast("double") / total, alpha), 6).as("__tw"))
-    mixToBudget(df.join(broadcast(wtab), sourceCol), sourceCol, idCol,
+    mixToBudget(base.join(broadcast(wtab), sourceCol), sourceCol, idCol,
       tokens, col("__tw"), totalBudget, salt).drop("__tw")
   }
 
@@ -214,7 +222,11 @@ object Sampling {
         "(empty input, or zero/null weights)")
     val order = saltedOrder(col(idCol), salt)
     val w = Window.partitionBy(col(sourceCol)).orderBy(order, col(idCol))
-    df.withColumn("n_tokens", tokens.cast("long"))
+    // NULL ids have no md5 order (and engines disagree where NULL sorts in
+    // a window) — they would shift every later row's cumulative budget;
+    // drop them (r15 NULL stance, same as stratifiedSample)
+    df.where(col(idCol).isNotNull)
+      .withColumn("n_tokens", tokens.cast("long"))
       .withColumn("__target",
         floor(lit(totalBudget) * weight.cast("double") / lit(sumW)).cast("long"))
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))

@@ -82,7 +82,11 @@ object Stats {
     require(pcts.nonEmpty && pcts.forall(p => p >= 0 && p <= 1),
       "pcts must be non-empty fractions in [0, 1]")
     import org.apache.spark.sql.expressions.Window
+    // a NULL value has no bucket (a NULL `b` group would sit at different
+    // window positions across engines and skew every rank) — quantiles are
+    // over the non-NULL values, the SQL PERCENTILE_CONT convention
     val sketch = df.select(col(groupCol), pow2Bucket(valueCol).as("b"))
+      .where(col("b").isNotNull)
       .groupBy(groupCol, "b").agg(count(lit(1)).as("cnt"))
     // windows run over the SKETCH (≤ ~64 rows per group), not the data
     val byB = Window.partitionBy(groupCol).orderBy("b")

@@ -45,15 +45,21 @@ object TextOps {
   def langScore(text: Column, profile: Seq[String]): Column =
     size(filter(tokens(text), w => array_contains(typedLit(profile), w)))
 
-  /** Predicted language: argmax of profile scores, first-profile tiebreak. */
+  /** Predicted language: argmax of profile scores, first-profile tiebreak.
+    * NULL text predicts NULL (unknowable is not "English": the fold's
+    * `when` chain would otherwise silently keep the first profile's
+    * literal when every NULL comparison falls through — the r15 NULL
+    * poison-row finding).
+    */
   def langPredict(text: Column): Column =
-    LangProfiles.tail.foldLeft(
-      (lit(LangProfiles.head._1), langScore(text, LangProfiles.head._2))) {
-        case ((bestLang, bestScore), (lang, profile)) =>
-          val s = langScore(text, profile)
-          (when(s > bestScore, lit(lang)).otherwise(bestLang),
-            when(s > bestScore, s).otherwise(bestScore))
-      }._1
+    when(text.isNotNull,
+      LangProfiles.tail.foldLeft(
+        (lit(LangProfiles.head._1), langScore(text, LangProfiles.head._2))) {
+          case ((bestLang, bestScore), (lang, profile)) =>
+            val s = langScore(text, profile)
+            (when(s > bestScore, lit(lang)).otherwise(bestLang),
+              when(s > bestScore, s).otherwise(bestScore))
+        }._1)
 
   /** Character-trigram language profiles — the classic n-gram language-ID
     * heuristic (Cavnar & Trenkle-style, fixed profiles): each language is a
@@ -355,7 +361,10 @@ object TextOps {
             idCol: String = "doc_id", textCol: String = "text")
       : org.apache.spark.sql.DataFrame = {
     require(stride > 0 && chunkTokens > 0, "chunkTokens and stride must be positive")
-    docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("ws"))
+    // no text, no chunks: a NULL text would otherwise emit one phantom
+    // empty chunk through the NULL-window arithmetic (r15 NULL stance)
+    docs.where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("ws"))
       .withColumn("n", size(col("ws")))
       .select(col("doc_id"), col("n"),
         posexplode(transform(
@@ -622,8 +631,13 @@ object TextOps {
     // coalesce-to-empty BEFORE tokenising: a NULL text would make `ws` null
     // and the downstream explode() silently DROP the document — with the
     // coalesce every doc keeps its >= 1 (possibly empty-string) token and
-    // the "exactly one output row per document" contract holds.
-    docs.select(col(idCol).as("doc_id"), label.cast("int").as("y"),
+    // the "exactly one output row per document" contract holds. The LABEL
+    // is coalesced too: a rule that evaluates NULL (quality gates on NULL
+    // text do) trains as NEGATIVE — a NULL y would otherwise silently
+    // drop the doc from the priors while its tokens still shaped the
+    // vocabulary (the r15 NULL poison-row finding).
+    docs.select(col(idCol).as("doc_id"),
+      coalesce(label.cast("int"), lit(0)).as("y"),
       tokens(coalesce(col(textCol), lit(""))).as("ws")).localCheckpoint()
   }
 

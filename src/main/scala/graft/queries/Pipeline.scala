@@ -27,7 +27,8 @@ object Pipeline {
 
   val dedupExactSql: String =
     """WITH d AS (SELECT doc_id,
-      |  md5(array_to_string(string_split(text, ' ')[1:10], ' ')) AS kh FROM documents)
+      |  md5(array_to_string(string_split(text, ' ')[1:10], ' ')) AS kh FROM documents
+      |  WHERE doc_id IS NOT NULL AND text IS NOT NULL)
       |SELECT kh AS key_hash, min(doc_id) AS canonical_id, count(*) AS n_dups,
       |  array_to_string(list_sort(list(doc_id::VARCHAR)), ',') AS members
       |FROM d GROUP BY kh HAVING count(*) > 1 ORDER BY canonical_id""".stripMargin
@@ -306,7 +307,8 @@ object Pipeline {
     * matching Spark's left join + array filter.
     */
   val passageScrubSql: String =
-    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |  WHERE doc_id IS NOT NULL AND text IS NOT NULL),
       |tok AS (SELECT doc_id, ws, len(ws) AS n FROM d),
       |b AS (SELECT doc_id, ws, n,
       |        [i FOR i IN range(1, n+1) IF (ascii(ws[i]) * 256 + len(ws[i])) % 7 = 0] AS bidx
@@ -355,7 +357,7 @@ object Pipeline {
     * ordered string_agg over gap pieces plus one tail piece per doc.
     */
   val scrubWinnowSql: String =
-    "WITH dd AS (SELECT doc_id, text FROM documents WHERE len(text) >= 8),\n" +
+    "WITH dd AS (SELECT doc_id, text FROM documents WHERE len(text) >= 8 AND doc_id IS NOT NULL),\n" +
       winnowSelSql + ",\n" +
     """f AS MATERIALIZED (SELECT DISTINCT doc_id, p AS pos, h AS fp FROM sel),
       |firstin AS MATERIALIZED (SELECT fp, doc_id, min(pos) AS mpos FROM f GROUP BY 1, 2),
@@ -393,6 +395,7 @@ object Pipeline {
       |SELECT d.doc_id, coalesce(agg.ts, d.text) AS text_scrubbed,
       |  coalesce(cnt.n_masked, 0)::BIGINT AS n_masked
       |FROM documents d LEFT JOIN agg USING (doc_id) LEFT JOIN cnt USING (doc_id)
+      |WHERE d.doc_id IS NOT NULL AND d.text IS NOT NULL
       |ORDER BY d.doc_id""".stripMargin
 
   /** C30: asymmetric containment of the src0 reference docs in the rest of
@@ -438,7 +441,7 @@ object Pipeline {
       |    row_number() OVER (PARTITION BY lang
       |      ORDER BY ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT, doc_id) AS rnk,
       |    count(*) OVER (PARTITION BY lang) AS n
-      |  FROM documents)
+      |  FROM documents WHERE doc_id IS NOT NULL)
       |SELECT doc_id, lang FROM r WHERE rnk <= ceil(n * 0.2) ORDER BY doc_id""".stripMargin
 
   // ---- C33: token-budget domain mixing ------------------------------------
@@ -458,7 +461,8 @@ object Pipeline {
 
   val corpusMixSql: String =
     """WITH d AS (SELECT doc_id, source,
-      |    len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents),
+      |    len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents
+      |  WHERE doc_id IS NOT NULL),
       |w AS (SELECT DISTINCT source, 1.0 + (substr(source, 4)::INT % 3) AS w FROM documents),
       |tw AS (SELECT sum(w) AS sum_w FROM w),
       |t AS (SELECT source, floor(20000 * w / (SELECT sum_w FROM tw))::BIGINT AS target FROM w),
@@ -489,7 +493,8 @@ object Pipeline {
 
   val corpusTemperatureSql: String =
     """WITH d AS (SELECT doc_id, lang,
-      |    len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents),
+      |    len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents
+      |  WHERE doc_id IS NOT NULL),
       |s AS (SELECT lang, sum(n_tokens)::DOUBLE AS tok FROM d GROUP BY lang),
       |tot AS (SELECT sum(tok) AS t FROM s),
       |w AS (SELECT lang, round(pow(tok / (SELECT t FROM tot), 0.5), 6) AS w FROM s),
@@ -812,6 +817,50 @@ object Pipeline {
       |WHERE bit_count(xor(x.code, y.code)) <= 3
       |ORDER BY a, b""".stripMargin
 
+  // ---- C4b: incremental SimHash dedup (new batch vs persisted index) ------
+  // src0 plays the daily increment (the C3b cast); the index carries raw
+  // (id, code64) signatures, so only the batch is tokenised and hashed.
+
+  /** C4b: incremental SimHash near-dup ([[Dedup.simhashIncrement]]) — the
+    * src0 batch probes a [[Dedup.simhashIndex]] built over the rest
+    * (inline + localCheckpoint here, a persisted checkpoint in
+    * production): hamming ≤ 3 pairs with ≥ 1 batch side. Completes the
+    * incremental family (minhash C3b, winnow C85, embedding C5b). The
+    * oracle is the C4 FNV-1a/vote-pack HUGEINT recipe with the exhaustive
+    * hamming join restricted to `is_new` pairs — exhaustive is the right
+    * reference because pigeonhole banding is lossless.
+    */
+  def dedupSimhashInc(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    Dedup.simhashIncrement(
+      d.where(col("source") === "src0"),
+      Dedup.simhashIndex(d.where(col("source") =!= "src0")).localCheckpoint(),
+      maxHamming = 3)
+  }
+
+  val dedupSimhashIncSql: String =
+    """WITH hs AS (
+      |  SELECT doc_id, source = 'src0' AS is_new,
+      |    [list_reduce(
+      |       list_prepend(14695981039346656037::HUGEINT,
+      |         UTF8BYTES),
+      |       (h, b) -> ((h // 256 * 256 + xor(h % 256, b)) * 1099511628211::HUGEINT)
+      |                 % 18446744073709551616::HUGEINT
+      |     ) FOR t IN string_split(text, ' ')] AS hlist
+      |  FROM documents),""".stripMargin
+      .replace("UTF8BYTES", utf8BytesSql.replace("TOKEN", "t")) + "\n" +
+    """codes AS (
+      |  SELECT doc_id, is_new,
+      |    list_sum([CASE WHEN 2 * list_sum([(h >> i) % 2 FOR h IN hlist]) > len(hlist)
+      |                   THEN (1::HUGEINT << i) ELSE 0::HUGEINT END
+      |              FOR i IN range(0, 64)]) AS code
+      |  FROM hs)
+      |SELECT x.doc_id AS a, y.doc_id AS b,
+      |       bit_count(xor(x.code, y.code))::BIGINT AS hamming
+      |FROM codes x JOIN codes y ON x.doc_id < y.doc_id
+      |WHERE bit_count(xor(x.code, y.code)) <= 3 AND (x.is_new OR y.is_new)
+      |ORDER BY a, b""".stripMargin
+
   // ---- C5: embedding-cosine near-dup pairs --------------------------------
   // size-adaptive: exact broadcast loop below the cutoff (this SF), the
   // SRP-LSH bucketed + exact-verify route above it — no O(n²) at scale
@@ -1047,7 +1096,10 @@ object Pipeline {
     */
   def corpusDriftKs(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val d = docs(spark, dir).where(col("source").isin("src0", "src1"))
+    // a NULL text has no length — excluded rather than invented as a NULL
+    // group whose window position differs across engines (r15 NULL stance)
+    val d = docs(spark, dir)
+      .where(col("source").isin("src0", "src1") && col("text").isNotNull)
       .select(col("source"), size(TextOps.tokens(col("text"))).cast("long").as("len"))
     val c = d.groupBy("len").agg(
       count(when(col("source") === "src0", 1)).as("a"),
@@ -1068,7 +1120,7 @@ object Pipeline {
 
   val corpusDriftKsSql: String =
     """WITH d AS (SELECT source, len(string_split(text, ' '))::BIGINT AS len
-      |    FROM documents WHERE source IN ('src0', 'src1')),
+      |    FROM documents WHERE source IN ('src0', 'src1') AND text IS NOT NULL),
       |c AS (SELECT len, count(*) FILTER (source = 'src0') AS a,
       |        count(*) FILTER (source = 'src1') AS b FROM d GROUP BY len),
       |cum AS (SELECT len, sum(a) OVER w::BIGINT AS ca, sum(b) OVER w::BIGINT AS cb
@@ -1954,7 +2006,10 @@ object Pipeline {
     */
   def sampleBalanced(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // md5-ordered selection requires the key (r15 NULL stance: a NULL id
+    // sorts differently across engines and shifts every later rank)
     val d = docs(spark, dir).select(col("doc_id"), col("lang"))
+      .where(col("doc_id").isNotNull)
     val kmin = d.groupBy("lang").agg(count(lit(1)).as("c"))
       .agg(min("c").as("k"))
     val w = Window.partitionBy("lang")
@@ -1967,7 +2022,7 @@ object Pipeline {
   }
 
   val sampleBalancedSql: String =
-    """WITH d AS (SELECT doc_id, lang FROM documents),
+    """WITH d AS (SELECT doc_id, lang FROM documents WHERE doc_id IS NOT NULL),
       |k AS (SELECT min(c)::BIGINT AS k FROM (
       |  SELECT lang, count(*) AS c FROM d GROUP BY lang)),
       |r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
@@ -2467,13 +2522,14 @@ object Pipeline {
     */
   val qualityDistillSql: String = {
     val en = TextOps.LangProfiles.head._2.map(w => s"'$w'").mkString("[", ",", "]")
-    s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+    s"""WITH t AS (SELECT doc_id, text,
+       |    string_split(coalesce(text, ''), ' ') AS w FROM documents),
        |lab AS (SELECT doc_id, w,
-       |  (CASE WHEN len(w) BETWEEN 20 AND 100000 THEN 1 ELSE 0 END)
+       |  coalesce((CASE WHEN len(w) BETWEEN 20 AND 100000 THEN 1 ELSE 0 END)
        |  * (CASE WHEN list_sum([length(x) for x in w])::DOUBLE / len(w) BETWEEN 3.0 AND 10.0 THEN 1 ELSE 0 END)
        |  * (CASE WHEN (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))::DOUBLE / len(w) < 0.1 THEN 1 ELSE 0 END)
        |  * (CASE WHEN len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE / len(w) >= 0.8 THEN 1 ELSE 0 END)
-       |  * (CASE WHEN len(list_filter(w, x -> list_contains($en, x))) >= 2 THEN 1 ELSE 0 END) AS y
+       |  * (CASE WHEN len(list_filter(w, x -> list_contains($en, x))) >= 2 THEN 1 ELSE 0 END), 0) AS y
        |  FROM t),
        |toks AS (SELECT doc_id, y, unnest(w) AS tok FROM lab),
        |wc AS (SELECT tok, sum(y)::BIGINT AS c_pos, sum(1 - y)::BIGINT AS c_neg
@@ -2703,7 +2759,8 @@ object Pipeline {
     */
   val corpusHistQuantilesSql: String =
     """WITH d AS (SELECT 'corpus' AS scope,
-      |    len(string_split(text, ' '))::BIGINT AS v FROM documents),
+      |    len(string_split(text, ' '))::BIGINT AS v FROM documents
+      |  WHERE text IS NOT NULL),
       |sk AS (SELECT scope, length(bin(v + 1)) - 1 AS b, count(*) AS cnt
       |       FROM d GROUP BY scope, b),
       |c AS (SELECT *,
@@ -3244,7 +3301,8 @@ object Pipeline {
 
   val docChunkSql: String =
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w,
-      |    len(string_split(text, ' ')) AS n FROM documents),
+      |    len(string_split(text, ' ')) AS n FROM documents
+      |  WHERE text IS NOT NULL),
       |idx AS (SELECT doc_id, w, n,
       |    unnest(range(0, greatest(ceil((n - 32)::DOUBLE / 16)::BIGINT, 0) + 1)) AS ci
       |  FROM t)
@@ -3520,11 +3578,15 @@ object Pipeline {
         col("meta.format").as("format"))
       .orderBy("doc_id")
 
+  /** NULL payloads decode like EMPTY on the engine side (the multimodal
+    * seam's spec'd poison-row stance: n_bytes 0, never an NPE) — the twin
+    * coalesces to the same zeros instead of propagating SQL NULLs.
+    */
   val multimodalMetaSql: String =
     """SELECT doc_id,
-      |  octet_length(encode(text))::BIGINT AS n_bytes,
-      |  (octet_length(encode(text)) % 640)::INTEGER AS width,
-      |  ((octet_length(encode(text))::BIGINT * 31) % 480)::INTEGER AS height,
+      |  coalesce(octet_length(encode(text)), 0)::BIGINT AS n_bytes,
+      |  coalesce(octet_length(encode(text)) % 640, 0)::INTEGER AS width,
+      |  coalesce((octet_length(encode(text))::BIGINT * 31) % 480, 0)::INTEGER AS height,
       |  'img/fake' AS format
       |FROM documents ORDER BY doc_id""".stripMargin
 }
