@@ -141,6 +141,72 @@ object DHash64 {
   }
 }
 
+/** 64-bit perceptual AUDIO fingerprint of a PCM window as a native
+  * codegen expression — the audio counterpart of [[DHash64]], in the
+  * spirit of Haitsma & Kalker's energy-difference fingerprint (ISMIR
+  * 2002): the window's unsigned 8-bit samples split into a row-major
+  * 9×8 grid of equal BANDS (band size = window/72, min 1), each band
+  * scores the integer energy Σ (s−128)² of its samples, and bit r·8+c is
+  * set iff the right-neighbour band is more energetic (grid index
+  * r·9+c → r·9+c+1 — the dHash comparison layout on energies instead of
+  * intensities). Energy is a per-band MULTISET statistic, so any
+  * permutation of samples inside a band — the kind of micro-jitter that
+  * changes every byte hash — leaves the code bit-identical, and small
+  * amplitude tweaks move few bits: exactly the near-dup robustness a raw
+  * md5 cannot give. Pure integer arithmetic, so a DuckDB oracle
+  * reproduces it bit-for-bit from the same windows; samples past the
+  * buffer count as silence (128 → zero energy).
+  */
+case class AudioFp64(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_audiofp64"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.sql}")
+  }
+
+  override def nullSafeEval(bytes: Any): Any =
+    AudioFp64.hash(bytes.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, b => s"graft.functions.AudioFp64.hash($b)")
+
+  override protected def withNewChildInternal(newChild: Expression): AudioFp64 =
+    copy(child = newChild)
+}
+
+object AudioFp64 {
+  def hash(b: Array[Byte]): Long = {
+    val bs = math.max(1, b.length / 72) // samples per band (9×8 grid)
+    val e = new Array[Long](72)
+    var j = 0
+    while (j < 72) {
+      var acc = 0L
+      var t = 0
+      while (t < bs) {
+        val i = j * bs + t
+        val d = (if (i < b.length) b(i) & 0xff else 128) - 128
+        acc += d.toLong * d
+        t += 1
+      }
+      e(j) = acc
+      j += 1
+    }
+    var code = 0L
+    var k = 0
+    while (k < 64) {
+      val i = k + k / 8
+      if (e(i + 1) > e(i)) code |= 1L << k
+      k += 1
+    }
+    code
+  }
+}
+
 /** MinHash signature of a token/shingle array: `numHashes` minima of
   * seeded hashes (FNV-1a base, splitmix64 seed mixing) in one pass —
   * replaces an interpreted `transform(sequence, s -> array_min(transform(…)))`

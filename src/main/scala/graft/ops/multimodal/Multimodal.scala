@@ -104,6 +104,137 @@ object Multimodal {
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** The `data` chunk of a RIFF/WAVE payload: (offset, length) of the raw
+    * PCM bytes, or None for anything that is not a well-formed WAV. The
+    * declared chunk size is CLAMPED to the buffer — streamed WAVs
+    * conventionally declare 0xFFFFFFFF when the length is unknown at
+    * header-write time, and a truncated file should still expose the PCM
+    * it has (per-row fallback, never a query failure). Same chunk-walk
+    * hardening as [[decodeWav]].
+    */
+  def pcmSection(bytes: Array[Byte]): Option[(Int, Int)] =
+    try {
+      def ascii(o: Int) = new String(bytes, o, 4, "US-ASCII")
+      def le32(o: Int): Long = (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+        ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+      if (bytes.length < 36 || ascii(0) != "RIFF" || ascii(8) != "WAVE") None
+      else {
+        var off = 12L
+        var res: Option[(Int, Int)] = None
+        while (res.isEmpty && off + 8 <= bytes.length) {
+          val o = off.toInt
+          val sz = le32(o + 4)
+          if (ascii(o) == "data") {
+            val avail = bytes.length - (o + 8)
+            res = Some((o + 8, math.min(sz, avail.toLong).toInt))
+          }
+          off += 8 + sz + (sz & 1)
+        }
+        res
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** A canonical 44-byte streaming WAV header (PCM, 8-bit, mono by
+    * default): RIFF and data sizes are 0xFFFFFFFF — the streamed-WAV
+    * convention for "length unknown at header-write time", which
+    * [[pcmSection]] clamps to the actual buffer. Lets a query wrap any
+    * byte payload as well-formed WAV with ONE constant literal (no
+    * per-row size arithmetic), and is the header a real PCM streamer
+    * would emit.
+    */
+  def wavHeaderStreaming(sampleRate: Int = 8000, channels: Short = 1,
+                         bitsPerSample: Short = 8): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val blockAlign = (channels * bitsPerSample / 8).toShort
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(0xffffffff)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels).putInt(sampleRate)
+      .putInt(sampleRate * blockAlign).putShort(blockAlign).putShort(bitsPerSample)
+      .put("data".getBytes("US-ASCII")).putInt(0xffffffff)
+    bb.array()
+  }
+
+  /** PCM window sampling over the WAV decode seam: every `stride`-th
+    * fixed-size byte window of the payload's `data` chunk as
+    * (window_idx, window) rows — [[sampleFrames]] for audio, except the
+    * walk genuinely parses the RIFF container first ([[pcmSection]]), so
+    * a non-WAV payload yields no windows rather than fingerprinting
+    * header garbage. NULL payloads yield no windows (the seam's poison-
+    * row stance). Partition-local fan-out like every decode here.
+    */
+  def samplePcmWindows(df: DataFrame, idCol: String, binCol: String,
+                       windowBytes: Int = 288, stride: Int = 1): DataFrame = {
+    val outSchema = StructType(Seq(
+      df.schema(idCol),
+      StructField("window_idx", IntegerType, nullable = false),
+      StructField("window", BinaryType, nullable = false)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        val pcm = if (bytes == null) None else pcmSection(bytes)
+        pcm match {
+          case None => Iterator.empty
+          case Some((off, len)) =>
+            val nWin = len / (windowBytes * stride)
+            (0 until nWin).iterator.map { i =>
+              val s = off + i * windowBytes * stride
+              Row(r.get(idIdx), i, java.util.Arrays.copyOfRange(bytes, s, s + windowBytes))
+            }
+        }
+      }
+    }(encoder)
+  }
+
+  /** Perceptual AUDIO near-dup pairs: media pairs sharing ≥ `minShared`
+    * near-duplicate PCM windows — [[frameNearDup]]'s C4 machinery over
+    * the WAV seam with [[graft.functions.AudioFp64]]'s band-energy
+    * fingerprint instead of dHash: windows whose 9×8 band-energy
+    * difference codes sit within `maxHamming` bits count as the same
+    * audio content even when every BYTE differs (in-band sample
+    * permutations leave energies — and the code — bit-identical; small
+    * amplitude tweaks move few bits), which is exactly what exact-md5
+    * dedup cannot see. Pigeonhole chunk banding (lossless), a df ≤
+    * `maxDf` guard against boilerplate windows (silence, test tones),
+    * only 64-bit codes ride the exchange.
+    */
+  def audioNearDup(df: DataFrame, idCol: String, binCol: String,
+                   maxHamming: Int = 3, windowBytes: Int = 288, stride: Int = 1,
+                   maxDf: Int = 50, minShared: Long = 2): DataFrame = {
+    require(maxHamming <= 31, "banding needs chunks > maxHamming; 64 bits cap this at 31")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val fps = samplePcmWindows(df, idCol, binCol, windowBytes, stride)
+      .select(col(idCol).as("id"),
+        call_function("graft_audiofp64", col("window")).as("code64"))
+      .distinct()
+      .localCheckpoint()
+    val dfc = fps.groupBy("code64").agg(count(lit(1)).as("dfc"))
+    val kept = fps.join(dfc, "code64").where(col("dfc") <= maxDf)
+      .select(col("id"), col("code64"))
+    val nChunks = Seq(4, 8, 16, 32).find(_ > maxHamming).get
+    val chunkLen = 64 / nChunks
+    val mask = (1L << chunkLen) - 1
+    val chunks = kept.select(col("id"), col("code64"),
+      posexplode(array((0 until nChunks).map(c =>
+        shiftrightunsigned(col("code64"), c * chunkLen).bitwiseAND(mask)): _*))
+        .as(Seq("cidx", "code")))
+    val cand = chunks.as("x").join(chunks.as("y"),
+        col("x.cidx") === col("y.cidx") && col("x.code") === col("y.code")
+          && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        col("x.code64").as("ca"), col("y.code64").as("cb"))
+      .dropDuplicates("a", "b", "ca", "cb")
+    cand
+      .where(bit_count(col("ca").bitwiseXOR(col("cb"))) <= maxHamming)
+      .groupBy("a", "b").agg(count(lit(1)).as("n_near"))
+      .where(col("n_near") >= minShared)
+      .orderBy("a", "b")
+  }
+
   /** One row's decode under the resolved codec flag: image header, then
     * WAV header, then the deterministic stub.
     */

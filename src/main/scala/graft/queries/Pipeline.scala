@@ -2506,6 +2506,62 @@ object Pipeline {
       |SELECT a, b, count(*) AS n_near FROM vf GROUP BY a, b
       |HAVING count(*) >= 2 ORDER BY a, b""".stripMargin
 
+  /** C88: perceptual AUDIO near-dup ([[Multimodal.audioNearDup]]) — the
+    * audio half of the multimodal block, mirroring C87: each document's
+    * bytes ride as 8-bit PCM behind a REAL streaming WAV header (44-byte
+    * constant, sizes 0xFFFFFFFF per the streamed-WAV convention), so the
+    * op's RIFF chunk walk ([[Multimodal.pcmSection]]) is genuinely
+    * exercised — a non-WAV payload yields no windows. 288-byte windows
+    * fingerprint to 64-bit band-ENERGY difference codes
+    * (graft_audiofp64: 9×8 grid of 4-sample energies — in-band sample
+    * permutations leave the code bit-identical where exact md5 sees
+    * nothing), paired through the C4 pigeonhole banding. `minShared = 1`
+    * here because fixture documents carry a single full window each;
+    * production audio (many windows per clip) keeps the op default of 2.
+    */
+  def mediaAudioNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val media = docs(spark, dir).select(col("doc_id"),
+      concat(lit(Multimodal.wavHeaderStreaming()),
+        encode(col("text"), "UTF-8")).as("media"))
+    Multimodal.audioNearDup(media, "doc_id", "media", minShared = 1)
+  }
+
+  /** Windows are the PCM `data` section = the UTF-8 text bytes (the
+    * header is a constant the chunk walk strips), so the oracle windows
+    * by characters under the SAME enforced ASCII invariant as C43/C87
+    * (every doc ≥ 64 bytes is ASCII; non-ASCII rows are < 64 < 288 bytes
+    * and emit no window on either engine). Band energies are exact
+    * integer sums; codes build in HUGEINT, chunks via shift-mod, hamming
+    * via xor + bit_count — the C87 recipe on energies.
+    */
+  val mediaAudioNeardupSql: String =
+    """WITH fr AS (SELECT doc_id, substr(text, i*288 + 1, 288) AS f
+      |      FROM (SELECT doc_id, text, unnest(range(0, len(text) // 288)) AS i FROM documents)),
+      |ub AS (SELECT doc_id,
+      |    [unicode(ch) FOR ch IN list_filter(string_split(f, ''), c -> c <> '')] AS u
+      |  FROM fr),
+      |en AS (SELECT doc_id,
+      |    [list_sum([(u[(j-1)*4 + s] - 128) * (u[(j-1)*4 + s] - 128)
+      |               FOR s IN range(1, 5)])
+      |     FOR j IN range(1, 73)] AS e
+      |  FROM ub),
+      |codes AS (SELECT DISTINCT doc_id,
+      |    list_sum([CASE WHEN e[k + k//8 + 2] > e[k + k//8 + 1]
+      |              THEN (1::HUGEINT << k) ELSE 0::HUGEINT END
+      |              FOR k IN range(0, 64)]) AS code
+      |  FROM en),
+      |dfc AS (SELECT code, count(*) AS c FROM codes GROUP BY code),
+      |kt AS (SELECT codes.doc_id, codes.code FROM codes JOIN dfc USING (code) WHERE c <= 50),
+      |ch AS (SELECT doc_id, code, ci, (code >> (ci * 16)) % 65536 AS chunk
+      |  FROM kt, range(0, 4) t(ci)),
+      |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+      |    x.code AS ca, y.code AS cb
+      |  FROM ch x JOIN ch y
+      |    ON x.ci = y.ci AND x.chunk = y.chunk AND x.doc_id < y.doc_id),
+      |vf AS (SELECT a, b FROM cand WHERE bit_count(xor(ca, cb)) <= 3)
+      |SELECT a, b, count(*) AS n_near FROM vf GROUP BY a, b
+      |HAVING count(*) >= 1 ORDER BY a, b""".stripMargin
+
   /** C42: Naive Bayes self-distillation of the Gopher gate (see
     * [[TextOps.nbDistill]]) — the hard rule becomes a continuous
     * token-level quality score, the cheap-classifier curation pattern.

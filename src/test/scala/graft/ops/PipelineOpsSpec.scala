@@ -597,6 +597,39 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.toSeq === Seq((1L, 2L, 2L)))
   }
 
+  test("audio fingerprint: in-band permutation is code-identical where md5 differs; " +
+      "amplitude tweak stays near; strangers and non-WAV payloads never pair") {
+    import graft.ops.multimodal.Multimodal
+    import spark.implicits._
+    val hdr = Multimodal.wavHeaderStreaming()
+    // the header IS a well-formed stream: pcmSection finds data at 44
+    assert(Multimodal.pcmSection(hdr ++ Array.fill(10)(1.toByte)) === Some((44, 10)))
+    assert(Multimodal.pcmSection("not audio at all".getBytes) === None)
+    // base window: varied "PCM" (one 288-sample window, 4-sample bands)
+    val base = Array.tabulate(288)(i => (128 + 60 * math.sin(i / 3.0)).toByte)
+    // pitch-preserving micro-jitter: permute samples INSIDE one band
+    // (indices 40..43 are one 4-sample band) — the band's energy (a
+    // multiset statistic) is unchanged
+    val perm = { val g = base.clone(); g(40) = base(43); g(43) = base(40); g }
+    assert(!java.util.Arrays.equals(base, perm), "md5 would differ")
+    assert(graft.functions.AudioFp64.hash(base) === graft.functions.AudioFp64.hash(perm),
+      "in-band permutation must be fingerprint-invariant")
+    // small amplitude tweak on one band: few bits move
+    val tweak = { val g = base.clone(); g(80) = (g(80) + 6).toByte; g }
+    assert(java.lang.Long.bitCount(
+      graft.functions.AudioFp64.hash(base) ^ graft.functions.AudioFp64.hash(tweak)) <= 3)
+    // end-to-end: A and its permuted copy pair; flat silence does not;
+    // a payload without a WAV header emits no windows at all
+    val silence = Array.fill(288)(128.toByte)
+    val media = Seq(
+      (1L, hdr ++ base), (2L, hdr ++ perm), (3L, hdr ++ silence),
+      (4L, base ++ base) /* no header: never fingerprinted */)
+      .toDF("doc_id", "media")
+    val got = Multimodal.audioNearDup(media, "doc_id", "media", minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 2L)))
+  }
+
   test("fixture invariant: every document long enough to emit a media frame is ASCII") {
     // the C43/C87 oracles frame by CHARACTERS while the engine frames the
     // UTF-8 BYTES of encode(text) — exact only while every doc that can
