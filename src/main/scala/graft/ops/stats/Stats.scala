@@ -22,6 +22,70 @@ import org.apache.spark.sql.functions._
   */
 object Stats {
 
+  /** Kolmogorov–Smirnov statistic from a JOINT count table `c` with
+    * columns (`keyCol`: orderable, `a`, `b`: long counts of the two
+    * distributions at that key): ks = max |CDF_a − CDF_b| computed in
+    * exact integer cross-products (|ca·nb − cb·na| / (na·nb) — no float
+    * until the final division, so the statistic is bit-identical under
+    * any partitioning; valid while na·nb < 2⁶³, i.e. both sides under
+    * ~3e9 rows — far past any drift-register support). One row out:
+    * (na, nb, ks 6-dp, NULL ks on an empty side). This is THE kernel —
+    * the batch C60 query and the streaming D31 finisher both run it, so
+    * stream and batch cannot drift.
+    */
+  def ksFromJoint(c: DataFrame, keyCol: String = "len"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cum = c.select(col(keyCol),
+      sum("a").over(Window.orderBy(keyCol)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("ca"),
+      sum("b").over(Window.orderBy(keyCol)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cb"))
+    val totals = c.agg(sum("a").as("na"), sum("b").as("nb"))
+    cum.crossJoin(totals)
+      .agg(first("na").as("na"), first("nb").as("nb"),
+        max(abs(col("ca") * col("nb") - col("cb") * col("na"))).as("ks_num"))
+      .select(col("na"), col("nb"),
+        when(col("na") * col("nb") > 0,
+          round(col("ks_num").cast("double") / (col("na") * col("nb")), 6)).as("ks"))
+  }
+
+  /** Jensen–Shannon divergence from a JOINT count table `c` (`a`, `b`
+    * long counts per key): each key's term is ONE double expression from
+    * exact integer counts, the support-sized sum routes through
+    * DECIMAL(27,10) (associative — partition order cannot drift it),
+    * js_norm divides by a hardcoded ln 2. One row out: (na, nb, js_nats,
+    * js_norm), NULLs on an empty side. Shared by batch C71 and the D31
+    * streaming finisher.
+    */
+  def jsFromJoint(c: DataFrame): DataFrame = {
+    val t = c.agg(sum("a").as("na"), sum("b").as("nb"))
+    val p = col("a").cast("double") / col("na")
+    val q = col("b").cast("double") / col("nb")
+    val m = (p + q) / 2
+    c.crossJoin(t)
+      .agg(first("na").as("na"), first("nb").as("nb"),
+        sum(when(col("a") > 0, p * log(p / m)).otherwise(lit(0.0))
+          .cast("decimal(27,10)")).as("sp"),
+        sum(when(col("b") > 0, q * log(q / m)).otherwise(lit(0.0))
+          .cast("decimal(27,10)")).as("sq"))
+      .select(col("na"), col("nb"),
+        when(col("na") * col("nb") > 0,
+          round((col("sp") + col("sq")).cast("double") * 0.5, 6)).as("js_nats"),
+        when(col("na") * col("nb") > 0,
+          round(round((col("sp") + col("sq")).cast("double") * 0.5, 6)
+            / 0.6931471805599453, 6)).as("js_norm"))
+  }
+
+  /** Two (key, cnt) REGISTER tables — e.g. a frozen baseline and a live
+    * streaming state — joined into the joint count table [[ksFromJoint]]/
+    * [[jsFromJoint]] consume: full outer on the key, absent keys count 0.
+    */
+  def jointCounts(a: DataFrame, b: DataFrame, keyCol: String = "len"): DataFrame =
+    a.select(col(keyCol), col("cnt").as("a"))
+      .join(b.select(col(keyCol), col("cnt").as("b")), Seq(keyCol), "full_outer")
+      .select(col(keyCol), coalesce(col("a"), lit(0L)).as("a"),
+        coalesce(col("b"), lit(0L)).as("b"))
+
   /** Per-key skew diagnostics: the `topK` heaviest keys of `keyCol` with
     * row count, share of total rows, and skew ratio (count / mean count
     * per key — the factor by which the hottest partitions exceed the

@@ -1095,7 +1095,6 @@ object Pipeline {
     * a 1-row broadcast cross join.
     */
   def corpusDriftKs(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // a NULL text has no length — excluded rather than invented as a NULL
     // group whose window position differs across engines (r15 NULL stance)
     val d = docs(spark, dir)
@@ -1104,18 +1103,8 @@ object Pipeline {
     val c = d.groupBy("len").agg(
       count(when(col("source") === "src0", 1)).as("a"),
       count(when(col("source") === "src1", 1)).as("b"))
-    val cum = c.select(col("len"),
-      sum("a").over(Window.orderBy("len")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("ca"),
-      sum("b").over(Window.orderBy("len")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cb"))
-    val totals = c.agg(sum("a").as("na"), sum("b").as("nb"))
-    cum.crossJoin(totals)
-      .agg(first("na").as("na"), first("nb").as("nb"),
-        max(abs(col("ca") * col("nb") - col("cb") * col("na"))).as("ks_num"))
-      .select(col("na"), col("nb"),
-        when(col("na") * col("nb") > 0,
-          round(col("ks_num").cast("double") / (col("na") * col("nb")), 6)).as("ks"))
+    // the KS tail is the SHARED kernel (also the D31 streaming finisher)
+    graft.ops.stats.Stats.ksFromJoint(c, "len")
   }
 
   val corpusDriftKsSql: String =
@@ -1156,22 +1145,8 @@ object Pipeline {
     val c = toks.groupBy("tok").agg(
       count(when(col("source") === "src0", 1)).as("a"),
       count(when(col("source") === "src1", 1)).as("b"))
-    val t = c.agg(sum("a").as("na"), sum("b").as("nb"))
-    val p = col("a").cast("double") / col("na")
-    val q = col("b").cast("double") / col("nb")
-    val m = (p + q) / 2
-    c.crossJoin(t)
-      .agg(first("na").as("na"), first("nb").as("nb"),
-        sum(when(col("a") > 0, p * log(p / m)).otherwise(lit(0.0))
-          .cast("decimal(27,10)")).as("sp"),
-        sum(when(col("b") > 0, q * log(q / m)).otherwise(lit(0.0))
-          .cast("decimal(27,10)")).as("sq"))
-      .select(col("na"), col("nb"),
-        when(col("na") * col("nb") > 0,
-          round((col("sp") + col("sq")).cast("double") * 0.5, 6)).as("js_nats"),
-        when(col("na") * col("nb") > 0,
-          round(round((col("sp") + col("sq")).cast("double") * 0.5, 6)
-            / 0.6931471805599453, 6)).as("js_norm"))
+    // the JS tail is the SHARED kernel (also the D31 streaming finisher)
+    graft.ops.stats.Stats.jsFromJoint(c)
   }
 
   val corpusJsSql: String =

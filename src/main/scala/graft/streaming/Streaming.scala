@@ -204,6 +204,93 @@ object Streaming {
       docs.select(explode(split(col(textCol), " ")).as("token")),
       col("token"), d, w)
 
+  /** One emitted drift row: counts of both sides plus the two statistics
+    * (None on an empty side — drift from nothing is undefined, the C60/C71
+    * stance).
+    */
+  final case class DriftStat(na: Long, nb: Long, ks: Option[Double],
+                             js_nats: Option[Double], js_norm: Option[Double])
+
+  /** The D31 drift state+finisher as ONE typed aggregate: the buffer is
+    * the support-sized length-count map (the register), and `finish`
+    * computes KS and JS against the frozen `baseline` with EXACTLY the
+    * arithmetic of the shared DataFrame kernels
+    * ([[graft.ops.stats.Stats.ksFromJoint]]/[[Stats.jsFromJoint]]): KS in
+    * exact integer cross-products |ca·nb − cb·na|, JS per-key double
+    * terms (StrictMath.log — Spark's SQL `log`) summed through
+    * scale-10 HALF_UP decimals (the Catalyst double→DECIMAL(27,10) cast),
+    * both rounded once at 6 dp via the Catalyst Round path. Keys iterate
+    * in sorted order, so the fold is deterministic.
+    */
+  private final class DriftAggregator(baseline: Map[Long, Long])
+      extends org.apache.spark.sql.expressions.Aggregator[Long, Map[Long, Long], DriftStat] {
+    private def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def zero: Map[Long, Long] = Map.empty
+    def reduce(m: Map[Long, Long], len: Long): Map[Long, Long] =
+      m.updated(len, m.getOrElse(len, 0L) + 1L)
+    def merge(x: Map[Long, Long], y: Map[Long, Long]): Map[Long, Long] =
+      y.foldLeft(x) { case (acc, (k, v)) => acc.updated(k, acc.getOrElse(k, 0L) + v) }
+    def finish(live: Map[Long, Long]): DriftStat = {
+      val na = baseline.values.sum
+      val nb = live.values.sum
+      if (na * nb <= 0) DriftStat(na, nb, None, None, None)
+      else {
+        val keys = (baseline.keySet ++ live.keySet).toSeq.sorted
+        var ca = 0L; var cb = 0L; var num = 0L
+        var sp = BigDecimal(0); var sq = BigDecimal(0)
+        keys.foreach { k =>
+          val a = baseline.getOrElse(k, 0L)
+          val b = live.getOrElse(k, 0L)
+          ca += a; cb += b
+          num = math.max(num, math.abs(ca * nb - cb * na))
+          val p = a.toDouble / na
+          val q = b.toDouble / nb
+          val m = (p + q) / 2
+          if (a > 0) sp += BigDecimal(p * StrictMath.log(p / m))
+            .setScale(10, BigDecimal.RoundingMode.HALF_UP)
+          if (b > 0) sq += BigDecimal(q * StrictMath.log(q / m))
+            .setScale(10, BigDecimal.RoundingMode.HALF_UP)
+        }
+        val jsNats = r6((sp + sq).toDouble * 0.5)
+        DriftStat(na, nb, Some(r6(num.toDouble / (na * nb))),
+          Some(jsNats), Some(r6(jsNats / 0.6931471805599453)))
+      }
+    }
+    def bufferEncoder: org.apache.spark.sql.Encoder[Map[Long, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[Long, Long]]()
+    def outputEncoder: org.apache.spark.sql.Encoder[DriftStat] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[DriftStat]()
+  }
+
+  /** D31: streaming distribution-drift monitor — the live twin the drift
+    * family (C60 KS, C71 JS) was missing: one row per trigger with KS and
+    * JS of the arrived documents' token-length distribution against a
+    * FROZEN baseline register (collect a batch register once and pass the
+    * map — the trained-model shape, support-sized, broadcast inside the
+    * aggregate's closure). Update/complete mode; the only state is the
+    * aggregation buffer — the support-sized length-count map (the D19/D22
+    * register stance: bounded by DISTINCT lengths however long the stream
+    * runs, never by rows). After any stream prefix the emitted row EQUALS
+    * the batch kernel [[graft.ops.stats.Stats.ksFromJoint]]/
+    * [[Stats.jsFromJoint]] over `jointCounts(baseline, prefix register)`
+    * — spec-proven per batch; the shared-finisher arithmetic is what
+    * makes that an identity, not a tolerance. NULL-text rows are excluded
+    * exactly as the batch C60 does (r15 NULL stance). Per-row cost is one
+    * persistent-map update; the finisher walks the support once per
+    * trigger.
+    */
+  def driftMonitor(docs: DataFrame, baseline: Map[Long, Long],
+                   textCol: String = "text"): DataFrame = {
+    val agg = udaf(new DriftAggregator(baseline))
+    docs.where(col(textCol).isNotNull)
+      .select(size(graft.ops.text.TextOps.tokens(col(textCol))).cast("long").as("len"))
+      .agg(agg(col("len")).as("drift"))
+      .select(col("drift.na").as("na"), col("drift.nb").as("nb"),
+        col("drift.ks").as("ks"), col("drift.js_nats").as("js_nats"),
+        col("drift.js_norm").as("js_norm"))
+  }
+
   /** D20: streaming winnowing fingerprints — each arriving document's MOSS
     * selection ([[graft.ops.text.TextOps.winnow]]) computed in-stream:
     * STATELESS narrow per-document work (no state store, no watermark,

@@ -1033,4 +1033,61 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
     assert(twin === b66.map(x => (x._1, x._2, x._3)))
   }
+
+  test("D31: drift monitor == batch KS/JS kernel after EVERY batch; planted drift fires; " +
+      "state is one support-sized register") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ops.stats.Stats
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    def register(df: org.apache.spark.sql.DataFrame) = df
+      .where(col("text").isNotNull)
+      .select(size(graft.ops.text.TextOps.tokens(col("text"))).cast("long").as("len"))
+      .groupBy("len").agg(count(lit(1)).as("cnt"))
+    val baseDf = register(docs.where(col("source") === "src0"))
+    val baseline = baseDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val mem = MemoryStream[(Long, String)]
+    val q = Streaming.driftMonitor(mem.toDF.toDF("doc_id", "text"), baseline)
+      .writeStream.format("memory").queryName("drift_sink")
+      .outputMode("complete").start()
+    def sinkRow() = spark.table("drift_sink").collect() match {
+      case Array(r) => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))
+    }
+    // the batch twin: the SAME shared kernels over the prefix's register
+    def twin(prefix: Seq[(Long, String)]) = {
+      val live = register(prefix.toDF("doc_id", "text"))
+      val joint = Stats.jointCounts(baseDf, live, "len")
+      val ks = Stats.ksFromJoint(joint, "len").head()
+      val js = Stats.jsFromJoint(joint).head()
+      (ks.getLong(0), ks.getLong(1), ks.getDouble(2),
+        js.getDouble(2), js.getDouble(3))
+    }
+    try {
+      // batch 1: in-distribution documents (src1, plus one NULL-text
+      // poison row the monitor must exclude like batch C60 does)
+      val b1 = docs.where(col("source") === "src1").select("doc_id", "text")
+        .as[(Long, String)].collect().toSeq :+ (999999L, null.asInstanceOf[String])
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      val s1 = sinkRow()
+      assert(s1 === twin(b1.filter(_._2 != null)))
+      val ksInDist = s1._3
+      // batch 2: PLANTED drift — much longer documents shift the length
+      // distribution; the cumulative state now covers both batches
+      val b2 = (1 to 40).map(i => (100000L + i, ("drift " * 200) + i))
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      val s2 = sinkRow()
+      assert(s2 === twin(b1.filter(_._2 != null) ++ b2))
+      assert(s2._3 > ksInDist + 0.1,
+        s"planted drift must move KS: ${ksInDist} -> ${s2._3}")
+      assert(s2._4 > s1._4, "planted drift must move JS too")
+      // state: ONE aggregation row (the buffer map is support-sized by
+      // construction — keys are distinct token lengths, never rows)
+      val st = q.lastProgress.stateOperators
+      if (st.nonEmpty) assert(st.map(_.numRowsTotal).sum <= 1)
+    } finally q.stop()
+  }
 }
