@@ -24,10 +24,13 @@ QUERIES="q1_agg,q3_join_agg,q5_multijoin,q_topk,q_median,pg_nodes,pg_edges,pg_js
 for sf in sf1 sf10; do
   out="BENCH_STRESS_${sf}${SUFFIX}.json"
   echo "== $sf -> $out"
+  # env-prefix form (no line between the continuations and the command —
+  # a stray comment there silently drops every assignment); keep ALL
+  # three JSON lines (full per-query map, timings_ms, short total)
   SPARK_GRAFT_SF_DIR="target/testdata/$sf" \
-  SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
-  SPARK_GRAFT_BENCH_ONLY="$QUERIES" \
-  SPARK_GRAFT_BENCH_REPS="${SPARK_GRAFT_BENCH_REPS:-2}" \
-  sbt -J-Xmx80g -batch 'runMain graft.Bench' 2>/dev/null | grep '^{' | tail -1 > "$out"
-  cat "$out"
+    SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
+    SPARK_GRAFT_BENCH_ONLY="$QUERIES" \
+    SPARK_GRAFT_BENCH_REPS="${SPARK_GRAFT_BENCH_REPS:-2}" \
+    sbt -J-Xmx80g -batch 'runMain graft.Bench' 2>/dev/null | grep '^{' > "$out"
+  head -c 400 "$out"; echo
 done
