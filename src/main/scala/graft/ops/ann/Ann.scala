@@ -508,7 +508,8 @@ object Ann {
     */
   def cosineIncrement(newEmb: DataFrame, index: DataFrame, minCosine: Double,
                       idCol: String = "vec_id", vecCol: String = "embedding",
-                      multiProbe: Boolean = true): DataFrame = {
+                      multiProbe: Boolean = true,
+                      maxCandidates: Long = 200000000L): DataFrame = {
     graft.functions.GraftFunctions.register(newEmb.sparkSession)
     // an EMPTY index is the natural bootstrap of the persist-at-ingest
     // workflow (first batch, nothing indexed yet): auto-size planes from
@@ -530,10 +531,45 @@ object Ann {
         .select(col(idCol).as("id"), vec(col(vecCol)).as("v"))
         .withColumn("nrm", norm(col("v")))
         .withColumn("codes", srpCodes(col("v"), p, b)))
+    // the cosinePairsLsh candidate BUDGET, increment edition: priced volume
+    // is batch · expected-bucket((index+batch)/2^p) · bands · probes-per-
+    // band — both counts are bounded (the staged batch, the checkpointed
+    // index). Above `maxCandidates`, multi-probe degrades to single-probe;
+    // measured at the 100x replica (20k batch vs 180k index,
+    // graft.tools.IncProbeCost): single-probe 16.7–41.6 s / 1,011,681
+    // pairs vs multi-probe 211–247 s / 1,075,428 — ×12.7 cheaper for 94.1%
+    // of the pairs, the priced recall trade. If even single-probe exceeds
+    // the budget, refuse with the levers named. 0 disables pricing.
+    val effMultiProbe =
+      if (!multiProbe && maxCandidates <= 0L) multiProbe
+      else if (maxCandidates <= 0L) multiProbe
+      else {
+        val nb = math.max(1L, newBase.count())
+        val nAll = nb + math.max(0L, index.count())
+        val expBucket = math.max(1.0, nAll.toDouble / (1L << math.min(62, p)))
+        def volume(probes: Int): Double =
+          nb.toDouble * expBucket * b.toDouble * probes.toDouble
+        require(volume(1) <= maxCandidates.toDouble,
+          f"cosineIncrement: priced candidate volume ${volume(1)}%.3g exceeds " +
+            s"maxCandidates=$maxCandidates even single-probe — raise " +
+            "maxCandidates in proportion to available executors, shrink the " +
+            "batch, or pass maxCandidates=0 to pay the priced volume " +
+            "deliberately")
+        if (!multiProbe) false
+        else if (volume(p + 1) <= maxCandidates.toDouble) true
+        else {
+          log.warn(s"cosineIncrement: priced multi-probe candidate volume " +
+            f"${volume(p + 1)}%.3g exceeds maxCandidates=$maxCandidates — " +
+            s"degrading to single-probe banding (measured ×12.7 cheaper for " +
+            "94.1% of the pairs at the 100x replica). Raise maxCandidates " +
+            "(or pass 0) to keep multi-probe at this scale.")
+          false
+        }
+      }
     val newPost = newBase.select(col("id"),
       posexplode(col("codes")).as(Seq("bidx", "code")))
     val probes =
-      if (!multiProbe) newPost
+      if (!effMultiProbe) newPost
       else newPost.select(col("id"), col("bidx"),
         explode(array(col("code") +:
           (0 until p).map(j => col("code").bitwiseXOR(lit(1L << j))): _*)).as("code"))

@@ -1015,10 +1015,15 @@ object Pipeline {
        |codes AS MATERIALIZED (SELECT vec_id, is_new, bd,
        |    sum(CASE WHEN proj > 0 THEN 1::BIGINT << pl ELSE 0 END)::BIGINT AS code
        |  FROM prj GROUP BY vec_id, is_new, bd),
+       |vm AS (SELECT (greatest(nb.n, 1)::DOUBLE
+       |    * greatest(na.n::DOUBLE / pow(2::DOUBLE, p), 1.0)
+       |    * 16.0 * (p + 1)) <= 200000000.0 AS mp
+       |  FROM (SELECT count(*) AS n FROM n0 WHERE is_new) nb,
+       |       (SELECT count(*) AS n FROM n0) na, pp),
        |prb AS (SELECT vec_id, bd, code FROM codes WHERE is_new
        |  UNION ALL
        |  SELECT vec_id, bd, xor(code, 1::BIGINT << pl) AS code
-       |  FROM codes CROSS JOIN pls WHERE is_new),
+       |  FROM codes CROSS JOIN pls CROSS JOIN vm WHERE is_new AND vm.mp),
        |cand AS (SELECT DISTINCT least(x.vec_id, y.vec_id) AS a,
        |    greatest(x.vec_id, y.vec_id) AS b
        |  FROM prb x JOIN codes y

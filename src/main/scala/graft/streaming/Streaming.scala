@@ -1072,6 +1072,85 @@ object Streaming {
       }
   }
 
+  final case class ShDoc(bh: Long, id: Long, code64: Long)
+  final case class ShPair(a: Long, b: Long, hamming: Long)
+
+  /** D32: streaming SimHash near-dup pairs — the C4/C4b family at ingest,
+    * completing the streaming pair-monitor family (D7 minhash, D27
+    * winnow, D30 cosine; SimHash was the one batch dedup family without
+    * a live twin). Each arriving document hashes through the SAME native
+    * kernel as batch (`graft_simhash64` over [[graft.ops.text.TextOps.tokens]]),
+    * its pigeonhole chunks key `flatMapGroupsWithState` groups holding
+    * members' (id, code64), and a new arrival verifies hamming ≤
+    * `maxHamming` against them with one exact xor/bit_count — every
+    * emitted pair is exact, immediately. Pigeonhole banding is LOSSLESS
+    * (a qualifying pair shares ≥ 1 intact chunk, so it is emitted in at
+    * least one bucket): unlike D30's S-curve recall, the stream finds
+    * EVERY pair the batch op finds; a pair sharing several chunks emits
+    * once per shared bucket (independent groups) — consumers dedupe on
+    * (a, b), and the deduped set EQUALS batch [[graft.ops.dedup.Dedup.simhash]]
+    * on any prefix however the stream is batched (spec-proven).
+    *
+    * State per bucket is (id, code64) pairs — 16 bytes/member, far
+    * lighter than D30's vectors; `maxBucket` hard-stops a boilerplate
+    * code's bucket (the streaming face of C87's df guard, the r14
+    * saturation-stop pattern: a saturated bucket stops absorbing members
+    * too, capping the state list itself); production bounds overall
+    * state with the D7b retention-watermark pattern unchanged. NULL
+    * id/text rows are dropped at the door (the r15 NULL stance — a
+    * non-nullable typed state cannot carry them, and a NULL text has no
+    * signature).
+    */
+  def simhashPairMonitor(docs: DataFrame, maxHamming: Int = 3,
+                         maxBucket: Int = Int.MaxValue,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): Dataset[ShPair] = {
+    require(maxHamming <= 31, "banding needs chunks > maxHamming; 64 bits cap this at 31")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val nChunks = Seq(4, 8, 16, 32).find(_ > maxHamming).get
+    val chunkLen = 64 / nChunks
+    val mask = (1L << chunkLen) - 1
+    val chunks = docs
+      .where(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
+        call_function("graft_simhash64",
+          graft.ops.text.TextOps.tokens(col(textCol))).as("code64"))
+      .select(col("id"), col("code64"),
+        posexplode(array((0 until nChunks).map(c =>
+          shiftrightunsigned(col("code64"), c * chunkLen).bitwiseAND(mask)): _*))
+          .as(Seq("cidx", "code")))
+      .select(xxhash64(col("cidx"), col("code")).as("bh"),
+        col("id"), col("code64"))
+      .as[ShDoc]
+    chunks.groupByKey(_.bh)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, it: Iterator[ShDoc], state: GroupState[List[ShDoc]]) =>
+          var members = state.getOption.getOrElse(Nil)
+          val seen = scala.collection.mutable.HashSet.empty[Long]
+          members.foreach(m => seen += m.id)
+          var size = seen.size
+          val out = List.newBuilder[ShPair]
+          it.foreach { d =>
+            if (size < maxBucket && !seen(d.id)) {
+              members.foreach { o =>
+                val h = java.lang.Long.bitCount(o.code64 ^ d.code64).toLong
+                if (h <= maxHamming) {
+                  val (a, b) = if (o.id < d.id) (o.id, d.id) else (d.id, o.id)
+                  out += ShPair(a, b, h)
+                }
+              }
+              members ::= d
+              seen += d.id
+              size += 1
+            }
+          }
+          state.update(members)
+          out.result().iterator
+      }
+  }
+
   final case class FpDoc(fp: Long, id: Long)
   final case class FpPair(a: Long, b: Long, fp: Long)
 

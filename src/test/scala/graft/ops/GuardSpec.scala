@@ -146,6 +146,33 @@ class GuardSpec extends SparkSpec {
     assert(e2.getMessage.contains("even single-probe"))
   }
 
+  test("cosine increment candidate budget: over-budget multi-probe degrades to the single-probe output") {
+    // 60-vector index + 40-vector batch, planes pinned at 4: priced
+    // volumes are single 40*6.25*16 = 4000, multi 4000*5 = 20000. A budget
+    // between the two must degrade the increment to single-probe exactly.
+    def vecs(ids: Range, dup: Boolean) = ids.map { i =>
+      val s = if (dup && i % 2 == 0) i / 2 else i + 1000
+      (i.toLong, Array.tabulate(8)(j => math.sin(s * 8 + j + 1).toFloat))
+    }
+    val index = graft.ops.ann.Ann.srpIndex(
+      vecs(0 until 60, dup = true).toDF("vec_id", "embedding"), planes = 4)
+      .localCheckpoint()
+    val batch = vecs(100 until 140, dup = true).toDF("vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val single = rows(graft.ops.ann.Ann.cosineIncrement(batch, index, 0.9,
+      multiProbe = false, maxCandidates = 0L))
+    val degraded = rows(graft.ops.ann.Ann.cosineIncrement(batch, index, 0.9,
+      multiProbe = true, maxCandidates = 10000L))
+    assert(degraded === single)
+    // and the refusal names the single-probe floor
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.ann.Ann.cosineIncrement(batch, index, 0.9,
+        multiProbe = true, maxCandidates = 1000L)
+    }
+    assert(e.getMessage.contains("even single-probe"), e.getMessage)
+  }
+
   test("containment: shingle-less (one-token) docs are excluded on BOTH sides") {
     // doc 1 (ref) and doc 4 (corpus) have a single token -> zero bigrams.
     // Neither may appear in the output (0/0 must not become NaN >= t, the

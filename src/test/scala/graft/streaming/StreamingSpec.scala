@@ -1034,6 +1034,51 @@ class StreamingSpec extends SparkSpec {
     assert(twin === b66.map(x => (x._1, x._2, x._3)))
   }
 
+  test("D32: streaming simhash pairs == batch simhash on any prefix (lossless banding); " +
+      "saturation stop caps a hot bucket") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val (b1, b2) = docs.splitAt(docs.size / 2)
+    val mem = MemoryStream[(Long, String)]
+    val q = Streaming.simhashPairMonitor(mem.toDF.toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("sh_pairs")
+      .outputMode("append").start()
+    try {
+      // a NULL-text poison row must be dropped at the door, not NPE the
+      // typed state
+      mem.addData(b1 :+ (888888L, null.asInstanceOf[String]): _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // consumer dedup on (a, b): per-shared-chunk emissions collapse, and
+    // the deduped set must equal the batch operator EXACTLY — pigeonhole
+    // banding is lossless, so this is set equality, not recall
+    val streamed = spark.table("sh_pairs")
+      .select("a", "b", "hamming").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = graft.ops.dedup.Dedup.simhash(
+        spark.read.parquet(s"$dir/documents.parquet"), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batch.nonEmpty, "fixture must contain simhash near-dups")
+    assert(streamed === batch)
+    // saturation: 10 identical docs under maxBucket=4 emit at most
+    // C(4,2)=6 pairs per bucket and the membership list stops growing
+    val mem2 = MemoryStream[(Long, String)]
+    val q2 = Streaming.simhashPairMonitor(
+        mem2.toDF.toDF("doc_id", "text"), maxBucket = 4)
+      .writeStream.format("memory").queryName("sh_sat")
+      .outputMode("append").start()
+    try {
+      mem2.addData((1L to 10L).map(i => (i, "identical boilerplate row " * 4)): _*)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val sat = spark.table("sh_sat").select("a", "b").distinct().count()
+    assert(sat === 6L, s"saturated bucket must cap at C(4,2)=6 pairs, got $sat")
+  }
+
   test("D31: drift monitor == batch KS/JS kernel after EVERY batch; planted drift fires; " +
       "state is one support-sized register") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
