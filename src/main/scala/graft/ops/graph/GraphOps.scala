@@ -386,6 +386,33 @@ object GraphOps {
                         maxHops: Int = 10): DataFrame = {
     val spark = pgEdges.sparkSession
     import spark.implicits._
+    val (idx, verts) = landmarkDistanceMaps(pgEdges, k, maxHops)
+    val scored = verts
+      .map { case (vid, m) =>
+        val harmonic = m.toSeq.sortBy(_._1)
+          .foldLeft(0.0) { case (acc, (_, d)) =>
+            if (d > 0) acc + 1.0 / d else acc }
+        (vid, m.size, harmonic)
+      }
+      .toDF("vid", "n_reached", "h0")
+    idx.join(scored, "vid")
+      .select(col("node"), col("n_reached").cast("long").as("n_reached"),
+        round(col("h0"), 6).as("harmonic"))
+      .orderBy("node")
+  }
+
+  /** The landmark multi-BFS shared by [[landmarkCloseness]],
+    * [[landmarkEccentricity]] (and any future landmark score): ONE Pregel
+    * run carrying a per-vertex landmark→distance map (state and messages
+    * bounded by k entries), landmarks the first `k` nodes in md5 order.
+    * Returns the node index and the non-empty per-vertex maps — the
+    * scoring fold is the only thing the public ops differ in, so the
+    * traversal cannot drift between them.
+    */
+  private def landmarkDistanceMaps(pgEdges: DataFrame, k: Int, maxHops: Int)
+      : (DataFrame, org.apache.spark.rdd.RDD[(Long, Map[Int, Int])]) = {
+    val spark = pgEdges.sparkSession
+    import spark.implicits._
     val e = endpoints(pgEdges)
     val idx = nodeIndex(e)
     // k rows to the driver — bounded by the parameter, like BFS seeds
@@ -416,18 +443,33 @@ object GraphOps {
           (if (bwd.nonEmpty) Iterator((t.srcId, bwd)) else Iterator.empty)
       },
       mergeMin)
-    val scored = res.vertices
-      .filter(_._2.nonEmpty)
-      .map { case (vid, m) =>
-        val harmonic = m.toSeq.sortBy(_._1)
-          .foldLeft(0.0) { case (acc, (_, d)) =>
-            if (d > 0) acc + 1.0 / d else acc }
-        (vid, m.size, harmonic)
-      }
-      .toDF("vid", "n_reached", "h0")
+    (idx, res.vertices.filter(_._2.nonEmpty).map { case (vid, m) => (vid: Long, m) })
+  }
+
+  /** Landmark eccentricity LOWER BOUNDS over an undirected PG edge set —
+    * the third landmark score beside closeness and betweenness, and the
+    * standard scale answer to eccentricity/diameter (exact eccentricity
+    * is all-pairs): for any landmark l, ecc(v) ≥ d(v, l), so the max over
+    * the k md5-ordered landmarks is a certified lower bound that is EXACT
+    * whenever a true peripheral node is sampled (the classic
+    * double-sweep/landmark bound; with k ≥ n it IS eccentricity, the
+    * spec's oracle case). max over the bound column is the graph's
+    * diameter lower bound — the KG "how far apart can two records be"
+    * telemetry. Same ONE-Pregel traversal as [[landmarkCloseness]]
+    * ([[landmarkDistanceMaps]] — k-bounded state, never k runs); nodes
+    * reaching no landmark emit no row.
+    */
+  def landmarkEccentricity(pgEdges: DataFrame, k: Int = 8,
+                           maxHops: Int = 10): DataFrame = {
+    val spark = pgEdges.sparkSession
+    import spark.implicits._
+    val (idx, verts) = landmarkDistanceMaps(pgEdges, k, maxHops)
+    val scored = verts
+      .map { case (vid, m) => (vid, m.size, m.values.max) }
+      .toDF("vid", "n_reached", "ecc")
     idx.join(scored, "vid")
       .select(col("node"), col("n_reached").cast("long").as("n_reached"),
-        round(col("h0"), 6).as("harmonic"))
+        col("ecc").cast("long").as("ecc_lb"))
       .orderBy("node")
   }
 

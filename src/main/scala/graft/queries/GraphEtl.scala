@@ -686,6 +686,42 @@ object GraphEtl {
        |FROM d4 GROUP BY node ORDER BY node""".stripMargin
   }
 
+  /** A46: landmark eccentricity lower bounds over the containment
+    * hierarchy ([[graft.ops.graph.GraphOps.landmarkEccentricity]]) — the
+    * third landmark score beside closeness (A43) and betweenness (A45):
+    * ecc(v) ≥ max over landmarks of d(v, l), exact when a peripheral
+    * node lands in the md5 sample, and max(ecc_lb) is the diameter lower
+    * bound. Same oracle recipe as kg_closeness (the (node, lidx)
+    * relaxation levels), finishing with count/max instead of the
+    * reciprocal fold — integer-only output, no float seam at all.
+    */
+  def kgEccentricity(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.graph.GraphOps.landmarkEccentricity(
+      supRegionEdges(spark, dir, withSupRegion = false))
+
+  val kgEccentricitySql: String = {
+    val levels = (1 to 4).map { i =>
+      s"""d$i AS (SELECT node, lidx, min(dist) AS dist FROM (
+         |  SELECT node, lidx, dist FROM d${i - 1}
+         |  UNION ALL SELECT e.b, d.lidx, d.dist + 1
+         |    FROM e2 e JOIN d${i - 1} d ON e.a = d.node
+         |) s GROUP BY node, lidx)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH raw AS (
+       |  SELECT 'nation:' || n_nationkey AS f, 'region:' || n_regionkey AS t FROM nation
+       |  UNION ALL SELECT 'sup:' || s_suppkey, 'nation:' || s_nationkey FROM supplier),
+       |e2 AS (SELECT f AS a, t AS b FROM raw UNION ALL SELECT t, f FROM raw),
+       |nodes AS (SELECT DISTINCT a AS node
+       |  FROM (SELECT a FROM e2 UNION ALL SELECT b FROM e2) t(a)),
+       |lm AS (SELECT node, lidx FROM (
+       |    SELECT node, row_number() OVER (ORDER BY md5(node), node) - 1 AS lidx
+       |    FROM nodes) WHERE lidx < 8),
+       |d0 AS (SELECT node, lidx, 0 AS dist FROM lm),
+       |$levels
+       |SELECT node, count(*) AS n_reached, max(dist)::BIGINT AS ecc_lb
+       |FROM d4 GROUP BY node ORDER BY node""".stripMargin
+  }
+
   /** A44: 2-core of the KG with the derived `servesRegion` edges
     * ([[graft.ops.graph.GraphOps.kcore]]) — degeneracy peel isolating
     * the densely cross-referenced backbone: pendant chains (nations

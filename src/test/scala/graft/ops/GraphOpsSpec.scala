@@ -247,6 +247,29 @@ class GraphOpsSpec extends SparkSpec {
     assert(bMap(GraphOps.landmarkBetweenness(path, k = 1)) === one)
   }
 
+  test("landmarkEccentricity: k >= n == true eccentricity; bounds grow toward it; determinism") {
+    import spark.implicits._
+    // path a-b-c-d plus island x-y: with every node a landmark the bound
+    // IS eccentricity (hand values), per component
+    val g = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")).toDF("from", "to")
+    val full = GraphOps.landmarkEccentricity(g, k = 10).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(full === Map(
+      "a" -> ((4L, 3L)), "b" -> ((4L, 2L)), "c" -> ((4L, 2L)), "d" -> ((4L, 3L)),
+      "x" -> ((2L, 1L)), "y" -> ((2L, 1L))))
+    // a k=1 sample is a LOWER bound of the full run everywhere it reaches
+    val one = GraphOps.landmarkEccentricity(g, k = 1).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(one.forall { case (n, b) => b <= full(n)._2 })
+    // deterministic across re-runs (md5-ordered landmark pick)
+    assert(GraphOps.landmarkEccentricity(g, k = 1).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap === one)
+    // maxHops truncates distances, never inflates the bound
+    val capped = GraphOps.landmarkEccentricity(g, k = 10, maxHops = 1).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(capped.forall { case (n, b) => b <= full(n)._2 })
+  }
+
   test("kcore: triangle survives, pendant chain cascades out, multigraph collapses") {
     import spark.implicits._
     // triangle a-b-c with a pendant chain c-d-e: d has degree 2 BEFORE
