@@ -2542,6 +2542,37 @@ object Pipeline {
       |SELECT a, b, count(*) AS n_near FROM vf GROUP BY a, b
       |HAVING count(*) >= 1 ORDER BY a, b""".stripMargin
 
+  /** C89: REAL WAV metadata decode under the driver oracle — C12's stub
+    * decode is oracle-gated but the real RIFF header sniff
+    * ([[Multimodal.decodeWav]]) was spec-only until now: payloads ride
+    * behind the C88 streaming header, `decodeMedia(realCodec = true)`
+    * walks the actual container (image reader refuses, WAV sniff reports
+    * sample rate/channels through the fixed MetaSchema), and the oracle
+    * is pure arithmetic because the header is a constant and the decode
+    * is header-only (n_bytes = payload + 44; 8000 Hz mono from the
+    * header literals; a NULL payload degrades to the stub's zeros — the
+    * spec'd poison-row stance, same as C12).
+    */
+  def mediaWavMeta(spark: SparkSession, dir: String): DataFrame = {
+    val media = docs(spark, dir).select(col("doc_id"),
+      concat(lit(Multimodal.wavHeaderStreaming()),
+        encode(col("text"), "UTF-8")).as("media"))
+    Multimodal.decodeMedia(media, "media", realCodec = Some(true))
+      .select(col("doc_id"), col("meta.n_bytes").as("n_bytes"),
+        col("meta.width").as("sample_rate"), col("meta.height").as("channels"),
+        col("meta.format").as("format"))
+      .orderBy("doc_id")
+  }
+
+  val mediaWavMetaSql: String =
+    """SELECT doc_id,
+      |  CASE WHEN text IS NULL THEN 0
+      |       ELSE octet_length(encode(text)) + 44 END::BIGINT AS n_bytes,
+      |  CASE WHEN text IS NULL THEN 0 ELSE 8000 END::INTEGER AS sample_rate,
+      |  CASE WHEN text IS NULL THEN 0 ELSE 1 END::INTEGER AS channels,
+      |  CASE WHEN text IS NULL THEN 'img/fake' ELSE 'audio/wav' END AS format
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** C42: Naive Bayes self-distillation of the Gopher gate (see
     * [[TextOps.nbDistill]]) — the hard rule becomes a continuous
     * token-level quality score, the cheap-classifier curation pattern.
