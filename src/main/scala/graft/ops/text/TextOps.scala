@@ -41,25 +41,52 @@ object TextOps {
     "fr" -> Seq("le", "la", "de", "et", "un", "est", "dans"),
     "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2", "you3", "wo3"))
 
-  /** Per-language stopword hit count (occurrences, not distinct). */
+  /** Per-language stopword hit count over an ALREADY-STAGED token array
+    * (occurrences, not distinct). Hot paths must stage `tokens(text)` as a
+    * real projection column and feed the attribute here: a HOF lambda
+    * re-evaluates its captured array argument per call site, and anything
+    * under a `when` branch is ineligible for Spark's subexpression
+    * elimination — feeding un-staged `tokens(text)` into several profiles
+    * under a conditional re-splits the document once per profile (the r15
+    * text_lang_id 5.2x regression).
+    */
+  def langScoreTokens(ws: Column, profile: Seq[String]): Column =
+    size(filter(ws, w => array_contains(typedLit(profile), w)))
+
+  /** Per-language stopword hit count from raw text. Convenience for single
+    * uses; see [[langScoreTokens]] when several profiles score one text.
+    */
   def langScore(text: Column, profile: Seq[String]): Column =
-    size(filter(tokens(text), w => array_contains(typedLit(profile), w)))
+    langScoreTokens(tokens(text), profile)
+
+  /** Argmax over already-computed per-language score columns,
+    * first-profile tiebreak. Applies NO null stance — the caller wraps the
+    * result in its own `when` (cheap, because the inputs are staged
+    * attributes, not HOF subtrees).
+    */
+  def langArgmax(scores: Seq[(String, Column)]): Column =
+    scores.tail.foldLeft((lit(scores.head._1), scores.head._2)) {
+      case ((bestLang, bestScore), (lang, s)) =>
+        (when(s > bestScore, lit(lang)).otherwise(bestLang),
+          when(s > bestScore, s).otherwise(bestScore))
+    }._1
 
   /** Predicted language: argmax of profile scores, first-profile tiebreak.
     * NULL text predicts NULL (unknowable is not "English": the fold's
     * `when` chain would otherwise silently keep the first profile's
     * literal when every NULL comparison falls through — the r15 NULL
     * poison-row finding).
+    *
+    * PERF: convenience form only — the argmax fold references every
+    * profile's langScore several times under a conditional branch, where
+    * subexpression elimination cannot help, so each profile re-splits the
+    * text. On anything hot, stage `tokens(text)` and the per-profile
+    * [[langScoreTokens]] columns in real projections first and apply the
+    * null stance over the staged attributes (see Pipeline.textLangId).
     */
   def langPredict(text: Column): Column =
     when(text.isNotNull,
-      LangProfiles.tail.foldLeft(
-        (lit(LangProfiles.head._1), langScore(text, LangProfiles.head._2))) {
-          case ((bestLang, bestScore), (lang, profile)) =>
-            val s = langScore(text, profile)
-            (when(s > bestScore, lit(lang)).otherwise(bestLang),
-              when(s > bestScore, s).otherwise(bestScore))
-        }._1)
+      langArgmax(LangProfiles.map { case (l, p) => l -> langScore(text, p) }))
 
   /** Character-trigram language profiles — the classic n-gram language-ID
     * heuristic (Cavnar & Trenkle-style, fixed profiles): each language is a

@@ -1919,11 +1919,24 @@ object Pipeline {
   // ---- C8: language id ----------------------------------------------------
 
   def textLangId(spark: SparkSession, dir: String): DataFrame = {
+    // Staged projection chain (the repo's r6/r15 rule): split the text
+    // ONCE, score every profile from the staged array, and apply the NULL
+    // stance as a `when` over the staged score attributes. Feeding
+    // un-staged langScores into the argmax fold under `when(isNotNull,…)`
+    // is ineligible for subexpression elimination and re-splits the
+    // document per profile (the r15 5.2x regression). CollapseProject
+    // cannot undo the staging: each staged expression is non-cheap and
+    // referenced more than once downstream.
+    val langs = TextOps.LangProfiles.map(_._1)
     val scoreCols = TextOps.LangProfiles.map { case (lang, profile) =>
-      TextOps.langScore(col("text"), profile).cast("long").as(s"${lang}_hits")
+      TextOps.langScoreTokens(col("__ws"), profile).cast("long").as(s"${lang}_hits")
     }
     docs(spark, dir)
-      .select(col("doc_id") +: scoreCols :+ TextOps.langPredict(col("text")).as("pred"): _*)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("__ws"))
+      .select(col("doc_id") +: col("__ws").isNotNull.as("__nn") +: scoreCols: _*)
+      .select(col("doc_id") +: langs.map(l => col(s"${l}_hits")) :+
+        when(col("__nn"),
+          TextOps.langArgmax(langs.map(l => l -> col(s"${l}_hits")))).as("pred"): _*)
       .orderBy("doc_id")
   }
 

@@ -102,4 +102,38 @@ class TrigramLangSpec extends SparkSpec {
     assert(got(0).getString(0) === "l_z")
     assert(got(1).isNullAt(0))
   }
+
+  // ---- stopword-profile language ID (C8 kernel) ---------------------------
+
+  test("langPredict(NULL) = NULL; staged argmax is semantics-identical") {
+    val texts = Seq(
+      Some("the of and to in is the"),        // en
+      Some("el la de que y en un el"),        // es
+      Some("der die das und ist von"),        // de
+      Some("le la de et un est dans"),        // fr
+      Some("nothing matches any profile"),    // all-zero tie -> first (en)
+      Some(""),                               // empty -> tie -> en
+      None)                                   // NULL text -> NULL pred
+    val df = texts.toDF("text")
+
+    // convenience form (langPredict) — the semantic reference
+    val viaPredict = df.select(TextOps.langPredict(col("text")).as("pred"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0))
+
+    // staged form — the hot-path shape textLangId uses (split once,
+    // score from the staged array, NULL stance over staged attributes)
+    val staged = df
+      .select(col("text"), TextOps.tokens(col("text")).as("__ws"))
+      .select(col("__ws").isNotNull.as("__nn") +:
+        TextOps.LangProfiles.map { case (l, p) =>
+          TextOps.langScoreTokens(col("__ws"), p).as(s"${l}_hits")
+        }: _*)
+      .select(when(col("__nn"), TextOps.langArgmax(
+        TextOps.LangProfiles.map { case (l, _) => l -> col(s"${l}_hits") }))
+        .as("pred"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0))
+
+    assert(viaPredict.toSeq === Seq("en", "es", "de", "fr", "en", "en", null))
+    assert(staged.toSeq === viaPredict.toSeq)
+  }
 }
