@@ -260,13 +260,21 @@ object Ann {
     * ≤1 is symmetric, so the a<b canonical pair is still found exactly
     * once. Cheaper than doubling `bands` for the same recall gain when
     * p is large, because posting-list buckets stay the same size.
+    *
+    * EAGER JOB: with the default `maxCandidates` budget the op runs one
+    * full-scan `count()` at plan construction (auto-sizing and pricing
+    * both need n before the plan exists) — even when `planes` is pinned.
+    * A caller that already knows the corpus size passes `knownCount` ≥ 0
+    * and the op builds count-free; `maxCandidates = 0` with pinned
+    * `planes` is also count-free (pricing disabled).
     */
   def cosinePairsLsh(emb: DataFrame, minCosine: Double,
                      planes: Int = 0, bands: Int = 16,
                      idCol: String = "vec_id", vecCol: String = "embedding",
                      groupCol: Option[String] = None,
                      multiProbe: Boolean = false,
-                     maxCandidates: Long = 200000000L): DataFrame = {
+                     maxCandidates: Long = 200000000L,
+                     knownCount: Long = -1L): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val base = emb.select(
       (Seq(col(idCol).as("id"), vec(col(vecCol)).as("v")) ++
@@ -282,8 +290,13 @@ object Ann {
     // planes AND raise bands together.
     // One bounded count serves both the auto-sizing and the budget guard
     // below; like nodeSimilarity's degree probe it runs EAGERLY at plan
-    // construction — routing must happen before the plan exists.
-    val n = if (planes > 0 && maxCandidates <= 0L) 1L
+    // construction — routing must happen before the plan exists. NOTE:
+    // with the default budget this eager full-scan job runs even when the
+    // caller pins `planes` (the r15 advisor finding) — a caller that
+    // already knows its corpus size (a checkpointed index, a catalog
+    // statistic) passes `knownCount` and the op stays count-free.
+    val n = if (knownCount >= 0L) math.max(1L, knownCount)
+            else if (planes > 0 && maxCandidates <= 0L) 1L
             else math.max(1L, base.count())
     val nPlanes =
       if (planes > 0) planes
@@ -509,7 +522,9 @@ object Ann {
   def cosineIncrement(newEmb: DataFrame, index: DataFrame, minCosine: Double,
                       idCol: String = "vec_id", vecCol: String = "embedding",
                       multiProbe: Boolean = true,
-                      maxCandidates: Long = 200000000L): DataFrame = {
+                      maxCandidates: Long = 30000000L,
+                      knownBatchCount: Long = -1L,
+                      knownIndexCount: Long = -1L): DataFrame = {
     graft.functions.GraftFunctions.register(newEmb.sparkSession)
     // an EMPTY index is the natural bootstrap of the persist-at-ingest
     // workflow (first batch, nothing indexed yet): auto-size planes from
@@ -540,12 +555,35 @@ object Ann {
     // pairs vs multi-probe 211–247 s / 1,075,428 — ×12.7 cheaper for 94.1%
     // of the pairs, the priced recall trade. If even single-probe exceeds
     // the budget, refuse with the levers named. 0 disables pricing.
+    //
+    // The increment's DEFAULT budget is 30M — deliberately far below the
+    // batch op's 200M, because the increment's economics were MEASURED
+    // (IncProbeCost, 100x replica): at ~109M priced candidates the
+    // multi-probe verify phase ran 211–347 s on a 32-thread box (~0.4M
+    // verified candidates/s), i.e. inheriting 200M admits ten-minute
+    // increments — the wrong default for an op whose contract is a cheap
+    // per-batch ingest probe. 30M caps a default-budget increment near
+    // ~75 s on one box and degrades the 100x replica to single-probe
+    // (priced 109M > 30M, a 3.6× margin from the boundary; 16.7–41.6 s
+    // for 94.1% of the pairs), while the sf1 oracle replica keeps
+    // multi-probe with a 4.4× margin (priced 6.9M) — both fixtures
+    // honour the ≥3×-from-the-boundary rule so float drift can never
+    // route the two engines differently. A cluster raises the budget in
+    // proportion to executors; 0 disables pricing.
+    //
+    // EAGER JOBS: pricing needs both counts before the plan exists, so
+    // the default budget runs one count over the staged batch and one
+    // over the index even when multiProbe=false (the refusal floor still
+    // applies). Callers that know the sizes (a checkpointed index rides
+    // its count; the batch was just written) pass knownBatchCount /
+    // knownIndexCount and the op prices count-free.
     val effMultiProbe =
-      if (!multiProbe && maxCandidates <= 0L) multiProbe
-      else if (maxCandidates <= 0L) multiProbe
+      if (maxCandidates <= 0L) multiProbe
       else {
-        val nb = math.max(1L, newBase.count())
-        val nAll = nb + math.max(0L, index.count())
+        val nb = math.max(1L,
+          if (knownBatchCount >= 0L) knownBatchCount else newBase.count())
+        val nAll = nb + math.max(0L,
+          if (knownIndexCount >= 0L) knownIndexCount else index.count())
         val expBucket = math.max(1.0, nAll.toDouble / (1L << math.min(62, p)))
         def volume(probes: Int): Double =
           nb.toDouble * expBucket * b.toDouble * probes.toDouble

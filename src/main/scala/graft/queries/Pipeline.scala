@@ -990,7 +990,12 @@ object Pipeline {
     * vectors, multi-probe flips for the batch only, candidate join
     * against everyone, exact 6-dp verification — so it checks the SRP
     * probe route itself at every scale (the r13 route-aware stance), not
-    * an exact-pairs proxy whose equality would hinge on recall.
+    * an exact-pairs proxy whose equality would hinge on recall. The `vm`
+    * CTE mirrors the increment's 30M default candidate budget (operand
+    * order identical to the engine's `volume(p+1) <= maxCandidates`):
+    * the sf1 replica keeps multi-probe at a 4.4× margin, the 100x
+    * replica degrades to single-probe at a 3.6× margin — route-exact on
+    * both sides of the boundary.
     */
   def dedupEmbeddingInc(spark: SparkSession, dir: String): DataFrame = {
     val e = embs(spark, dir)
@@ -1017,7 +1022,7 @@ object Pipeline {
        |  FROM prj GROUP BY vec_id, is_new, bd),
        |vm AS (SELECT (greatest(nb.n, 1)::DOUBLE
        |    * greatest(na.n::DOUBLE / pow(2::DOUBLE, p), 1.0)
-       |    * 16.0 * (p + 1)) <= 200000000.0 AS mp
+       |    * 16.0 * (p + 1)) <= 30000000.0 AS mp
        |  FROM (SELECT count(*) AS n FROM n0 WHERE is_new) nb,
        |       (SELECT count(*) AS n FROM n0) na, pp),
        |prb AS (SELECT vec_id, bd, code FROM codes WHERE is_new

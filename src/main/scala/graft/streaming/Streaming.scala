@@ -234,6 +234,15 @@ object Streaming {
     def finish(live: Map[Long, Long]): DriftStat = {
       val na = baseline.values.sum
       val nb = live.values.sum
+      // the exact-integer KS numerator |ca·nb − cb·na| (and the na·nb
+      // emptiness test) is valid while na·nb < 2⁶³ — the ksFromJoint
+      // bound, both sides under ~3e9 rows. Past it na·nb wraps negative:
+      // the empty-side branch flips and the statistic silently corrupts,
+      // so refuse loudly instead (the r15 advisor finding).
+      require(na <= 3000000000L && nb <= 3000000000L,
+        s"driftMonitor: side counts na=$na nb=$nb exceed ~3e9 — the exact " +
+          "integer KS cross-product would overflow Long (the ksFromJoint " +
+          "bound). Window the stream or downsample the register feed.")
       if (na * nb <= 0) DriftStat(na, nb, None, None, None)
       else {
         val keys = (baseline.keySet ++ live.keySet).toSeq.sorted
@@ -463,6 +472,71 @@ object Streaming {
           var n = 0L
           while (m.find()) n += 1
           Iterator.single(PatternCount(uid, seq.length.toLong, n))
+      }
+  }
+
+  final case class TsPatEvent(user_id: Long, ts: java.sql.Timestamp,
+                              ts_us: Long, tie: Long, ch: String)
+
+  /** D26 with BOUNDED state: [[patternMonitor]] against a retention
+    * window — the [[nearDupPairsRetained]] (D7b) pattern applied to the
+    * per-user CEP state. The input is watermarked by `retention`; on
+    * every visit the user's event history is truncated at the horizon
+    * (`event.ts ≥ watermark`), the pattern recount runs over the
+    * RETAINED suffix only, and users quiet past the horizon are erased
+    * entirely by an event-time timeout — state is proportional to each
+    * user's in-window event count, never their lifetime history. The
+    * emitted row is the in-window match count (n_events = retained
+    * events): a pattern whose prefix expired no longer matches, by
+    * design — the horizon IS the semantic (a funnel older than the
+    * retention window is not an active funnel). This is the shape an
+    * unbounded production stream runs; the NoTimeout variant above is
+    * the whole-corpus batch-equivalent tool.
+    */
+  def patternMonitorRetained(events: DataFrame, pattern: String,
+                             retention: String = "1 hour",
+                             tsCol: String = "ts",
+                             charMap: Map[String, String] = Map.empty): Dataset[PatternCount] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    graft.ops.events.Events.validateCharMap(charMap)
+    val compiled = java.util.regex.Pattern.compile(pattern)
+    val typed = events
+      .withWatermark(tsCol, retention)
+      .select(col("user_id").cast("long").as("user_id"),
+        col(tsCol).as("ts"),
+        unix_micros(col(tsCol)).as("ts_us"),
+        col("event_id").cast("long").as("tie"),
+        graft.ops.events.Events.encodeCol("event_type", charMap).as("ch"))
+      .as[TsPatEvent]
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[TsPatEvent], state: GroupState[List[TsPatEvent]]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val watermark = state.getCurrentWatermarkMs()
+            val retained = it.foldLeft(state.getOption.getOrElse(Nil))(
+              (acc, e) => e :: acc).filter(_.ts.getTime >= watermark)
+            if (retained.isEmpty) {
+              // every event expired and nothing in-window arrived
+              state.remove()
+              Iterator.empty
+            } else {
+              state.update(retained)
+              var maxTs = watermark
+              retained.foreach(e => if (e.ts.getTime > maxTs) maxTs = e.ts.getTime)
+              // erase the user once the watermark passes their newest event
+              state.setTimeoutTimestamp(maxTs + 1)
+              val seq = retained.sortBy(e => (e.ts_us, e.tie)).iterator
+                .map(_.ch).mkString
+              val m = compiled.matcher(seq)
+              var n = 0L
+              while (m.find()) n += 1
+              Iterator.single(PatternCount(uid, seq.length.toLong, n))
+            }
+          }
       }
   }
 
@@ -860,7 +934,8 @@ object Streaming {
     val nh = if (numHashes > 0) numHashes else 4 * b
     val rows = if (bands > 0) nh / b else 4
     val banded = docs
-      .select(col(idCol).cast("long").as("id"),
+      .where(col(idCol).try_cast("long").isNotNull)
+      .select(col(idCol).try_cast("long").as("id"),
         graft.ops.text.TextOps.bigrams(col(textCol)).as("shs"))
       .select(col("id"),
         array_sort(transform(col("shs"), s => xxhash64(s))).as("sh"),
@@ -932,7 +1007,8 @@ object Streaming {
     val rows = if (bands > 0) nh / b else 4
     val banded = docs
       .withWatermark(tsCol, retention)
-      .select(col(idCol).cast("long").as("id"), col(tsCol).as("ts"),
+      .where(col(idCol).try_cast("long").isNotNull)
+      .select(col(idCol).try_cast("long").as("id"), col(tsCol).as("ts"),
         graft.ops.text.TextOps.bigrams(col(textCol)).as("shs"))
       .select(col("id"), col("ts"),
         array_sort(transform(col("shs"), s => xxhash64(s))).as("sh"),
@@ -1024,7 +1100,8 @@ object Streaming {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
     val banded = emb
-      .select(col(idCol).cast("long").as("id"),
+      .where(col(idCol).try_cast("long").isNotNull)
+      .select(col(idCol).try_cast("long").as("id"),
         graft.ops.ann.Ann.vec(col(vecCol)).as("v"))
       .withColumn("nrm", graft.ops.ann.Ann.norm(col("v")))
       .select(col("id"), col("v"), col("nrm"),
@@ -1112,9 +1189,13 @@ object Streaming {
     val nChunks = Seq(4, 8, 16, 32).find(_ > maxHamming).get
     val chunkLen = 64 / nChunks
     val mask = (1L << chunkLen) - 1
+    // the null filter runs on the CASTED id: a non-numeric string id
+    // casts to NULL and would kill the stream in the non-nullable ShDoc
+    // encoder if only the raw column were checked (the r15 advisor
+    // finding — unparseable ids are poison rows, dropped at the door)
     val chunks = docs
-      .where(col(idCol).isNotNull && col(textCol).isNotNull)
-      .select(col(idCol).cast("long").as("id"),
+      .where(col(idCol).try_cast("long").isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).try_cast("long").as("id"),
         call_function("graft_simhash64",
           graft.ops.text.TextOps.tokens(col(textCol))).as("code64"))
       .select(col("id"), col("code64"),
@@ -1148,6 +1229,90 @@ object Streaming {
           }
           state.update(members)
           out.result().iterator
+      }
+  }
+
+  final case class TsShDoc(bh: Long, id: Long, code64: Long,
+                           ts: java.sql.Timestamp)
+
+  /** D32 with BOUNDED state: [[simhashPairMonitor]] against a retention
+    * window — the [[nearDupPairsRetained]] (D7b) pattern applied to the
+    * SimHash pair monitor. `tsCol` is the document's event time; the
+    * input is watermarked by `retention`, each arrival verifies only
+    * against bucket members the watermark still allows (`member.ts ≥
+    * watermark`), expired members are pruned on every bucket visit, and
+    * quiet buckets are erased entirely by an event-time timeout — state
+    * is proportional to the retention window's data volume, never the
+    * stream's history. Within the window the emission contract is
+    * D32's unchanged (pigeonhole-lossless hamming ≤ maxHamming pairs,
+    * dedupe on (a, b) downstream); an expired member can never pair
+    * again by construction. This is the shape an unbounded production
+    * stream runs; the NoTimeout variant above is the whole-corpus
+    * batch-equivalent tool.
+    */
+  def simhashPairMonitorRetained(docs: DataFrame, tsCol: String,
+                                 retention: String = "1 hour",
+                                 maxHamming: Int = 3,
+                                 maxBucket: Int = Int.MaxValue,
+                                 idCol: String = "doc_id",
+                                 textCol: String = "text"): Dataset[ShPair] = {
+    require(maxHamming <= 31, "banding needs chunks > maxHamming; 64 bits cap this at 31")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val nChunks = Seq(4, 8, 16, 32).find(_ > maxHamming).get
+    val chunkLen = 64 / nChunks
+    val mask = (1L << chunkLen) - 1
+    // null filter on the CASTED id, same stance as simhashPairMonitor
+    val chunks = docs
+      .withWatermark(tsCol, retention)
+      .where(col(idCol).try_cast("long").isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).try_cast("long").as("id"), col(tsCol).as("ts"),
+        call_function("graft_simhash64",
+          graft.ops.text.TextOps.tokens(col(textCol))).as("code64"))
+      .select(col("id"), col("ts"), col("code64"),
+        posexplode(array((0 until nChunks).map(c =>
+          shiftrightunsigned(col("code64"), c * chunkLen).bitwiseAND(mask)): _*))
+          .as(Seq("cidx", "code")))
+      .select(xxhash64(col("cidx"), col("code")).as("bh"),
+        col("id"), col("code64"), col("ts"))
+      .as[TsShDoc]
+    chunks.groupByKey(_.bh)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: Long, it: Iterator[TsShDoc], state: GroupState[List[TsShDoc]]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val watermark = state.getCurrentWatermarkMs()
+            var members = state.getOption.getOrElse(Nil)
+              .filter(_.ts.getTime >= watermark) // retention prune
+            val seen = scala.collection.mutable.HashSet.empty[Long]
+            members.foreach(m => seen += m.id)
+            var size = seen.size
+            val out = List.newBuilder[ShPair]
+            var maxTs = watermark
+            members.foreach(m => if (m.ts.getTime > maxTs) maxTs = m.ts.getTime)
+            it.foreach { d =>
+              if (size < maxBucket && !seen(d.id)) {
+                members.foreach { o =>
+                  val h = java.lang.Long.bitCount(o.code64 ^ d.code64).toLong
+                  if (h <= maxHamming) {
+                    val (a, b) = if (o.id < d.id) (o.id, d.id) else (d.id, o.id)
+                    out += ShPair(a, b, h)
+                  }
+                }
+                members ::= d
+                seen += d.id
+                size += 1
+              }
+              if (d.ts.getTime > maxTs) maxTs = d.ts.getTime
+            }
+            state.update(members)
+            // erase the bucket once the watermark passes its newest member
+            state.setTimeoutTimestamp(maxTs + 1)
+            out.result().iterator
+          }
       }
   }
 
@@ -1186,7 +1351,8 @@ object Streaming {
     val spark = docs.sparkSession
     import spark.implicits._
     val fps = graft.ops.text.TextOps.winnow(docs, k, w)
-      .select(col("fp"), col("doc_id").cast("long").as("id"))
+      .where(col("doc_id").try_cast("long").isNotNull)
+      .select(col("fp"), col("doc_id").try_cast("long").as("id"))
       .as[FpDoc]
     fps.groupByKey(_.fp)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {

@@ -30,8 +30,12 @@ object IncProbeCost {
     Seq(true, false).foreach { mp =>
       (1 to reps).foreach { r =>
         val t0 = System.nanoTime()
+        // maxCandidates=0: this tool MEASURES the two routes' raw
+        // economics to SET the default budget — pricing must not reroute
+        // the thing being measured
         val n = graft.ops.ann.Ann
-          .cosineIncrement(batch, index, 0.45, multiProbe = mp).count()
+          .cosineIncrement(batch, index, 0.45, multiProbe = mp,
+            maxCandidates = 0L).count()
         println(f"[incprobe] multiProbe=$mp rep$r: " +
           f"${(System.nanoTime() - t0) / 1e9}%.2f s, $n pairs")
       }

@@ -171,6 +171,27 @@ class GuardSpec extends SparkSpec {
         multiProbe = true, maxCandidates = 1000L)
     }
     assert(e.getMessage.contains("even single-probe"), e.getMessage)
+
+    // known-count pricing drives the SAME ladder count-free, and the 30M
+    // DEFAULT budget routes on it (p is pinned at 4, bands 16, so volumes
+    // are exact arithmetic on the fake counts):
+    // (a) degrade window — knownBatch=1200, knownIndex=6000: bucket =
+    //     7200/16 = 450, volume(1) = 1200·450·16 = 8.64M ≤ 30M <
+    //     volume(5) = 43.2M → multi-probe degrades to EXACTLY single
+    val degradedKnown = rows(graft.ops.ann.Ann.cosineIncrement(batch, index, 0.9,
+      multiProbe = true,
+      knownBatchCount = 1200L, knownIndexCount = 6000L))
+    assert(degradedKnown === single,
+      "fake known counts inside the degrade window must yield the single-probe output")
+    // (b) past the single-probe floor — knownBatch=4000, knownIndex=6000:
+    //     volume(1) = 4000·625·16 = 40M > 30M → refuse, without ever
+    //     counting the real (tiny) inputs
+    val e2 = intercept[IllegalArgumentException] {
+      graft.ops.ann.Ann.cosineIncrement(batch, index, 0.9,
+        multiProbe = true,
+        knownBatchCount = 4000L, knownIndexCount = 6000L)
+    }
+    assert(e2.getMessage.contains("even single-probe"), e2.getMessage)
   }
 
   test("containment: shingle-less (one-token) docs are excluded on BOTH sides") {

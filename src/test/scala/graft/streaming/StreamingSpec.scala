@@ -857,6 +857,50 @@ class StreamingSpec extends SparkSpec {
     assert(twin === batch)
   }
 
+  test("D26b: retained CEP monitor truncates a user's history at the horizon") {
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cepret").toString
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType)))
+    def write(name: String, rows: Seq[(Long, Long, Long, String)]): Unit = {
+      rows.toDF("event_id", "epoch_s", "user_id", "event_type")
+        .select(col("event_id"), col("epoch_s").cast("timestamp").as("ts"),
+          col("user_id"), col("event_type"))
+        .coalesce(1).write.parquet(s"$tmp/$name")
+    }
+    val h = 3600L
+    val t0 = 1000000000L
+    // batch 1: user 1 completes the v c* p motif inside the window
+    write("b1", Seq((1L, t0, 1L, "view"), (2L, t0 + 1, 1L, "click"),
+      (3L, t0 + 2, 1L, "purchase")))
+    val src = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .parquet(s"$tmp/*/")
+    val q = Streaming.patternMonitorRetained(src, "vc*p", retention = "1 hour")
+      .writeStream.format("memory").queryName("cep_retained")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // another user ten days later advances the watermark past user 1's
+      // entire history
+      write("b2", Seq((4L, t0 + 10 * 24 * h, 99L, "view")))
+      q.processAllAvailable()
+      // user 1 purchases again — their expired prefix must NOT complete
+      // the motif: the retained sequence is just "p"
+      write("b3", Seq((5L, t0 + 10 * 24 * h + 60, 1L, "purchase")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("cep_retained")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val user1 = rows.filter(_._1 == 1L)
+    assert(user1.contains((1L, 3L, 1L)),
+      s"the in-window motif must fire on batch 1: ${user1.toSeq}")
+    assert(user1.contains((1L, 1L, 0L)),
+      s"after expiry the retained history is 1 event / 0 matches: ${user1.toSeq}")
+    assert(!user1.contains((1L, 4L, 2L)) && !user1.contains((1L, 4L, 1L)),
+      s"the expired prefix must not survive into batch 3: ${user1.toSeq}")
+  }
+
   test("D27: winnow pair witnesses aggregate to the batch index self-join across batch splits") {
     import org.apache.spark.sql.types._
     val docs = spark.read.parquet(s"$dir/documents.parquet")
@@ -1077,6 +1121,64 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
     val sat = spark.table("sh_sat").select("a", "b").distinct().count()
     assert(sat === 6L, s"saturated bucket must cap at C(4,2)=6 pairs, got $sat")
+  }
+
+  test("D32: a non-numeric string doc_id is dropped at the door, not a stream-killing NULL cast") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val q = Streaming.simhashPairMonitor(mem.toDF.toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("sh_strid")
+      .outputMode("append").start()
+    try {
+      // "doc-7" casts to NULL long — before the r16 fix the isNotNull
+      // check ran on the RAW column, so the row passed the filter and
+      // killed the stream in the non-nullable ShDoc encoder
+      mem.addData(("1", "identical boilerplate row " * 4),
+        ("doc-7", "identical boilerplate row " * 4),
+        ("2", "identical boilerplate row " * 4))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sh_strid").select("a", "b").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 2L)), s"parseable ids must still pair: $got")
+  }
+
+  test("D32b: retained simhash pairs dedup within the window and expire old members") {
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-shret").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("ts", TimestampType)))
+    def write(name: String, rows: Seq[(Long, String, Long)]): Unit = {
+      rows.toDF("doc_id", "text", "epoch_s")
+        .select(col("doc_id"), col("text"),
+          col("epoch_s").cast("timestamp").as("ts"))
+        .coalesce(1).write.parquet(s"$tmp/$name")
+    }
+    val dupText = "identical boilerplate row " * 4
+    val h = 3600L
+    val t0 = 1000000000L
+    write("b1", Seq((1L, dupText, t0), (2L, dupText, t0)))
+    val src = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .parquet(s"$tmp/*/")
+    val q = Streaming.simhashPairMonitorRetained(src, tsCol = "ts",
+        retention = "1 hour")
+      .writeStream.format("memory").queryName("sh_retained")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // unrelated doc ten days later — advances the watermark
+      write("b2", Seq((50L, (1 to 30).map(i => s"other$i").mkString(" "),
+        t0 + 10 * 24 * h)))
+      q.processAllAvailable()
+      // a duplicate of doc 1, but its buddies expired long ago
+      write("b3", Seq((3L, dupText, t0 + 10 * 24 * h + 60)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sh_retained").select("a", "b").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 2L))) // in-window pair found; (1,3)/(2,3) expired
   }
 
   test("D31: drift monitor == batch KS/JS kernel after EVERY batch; planted drift fires; " +
