@@ -156,6 +156,61 @@ object Multimodal {
     bb.array()
   }
 
+  /** A complete 24-bit uncompressed (BI_RGB) BMP of the given dimensions
+    * with zeroed pixel rows — BITMAPFILEHEADER (14 B) + BITMAPINFOHEADER
+    * (40 B) + height 4-byte-aligned rows. BMP is the pure-integer image
+    * container (fixed-offset little-endian header, no CRC, no entropy
+    * coding), so a payload built here is (a) readable by the in-JDK
+    * ImageIO BMP reader — a REAL codec round-trip — and (b) byte-size
+    * predictable by closed-form arithmetic (54 + rowSize·h, rowSize =
+    * ((3w+3)/4)·4), which is what lets the C90 oracle check the real
+    * decode with plain SQL.
+    */
+  def bmpBytes(width: Int, height: Int): Array[Byte] = {
+    require(width > 0 && height > 0,
+      s"bmpBytes: dimensions must be positive (got $width x $height)")
+    val rowSize = ((3 * width + 3) / 4) * 4
+    val dataSize = rowSize * height
+    val fileSize = 54 + dataSize
+    val bb = java.nio.ByteBuffer.allocate(fileSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(fileSize)
+      .putShort(0).putShort(0).putInt(54)          // reserved, data offset
+      .putInt(40).putInt(width).putInt(height)     // BITMAPINFOHEADER
+      .putShort(1).putShort(24)                    // planes, bpp
+      .putInt(0).putInt(dataSize)                  // BI_RGB, image size
+      .putInt(2835).putInt(2835).putInt(0).putInt(0) // 72 dpi, palette
+    bb.array()                                     // pixel rows stay zero
+  }
+
+  /** (id, media) frame of synthetic BMP payloads whose dimensions derive
+    * deterministically from the text's UTF-8 byte length (w = 1 + len %
+    * maxW, h = 1 + len·31 % maxH) — the C90 fixture builder: real
+    * container bytes with oracle-computable metadata. NULL text maps to
+    * a NULL payload (the decode seam's poison-row stance: stub zeros).
+    * Partition-local like every media op here; payloads are ≤ 54 +
+    * 4·ceil(3·maxW/4)·maxH bytes regardless of document size, so the
+    * media column is bounded however large the corpus rows are.
+    */
+  def syntheticBmp(df: DataFrame, idCol: String, textCol: String,
+                   maxW: Int = 64, maxH: Int = 48): DataFrame = {
+    val in = df.select(col(idCol), col(textCol))
+    val outSchema = StructType(Seq(in.schema.fields(0),
+      StructField("media", BinaryType, nullable = true)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        val media =
+          if (r.isNullAt(1)) null
+          else {
+            val len = r.getString(1).getBytes("UTF-8").length
+            bmpBytes(1 + len % maxW, 1 + ((len.toLong * 31) % maxH).toInt)
+          }
+        Row(r.get(0), media)
+      }
+    }(encoder)
+  }
+
   /** PCM window sampling over the WAV decode seam: every `stride`-th
     * fixed-size byte window of the payload's `data` chunk as
     * (window_idx, window) rows — [[sampleFrames]] for audio, except the

@@ -2591,6 +2591,39 @@ object Pipeline {
       |  CASE WHEN text IS NULL THEN 'img/fake' ELSE 'audio/wav' END AS format
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** C90: REAL image-container metadata decode under the driver oracle —
+    * the image counterpart of C89's WAV walk, shrinking the env-blocked
+    * media gap to video only: per-doc payloads are genuine BMP files
+    * ([[Multimodal.bmpBytes]] — fixed-offset little-endian header, no
+    * CRC) with dimensions derived from the text's byte length, and
+    * `decodeMedia(realCodec = true)` reads them back through the in-JDK
+    * ImageIO BMP reader (header-only `getWidth(0)`/`getHeight(0)`, the
+    * real codec seam — NOT the arithmetic that built them). The oracle
+    * is closed-form because BMP is pure-integer: n_bytes = 54 +
+    * ((3w+3)//4)·4·h, w/h from octet_length(text), format from the
+    * reader's own name. A NULL text degrades to the stub's zeros (the
+    * C12/C89 poison-row stance).
+    */
+  def mediaImageMeta(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeMedia(
+      Multimodal.syntheticBmp(docs(spark, dir), "doc_id", "text"), "media",
+      realCodec = Some(true))
+      .select(col("doc_id"), col("meta.n_bytes").as("n_bytes"),
+        col("meta.width").as("width"), col("meta.height").as("height"),
+        col("meta.format").as("format"))
+      .orderBy("doc_id")
+
+  val mediaImageMetaSql: String =
+    """WITH b AS (SELECT doc_id, octet_length(encode(text)) AS len FROM documents)
+      |SELECT doc_id,
+      |  CASE WHEN len IS NULL THEN 0
+      |       ELSE 54 + ((3 * (1 + len % 64) + 3) // 4) * 4 * (1 + (len * 31) % 48)
+      |  END::BIGINT AS n_bytes,
+      |  CASE WHEN len IS NULL THEN 0 ELSE 1 + len % 64 END::INTEGER AS width,
+      |  CASE WHEN len IS NULL THEN 0 ELSE 1 + (len * 31) % 48 END::INTEGER AS height,
+      |  CASE WHEN len IS NULL THEN 'img/fake' ELSE 'img/bmp' END AS format
+      |FROM b ORDER BY doc_id""".stripMargin
+
   /** C42: Naive Bayes self-distillation of the Gopher gate (see
     * [[TextOps.nbDistill]]) — the hard rule becomes a continuous
     * token-level quality score, the cheap-classifier curation pattern.

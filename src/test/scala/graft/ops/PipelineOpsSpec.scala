@@ -746,6 +746,34 @@ class PipelineOpsSpec extends SparkSpec {
     assert(Multimodal.decodeWav(evil).isEmpty)
   }
 
+  test("real codec seam: synthetic BMPs round-trip through the in-JDK ImageIO reader") {
+    import spark.implicits._
+    // the builder's bytes are a REAL file: the JDK's own reader must
+    // recover the dimensions from the header (this is the codec path
+    // media_image_meta exercises — not the arithmetic that built them)
+    val bmp = Multimodal.bmpBytes(7, 5)
+    val m = Multimodal.decodeImage(bmp).get
+    assert(m.getLong(0) === bmp.length.toLong)
+    assert((m.getInt(1), m.getInt(2), m.getString(3)) === ((7, 5, "img/bmp")))
+    // closed-form size: 54 + rowSize*h, rowSize = ((3*7+3)/4)*4 = 24
+    assert(bmp.length === 54 + 24 * 5)
+    // and ImageIO itself agrees end-to-end
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bmp))
+    assert(img.getWidth === 7 && img.getHeight === 5)
+
+    // the frame builder: NULL text -> NULL payload -> stub zeros through
+    // the decode seam (the C12/C89 poison-row stance); headerless bytes
+    // (not a BMP) also degrade to the stub, never throw
+    val df = Seq((1L, Some("ab cd")), (2L, None: Option[String])).toDF("doc_id", "text")
+    val got = Multimodal.decodeMedia(
+        Multimodal.syntheticBmp(df, "doc_id", "text"), "media",
+        realCodec = Some(true))
+      .select(col("doc_id"), col("meta.width"), col("meta.height"), col("meta.format"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))).toSet
+    // len("ab cd") = 5: w = 1 + 5 % 64 = 6, h = 1 + 155 % 48 = 12
+    assert(got === Set((1L, 6, 12, "img/bmp"), (2L, 0, 0, "img/fake")))
+  }
+
   test("tabmap scan prunes to the mapped columns only") {
     val plan = graft.queries.GraphEtl.tabmapNodes(spark, dir)
       .queryExecution.executedPlan.toString
