@@ -210,6 +210,48 @@ object GraphOps {
     * within `maxHops`; seeds report 0. Edges are symmetrised, so `@from`/
     * `@to` orientation does not matter.
     */
+  /** Typed k-hop motif paths — the KnetMiner domain's query staple
+    * (gene → pathway → trait semantic motifs; the reference builds the
+    * graph FOR such traversals — mappings/knetminer.py): from each start
+    * node, follow DIRECTED edges whose type matches the hop's predicate,
+    * one `hopTypes` entry per hop, and report per (start, end) the
+    * number of distinct simple typed paths plus a deterministic sample
+    * (the lexicographic min of the `->`-joined path strings — min, so
+    * any engine reproduces it). Cycles are cut per path (`dst` must not
+    * already be on the path — simple-path semantics), which also bounds
+    * the blowup on cyclic inputs.
+    *
+    * Shape at scale: k fixed-depth keyed equi-joins on the node id — no
+    * transitive closure, no GraphX build; each hop's type filter pushes
+    * into the edge scan, the only per-row state is the ≤ k+1-element
+    * path array, and the final count+min is one keyed aggregate.
+    * Frontier size is the true path volume (the data's fan-out), so a
+    * hub-heavy hop costs what the answer costs — callers constrain hops
+    * by type exactly to keep that volume meaningful.
+    */
+  def motifPaths(edges: DataFrame, starts: DataFrame, hopTypes: Seq[String],
+                 srcCol: String = "src", dstCol: String = "dst",
+                 typeCol: String = "etype", startCol: String = "node"): DataFrame = {
+    require(hopTypes.nonEmpty, "motifPaths: at least one hop type is required")
+    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"),
+      col(typeCol).as("__t"))
+    var frontier = starts
+      .select(col(startCol).as("__n"), array(col(startCol)).as("__path"))
+    hopTypes.foreach { t =>
+      frontier = frontier
+        .join(e.where(col("__t") === t), col("__n") === col("__src"))
+        .where(!array_contains(col("__path"), col("__dst"))) // simple paths
+        .select(col("__dst").as("__n"),
+          array_append(col("__path"), col("__dst")).as("__path"))
+    }
+    frontier
+      .groupBy(element_at(col("__path"), 1).as("start_node"),
+        col("__n").as("end_node"))
+      .agg(count(lit(1)).as("n_paths"),
+        min(array_join(col("__path"), "->")).as("sample_path"))
+      .orderBy("start_node", "end_node")
+  }
+
   def bfsDistances(pgEdges: DataFrame, seeds: Seq[String], maxHops: Int = 10): DataFrame = {
     val spark = pgEdges.sparkSession
     import spark.implicits._

@@ -647,6 +647,64 @@ object GraphEtl {
        |SELECT node, dist FROM d4 ORDER BY node""".stripMargin
   }
 
+  /** A47: typed k-hop motif traversal ([[graft.ops.graph.GraphOps.motifPaths]])
+    * — the KnetMiner gene→pathway→trait staple over the TPC-H containment
+    * graph: part —supplied_by→ supplier —located_in→ nation —part_of→
+    * region, per (part, region) the distinct simple-path count and the
+    * lexicographic-min sample path. The edge set deliberately carries a
+    * DISTRACTOR type sharing the hop-1 endpoints (returned_by: the
+    * subset of supplied_by pairs with a returned line) — an engine that
+    * ignored the per-hop type predicate would inflate every count, so
+    * the oracle checks the typing itself, not just reachability. The
+    * oracle unrolls the k joins as one CTE per hop with the same
+    * simple-path inequality guards.
+    */
+  def kgMotif(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val edges = li
+      .select(concat(lit("part:"), col("l_partkey")).as("src"),
+        concat(lit("sup:"), col("l_suppkey")).as("dst"),
+        lit("supplied_by").as("etype")).distinct()
+      .unionByName(li.where(col("l_returnflag") === "R")
+        .select(concat(lit("part:"), col("l_partkey")).as("src"),
+          concat(lit("sup:"), col("l_suppkey")).as("dst"),
+          lit("returned_by").as("etype")).distinct())
+      .unionByName(Tables.load(spark, dir, "supplier")
+        .select(concat(lit("sup:"), col("s_suppkey")).as("src"),
+          concat(lit("nation:"), col("s_nationkey")).as("dst"),
+          lit("located_in").as("etype")))
+      .unionByName(Tables.load(spark, dir, "nation")
+        .select(concat(lit("nation:"), col("n_nationkey")).as("src"),
+          concat(lit("region:"), col("n_regionkey")).as("dst"),
+          lit("part_of").as("etype")))
+    val starts = Tables.load(spark, dir, "part")
+      .select(concat(lit("part:"), col("p_partkey")).as("node"))
+    graft.ops.graph.GraphOps.motifPaths(edges, starts,
+      Seq("supplied_by", "located_in", "part_of"))
+  }
+
+  val kgMotifSql: String =
+    """WITH e AS (
+      |  SELECT DISTINCT 'part:' || l_partkey AS src, 'sup:' || l_suppkey AS dst,
+      |    'supplied_by' AS t FROM lineitem
+      |  UNION ALL
+      |  SELECT DISTINCT 'part:' || l_partkey, 'sup:' || l_suppkey, 'returned_by'
+      |  FROM lineitem WHERE l_returnflag = 'R'
+      |  UNION ALL
+      |  SELECT 'sup:' || s_suppkey, 'nation:' || s_nationkey, 'located_in' FROM supplier
+      |  UNION ALL
+      |  SELECT 'nation:' || n_nationkey, 'region:' || n_regionkey, 'part_of' FROM nation),
+      |p0 AS (SELECT 'part:' || p_partkey AS n0 FROM part),
+      |p1 AS (SELECT n0, e.dst AS n1 FROM p0 JOIN e ON e.t = 'supplied_by' AND e.src = n0
+      |  WHERE e.dst <> n0),
+      |p2 AS (SELECT n0, n1, e.dst AS n2 FROM p1 JOIN e ON e.t = 'located_in' AND e.src = n1
+      |  WHERE e.dst <> n0 AND e.dst <> n1),
+      |p3 AS (SELECT n0, n1, n2, e.dst AS n3 FROM p2 JOIN e ON e.t = 'part_of' AND e.src = n2
+      |  WHERE e.dst <> n0 AND e.dst <> n1 AND e.dst <> n2)
+      |SELECT n0 AS start_node, n3 AS end_node, count(*)::BIGINT AS n_paths,
+      |  min(n0 || '->' || n1 || '->' || n2 || '->' || n3) AS sample_path
+      |FROM p3 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** A43: landmark harmonic closeness over the containment hierarchy
     * ([[graft.ops.graph.GraphOps.landmarkCloseness]]) — closeness
     * centrality at KG scale: k=8 md5-ordered landmark nodes (a

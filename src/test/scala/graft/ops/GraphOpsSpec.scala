@@ -543,4 +543,31 @@ class GraphOpsSpec extends SparkSpec {
     assert(r(Seq(("a","b"), ("b","a"), ("a","b"), ("a","a"), ("a","c"), ("b","c")))
       === ((3L, None)))
   }
+
+  test("motifPaths: typed hops, distractor types skipped, cycles cut, min sample path") {
+    // ensembl-shaped fixture: gene -in_pathway-> pathway -affects-> trait
+    val edges = Seq(
+      ("g1", "pw1", "in_pathway"),
+      ("g1", "pw2", "in_pathway"),
+      ("g2", "pw1", "in_pathway"),
+      ("pw1", "t1", "affects"),
+      ("pw2", "t1", "affects"),
+      // distractor TYPE from a start node: must not traverse hop 1
+      ("g1", "pw3", "mentions"),
+      ("pw3", "t9", "affects"),
+      // back-edge to the start: the simple-path guard cuts g1->pw1->g1
+      ("pw1", "g1", "affects")
+    ).toDF("src", "dst", "etype")
+    val starts = Seq("g1", "g2").toDF("node")
+    val got = GraphOps.motifPaths(edges, starts, Seq("in_pathway", "affects"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(3)))
+      .toSet
+    assert(got === Set(
+      // two distinct simple paths collapse to one row; sample = lexic. min
+      ("g1", "t1", 2L, "g1->pw1->t1"),
+      // g1 on g2's path is allowed (not a revisit within THAT path)
+      ("g2", "g1", 1L, "g2->pw1->g1"),
+      ("g2", "t1", 1L, "g2->pw1->t1")))
+  }
 }
