@@ -54,6 +54,71 @@ object PgGraph {
       .select("type", "id", "labels", "from", "to", "properties")
   }
 
+  /** Upserts a triple batch into an existing PG snapshot — the reference's
+    * reload story (drop and re-run the whole mapping; reference:
+    * src/ketl/io/neoloader.py orchestrates a full reload) done
+    * incrementally, so a 100 TB snapshot absorbs a day's delta without a
+    * rebuild. Merge semantics (never deletes — absence means retention,
+    * not removal; a removal needs an explicit tombstone batch resolved
+    * upstream of this merge):
+    *
+    *   - ids absent from the batch pass through byte-identical;
+    *   - labels merge as a sorted-distinct set union (re-running a mapper
+    *     that adds a label composes with prior mappers, matching toPg over
+    *     the unioned triples);
+    *   - endpoints take the batch's value when the batch supplies one
+    *     (latest-state re-pointing), else keep the snapshot's;
+    *   - property keys in `latestKeys` are REPLACED by the batch's value
+    *     set (latest-state scalar semantics, the B44 stance); every other
+    *     key unions sorted-distinct, matching toPg's multi-valued
+    *     collection. Keys the batch doesn't mention are kept;
+    *   - `type` is recomputed from the merged endpoints.
+    *
+    * Scale shape: the snapshot is never shuffled. Untouched rows exit via
+    * a broadcast anti-join and the (few) touched rows are extracted via a
+    * broadcast semi-join, so the cost is two map-side scans of the
+    * snapshot plus batch-sized shuffle work; only `toPg(batchTriples)`
+    * exchanges, and only on the batch. Idempotent: re-merging the same
+    * batch is a no-op (every rule above is idempotent; spec-pinned).
+    */
+  def mergeInc(snapshot: DataFrame, batchTriples: DataFrame,
+               latestKeys: Set[String] = Set.empty): DataFrame = {
+    val batchPg = toPg(batchTriples)
+    val bIds = broadcast(batchPg.select("id"))
+    val untouched = snapshot.join(bIds, Seq("id"), "left_anti")
+      .select("type", "id", "labels", "from", "to", "properties")
+    val touchedSnap = snapshot.join(bIds, Seq("id"), "left_semi").select(
+      col("id"), col("labels").as("s_labels"), col("from").as("s_from"),
+      col("to").as("s_to"), col("properties").as("s_props"))
+    val joined = batchPg.select(
+        col("id"), col("labels").as("b_labels"), col("from").as("b_from"),
+        col("to").as("b_to"), col("properties").as("b_props"))
+      .join(touchedSnap, Seq("id"), "left")
+    val noVals = typedlit(Seq.empty[String])
+    val sProps = coalesce(col("s_props"), typedlit(Map.empty[String, Seq[String]]))
+    val keys = array_distinct(concat(map_keys(sProps), map_keys(col("b_props"))))
+    def mergedVals(k: Column): Column = {
+      val union = array_sort(array_distinct(concat(
+        coalesce(element_at(sProps, k), noVals),
+        coalesce(element_at(col("b_props"), k), noVals))))
+      if (latestKeys.isEmpty) union
+      else when(k.isin(latestKeys.toSeq: _*),
+          coalesce(element_at(col("b_props"), k), element_at(sProps, k)))
+        .otherwise(union)
+    }
+    val mergedFrom = coalesce(col("b_from"), col("s_from"))
+    val merged = joined.select(
+      when(mergedFrom.isNotNull, lit(Graph.EdgeType))
+        .otherwise(lit(Graph.NodeType)).as("type"),
+      col("id"),
+      array_sort(array_distinct(concat(
+        coalesce(col("s_labels"), noVals), col("b_labels")))).as("labels"),
+      mergedFrom.as("from"),
+      coalesce(col("b_to"), col("s_to")).as("to"),
+      map_from_arrays(keys, transform(keys, mergedVals _)).as("properties"))
+    untouched.unionByName(merged)
+  }
+
   /** Parsed-PG schema as read back from JSONL.pg: property values are the
     * ACTUAL values (as strings via primitivesAsString), matching what the
     * reference's loader feeds Neo4j — not the serialised triple form.

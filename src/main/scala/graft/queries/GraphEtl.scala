@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, StringType}
 
@@ -1217,4 +1217,90 @@ object GraphEtl {
        |SELECT ${sqlLit(ePre)} || '[' || string_agg(elem, ',' ORDER BY rn) || ']' || ${sqlLit(eSuf)}
        |  FROM eb GROUP BY b""".stripMargin
   }
+
+  // ---- A48: incremental triples → PG merge --------------------------------
+  // full DuckDB oracle: the merge is reproduced in triple space — labels
+  // union across both sides, endpoints and the latest-state keys prefer the
+  // batch's values, every other property key unions sorted-distinct.
+
+  /** A48: a PG snapshot of every supplier (node + a stable-id location edge)
+    * absorbs an update batch via [[graft.etl.PgGraph.mergeInc]] — the
+    * reference's reload workflow (reference: src/ketl/io/neoloader.py) as an
+    * in-place upsert instead of a rebuild. Every 10th supplier is re-cased
+    * and gains an `Audited` label (hasName replaced — latest-state; labels
+    * union), its location edge is re-pointed to the next nation (endpoint +
+    * nationKey latest-state), and a shadow supplier arrives as a brand-new
+    * node; everyone else (and the untouched acctBal key) passes through
+    * unchanged. The snapshot side never shuffles (broadcast anti/semi
+    * joins — plan-pinned in PgGraphSpec).
+    */
+  def pgMergeInc(spark: SparkSession, dir: String): DataFrame = {
+    val supplier = Tables.load(spark, dir, "supplier")
+    val supId = Triples.wrap(col("s_suppkey"), "supplier:")
+    val locId = Triples.wrap(col("s_suppkey"), "loc:")
+    def locEdge(df: DataFrame, nation: Column): DataFrame =
+      Triples.nodes(df, locId, Seq(
+        Prop.tpe("locatedIn"), Prop.from(supId),
+        Prop.to(Triples.wrap(nation, "nation:")),
+        Prop("nationKey", nation)))
+    val snapshot = PgGraph.toPg(Triples.chain(
+      Triples.nodes(supplier, supId, Seq(
+        Prop.column("s_name", "hasName"), Prop.column("s_acctbal", "acctBal"),
+        Prop.tpe("Supplier"))),
+      locEdge(supplier, col("s_nationkey"))))
+    val moved = supplier.where(col("s_suppkey") % 10 === 0)
+    val batch = Triples.chain(
+      Triples.nodes(moved, supId, Seq(
+        Prop("hasName", upper(col("s_name"))), Prop.tpe("Audited"))),
+      locEdge(moved, (col("s_nationkey") + 1) % 25),
+      Triples.nodes(moved, concat(lit("supplier:new:"), col("s_suppkey")), Seq(
+        Prop("hasName", concat(lit("SHADOW "), col("s_name"))),
+        Prop.tpe("Supplier"))))
+    PgGraph.mergeInc(snapshot, batch, latestKeys = Set("hasName", "nationKey"))
+      .select(col("id"), col("type").as("etype"),
+        array_join(col("labels"), ",").as("labels"),
+        col("from").as("src"), col("to").as("dst"),
+        explode(col("properties")).as(Seq("key", "vals")))
+      .select(col("id"), col("etype"), col("labels"), col("src"), col("dst"),
+        col("key"), array_join(col("vals"), "|").as("vals"))
+  }
+
+  val pgMergeIncSql: String =
+    """WITH sup AS (SELECT s_suppkey AS k, s_name, s_acctbal, s_nationkey FROM supplier),
+      |mv AS (SELECT * FROM sup WHERE k % 10 = 0),
+      |t AS (
+      |  SELECT 'supplier:' || k AS id, 'hasName' AS key, to_json(s_name)::VARCHAR AS value, 's' AS side FROM sup
+      |  UNION ALL SELECT 'supplier:' || k, 'acctBal', to_json(s_acctbal)::VARCHAR, 's' FROM sup
+      |  UNION ALL SELECT 'supplier:' || k, '@type', 'Supplier', 's' FROM sup
+      |  UNION ALL SELECT 'loc:' || k, '@type', 'locatedIn', 's' FROM sup
+      |  UNION ALL SELECT 'loc:' || k, '@from', 'supplier:' || k, 's' FROM sup
+      |  UNION ALL SELECT 'loc:' || k, '@to', 'nation:' || s_nationkey, 's' FROM sup
+      |  UNION ALL SELECT 'loc:' || k, 'nationKey', to_json(s_nationkey)::VARCHAR, 's' FROM sup
+      |  UNION ALL SELECT 'supplier:' || k, 'hasName', to_json(upper(s_name))::VARCHAR, 'b' FROM mv
+      |  UNION ALL SELECT 'supplier:' || k, '@type', 'Audited', 'b' FROM mv
+      |  UNION ALL SELECT 'loc:' || k, '@type', 'locatedIn', 'b' FROM mv
+      |  UNION ALL SELECT 'loc:' || k, '@from', 'supplier:' || k, 'b' FROM mv
+      |  UNION ALL SELECT 'loc:' || k, '@to', 'nation:' || ((s_nationkey + 1) % 25), 'b' FROM mv
+      |  UNION ALL SELECT 'loc:' || k, 'nationKey', to_json((s_nationkey + 1) % 25)::VARCHAR, 'b' FROM mv
+      |  UNION ALL SELECT 'supplier:new:' || k, '@type', 'Supplier', 'b' FROM mv
+      |  UNION ALL SELECT 'supplier:new:' || k, 'hasName', to_json('SHADOW ' || s_name)::VARCHAR, 'b' FROM mv),
+      |labels AS (SELECT id, array_to_string(list_sort(list_distinct(list(value))), ',') AS labels
+      |  FROM t WHERE key = '@type' GROUP BY id),
+      |ep AS (SELECT id,
+      |    coalesce(max(value) FILTER (key = '@from' AND side = 'b'),
+      |             max(value) FILTER (key = '@from' AND side = 's')) AS src,
+      |    coalesce(max(value) FILTER (key = '@to' AND side = 'b'),
+      |             max(value) FILTER (key = '@to' AND side = 's')) AS dst
+      |  FROM t WHERE key IN ('@from', '@to') GROUP BY id),
+      |pk AS (SELECT id, key,
+      |    list(value) FILTER (side = 's') AS sv,
+      |    list(value) FILTER (side = 'b') AS bv
+      |  FROM t WHERE key NOT IN ('@type', '@from', '@to') GROUP BY id, key),
+      |props AS (SELECT id, key, array_to_string(list_sort(list_distinct(
+      |    CASE WHEN key IN ('hasName', 'nationKey') THEN coalesce(bv, sv)
+      |         ELSE flatten([coalesce(sv, []), coalesce(bv, [])]) END)), '|') AS vals
+      |  FROM pk)
+      |SELECT p.id, CASE WHEN e.src IS NOT NULL THEN 'edge' ELSE 'node' END AS etype,
+      |  l.labels, e.src, e.dst, p.key, p.vals
+      |FROM props p JOIN labels l USING (id) LEFT JOIN ep e USING (id)""".stripMargin
 }

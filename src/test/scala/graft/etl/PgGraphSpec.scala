@@ -34,7 +34,10 @@ class PgGraphSpec extends SparkSpec {
   ).toDF("id", "key", "value")
 
   private def pgMap(df: org.apache.spark.sql.DataFrame) =
-    PgGraph.toPg(df).collect().map { r =>
+    pgMapOf(PgGraph.toPg(df))
+
+  private def pgMapOf(pg: org.apache.spark.sql.DataFrame) =
+    pg.collect().map { r =>
       r.getAs[String]("id") -> ((r.getAs[String]("type"),
         r.getAs[scala.collection.Seq[String]]("labels").toSet,
         Option(r.getAs[String]("from")), Option(r.getAs[String]("to")),
@@ -139,6 +142,49 @@ class PgGraphSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("weight") ||
       err.getCause != null && err.getCause.getMessage.contains("weight"))
+  }
+
+  test("mergeInc upserts a batch into a PG snapshot (A48 semantics)") {
+    val snapTriples = Seq(
+      ("N1", Graph.TypeKey, "Gene"), ("N1", "name", "\"g1\""),
+      ("N1", "score", "\"a\""),
+      ("N2", Graph.TypeKey, "Gene"), ("N2", "name", "\"g2\""),
+      ("E1", Graph.TypeKey, "rel"), ("E1", Graph.FromKey, "N1"),
+      ("E1", Graph.ToKey, "N2"), ("E1", "weight", "1")
+    ).toDF("id", "key", "value")
+    val batch = Seq(
+      ("N1", Graph.TypeKey, "Audited"), ("N1", "name", "\"G1\""),
+      ("N1", "score", "\"b\""),
+      ("E1", Graph.TypeKey, "rel"), ("E1", Graph.FromKey, "N1"),
+      ("E1", Graph.ToKey, "N3"),
+      ("N3", Graph.TypeKey, "Gene"), ("N3", "name", "\"g3\"")
+    ).toDF("id", "key", "value")
+    val snapshot = PgGraph.toPg(snapTriples)
+    val merged = PgGraph.mergeInc(snapshot, batch, latestKeys = Set("name"))
+    val m = pgMapOf(merged)
+    assert(m.size === 4)
+    // touched node: labels union, latest-state key replaced, other key unioned
+    assert(m("N1")._2 === Set("Gene", "Audited"))
+    assert(m("N1")._5("name") === Set("\"G1\""))
+    assert(m("N1")._5("score") === Set("\"a\"", "\"b\""))
+    // untouched node passes through byte-identical (no-delete stance: absence
+    // from the batch means retention, never removal)
+    assert(m("N2") === pgMap(snapTriples)("N2"))
+    // edge re-pointed (endpoint latest-state); weight absent from the batch
+    // is KEPT — a removal needs an explicit tombstone upstream of the merge
+    assert(m("E1")._1 === Graph.EdgeType)
+    assert(m("E1")._3 === Some("N1") && m("E1")._4 === Some("N3"))
+    assert(m("E1")._5("weight") === Set("1"))
+    // brand-new id appends
+    assert(m("N3")._2 === Set("Gene") && m("N3")._5("name") === Set("\"g3\""))
+    // idempotent: re-merging the same batch is a no-op
+    val again = pgMapOf(PgGraph.mergeInc(merged, batch, latestKeys = Set("name")))
+    assert(again === m)
+    // scale shape: the snapshot side exits through BROADCAST anti/semi hash
+    // joins — never a snapshot-side exchange
+    val plan = merged.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti")
+      && plan.contains("LeftSemi"))
   }
 
   test("Cypher statement batches (ref neoloader batching)") {
