@@ -97,15 +97,19 @@ object Bench {
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), json + "\n")
     // tail-safe per-query record: the driver keeps only the LAST ~2000 chars
     // of stdout, and the ~4 KB keyed map above starts before that window —
-    // r13's archived tail reconstructed only ~83/180 timings. Integer
-    // milliseconds in SORTED-KEY order compress the full suite to ~1 KB, so
-    // this line plus the final total line always fit whole in the window.
-    // Reconstruction: zip `values` with the sorted non-failed query keys
+    // r13's archived tail reconstructed only ~83/180 timings. Base36
+    // milliseconds in SORTED-KEY order (~3.3 chars/query vs ~4.5 for the
+    // decimal-int form this replaces, which was within 2x of eviction at
+    // 191 queries) keep the whole suite inside half the window to ~500
+    // queries, so this line plus the final total line always fit whole.
+    // Reconstruction: tools/parse_bench_tail.py — split on '.', parse each
+    // value base36, zip with the sorted non-failed query keys
     // (equivalently: the sorted key set of bench.json's "queries" map, or
     // oracle_sql.json's keys minus `failed`).
-    val msJson = results.map { case (_, v) => math.round(v * 1000).toString }
-      .mkString("[", ",", "]")
-    println(s"""{"metric":"timings_ms","order":"sorted_keys","n":${results.size},"failed":$failedJson,"values":$msJson}""")
+    val b36 = results
+      .map { case (_, v) => java.lang.Long.toString(math.round(v * 1000), 36) }
+      .mkString(".")
+    println(s"""{"metric":"timings_b36","order":"sorted_keys","unit":"ms","enc":"base36","n":${results.size},"failed":$failedJson,"values":"$b36"}""")
     // final SHORT machine line: the driver captures a bounded tail of stdout
     // and the ~2 KB per-query line can start before the window — a compact
     // last line guarantees the tail always contains one parseable record

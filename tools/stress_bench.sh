@@ -26,7 +26,7 @@ for sf in sf1 sf10; do
   echo "== $sf -> $out"
   # env-prefix form (no line between the continuations and the command —
   # a stray comment there silently drops every assignment); keep ALL
-  # three JSON lines (full per-query map, timings_ms, short total)
+  # three JSON lines (full per-query map, timings_b36, short total)
   SPARK_GRAFT_SF_DIR="target/testdata/$sf" \
     SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
     SPARK_GRAFT_BENCH_ONLY="$QUERIES" \
