@@ -85,10 +85,12 @@ class PlanSnapshotSpec extends SparkSpec {
       .queryExecution.sparkPlan
     val names = scala.collection.mutable.ArrayBuffer.empty[String]
     plan.foreach(p => names += p.nodeName)
-    // the IVF table names embed the DATA fingerprint (file sizes/mtimes) —
-    // normalise it so a fixture regeneration can't break the snapshot
+    // the IVF/bucketed table names embed the DATA fingerprint (file
+    // sizes/mtimes) — normalise them so a fixture regeneration can't break
+    // the snapshot (r16: the driver's testdata regen flipped the bkt names)
     names.mkString(">")
       .replaceAll("(graft_ivf_[a-z]+_v2_)[0-9a-f]+", "$1FP")
+      .replaceAll("(graft_bkt_[a-z]+_)[0-9a-f]+", "$1FP")
   }
 
   private def load(): Map[String, String] = {
