@@ -183,6 +183,56 @@ object Multimodal {
     bb.array()                                     // pixel rows stay zero
   }
 
+  /** A complete 8-bit grayscale PNG of the given dimensions with zeroed
+    * pixel rows — the OTHER pure-integer image container beside
+    * [[bmpBytes]]: big-endian length-prefixed chunks with CRC32 trailers
+    * (signature, IHDR, IDAT, IEND). The IDAT zlib stream uses STORED
+    * deflate blocks (BTYPE=00) instead of compression, which keeps the
+    * total byte size closed-form — raw = h·(w+1) filter+pixel bytes,
+    * n_bytes = 63 + 5·ceil(raw/65535) + raw — while remaining a fully
+    * valid PNG the in-JDK ImageIO reader decodes end-to-end (CRCs and
+    * the adler32 checksum are real). That closed form is what lets the
+    * C91 oracle check the real decode with plain SQL, exactly like
+    * C90's BMP arithmetic.
+    */
+  def pngBytes(width: Int, height: Int): Array[Byte] = {
+    require(width > 0 && height > 0,
+      s"pngBytes: dimensions must be positive (got $width x $height)")
+    val raw = height * (width + 1)          // per row: filter byte 0 + w gray bytes
+    val nBlocks = (raw + 65534) / 65535     // stored deflate blocks, 64 KiB - 1 each
+    val idatLen = 2 + 5 * nBlocks + raw + 4 // zlib hdr + block hdrs + data + adler
+    val bb = java.nio.ByteBuffer.allocate(8 + 25 + (12 + idatLen) + 12) // big-endian
+    bb.put(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a))
+    def chunk(tpe: String, data: Array[Byte]): Unit = {
+      bb.putInt(data.length).put(tpe.getBytes("US-ASCII")).put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tpe.getBytes("US-ASCII")); crc.update(data)
+      bb.putInt(crc.getValue.toInt)
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13).putInt(width).putInt(height)
+      .put(8.toByte).put(0.toByte)          // bit depth 8, grayscale
+      .put(0.toByte).put(0.toByte).put(0.toByte) // deflate, adaptive, no interlace
+    chunk("IHDR", ihdr.array())
+    val idat = java.nio.ByteBuffer.allocate(idatLen)
+    idat.put(0x78.toByte).put(0x01.toByte)  // zlib: deflate/32K window, no dict
+    var rem = raw
+    while (rem > 0) {
+      val blk = math.min(rem, 65535)
+      rem -= blk
+      idat.put(if (rem == 0) 1.toByte else 0.toByte) // BFINAL | BTYPE=00
+      // stored-block LEN/NLEN are 16-bit LITTLE-endian inside the deflate
+      // stream even though every PNG-level integer is big-endian
+      idat.putShort(java.lang.Short.reverseBytes(blk.toShort))
+      idat.putShort(java.lang.Short.reverseBytes((~blk).toShort))
+      idat.position(idat.position() + blk)  // zero scanlines: buffer pre-zeroed
+    }
+    // adler32 of `raw` zero bytes in closed form: s1 stays 1, s2 = raw mod 65521
+    idat.putInt(((raw % 65521) << 16) | 1)
+    chunk("IDAT", idat.array())
+    chunk("IEND", Array.emptyByteArray)
+    bb.array()
+  }
+
   /** (id, media) frame of synthetic BMP payloads whose dimensions derive
     * deterministically from the text's UTF-8 byte length (w = 1 + len %
     * maxW, h = 1 + len·31 % maxH) — the C90 fixture builder: real
@@ -193,7 +243,19 @@ object Multimodal {
     * media column is bounded however large the corpus rows are.
     */
   def syntheticBmp(df: DataFrame, idCol: String, textCol: String,
-                   maxW: Int = 64, maxH: Int = 48): DataFrame = {
+                   maxW: Int = 64, maxH: Int = 48): DataFrame =
+    syntheticImage(df, idCol, textCol, maxW, maxH, bmpBytes)
+
+  /** [[syntheticBmp]]'s PNG twin — same deterministic dimension derivation,
+    * [[pngBytes]] payloads (the C91 fixture builder).
+    */
+  def syntheticPng(df: DataFrame, idCol: String, textCol: String,
+                   maxW: Int = 64, maxH: Int = 48): DataFrame =
+    syntheticImage(df, idCol, textCol, maxW, maxH, pngBytes)
+
+  private def syntheticImage(df: DataFrame, idCol: String, textCol: String,
+                             maxW: Int, maxH: Int,
+                             build: (Int, Int) => Array[Byte]): DataFrame = {
     val in = df.select(col(idCol), col(textCol))
     val outSchema = StructType(Seq(in.schema.fields(0),
       StructField("media", BinaryType, nullable = true)))
@@ -204,7 +266,7 @@ object Multimodal {
           if (r.isNullAt(1)) null
           else {
             val len = r.getString(1).getBytes("UTF-8").length
-            bmpBytes(1 + len % maxW, 1 + ((len.toLong * 31) % maxH).toInt)
+            build(1 + len % maxW, 1 + ((len.toLong * 31) % maxH).toInt)
           }
         Row(r.get(0), media)
       }

@@ -2624,6 +2624,39 @@ object Pipeline {
       |  CASE WHEN len IS NULL THEN 'img/fake' ELSE 'img/bmp' END AS format
       |FROM b ORDER BY doc_id""".stripMargin
 
+  /** C91: REAL PNG metadata decode under the driver oracle — C90's
+    * second image container: payloads are genuine PNGs
+    * ([[Multimodal.pngBytes]] — big-endian CRC32-trailed chunks, a
+    * stored-block zlib IDAT so the byte size stays closed-form) with the
+    * SAME dimension derivation as the BMP twin, and
+    * `decodeMedia(realCodec = true)` reads them back through the in-JDK
+    * ImageIO PNG reader (header-only dims, format from the reader's own
+    * name — the real codec seam, not the arithmetic that built them).
+    * Oracle: raw = h·(w+1) filter+pixel bytes, n_bytes = 63 +
+    * 5·ceil(raw/65535) + raw. A NULL text degrades to the stub's zeros
+    * (the C12/C89/C90 poison-row stance).
+    */
+  def mediaPngMeta(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeMedia(
+      Multimodal.syntheticPng(docs(spark, dir), "doc_id", "text"), "media",
+      realCodec = Some(true))
+      .select(col("doc_id"), col("meta.n_bytes").as("n_bytes"),
+        col("meta.width").as("width"), col("meta.height").as("height"),
+        col("meta.format").as("format"))
+      .orderBy("doc_id")
+
+  val mediaPngMetaSql: String =
+    """WITH b AS (SELECT doc_id, octet_length(encode(text)) AS len FROM documents),
+      |d AS (SELECT doc_id, len,
+      |        (1 + (len * 31) % 48) * ((1 + len % 64) + 1) AS raw FROM b)
+      |SELECT doc_id,
+      |  CASE WHEN len IS NULL THEN 0
+      |       ELSE 63 + 5 * ((raw + 65534) // 65535) + raw END::BIGINT AS n_bytes,
+      |  CASE WHEN len IS NULL THEN 0 ELSE 1 + len % 64 END::INTEGER AS width,
+      |  CASE WHEN len IS NULL THEN 0 ELSE 1 + (len * 31) % 48 END::INTEGER AS height,
+      |  CASE WHEN len IS NULL THEN 'img/fake' ELSE 'img/png' END AS format
+      |FROM d ORDER BY doc_id""".stripMargin
+
   /** C42: Naive Bayes self-distillation of the Gopher gate (see
     * [[TextOps.nbDistill]]) — the hard rule becomes a continuous
     * token-level quality score, the cheap-classifier curation pattern.

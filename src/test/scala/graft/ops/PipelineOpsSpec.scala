@@ -774,6 +774,37 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got === Set((1L, 6, 12, "img/bmp"), (2L, 0, 0, "img/fake")))
   }
 
+  test("real codec seam: synthetic PNGs round-trip through the in-JDK ImageIO reader") {
+    import spark.implicits._
+    // the builder's bytes are a REAL file — CRC32 chunk trailers, a valid
+    // zlib IDAT (stored blocks + adler32) — and the JDK's own PNG reader
+    // must both sniff the header AND fully decode the pixel data
+    val png = Multimodal.pngBytes(7, 5)
+    val m = Multimodal.decodeImage(png).get
+    assert(m.getLong(0) === png.length.toLong)
+    assert((m.getInt(1), m.getInt(2), m.getString(3)) === ((7, 5, "img/png")))
+    // closed-form size: raw = 5*(7+1) = 40 -> 63 + 5*1 + 40
+    assert(png.length === 63 + 5 + 40)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img.getWidth === 7 && img.getHeight === 5)
+    assert((img.getRGB(0, 0) & 0xffffff) === 0) // zero scanlines decode black
+    // a raw size past one stored block (65535) splits correctly and the
+    // closed form still prices it: 600*(200+1) = 120600 -> 2 blocks
+    val big = Multimodal.pngBytes(200, 600)
+    assert(big.length === 63 + 5 * 2 + 120600)
+    val bigImg = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(big))
+    assert(bigImg.getWidth === 200 && bigImg.getHeight === 600)
+
+    // NULL text -> NULL payload -> stub zeros (the C12/C89/C90 stance)
+    val df = Seq((1L, Some("ab cd")), (2L, None: Option[String])).toDF("doc_id", "text")
+    val got = Multimodal.decodeMedia(
+        Multimodal.syntheticPng(df, "doc_id", "text"), "media",
+        realCodec = Some(true))
+      .select(col("doc_id"), col("meta.width"), col("meta.height"), col("meta.format"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))).toSet
+    assert(got === Set((1L, 6, 12, "img/png"), (2L, 0, 0, "img/fake")))
+  }
+
   test("tabmap scan prunes to the mapped columns only") {
     val plan = graft.queries.GraphEtl.tabmapNodes(spark, dir)
       .queryExecution.executedPlan.toString
