@@ -1089,8 +1089,8 @@ object Streaming {
     * band (independent groups); consumers dedupe on (a, b). State per
     * bucket holds member VECTORS (the verify payload — heavier than
     * D7's shingle arrays by dims×8 bytes/member) and grows with the
-    * corpus under NoTimeout; a production stream bounds it with the
-    * D7b retention-watermark pattern unchanged.
+    * corpus under NoTimeout; [[cosinePairMonitorRetained]] (D30b) is
+    * the retention-bounded production shape.
     */
   def cosinePairMonitor(emb: DataFrame, minCosine: Double,
                         planes: Int = 8, bands: Int = 16,
@@ -1146,6 +1146,95 @@ object Streaming {
           }
           state.update(members)
           out.result().iterator
+      }
+  }
+
+  final case class TsSrpDoc(bh: Long, id: Long, v: Array[Double], nrm: Double,
+                            ts: java.sql.Timestamp)
+
+  /** D30 with BOUNDED state: [[cosinePairMonitor]] against a retention
+    * window — the [[nearDupPairsRetained]] (D7b) pattern applied to the
+    * cosine pair monitor, completing the retained family (D7b/D26b/D32b;
+    * D30 was the last pair monitor holding unbounded state, and the
+    * HEAVIEST per member — dims×8-byte vectors, so the bound matters most
+    * here). `tsCol` is the vector's event time; the input is watermarked
+    * by `retention`, each arrival verifies only against bucket members
+    * the watermark still allows, expired members are pruned on every
+    * bucket visit, and quiet buckets are erased by an event-time
+    * timeout — state is proportional to the retention window's data
+    * volume, never the stream's history. Within the window the emission
+    * contract is D30's unchanged (single-probe SRP banding, exact 6-dp
+    * cosine verify, dedupe on (a, b) downstream); an expired member can
+    * never pair again by construction. This is the shape an unbounded
+    * production stream runs; the NoTimeout variant above is the
+    * whole-corpus batch-equivalent tool.
+    */
+  def cosinePairMonitorRetained(emb: DataFrame, tsCol: String,
+                                retention: String = "1 hour",
+                                minCosine: Double = 0.45,
+                                planes: Int = 8, bands: Int = 16,
+                                idCol: String = "vec_id",
+                                vecCol: String = "embedding"): Dataset[CosPair] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val banded = emb
+      .withWatermark(tsCol, retention)
+      .where(col(idCol).try_cast("long").isNotNull)
+      .select(col(idCol).try_cast("long").as("id"), col(tsCol).as("ts"),
+        graft.ops.ann.Ann.vec(col(vecCol)).as("v"))
+      .withColumn("nrm", graft.ops.ann.Ann.norm(col("v")))
+      .select(col("id"), col("v"), col("nrm"), col("ts"),
+        posexplode(graft.ops.ann.Ann.srpCodes(col("v"), planes, bands))
+          .as(Seq("bidx", "code")))
+      .select(xxhash64(col("bidx"), col("code")).as("bh"),
+        col("id"), col("v"), col("nrm"), col("ts"))
+      .as[TsSrpDoc]
+
+    def cos(x: TsSrpDoc, y: TsSrpDoc): Double = {
+      if (x.nrm * y.nrm <= 0) return 0.0
+      var s = 0.0
+      var i = 0
+      val n = math.min(x.v.length, y.v.length)
+      while (i < n) { s += x.v(i) * y.v(i); i += 1 }
+      BigDecimal(s / (x.nrm * y.nrm))
+        .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+
+    banded.groupByKey(_.bh)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: Long, it: Iterator[TsSrpDoc], state: GroupState[List[TsSrpDoc]]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val watermark = state.getCurrentWatermarkMs()
+            var members = state.getOption.getOrElse(Nil)
+              .filter(_.ts.getTime >= watermark) // retention prune
+            val seen = scala.collection.mutable.HashSet.empty[Long]
+            members.foreach(m => seen += m.id)
+            val out = List.newBuilder[CosPair]
+            var maxTs = watermark
+            members.foreach(m => if (m.ts.getTime > maxTs) maxTs = m.ts.getTime)
+            it.foreach { d =>
+              if (!seen(d.id)) {
+                members.foreach { o =>
+                  val c = cos(o, d)
+                  if (c >= minCosine) {
+                    val (a, b) = if (o.id < d.id) (o.id, d.id) else (d.id, o.id)
+                    out += CosPair(a, b, c)
+                  }
+                }
+                members ::= d
+                seen += d.id
+              }
+              if (d.ts.getTime > maxTs) maxTs = d.ts.getTime
+            }
+            state.update(members)
+            // erase the bucket once the watermark passes its newest member
+            state.setTimeoutTimestamp(maxTs + 1)
+            out.result().iterator
+          }
       }
   }
 

@@ -1181,6 +1181,46 @@ class StreamingSpec extends SparkSpec {
     assert(got === Set((1L, 2L))) // in-window pair found; (1,3)/(2,3) expired
   }
 
+  test("D30b: retained cosine pairs dedup within the window and expire old members") {
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cosret").toString
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("ts", TimestampType)))
+    // two near-identical vectors, one orthogonal distractor
+    val vA = Array.fill(8)(1.0f)
+    val vB = vA.clone(); vB(0) = 0.9f
+    val vOrth = Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    def write(name: String, rows: Seq[(Long, Array[Float], Long)]): Unit = {
+      rows.toDF("vec_id", "embedding", "epoch_s")
+        .select(col("vec_id"), col("embedding"),
+          col("epoch_s").cast("timestamp").as("ts"))
+        .coalesce(1).write.parquet(s"$tmp/$name")
+    }
+    val h = 3600L
+    val t0 = 1000000000L
+    write("b1", Seq((1L, vA, t0), (2L, vB, t0)))
+    val src = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .parquet(s"$tmp/*/")
+    val q = Streaming.cosinePairMonitorRetained(src, tsCol = "ts",
+        retention = "1 hour", minCosine = 0.9)
+      .writeStream.format("memory").queryName("cos_retained")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // unrelated vector ten days later — advances the watermark
+      write("b2", Seq((50L, vOrth, t0 + 10 * 24 * h)))
+      q.processAllAvailable()
+      // a duplicate of vector 1, but its buddies expired long ago
+      write("b3", Seq((3L, vA.clone(), t0 + 10 * 24 * h + 60)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("cos_retained").select("a", "b").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 2L))) // in-window pair found; (1,3)/(2,3) expired
+  }
+
   test("D31: drift monitor == batch KS/JS kernel after EVERY batch; planted drift fires; " +
       "state is one support-sized register") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
