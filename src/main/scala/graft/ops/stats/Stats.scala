@@ -557,18 +557,25 @@ object Stats {
   }
 
   /** Estimate from a register table (small-range correction included). */
-  def hllEstimate(regs: DataFrame, groupCol: String): DataFrame = {
+  def hllEstimate(regs: DataFrame, groupCol: String): DataFrame =
+    hllEstimate(regs, Seq(groupCol))
+
+  /** Multi-key variant: composite group — e.g. a corpus PAIR whose
+    * max-merged registers estimate |A ∪ B| for inclusion–exclusion
+    * overlap (C92).
+    */
+  def hllEstimate(regs: DataFrame, groupCols: Seq[String]): DataFrame = {
     val m = 64
     val alpha = 0.7213 / (1.0 + 1.079 / m)
-    regs.groupBy(groupCol)
+    regs.groupBy(groupCols.map(col): _*)
       .agg((sum(expr("1.0 / shiftleft(cast(1 as bigint), mj)"))
             + (lit(m) - count(lit(1))))
           .as("s"),
         (lit(m) - count(lit(1))).cast("long").as("v"))
-      .select(col(groupCol),
+      .select(groupCols.map(col) :+
         round(when(lit(alpha * m * m) / col("s") <= 2.5 * m && col("v") > 0,
             lit(m.toDouble) * log(lit(m.toDouble) / col("v")))
-          .otherwise(lit(alpha * m * m) / col("s")), 4).as("est_distinct"))
+          .otherwise(lit(alpha * m * m) / col("s")), 4).as("est_distinct"): _*)
   }
 
   /** The d (row, bucket) coordinates of a value in a Count-Min sketch

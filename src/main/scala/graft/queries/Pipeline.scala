@@ -2344,6 +2344,90 @@ object Pipeline {
        |FROM e JOIN x USING (source) ORDER BY source""".stripMargin
   }
 
+  /** C92: cross-corpus vocabulary overlap via HLL inclusion–exclusion —
+    * the contamination/redundancy telemetry between corpus SOURCES
+    * without an exact distinct-intersection: per source-pair, |A ∪ B|
+    * is estimated from the MAX-MERGE of the two register tables (the
+    * mergeable property that makes HLL the 100 TB answer: per-corpus
+    * sketches are 64 rows each and union by `max` with NO rescan of
+    * either corpus), |A ∩ B| = est_a + est_b − est_union clamped at 0,
+    * and jaccard_est = inter/union. The exact intersection rides along
+    * as fixture-scale validation (one distinct-token self-join the
+    * sketch path never needs at scale). All arithmetic is the C53
+    * deterministic HLL (string-length rho, exact power-of-two sums),
+    * so the estimates reproduce bit-exactly in DuckDB.
+    */
+  def corpusHllOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.stats.Stats
+    val t = docs(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+    val regs = Stats.hllRegisters(t, "source", col("token"))
+    val srcs = regs.select("source").distinct()
+    val pairs = srcs.select(col("source").as("sa"))
+      .crossJoin(srcs.select(col("source").as("sb")))
+      .where(col("sa") < col("sb"))
+    val uRegs = pairs.join(regs.withColumnRenamed("source", "sa"), "sa")
+      .unionByName(pairs.join(regs.withColumnRenamed("source", "sb"), "sb"))
+      .groupBy("sa", "sb", "j").agg(max("mj").as("mj"))
+    val estU = Stats.hllEstimate(uRegs, Seq("sa", "sb"))
+      .withColumnRenamed("est_distinct", "est_union")
+    val estS = Stats.hllEstimate(regs, "source")
+    val estA = estS.select(col("source").as("sa"), col("est_distinct").as("est_a"))
+    val estB = estS.select(col("source").as("sb"), col("est_distinct").as("est_b"))
+    val dist = t.distinct()
+    val exactI = dist.as("x").join(dist.as("y"),
+        col("x.token") === col("y.token") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("sa"), col("y.source").as("sb"))
+      .agg(count(lit(1)).as("exact_inter"))
+    estU.join(estA, "sa").join(estB, "sb")
+      .withColumn("est_inter",
+        round(greatest(lit(0.0), col("est_a") + col("est_b") - col("est_union")), 4))
+      .withColumn("jaccard_est", round(col("est_inter") / col("est_union"), 6))
+      .join(exactI, Seq("sa", "sb"), "left")
+      .withColumn("exact_inter", coalesce(col("exact_inter"), lit(0L)))
+      .select("sa", "sb", "est_a", "est_b", "est_union", "est_inter",
+        "jaccard_est", "exact_inter")
+      .orderBy("sa", "sb")
+  }
+
+  val corpusHllOverlapSql: String = {
+    val am2 = (0.7213 / (1.0 + 1.079 / 64)) * 64 * 64 // same Scala double as the engine
+    s"""WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+       |h AS (SELECT source, ('0x' || substring(md5(token), 1, 8))::BIGINT AS hv FROM t),
+       |r AS (SELECT source, hv % 64 AS j,
+       |    CASE WHEN hv // 64 = 0 THEN 27 ELSE 27 - length(bin(hv // 64)) END AS rho FROM h),
+       |m AS (SELECT source, j, max(rho) AS mj FROM r GROUP BY 1, 2),
+       |est AS (SELECT source, round(CASE WHEN $am2 / s <= 160.0 AND v > 0
+       |    THEN 64.0 * ln(64.0 / v) ELSE $am2 / s END, 4) AS est_distinct
+       |  FROM (SELECT source, sum(1.0 / (CAST(1 AS BIGINT) << mj)) + (64 - count(*)) AS s,
+       |      (64 - count(*))::BIGINT AS v FROM m GROUP BY source)),
+       |pairs AS (SELECT a.source AS sa, b.source AS sb
+       |  FROM (SELECT DISTINCT source FROM m) a, (SELECT DISTINCT source FROM m) b
+       |  WHERE a.source < b.source),
+       |um AS (SELECT sa, sb, j, max(mj) AS mj FROM (
+       |    SELECT p.sa, p.sb, m.j, m.mj FROM pairs p JOIN m ON m.source = p.sa
+       |    UNION ALL SELECT p.sa, p.sb, m.j, m.mj FROM pairs p JOIN m ON m.source = p.sb)
+       |  GROUP BY 1, 2, 3),
+       |ue AS (SELECT sa, sb, round(CASE WHEN $am2 / s <= 160.0 AND v > 0
+       |    THEN 64.0 * ln(64.0 / v) ELSE $am2 / s END, 4) AS est_union
+       |  FROM (SELECT sa, sb, sum(1.0 / (CAST(1 AS BIGINT) << mj)) + (64 - count(*)) AS s,
+       |      (64 - count(*))::BIGINT AS v FROM um GROUP BY sa, sb)),
+       |td AS (SELECT DISTINCT source, token FROM t),
+       |xi AS (SELECT x.source AS sa, y.source AS sb, count(*)::BIGINT AS exact_inter
+       |  FROM td x JOIN td y ON x.token = y.token AND x.source < y.source
+       |  GROUP BY 1, 2),
+       |f AS (SELECT ue.sa, ue.sb, ea.est_distinct AS est_a, eb.est_distinct AS est_b,
+       |    ue.est_union,
+       |    round(greatest(0.0, ea.est_distinct + eb.est_distinct - ue.est_union), 4)
+       |      AS est_inter
+       |  FROM ue JOIN est ea ON ea.source = ue.sa JOIN est eb ON eb.source = ue.sb)
+       |SELECT f.sa, f.sb, f.est_a, f.est_b, f.est_union, f.est_inter,
+       |  round(f.est_inter / f.est_union, 6) AS jaccard_est,
+       |  coalesce(xi.exact_inter, 0)::BIGINT AS exact_inter
+       |FROM f LEFT JOIN xi ON xi.sa = f.sa AND xi.sb = f.sb
+       |ORDER BY f.sa, f.sb""".stripMargin
+  }
+
   /** C65: Count-Min point-frequency estimates
     * ([[graft.ops.stats.Stats.cmsRegisters]]/`cmsEstimate`, d=4 × w=64)
     * probed at the corpus's top-10 exact tokens — the any-value frequency
