@@ -1525,4 +1525,63 @@ object Streaming {
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
+
+  final case class TripleIn(id: String, key: String, value: String)
+  final case class PgState(labels: Seq[String], from: String, to: String,
+                           props: Map[String, Seq[String]])
+  final case class PgUpsert(id: String, tpe: String, labels: Seq[String],
+                            from: String, to: String,
+                            props: Map[String, Seq[String]])
+
+  /** D33: streaming triples → PG upsert monitor — the ingest-time face of
+    * [[graft.etl.PgGraph.mergeInc]] (A48), completing the round's
+    * incremental-ETL story: arriving (id, key, value) triples merge into
+    * per-element state exactly like `toPg` collects them (labels and
+    * property values as sorted-distinct sets, endpoints latest-write,
+    * type recomputed from endpoints), and each batch that touches an
+    * element emits its UPDATED snapshot row. Consumers keep the last
+    * emission per id (B44 latest-state), and that latest row EQUALS the
+    * batch `PgGraph.toPg` of everything streamed so far however the
+    * stream was batched (spec-proven) — the same union semantics the A48
+    * merge reproduces, so batch reload and live ingest provably converge
+    * on the same graph.
+    *
+    * State per element is its own label/property sets — the element's
+    * size, not the stream's; an element that stops receiving triples
+    * stops costing anything but residence. NULL ids/values drop at the
+    * door (toPg's emit filters them upstream in the batch path).
+    */
+  def pgMergeMonitor(triples: DataFrame): Dataset[PgUpsert] = {
+    val spark = triples.sparkSession
+    import spark.implicits._
+    val in = triples
+      .where(col("id").isNotNull && col("id") =!= "" && col("value").isNotNull)
+      .select(col("id").cast("string"), col("key").cast("string"),
+        col("value").cast("string"))
+      .as[TripleIn]
+    in.groupByKey(_.id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (id: String, it: Iterator[TripleIn], state: GroupState[PgState]) =>
+          val s0 = state.getOption.getOrElse(PgState(Nil, null, null, Map.empty))
+          var labels = s0.labels.toSet
+          var from = s0.from
+          var to = s0.to
+          var props = s0.props.map { case (k, v) => k -> v.toSet }
+          it.foreach { t =>
+            t.key match {
+              case graft.model.Graph.TypeKey => labels += t.value
+              case graft.model.Graph.FromKey => from = t.value
+              case graft.model.Graph.ToKey   => to = t.value
+              case k => props = props.updated(k, props.getOrElse(k, Set.empty) + t.value)
+            }
+          }
+          val next = PgState(labels.toSeq.sorted, from, to,
+            props.map { case (k, v) => k -> v.toSeq.sorted })
+          state.update(next)
+          val tpe = if (from != null) graft.model.Graph.EdgeType
+                    else graft.model.Graph.NodeType
+          Iterator.single(
+            PgUpsert(id, tpe, next.labels, next.from, next.to, next.props))
+      }
+  }
 }

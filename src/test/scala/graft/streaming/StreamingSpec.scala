@@ -1181,6 +1181,64 @@ class StreamingSpec extends SparkSpec {
     assert(got === Set((1L, 2L))) // in-window pair found; (1,3)/(2,3) expired
   }
 
+  test("D33: streaming triples->PG upsert converges on batch toPg however batched") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.model.Graph
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val b1 = Seq(
+      ("N1", "name", "\"n1\""), ("N1", Graph.TypeKey, "Gene"),
+      ("E1", Graph.TypeKey, "rel"), ("E1", Graph.FromKey, "N1"),
+      ("E1", Graph.ToKey, "N2"))
+    // batch 2 revisits N1 (new label, second name value) and adds N2;
+    // a NULL-value poison triple drops at the door
+    val b2 = Seq(
+      ("N1", Graph.TypeKey, "Audited"), ("N1", "name", "\"n1b\""),
+      ("N2", Graph.TypeKey, "Gene"),
+      ("N2", "junk", null.asInstanceOf[String]))
+    val mem = MemoryStream[(String, String, String)]
+    val q = Streaming.pgMergeMonitor(mem.toDF.toDF("id", "key", "value"))
+      .writeStream.format("memory").queryName("pg_upserts")
+      .outputMode("append").start()
+    def latest() = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("id")
+        .orderBy(col("batch_ord").desc)
+      spark.table("pg_upserts")
+        .withColumn("batch_ord", monotonically_increasing_id())
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .collect().map { r =>
+          r.getAs[String]("id") -> ((r.getAs[String]("tpe"),
+            r.getAs[scala.collection.Seq[String]]("labels").toList,
+            Option(r.getAs[String]("from")), Option(r.getAs[String]("to")),
+            r.getAs[Map[String, scala.collection.Seq[String]]]("props")
+              .map { case (k, v) => k -> v.toList }))
+        }.toMap
+    }
+    def batchPg(ts: Seq[(String, String, String)]) =
+      graft.etl.PgGraph.toPg(ts.toDF("id", "key", "value")
+          .where(col("value").isNotNull))
+        .collect().map { r =>
+          r.getAs[String]("id") -> ((r.getAs[String]("type"),
+            r.getAs[scala.collection.Seq[String]]("labels").toList,
+            Option(r.getAs[String]("from")), Option(r.getAs[String]("to")),
+            r.getAs[Map[String, scala.collection.Seq[String]]]("properties")
+              .map { case (k, v) => k -> v.toList.sorted }))
+        }.toMap
+    try {
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      assert(latest() === batchPg(b1))
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      // the latest upsert per id == a full batch rebuild over both batches:
+      // live ingest and batch reload converge on the same graph
+      assert(latest() === batchPg(b1 ++ b2))
+      assert(latest()("N1")._2 === List("Audited", "Gene"))
+      assert(latest()("N1")._5("name") === List("\"n1\"", "\"n1b\""))
+      assert(latest()("E1")._1 === Graph.EdgeType)
+    } finally q.stop()
+  }
+
   test("D30b: retained cosine pairs dedup within the window and expire old members") {
     import org.apache.spark.sql.types._
     val tmp = java.nio.file.Files.createTempDirectory("graft-cosret").toString
