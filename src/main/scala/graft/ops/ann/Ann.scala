@@ -65,8 +65,38 @@ object Ann {
     */
   def topPrincipalComponent(emb: DataFrame, iters: Int = 4,
                             vecCol: String = "embedding"): DataFrame = {
-    require(iters >= 1, s"topPrincipalComponent: iters must be >= 1 (got $iters)")
     val spark = emb.sparkSession
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (nRows, _, w, cv, sCol) = fitTopPc(emb, iters, vecCol)
+    val fin = cv.select(sCol(w), col("cv"))
+      .agg(sum((col("s") * col("s")).cast("decimal(27,10)")).cast("double").as("s2"),
+        sum(aggregate(
+          transform(col("cv"), x => (x * x).cast("decimal(27,10)")),
+          lit(java.math.BigDecimal.ZERO).cast("decimal(27,10)"),
+          (acc, y) => (acc + y).cast("decimal(27,10)"))).cast("double").as("cx2"))
+      .head()
+    val lam = r6(fin.getDouble(0) / nRows)
+    val tv = r6(fin.getDouble(1) / nRows)
+    val share = if (tv == 0.0) 0.0 else r6(lam / tv)
+    import spark.implicits._
+    w.zipWithIndex.map { case (x, i) => ((i + 1).toLong, x, lam, share) }
+      .toDF("dim", "loading", "eigenvalue", "var_share")
+      .orderBy("dim")
+  }
+
+  /** The shared top-PC power-iteration fit behind
+    * [[topPrincipalComponent]] and [[allButTop]]: (n, μ, w, cv, sCol) —
+    * row count, 6-dp per-dim means, the sign-fixed 6-dp final iterate,
+    * the staged centered-vector frame, and the decimal-accumulated
+    * centered-dot column builder. Every determinism rule of the C69
+    * contract lives here once (decimal sums, round-before-use, pivot
+    * sign fix, zero-image keep) so both consumers stay oracle-exact by
+    * construction.
+    */
+  private def fitTopPc(emb: DataFrame, iters: Int, vecCol: String)
+      : (Double, Seq[Double], Seq[Double], DataFrame, Seq[Double] => Column) = {
+    require(iters >= 1, s"topPrincipalComponent: iters must be >= 1 (got $iters)")
     def r6(x: Double) =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     def d10(x: Double) =
@@ -114,20 +144,45 @@ object Ann {
         w = l.map(_ * sg)
       } // else: zero image — keep the previous iterate, like empty IVF cells
     }
-    val fin = cv.select(sCol(w), col("cv"))
-      .agg(sum((col("s") * col("s")).cast("decimal(27,10)")).cast("double").as("s2"),
-        sum(aggregate(
-          transform(col("cv"), x => (x * x).cast("decimal(27,10)")),
-          lit(java.math.BigDecimal.ZERO).cast("decimal(27,10)"),
-          (acc, y) => (acc + y).cast("decimal(27,10)"))).cast("double").as("cx2"))
-      .head()
-    val lam = r6(fin.getDouble(0) / nRows)
-    val tv = r6(fin.getDouble(1) / nRows)
-    val share = if (tv == 0.0) 0.0 else r6(lam / tv)
-    import spark.implicits._
-    w.zipWithIndex.map { case (x, i) => ((i + 1).toLong, x, lam, share) }
-      .toDF("dim", "loading", "eigenvalue", "var_share")
-      .orderBy("dim")
+    (nRows, (0 until dim).map(mu), w, cv, sCol)
+  }
+
+  /** "All-but-the-top" embedding post-processing (Mu & Viswanath 2018):
+    * v′ = (v − μ) − ⟨v − μ, w⟩·w — subtract the corpus mean, then remove
+    * the projection onto the top principal component. Trained embedding
+    * clouds are anisotropic (a large common mean plus one or two
+    * dominating directions carry corpus-frequency signal, not meaning);
+    * stripping them measurably sharpens cosine similarity — which makes
+    * this the natural preprocessor in front of the ANN/dedup family
+    * (C5/C6/C7) rather than a statistic beside it.
+    *
+    * Determinism contract: μ and w come from the SAME [[fitTopPc]] fit
+    * as C69 (decimal sums, 6-dp round-before-use, pivot sign fix), the
+    * per-vector projection s is the decimal-accumulated centered dot
+    * rounded at 6 dp, and each output coordinate is the one double
+    * expression cv_j − s·w_j rounded once at 6 dp — order-free per
+    * element, so the long (vec_id, pos, wx) shape hash-compares across
+    * engines. Scale: the fit's iters+2 narrow passes plus one final
+    * projection pass; nothing wider than the vector column ever
+    * shuffles, and the id join-back is positionless (id rides the frame).
+    */
+  def allButTop(emb: DataFrame, iters: Int = 4, idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    val (_, mu, w, _, _) = fitTopPc(emb, iters, vecCol)
+    val wLit = typedLit(w)
+    val muLit = typedLit(mu)
+    val cvWithId = emb.select(col(idCol),
+      transform(vec(col(vecCol)), (x, i) => x - element_at(muLit, i + 1)).as("cv"))
+    val s = round(aggregate(
+      transform(col("cv"), (x, i) =>
+        (x * element_at(wLit, i + 1)).cast("decimal(27,10)")),
+      lit(java.math.BigDecimal.ZERO).cast("decimal(27,10)"),
+      (acc, y) => (acc + y).cast("decimal(27,10)")).cast("double"), 6)
+    cvWithId.select(col(idCol), col("cv"), s.as("s"))
+      .select(col(idCol), posexplode(transform(col("cv"),
+        (x, i) => round(x - col("s") * element_at(wLit, i + 1), 6)))
+        .as(Seq("pos", "wx")))
+      .orderBy(idCol, "pos")
   }
 
   /** Per-dimension (position, mean, std) of the embedding cloud — the
@@ -684,6 +739,56 @@ object Ann {
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .orderBy("qid", "rank")
+  }
+
+  /** kNN-majority label-noise detection (the Confident-Learning-lite
+    * data-quality op): for each audited vector, the k cosine-nearest
+    * OTHER vectors vote with their labels; a row whose majority label
+    * disagrees with its own label is flagged as probable annotation
+    * noise. The supervised twin of the dedup family — mislabeled rows
+    * poison fine-tuning sets the way near-dups poison pretraining sets,
+    * and the k-neighbour vote is the standard first-pass detector.
+    *
+    * `audit` is the (typically sampled) query side, `corpus` the full
+    * labeled pool; self-pairs are excluded in the join, so every audited
+    * row gets exactly k voters however many exact duplicates of it exist
+    * (the robust-fixture case). Determinism: cosine rounds at 6 dp, the
+    * neighbour ranking ties on candidate id, the vote ties on (count
+    * desc, label asc) — both engines reproduce the flag bit-exactly.
+    *
+    * Scale stance: the exact-scoring shape is the [[bruteForceTopK]]
+    * baseline (broadcast audit side × corpus scan, TopKPerKey-bounded
+    * heaps before the exchange) — audit batches are sample-sized by
+    * design. A full-corpus self-audit at 10⁹ rows swaps this scorer for
+    * the C7b/C81 candidate generators and keeps the voting tail
+    * unchanged.
+    */
+  def labelNoise(audit: DataFrame, corpus: DataFrame, k: Int = 5,
+                 idCol: String = "vec_id", vecCol: String = "embedding",
+                 labelCol: String = "label"): DataFrame = {
+    graft.functions.GraftFunctions.register(audit.sparkSession)
+    val q = broadcast(audit
+      .select(col(idCol).as("qid"), vec(col(vecCol)).as("qv"),
+        col(labelCol).as("qlabel"))
+      .withColumn("qn", norm(col("qv"))))
+    val c = corpus.select(col(idCol).as("cid"), vec(col(vecCol)).as("cv"),
+        col(labelCol).as("clabel"))
+      .withColumn("cn", norm(col("cv")))
+    val scored = c.crossJoin(q)
+      .where(col("cid") =!= col("qid"))
+      .select(col("qid"), col("qlabel"), col("cid"), col("clabel"),
+        round(cosine(col("qv"), col("cv"), col("qn"), col("cn")), 6).as("cosine"))
+    val nw = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid"))
+    val votes = scored.withColumn("rank", row_number().over(nw))
+      .where(col("rank") <= k)
+      .groupBy("qid", "qlabel", "clabel").agg(count(lit(1)).as("cnt"))
+    val vw = Window.partitionBy("qid").orderBy(col("cnt").desc, col("clabel"))
+    votes.withColumn("vr", row_number().over(vw))
+      .where(col("vr") === 1)
+      .select(col("qid").as(idCol), col("qlabel").as(labelCol),
+        col("clabel").as("maj_label"), col("cnt").as("n_maj"),
+        (col("clabel") =!= col("qlabel")).as("flagged"))
+      .orderBy(idCol)
   }
 
   /** Sign-random-projection bucket codes, one per band: the native codegen

@@ -112,6 +112,74 @@ object GraphOps {
       .orderBy("node")
   }
 
+  /** Personalized PageRank over a DIRECTED PG edge set: random walk with
+    * restart to a SEED set — x₀(v) = s(v), x_{k+1}(v) = (1−d)·s(v) +
+    * d·Σ_{u→v} x_k(u)/outdeg(u), with s(v) = 1/|S| on seeds and 0
+    * elsewhere, a FIXED iteration count. This is relevance FROM a query
+    * set rather than global importance: the KnetMiner-domain staple
+    * ("rank everything by closeness to these genes") that global
+    * PageRank cannot express — restart confines the walk to the seeds'
+    * neighbourhood, so unreachable subgraphs score exactly 0 and scores
+    * decay with distance from S.
+    *
+    * Semantics deliberately mirror [[pageRank]]'s truncated-walk stance:
+    * mass leaking at out-degree-0 sinks is NOT redistributed (observable,
+    * and reproduced identically by the oracle's unrolled recurrence);
+    * fixed iterations make the result a finite sum of path products, so
+    * the DuckDB twin unrolls k CTE levels (the kg_pagerank pattern).
+    * Each iteration's rank is rounded at 12 dp on BOTH sides before the
+    * next step and the result once more at 6 dp: restart masses are
+    * short decimals (1/|S| scaled by 0.15/0.85 products), so exact
+    * ranks routinely land ON a 6-dp half boundary where ~1e−16
+    * summation-order noise alone would flip the final digit — the
+    * 12-dp intermediate round absorbs that noise while sitting far
+    * (~5e−13) from any boundary the values actually approach
+    * (observed at sf0.001: region mass exactly 0.0108375).
+    *
+    * Distribution: seeds resolve to vids via one broadcast-sized join
+    * (|S| is query-sized by definition — a caller restarting from a
+    * corpus-sized set wants [[pageRank]]); one aggregateMessages (keyed
+    * sum along out-edges, contribution pre-divided by the sender's
+    * static out-degree) per iteration — linear in |E| per step, no
+    * driver-side graph. The one eager job is the |S| count, needed to
+    * scale the restart vector before the plan exists.
+    */
+  def personalizedPageRank(pgEdges: DataFrame, seeds: DataFrame,
+                           damping: Double = 0.85, iterations: Int = 10): DataFrame = {
+    val spark = pgEdges.sparkSession
+    import spark.implicits._
+    val e = endpoints(pgEdges)
+    val idx = nodeIndex(e)
+    val seedCol = seeds.columns.head
+    val seedVids = idx.join(
+        seeds.select(col(seedCol).cast("string").as("node"))
+          .where(col("node").isNotNull).distinct(),
+        "node")
+      .select(col("vid")).as[Long].rdd
+    val nSeeds = seedVids.count()
+    require(nSeeds > 0,
+      "personalizedPageRank: no seed matches a graph node — a restart " +
+        "vector of zeros has no stationary walk; check the seed key space")
+    val restart = 1.0 / nSeeds
+    // attr = (rank, seedMass, outdeg); outdeg static across iterations
+    val g0 = XGraph.fromEdges(mapEdges(e, idx), ())
+    var g = g0.outerJoinVertices(g0.outDegrees)((_, _, d) => d.getOrElse(0))
+      .outerJoinVertices(seedVids.map(v => (v, ())))((_, deg, s) =>
+        (if (s.isDefined) restart else 0.0, if (s.isDefined) restart else 0.0, deg))
+    def r12(x: Double) =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    for (_ <- 1 to iterations) {
+      val msgs = g.aggregateMessages[Double](ctx =>
+        if (ctx.srcAttr._3 > 0) ctx.sendToDst(ctx.srcAttr._1 / ctx.srcAttr._3),
+        _ + _)
+      g = g.outerJoinVertices(msgs)((_, attr, m) =>
+        (r12((1.0 - damping) * attr._2 + damping * m.getOrElse(0.0)), attr._2, attr._3))
+    }
+    idx.join(g.vertices.map { case (vid, (r, _, _)) => (vid, r) }.toDF("vid", "pprank"), "vid")
+      .select(col("node"), round(col("pprank"), 6).as("pprank"))
+      .orderBy("node")
+  }
+
   /** Katz centrality over a DIRECTED PG edge set: x₀ = 1,
     * x_{k+1}(v) = 1 + α·Σ_{u→v} x_k(u), a FIXED iteration count — every
     * node scores the attenuated count of walks ending at it (α^length

@@ -233,6 +233,187 @@ object Multimodal {
     bb.array()
   }
 
+  /** A complete minimal RIFF/AVI video of the given dimensions — the
+    * VIDEO container counterpart of [[bmpBytes]]/[[pngBytes]]/
+    * [[wavHeaderStreaming]], and like them a genuine file, not a blob
+    * with a magic number: `RIFF('AVI ')` holding `LIST(hdrl)` with a
+    * full 56-byte AVIMAINHEADER (`avih`) and one `LIST(strl)` video
+    * stream (56-byte `strh` 'vids'/'DIB ' + 40-byte BITMAPINFOHEADER
+    * `strf`), then `LIST(movi)` with `frames` uncompressed 24-bit BI_RGB
+    * `00db` frame chunks of zeroed pixel rows. Every field is a
+    * fixed-offset little-endian integer (no CRC, no entropy coding), so
+    * total byte size is closed-form — n_bytes = 224 + frames·(8 + ds),
+    * ds = ((3w+3)/4)·4·h — which is what lets the C93 oracle check the
+    * real container walk with plain SQL, exactly like C89's WAV walk
+    * and C90's BMP arithmetic.
+    */
+  def aviBytes(width: Int, height: Int, frames: Int,
+               usPerFrame: Int = 33333): Array[Byte] = {
+    require(width > 0 && height > 0 && frames > 0 && usPerFrame > 0,
+      s"aviBytes: dimensions/frames/rate must be positive " +
+        s"(got $width x $height x $frames @ $usPerFrame)")
+    val rowSize = ((3 * width + 3) / 4) * 4
+    val ds = rowSize * height                    // bytes per BI_RGB frame
+    val moviSz = 4 + frames * (8 + ds)           // 'movi' + frame chunks
+    val total = 224 + frames * (8 + ds)
+    val bb = java.nio.ByteBuffer.allocate(total)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(s: String): Unit = bb.put(s.getBytes("US-ASCII"))
+    fourcc("RIFF"); bb.putInt(total - 8); fourcc("AVI ")
+    fourcc("LIST"); bb.putInt(192); fourcc("hdrl")
+    fourcc("avih"); bb.putInt(56)
+    bb.putInt(usPerFrame).putInt(0).putInt(0).putInt(0)  // rate, maxBps, pad, flags
+      .putInt(frames).putInt(0).putInt(1).putInt(ds)     // total, initial, streams, sugBuf
+      .putInt(width).putInt(height)
+      .putInt(0).putInt(0).putInt(0).putInt(0)           // dwReserved[4]
+    fourcc("LIST"); bb.putInt(116); fourcc("strl")
+    fourcc("strh"); bb.putInt(56)
+    fourcc("vids"); fourcc("DIB ")
+    bb.putInt(0).putInt(0).putInt(0)                     // flags, prio+lang, initial
+      .putInt(usPerFrame).putInt(1000000)                // scale/rate = frame period
+      .putInt(0).putInt(frames).putInt(ds).putInt(-1).putInt(0) // start, len, sugBuf, quality, sampleSize
+      .putShort(0).putShort(0)                           // rcFrame
+      .putShort(width.toShort).putShort(height.toShort)
+    fourcc("strf"); bb.putInt(40)
+    bb.putInt(40).putInt(width).putInt(height)           // BITMAPINFOHEADER
+      .putShort(1).putShort(24).putInt(0).putInt(ds)     // planes, bpp, BI_RGB, size
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+    fourcc("LIST"); bb.putInt(moviSz); fourcc("movi")
+    var f = 0
+    while (f < frames) {
+      fourcc("00db"); bb.putInt(ds)
+      bb.position(bb.position() + ds)                    // zero pixel rows
+      f += 1
+    }
+    bb.array()
+  }
+
+  /** The AVIMAINHEADER of a RIFF/AVI payload: (width, height, totalFrames,
+    * microSecPerFrame), or None for anything that is not a well-formed AVI
+    * container — the same hardened Long-arithmetic chunk walk as
+    * [[decodeWav]] (an adversarial 4 GiB chunk size steps past the buffer
+    * and ends the walk; truncated headers return None, never throw). This
+    * is a REAL container parse: it descends `RIFF('AVI ')` →
+    * `LIST(hdrl)` → `avih` by walking declared chunk sizes, so a payload
+    * whose avih lives after other header chunks still parses and a
+    * payload that merely starts with "RIFF" does not.
+    */
+  def aviHeader(bytes: Array[Byte]): Option[(Int, Int, Int, Long)] =
+    try {
+      def ascii(o: Int) = new String(bytes, o, 4, "US-ASCII")
+      def le32(o: Int): Long = (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+        ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+      if (bytes.length < 24 || ascii(0) != "RIFF" || ascii(8) != "AVI ") None
+      else {
+        var off = 12L
+        var res: Option[(Int, Int, Int, Long)] = None
+        while (res.isEmpty && off + 12 <= bytes.length) {
+          val o = off.toInt
+          val sz = le32(o + 4)
+          if (ascii(o) == "LIST" && ascii(o + 8) == "hdrl") {
+            // walk inside the hdrl list for the avih chunk
+            var in = off + 12
+            val end = math.min(off + 8 + sz, bytes.length.toLong)
+            while (res.isEmpty && in + 8 <= end) {
+              val io = in.toInt
+              val isz = le32(io + 4)
+              if (ascii(io) == "avih" && isz >= 56 && in + 8 + 56 <= end) {
+                val uspf = le32(io + 8)
+                val totalFrames = le32(io + 8 + 16)
+                val w = le32(io + 8 + 32)
+                val h = le32(io + 8 + 36)
+                if (w > 0 && h > 0 && w <= Int.MaxValue && h <= Int.MaxValue &&
+                    totalFrames <= Int.MaxValue)
+                  res = Some((w.toInt, h.toInt, totalFrames.toInt, uspf))
+                else in = end // malformed dims: abandon this hdrl
+              }
+              in += 8 + isz + (isz & 1)
+            }
+            if (res.isEmpty) off = bytes.length.toLong // one hdrl per file
+          }
+          off += 8 + sz + (sz & 1)
+        }
+        res
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** [[aviHeader]] through the fixed [[MetaSchema]] contract:
+    * `width`/`height` from the AVIMAINHEADER, `format`="video/avi"
+    * (frame count and rate don't fit the four-field schema — the C93
+    * query reads them through [[aviMeta]]'s wider schema instead).
+    */
+  def decodeAvi(bytes: Array[Byte]): Option[Row] =
+    aviHeader(bytes).map { case (w, h, _, _) =>
+      Row(bytes.length.toLong, w, h, "video/avi") }
+
+  /** (id, media) frame of synthetic AVI payloads whose dimensions, frame
+    * count and frame rate all derive deterministically from the text's
+    * UTF-8 byte length (w = 1 + len % maxW, h = 1 + len·31 % maxH,
+    * frames = 1 + len·7 % maxF, usPerFrame = 10000·(1 + len % 5)) — the
+    * C93 fixture builder: real container bytes with oracle-computable
+    * metadata. NULL text maps to a NULL payload (stub zeros downstream,
+    * the C90/C91 stance). Default dims are small because each frame is a
+    * FULL uncompressed BI_RGB plane (the file is genuinely playable
+    * structure, not a stub): payload ≤ 224 + maxF·(8 + 4·ceil(3·maxW/4)·
+    * maxH) bytes — ≤ ~4.7 KB at the defaults — regardless of document
+    * size.
+    */
+  def syntheticAvi(df: DataFrame, idCol: String, textCol: String,
+                   maxW: Int = 16, maxH: Int = 12, maxF: Int = 8): DataFrame = {
+    val in = df.select(col(idCol), col(textCol))
+    val outSchema = StructType(Seq(in.schema.fields(0),
+      StructField("media", BinaryType, nullable = true)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        val media =
+          if (r.isNullAt(1)) null
+          else {
+            val len = r.getString(1).getBytes("UTF-8").length
+            aviBytes(1 + len % maxW, 1 + ((len.toLong * 31) % maxH).toInt,
+              1 + ((len.toLong * 7) % maxF).toInt, 10000 * (1 + len % 5))
+          }
+        Row(r.get(0), media)
+      }
+    }(encoder)
+  }
+
+  /** Video-container metadata through a schema wide enough for the fields
+    * AVI actually carries — (n_bytes, width, height, n_frames,
+    * us_per_frame, format) per row, parsed by the REAL [[aviHeader]]
+    * container walk; payloads that are not well-formed AVI (including
+    * NULL → empty) degrade per row to the [[decodeStub]] arithmetic with
+    * zero frames (one poison row never fails a corpus-scale job).
+    * Partition-local like every decode here.
+    */
+  def aviMeta(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      df.schema(idCol),
+      StructField("n_bytes", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("n_frames", IntegerType, nullable = false),
+      StructField("us_per_frame", LongType, nullable = false),
+      StructField("format", StringType, nullable = false)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes0 = r.getAs[Array[Byte]](binIdx)
+        val bytes = if (bytes0 == null) Array.emptyByteArray else bytes0
+        aviHeader(bytes) match {
+          case Some((w, h, f, uspf)) =>
+            Row(r.get(idIdx), bytes.length.toLong, w, h, f, uspf, "video/avi")
+          case None =>
+            val stub = decodeStub(bytes)
+            Row(r.get(idIdx), stub.getLong(0), stub.getInt(1), stub.getInt(2),
+              0, 0L, stub.getString(3))
+        }
+      }
+    }(encoder)
+  }
+
   /** (id, media) frame of synthetic BMP payloads whose dimensions derive
     * deterministically from the text's UTF-8 byte length (w = 1 + len %
     * maxW, h = 1 + len·31 % maxH) — the C90 fixture builder: real
@@ -353,11 +534,12 @@ object Multimodal {
   }
 
   /** One row's decode under the resolved codec flag: image header, then
-    * WAV header, then the deterministic stub.
+    * WAV header, then AVI header, then the deterministic stub.
     */
   private def decodeRow(bytes: Array[Byte], realCodec: Boolean): Row =
     if (realCodec)
-      decodeImage(bytes).orElse(decodeWav(bytes)).getOrElse(decodeStub(bytes))
+      decodeImage(bytes).orElse(decodeWav(bytes)).orElse(decodeAvi(bytes))
+        .getOrElse(decodeStub(bytes))
     else decodeStub(bytes)
 
   /** Feature extraction from a binary media column: a deterministic

@@ -1069,6 +1069,62 @@ object GraphEtl {
        |SELECT node, round(x, 6) AS katz FROM x8 ORDER BY node""".stripMargin
   }
 
+  /** A49: personalized PageRank over the supplier→nation→region KG
+    * ([[graft.ops.graph.GraphOps.personalizedPageRank]], d = 0.85, 10
+    * fixed iterations) restarting at the SUPPLIER seed set — the
+    * KnetMiner-domain relevance staple ("rank the graph by closeness to
+    * these genes") that global PageRank cannot express: the walk restarts
+    * into `sup:%` nodes, so nations score by how much supplier mass
+    * flows into them, regions by what their nations forward, and any
+    * node unreachable from the seeds scores exactly 0. Fixed iterations
+    * ⇒ the oracle unrolls the x_{k+1} = (1−d)·s + d·Aᵀ(x_k/outdeg)
+    * recurrence as 10 CTE levels carrying the seed-mass column through
+    * (the kg_pagerank pattern, truncated-walk sink semantics identical);
+    * per-iteration ranks round at 12 dp on both sides (restart masses
+    * are short decimals that land ON 6-dp half boundaries — see the op's
+    * scaladoc), the result once more at 6 dp.
+    */
+  def kgPpr(spark: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.load(spark, dir, "nation")
+    val supplier = Tables.load(spark, dir, "supplier")
+    val triples = Triples.chain(
+      Triples.edges(nation, "inRegion",
+        Triples.wrap(col("n_nationkey"), "nation:"),
+        Triples.wrap(col("n_regionkey"), "region:")),
+      Triples.edges(supplier, "basedIn",
+        Triples.wrap(col("s_suppkey"), "sup:"),
+        Triples.wrap(col("s_nationkey"), "nation:")))
+    graft.ops.graph.GraphOps.personalizedPageRank(
+      PgGraph.toPg(triples).where(col("type") === Graph.EdgeType),
+      supplier.select(concat(lit("sup:"), col("s_suppkey")).as("node")))
+  }
+
+  val kgPprSql: String = {
+    val iters = (1 to 10).map { i =>
+      s"""r$i AS (
+         |  SELECT n.node, n.s,
+         |    round(0.15 * n.s + 0.85 * coalesce(sum(c.contrib), 0), 12) AS rank
+         |  FROM r0 n
+         |  LEFT JOIN (SELECT e.dst, r.rank / o.outdeg AS contrib
+         |             FROM e JOIN r${i - 1} r ON e.src = r.node JOIN outd o ON e.src = o.src) c
+         |    ON c.dst = n.node
+         |  GROUP BY n.node, n.s)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT 'sup:' || s_suppkey AS src, 'nation:' || s_nationkey AS dst FROM supplier
+       |  UNION ALL
+       |  SELECT 'nation:' || n_nationkey, 'region:' || n_regionkey FROM nation),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |outd AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+       |ns AS (SELECT count(*)::DOUBLE AS k FROM nodes WHERE node LIKE 'sup:%'),
+       |r0 AS (SELECT node,
+       |    CASE WHEN node LIKE 'sup:%' THEN 1.0 / ns.k ELSE 0.0 END AS rank,
+       |    CASE WHEN node LIKE 'sup:%' THEN 1.0 / ns.k ELSE 0.0 END AS s
+       |  FROM nodes, ns),
+       |$iters
+       |SELECT node, round(rank, 6) AS pprank FROM r10 ORDER BY node""".stripMargin
+  }
+
   /** A40: HITS hubs & authorities over the supplier→nation→region KG
     * ([[graft.ops.graph.GraphOps.hits]], 8 fixed iterations, one final L1
     * normalisation) — the bipartite influence split: suppliers are pure

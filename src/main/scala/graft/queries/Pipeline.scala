@@ -1085,6 +1085,38 @@ object Pipeline {
       |  row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) rnk FROM s)
       |SELECT qid, cid, cosine, rnk::INTEGER AS rnk FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
 
+  /** C95: kNN-majority label-noise detection ([[Ann.labelNoise]], the
+    * Confident-Learning-lite pass) — audits the first 500 labeled
+    * vectors against the full pool: each audited row's 5 cosine-nearest
+    * OTHER vectors vote with their labels, and a majority disagreeing
+    * with the row's own label flags probable annotation noise — the
+    * supervised data-quality twin of the dedup family (mislabeled rows
+    * poison fine-tuning sets the way near-dups poison pretraining
+    * sets). Self-pairs are excluded in the join, so exact duplicates of
+    * an audited row (the robust fixture plants one) vote without
+    * perturbing the k count. Ranking ties on candidate id, the vote on
+    * (count desc, label asc) — flag bit-exact cross-engine.
+    */
+  def labelNoise(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    Ann.labelNoise(e.where(col("vec_id") < 500), e, k = 5)
+  }
+
+  val labelNoiseSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v, label FROM embeddings),
+      |n AS (SELECT vec_id, v, label, sqrt(list_sum([x*x for x in v])) nrm FROM e),
+      |s AS (SELECT q.vec_id qid, q.label qlabel, c.vec_id cid, c.label clabel,
+      |  round(CASE WHEN q.nrm*c.nrm > 0 THEN list_sum([pr[1]*pr[2] for pr in list_zip(q.v, c.v)]) / (q.nrm*c.nrm) ELSE 0.0 END, 6) cosine
+      |  FROM n q JOIN n c ON q.vec_id < 500 AND c.vec_id <> q.vec_id),
+      |r AS (SELECT qid, qlabel, clabel,
+      |  row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) rnk FROM s),
+      |v AS (SELECT qid, qlabel, clabel, count(*) cnt FROM r WHERE rnk <= 5 GROUP BY 1, 2, 3),
+      |m AS (SELECT qid, qlabel, clabel, cnt,
+      |  row_number() OVER (PARTITION BY qid ORDER BY cnt DESC, clabel) vr FROM v)
+      |SELECT qid AS vec_id, qlabel AS label, clabel AS maj_label,
+      |  cnt AS n_maj, (clabel <> qlabel) AS flagged
+      |FROM m WHERE vr = 1 ORDER BY vec_id""".stripMargin
+
   /** C60: distribution-drift monitor — the exact two-sample
     * Kolmogorov–Smirnov distance between two sources' token-length
     * distributions (max |cdf_a − cdf_b| over the integer support). The
@@ -1325,7 +1357,11 @@ object Pipeline {
   def embedTopPc(spark: SparkSession, dir: String): DataFrame =
     graft.ops.ann.Ann.topPrincipalComponent(embs(spark, dir))
 
-  val embedTopPcSql: String = {
+  /** The C69 power-iteration CTE chain (μ/center/4 iterates through v4) —
+    * shared verbatim by [[embedTopPcSql]] and [[embedWhitenSql]] so the
+    * two oracles can never drift from the one [[Ann.fitTopPc]] fit.
+    */
+  private lazy val topPcCteChain: String = {
     val iters = 4
     val head =
       """WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -1352,17 +1388,42 @@ object Pipeline {
          |    END AS w
          |  FROM w$t JOIN $pv ON $pv.dim = w$t.dim),""".stripMargin
     }.mkString("\n")
-    val tail =
-      s"""sf AS MATERIALIZED (SELECT vec_id, round(sum(CAST(cx * w AS DECIMAL(27,10)))::DOUBLE, 6) AS s
-         |  FROM cv JOIN v$iters ON v$iters.dim = cv.dim GROUP BY vec_id),
-         |lam AS MATERIALIZED (SELECT round(sum(CAST(s * s AS DECIMAL(27,10)))::DOUBLE / (SELECT n FROM n), 6) AS ev FROM sf),
-         |tv AS MATERIALIZED (SELECT round(sum(CAST(cx * cx AS DECIMAL(27,10)))::DOUBLE / (SELECT n FROM n), 6) AS t FROM cv)
-         |SELECT dim::BIGINT AS dim, w AS loading, (SELECT ev FROM lam) AS eigenvalue,
-         |  CASE WHEN (SELECT t FROM tv) = 0 THEN 0.0
-         |    ELSE round((SELECT ev FROM lam) / (SELECT t FROM tv), 6) END AS var_share
-         |FROM v$iters ORDER BY dim""".stripMargin
-    s"$head\n$its\n$tail"
+    s"$head\n$its"
   }
+
+  val embedTopPcSql: String =
+    s"""$topPcCteChain
+       |sf AS MATERIALIZED (SELECT vec_id, round(sum(CAST(cx * w AS DECIMAL(27,10)))::DOUBLE, 6) AS s
+       |  FROM cv JOIN v4 ON v4.dim = cv.dim GROUP BY vec_id),
+       |lam AS MATERIALIZED (SELECT round(sum(CAST(s * s AS DECIMAL(27,10)))::DOUBLE / (SELECT n FROM n), 6) AS ev FROM sf),
+       |tv AS MATERIALIZED (SELECT round(sum(CAST(cx * cx AS DECIMAL(27,10)))::DOUBLE / (SELECT n FROM n), 6) AS t FROM cv)
+       |SELECT dim::BIGINT AS dim, w AS loading, (SELECT ev FROM lam) AS eigenvalue,
+       |  CASE WHEN (SELECT t FROM tv) = 0 THEN 0.0
+       |    ELSE round((SELECT ev FROM lam) / (SELECT t FROM tv), 6) END AS var_share
+       |FROM v4 ORDER BY dim""".stripMargin
+
+  /** C94: "all-but-the-top" embedding post-processing
+    * ([[Ann.allButTop]], Mu & Viswanath 2018) — subtract the corpus mean,
+    * remove the projection on the C69 top principal component: the
+    * anisotropy correction that sharpens cosine similarity BEFORE the
+    * ANN/dedup family consumes the vectors (a preprocessor, not a
+    * statistic — its output is itself an embedding column). The oracle
+    * rides the identical power-iteration CTE chain as embed_top_pc
+    * (shared builder, so the two can never drift), then projects and
+    * subtracts per coordinate: s = the 6-dp decimal-summed centered dot,
+    * wx = round(cx − s·w, 6) — every step order-free per element.
+    */
+  def embedWhiten(spark: SparkSession, dir: String): DataFrame =
+    Ann.allButTop(embs(spark, dir))
+
+  val embedWhitenSql: String =
+    s"""$topPcCteChain
+       |sf AS MATERIALIZED (SELECT vec_id, round(sum(CAST(cx * w AS DECIMAL(27,10)))::DOUBLE, 6) AS s
+       |  FROM cv JOIN v4 ON v4.dim = cv.dim GROUP BY vec_id)
+       |SELECT cv.vec_id, (cv.dim - 1)::INTEGER AS pos,
+       |  round(cv.cx - sf.s * v4.w, 6) AS wx
+       |FROM cv JOIN v4 ON v4.dim = cv.dim JOIN sf ON sf.vec_id = cv.vec_id
+       |ORDER BY cv.vec_id, pos""".stripMargin
 
   /** C75: per-vector embedding outliers — max |z| over coordinates
     * against the C68 per-dimension moments: a vector far outside the
@@ -2740,6 +2801,43 @@ object Pipeline {
       |  CASE WHEN len IS NULL THEN 0 ELSE 1 + (len * 31) % 48 END::INTEGER AS height,
       |  CASE WHEN len IS NULL THEN 'img/fake' ELSE 'img/png' END AS format
       |FROM d ORDER BY doc_id""".stripMargin
+
+  /** C93: REAL VIDEO-container metadata decode under the driver oracle —
+    * the third and last modality's container (C89 audio, C90/C91 image),
+    * shrinking the env-blocked media gap to frame-PIXEL codecs only:
+    * payloads are genuine minimal AVIs ([[Multimodal.aviBytes]] —
+    * `RIFF('AVI ')` with a full AVIMAINHEADER, a 'vids'/'DIB ' stream
+    * header pair, and uncompressed BI_RGB frame chunks; dimensions,
+    * frame count and frame rate all derive from octet_length(text)), and
+    * [[Multimodal.aviMeta]] reads them back through the real
+    * [[Multimodal.aviHeader]] chunk walk (descends RIFF → LIST(hdrl) →
+    * avih by declared sizes — the container parse, not the arithmetic
+    * that built the bytes). Oracle: ds = ((3w+3)//4)·4·h bytes per
+    * frame, n_bytes = 224 + f·(8 + ds). A NULL text degrades to the
+    * stub's zeros with zero frames (the C12/C89/C90/C91 poison-row
+    * stance).
+    */
+  def mediaAviMeta(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.aviMeta(
+      Multimodal.syntheticAvi(docs(spark, dir), "doc_id", "text"),
+      "doc_id", "media")
+      .orderBy("doc_id")
+
+  val mediaAviMetaSql: String =
+    """WITH b AS (SELECT doc_id, octet_length(encode(text)) AS len FROM documents),
+      |d AS (SELECT doc_id, len,
+      |        1 + len % 16 AS w, 1 + (len * 31) % 12 AS h,
+      |        1 + (len * 7) % 8 AS f, 10000 * (1 + len % 5) AS uspf FROM b),
+      |e AS (SELECT *, ((3 * w + 3) // 4) * 4 * h AS ds FROM d)
+      |SELECT doc_id,
+      |  CASE WHEN len IS NULL THEN 0
+      |       ELSE 224 + f * (8 + ds) END::BIGINT AS n_bytes,
+      |  CASE WHEN len IS NULL THEN 0 ELSE w END::INTEGER AS width,
+      |  CASE WHEN len IS NULL THEN 0 ELSE h END::INTEGER AS height,
+      |  CASE WHEN len IS NULL THEN 0 ELSE f END::INTEGER AS n_frames,
+      |  CASE WHEN len IS NULL THEN 0 ELSE uspf END::BIGINT AS us_per_frame,
+      |  CASE WHEN len IS NULL THEN 'img/fake' ELSE 'video/avi' END AS format
+      |FROM e ORDER BY doc_id""".stripMargin
 
   /** C42: Naive Bayes self-distillation of the Gopher gate (see
     * [[TextOps.nbDistill]]) — the hard rule becomes a continuous

@@ -544,6 +544,36 @@ class GraphOpsSpec extends SparkSpec {
       === ((3L, None)))
   }
 
+  test("personalizedPageRank: hand recurrence, unreachable scores 0, seed-set scaling, refusal") {
+    // s1 -> m -> t, s2 -> m; island x -> y unreachable from the seeds
+    val g = Seq(("s1", "m"), ("s2", "m"), ("m", "t"), ("x", "y")).toDF("from", "to")
+    val seeds = Seq("s1", "s2").toDF("node")
+    val got = GraphOps.personalizedPageRank(g, seeds, damping = 0.85, iterations = 10)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+    // hand recurrence: s = 0.5 on each seed; seeds never gain (no
+    // in-edges) so rank(seed) converges to 0.15*0.5 after one step
+    var r = Map("s1" -> 0.5, "s2" -> 0.5, "m" -> 0.0, "t" -> 0.0,
+      "x" -> 0.0, "y" -> 0.0)
+    val outdeg = Map("s1" -> 1, "s2" -> 1, "m" -> 1, "x" -> 1)
+    val edgeList = Seq(("s1", "m"), ("s2", "m"), ("m", "t"), ("x", "y"))
+    val seedMass = Map("s1" -> 0.5, "s2" -> 0.5).withDefaultValue(0.0)
+    for (_ <- 1 to 10) {
+      val in = edgeList.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => r(src) / outdeg(src) }.sum }
+      r = r.keys.map(v => v -> (0.15 * seedMass(v) + 0.85 * in.getOrElse(v, 0.0))).toMap
+    }
+    r.foreach { case (v, expect) =>
+      assert(math.abs(got(v) - expect) < 1e-9, s"node $v: got ${got(v)} want $expect") }
+    // restart confines the walk: the island off the seeds scores exactly 0
+    assert(got("x") === 0.0 && got("y") === 0.0)
+    // seeds that match no graph node refuse loudly, never an all-zero walk
+    val err = intercept[IllegalArgumentException] {
+      GraphOps.personalizedPageRank(g, Seq("nope").toDF("node")).collect()
+    }
+    assert(err.getMessage.contains("no seed matches"))
+  }
+
   test("motifPaths: typed hops, distractor types skipped, cycles cut, min sample path") {
     // ensembl-shaped fixture: gene -in_pathway-> pathway -affects-> trait
     val edges = Seq(

@@ -805,6 +805,49 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got === Set((1L, 6, 12, "img/png"), (2L, 0, 0, "img/fake")))
   }
 
+  test("real container seam: synthetic AVIs parse back through the RIFF chunk walk") {
+    import spark.implicits._
+    // the builder's bytes are a REAL container: RIFF('AVI ') -> LIST(hdrl)
+    // -> avih walked by declared sizes, not sniffed by magic number
+    val avi = Multimodal.aviBytes(7, 5, 3, usPerFrame = 40000)
+    val hdr = Multimodal.aviHeader(avi)
+    assert(hdr === Some((7, 5, 3, 40000L)))
+    // closed-form size: ds = ((3*7+3)/4)*4*5 = 24*5 = 120 -> 224 + 3*128
+    assert(avi.length === 224 + 3 * (8 + 120))
+    // generic decode seam recognises it behind image/wav
+    val m = Multimodal.decodeAvi(avi).get
+    assert((m.getLong(0), m.getInt(1), m.getInt(2), m.getString(3)) ===
+      ((avi.length.toLong, 7, 5, "video/avi")))
+
+    // degenerate/truncated/adversarial bytes never throw, never parse:
+    // a RIFF that is not an AVI ('WAVE' form), a truncated header, and a
+    // first chunk claiming a 4 GiB size all walk off the end to None
+    assert(Multimodal.aviHeader(Multimodal.wavHeaderStreaming()).isEmpty)
+    assert(Multimodal.aviHeader(avi.take(20)).isEmpty)
+    val evil = avi.clone()
+    evil(12) = 'x'.toByte // unknown first chunk...
+    evil(16) = -1; evil(17) = -1; evil(18) = -1; evil(19) = -1 // ...claiming 4 GiB
+    assert(Multimodal.aviHeader(evil).isEmpty)
+    // a truncated-but-well-formed header still parses (the pcmSection
+    // clamp stance: a 4 GiB hdrl size clamps to the buffer, the avih
+    // inside is intact) — tolerance is per-chunk, not per-file
+    val clamped = avi.clone()
+    clamped(16) = -1; clamped(17) = -1; clamped(18) = -1; clamped(19) = -1
+    assert(Multimodal.aviHeader(clamped) === Some((7, 5, 3, 40000L)))
+
+    // frame builder + wide-schema decode: NULL text -> NULL payload ->
+    // stub zeros with zero frames (the C90/C91 poison-row stance)
+    val df = Seq((1L, Some("ab cd")), (2L, None: Option[String])).toDF("doc_id", "text")
+    val got = Multimodal.aviMeta(
+        Multimodal.syntheticAvi(df, "doc_id", "text"), "doc_id", "media")
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getInt(3), r.getInt(4),
+        r.getLong(5), r.getString(6))).toSet
+    // len("ab cd") = 5: w = 1+5%16 = 6, h = 1+155%12 = 12, f = 1+35%8 = 4,
+    // uspf = 10000*(1+5%5) = 10000
+    assert(got === Set((1L, 6, 12, 4, 10000L, "video/avi"),
+      (2L, 0, 0, 0, 0L, "img/fake")))
+  }
+
   test("tabmap scan prunes to the mapped columns only") {
     val plan = graft.queries.GraphEtl.tabmapNodes(spark, dir)
       .queryExecution.executedPlan.toString
@@ -1010,6 +1053,71 @@ class PipelineOpsSpec extends SparkSpec {
     val z = Ann.topPrincipalComponent(flat).collect()
     assert(z.forall(r => r.getDouble(2) === 0.0 && r.getDouble(3) === 0.0))
     assert(z.forall(r => r.getDouble(1) === 0.707107))
+  }
+
+  test("all-but-the-top strips the mean and the dominant direction, partition-invariant") {
+    import spark.implicits._
+    // the planted-direction fixture of the top-PC test, shifted by a
+    // common mean: whitening must remove BOTH the shift and the u-axis
+    val rows = (1 to 40).map { i =>
+      val a = (i % 21) - 10.0
+      val b = ((i % 5) - 2.0) * 0.1
+      (i.toLong, Seq((3.0 + a * 0.6 - b * 0.8).toFloat, (-1.0 + a * 0.8 + b * 0.6).toFloat))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val out = Ann.allButTop(emb).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(out.size === 80)
+    // residuals have (near-)zero projection on the recovered direction
+    // u ~= (0.6, 0.8) and near-zero per-dim mean; what survives is the
+    // small orthogonal noise component b*(-0.8, 0.6)
+    val ids = rows.map(_._1)
+    val maxProj = ids.map(id => math.abs(out((id, 0)) * 0.6 + out((id, 1)) * 0.8)).max
+    assert(maxProj < 2e-3, s"projection on stripped direction survives: $maxProj")
+    val meanX = ids.map(id => out((id, 0))).sum / ids.size
+    val meanY = ids.map(id => out((id, 1))).sum / ids.size
+    assert(math.abs(meanX) < 1e-3 && math.abs(meanY) < 1e-3)
+    ids.foreach { i =>
+      val b = ((i % 5) - 2.0) * 0.1
+      assert(math.abs(out((i, 0)) - (-b * 0.8)) < 0.01, s"vec $i x-residual")
+      assert(math.abs(out((i, 1)) - b * 0.6) < 0.01, s"vec $i y-residual")
+    }
+    // decimal accumulation + round-once: bit-identical under another layout
+    val again = Ann.allButTop(emb.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(again === out)
+  }
+
+  test("label noise: planted mislabel flagged by the kNN vote, duplicates don't starve k") {
+    import spark.implicits._
+    // two tight clusters near e1 and e2; vec 5 sits IN the e1 cluster but
+    // carries the e2 cluster's label — the planted annotation error
+    def v(x: Double, y: Double) = Seq(x.toFloat, y.toFloat)
+    val rows = Seq(
+      (1L, v(1.0, 0.00), 0), (2L, v(1.0, 0.01), 0), (3L, v(1.0, 0.02), 0),
+      (4L, v(0.99, 0.03), 0), (5L, v(1.0, 0.015), 1),
+      (10L, v(0.0, 1.0), 1), (11L, v(0.01, 1.0), 1), (12L, v(0.02, 1.0), 1),
+      (13L, v(0.03, 0.99), 1), (14L, v(0.015, 1.0), 1),
+      // exact duplicate of vec 1: self-exclusion must still leave k voters
+      (20L, v(1.0, 0.00), 0))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val out = Ann.labelNoise(emb, emb, k = 5).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getLong(3), r.getBoolean(4))))
+      .toMap
+    assert(out.size === rows.size)
+    // the planted error: own label 1, neighbourhood votes 0
+    val (l5, m5, n5, f5) = out(5L)
+    assert(l5 === 1 && m5 === 0 && f5, s"planted mislabel not flagged: ${out(5L)}")
+    assert(n5 === 5L) // all 5 nearest are cluster-0 members
+    // clean rows are not flagged
+    Seq(1L, 2L, 10L, 11L, 20L).foreach { id =>
+      assert(!out(id)._4, s"clean vec $id flagged: ${out(id)}") }
+    // vec 1 and its duplicate 20 both see a majority-0 panel (the dup
+    // votes for its twin, the twin's self never does)
+    assert(out(1L)._2 === 0 && out(20L)._2 === 0)
+    val again = Ann.labelNoise(emb.repartition(5), emb.repartition(3), k = 5)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(again === out.view.mapValues(_._4).toMap) // partition-invariant
   }
 
   test("centroid cosine flags the planted outlier and is partition-invariant") {
