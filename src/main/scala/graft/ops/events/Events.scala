@@ -72,6 +72,84 @@ object Events {
     filtered.orderBy(keyCol)
   }
 
+  /** Time-bounded CEP: count occurrences of a LITERAL contiguous motif
+    * (e.g. "vcp" = view, click, purchase with nothing between) per key,
+    * plus how many completed WITHIN `withinUs` microseconds first event
+    * to last — MATCH_RECOGNIZE's strict-contiguity mode with the
+    * `WITHIN` clause, the semantics [[matchPattern]] cannot express
+    * because its regex runs over a type string that no longer carries
+    * timestamps. A motif that takes a week is usually noise where the
+    * same motif inside an hour is signal; `n_within` vs `n_motifs` is
+    * exactly that split.
+    *
+    * Implementation is one window, not a per-key string: each row looks
+    * ahead (motif.length−1) rows via lead() over the (ts, tie)-ordered
+    * key partition and a match is a per-row predicate — so this plans
+    * as the same single keyed sort-window every other event analytic
+    * shares (no per-key history materialisation at all, stricter state
+    * than matchPattern's string), and the DuckDB twin
+    * ([[motifWithinSql]], generated from the same arguments) is the
+    * identical lead() formulation. Strict contiguity is what makes the
+    * window form exact: occurrences can overlap in TIME but each starts
+    * at a distinct row, which is also RE2's leftmost count for a
+    * literal pattern.
+    */
+  def motifWithin(events: DataFrame, motif: String, withinUs: Long,
+                  charMap: Map[String, String] = Map.empty,
+                  keyCol: String = "user_id", tsCol: String = "ts",
+                  tieCol: String = "event_id", typeCol: String = "event_type")
+      : DataFrame = {
+    require(motif.length >= 2, s"motifWithin: motif needs >= 2 steps, got '$motif'")
+    require(withinUs > 0, s"motifWithin: withinUs must be positive, got $withinUs")
+    validateCharMap(charMap)
+    import org.apache.spark.sql.expressions.Window
+    val k = motif.length
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieCol))
+    val base = events.select(col(keyCol), col(tsCol), col(tieCol),
+      encodeCol(typeCol, charMap).as("ch"))
+    val leads = (1 until k).foldLeft(base) { (df, i) =>
+      df.withColumn(s"c$i", lead(col("ch"), i).over(w))
+    }.withColumn("span_us",
+      unix_micros(lead(col(tsCol), k - 1).over(w)) - unix_micros(col(tsCol)))
+    val isMatch = (col("ch") === lit(motif.substring(0, 1))) +:
+      (1 until k).map(i => col(s"c$i") === lit(motif.substring(i, i + 1)))
+    leads.where(isMatch.reduce(_ && _))
+      .groupBy(keyCol)
+      .agg(count(lit(1)).as("n_motifs"),
+        count(when(col("span_us") <= withinUs, 1)).as("n_within"))
+      .orderBy(keyCol)
+  }
+
+  /** DuckDB oracle twin generated from the SAME arguments as
+    * [[motifWithin]] — the identical lead() window formulation.
+    */
+  def motifWithinSql(motif: String, withinUs: Long,
+                     charMap: Map[String, String] = Map.empty,
+                     keyCol: String = "user_id", tsCol: String = "ts",
+                     tieCol: String = "event_id", typeCol: String = "event_type",
+                     table: String = "events"): String = {
+    require(motif.length >= 2, s"motifWithin: motif needs >= 2 steps, got '$motif'")
+    validateCharMap(charMap)
+    val k = motif.length
+    val enc =
+      if (charMap.isEmpty) s"substr($typeCol, 1, 1)"
+      else charMap.map { case (t, c) =>
+        s"WHEN $typeCol = '${t.replace("'", "''")}' THEN '$c'"
+      }.mkString("CASE ", " ", s" ELSE substr($typeCol, 1, 1) END")
+    val leadCols = (1 until k).map(i => s"lead(ch, $i) OVER win AS c$i").mkString(",\n    ")
+    val conds = (s"ch = '${motif.substring(0, 1)}'" +:
+      (1 until k).map(i => s"c$i = '${motif.substring(i, i + 1)}'")).mkString(" AND ")
+    s"""WITH s AS (SELECT $keyCol, $tsCol, $tieCol, $enc AS ch FROM $table),
+       |w AS (SELECT $keyCol, ch,
+       |    $leadCols,
+       |    epoch_us(lead($tsCol, ${k - 1}) OVER win) - epoch_us($tsCol) AS span_us
+       |  FROM s WINDOW win AS (PARTITION BY $keyCol ORDER BY $tsCol, $tieCol))
+       |SELECT $keyCol, count(*) AS n_motifs,
+       |  count(*) FILTER (span_us <= $withinUs) AS n_within
+       |FROM w WHERE $conds
+       |GROUP BY $keyCol ORDER BY $keyCol""".stripMargin
+  }
+
   /** DuckDB oracle twin generated from the SAME (pattern, charMap) as
     * [[matchPattern]] — single-quote escaping is the only transformation
     * applied to the pattern string.

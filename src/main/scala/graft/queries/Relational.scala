@@ -986,6 +986,23 @@ object Relational {
     graft.ops.events.Events.matchPatternSql("vc+[^P]*$",
       charMap = Map("purchase" -> "P"))
 
+  /** B67: time-bounded CEP ([[graft.ops.events.Events.motifWithin]]) —
+    * the strict-contiguity view→click→purchase motif with a WITHIN
+    * 24-hour clause: B63/B64 count motifs over a timestampless type
+    * string, so "how many completed fast enough to be one intent" is
+    * inexpressible there; here each user's n_within vs n_motifs is
+    * exactly that split (the fixture's motif spans straddle the bound —
+    * both counters are exercised). One lead()-window over the shared
+    * (user, ts, event_id) sort; goes through the schema-adaptive events
+    * path.
+    */
+  def qEventsMotifWithin(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.events.Events.motifWithin(
+      Tables.events(spark, dir), "vcp", withinUs = 86400000000L)
+
+  lazy val qEventsMotifWithinSql: String =
+    graft.ops.events.Events.motifWithinSql("vcp", withinUs = 86400000000L)
+
   /** B12: TPC-H-Q6-style filter-aggregate through the SQL entry path
     * (spark.sql over registered views) — the other half of the API surface.
     */

@@ -113,6 +113,44 @@ class EventsSpec extends SparkSpec {
     }
   }
 
+  test("motifWithin: strict contiguity, the time bound bites, overlap-in-time counts per start row") {
+    import spark.implicits._
+    // (user, second, type): u1 fires vcp twice — once inside 10 s, once
+    // spanning 100 s (counted but NOT within); u2's v c p has an error
+    // wedged in (strict contiguity: no motif); u3 never completes
+    val rows = Seq(
+      (1L, 0L, V), (1L, 2L, C), (1L, 5L, P),        // span 5 s: within
+      (1L, 50L, V), (1L, 60L, C), (1L, 150L, P),    // span 100 s: not within
+      (2L, 0L, V), (2L, 1L, C), (2L, 3L, E), (2L, 4L, P),
+      (3L, 0L, V), (3L, 1L, C))
+    val df = rows.zipWithIndex.map { case ((u, s, t), i) =>
+      (u, s * 1000000L, i.toLong, t) }
+      .toDF("user_id", "us", "event_id", "event_type")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"),
+        col("event_id"), col("event_type"))
+    val got = Events.motifWithin(df, "vcp", withinUs = 10000000L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map(1L -> ((2L, 1L))))
+
+    // overlapping starts each count: v v c p with bound wide open — the
+    // first v's window is (v,v,c): no match; second v matches once
+    val ov = Seq((9L, 0L, V), (9L, 1L, V), (9L, 2L, C), (9L, 3L, P))
+    val ovDf = ov.zipWithIndex.map { case ((u, s, t), i) =>
+      (u, s * 1000000L, i.toLong, t) }
+      .toDF("user_id", "us", "event_id", "event_type")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"),
+        col("event_id"), col("event_type"))
+    val ovGot = Events.motifWithin(ovDf, "vcp", withinUs = 1000000000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ovGot === Map(9L -> 1L))
+
+    // the generated oracle embeds the same motif, bound and lead count
+    val sql = Events.motifWithinSql("vcp", withinUs = 86400000000L)
+    assert(sql.contains("span_us <= 86400000000"))
+    assert(sql.contains("lead(ts, 2) OVER win"))
+    assert(sql.contains("ch = 'v' AND c1 = 'c' AND c2 = 'p'"))
+  }
+
   test("generated oracle SQL embeds the same pattern and mapping") {
     val sql = Events.matchPatternSql("vc+[^P]*$", charMap = Map(P -> "P"))
     assert(sql.contains("'vc+[^P]*$'"))
