@@ -118,6 +118,40 @@ object Sampling {
         Window.partitionBy(col("shard")).orderBy(order, col(idCol))).cast("long"))
   }
 
+  /** Deterministic shard MANIFEST — the reproducibility artifact of a
+    * sharded corpus write: per shard (same md5 assignment as
+    * [[shardShuffle]], same salt ⇒ same shards), the row count, total
+    * content bytes, id range, and an ORDER-FREE content fingerprint
+    * (bit_xor of a per-doc 60-bit md5 prefix over id and text). A
+    * training run resumed months later, a copy migrated across stores,
+    * or a rebuild on a different engine re-derives this table and
+    * compares: equal manifests certify the shards are the same data
+    * without re-reading them side by side — xor commutes, so any
+    * layout/engine reproduces the fingerprint bit-exactly, and one
+    * flipped byte in one document flips it.
+    *
+    * NULL ids drop at the door (no shard identity — the poison-row
+    * stance); NULL text fingerprints as empty and contributes 0 bytes.
+    * Scale: one narrow map over the corpus, one |shards|-row aggregate,
+    * every term map-side combinable — nothing corpus-sized shuffles.
+    */
+  def shardManifest(df: DataFrame, idCol: String, textCol: String,
+                    nShards: Int, salt: String = ""): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val order = saltedOrder(col(idCol), salt)
+    val fp = conv(substring(md5(concat(col(idCol).cast("string"), lit(":"),
+      coalesce(col(textCol), lit("")))), 1, 15), 16, 10).cast("long")
+    df.where(col(idCol).isNotNull)
+      .select((order % nShards).cast("int").as("shard"), col(idCol).as("id"),
+        coalesce(octet_length(col(textCol)), lit(0)).cast("long").as("bytes"),
+        fp.as("fp"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("bytes").as("n_bytes"),
+        min("id").as("min_id"), max("id").as("max_id"),
+        expr("bit_xor(fp)").as("content_fp"))
+      .orderBy("shard")
+  }
+
   /** Token-budget domain mixing — the "data mixture" step of a training
     * pipeline: split a global token budget across sources by weight, then
     * greedily take each source's documents in deterministic salted-hash

@@ -677,6 +677,29 @@ object Pipeline {
       |  row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) AS pos
       |FROM h ORDER BY shard, pos""".stripMargin
 
+  /** C96: deterministic shard manifest
+    * ([[graft.ops.sample.Sampling.shardManifest]]) — the reproducibility
+    * artifact beside the C44 shard write: per md5-assigned shard, row
+    * count, content bytes, id range, and an order-free bit_xor content
+    * fingerprint over per-doc md5 prefixes. Equal manifests certify two
+    * copies of a sharded corpus are the same data without a side-by-side
+    * re-read — how a resumed 100 TB training run validates its inputs.
+    * NULL ids drop (no shard identity), NULL text counts 0 bytes and
+    * fingerprints as empty (both robust-fixture-exercised).
+    */
+  def shardManifest(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.sample.Sampling.shardManifest(docs(spark, dir), "doc_id", "text", nShards = 8)
+
+  val shardManifestSql: String =
+    """WITH h AS (SELECT doc_id,
+      |    (('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 8)::INT AS shard,
+      |    coalesce(octet_length(encode(text)), 0)::BIGINT AS n_bytes,
+      |    ('0x' || substring(md5(doc_id::VARCHAR || ':' || coalesce(text, '')), 1, 15))::BIGINT AS fp
+      |  FROM documents WHERE doc_id IS NOT NULL)
+      |SELECT shard, count(*) AS n_docs, sum(n_bytes)::BIGINT AS n_bytes,
+      |  min(doc_id) AS min_id, max(doc_id) AS max_id, bit_xor(fp) AS content_fp
+      |FROM h GROUP BY shard ORDER BY shard""".stripMargin
+
   /** C45: per-document novelty ([[graft.ops.text.TextOps.novelty]]) —
     * fraction of each document's distinct bigram shingles first seen in
     * that document (first occurrence attributed to the minimum doc_id).

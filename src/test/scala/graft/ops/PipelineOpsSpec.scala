@@ -1620,6 +1620,34 @@ class PipelineOpsSpec extends SparkSpec {
     assert(salted.sortBy(_._1).toSeq !== got.sortBy(_._1).toSeq)
   }
 
+  test("shard manifest: consistent with the shard assignment, layout-stable, one flipped byte flips the fp") {
+    import spark.implicits._
+    import graft.ops.sample.Sampling
+    val corpus = Seq((1L, Some("alpha")), (2L, Some("beta")), (3L, Some("gamma")),
+      (4L, None: Option[String]), (5L, Some("delta")))
+      .toDF("doc_id", "text")
+    val poisoned = corpus.union(
+      Seq((Option.empty[java.lang.Long], Some("orphan")))
+        .toDF("doc_id", "text").select(col("doc_id").cast("long"), col("text")))
+    val m = Sampling.shardManifest(poisoned, "doc_id", "text", nShards = 4).collect()
+    // totals: the NULL-id row dropped, NULL text counted as 0 bytes
+    assert(m.map(_.getAs[Long]("n_docs")).sum === 5L)
+    assert(m.map(_.getAs[Long]("n_bytes")).sum === "alphabetagammadelta".length.toLong)
+    // shards agree with shardShuffle's assignment (same md5, same salt)
+    val assign = Sampling.shardShuffle(corpus, "doc_id", nShards = 4)
+      .select("shard").distinct().collect().map(_.getInt(0)).toSet
+    assert(m.map(_.getAs[Int]("shard")).toSet === assign)
+    // layout-stable: identical manifest from a different partitioning
+    val again = Sampling.shardManifest(poisoned.repartition(3), "doc_id", "text", 4).collect()
+    assert(again.map(_.toSeq).toSeq === m.map(_.toSeq).toSeq)
+    // one changed byte in one document flips exactly that shard's fp
+    val mutated = poisoned.withColumn("text",
+      when(col("doc_id") === 2L, lit("betA")).otherwise(col("text")))
+    val m2 = Sampling.shardManifest(mutated, "doc_id", "text", 4).collect()
+    val changed = m.map(_.toSeq).toSet diff m2.map(_.toSeq).toSet
+    assert(changed.size === 1, s"expected exactly one shard row to change: $changed")
+  }
+
   test("novelty: first occurrence wins, later copies score their unseen fraction only") {
     import spark.implicits._
     import graft.ops.text.TextOps
