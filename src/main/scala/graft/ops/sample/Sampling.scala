@@ -136,7 +136,17 @@ object Sampling {
     * every term map-side combinable — nothing corpus-sized shuffles.
     */
   def shardManifest(df: DataFrame, idCol: String, textCol: String,
-                    nShards: Int, salt: String = ""): DataFrame = {
+                    nShards: Int, salt: String = ""): DataFrame =
+    shardStats(df, idCol, textCol, nShards, salt).orderBy("shard")
+
+  /** [[shardManifest]] without the final presentation sort — every term
+    * (count/sum/min/max/xor) is a mergeable aggregate, so the SAME plan
+    * runs as a streaming groupBy (the D34 live-ingest manifest, where a
+    * sort is illegal); each term is also commutative, which is WHY a
+    * stream batched any way converges on the batch manifest.
+    */
+  private[graft] def shardStats(df: DataFrame, idCol: String, textCol: String,
+                                nShards: Int, salt: String = ""): DataFrame = {
     require(nShards > 0, "nShards must be positive")
     val order = saltedOrder(col(idCol), salt)
     val fp = conv(substring(md5(concat(col(idCol).cast("string"), lit(":"),
@@ -149,7 +159,6 @@ object Sampling {
       .agg(count(lit(1)).as("n_docs"), sum("bytes").as("n_bytes"),
         min("id").as("min_id"), max("id").as("max_id"),
         expr("bit_xor(fp)").as("content_fp"))
-      .orderBy("shard")
   }
 
   /** Token-budget domain mixing — the "data mixture" step of a training

@@ -1551,6 +1551,25 @@ object Streaming {
     * stops costing anything but residence. NULL ids/values drop at the
     * door (toPg's emit filters them upstream in the batch path).
     */
+  /** D34: live shard-manifest monitor — the ingest-time face of C96
+    * (`shard_manifest`), the same pairing as D33/A48: as documents
+    * stream in, each md5-assigned shard's running manifest row (n_docs,
+    * n_bytes, id range, bit_xor content fingerprint) updates in place.
+    * Every term is a commutative mergeable aggregate, so the LATEST
+    * emission per shard equals the batch `Sampling.shardManifest` of
+    * everything streamed so far HOWEVER the stream was batched — live
+    * ingest and the post-hoc batch manifest provably converge, which is
+    * what lets a pipeline certify a long-running ingest against the
+    * planned corpus without stopping it. Kernel shared verbatim with the
+    * batch op ([[graft.ops.sample.Sampling.shardStats]] — the batch twin
+    * IS the oracle); state = |shards| aggregate rows, never the stream.
+    * Run in Update output mode (Complete also works at |shards| rows).
+    */
+  def manifestMonitor(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text", nShards: Int = 8,
+                      salt: String = ""): DataFrame =
+    graft.ops.sample.Sampling.shardStats(docs, idCol, textCol, nShards, salt)
+
   def pgMergeMonitor(triples: DataFrame): Dataset[PgUpsert] = {
     val spark = triples.sparkSession
     import spark.implicits._

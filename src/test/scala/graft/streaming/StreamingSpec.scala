@@ -1239,6 +1239,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("D34: live shard manifest converges on the batch manifest however batches split") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val b1 = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
+    val b2 = Seq((4L, null.asInstanceOf[String]), (5L, "delta"), (6L, "epsilon"))
+    val mem = MemoryStream[(Long, String)]
+    val q = Streaming.manifestMonitor(
+        mem.toDF.toDF("doc_id", "text"), nShards = 4)
+      .writeStream.format("memory").queryName("manifest")
+      .outputMode("update").start()
+    def latest() = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("shard").orderBy(col("batch_ord").desc)
+      spark.table("manifest")
+        .withColumn("batch_ord", monotonically_increasing_id())
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .drop("batch_ord", "rn")
+        .collect().map(r => r.getAs[Int]("shard") -> r.toSeq.drop(1)).toMap
+    }
+    def batch(rows: Seq[(Long, String)]) = {
+      import spark.implicits._
+      graft.ops.sample.Sampling.shardManifest(
+          rows.toDF("doc_id", "text"), "doc_id", "text", nShards = 4)
+        .collect().map(r => r.getAs[Int]("shard") -> r.toSeq.drop(1)).toMap
+    }
+    try {
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      assert(latest() === batch(b1))
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      // latest per shard == the batch manifest over everything streamed:
+      // count/sum/min/max/xor all commute, so the batch split is invisible
+      assert(latest() === batch(b1 ++ b2))
+      // and the NULL-text doc contributed 0 bytes but still counts
+      assert(latest().values.map(_(0).asInstanceOf[Long]).sum === 6L)
+    } finally q.stop()
+  }
+
   test("D30b: retained cosine pairs dedup within the window and expire old members") {
     import org.apache.spark.sql.types._
     val tmp = java.nio.file.Files.createTempDirectory("graft-cosret").toString
