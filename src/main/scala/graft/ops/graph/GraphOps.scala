@@ -112,6 +112,65 @@ object GraphOps {
       .orderBy("node")
   }
 
+  /** HyperANF neighbourhood function (Boldi, Rosa & Vigna, WWW 2011) over
+    * a DIRECTED PG edge set: for k = 0..maxK, an HLL-sketched estimate of
+    * N(k) = |{(v,u) : dist(v→u) ≤ k}| — the distance distribution of the
+    * graph (how fast balls grow, where reachability saturates, the
+    * effective-diameter curve) WITHOUT materialising any transitive
+    * closure. Per node, a 64-register HLL sketch of its ≤k-ball; one
+    * iteration is S_v ← S_v max-merge ⋃_{v→w} S_w — registers are the
+    * [[graft.ops.stats.Stats.hllRegisters]] relational kernel (exact
+    * integer max-merges, so the sketch is bit-identical in any engine),
+    * per-node estimates the shared C53 formula rounded at 4 dp, and the
+    * per-k total a DECIMAL-summed aggregate of those — order-free end to
+    * end. The exact closure count rides along for fixture-scale
+    * validation (the C53/C92 exact-ride-along stance); at scale the
+    * sketch column is the product and the exact branch is dropped.
+    *
+    * Scale: per iteration one keyed join (register rows keyed by edge
+    * dst) + one (node, j) max-agg — register rows are Σ_v min(64,
+    * |ball_v|), bounded by 64·|V| and in sparse graphs far below it;
+    * lineage is localCheckpoint-flattened per round like kg_betweenness.
+    * This is THE practical distance profile at 10⁹ nodes, where exact
+    * closures are impossible (HyperANF's published runs: billions of
+    * edges on one box).
+    */
+  def anf(pgEdges: DataFrame, maxK: Int = 4): DataFrame = {
+    val spark = pgEdges.sparkSession
+    import graft.ops.stats.Stats
+    val e = endpoints(pgEdges).select(col("from").as("src"), col("to").as("dst"))
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node")).union(e.select(col("dst")))
+      .distinct().localCheckpoint()
+    // S0: each node sketches {itself}
+    var regs = Stats.hllRegisters(nodes, "node", col("node")).localCheckpoint()
+    // exact ≤k-ball pairs, same iteration structure (fixture validation)
+    var pairs = nodes.select(col("node").as("v"), col("node").as("u"))
+      .localCheckpoint()
+    def level(k: Int): DataFrame = {
+      val est = Stats.hllEstimate(regs, "node")
+        .agg(round(sum(col("est_distinct").cast("decimal(27,10)")).cast("double"), 4)
+          .as("est_reach"))
+      val exact = pairs.agg(count(lit(1)).as("exact_reach"))
+      est.crossJoin(exact).select(lit(k).as("k"), col("est_reach"), col("exact_reach"))
+    }
+    var out = level(0)
+    for (k <- 1 to maxK) {
+      regs = regs.join(e, regs("node") === e("dst"))
+        .select(col("src").as("node"), col("j"), col("mj"))
+        .union(regs)
+        .groupBy("node", "j").agg(max("mj").as("mj"))
+        .localCheckpoint()
+      pairs = pairs.join(e, pairs("u") === e("src"))
+        .select(col("v"), col("dst").as("u"))
+        .union(pairs)
+        .distinct()
+        .localCheckpoint()
+      out = out.union(level(k))
+    }
+    out.orderBy("k")
+  }
+
   /** Personalized PageRank over a DIRECTED PG edge set: random walk with
     * restart to a SEED set — x₀(v) = s(v), x_{k+1}(v) = (1−d)·s(v) +
     * d·Σ_{u→v} x_k(u)/outdeg(u), with s(v) = 1/|S| on seeds and 0

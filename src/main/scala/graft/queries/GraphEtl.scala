@@ -1069,6 +1069,76 @@ object GraphEtl {
        |SELECT node, round(x, 6) AS katz FROM x8 ORDER BY node""".stripMargin
   }
 
+  /** A50: HyperANF distance profile ([[graft.ops.graph.GraphOps.anf]],
+    * Boldi–Rosa–Vigna 2011) over a DEPTH-3 KG chain — a deterministic
+    * 1/97th of orders → customer → nation → region — deep enough that
+    * N(k) genuinely grows for three rounds and saturates at k=3 (k=4
+    * equals k=3: the effective-diameter signal). Registers are the C53
+    * relational HLL kernel max-merged along edges per round, so the
+    * oracle unrolls the iterations as register CTE levels (the C92
+    * register-twin pattern) plus the exact closure ride-along; per-node
+    * estimates round at 4 dp, the per-k totals are decimal sums.
+    */
+  def kgAnf(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders").where(col("o_orderkey") % 97 === 0)
+    val customer = Tables.load(spark, dir, "customer")
+    val nation = Tables.load(spark, dir, "nation")
+    val triples = Triples.chain(
+      Triples.edges(orders, "placedBy",
+        Triples.wrap(col("o_orderkey"), "ord:"),
+        Triples.wrap(col("o_custkey"), "cust:")),
+      Triples.chain(
+        Triples.edges(customer, "inNation",
+          Triples.wrap(col("c_custkey"), "cust:"),
+          Triples.wrap(col("c_nationkey"), "nation:")),
+        Triples.edges(nation, "inRegion",
+          Triples.wrap(col("n_nationkey"), "nation:"),
+          Triples.wrap(col("n_regionkey"), "region:"))))
+    graft.ops.graph.GraphOps.anf(
+      PgGraph.toPg(triples).where(col("type") === Graph.EdgeType))
+  }
+
+  val kgAnfSql: String = {
+    val am2 = (0.7213 / (1.0 + 1.079 / 64)) * 64 * 64 // same Scala double as the engine
+    val regIters = (1 to 4).map { i =>
+      s"""r$i AS (SELECT node, j, max(mj) AS mj FROM (
+         |    SELECT e.src AS node, r.j, r.mj FROM e JOIN r${i - 1} r ON r.node = e.dst
+         |    UNION ALL SELECT node, j, mj FROM r${i - 1}) GROUP BY node, j)""".stripMargin
+    }.mkString(",\n")
+    val pairIters = (1 to 4).map { i =>
+      s"""p$i AS (SELECT DISTINCT v, u FROM (
+         |    SELECT p.v, e.dst AS u FROM p${i - 1} p JOIN e ON e.src = p.u
+         |    UNION ALL SELECT v, u FROM p${i - 1}))""".stripMargin
+    }.mkString(",\n")
+    val ests = (0 to 4).map { k =>
+      s"""a$k AS (SELECT node, sum(1.0 / (CAST(1 AS BIGINT) << mj)) + (64 - count(*)) AS s,
+         |    (64 - count(*))::BIGINT AS v FROM r$k GROUP BY node),
+         |e$k AS (SELECT round(CASE WHEN $am2 / s <= 160.0 AND v > 0
+         |    THEN 64.0 * ln(64.0 / v) ELSE $am2 / s END, 4) AS est FROM a$k),
+         |s$k AS (SELECT round(sum(CAST(est AS DECIMAL(27,10)))::DOUBLE, 4) AS t FROM e$k)""".stripMargin
+    }.mkString(",\n")
+    val rows = (0 to 4).map { k =>
+      s"SELECT $k::INT AS k, (SELECT t FROM s$k) AS est_reach, (SELECT count(*) FROM p$k) AS exact_reach"
+    }.mkString("\nUNION ALL ")
+    s"""WITH e AS (
+       |  SELECT 'ord:' || o_orderkey AS src, 'cust:' || o_custkey AS dst
+       |    FROM orders WHERE o_orderkey % 97 = 0
+       |  UNION ALL
+       |  SELECT 'cust:' || c_custkey, 'nation:' || c_nationkey FROM customer
+       |  UNION ALL
+       |  SELECT 'nation:' || n_nationkey, 'region:' || n_regionkey FROM nation),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |h AS (SELECT node, ('0x' || substring(md5(node), 1, 8))::BIGINT AS hv FROM nodes),
+       |r0 AS (SELECT node, (hv % 64)::INT AS j,
+       |    (CASE WHEN hv // 64 = 0 THEN 27 ELSE 27 - length(bin(hv // 64)) END)::INT AS mj FROM h),
+       |$regIters,
+       |p0 AS (SELECT node AS v, node AS u FROM nodes),
+       |$pairIters,
+       |$ests
+       |$rows
+       |ORDER BY k""".stripMargin
+  }
+
   /** A49: personalized PageRank over the supplier→nation→region KG
     * ([[graft.ops.graph.GraphOps.personalizedPageRank]], d = 0.85, 10
     * fixed iterations) restarting at the SUPPLIER seed set — the

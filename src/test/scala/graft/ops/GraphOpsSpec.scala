@@ -544,6 +544,30 @@ class GraphOpsSpec extends SparkSpec {
       === ((3L, None)))
   }
 
+  test("anf: exact closure counts on a path+island, sketch saturates with the diameter, layout-invariant") {
+    // path a->b->c->d plus island x->y: balls grow for 3 rounds then stop
+    val g = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")).toDF("from", "to")
+    val out = GraphOps.anf(g, maxK = 4).collect()
+      .map(r => r.getInt(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    // exact: N(0)=6 selves; N(1)=+4 edges; N(2)=+2 (a->c, b->d); N(3)=+1 (a->d)
+    assert(out.map { case (k, (_, ex)) => k -> ex } ===
+      Map(0 -> 6L, 1 -> 10L, 2 -> 12L, 3 -> 13L, 4 -> 13L))
+    // the sketch tracks: positive, monotone, and FLAT once the true
+    // closure saturates (k=4 == k=3 bit-exactly — the diameter signal)
+    val ests = (0 to 4).map(k => out(k)._1)
+    assert(ests.forall(_ > 0))
+    assert(ests.sliding(2).forall { case Seq(p, n) => n >= p })
+    assert(out(4)._1 === out(3)._1)
+    // tiny balls in 64 registers: the small-range estimate is near-exact
+    (0 to 4).foreach { k =>
+      assert(math.abs(out(k)._1 - out(k)._2) / out(k)._2 < 0.25,
+        s"k=$k est ${out(k)._1} vs exact ${out(k)._2}") }
+    // register arithmetic is exact integers: layout cannot move anything
+    val again = GraphOps.anf(g.repartition(5), maxK = 4).collect()
+      .map(r => r.getInt(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(again === out)
+  }
+
   test("personalizedPageRank: hand recurrence, unreachable scores 0, seed-set scaling, refusal") {
     // s1 -> m -> t, s2 -> m; island x -> y unreachable from the seeds
     val g = Seq(("s1", "m"), ("s2", "m"), ("m", "t"), ("x", "y")).toDF("from", "to")
