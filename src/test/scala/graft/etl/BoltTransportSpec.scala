@@ -1,0 +1,199 @@
+package graft.etl
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream}
+import java.net.ServerSocket
+
+import graft.SparkSpec
+import graft.model.Graph
+
+/** [[BoltTransport]] against an in-process loopback STUB SERVER speaking
+  * the server side of the open Bolt protocol — handshake negotiation,
+  * chunk reassembly, PackStream decode, HELLO/RUN/PULL acks, planted
+  * FAILUREs. The full wire path the transport would drive against a live
+  * Neo4j runs here byte-for-byte; only the address differs.
+  */
+class BoltTransportSpec extends SparkSpec {
+
+  /** Single-threaded-per-connection stub: accepts until closed, records
+    * every RUN statement, and pops planted responses for RUN messages
+    * (None = SUCCESS; Some(code) = FAILURE with that code).
+    */
+  private final class StubServer(chosenVersion: Int = 0x00030404,
+                                 recordsPerPull: Int = 0) {
+    val server = new ServerSocket(0)
+    val statements = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val resets = new java.util.concurrent.atomic.AtomicInteger(0)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    @volatile var closed = false
+
+    def port: Int = server.getLocalPort
+    def plantFailure(code: String): Unit = failures.add(code)
+
+    private def readMessage(in: DataInputStream): Option[Bolt.Structure] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      var n = in.readUnsignedShort()
+      while (n != 0) {
+        val b = new Array[Byte](n); in.readFully(b); bos.write(b)
+        n = in.readUnsignedShort()
+      }
+      Bolt.unpack(new DataInputStream(new java.io.ByteArrayInputStream(
+        bos.toByteArray))) match {
+        case s: Bolt.Structure => Some(s)
+        case _ => None
+      }
+    }
+
+    private def send(out: DataOutputStream, msg: Bolt.Structure): Unit = {
+      val bytes = Bolt.packBytes(msg)
+      out.writeShort(bytes.length); out.write(bytes); out.writeShort(0); out.flush()
+    }
+
+    private val acceptor = new Thread(() => {
+      try while (!closed) {
+        val sock = server.accept()
+        new Thread(() => {
+          try {
+            val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+            val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
+            require(in.readInt() == Bolt.Magic, "bad magic")
+            (1 to 4).foreach(_ => in.readInt()) // proposals read, fixed answer
+            out.writeInt(chosenVersion); out.flush()
+            if (chosenVersion == 0) { sock.close(); throw new java.io.IOException("rejected") }
+            var open = true
+            while (open) {
+              readMessage(in) match {
+                case None => open = false
+                case Some(msg) => msg.tag match {
+                  case Bolt.MsgHello =>
+                    send(out, Bolt.Structure(Bolt.MsgSuccess,
+                      Vector(Map("server" -> "graft-stub/1.0"))))
+                  case Bolt.MsgRun =>
+                    statements.add(msg.fields.head.asInstanceOf[String])
+                    Option(failures.poll()) match {
+                      case Some(code) => send(out, Bolt.Structure(Bolt.MsgFailure,
+                        Vector(Map("code" -> code, "message" -> "planted"))))
+                      case None => send(out, Bolt.Structure(Bolt.MsgSuccess,
+                        Vector(Map.empty[String, Any])))
+                    }
+                  case Bolt.MsgPull =>
+                    (1 to recordsPerPull).foreach { i =>
+                      send(out, Bolt.Structure(Bolt.MsgRecord,
+                        Vector(Vector(i.toLong, s"row$i")))) }
+                    send(out, Bolt.Structure(Bolt.MsgSuccess,
+                      Vector(Map.empty[String, Any])))
+                  case Bolt.MsgReset =>
+                    resets.incrementAndGet()
+                    send(out, Bolt.Structure(Bolt.MsgSuccess,
+                      Vector(Map.empty[String, Any])))
+                  case Bolt.MsgGoodbye =>
+                    open = false; sock.close()
+                  case t => throw new IllegalStateException(s"stub: unexpected tag $t")
+                }
+              }
+            }
+          } catch { case _: java.io.IOException => () }
+        }).start()
+      } catch { case _: java.io.IOException => () } // closed
+    })
+    acceptor.setDaemon(true); acceptor.start()
+
+    def close(): Unit = { closed = true; server.close() }
+  }
+
+  test("statements round-trip the wire byte-faithfully; records drain; goodbye on close") {
+    val stub = new StubServer(recordsPerPull = 2)
+    try {
+      val t = new BoltTransport("127.0.0.1", stub.port)
+      val sent = Seq("CREATE (n:Gene {id: 'g1'})",
+        "UNWIND $rows AS r MERGE (n {id: r.id})",
+        "MATCH (n) RETURN count(n)")
+      sent.foreach(t.run)
+      t.close()
+      assert(stub.statements.toArray.toSeq === sent)
+    } finally stub.close()
+  }
+
+  test("transient failure maps to TransientCypherError after RESET; connection survives for the retry") {
+    val stub = new StubServer()
+    try {
+      val t = new BoltTransport("127.0.0.1", stub.port)
+      t.run("ok-1")
+      stub.plantFailure("Neo.TransientError.Transaction.LockClientStopped")
+      val e = intercept[NeoLoader.TransientCypherError] { t.run("will-collide") }
+      assert(e.getMessage.contains("Neo.TransientError"))
+      assert(stub.resets.get() === 1, "failed state must be RESET before reuse")
+      t.run("ok-2") // same connection, post-reset
+      t.close()
+      assert(stub.statements.toArray.toSeq === Seq("ok-1", "will-collide", "ok-2"))
+    } finally stub.close()
+  }
+
+  test("non-transient failure codes fail the load path (no retry class)") {
+    val stub = new StubServer()
+    try {
+      val t = new BoltTransport("127.0.0.1", stub.port)
+      stub.plantFailure("Neo.ClientError.Statement.SyntaxError")
+      val e = intercept[IllegalStateException] { t.run("broken cypher") }
+      assert(e.getMessage.contains("SyntaxError"))
+      t.close()
+    } finally stub.close()
+  }
+
+  test("version rejection refuses loudly instead of talking past the server") {
+    val stub = new StubServer(chosenVersion = 0)
+    try {
+      val t = new BoltTransport("127.0.0.1", stub.port)
+      val e = intercept[IllegalStateException] { t.run("anything") }
+      assert(e.getMessage.contains("rejected"))
+    } finally stub.close()
+  }
+
+  test("NeoLoader drives the full node->index->edge orchestration over the real wire") {
+    import spark.implicits._
+    val triples = Seq(
+      ("n1", Graph.TypeKey, "Gene"), ("n1", "name", "\"g1\""),
+      ("n2", Graph.TypeKey, "Gene"),
+      ("e1", Graph.TypeKey, "interacts"),
+      ("e1", Graph.FromKey, "n1"), ("e1", Graph.ToKey, "n2"))
+      .toDF("id", "key", "value")
+    val pg = PgGraph.toPg(triples)
+    val stub = new StubServer()
+    try {
+      val report = NeoLoader.load(pg, new BoltTransport("127.0.0.1", stub.port),
+        NeoLoader.Config(batchSize = 10))
+      assert(report.nodes === 2 && report.edges === 1)
+      val got = stub.statements.toArray.toSeq.map(_.toString)
+      // node batch(es), then the id index, then edge batch(es) — the
+      // reference's phase order, now observed ON THE WIRE
+      val idxAt = got.indexOf(NeoCypher.NodeIndexStatement)
+      assert(idxAt > 0, s"no index statement in $got")
+      assert(got.take(idxAt).forall(s => s.contains("$nodes") || !s.contains("$edges")))
+      assert(got.drop(idxAt + 1).nonEmpty)
+    } finally stub.close()
+  }
+
+  test("packstream round-trips every value family at every size tier") {
+    def rt(v: Any): Any = Bolt.unpack(new DataInputStream(
+      new java.io.ByteArrayInputStream(Bolt.packBytes(v))))
+    // ints across representation boundaries
+    Seq(0L, 1L, -1L, -16L, -17L, 127L, 128L, -128L, -129L, 32767L, 32768L,
+      -32768L, -32769L, Int.MaxValue.toLong, Int.MaxValue + 1L, Long.MinValue,
+      Long.MaxValue).foreach(v => assert(rt(v) === v, s"int $v"))
+    assert(rt(null) === null)
+    assert(rt(true) === true && rt(false) === false)
+    assert(rt(3.25) === 3.25)
+    // strings: tiny, 8-bit, 16-bit sizes; non-ASCII
+    Seq("", "héllo", "x" * 15, "y" * 16, "z" * 255, "w" * 256, "v" * 70000)
+      .foreach(s => assert(rt(s) === s, s"string len ${s.length}"))
+    // lists and maps, nested, across tiers
+    assert(rt(Vector(1L, "a", null)) === Vector(1L, "a", null))
+    val bigList = Vector.tabulate(300)(_.toLong)
+    assert(rt(bigList) === bigList)
+    val m = Map("a" -> 1L, "b" -> Vector("x"), "c" -> Map("d" -> false))
+    assert(rt(m) === m)
+    val bigMap = (0 until 300).map(i => s"k$i" -> i.toLong).toMap
+    assert(rt(bigMap) === bigMap)
+    val s = Bolt.Structure(0x10, Vector("RUN", Map.empty[String, Any]))
+    assert(rt(s) === s)
+  }
+}
