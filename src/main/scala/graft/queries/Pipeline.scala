@@ -1140,6 +1140,41 @@ object Pipeline {
       |  cnt AS n_maj, (clabel <> qlabel) AS flagged
       |FROM m WHERE vr = 1 ORDER BY vec_id""".stripMargin
 
+  /** C97: ANN recall report — recall@5 of the IVF path (C7b) against the
+    * brute-force ground truth (C6), per query vector: THE tuning
+    * telemetry of the ANN family (nCells/nProbe/planes/bands choices are
+    * meaningless without a measured recall beside the speedup, and a
+    * recall regression after an index rebuild is the alarm a serving
+    * pipeline pages on). Composes the two existing oracle-checked
+    * queries and joins their top-5 sets; recall = hits/5 (exact fifths —
+    * hash-stable doubles). Queries with zero hits survive via the
+    * left join (a recall report that silently drops its failures is
+    * not a report). Scale: both inputs are already k-bounded per query
+    * (TopKPerKey heaps), the join is |queries|·k rows — report cost is
+    * negligible beside the searches it audits.
+    */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    val ivf = annIvf(spark, dir).select(col("qid"), col("cid"))
+    val bf = annTopK(spark, dir).select(col("qid"), col("cid"))
+    val hits = bf.join(ivf, Seq("qid", "cid")).groupBy("qid")
+      .agg(count(lit(1)).as("n_hits"))
+    bf.select("qid").distinct()
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / 5.0).as("recall"))
+      .orderBy("qid")
+  }
+
+  // lazy: composed SQL vals must not race object initialisation order
+  lazy val annRecallSql: String =
+    s"""WITH ivf AS (SELECT qid, cid FROM ($annIvfSql) t),
+       |bf AS (SELECT qid, cid FROM ($annTopKSql) t),
+       |h AS (SELECT bf.qid, count(*) AS n_hits FROM bf JOIN ivf USING (qid, cid) GROUP BY bf.qid)
+       |SELECT q.qid, coalesce(h.n_hits, 0) AS n_hits,
+       |  coalesce(h.n_hits, 0)::DOUBLE / 5.0 AS recall
+       |FROM (SELECT DISTINCT qid FROM bf) q LEFT JOIN h USING (qid)
+       |ORDER BY qid""".stripMargin
+
   /** C60: distribution-drift monitor — the exact two-sample
     * Kolmogorov–Smirnov distance between two sources' token-length
     * distributions (max |cdf_a − cdf_b| over the integer support). The
