@@ -120,6 +120,43 @@ object Events {
       .orderBy(keyCol)
   }
 
+  /** Bucketized interval-OVERLAP self-join: all pairs (a, b) with the
+    * same key, a.id < b.id, and overlapping [start, end) intervals —
+    * WITHOUT the per-key quadratic join the naive form costs. Each
+    * interval explodes to the `bucketUs`-wide epoch buckets it touches,
+    * the join co-locates on (key, bucket) — bounding blowup to
+    * per-(key, bucket) volume — and each qualifying pair survives
+    * EXACTLY once with no dedup shuffle: it is kept only in the bucket
+    * containing the overlap's start (`bucket == max(s_a, s_b) div
+    * bucketUs` — the pair's first shared bucket, which both sides
+    * provably explode to). Choose bucketUs near the typical interval
+    * span: intervals touch ceil(span/bucketUs)+1 buckets, so the
+    * explode factor stays ~2 while long buckets would re-grow the
+    * per-bucket quadratic.
+    *
+    * Columns in, columns out: input needs (key, id, s, e) — epoch-us
+    * longs, end exclusive; output is one row per overlapping pair
+    * (key, id_a, id_b).
+    */
+  def intervalOverlapPairs(df: DataFrame, keyCol: String, idCol: String,
+                           sCol: String, eCol: String,
+                           bucketUs: Long): DataFrame = {
+    require(bucketUs > 0, s"intervalOverlapPairs: bucketUs must be positive, got $bucketUs")
+    val b = df.select(col(keyCol).as("key"), col(idCol).as("id"),
+        col(sCol).cast("long").as("s"), col(eCol).cast("long").as("e"))
+      .where(col("s") < col("e"))
+      .withColumn("bucket",
+        explode(sequence(expr(s"s div $bucketUs"), expr(s"(e - 1) div $bucketUs"))))
+    b.as("a").join(b.as("b"),
+        col("a.key") === col("b.key") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id") &&
+          col("a.s") < col("b.e") && col("b.s") < col("a.e") &&
+          col("a.bucket") === expr(s"greatest(a.s, b.s) div $bucketUs"))
+      .select(col("a.key").as(keyCol), col("a.id").as("id_a"),
+        col("b.id").as("id_b"))
+  }
+
   /** DuckDB oracle twin generated from the SAME arguments as
     * [[motifWithin]] — the identical lead() window formulation.
     */

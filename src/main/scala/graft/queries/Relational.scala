@@ -986,6 +986,43 @@ object Relational {
     graft.ops.events.Events.matchPatternSql("vc+[^P]*$",
       charMap = Map("purchase" -> "P"))
 
+  /** B68: interval-OVERLAP self-join — per customer, pairs of orders
+    * whose 7-day activity windows overlap in time. B21's range join is
+    * point-in-interval; overlap of two interval SETS is the harder
+    * classic (sessions × campaigns, readings × maintenance windows)
+    * because the naive form is per-key quadratic. The scale shape here
+    * is the standard bucketized interval join: each interval explodes to
+    * the epoch-week buckets it touches (≤ 2 at 7-day spans), the join
+    * co-locates on (key, bucket) — bounding any blowup to
+    * per-(key,bucket) volume instead of per-key — and each qualifying
+    * pair is counted EXACTLY once without any dedup shuffle by keeping
+    * it only in the bucket containing the overlap's start
+    * (`bucket == (max(s_a, s_b) div week)` — the pair's first shared
+    * bucket). The oracle is the direct quadratic predicate join the
+    * bucketing provably equals at fixture scale.
+    */
+  def qIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val weekUs = 7L * 24 * 3600 * 1000000L
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        // NTZ parquet dates: the Tables.eventTs stance (UTC session)
+        unix_micros(col("o_orderdate").cast("timestamp")).as("s"))
+      .withColumn("e", col("s") + lit(weekUs))
+    graft.ops.events.Events.intervalOverlapPairs(
+        o, "o_custkey", "o_orderkey", "s", "e", bucketUs = weekUs)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_overlaps"))
+      .orderBy("o_custkey")
+  }
+
+  val qIntervalJoinSql: String =
+    """WITH o AS (SELECT o_custkey AS c, o_orderkey AS k,
+      |    epoch_us(o_orderdate) AS s,
+      |    epoch_us(o_orderdate) + 604800000000 AS e FROM orders)
+      |SELECT a.c AS o_custkey, count(*) AS n_overlaps
+      |FROM o a JOIN o b ON a.c = b.c AND a.k < b.k AND a.s < b.e AND b.s < a.e
+      |GROUP BY a.c ORDER BY o_custkey""".stripMargin
+
   /** B67: time-bounded CEP ([[graft.ops.events.Events.motifWithin]]) —
     * the strict-contiguity view→click→purchase motif with a WITHIN
     * 24-hour clause: B63/B64 count motifs over a timestampless type

@@ -151,6 +151,43 @@ class EventsSpec extends SparkSpec {
     assert(sql.contains("ch = 'v' AND c1 = 'c' AND c2 = 'p'"))
   }
 
+  test("interval overlap join: bucketized == direct quadratic, boundary pairs counted once") {
+    import spark.implicits._
+    // crafted shapes: same-bucket overlap, overlap STRADDLING a bucket
+    // boundary (the pair appears in 2 shared buckets — must count once),
+    // touching endpoints (end exclusive: NOT an overlap), nested
+    // intervals, different keys never pair, zero-length dropped
+    val rows = Seq(
+      ("k1", 1L, 0L, 50L), ("k1", 2L, 40L, 140L),    // overlap straddles bucket 0/1
+      ("k1", 3L, 100L, 200L),                        // overlaps 2 (in bucket 1), not 1
+      ("k1", 4L, 200L, 300L),                        // touches 3 at 200: NOT overlap
+      ("k1", 5L, 210L, 220L),                        // nested inside 4
+      ("k2", 6L, 0L, 1000L),                         // other key: alone
+      ("k1", 7L, 400L, 400L))                        // zero-length: dropped
+      .toDF("key", "id", "s", "e")
+    val got = Events.intervalOverlapPairs(rows, "key", "id", "s", "e", bucketUs = 100L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set(("k1", 1L, 2L), ("k1", 2L, 3L), ("k1", 4L, 5L)))
+
+    // property: against random interval sets, bucketized == the direct
+    // quadratic reference, at a bucket width both shorter and longer
+    // than the typical span
+    val rnd = new scala.util.Random(7)
+    val rand = (1 to 120).map { i =>
+      val s = rnd.nextInt(1000).toLong
+      (s"k${rnd.nextInt(4)}", i.toLong, s, s + 1 + rnd.nextInt(150).toLong) }
+    val randDf = rand.toDF("key", "id", "s", "e")
+    val direct = (for {
+      (ka, ia, sa, ea) <- rand; (kb, ib, sb, eb) <- rand
+      if ka == kb && ia < ib && sa < eb && sb < ea
+    } yield (ka, ia, ib)).toSet
+    Seq(64L, 100L, 1024L).foreach { w =>
+      val bucketized = Events.intervalOverlapPairs(randDf, "key", "id", "s", "e", w)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(bucketized === direct, s"bucketUs=$w")
+    }
+  }
+
   test("generated oracle SQL embeds the same pattern and mapping") {
     val sql = Events.matchPatternSql("vc+[^P]*$", charMap = Map(P -> "P"))
     assert(sql.contains("'vc+[^P]*$'"))
