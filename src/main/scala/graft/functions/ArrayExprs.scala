@@ -207,6 +207,43 @@ object AudioFp64 {
   }
 }
 
+/** Sum of a binary payload's unsigned bytes as a native codegen
+  * expression — the content check of the media frame family (C98): for
+  * a frame whose fill is known arithmetic (the AVI fixture's repeating
+  * byte), the sum has a closed form an oracle reproduces without
+  * representing raw bytes in SQL. One linear pass at scan speed.
+  */
+case class ByteSum64(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_bytesum"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.sql}")
+  }
+
+  override def nullSafeEval(bytes: Any): Any =
+    ByteSum64.sum(bytes.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, b => s"graft.functions.ByteSum64.sum($b)")
+
+  override protected def withNewChildInternal(newChild: Expression): ByteSum64 =
+    copy(child = newChild)
+}
+
+object ByteSum64 {
+  def sum(b: Array[Byte]): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < b.length) { acc += b(i) & 0xff; i += 1 }
+    acc
+  }
+}
+
 /** MinHash signature of a token/shingle array: `numHashes` minima of
   * seeded hashes (FNV-1a base, splitmix64 seed mixing) in one pass —
   * replaces an interpreted `transform(sequence, s -> array_min(transform(…)))`

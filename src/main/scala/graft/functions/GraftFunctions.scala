@@ -20,6 +20,7 @@ object GraftFunctions {
     "graft_simhash64" -> { exprs => SimHash64(exprs(0)) },
     "graft_dhash64" -> { exprs => DHash64(exprs(0)) },
     "graft_audiofp64" -> { exprs => AudioFp64(exprs(0)) },
+    "graft_bytesum" -> { exprs => ByteSum64(exprs(0)) },
     "graft_intersect_count" -> { exprs => SortedIntersectCount(exprs(0), exprs(1)) },
     "graft_sorted_bucket" -> { exprs => SortedBucket(exprs(0), exprs(1)) },
     "graft_minhash_codes" -> { exprs =>

@@ -2897,6 +2897,43 @@ object Pipeline {
       |  CASE WHEN len IS NULL THEN 'img/fake' ELSE 'video/avi' END AS format
       |FROM e ORDER BY doc_id""".stripMargin
 
+  /** C98: REAL video FRAME extraction under the driver oracle —
+    * [[Multimodal.aviFrames]] walks each synthetic AVI's `LIST(movi)`
+    * by declared chunk sizes and emits the actual `00db` BI_RGB frame
+    * payloads (for a 'DIB ' stream those ARE raw pixel planes — no
+    * codec involved, so the extraction is fully real end-to-end, ending
+    * the byte-chunk stand-in for this container). The fixture fills
+    * frame f with the repeating byte (len + f) mod 256, so the oracle
+    * prices each extracted payload in closed form WITHOUT representing
+    * bytes in SQL: frame_len = ((3w+3)//4)·4·h and byte_sum = frame_len
+    * · ((len + idx) mod 256) — the native `graft_bytesum` codegen
+    * expression sums the real bytes on the engine side (one scan-speed
+    * pass). A wrong walk (off-by-one chunk offset, padding slip,
+    * truncation mishandling) shifts every sum. NULL text → no frames
+    * (the sampleFrames poison stance).
+    */
+  def mediaAviFrames(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Multimodal.aviFrames(
+        Multimodal.syntheticAvi(docs(spark, dir), "doc_id", "text"),
+        "doc_id", "media")
+      .select(col("doc_id"), col("frame_idx"),
+        octet_length(col("frame")).as("frame_len"),
+        call_function("graft_bytesum", col("frame")).as("byte_sum"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  val mediaAviFramesSql: String =
+    """WITH b AS (SELECT doc_id, octet_length(encode(text)) AS len
+      |    FROM documents WHERE text IS NOT NULL),
+      |d AS (SELECT doc_id, len, 1 + len % 16 AS w, 1 + (len * 31) % 12 AS h,
+      |        1 + (len * 7) % 8 AS f FROM b),
+      |e AS (SELECT doc_id, len, f, ((3 * w + 3) // 4) * 4 * h AS ds FROM d),
+      |x AS (SELECT doc_id, len, ds, unnest(range(0, f)) AS idx FROM e)
+      |SELECT doc_id, idx::INTEGER AS frame_idx, ds::INTEGER AS frame_len,
+      |  (ds * ((len + idx) % 256))::BIGINT AS byte_sum
+      |FROM x ORDER BY doc_id, frame_idx""".stripMargin
+
   /** C42: Naive Bayes self-distillation of the Gopher gate (see
     * [[TextOps.nbDistill]]) — the hard rule becomes a continuous
     * token-level quality score, the cheap-classifier curation pattern.

@@ -846,6 +846,24 @@ class PipelineOpsSpec extends SparkSpec {
     // uspf = 10000*(1+5%5) = 10000
     assert(got === Set((1L, 6, 12, 4, 10000L, "video/avi"),
       (2L, 0, 0, 0, 0L, "img/fake")))
+
+    // movi frame extraction: the walk recovers every frame payload, in
+    // order, with the declared BI_RGB plane size and the planted fill
+    val filled = Multimodal.aviBytes(7, 5, 3, 40000, fill = 250)
+    val frames = Multimodal.aviMoviFrames(filled)
+    assert(frames.size === 3)
+    assert(frames.forall(_.length === 120)) // ds = 24*5
+    // frame f fills with (250+f) mod 256: 250, 251, 252
+    assert(frames.zipWithIndex.forall { case (fb, i) =>
+      fb.forall(b => (b & 0xff) === ((250 + i) % 256)) })
+    // non-AVI and truncated payloads yield no frames, never throw
+    assert(Multimodal.aviMoviFrames(Multimodal.wavHeaderStreaming()).isEmpty)
+    assert(Multimodal.aviMoviFrames(filled.take(200)).isEmpty)
+    // a movi truncated mid-frame clamps: the partial frame is returned
+    // with the bytes it has (the pcmSection clamp stance)
+    val cut = filled.take(filled.length - 60)
+    val cutFrames = Multimodal.aviMoviFrames(cut)
+    assert(cutFrames.size === 3 && cutFrames.last.length === 60)
   }
 
   test("tabmap scan prunes to the mapped columns only") {
