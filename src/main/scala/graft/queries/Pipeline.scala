@@ -173,6 +173,46 @@ object Pipeline {
         |FROM verts v LEFT JOIN reach r ON r.src = v.id
         |GROUP BY v.id ORDER BY v.id""".stripMargin
 
+  /** C99: per-source duplication-rate report — the impact telemetry ON
+    * TOP of the dedup pipeline (A17): for each corpus source, how many
+    * documents sit in a near-dup cluster and what fraction of the
+    * source that is. "Source X is 40% duplicated" is the number that
+    * decides whether a scrape gets re-ingested, down-weighted (C33
+    * feeds on it) or dropped — pair lists and cluster ids don't answer
+    * it directly. Composes the A17 cluster chain (same minhash-LSH +
+    * exact-verify + connected components; the oracle nests the same
+    * recursive-CTE closure) and reduces to |sources| rows; sources
+    * with no duplicates survive via left join with rate 0.
+    */
+  def dedupRate(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = dedupClusters(spark, dir).select(col("id"))
+    val d = docs(spark, dir)
+    val total = d.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val dup = d.join(clusters, d("doc_id") === clusters("id"))
+      .groupBy("source").agg(count(lit(1)).as("n_dup"))
+    total.join(dup, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        round(coalesce(col("n_dup"), lit(0L)).cast("double") / col("n_docs"), 6)
+          .as("dup_rate"))
+      .orderBy("source")
+  }
+
+  // DISTINCT is load-bearing: in this composed context DuckDB returns
+  // verts WITH duplicates (28 pairs -> 56 rows, not the 45 distinct
+  // members) — A17's consumer never saw it because its final SELECT
+  // groups by v.id. Counting over verts without the DISTINCT silently
+  // double-counts multi-pair members.
+  val dedupRateSql: String =
+    "WITH RECURSIVE\n" + jaccardClusterCoreSql + ",\n" +
+    """clusters AS (SELECT DISTINCT v.id FROM verts v),
+      |tot AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+      |dup AS (SELECT d.source, count(*) AS n_dup
+      |  FROM documents d JOIN clusters c ON c.id = d.doc_id GROUP BY d.source)
+      |SELECT tot.source, tot.n_docs, coalesce(dup.n_dup, 0) AS n_dup,
+      |  round(coalesce(dup.n_dup, 0)::DOUBLE / tot.n_docs, 6) AS dup_rate
+      |FROM tot LEFT JOIN dup USING (source) ORDER BY tot.source""".stripMargin
+
   /** C3c: cluster survivor selection — which copy to KEEP per dedup
     * cluster (see [[Dedup.canonicalize]]): highest token count wins,
     * minimum doc_id breaks ties. Oracle: independent recursive-CTE
