@@ -1215,6 +1215,54 @@ object Pipeline {
        |FROM (SELECT DISTINCT qid FROM bf) q LEFT JOIN h USING (qid)
        |ORDER BY qid""".stripMargin
 
+  /** C100: truncated-dimension recall (the Matryoshka evaluation) —
+    * recall@5 of brute-force search over the FIRST HALF of each
+    * embedding's dimensions against full-dimension ground truth, per
+    * query vector. The question behind MRL-style embeddings and every
+    * dimension-reduction decision ("can we serve at half the dims?") is
+    * exactly this number — measured, not assumed; pairs with C97, which
+    * audits the INDEX at full dims while this audits the REPRESENTATION
+    * at lower dims. Same engine shape as C97: two TopKPerKey-bounded
+    * searches joined on the top-5 sets, zero-hit queries kept by the
+    * left join.
+    */
+  def embedTruncRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    val trunc = e.select(col("vec_id"), slice(col("embedding"), 1, 8).as("embedding"))
+    val full = Ann.bruteForceTopK(e.where(col("vec_id") < 20),
+      e.where(col("vec_id") >= 20), k = 5).select(col("qid"), col("cid"))
+    val half = Ann.bruteForceTopK(trunc.where(col("vec_id") < 20),
+      trunc.where(col("vec_id") >= 20), k = 5).select(col("qid"), col("cid"))
+    val hits = full.join(half, Seq("qid", "cid")).groupBy("qid")
+      .agg(count(lit(1)).as("n_hits"))
+    full.select("qid").distinct()
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / 5.0).as("recall"))
+      .orderBy("qid")
+  }
+
+  val embedTruncRecallSql: String = {
+    def chain(p: String, vExpr: String) =
+      s"""${p}n AS (SELECT vec_id, $vExpr AS v FROM e),
+         |${p}m AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) nrm FROM ${p}n),
+         |${p}s AS (SELECT q.vec_id qid, c.vec_id cid,
+         |  round(CASE WHEN q.nrm*c.nrm > 0 THEN list_sum([pr[1]*pr[2] for pr in list_zip(q.v, c.v)]) / (q.nrm*c.nrm) ELSE 0.0 END, 6) cosine
+         |  FROM ${p}m q JOIN ${p}m c ON q.vec_id < 20 AND c.vec_id >= 20),
+         |${p}r AS (SELECT qid, cid FROM (SELECT qid, cid,
+         |  row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) rnk FROM ${p}s)
+         |  WHERE rnk <= 5)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v0 FROM embeddings),
+       |${chain("f", "v0")},
+       |${chain("t", "v0[1:8]")},
+       |h AS (SELECT fr.qid, count(*) AS n_hits
+       |  FROM fr JOIN tr USING (qid, cid) GROUP BY fr.qid)
+       |SELECT q.qid, coalesce(h.n_hits, 0) AS n_hits,
+       |  coalesce(h.n_hits, 0)::DOUBLE / 5.0 AS recall
+       |FROM (SELECT DISTINCT qid FROM fr) q LEFT JOIN h USING (qid)
+       |ORDER BY qid""".stripMargin
+  }
+
   /** C60: distribution-drift monitor — the exact two-sample
     * Kolmogorov–Smirnov distance between two sources' token-length
     * distributions (max |cdf_a − cdf_b| over the integer support). The

@@ -1551,6 +1551,78 @@ object Streaming {
     * stops costing anything but residence. NULL ids/values drop at the
     * door (toPg's emit filters them upstream in the batch path).
     */
+  final case class TsInterval(key: String, id: Long, s: Long, e: Long,
+                              bucket: Long, ts: java.sql.Timestamp)
+  final case class OverlapPair(key: String, id_a: Long, id_b: Long,
+                               overlap_us: Long)
+
+  /** D35: streaming interval-overlap matcher — the ingest-time face of
+    * B68 (`q_interval_join`), the CEP join shape batch can't wait for
+    * (live ad impressions × running sessions, readings × open
+    * maintenance windows): arriving (key, id, [s, e)) intervals pair
+    * with every RETAINED interval of the same key they overlap, exactly
+    * once. The B68 bucketization IS the state layout: each interval
+    * registers in the `bucketUs`-wide epoch buckets it touches, state
+    * lives per (key, bucket) group — so a hot key's members spread over
+    * its buckets instead of one ever-growing list — and a pair
+    * straddling several shared buckets is CLAIMED only in the bucket
+    * containing the overlap's start (`max(s_a, s_b) div bucketUs`, the
+    * same arithmetic dedup as batch: no downstream distinct needed).
+    * State is bounded twice: per-visit retention pruning on event time
+    * plus EventTimeTimeout erasing quiet (key, bucket) groups — the
+    * D7b/D30b pattern. Unparseable ids drop at the door (try_cast, the
+    * r16 pair-monitor family rule); emits carry the overlap length.
+    */
+  def intervalOverlapMonitor(intervals: DataFrame, bucketUs: Long,
+                             tsCol: String, retention: String = "1 hour",
+                             keyCol: String = "key", idCol: String = "id",
+                             sCol: String = "s", eCol: String = "e"): Dataset[OverlapPair] = {
+    require(bucketUs > 0, s"intervalOverlapMonitor: bucketUs must be positive, got $bucketUs")
+    val spark = intervals.sparkSession
+    import spark.implicits._
+    val exploded = intervals
+      .withWatermark(tsCol, retention)
+      .where(col(idCol).try_cast("long").isNotNull)
+      .select(col(keyCol).cast("string").as("key"),
+        col(idCol).try_cast("long").as("id"),
+        col(sCol).cast("long").as("s"), col(eCol).cast("long").as("e"),
+        col(tsCol).as("ts"))
+      .where(col("s") < col("e"))
+      .withColumn("bucket",
+        explode(sequence(expr(s"s div $bucketUs"), expr(s"(e - 1) div $bucketUs"))))
+      .select(col("key"), col("id"), col("s"), col("e"), col("bucket"), col("ts"))
+      .as[TsInterval]
+    exploded.groupByKey(d => (d.key, d.bucket))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (kb: (String, Long), it: Iterator[TsInterval], state: GroupState[List[TsInterval]]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val watermark = state.getCurrentWatermarkMs()
+            var seen = state.getOption.getOrElse(Nil)
+              .filter(_.ts.getTime >= watermark) // retention prune
+            val out = List.newBuilder[OverlapPair]
+            var maxTs = watermark
+            it.foreach { d =>
+              seen.foreach { o =>
+                if (o.id != d.id && o.s < d.e && d.s < o.e &&
+                    kb._2 == math.max(o.s, d.s) / bucketUs) {
+                  val (a, b) = if (o.id < d.id) (o.id, d.id) else (d.id, o.id)
+                  out += OverlapPair(d.key, a, b,
+                    math.min(o.e, d.e) - math.max(o.s, d.s))
+                }
+              }
+              seen ::= d
+              if (d.ts.getTime > maxTs) maxTs = d.ts.getTime
+            }
+            state.update(seen)
+            state.setTimeoutTimestamp(maxTs + 1)
+            out.result().iterator
+          }
+      }
+  }
+
   /** D34: live shard-manifest monitor — the ingest-time face of C96
     * (`shard_manifest`), the same pairing as D33/A48: as documents
     * stream in, each md5-assigned shard's running manifest row (n_docs,

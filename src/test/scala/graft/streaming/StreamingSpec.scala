@@ -1239,6 +1239,60 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("D35: streaming interval overlaps match the batch join, claim once across buckets, expire") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val horizon = 3600L // seconds retention
+    val t0 = 1000000000L
+    // (key, id, s, e, arrival-epoch-s): 1-2 overlap straddling the
+    // bucket-100 boundary (shared buckets 0 AND 1 — must emit once);
+    // 3 overlaps 2 but not 1; 4 touches 3 end-exclusively (no pair);
+    // id 9 arrives one batch later, overlapping 3 (cross-batch pair)
+    val b1 = Seq(("k1", 1L, 0L, 50L, t0), ("k1", 2L, 40L, 140L, t0),
+      ("k1", 3L, 100L, 200L, t0), ("k1", 4L, 200L, 300L, t0),
+      ("k2", 6L, 0L, 1000L, t0))
+    val b2 = Seq(("k1", 9L, 150L, 260L, t0 + 10))
+    // watermark pusher (other key), THEN the expiry probe: watermarks
+    // advance at batch boundaries, so expiry needs its own batch first
+    val b3a = Seq(("k3", 99L, 0L, 10L, t0 + 8000))
+    val b3 = Seq(("k1", 10L, 60L, 90L, t0 + 8005))
+    val mem = MemoryStream[(String, Long, Long, Long, Long)]
+    val q = Streaming.intervalOverlapMonitor(
+        mem.toDF.toDF("key", "id", "s", "e", "epoch_s")
+          .withColumn("ts", col("epoch_s").cast("timestamp")).drop("epoch_s"),
+        bucketUs = 100L, tsCol = "ts", retention = s"$horizon seconds")
+      .writeStream.format("memory").queryName("overlaps")
+      .outputMode("append").start()
+    def pairs() = spark.table("overlaps").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    try {
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      // within-batch pairs, each exactly once (1-2 despite 2 shared buckets)
+      assert(pairs().sorted === Seq(("k1", 1L, 2L, 10L), ("k1", 2L, 3L, 40L)))
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      // cross-batch: 9 pairs with retained 2 (overlap [150,140)? no — with
+      // 3: [150,200) 50us; with 4: [200,260) 60us; with 2: none (140<=150)
+      assert(pairs().sorted === Seq(("k1", 1L, 2L, 10L), ("k1", 2L, 3L, 40L),
+        ("k1", 3L, 9L, 50L), ("k1", 4L, 9L, 60L)))
+      // matches the batch operator over everything in-window
+      val batch = graft.ops.events.Events.intervalOverlapPairs(
+          (b1 ++ b2).toDF("key", "id", "s", "e", "epoch_s"),
+          "key", "id", "s", "e", bucketUs = 100L)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(pairs().map(p => (p._1, p._2, p._3)).toSet === batch)
+      mem.addData(b3a: _*)
+      q.processAllAvailable()
+      mem.addData(b3: _*)
+      q.processAllAvailable()
+      // the late interval overlaps 2 by VALUE but the members are past
+      // the horizon — no new pair may appear
+      assert(pairs().size === 4)
+    } finally q.stop()
+  }
+
   test("D34: live shard manifest converges on the batch manifest however batches split") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
