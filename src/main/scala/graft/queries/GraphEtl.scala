@@ -1069,6 +1069,53 @@ object GraphEtl {
        |SELECT node, round(x, 6) AS katz FROM x8 ORDER BY node""".stripMargin
   }
 
+  /** A52: PG validation report under the driver oracle — promotes the
+    * B24 spec-only component to a driver-checked query: the nation PG is
+    * corrupted DETERMINISTICALLY (by the id's last digit: nodes ending
+    * 0/5 lose their labels, nodes ending 3 gain a bogus endpoint, edges
+    * whose region digit is 1 gain a second label, region digit 2 loses
+    * `to`), and [[PgGraph.validate]] must flag exactly the planted
+    * violations — every rule fires, nothing else does. The oracle
+    * enumerates the same planted set straight from the base table (no PG
+    * machinery), so a validator that under- or over-reports diverges
+    * immediately. Scale: validate is a narrow scan (four predicates, no
+    * shuffle) — the pre-load gate a 100 TB graph runs before the
+    * NeoLoader phases.
+    */
+  def pgValidate(spark: SparkSession, dir: String): DataFrame = {
+    val pg = PgGraph.toPg(nationTriples(spark, dir))
+    val last = substring(col("id"), -1, 1)
+    val corrupted = pg
+      .withColumn("labels",
+        when(col("type") === Graph.NodeType && last.isin("0", "5"),
+          array().cast("array<string>"))
+        .when(col("type") === Graph.EdgeType && last === "1",
+          concat(col("labels"), array(lit("Extra"))))
+        .otherwise(col("labels")))
+      .withColumn("from",
+        when(col("type") === Graph.NodeType && last === "3", lit("bogus"))
+          .otherwise(col("from")))
+      .withColumn("to",
+        when(col("type") === Graph.EdgeType && last === "2",
+          lit(null).cast("string")).otherwise(col("to")))
+    PgGraph.validate(corrupted).orderBy("id", "problem")
+  }
+
+  val pgValidateSql: String =
+    """WITH n AS (SELECT n_nationkey AS k, n_regionkey AS r FROM nation)
+      |SELECT id, problem FROM (
+      |  SELECT 'nation:' || k AS id, 'unlabelled element' AS problem
+      |    FROM n WHERE k % 10 IN (0, 5)
+      |  UNION ALL
+      |  SELECT 'nation:' || k, 'node with endpoint' FROM n WHERE k % 10 = 3
+      |  UNION ALL
+      |  SELECT 'inRegion:nation:' || k || '-region:' || r,
+      |      'edge must have exactly one label' FROM n WHERE r = 1
+      |  UNION ALL
+      |  SELECT 'inRegion:nation:' || k || '-region:' || r,
+      |      'edge missing endpoint' FROM n WHERE r = 2
+      |) ORDER BY id, problem""".stripMargin
+
   /** A50: HyperANF distance profile ([[graft.ops.graph.GraphOps.anf]],
     * Boldi–Rosa–Vigna 2011) over a DEPTH-3 KG chain — a deterministic
     * 1/97th of orders → customer → nation → region — deep enough that
