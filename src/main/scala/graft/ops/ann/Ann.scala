@@ -138,7 +138,17 @@ object Ann {
       val n2 = raw.map(x => d10(x * x)).sum
       if (n2.signum != 0) {
         val norm = math.sqrt(n2.toDouble)
-        val l = raw.map(x => r6(x / norm))
+        // loadings stage through 12 dp before the 6-dp round: a DEFLATED
+        // input (C101 — coordinates already 6-dp quantized) parks
+        // loadings exactly ON 6-dp half boundaries, where the double's
+        // binary representation error alone decides the digit and the
+        // two engines decide differently; quantizing at 12 dp first
+        // absorbs that error (~1e-16) far from any boundary either
+        // round step can see (the kg_ppr stance)
+        def rl(x: Double) = BigDecimal(x)
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val l = raw.map(x => rl(x / norm))
         val pivot = l.indices.minBy(i => (-math.abs(l(i)), i))
         val sg = if (l(pivot) < 0) -1.0 else 1.0
         w = l.map(_ * sg)

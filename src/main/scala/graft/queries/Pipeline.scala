@@ -1507,10 +1507,14 @@ object Pipeline {
     * shared verbatim by [[embedTopPcSql]] and [[embedWhitenSql]] so the
     * two oracles can never drift from the one [[Ann.fitTopPc]] fit.
     */
-  private lazy val topPcCteChain: String = {
+  /** [[topPcCteChain]] over an arbitrary `(vec_id, v DOUBLE[])` source
+    * expression — lets C101 run the identical fit over the DEFLATED
+    * cloud (the C94 output) instead of the raw table.
+    */
+  private def topPcCteChainFrom(src: String): String = {
     val iters = 4
     val head =
-      """WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, v FROM $src),
         |n AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM e),
         |p AS MATERIALIZED (SELECT vec_id, unnest(v) AS x, unnest(range(1, len(v)+1)) AS dim FROM e),
         |mu AS MATERIALIZED (SELECT dim, round(sum(CAST(x AS DECIMAL(27,10)))::DOUBLE / (SELECT n FROM n), 6) AS m
@@ -1519,34 +1523,73 @@ object Pipeline {
         |v0 AS MATERIALIZED (SELECT dim, round(1.0/sqrt((SELECT count(*)::DOUBLE FROM mu)), 6) AS w FROM mu),""".stripMargin
     val its = (1 to iters).map { t =>
       val pv = s"v${t - 1}"
-      s"""s$t AS MATERIALIZED (SELECT vec_id, round(sum(CAST(cx * w AS DECIMAL(27,10)))::DOUBLE, 6) AS s
+      // loading rounds stage 12 dp -> 6 dp (see fitTopPc: deflated inputs
+      // park loadings exactly on 6-dp half boundaries)
+      val ld = s"round(CAST(wr / sqrt((SELECT n2 FROM n$t)::DOUBLE) AS DECIMAL(27,12)), 6)::DOUBLE"
+      // the decimal sum rounds IN DECIMAL before the double cast: a
+      // deflated input's 1e-10-lattice sums land exactly on 6-dp ties,
+      // where Spark's round (shortest-decimal) goes up but a
+      // double-space round sees the binary value just under the tie
+      s"""s$t AS MATERIALIZED (SELECT vec_id, round(sum(CAST(cx * w AS DECIMAL(27,10))), 6)::DOUBLE AS s
          |  FROM cv JOIN $pv ON $pv.dim = cv.dim GROUP BY vec_id),
          |w$t AS MATERIALIZED (SELECT cv.dim, sum(CAST(cx * s AS DECIMAL(27,10)))::DOUBLE AS wr
          |  FROM cv JOIN s$t USING (vec_id) GROUP BY cv.dim),
          |n$t AS MATERIALIZED (SELECT sum(CAST(wr * wr AS DECIMAL(27,10))) AS n2 FROM w$t),
-         |g$t AS MATERIALIZED (SELECT CASE WHEN round(wr / sqrt((SELECT n2 FROM n$t)::DOUBLE), 6) < 0
+         |g$t AS MATERIALIZED (SELECT CASE WHEN $ld < 0
          |      THEN -1.0 ELSE 1.0 END AS sg
          |  FROM w$t WHERE (SELECT n2 FROM n$t) <> 0
-         |  ORDER BY abs(round(wr / sqrt((SELECT n2 FROM n$t)::DOUBLE), 6)) DESC, dim LIMIT 1),
+         |  ORDER BY abs($ld) DESC, dim LIMIT 1),
          |v$t AS MATERIALIZED (SELECT w$t.dim,
          |    CASE WHEN (SELECT n2 FROM n$t) = 0 THEN $pv.w
-         |      ELSE (SELECT sg FROM g$t) * round(wr / sqrt((SELECT n2 FROM n$t)::DOUBLE), 6)
+         |      ELSE (SELECT sg FROM g$t) * $ld
          |    END AS w
          |  FROM w$t JOIN $pv ON $pv.dim = w$t.dim),""".stripMargin
     }.mkString("\n")
     s"$head\n$its"
   }
 
-  val embedTopPcSql: String =
-    s"""$topPcCteChain
-       |sf AS MATERIALIZED (SELECT vec_id, round(sum(CAST(cx * w AS DECIMAL(27,10)))::DOUBLE, 6) AS s
-       |  FROM cv JOIN v4 ON v4.dim = cv.dim GROUP BY vec_id),
-       |lam AS MATERIALIZED (SELECT round(sum(CAST(s * s AS DECIMAL(27,10)))::DOUBLE / (SELECT n FROM n), 6) AS ev FROM sf),
-       |tv AS MATERIALIZED (SELECT round(sum(CAST(cx * cx AS DECIMAL(27,10)))::DOUBLE / (SELECT n FROM n), 6) AS t FROM cv)
-       |SELECT dim::BIGINT AS dim, w AS loading, (SELECT ev FROM lam) AS eigenvalue,
-       |  CASE WHEN (SELECT t FROM tv) = 0 THEN 0.0
-       |    ELSE round((SELECT ev FROM lam) / (SELECT t FROM tv), 6) END AS var_share
-       |FROM v4 ORDER BY dim""".stripMargin
+  private lazy val topPcCteChain: String = topPcCteChainFrom(
+    "(SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) esrc")
+
+  /** The tail shared by [[embedTopPcSql]] and [[embedSecondPcSql]] —
+    * final projection, eigenvalue, total variance, var_share.
+    */
+  private val topPcTailSql: String =
+    """sf AS MATERIALIZED (SELECT vec_id, round(sum(CAST(cx * w AS DECIMAL(27,10)))::DOUBLE, 6) AS s
+      |  FROM cv JOIN v4 ON v4.dim = cv.dim GROUP BY vec_id),
+      |lam AS MATERIALIZED (SELECT round(sum(CAST(s * s AS DECIMAL(27,10)))::DOUBLE / (SELECT n FROM n), 6) AS ev FROM sf),
+      |tv AS MATERIALIZED (SELECT round(sum(CAST(cx * cx AS DECIMAL(27,10)))::DOUBLE / (SELECT n FROM n), 6) AS t FROM cv)
+      |SELECT dim::BIGINT AS dim, w AS loading, (SELECT ev FROM lam) AS eigenvalue,
+      |  CASE WHEN (SELECT t FROM tv) = 0 THEN 0.0
+      |    ELSE round((SELECT ev FROM lam) / (SELECT t FROM tv), 6) END AS var_share
+      |FROM v4 ORDER BY dim""".stripMargin
+
+  lazy val embedTopPcSql: String = s"$topPcCteChain\n$topPcTailSql"
+
+  /** C101: the SECOND principal component via deflation — the C69 fit
+    * re-run over the C94 all-but-the-top output (mean and PC1 both
+    * stripped), so its top direction IS PC2 of the original cloud, with
+    * eigenvalue and var_share measured against the DEFLATED variance.
+    * Completes the spectrum telemetry the two parents begin: C69 says
+    * how anisotropic the cloud is, this says whether ONE direction
+    * explained it or a second one still dominates (the decision between
+    * removing 1 vs k components in the C94 preprocessor, and the
+    * rank-sizing signal for C41/C62 projections). Pure composition:
+    * engine = `topPrincipalComponent(allButTop(e))`, oracle = the SAME
+    * parameterized CTE chain over the nested C94 oracle — neither side
+    * has any new arithmetic to drift.
+    */
+  def embedSecondPc(spark: SparkSession, dir: String): DataFrame = {
+    val whitened = Ann.allButTop(embs(spark, dir))
+      .groupBy("vec_id")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("wx")))),
+        s => s.getField("wx")).as("embedding"))
+    Ann.topPrincipalComponent(whitened)
+  }
+
+  lazy val embedSecondPcSql: String =
+    s"${topPcCteChainFrom(
+      s"(SELECT vec_id, list(wx ORDER BY pos) AS v FROM ($embedWhitenSql) wsrc GROUP BY vec_id) w2src")}\n$topPcTailSql"
 
   /** C94: "all-but-the-top" embedding post-processing
     * ([[Ann.allButTop]], Mu & Viswanath 2018) — subtract the corpus mean,

@@ -1104,6 +1104,21 @@ class PipelineOpsSpec extends SparkSpec {
     val again = Ann.allButTop(emb.repartition(7)).collect()
       .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
     assert(again === out)
+
+    // second PC by deflation: the top PC of the whitened cloud is the
+    // orthogonal noise direction (-0.8, 0.6) sign-fixed positive at the
+    // largest loading, and it explains ~all the deflated variance
+    val whitened = Ann.allButTop(emb)
+      .groupBy("vec_id")
+      .agg(org.apache.spark.sql.functions.transform(
+        array_sort(collect_list(struct(col("pos"), col("wx")))),
+        s => s.getField("wx")).as("embedding"))
+    val pc2 = Ann.topPrincipalComponent(whitened).collect()
+    val (l0, l1) = (pc2(0).getDouble(1), pc2(1).getDouble(1))
+    assert(math.abs(math.abs(l0) - 0.8) < 0.02 && math.abs(math.abs(l1) - 0.6) < 0.02,
+      s"pc2 loadings ($l0, $l1)")
+    assert(l0 * l1 < 0, "noise direction has opposite-sign components")
+    assert(pc2.head.getDouble(3) > 0.95, "deflated variance concentrated in one direction")
   }
 
   test("label noise: planted mislabel flagged by the kNN vote, duplicates don't starve k") {
