@@ -3952,6 +3952,62 @@ object Pipeline {
       |       ELSE 'test' END AS split
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** C102: split-leakage check — near-dup pairs that STRADDLE the
+    * train/val/test assignment: the eval-hygiene number (a test doc
+    * whose near-duplicate sits in train inflates every benchmark score;
+    * C22/C73 catch verbatim n-gram contamination against an external
+    * eval set, this catches NEAR-dup leakage across the pipeline's OWN
+    * split — the failure hash-split assignment cannot prevent, because
+    * near-identical docs hash independently). Composes the C3 pair
+    * chain with the C17 assignment and counts pairs per unordered
+    * split pair — the diagonal (train,train) is benign, everything off
+    * it is leakage; all six cells emitted (a leakage report that drops
+    * empty cells can't prove absence). One |pairs|-sized join against
+    * a broadcastable assignment — negligible beside the dedup it
+    * audits.
+    */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashLsh(docs(spark, dir), minJaccard = 0.5)
+      .select(col("a"), col("b"))
+    val splits = docs(spark, dir).select(col("doc_id"),
+      graft.ops.sample.Sampling.splitAssign(col("doc_id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
+    val joined = pairs
+      .join(splits.select(col("doc_id").as("a"), col("split").as("sa")), "a")
+      .join(splits.select(col("doc_id").as("b"), col("split").as("sb")), "b")
+      .select(least(col("sa"), col("sb")).as("split_a"),
+        greatest(col("sa"), col("sb")).as("split_b"))
+      .groupBy("split_a", "split_b").agg(count(lit(1)).as("n_pairs"))
+    val names = Seq("test", "train", "val")
+    val cells = names.flatMap(x => names.filter(_ >= x).map(y => (x, y)))
+    import spark.implicits._
+    val spine = cells.toDF("split_a", "split_b")
+    spine.join(joined, Seq("split_a", "split_b"), "left")
+      .select(col("split_a"), col("split_b"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        (col("split_a") =!= col("split_b")).as("leaked"))
+      .orderBy("split_a", "split_b")
+  }
+
+  val splitLeakageSql: String =
+    s"""WITH $jaccardCoreSql,
+       |pr AS (SELECT a, b FROM p WHERE jaccard >= 0.5),
+       |sp AS (SELECT doc_id,
+       |    CASE WHEN ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000 < 8000 THEN 'train'
+       |         WHEN ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000 < 9000 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents),
+       |j AS (SELECT least(sa.split, sb.split) AS split_a,
+       |    greatest(sa.split, sb.split) AS split_b, count(*) AS n_pairs
+       |  FROM pr JOIN sp sa ON sa.doc_id = pr.a JOIN sp sb ON sb.doc_id = pr.b
+       |  GROUP BY 1, 2),
+       |cells(split_a, split_b) AS (VALUES ('test','test'), ('test','train'),
+       |  ('test','val'), ('train','train'), ('train','val'), ('val','val'))
+       |SELECT c.split_a, c.split_b, coalesce(j.n_pairs, 0) AS n_pairs,
+       |  (c.split_a <> c.split_b) AS leaked
+       |FROM cells c LEFT JOIN j USING (split_a, split_b)
+       |ORDER BY split_a, split_b""".stripMargin
+
   /** C20 (flagship for the training-data block): the full curation
     * pipeline in one oracle-checked query — token-count quality gate →
     * near-dup clustering (MinHash LSH pairs, exactly verified → GraphX
