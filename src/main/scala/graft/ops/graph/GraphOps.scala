@@ -112,6 +112,40 @@ object GraphOps {
       .orderBy("node")
   }
 
+  /** STRONGLY connected components of a directed PG edge set — the
+    * directed complement of [[components]]: nodes in the same SCC reach
+    * each other along edge DIRECTION (mutual reachability), so a DAG is
+    * all singletons and every cycle collapses to one label. The KG
+    * hygiene read: an ontology edge set that is SUPPOSED to be a
+    * hierarchy (is-a, part-of) must have only singleton SCCs — any
+    * larger one is a definitional cycle to fix before load.
+    *
+    * GraphX stronglyConnectedComponents is the iterative
+    * colorize/prune Pregel algorithm, labelling every member with the
+    * minimum vertex id of its SCC; [[nodeIndex]] assigns vids in sorted
+    * node order, so as in [[components]] the label IS the
+    * lexicographically smallest node key — exact, not conventional.
+    * Sizes attach via one keyed count. `numIter` bounds the
+    * color/propagate rounds (≥ the longest cycle's diameter; 10 covers
+    * the fixture's 2-cycles with slack — callers with deep cycles raise
+    * it).
+    */
+  def stronglyConnected(pgEdges: DataFrame, numIter: Int = 10): DataFrame = {
+    val spark = pgEdges.sparkSession
+    import spark.implicits._
+    val e = endpoints(pgEdges)
+    val idx = nodeIndex(e)
+    val scc = XGraph.fromEdges(mapEdges(e, idx), ())
+      .stronglyConnectedComponents(numIter).vertices.toDF("vid", "cvid")
+    val labelled = scc.join(idx, "vid")
+      .join(idx.select(col("vid").as("cvid"), col("node").as("scc")), "cvid")
+      .select(col("node"), col("scc"))
+    val sizes = labelled.groupBy("scc").agg(count(lit(1)).as("scc_size"))
+    labelled.join(sizes, "scc")
+      .select(col("node"), col("scc"), col("scc_size"))
+      .orderBy("node")
+  }
+
   /** HyperANF neighbourhood function (Boldi, Rosa & Vigna, WWW 2011) over
     * a DIRECTED PG edge set: for k = 0..maxK, an HLL-sketched estimate of
     * N(k) = |{(v,u) : dist(v→u) ≤ k}| — the distance distribution of the

@@ -1069,6 +1069,57 @@ object GraphEtl {
        |SELECT node, round(x, 6) AS katz FROM x8 ORDER BY node""".stripMargin
   }
 
+  /** A53: strongly connected components
+    * ([[graft.ops.graph.GraphOps.stronglyConnected]]) over the
+    * supplier→nation→region KG with PLANTED definitional cycles —
+    * even-region back-edges (`region:r → nation:k` for r even) collapse
+    * each even region with its nations into one SCC while odd regions
+    * and every supplier stay singletons: the cycle-detection read of the
+    * directed KG (a hierarchy with a non-singleton SCC is broken before
+    * load), exercising exactly what A33's UNDIRECTED components cannot —
+    * the same nodes are all weakly connected. Oracle: mutual
+    * reachability from a recursive closure (scc(v) = min over {v} ∪
+    * {u : v→*u ∧ u→*v}), sizes by count.
+    */
+  def kgScc(spark: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.load(spark, dir, "nation")
+    val supplier = Tables.load(spark, dir, "supplier")
+    val triples = Triples.chain(
+      Triples.edges(supplier, "basedIn",
+        Triples.wrap(col("s_suppkey"), "sup:"),
+        Triples.wrap(col("s_nationkey"), "nation:")),
+      Triples.chain(
+        Triples.edges(nation, "inRegion",
+          Triples.wrap(col("n_nationkey"), "nation:"),
+          Triples.wrap(col("n_regionkey"), "region:")),
+        Triples.edges(nation.where(col("n_regionkey") % 2 === 0), "feeds",
+          Triples.wrap(col("n_regionkey"), "region:"),
+          Triples.wrap(col("n_nationkey"), "nation:"))))
+    graft.ops.graph.GraphOps.stronglyConnected(
+      PgGraph.toPg(triples).where(col("type") === Graph.EdgeType))
+  }
+
+  val kgSccSql: String =
+    """WITH RECURSIVE e AS (
+      |  SELECT 'sup:' || s_suppkey AS src, 'nation:' || s_nationkey AS dst FROM supplier
+      |  UNION ALL
+      |  SELECT 'nation:' || n_nationkey, 'region:' || n_regionkey FROM nation
+      |  UNION ALL
+      |  SELECT 'region:' || n_regionkey, 'nation:' || n_nationkey
+      |    FROM nation WHERE n_regionkey % 2 = 0),
+      |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      |reach(src, dst) AS (
+      |  SELECT src, dst FROM e
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN e ON e.src = r.dst),
+      |mut AS (SELECT a.src AS v, a.dst AS u
+      |  FROM reach a JOIN reach b ON b.src = a.dst AND b.dst = a.src),
+      |lab AS (SELECT n.node, least(n.node, coalesce(min(m.u), n.node)) AS scc
+      |  FROM nodes n LEFT JOIN mut m ON m.v = n.node GROUP BY n.node),
+      |sz AS (SELECT scc, count(*) AS scc_size FROM lab GROUP BY scc)
+      |SELECT lab.node, lab.scc, sz.scc_size
+      |FROM lab JOIN sz USING (scc) ORDER BY lab.node""".stripMargin
+
   /** A52: PG validation report under the driver oracle — promotes the
     * B24 spec-only component to a driver-checked query: the nation PG is
     * corrupted DETERMINISTICALLY (by the id's last digit: nodes ending

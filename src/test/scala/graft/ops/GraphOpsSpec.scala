@@ -544,6 +544,23 @@ class GraphOpsSpec extends SparkSpec {
       === ((3L, None)))
   }
 
+  test("stronglyConnected: cycles collapse to min label, DAG stays singletons, direction matters") {
+    // cycle {b,c,d}, tail a -> b (a reaches the cycle, cycle can't reach
+    // back), island 2-cycle {x,y}, pure-DAG edge p -> q
+    val g = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "b"),
+      ("x", "y"), ("y", "x"), ("p", "q")).toDF("from", "to")
+    val got = GraphOps.stronglyConnected(g).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got === Map(
+      "a" -> (("a", 1L)), "b" -> (("b", 3L)), "c" -> (("b", 3L)), "d" -> (("b", 3L)),
+      "x" -> (("x", 2L)), "y" -> (("x", 2L)), "p" -> (("p", 1L)), "q" -> (("q", 1L))))
+    // the same graph UNDIRECTED is two big weak components — the weak-CC
+    // op cannot see any of this structure
+    val weak = GraphOps.components(g).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(weak("a") === "a" && weak("d") === "a" && weak("q") === "p")
+  }
+
   test("anf: exact closure counts on a path+island, sketch saturates with the diameter, layout-invariant") {
     // path a->b->c->d plus island x->y: balls grow for 3 rounds then stop
     val g = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")).toDF("from", "to")
