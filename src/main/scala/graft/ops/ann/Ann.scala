@@ -777,11 +777,18 @@ object Ann {
                  idCol: String = "vec_id", vecCol: String = "embedding",
                  labelCol: String = "label"): DataFrame = {
     graft.functions.GraftFunctions.register(audit.sparkSession)
+    // NULL labels drop at the door on BOTH sides: an unlabeled row can
+    // neither be audited nor vote (and a NULL in the vote tie-break
+    // would order differently across engines — Spark sorts NULLS FIRST
+    // ascending, DuckDB NULLS LAST)
     val q = broadcast(audit
+      .where(col(labelCol).isNotNull)
       .select(col(idCol).as("qid"), vec(col(vecCol)).as("qv"),
         col(labelCol).as("qlabel"))
       .withColumn("qn", norm(col("qv"))))
-    val c = corpus.select(col(idCol).as("cid"), vec(col(vecCol)).as("cv"),
+    val c = corpus
+      .where(col(labelCol).isNotNull)
+      .select(col(idCol).as("cid"), vec(col(vecCol)).as("cv"),
         col(labelCol).as("clabel"))
       .withColumn("cn", norm(col("cv")))
     val scored = c.crossJoin(q)

@@ -1166,7 +1166,8 @@ object Pipeline {
   }
 
   val labelNoiseSql: String =
-    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v, label FROM embeddings),
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v, label FROM embeddings
+      |  WHERE label IS NOT NULL),
       |n AS (SELECT vec_id, v, label, sqrt(list_sum([x*x for x in v])) nrm FROM e),
       |s AS (SELECT q.vec_id qid, q.label qlabel, c.vec_id cid, c.label clabel,
       |  round(CASE WHEN q.nrm*c.nrm > 0 THEN list_sum([pr[1]*pr[2] for pr in list_zip(q.v, c.v)]) / (q.nrm*c.nrm) ELSE 0.0 END, 6) cosine
