@@ -270,6 +270,59 @@ object Relational {
       |  coalesce(abs(z) > 2, false) AS is_anomaly
       |FROM z ORDER BY bucket, event_type""".stripMargin
 
+  /** B69: robust (median/MAD) anomaly profile per event type — the
+    * breakdown-resistant twin of B34's trailing z-scores: mean/std are
+    * themselves dragged by the outliers they are supposed to flag (one
+    * huge hour inflates σ and masks the next spike), while the median
+    * and the median-absolute-deviation have a 50% breakdown point — the
+    * robust-statistics staple for telemetry with real incidents in it.
+    * Exactness by construction, no rounding anywhere: hourly counts are
+    * integers, the exact 0.5-quantile of integers is k or k.5 (both
+    * binary-exact), |n − med| therefore exact, the second median
+    * likewise, and 3·mad is exact — so the strict `dev > 3·mad`
+    * comparison is bit-deterministic cross-engine with no epsilon. A
+    * type whose mad is 0 (over half its hours identical) flags nothing
+    * here — scale is degenerate; B34's windowed z covers that regime —
+    * documented, not silent. Two group-median passes over the
+    * \|types\|·\|hours\| counts table — nothing corpus-sized past the
+    * first agg.
+    */
+  def qEventsAnomalyMad(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(spark, dir)
+      .groupBy(unix_micros(date_trunc("hour", col("ts"))).as("bucket"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val med = graft.ops.stats.Stats.percentilesExact(
+      counts, "event_type", col("n_events"), Seq((0.5, "med")),
+      fewGroupsHint = Some(true))
+    val dev = counts.join(med.select("event_type", "med"), "event_type")
+      .withColumn("dev", abs(col("n_events") - col("med")))
+    val mad = graft.ops.stats.Stats.percentilesExact(
+      dev, "event_type", col("dev"), Seq((0.5, "mad")),
+      fewGroupsHint = Some(true))
+    dev.join(mad.select("event_type", "mad"), "event_type")
+      .groupBy("event_type", "med", "mad")
+      .agg(count(lit(1)).as("n_buckets"),
+        count(when(col("mad") > 0 && col("dev") > lit(3) * col("mad"), 1))
+          .as("n_anomalies"))
+      .select(col("event_type"), col("n_buckets"), col("med"), col("mad"),
+        col("n_anomalies"))
+      .orderBy("event_type")
+  }
+
+  val qEventsAnomalyMadSql: String =
+    """WITH c AS (SELECT epoch_us(date_trunc('hour', ts))::BIGINT AS bucket,
+      |    event_type, count(*)::BIGINT AS n FROM events GROUP BY 1, 2),
+      |m AS (SELECT event_type, quantile_cont(n, 0.5) AS med FROM c GROUP BY 1),
+      |d AS (SELECT c.event_type, abs(c.n - m.med) AS dev
+      |  FROM c JOIN m USING (event_type)),
+      |md AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad FROM d GROUP BY 1)
+      |SELECT m.event_type, count(*) AS n_buckets, m.med, md.mad,
+      |  count(*) FILTER (md.mad > 0 AND d.dev > 3 * md.mad) AS n_anomalies
+      |FROM d JOIN m USING (event_type) JOIN md USING (event_type)
+      |GROUP BY m.event_type, m.med, md.mad
+      |ORDER BY m.event_type""".stripMargin
+
   /** B35: RANGE window frame — trailing 7-DAY order totals per customer
     * over epoch-day order keys. RANGE frames bound by VALUE distance, so
     * gaps in the order history shrink the window and same-day orders are
