@@ -31,13 +31,15 @@ object Bolt {
   val MsgIgnored: Byte = 0x7E.toByte
   val MsgFailure: Byte = 0x7F.toByte
 
-  /** The 20-byte connection preamble: magic + four proposed versions
-    * (big-endian, minor-in-byte-2 / major-in-byte-3 of each word). We
-    * propose 4.4 with a 3-minor back-range (covers 4.1–4.4), then 4.1,
-    * 3.0 — the servers the reference loader targets.
+  /** The 20-byte connection preamble: magic + four proposed versions.
+    * Each version word is big-endian `00 range minor major` — the MAJOR
+    * version sits in the LEAST-significant byte. We propose 4.4 with a
+    * 3-minor back-range (0x00030404, covers 4.1–4.4), then 4.1
+    * (0x00000104) and 3.0 (0x00000003) — the servers the reference
+    * loader targets.
     */
   val Magic: Int = 0x6060B017
-  val ProposedVersions: Seq[Int] = Seq(0x00030404, 0x00000401, 0x00000300, 0)
+  val ProposedVersions: Seq[Int] = Seq(0x00030404, 0x00000104, 0x00000003, 0)
 
   // ---- encoding ----------------------------------------------------------
 
@@ -104,15 +106,15 @@ object Bolt {
       case m if (m & 0xF0) == 0x80 => readString(in, m & 0x0F)
       case 0xD0 => readString(in, in.readUnsignedByte())
       case 0xD1 => readString(in, in.readUnsignedShort())
-      case 0xD2 => readString(in, in.readInt())
+      case 0xD2 => readString(in, checkedSize(in, in.readInt()))
       case m if (m & 0xF0) == 0x90 => Vector.fill(m & 0x0F)(unpack(in))
       case 0xD4 => Vector.fill(in.readUnsignedByte())(unpack(in))
       case 0xD5 => Vector.fill(in.readUnsignedShort())(unpack(in))
-      case 0xD6 => Vector.fill(in.readInt())(unpack(in))
+      case 0xD6 => Vector.fill(checkedSize(in, in.readInt()))(unpack(in))
       case m if (m & 0xF0) == 0xA0 => readMap(in, m & 0x0F)
       case 0xD8 => readMap(in, in.readUnsignedByte())
       case 0xD9 => readMap(in, in.readUnsignedShort())
-      case 0xDA => readMap(in, in.readInt())
+      case 0xDA => readMap(in, checkedSize(in, in.readInt()))
       case m if (m & 0xF0) == 0xB0 =>
         val n = m & 0x0F
         val tag = in.readByte()
@@ -120,6 +122,18 @@ object Bolt {
       case m => throw new IllegalStateException(
         f"packstream: unsupported marker 0x$m%02X")
     }
+  }
+
+  /** A server-declared 32-bit size is untrusted input: negative or
+    * larger than the bytes actually present would mean a
+    * NegativeArraySizeException or an OOM-sized allocation. Every
+    * element costs ≥ 1 byte, so `available()` (unpack always runs over
+    * a fully-buffered message) bounds any legal size.
+    */
+  private def checkedSize(in: DataInputStream, n: Int): Int = {
+    if (n < 0 || n > in.available()) throw new IllegalStateException(
+      s"packstream: declared size $n invalid (remaining ${in.available()} bytes)")
+    n
   }
 
   private def readString(in: DataInputStream, n: Int): String = {
@@ -210,14 +224,20 @@ final class BoltTransport(host: String, port: Int,
   }
 
   private def receive(): Bolt.Structure = {
-    val bos = new java.io.ByteArrayOutputStream()
-    var n = in.readUnsignedShort()
-    while (n != 0) {
-      val b = new Array[Byte](n); in.readFully(b); bos.write(b)
-      n = in.readUnsignedShort()
+    // a lone 0x0000 between messages is a NOOP keepalive (servers send
+    // them on idle connections) — skip empty bodies until a real message
+    var bytes = Array.emptyByteArray
+    while (bytes.isEmpty) {
+      val bos = new java.io.ByteArrayOutputStream()
+      var n = in.readUnsignedShort()
+      while (n != 0) {
+        val b = new Array[Byte](n); in.readFully(b); bos.write(b)
+        n = in.readUnsignedShort()
+      }
+      bytes = bos.toByteArray
     }
     Bolt.unpack(new DataInputStream(
-      new java.io.ByteArrayInputStream(bos.toByteArray))) match {
+      new java.io.ByteArrayInputStream(bytes))) match {
       case s: Bolt.Structure => s
       case other => throw new IllegalStateException(s"bolt: non-struct message $other")
     }

@@ -58,9 +58,20 @@ object PgGraph {
     * reload story (drop and re-run the whole mapping; reference:
     * src/ketl/io/neoloader.py orchestrates a full reload) done
     * incrementally, so a 100 TB snapshot absorbs a day's delta without a
-    * rebuild. Merge semantics (never deletes — absence means retention,
-    * not removal; a removal needs an explicit tombstone batch resolved
-    * upstream of this merge):
+    * rebuild. Absence still means retention, and removal is EXPLICIT via
+    * tombstone triples under the reserved [[Graph.DeleteKey]]:
+    *
+    *   - `(id, "@delete", "*")` deletes the whole element — within one
+    *     batch the id-level tombstone WINS over any data triples for the
+    *     same id (deterministic: a delete+reinsert needs two batches);
+    *   - `(id, "@delete", k)` unsets property key `k` on the element —
+    *     after the merge, so it also wins over batch-supplied values for
+    *     `k` in the same batch; all sibling keys are untouched. An unset
+    *     of an absent key (or on an absent id) is a no-op.
+    *
+    * Both forms are idempotent (re-merging the same tombstone batch is a
+    * no-op) — the at-scale delete story the reference only gets by full
+    * rebuild. Merge semantics for data triples:
     *
     *   - ids absent from the batch pass through byte-identical;
     *   - labels merge as a sorted-distinct set union (re-running a mapper
@@ -78,32 +89,48 @@ object PgGraph {
     * a broadcast anti-join and the (few) touched rows are extracted via a
     * broadcast semi-join, so the cost is two map-side scans of the
     * snapshot plus batch-sized shuffle work; only `toPg(batchTriples)`
-    * exchanges, and only on the batch. Idempotent: re-merging the same
-    * batch is a no-op (every rule above is idempotent; spec-pinned).
+    * exchanges, and only on the batch. Tombstone relations are
+    * batch-sized too, consumed as further broadcast joins. Idempotent:
+    * re-merging the same batch is a no-op (every rule above is
+    * idempotent; spec-pinned).
     */
   def mergeInc(snapshot: DataFrame, batchTriples: DataFrame,
                latestKeys: Set[String] = Set.empty): DataFrame = {
-    val batchPg = toPg(batchTriples)
-    val bIds = broadcast(batchPg.select("id"))
-    val untouched = snapshot.join(bIds, Seq("id"), "left_anti")
+    val tombs = batchTriples.where(col("key") === Graph.DeleteKey)
+    val delIds = broadcast(
+      tombs.where(col("value") === Graph.DeleteAll).select("id").distinct())
+    val unsets = broadcast(tombs.where(col("value") =!= Graph.DeleteAll)
+      .groupBy("id").agg(collect_set(col("value")).as("drop_keys")))
+    val batchPg = toPg(batchTriples.where(col("key") =!= Graph.DeleteKey))
+      .join(delIds, Seq("id"), "left_anti") // id-level delete wins in-batch
+    // touched = upserted OR key-unset; fully-deleted ids exit nowhere
+    val bIds = broadcast(
+      batchPg.select("id").union(unsets.select("id")).distinct())
+    val untouched = snapshot
+      .join(bIds, Seq("id"), "left_anti")
+      .join(delIds, Seq("id"), "left_anti")
       .select("type", "id", "labels", "from", "to", "properties")
-    val touchedSnap = snapshot.join(bIds, Seq("id"), "left_semi").select(
-      col("id"), col("labels").as("s_labels"), col("from").as("s_from"),
-      col("to").as("s_to"), col("properties").as("s_props"))
+    val touchedSnap = snapshot.join(bIds, Seq("id"), "left_semi")
+      .join(delIds, Seq("id"), "left_anti").select(
+        col("id"), col("labels").as("s_labels"), col("from").as("s_from"),
+        col("to").as("s_to"), col("properties").as("s_props"))
+    // full outer: an unset-only id has a snapshot row but no batch row
     val joined = batchPg.select(
         col("id"), col("labels").as("b_labels"), col("from").as("b_from"),
         col("to").as("b_to"), col("properties").as("b_props"))
-      .join(touchedSnap, Seq("id"), "left")
+      .join(touchedSnap, Seq("id"), "full_outer")
     val noVals = typedlit(Seq.empty[String])
-    val sProps = coalesce(col("s_props"), typedlit(Map.empty[String, Seq[String]]))
-    val keys = array_distinct(concat(map_keys(sProps), map_keys(col("b_props"))))
+    val noProps = typedlit(Map.empty[String, Seq[String]])
+    val sProps = coalesce(col("s_props"), noProps)
+    val bProps = coalesce(col("b_props"), noProps)
+    val keys = array_distinct(concat(map_keys(sProps), map_keys(bProps)))
     def mergedVals(k: Column): Column = {
       val union = array_sort(array_distinct(concat(
         coalesce(element_at(sProps, k), noVals),
-        coalesce(element_at(col("b_props"), k), noVals))))
+        coalesce(element_at(bProps, k), noVals))))
       if (latestKeys.isEmpty) union
       else when(k.isin(latestKeys.toSeq: _*),
-          coalesce(element_at(col("b_props"), k), element_at(sProps, k)))
+          coalesce(element_at(bProps, k), element_at(sProps, k)))
         .otherwise(union)
     }
     val mergedFrom = coalesce(col("b_from"), col("s_from"))
@@ -112,11 +139,19 @@ object PgGraph {
         .otherwise(lit(Graph.NodeType)).as("type"),
       col("id"),
       array_sort(array_distinct(concat(
-        coalesce(col("s_labels"), noVals), col("b_labels")))).as("labels"),
+        coalesce(col("s_labels"), noVals),
+        coalesce(col("b_labels"), noVals)))).as("labels"),
       mergedFrom.as("from"),
       coalesce(col("b_to"), col("s_to")).as("to"),
       map_from_arrays(keys, transform(keys, mergedVals _)).as("properties"))
-    untouched.unionByName(merged)
+    // per-key unsets apply AFTER the merge (they win over batch values)
+    val unset = merged.join(unsets, Seq("id"), "left")
+      .withColumn("properties",
+        when(col("drop_keys").isNull, col("properties"))
+          .otherwise(map_filter(col("properties"),
+            (k, _) => !array_contains(col("drop_keys"), k))))
+      .drop("drop_keys")
+    untouched.unionByName(unset)
   }
 
   /** Parsed-PG schema as read back from JSONL.pg: property values are the

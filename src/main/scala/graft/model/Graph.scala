@@ -18,8 +18,16 @@ object Graph {
   val FromKey = "@from"
   val ToKey   = "@to"
 
+  /** Reserved tombstone key consumed by [[graft.etl.PgGraph.mergeInc]] —
+    * graft's incremental-delete extension (the reference's reload workflow
+    * can only delete by full rebuild). Value [[DeleteAll]] removes the
+    * whole element; any other value unsets that property key.
+    */
+  val DeleteKey = "@delete"
+  val DeleteAll = "*"
+
   /** Keys whose values are NOT JSON-serialised (reference: src/ketl/helpers.py:38-52). */
-  val SpecialKeys: Set[String] = Set(TypeKey, FromKey, ToKey)
+  val SpecialKeys: Set[String] = Set(TypeKey, FromKey, ToKey, DeleteKey)
 
   /** Column layout of a triple DataFrame (reference: src/ketl/core.py:70). */
   val TripleColumns: Seq[String] = Seq("id", "key", "value")

@@ -128,15 +128,34 @@ object GraphOps {
     * Sizes attach via one keyed count. `numIter` bounds the
     * color/propagate rounds (≥ the longest cycle's diameter; 10 covers
     * the fixture's 2-cycles with slack — callers with deep cycles raise
-    * it).
+    * it). A bound is not a proof: by default (`requireConverged = true`)
+    * the labels are re-derived at `numIter + 1` and compared — any
+    * difference means the cap truncated propagation, and the op REFUSES
+    * with the cap named rather than silently returning wrong components
+    * (an unconverged SCC label is not an approximation of anything).
+    * Callers who have priced the cap themselves can opt out.
     */
-  def stronglyConnected(pgEdges: DataFrame, numIter: Int = 10): DataFrame = {
+  def stronglyConnected(pgEdges: DataFrame, numIter: Int = 10,
+                        requireConverged: Boolean = true): DataFrame = {
     val spark = pgEdges.sparkSession
     import spark.implicits._
     val e = endpoints(pgEdges)
     val idx = nodeIndex(e)
-    val scc = XGraph.fromEdges(mapEdges(e, idx), ())
+    val mapped = mapEdges(e, idx)
+    val scc = XGraph.fromEdges(mapped, ())
       .stronglyConnectedComponents(numIter).vertices.toDF("vid", "cvid")
+      .localCheckpoint()
+    if (requireConverged) {
+      // fixed point check: one more bounded round must change nothing
+      val next = XGraph.fromEdges(mapped, ())
+        .stronglyConnectedComponents(numIter + 1).vertices.toDF("vid", "cvid")
+      val moved = scc.join(next.withColumnRenamed("cvid", "cvid2"), "vid")
+        .where(col("cvid") =!= col("cvid2")).limit(1).count()
+      if (moved > 0) throw new IllegalStateException(
+        s"stronglyConnected: labels still moving after numIter=$numIter rounds — " +
+          "raise numIter (longest cycle diameter) or pass requireConverged=false " +
+          "to accept a truncated labelling")
+    }
     val labelled = scc.join(idx, "vid")
       .join(idx.select(col("vid").as("cvid"), col("node").as("scc")), "cvid")
       .select(col("node"), col("scc"))
@@ -157,9 +176,14 @@ object GraphOps {
     * integer max-merges, so the sketch is bit-identical in any engine),
     * per-node estimates the shared C53 formula rounded at 4 dp, and the
     * per-k total a DECIMAL-summed aggregate of those — order-free end to
-    * end. The exact closure count rides along for fixture-scale
-    * validation (the C53/C92 exact-ride-along stance); at scale the
-    * sketch column is the product and the exact branch is dropped.
+    * end. `withExact = true` additionally computes the exact ≤k-ball
+    * pair closure for fixture-scale validation (the C53/C92
+    * exact-ride-along stance, materialised in the QUERY only); the
+    * DEFAULT is sketch-only — the exact closure is |V|²-class on any
+    * graph whose effective diameter ≤ maxK (precisely the graphs
+    * HyperANF targets), so a 100 TB caller never pays it and the
+    * flag-off output schema is (k, est_reach) with no pairs relation
+    * in the plan at all.
     *
     * Scale: per iteration one keyed join (register rows keyed by edge
     * dst) + one (node, j) max-agg — register rows are Σ_v min(64,
@@ -169,7 +193,7 @@ object GraphOps {
     * closures are impossible (HyperANF's published runs: billions of
     * edges on one box).
     */
-  def anf(pgEdges: DataFrame, maxK: Int = 4): DataFrame = {
+  def anf(pgEdges: DataFrame, maxK: Int = 4, withExact: Boolean = false): DataFrame = {
     val spark = pgEdges.sparkSession
     import graft.ops.stats.Stats
     val e = endpoints(pgEdges).select(col("from").as("src"), col("to").as("dst"))
@@ -178,15 +202,24 @@ object GraphOps {
       .distinct().localCheckpoint()
     // S0: each node sketches {itself}
     var regs = Stats.hllRegisters(nodes, "node", col("node")).localCheckpoint()
-    // exact ≤k-ball pairs, same iteration structure (fixture validation)
-    var pairs = nodes.select(col("node").as("v"), col("node").as("u"))
-      .localCheckpoint()
+    // exact ≤k-ball pairs, same iteration structure — fixture validation
+    // ONLY; never built when withExact is off (|V|²-class at scale)
+    var pairs: Option[DataFrame] =
+      if (withExact) Some(nodes.select(col("node").as("v"), col("node").as("u"))
+        .localCheckpoint())
+      else None
     def level(k: Int): DataFrame = {
       val est = Stats.hllEstimate(regs, "node")
         .agg(round(sum(col("est_distinct").cast("decimal(27,10)")).cast("double"), 4)
           .as("est_reach"))
-      val exact = pairs.agg(count(lit(1)).as("exact_reach"))
-      est.crossJoin(exact).select(lit(k).as("k"), col("est_reach"), col("exact_reach"))
+      pairs match {
+        case Some(p) =>
+          val exact = p.agg(count(lit(1)).as("exact_reach"))
+          est.crossJoin(exact)
+            .select(lit(k).as("k"), col("est_reach"), col("exact_reach"))
+        case None =>
+          est.select(lit(k).as("k"), col("est_reach"))
+      }
     }
     var out = level(0)
     for (k <- 1 to maxK) {
@@ -195,11 +228,11 @@ object GraphOps {
         .union(regs)
         .groupBy("node", "j").agg(max("mj").as("mj"))
         .localCheckpoint()
-      pairs = pairs.join(e, pairs("u") === e("src"))
+      pairs = pairs.map(p => p.join(e, p("u") === e("src"))
         .select(col("v"), col("dst").as("u"))
-        .union(pairs)
+        .union(p)
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint())
       out = out.union(level(k))
     }
     out.orderBy("k")

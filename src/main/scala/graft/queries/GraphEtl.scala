@@ -1192,8 +1192,11 @@ object GraphEtl {
         Triples.edges(nation, "inRegion",
           Triples.wrap(col("n_nationkey"), "nation:"),
           Triples.wrap(col("n_regionkey"), "region:"))))
+    // withExact = true: the fixture-scale validation ride-along the
+    // oracle checks; a scale caller takes the sketch-only default.
     graft.ops.graph.GraphOps.anf(
-      PgGraph.toPg(triples).where(col("type") === Graph.EdgeType))
+      PgGraph.toPg(triples).where(col("type") === Graph.EdgeType),
+      withExact = true)
   }
 
   val kgAnfSql: String = {
@@ -1527,4 +1530,63 @@ object GraphEtl {
       |SELECT p.id, CASE WHEN e.src IS NOT NULL THEN 'edge' ELSE 'node' END AS etype,
       |  l.labels, e.src, e.dst, p.key, p.vals
       |FROM props p JOIN labels l USING (id) LEFT JOIN ep e USING (id)""".stripMargin
+
+  /** A54: tombstone deletes through the incremental PG merge
+    * ([[graft.etl.PgGraph.mergeInc]] consuming the reserved
+    * [[graft.model.Graph.DeleteKey]]) — the at-scale removal story the
+    * reference only gets by dropping and re-running the whole mapping.
+    * Every 15th supplier is decommissioned (id-level tombstones on the
+    * node AND its location edge); every 10th has its `acctBal` unset by
+    * a per-key tombstone while the SAME batch upserts an `Audited` label
+    * — exercising unset-beside-upsert on one id. The oracle rebuilds the
+    * expected survivor set directly in triple space: deletes first, then
+    * label union, then the key filter. Exploded to one row per
+    * (element, property) like A48 so the hash covers maps and arrays.
+    */
+  def pgMergeTomb(spark: SparkSession, dir: String): DataFrame = {
+    val supplier = Tables.load(spark, dir, "supplier")
+    val supId = Triples.wrap(col("s_suppkey"), "supplier:")
+    val locId = Triples.wrap(col("s_suppkey"), "loc:")
+    val snapshot = PgGraph.toPg(Triples.chain(
+      Triples.nodes(supplier, supId, Seq(
+        Prop.column("s_name", "hasName"), Prop.column("s_acctbal", "acctBal"),
+        Prop.tpe("Supplier"))),
+      Triples.nodes(supplier, locId, Seq(
+        Prop.tpe("locatedIn"), Prop.from(supId),
+        Prop.to(Triples.wrap(col("s_nationkey"), "nation:")),
+        Prop("nationKey", col("s_nationkey"))))))
+    val dropped = supplier.where(col("s_suppkey") % 15 === 0)
+    val audited = supplier.where(col("s_suppkey") % 10 === 0)
+    def tomb(df: DataFrame, id: Column, what: String): DataFrame =
+      df.select(id.as("id"), lit(Graph.DeleteKey).as("key"), lit(what).as("value"))
+    val batch = Triples.chain(
+      tomb(dropped, supId, Graph.DeleteAll),
+      tomb(dropped, locId, Graph.DeleteAll),
+      tomb(audited, supId, "acctBal"),
+      Triples.nodes(audited, supId, Seq(Prop.tpe("Audited"))))
+    PgGraph.mergeInc(snapshot, batch)
+      .select(col("id"), col("type").as("etype"),
+        array_join(col("labels"), ",").as("labels"),
+        col("from").as("src"), col("to").as("dst"),
+        explode(col("properties")).as(Seq("key", "vals")))
+      .select(col("id"), col("etype"), col("labels"), col("src"), col("dst"),
+        col("key"), array_join(col("vals"), "|").as("vals"))
+  }
+
+  val pgMergeTombSql: String =
+    """WITH surv AS (
+      |  SELECT s_suppkey AS k, s_name, s_acctbal, s_nationkey,
+      |    CASE WHEN s_suppkey % 10 = 0 THEN 'Audited,Supplier'
+      |         ELSE 'Supplier' END AS labels
+      |  FROM supplier WHERE s_suppkey % 15 <> 0)
+      |SELECT 'supplier:' || k AS id, 'node' AS etype, labels,
+      |  NULL AS src, NULL AS dst, 'hasName' AS key,
+      |  to_json(s_name)::VARCHAR AS vals FROM surv
+      |UNION ALL
+      |SELECT 'supplier:' || k, 'node', labels, NULL, NULL, 'acctBal',
+      |  to_json(s_acctbal)::VARCHAR FROM surv WHERE k % 10 <> 0
+      |UNION ALL
+      |SELECT 'loc:' || k, 'edge', 'locatedIn', 'supplier:' || k,
+      |  'nation:' || s_nationkey, 'nationKey',
+      |  to_json(s_nationkey)::VARCHAR FROM surv""".stripMargin
 }

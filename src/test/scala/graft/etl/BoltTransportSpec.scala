@@ -17,9 +17,18 @@ class BoltTransportSpec extends SparkSpec {
   /** Single-threaded-per-connection stub: accepts until closed, records
     * every RUN statement, and pops planted responses for RUN messages
     * (None = SUCCESS; Some(code) = FAILURE with that code).
+    *
+    * Handshake is NEGOTIATED from the client's actual proposal words:
+    * the stub runs one Bolt version (`serverMajor.serverMinor`) and
+    * accepts the first proposal whose major matches and whose
+    * minor-with-back-range covers it — the spec's version-word layout,
+    * `00 range minor major` big-endian. No proposal matching → 0.
+    * `noopsBefore` zero-chunks precede every server message (keepalive
+    * NOOPs a real server may emit).
     */
-  private final class StubServer(chosenVersion: Int = 0x00030404,
-                                 recordsPerPull: Int = 0) {
+  private final class StubServer(serverMajor: Int = 4, serverMinor: Int = 4,
+                                 recordsPerPull: Int = 0,
+                                 noopsBefore: Int = 0) {
     val server = new ServerSocket(0)
     val statements = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val resets = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -44,9 +53,19 @@ class BoltTransportSpec extends SparkSpec {
     }
 
     private def send(out: DataOutputStream, msg: Bolt.Structure): Unit = {
+      (1 to noopsBefore).foreach(_ => out.writeShort(0)) // keepalive NOOPs
       val bytes = Bolt.packBytes(msg)
       out.writeShort(bytes.length); out.write(bytes); out.writeShort(0); out.flush()
     }
+
+    /** First proposal word whose major matches ours and whose
+      * minor..minor-range covers ours; 0 if none does.
+      */
+    private def negotiate(proposals: Seq[Int]): Int =
+      proposals.find { w =>
+        val major = w & 0xff; val minor = (w >> 8) & 0xff; val range = (w >> 16) & 0xff
+        major == serverMajor && serverMinor <= minor && serverMinor >= minor - range
+      }.map(_ => (serverMinor << 8) | serverMajor).getOrElse(0)
 
     private val acceptor = new Thread(() => {
       try while (!closed) {
@@ -56,9 +75,9 @@ class BoltTransportSpec extends SparkSpec {
             val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
             val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
             require(in.readInt() == Bolt.Magic, "bad magic")
-            (1 to 4).foreach(_ => in.readInt()) // proposals read, fixed answer
-            out.writeInt(chosenVersion); out.flush()
-            if (chosenVersion == 0) { sock.close(); throw new java.io.IOException("rejected") }
+            val chosen = negotiate(Seq.fill(4)(in.readInt()))
+            out.writeInt(chosen); out.flush()
+            if (chosen == 0) { sock.close(); throw new java.io.IOException("rejected") }
             var open = true
             while (open) {
               readMessage(in) match {
@@ -140,12 +159,57 @@ class BoltTransportSpec extends SparkSpec {
   }
 
   test("version rejection refuses loudly instead of talking past the server") {
-    val stub = new StubServer(chosenVersion = 0)
+    val stub = new StubServer(serverMajor = 9, serverMinor = 9) // matches no proposal
     try {
       val t = new BoltTransport("127.0.0.1", stub.port)
       val e = intercept[IllegalStateException] { t.run("anything") }
       assert(e.getMessage.contains("rejected"))
     } finally stub.close()
+  }
+
+  test("handshake negotiates with back-level servers: 4.1 via the 4.4 back-range, 3.0 via its own word") {
+    // a Bolt 4.1-only server is covered by the 4.4 range proposal
+    // (0x00030404: minors 1..4 of major 4)
+    val v41 = new StubServer(serverMajor = 4, serverMinor = 1)
+    try {
+      val t = new BoltTransport("127.0.0.1", v41.port)
+      t.run("on-4.1"); t.close()
+      assert(v41.statements.toArray.toSeq === Seq("on-4.1"))
+    } finally v41.close()
+    // a Bolt 3.0-only server needs the dedicated 3.0 word — with the
+    // major in the LEAST-significant byte (0x00000003); the mis-encoded
+    // 0x00000300 would parse as major 0 and negotiation would fail
+    val v30 = new StubServer(serverMajor = 3, serverMinor = 0)
+    try {
+      val t = new BoltTransport("127.0.0.1", v30.port)
+      t.run("on-3.0"); t.close()
+      assert(v30.statements.toArray.toSeq === Seq("on-3.0"))
+    } finally v30.close()
+  }
+
+  test("NOOP keepalive chunks between messages are tolerated, not treated as empty messages") {
+    val stub = new StubServer(recordsPerPull = 1, noopsBefore = 2)
+    try {
+      val t = new BoltTransport("127.0.0.1", stub.port)
+      t.run("a"); t.run("b"); t.close()
+      assert(stub.statements.toArray.toSeq === Seq("a", "b"))
+    } finally stub.close()
+  }
+
+  test("unpack refuses corrupt server-declared 32-bit sizes instead of allocating them") {
+    def corrupt(bytes: Int*): Unit = {
+      val e = intercept[IllegalStateException] {
+        Bolt.unpack(new DataInputStream(new java.io.ByteArrayInputStream(
+          bytes.map(_.toByte).toArray)))
+      }
+      assert(e.getMessage.contains("declared size"))
+    }
+    // STRING_32 with a negative length
+    corrupt(0xD2, 0xFF, 0xFF, 0xFF, 0xFF)
+    // LIST_32 declaring 2^31-1 elements with nothing behind it
+    corrupt(0xD6, 0x7F, 0xFF, 0xFF, 0xFF)
+    // MAP_32 declaring far more entries than remaining bytes
+    corrupt(0xDA, 0x00, 0x10, 0x00, 0x00, 0x01)
   }
 
   test("NeoLoader drives the full node->index->edge orchestration over the real wire") {

@@ -187,6 +187,50 @@ class PgGraphSpec extends SparkSpec {
       && plan.contains("LeftSemi"))
   }
 
+  test("mergeInc tombstones: id delete, per-key unset leaves siblings, delete-then-remerge idempotent") {
+    val snapTriples = Seq(
+      ("N1", Graph.TypeKey, "Gene"), ("N1", "name", "\"g1\""),
+      ("N1", "score", "\"a\""),
+      ("N2", Graph.TypeKey, "Gene"), ("N2", "name", "\"g2\""),
+      ("N4", Graph.TypeKey, "Gene"), ("N4", "name", "\"g4\""),
+      ("E1", Graph.TypeKey, "rel"), ("E1", Graph.FromKey, "N1"),
+      ("E1", Graph.ToKey, "N2"), ("E1", "weight", "1")
+    ).toDF("id", "key", "value")
+    val batch = Seq(
+      // id-level delete — WINS over the data triple for the same id
+      ("N2", Graph.DeleteKey, Graph.DeleteAll),
+      ("N2", "name", "\"zombie\""),
+      // per-key unset with an upsert on a sibling key of the same id
+      ("N1", Graph.DeleteKey, "score"),
+      ("N1", Graph.TypeKey, "Audited"),
+      // unset-only id: no data triples at all
+      ("N4", Graph.DeleteKey, "name"),
+      // unset of an absent key and on an absent id: both no-ops
+      ("N4", Graph.DeleteKey, "no_such_key"),
+      ("N9", Graph.DeleteKey, "name")
+    ).toDF("id", "key", "value")
+    val snapshot = PgGraph.toPg(snapTriples)
+    val merged = PgGraph.mergeInc(snapshot, batch)
+    val m = pgMapOf(merged)
+    // tombstoned id absent; no phantom N9; E1 and survivors intact
+    assert(m.keySet === Set("N1", "N4", "E1"))
+    // unset removed exactly the named key; siblings untouched
+    assert(m("N1")._5.keySet === Set("name"))
+    assert(m("N1")._5("name") === Set("\"g1\""))
+    assert(m("N1")._2 === Set("Audited", "Gene"))
+    // unset-only id: same element minus the key, no other movement
+    assert(m("N4")._2 === Set("Gene") && m("N4")._5 === Map.empty)
+    // the edge pointing at the deleted node passes through (referential
+    // cleanup is a validate/pg_validate concern, not silent edge dropping)
+    assert(m("E1")._5("weight") === Set("1"))
+    // delete-then-remerge: same tombstone batch again is a no-op
+    val again = pgMapOf(PgGraph.mergeInc(merged, batch))
+    assert(again === m)
+    // a reserved-key triple never leaks into properties via toPg
+    assert(!PgGraph.toPg(batch).select("properties").collect()
+      .exists(_.getMap[String, Seq[String]](0).contains(Graph.DeleteKey)))
+  }
+
   test("Cypher statement batches (ref neoloader batching)") {
     val pg = PgGraph.toPg(nodeTriples.union(edgeTriples))
     val nodeStmts = NeoCypher.statements(pg, Graph.NodeType, batchSize = 3).collect()

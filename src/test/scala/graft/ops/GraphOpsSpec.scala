@@ -561,10 +561,30 @@ class GraphOpsSpec extends SparkSpec {
     assert(weak("a") === "a" && weak("d") === "a" && weak("q") === "p")
   }
 
+  test("stronglyConnected: an unconverged iteration cap refuses by default, opt-out returns truncated labels") {
+    // a condensation CHAIN of 2-cycles: a <-> a2 -> b <-> b2 -> c <-> c2;
+    // GraphX peels one condensation level per outer round, so a too-small
+    // cap leaves downstream cycles unfinalised
+    val g = Seq(("a", "a2"), ("a2", "a"), ("a2", "b"), ("b", "b2"), ("b2", "b"),
+      ("b2", "c"), ("c", "c2"), ("c2", "c")).toDF("from", "to")
+    val ok = GraphOps.stronglyConnected(g).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(ok === Map(
+      "a" -> (("a", 2L)), "a2" -> (("a", 2L)), "b" -> (("b", 2L)),
+      "b2" -> (("b", 2L)), "c" -> (("c", 2L)), "c2" -> (("c", 2L))))
+    val e = intercept[IllegalStateException] {
+      GraphOps.stronglyConnected(g, numIter = 1).collect()
+    }
+    assert(e.getMessage.contains("numIter=1"))
+    // priced opt-out: the truncated labelling comes back without error
+    assert(GraphOps.stronglyConnected(g, numIter = 1, requireConverged = false)
+      .count() === 6)
+  }
+
   test("anf: exact closure counts on a path+island, sketch saturates with the diameter, layout-invariant") {
     // path a->b->c->d plus island x->y: balls grow for 3 rounds then stop
     val g = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")).toDF("from", "to")
-    val out = GraphOps.anf(g, maxK = 4).collect()
+    val out = GraphOps.anf(g, maxK = 4, withExact = true).collect()
       .map(r => r.getInt(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
     // exact: N(0)=6 selves; N(1)=+4 edges; N(2)=+2 (a->c, b->d); N(3)=+1 (a->d)
     assert(out.map { case (k, (_, ex)) => k -> ex } ===
@@ -580,9 +600,29 @@ class GraphOpsSpec extends SparkSpec {
       assert(math.abs(out(k)._1 - out(k)._2) / out(k)._2 < 0.25,
         s"k=$k est ${out(k)._1} vs exact ${out(k)._2}") }
     // register arithmetic is exact integers: layout cannot move anything
-    val again = GraphOps.anf(g.repartition(5), maxK = 4).collect()
+    val again = GraphOps.anf(g.repartition(5), maxK = 4, withExact = true).collect()
       .map(r => r.getInt(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
     assert(again === out)
+  }
+
+  test("anf: sketch-only default drops the exact closure — same sketch, no pairs relation in the plan") {
+    val g = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")).toDF("from", "to")
+    val full = GraphOps.anf(g, maxK = 4, withExact = true).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val lean = GraphOps.anf(g, maxK = 4)
+    // schema: the exact_reach column is gone entirely
+    assert(lean.columns.toSeq === Seq("k", "est_reach"))
+    // est_reach is bit-identical with the flag off — the sketch path is
+    // untouched by dropping the closure
+    val leanRows = lean.collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(leanRows === full)
+    // plan assert: the flag-off plan has NO join and NO distinct — the
+    // |V|²-class pairs relation is not merely unused, it is never built
+    // (regs iterations are behind localCheckpoint, so any Join or
+    // Deduplicate in the final plan could only come from the pairs twin)
+    val plan = lean.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Join"), s"flag-off plan must not join:\n$plan")
+    assert(!plan.contains("Deduplicate"), s"flag-off plan must not distinct:\n$plan")
   }
 
   test("personalizedPageRank: hand recurrence, unreachable scores 0, seed-set scaling, refusal") {
