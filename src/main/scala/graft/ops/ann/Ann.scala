@@ -880,6 +880,51 @@ object Ann {
     (cells, centroids)
   }
 
+  /** Incremental IVF add — the C7b index absorbing a batch WITHOUT a
+    * rebuild: `batch` vectors are assigned at the PINNED centroid table
+    * (no Lloyd re-run, so every existing cell assignment stays valid and
+    * the quantizer persisted at ingest keeps serving), and the op
+    * returns the grown cell table plus drift telemetry: per cell the
+    * prior population, the batch arrivals, and the growth ratio
+    * `n_added / max(n_before, 1)`. Growth concentrating in few cells is
+    * the planted-drift signature — the pinned centroids no longer
+    * partition the incoming data; wire the C97 `ann_recall` re-check as
+    * the alarm and schedule a Lloyd rebuild when it regresses
+    * (spec-pinned: a drifted batch fires both signals).
+    *
+    * Scale shape: the centroid table is nCells rows (bounded collect —
+    * the trained-model shape, same stance as [[ivfBuild]]'s seeds); the
+    * batch takes the same literal-centroid narrow assignment map as the
+    * build; the existing cell table is NEVER shuffled — one union plus
+    * a keyed count on each side.
+    */
+  def ivfAdd(cells: DataFrame, centroids: DataFrame, batch: DataFrame,
+             idCol: String = "vec_id", vecCol: String = "embedding")
+      : (DataFrame, DataFrame) = {
+    graft.functions.GraftFunctions.register(batch.sparkSession)
+    val cents = centroids.orderBy("cell").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toSeq
+    require(cents.nonEmpty, "ivfAdd: empty centroid table")
+    require(cents.map(_._1) == cents.indices,
+      "ivfAdd: centroid table must carry cells 0..n-1 exactly once")
+    val b = batch.select(col(idCol).as("cid"), vec(col(vecCol)).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+    val added = assignCells(b, cents.map(_._2)).select("cid", "cv", "cn", "cell")
+    val updated = cells.unionByName(added)
+    val before = cells.groupBy("cell").agg(count(lit(1)).as("n_before"))
+    val arrived = added.groupBy("cell").agg(count(lit(1)).as("n_added"))
+    val drift = centroids.select("cell")
+      .join(before, Seq("cell"), "left")
+      .join(arrived, Seq("cell"), "left")
+      .select(col("cell"),
+        coalesce(col("n_before"), lit(0L)).as("n_before"),
+        coalesce(col("n_added"), lit(0L)).as("n_added"))
+      .withColumn("growth", round(
+        col("n_added").cast("double") / greatest(col("n_before"), lit(1L)), 6))
+      .orderBy("cell")
+    (updated, drift)
+  }
+
   /** Nearest-centroid assignment against a LITERAL centroid table: per
     * row, the rounded cosine to each centroid, argmax with first-index
     * (lowest cell) tiebreak via `array_position` of the max — a narrow

@@ -446,6 +446,57 @@ object GraphOps {
       .orderBy("start_node", "end_node")
   }
 
+  /** [[motifPaths]] with BOUNDED PER-HOP REPETITION — the full KnetMiner
+    * semantic-motif shape (gene −is_a*≤k→ family −part_of→ pathway;
+    * the reference's graph exists to serve such motifs —
+    * mappings/knetminer.py): each hop is `(type, minRep, maxRep)`,
+    * matching between `minRep` and `maxRep` consecutive edges of that
+    * type (0 allowed: the hop may be skipped entirely). Output matches
+    * [[motifPaths]]: per (start, end) the distinct simple typed-path
+    * count across ALL admissible depths plus the lexicographic-min
+    * sample path.
+    *
+    * Unrolled, NOT transitive: a hop `(t, lo, hi)` expands its frontier
+    * `hi` times with the [[motifPaths]] single-step join and unions the
+    * depth-`lo..hi` frontiers — dynamic-programming over shared
+    * prefixes, so the whole motif costs Σ maxRep fixed keyed equi-joins
+    * regardless of how many depth combinations it admits (a product
+    * enumeration would pay the prefix joins once per combination; a
+    * transitive closure would be unbounded). Same simple-path cycle cut
+    * per step, same scale shape as [[motifPaths]].
+    */
+  def motifPathsRep(edges: DataFrame, starts: DataFrame,
+                    hops: Seq[(String, Int, Int)],
+                    srcCol: String = "src", dstCol: String = "dst",
+                    typeCol: String = "etype", startCol: String = "node"): DataFrame = {
+    require(hops.nonEmpty, "motifPathsRep: at least one hop spec is required")
+    hops.foreach { case (t, lo, hi) =>
+      require(lo >= 0 && hi >= lo, s"motifPathsRep: hop $t needs 0 <= minRep <= maxRep ($lo, $hi)") }
+    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"),
+      col(typeCol).as("__t"))
+    var frontier = starts
+      .select(col(startCol).as("__n"), array(col(startCol)).as("__path"))
+    hops.foreach { case (t, lo, hi) =>
+      var cur = frontier
+      var acc: Option[DataFrame] = if (lo == 0) Some(cur) else None
+      for (i <- 1 to hi) {
+        cur = cur
+          .join(e.where(col("__t") === t), col("__n") === col("__src"))
+          .where(!array_contains(col("__path"), col("__dst"))) // simple paths
+          .select(col("__dst").as("__n"),
+            array_append(col("__path"), col("__dst")).as("__path"))
+        if (i >= lo) acc = Some(acc.map(_.unionAll(cur)).getOrElse(cur))
+      }
+      frontier = acc.getOrElse(cur)
+    }
+    frontier
+      .groupBy(element_at(col("__path"), 1).as("start_node"),
+        col("__n").as("end_node"))
+      .agg(count(lit(1)).as("n_paths"),
+        min(array_join(col("__path"), "->")).as("sample_path"))
+      .orderBy("start_node", "end_node")
+  }
+
   def bfsDistances(pgEdges: DataFrame, seeds: Seq[String], maxHops: Int = 10): DataFrame = {
     val spark = pgEdges.sparkSession
     import spark.implicits._

@@ -705,6 +705,81 @@ object GraphEtl {
       |  min(n0 || '->' || n1 || '->' || n2 || '->' || n3) AS sample_path
       |FROM p3 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** A55: variable-depth typed motif
+    * ([[graft.ops.graph.GraphOps.motifPathsRep]]) — the KnetMiner
+    * semantic-motif language's bounded repetition (gene −is_a*≤k→
+    * family −part_of→ pathway) over a 3-level containment hierarchy:
+    * part −supplied_by→ sup −located_in→ nation −within*0..2→
+    * {nation, region, world}. The `within` self-type spans two ladder
+    * levels (nation→region from nation, region→world:0 from region), so
+    * rep 0 ends at nations, rep 1 at regions, rep 2 at the world root —
+    * all three depths in one motif. A `borders` DISTRACTOR shares the
+    * within ladder's first-level endpoints; an engine ignoring the
+    * per-hop type predicate would leak it into depth-1 paths. The
+    * oracle unrolls the DP expansion as one CTE per concrete depth and
+    * UNIONs the admissible ones (the judge-prescribed unrolled-union
+    * twin), with the same simple-path guards.
+    */
+  def kgMotifRep(spark: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.load(spark, dir, "nation")
+    val edges = Tables.load(spark, dir, "lineitem")
+      .select(concat(lit("part:"), col("l_partkey")).as("src"),
+        concat(lit("sup:"), col("l_suppkey")).as("dst"),
+        lit("supplied_by").as("etype")).distinct()
+      .unionByName(Tables.load(spark, dir, "supplier")
+        .select(concat(lit("sup:"), col("s_suppkey")).as("src"),
+          concat(lit("nation:"), col("s_nationkey")).as("dst"),
+          lit("located_in").as("etype")))
+      .unionByName(nation
+        .select(concat(lit("nation:"), col("n_nationkey")).as("src"),
+          concat(lit("region:"), col("n_regionkey")).as("dst"),
+          lit("within").as("etype")))
+      .unionByName(Tables.load(spark, dir, "region")
+        .select(concat(lit("region:"), col("r_regionkey")).as("src"),
+          lit("world:0").as("dst"), lit("within").as("etype")))
+      .unionByName(nation.where(col("n_nationkey") % 2 === 0)
+        .select(concat(lit("nation:"), col("n_nationkey")).as("src"),
+          concat(lit("region:"), col("n_regionkey")).as("dst"),
+          lit("borders").as("etype")))
+    val starts = Tables.load(spark, dir, "part")
+      .where(col("p_partkey") % 3 === 0)
+      .select(concat(lit("part:"), col("p_partkey")).as("node"))
+    graft.ops.graph.GraphOps.motifPathsRep(edges, starts,
+      Seq(("supplied_by", 1, 1), ("located_in", 1, 1), ("within", 0, 2)))
+  }
+
+  val kgMotifRepSql: String =
+    """WITH e AS (
+      |  SELECT DISTINCT 'part:' || l_partkey AS src, 'sup:' || l_suppkey AS dst,
+      |    'supplied_by' AS t FROM lineitem
+      |  UNION ALL
+      |  SELECT 'sup:' || s_suppkey, 'nation:' || s_nationkey, 'located_in' FROM supplier
+      |  UNION ALL
+      |  SELECT 'nation:' || n_nationkey, 'region:' || n_regionkey, 'within' FROM nation
+      |  UNION ALL
+      |  SELECT 'region:' || r_regionkey, 'world:0', 'within' FROM region
+      |  UNION ALL
+      |  SELECT 'nation:' || n_nationkey, 'region:' || n_regionkey, 'borders'
+      |  FROM nation WHERE n_nationkey % 2 = 0),
+      |p0 AS (SELECT 'part:' || p_partkey AS n0 FROM part WHERE p_partkey % 3 = 0),
+      |p1 AS (SELECT n0, e.dst AS n1 FROM p0 JOIN e ON e.t = 'supplied_by' AND e.src = n0
+      |  WHERE e.dst <> n0),
+      |p2 AS (SELECT n0, n1, e.dst AS n2 FROM p1 JOIN e ON e.t = 'located_in' AND e.src = n1
+      |  WHERE e.dst <> n0 AND e.dst <> n1),
+      |w1 AS (SELECT n0, n1, n2, e.dst AS n3 FROM p2 JOIN e ON e.t = 'within' AND e.src = n2
+      |  WHERE e.dst <> n0 AND e.dst <> n1 AND e.dst <> n2),
+      |w2 AS (SELECT n0, n1, n2, n3, e.dst AS n4 FROM w1 JOIN e ON e.t = 'within' AND e.src = n3
+      |  WHERE e.dst <> n0 AND e.dst <> n1 AND e.dst <> n2 AND e.dst <> n3),
+      |allp AS (
+      |  SELECT n0, n2 AS nd, n0 || '->' || n1 || '->' || n2 AS pth FROM p2
+      |  UNION ALL
+      |  SELECT n0, n3, n0 || '->' || n1 || '->' || n2 || '->' || n3 FROM w1
+      |  UNION ALL
+      |  SELECT n0, n4, n0 || '->' || n1 || '->' || n2 || '->' || n3 || '->' || n4 FROM w2)
+      |SELECT n0 AS start_node, nd AS end_node, count(*)::BIGINT AS n_paths,
+      |  min(pth) AS sample_path
+      |FROM allp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** A43: landmark harmonic closeness over the containment hierarchy
     * ([[graft.ops.graph.GraphOps.landmarkCloseness]]) — closeness
     * centrality at KG scale: k=8 md5-ordered landmark nodes (a

@@ -1850,18 +1850,22 @@ object Pipeline {
     * a last-ulp `list_sum` vs left-to-right-fold drift cannot flip a cell
     * choice.
     */
-  val annIvfSql: String = {
-    val iters = 2
+  private[queries] object IvfSql {
     def nrm(a: String) = s"sqrt(list_sum([x*x FOR x IN $a]))"
     def cos(a: String, b: String, na: String, nb: String) =
       s"CASE WHEN $na * $nb > 0 THEN list_sum([pr[1]*pr[2] FOR pr IN list_zip($a, $b)]) / ($na * $nb) ELSE 0.0 END"
-    def assignCte(name: String, centTable: String) =
+    /** Argmax-of-rounded-cosine assignment of relation `rel` (cid, v,
+      * nrm columns) against `centTable` — the engine's
+      * `array_position`-of-max twin (ties → lowest cell).
+      */
+    def assignCte(name: String, centTable: String, rel: String = "c") =
       s"""$name AS (SELECT cid, v, nrm, cell FROM (
-         |  SELECT c.cid, c.v, c.nrm, ct.cell,
-         |    row_number() OVER (PARTITION BY c.cid
-         |      ORDER BY round(${cos("c.v", "ct.centroid", "c.nrm", nrm("ct.centroid"))}, 6) DESC, ct.cell) AS rn
-         |  FROM c CROSS JOIN $centTable ct) WHERE rn = 1)""".stripMargin
-    val lloyd = (1 to iters).map { i =>
+         |  SELECT $rel.cid, $rel.v, $rel.nrm, ct.cell,
+         |    row_number() OVER (PARTITION BY $rel.cid
+         |      ORDER BY round(${cos(s"$rel.v", "ct.centroid", s"$rel.nrm", nrm("ct.centroid"))}, 6) DESC, ct.cell) AS rn
+         |  FROM $rel CROSS JOIN $centTable ct) WHERE rn = 1)""".stripMargin
+    /** The fixed Lloyd passes over relation `c`, cent0 → cent`iters`. */
+    def lloyd(iters: Int): String = (1 to iters).map { i =>
       s"""${assignCte(s"a$i", s"cent${i - 1}")},
          |m$i AS (SELECT cell, pos, CAST(sum(CAST(x AS DECIMAL(27,10))) AS DOUBLE)/count(*) AS m
          |  FROM (SELECT cell, unnest(v) AS x, unnest(range(1, len(v)+1)) AS pos FROM a$i) GROUP BY 1, 2),
@@ -1869,12 +1873,19 @@ object Pipeline {
          |cent$i AS (SELECT p.cell, coalesce(n.centroid, p.centroid) AS centroid
          |  FROM cent${i - 1} p LEFT JOIN mc$i n USING (cell))""".stripMargin
     }.mkString(",\n")
+    def seeds(nCells: Int): String =
+      s"""cent0 AS (SELECT rn - 1 AS cell, v AS centroid FROM (
+         |  SELECT v, row_number() OVER (ORDER BY md5(cid::VARCHAR), cid) AS rn FROM c) WHERE rn <= $nCells)""".stripMargin
+  }
+
+  val annIvfSql: String = {
+    val iters = 2
+    import IvfSql._
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |c AS (SELECT vec_id AS cid, v, ${nrm("v")} AS nrm FROM e WHERE vec_id >= 20),
        |q AS (SELECT vec_id AS qid, v, ${nrm("v")} AS nrm FROM e WHERE vec_id < 20),
-       |cent0 AS (SELECT rn - 1 AS cell, v AS centroid FROM (
-       |  SELECT v, row_number() OVER (ORDER BY md5(cid::VARCHAR), cid) AS rn FROM c) WHERE rn <= 16),
-       |$lloyd,
+       |${seeds(16)},
+       |${lloyd(iters)},
        |${assignCte("af", s"cent$iters")},
        |pr AS (SELECT qid, qv, qn, cell FROM (
        |  SELECT q.qid, q.v AS qv, q.nrm AS qn, ct.cell,
@@ -1888,6 +1899,48 @@ object Pipeline {
        |  row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rnk FROM sc)
        |SELECT qid, cid, cosine, rnk::INTEGER AS rnk FROM r WHERE rnk <= 5
        |ORDER BY qid, rnk""".stripMargin
+  }
+
+  /** C103: incremental IVF add ([[Ann.ivfAdd]]) — the serving index
+    * absorbing a batch at PINNED centroids, no Lloyd re-run, with the
+    * drift telemetry that says when a rebuild is due. Base corpus =
+    * embeddings with `vec_id % 7 != 0` (the index as built at ingest);
+    * batch = the `% 7 == 0` arrivals. Output is per-cell
+    * (n_before, n_added, growth). The oracle replays the build chain
+    * (seeds + 2 Lloyd passes over the BASE corpus — the [[annIvfSql]]
+    * CTEs via the shared [[IvfSql]] builders) and then runs the SAME
+    * assignment CTE restricted to the batch at the pinned `cent2` —
+    * exactly the judge-prescribed pinned-centroid twin.
+    */
+  def annIvfInc(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    val base = e.where(col("vec_id") >= 20 && col("vec_id") % 7 =!= 0)
+    val batch = e.where(col("vec_id") >= 20 && col("vec_id") % 7 === 0)
+    val (cells, cents) = Ann.ivfBuild(base)
+    val (_, drift) = Ann.ivfAdd(cells, cents, batch)
+    drift
+  }
+
+  val annIvfIncSql: String = {
+    import IvfSql._
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |c AS (SELECT vec_id AS cid, v, ${nrm("v")} AS nrm FROM e
+       |  WHERE vec_id >= 20 AND vec_id % 7 <> 0),
+       |b AS (SELECT vec_id AS cid, v, ${nrm("v")} AS nrm FROM e
+       |  WHERE vec_id >= 20 AND vec_id % 7 = 0),
+       |${seeds(16)},
+       |${lloyd(2)},
+       |${assignCte("af", "cent2")},
+       |${assignCte("ab", "cent2", rel = "b")},
+       |nb AS (SELECT cell, count(*) AS n FROM af GROUP BY cell),
+       |na AS (SELECT cell, count(*) AS n FROM ab GROUP BY cell)
+       |SELECT ct.cell::INTEGER AS cell,
+       |  coalesce(nb.n, 0)::BIGINT AS n_before,
+       |  coalesce(na.n, 0)::BIGINT AS n_added,
+       |  round(coalesce(na.n, 0)::DOUBLE / greatest(coalesce(nb.n, 0), 1), 6) AS growth
+       |FROM cent2 ct LEFT JOIN nb ON nb.cell = ct.cell
+       |LEFT JOIN na ON na.cell = ct.cell
+       |ORDER BY cell""".stripMargin
   }
 
   /** C62: product-quantization codes + per-block distortion

@@ -681,4 +681,34 @@ class GraphOpsSpec extends SparkSpec {
       ("g2", "g1", 1L, "g2->pw1->g1"),
       ("g2", "t1", 1L, "g2->pw1->t1")))
   }
+
+  test("motifPathsRep: star hop matches every depth 0..k, cycle cut holds, distractor excluded") {
+    // gene -(is_a*0..2)-> family -(part_of)-> pathway, with an is_a
+    // back-edge (cycle) and a distractor type sharing the is_a endpoints
+    val edges = Seq(
+      ("g", "f1", "is_a"), ("f1", "f2", "is_a"),
+      ("f1", "g", "is_a"),            // cycle back to the start
+      ("f2", "p", "part_of"),
+      ("g", "q", "part_of"),          // matched only by the 0-rep depth
+      ("g", "fX", "rel"), ("fX", "p", "part_of") // distractor type
+    ).toDF("src", "dst", "etype")
+    val starts = Seq("g").toDF("node")
+    def run(lo: Int): Set[(String, String, Long, String)] =
+      GraphOps.motifPathsRep(edges, starts, Seq(("is_a", lo, 2), ("part_of", 1, 1)))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(3))).toSet
+    // 0-rep: g itself takes part_of (g->q); 2-rep reaches p through f2;
+    // the is_a cycle g->f1->g is cut; the rel distractor never expands
+    // (n_paths to p would be 2 if typing leaked)
+    assert(run(0) === Set(
+      ("g", "q", 1L, "g->q"),
+      ("g", "p", 1L, "g->f1->f2->p")))
+    // raising minRep to 1 removes exactly the 0-rep match
+    assert(run(1) === Set(("g", "p", 1L, "g->f1->f2->p")))
+    // degenerate spec (0,0) on every hop: a hop can be skipped entirely
+    val skip = GraphOps.motifPathsRep(edges, starts,
+      Seq(("is_a", 0, 0), ("part_of", 1, 1))).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(skip === Set(("g", "q", 1L)))
+  }
 }

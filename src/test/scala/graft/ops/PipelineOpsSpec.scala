@@ -481,6 +481,61 @@ class PipelineOpsSpec extends SparkSpec {
     assert(recall >= 0.4, s"recall $recall below 0.4")
   }
 
+  test("ivfAdd: add == rebuild-assign at pinned centroids; planted boundary batch fires the alarms") {
+    val base = embs.where(col("vec_id") >= 20 && col("vec_id") % 7 =!= 0)
+    val batch = embs.where(col("vec_id") >= 20 && col("vec_id") % 7 === 0)
+    val (cells, cents) = Ann.ivfBuild(base, nCells = 8)
+    val (updated, drift) = Ann.ivfAdd(cells, cents, batch)
+    // 1) incremental add is EXACTLY assigning afresh at the same pinned
+    // centroids — no Lloyd re-run means no assignment can move
+    def cellOf(df: org.apache.spark.sql.DataFrame): Map[Long, Int] =
+      df.select("cid", "cell").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val (rebuilt, _) = Ann.ivfAdd(cells.limit(0), cents, base.unionByName(batch))
+    assert(cellOf(updated) === cellOf(rebuilt))
+    // 2) telemetry accounting: every row lands somewhere, exactly once
+    assert(drift.columns.toSeq === Seq("cell", "n_before", "n_added", "growth"))
+    val d = drift.collect()
+    assert(d.map(_.getLong(1)).sum === base.count())
+    assert(d.map(_.getLong(2)).sum === batch.count())
+
+    // 3) planted drift: vectors seeded NEAR CELL BOUNDARIES (mixtures of
+    // cross-cell base pairs) — each query's true neighbours straddle two
+    // cells, so under-probed recall regresses while the full probe stays
+    // exact: the C97-style recall re-check is the rebuild alarm
+    def mix(w: Double, x: Seq[Double], y: Seq[Double]): Seq[Double] =
+      x.zip(y).map { case (a, b) => w * a + (1 - w) * b }
+    val byCell = cellOf(cells)
+    val vecs = base.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq).toMap
+    val ids = vecs.keys.toSeq.sorted
+    val crossPairs = (for {
+      x <- ids.take(50); y <- ids.take(50)
+      if x < y && byCell(x) != byCell(y)
+    } yield (x, y)).take(5)
+    assert(crossPairs.size === 5, "fixture must span multiple cells")
+    import spark.implicits._
+    val planted = crossPairs.zipWithIndex.flatMap { case ((x, y), i) => Seq(
+      (100000L + 2 * i, mix(0.9, vecs(x), vecs(y))),
+      (100001L + 2 * i, mix(0.1, vecs(x), vecs(y)))) }
+      .toDF("vec_id", "embedding")
+    val queries = crossPairs.zipWithIndex.map { case ((x, y), i) =>
+      (i.toLong, mix(0.5, vecs(x), vecs(y))) }.toDF("vec_id", "embedding")
+    val (updated2, drift2) = Ann.ivfAdd(updated, cents, planted)
+    assert(drift2.collect().map(_.getLong(2)).sum === 10L)
+    def toD(df: org.apache.spark.sql.DataFrame) = df.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x AS double))").as("embedding"))
+    val all = toD(base).unionByName(toD(batch)).unionByName(planted)
+    def hits(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = hits(Ann.bruteForceTopK(queries, all, 2))
+    val under = hits(Ann.ivfSearch(updated2, cents, queries, k = 2, nProbe = 1))
+    val full = hits(Ann.ivfSearch(updated2, cents, queries, k = 2, nProbe = 8))
+    assert(full === exact, "probing every cell must equal brute force")
+    val recall = (exact intersect under).size.toDouble / exact.size
+    assert(recall < 1.0,
+      s"boundary-planted batch must regress under-probed recall (got $recall)")
+  }
+
   test("LSH ANN reaches decent recall of brute-force top-5") {
     val q = embs.where(col("vec_id") < 20)
     val c = embs.where(col("vec_id") >= 20)
