@@ -479,12 +479,18 @@ object Ann {
                           groupCol: Option[String] = None,
                           allowApproximate: Boolean = true,
                           multiProbe: Boolean = true,
-                          maxCandidates: Long = 200000000L): DataFrame = {
+                          maxCandidates: Long = 200000000L,
+                          knownCount: Long = -1L): DataFrame = {
     // unlike a content-sampling probe, this is a pure ROW-COUNT probe
     // ("are there more than maxExactRows rows?") — counts are invariant to
     // file/partition layout, so the head-limit cannot misroute; it merely
-    // bounds the scan at maxExactRows+1 rows
-    val small = emb.select(col(idCol)).limit(maxExactRows + 1).count() <= maxExactRows
+    // bounds the scan at maxExactRows+1 rows. A caller holding the count
+    // already (a parquet-footer/catalog statistic — Tables.rowCount)
+    // passes `knownCount` and BOTH the probe and the LSH route's sizing
+    // count are skipped: the whole router constructs job-free.
+    val small =
+      if (knownCount >= 0L) knownCount <= maxExactRows
+      else emb.select(col(idCol)).limit(maxExactRows + 1).count() <= maxExactRows
     if (small) cosinePairs(emb, minCosine, idCol, vecCol, groupCol)
     else {
       require(allowApproximate,
@@ -495,7 +501,7 @@ object Ann {
           "threshold)")
       cosinePairsLsh(emb, minCosine, idCol = idCol, vecCol = vecCol,
         groupCol = groupCol, multiProbe = multiProbe,
-        maxCandidates = maxCandidates)
+        maxCandidates = maxCandidates, knownCount = knownCount)
     }
   }
 
@@ -521,11 +527,13 @@ object Ann {
                     maxExactRows: Int = 8192,
                     allowApproximate: Boolean = true,
                     multiProbe: Boolean = true,
-                    maxCandidates: Long = 200000000L): DataFrame =
+                    maxCandidates: Long = 200000000L,
+                    knownCount: Long = -1L): DataFrame =
     graft.ops.graph.GraphOps.connectedComponents(
       cosinePairsAdaptive(emb, minCosine, maxExactRows, idCol, vecCol,
         groupCol = Some(labelCol), allowApproximate = allowApproximate,
-        multiProbe = multiProbe, maxCandidates = maxCandidates))
+        multiProbe = multiProbe, maxCandidates = maxCandidates,
+        knownCount = knownCount))
       .select(col("id").as(idCol), col("component"),
         (col("id") === col("component")).as("keep"))
       .orderBy(idCol)
@@ -548,14 +556,19 @@ object Ann {
     * `size(codes)`.
     */
   def srpIndex(emb: DataFrame, planes: Int = 0, bands: Int = 16,
-               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               knownCount: Long = -1L): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val base = emb.select(col(idCol).as("id"), vec(col(vecCol)).as("v"))
       .withColumn("nrm", norm(col("v")))
     val p =
       if (planes > 0) planes
       else {
-        val n = math.max(1L, base.count())
+        // auto-sizing needs n: a caller holding the corpus count (a
+        // catalog/footer statistic) passes `knownCount` and the build is
+        // count-free, like the cosinePairsLsh knob
+        val n = if (knownCount >= 0L) math.max(1L, knownCount)
+                else math.max(1L, base.count())
         math.min(20, math.max(4,
           math.ceil(math.log(math.max(1.0, n / 32.0)) / math.log(2.0)).toInt))
       }

@@ -879,24 +879,29 @@ object TextOps {
     * partition iterator, so nothing is lost to interpretation overhead.
     */
   def winnow(df: DataFrame, k: Int = 5, w: Int = 4,
-             idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+             idCol: String = "doc_id", textCol: String = "text",
+             extraCols: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     // the id passes through OPAQUELY (no cast): a Row encoder carries the
     // caller's id type to the output unchanged, so string/uuid document
     // ids survive — an earlier cast-to-long turned them into nulls that
-    // crashed the non-nullable Long encoder at runtime
-    val pruned = df.select(col(idCol).as("doc_id"), col(textCol).cast("string").as("text"))
+    // crashed the non-nullable Long encoder at runtime. `extraCols` ride
+    // the same opaque path (D27b carries the event-time column through).
+    val pruned = df.select(col(idCol).as("doc_id") +:
+        col(textCol).cast("string").as("text") +: extraCols.map(col): _*)
       .where(length(col("text")) >= k + w - 1)
     val outSchema = StructType(Seq(
       pruned.schema("doc_id").copy(name = "doc_id"),
       StructField("pos", LongType, nullable = false),
-      StructField("fp", LongType, nullable = false)))
+      StructField("fp", LongType, nullable = false)) ++
+      extraCols.map(c => pruned.schema(c)))
     pruned.mapPartitions { rows =>
         val md = java.security.MessageDigest.getInstance("MD5")
         rows.flatMap { r =>
           val id = r.get(0)
           val text = r.getString(1)
+          val extras = (2 until r.length).map(r.get)
           // positions and gram windows count CODEPOINTS, not UTF-16 units:
           // Spark's own substr/length Columns (which scrubWinnow splices
           // with) and DuckDB both index by codepoint, and a java.lang.String
@@ -932,7 +937,8 @@ object TextOps {
               while (deque.peekFirst < s) deque.pollFirst()
               val p = deque.peekFirst
               if (p != lastPicked) {
-                out += Row(id, p + 1L, hs(p)) // 1-based position, oracle-aligned
+                // 1-based position, oracle-aligned
+                out += Row.fromSeq(id +: (p + 1L) +: hs(p) +: extras)
                 lastPicked = p
               }
             }

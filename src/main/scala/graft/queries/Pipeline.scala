@@ -929,7 +929,11 @@ object Pipeline {
   // SRP-LSH bucketed + exact-verify route above it — no O(n²) at scale
 
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
-    Ann.cosinePairsAdaptive(embs(spark, dir), minCosine = 0.45)
+    // knownCount from the parquet footers: the router and the LSH sizing
+    // construct with ZERO count jobs (the r16 advisor finding, closed at
+    // the call site — the API knob existed, the driver query now uses it)
+    Ann.cosinePairsAdaptive(embs(spark, dir), minCosine = 0.45,
+      knownCount = Tables.rowCount(spark, dir, "embeddings"))
 
   /** One full splitmix64 application in DuckDB HUGEINT mod-2^64 arithmetic
     * (the [[embedProjectSql]] recipe, factored so it can be CHAINED): six
@@ -1062,10 +1066,20 @@ object Pipeline {
     */
   def dedupEmbeddingInc(spark: SparkSession, dir: String): DataFrame = {
     val e = embs(spark, dir)
+    // the %10 split is a predicate footers cannot answer: ONE bounded
+    // aggregation on first contact (cached by data fingerprint — bench
+    // reps and repeat sweeps construct count-free), the total from the
+    // footers, the index side by subtraction. Plane sizing must see the
+    // EXACT index count (the oracle derives p from it), so no estimate.
+    val total = Tables.rowCount(spark, dir, "embeddings")
+    val nNew = Tables.cachedCount(spark, dir, "embeddings", "mod10new")(
+      e.where(pmod(col("vec_id"), lit(10)) === 0).count())
     Ann.cosineIncrement(
       e.where(pmod(col("vec_id"), lit(10)) === 0),
-      Ann.srpIndex(e.where(pmod(col("vec_id"), lit(10)) =!= 0)).localCheckpoint(),
-      minCosine = 0.45)
+      Ann.srpIndex(e.where(pmod(col("vec_id"), lit(10)) =!= 0),
+        knownCount = total - nNew).localCheckpoint(),
+      minCosine = 0.45,
+      knownBatchCount = nNew, knownIndexCount = total - nNew)
   }
 
   lazy val dedupEmbeddingIncSql: String =
@@ -1113,7 +1127,8 @@ object Pipeline {
     * transitive closure (the dedup_clusters pattern).
     */
   def dedupSemantic(spark: SparkSession, dir: String): DataFrame =
-    Ann.semanticDedup(embs(spark, dir), minCosine = 0.45)
+    Ann.semanticDedup(embs(spark, dir), minCosine = 0.45,
+      knownCount = Tables.rowCount(spark, dir, "embeddings"))
 
   lazy val dedupSemanticSql: String =
     "WITH RECURSIVE\n" + cosineAdaptivePairsCtes("0.45", withGroup = true) +

@@ -36,4 +36,47 @@ object Tables {
     val raw = load(spark, sfDir, "events")
     raw.withColumn("ts", eventTs(raw))
   }
+
+  private val countCache = scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  /** A table's row count as a METADATA fact: summed off the parquet
+    * footers on the driver — zero Spark jobs, zero data scan — and cached
+    * by the dataset fingerprint (a regenerated file re-reads its footers;
+    * a same-bytes re-run is a map hit). This is the "catalog statistic"
+    * the count-free pricing knobs ([[graft.ops.ann.Ann]]'s
+    * `knownCount`/`knownBatchCount`/`knownIndexCount`) expect a caller to
+    * hold: at 100 TB a total row count is what the metastore already
+    * knows, never a scan.
+    */
+  def rowCount(spark: SparkSession, sfDir: String, name: String): Long = {
+    val path = s"$sfDir/$name.parquet"
+    val key = "rows:" + graft.io.Fingerprint.ofPath(spark, path)
+    countCache.getOrElseUpdate(key, {
+      val conf = spark.sessionState.newHadoopConf()
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(conf)
+      val files =
+        if (fs.getFileStatus(root).isFile) Seq(fs.getFileStatus(root))
+        else fs.listStatus(root).toSeq
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      files.map { f =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
+        try r.getRecordCount finally r.close()
+      }.sum
+    })
+  }
+
+  /** Fingerprint-keyed cache for DERIVED counts (filtered splits and
+    * other predicates footers cannot answer): the first construction
+    * pays `compute` once; every later construction over the same bytes —
+    * bench reps, repeated verify sweeps, per-batch rebuilds — is
+    * count-free. `tag` names the predicate so distinct splits of one
+    * table cache separately.
+    */
+  def cachedCount(spark: SparkSession, sfDir: String, name: String,
+                  tag: String)(compute: => Long): Long = {
+    val key = s"$tag:" + graft.io.Fingerprint.ofPath(spark, s"$sfDir/$name.parquet")
+    countCache.getOrElseUpdate(key, compute)
+  }
 }

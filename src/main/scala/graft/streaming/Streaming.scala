@@ -1472,6 +1472,77 @@ object Streaming {
       }
   }
 
+  final case class TsFpDoc(fp: Long, id: Long, ts: java.sql.Timestamp)
+
+  /** D27b — D27 with BOUNDED state: [[winnowPairMonitor]] against a
+    * retention window, the [[nearDupPairsRetained]] (D7b) pattern applied
+    * to the winnow witness monitor — the LAST pair monitor without a
+    * time-retention twin (D7b/D26b/D30b/D32b all bounded). `tsCol` is the
+    * document's event time; the fingerprint stream is watermarked by
+    * `retention`, each arrival witnesses only against bucket members the
+    * watermark still allows (`member.ts ≥ watermark`), expired members
+    * are pruned on every bucket visit, and quiet buckets are erased
+    * entirely by an event-time timeout — state is proportional to the
+    * retention window's data volume, never the stream's history. Within
+    * the window the emission contract is D27's unchanged (one (a, b, fp)
+    * witness per shared fingerprint, exactly once per pair-fp — consumers
+    * aggregate witness counts downstream; `maxBucket` still hard-stops
+    * boilerplate fingerprints, saturation capping the state list itself);
+    * an expired member can never witness again by construction. This is
+    * the shape an unbounded production stream runs; the NoTimeout variant
+    * above is the whole-corpus batch-equivalent tool.
+    */
+  def winnowPairMonitorRetained(docs: DataFrame, tsCol: String,
+                                retention: String = "1 hour",
+                                k: Int = 5, w: Int = 4,
+                                maxBucket: Int = Int.MaxValue): Dataset[FpPair] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // the watermark attaches AFTER the winnow flatMap: the event-time
+    // column rides winnow's opaque extraCols path, and metadata planted
+    // before a mapPartitions would not survive the new output attributes
+    val fps = graft.ops.text.TextOps.winnow(docs, k, w, extraCols = Seq(tsCol))
+      .withWatermark(tsCol, retention)
+      .where(col("doc_id").try_cast("long").isNotNull)
+      .select(col("fp"), col("doc_id").try_cast("long").as("id"),
+        col(tsCol).as("ts"))
+      .as[TsFpDoc]
+    fps.groupByKey(_.fp)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (fp: Long, it: Iterator[TsFpDoc], state: GroupState[List[TsFpDoc]]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val watermark = state.getCurrentWatermarkMs()
+            var members = state.getOption.getOrElse(Nil)
+              .filter(_.ts.getTime >= watermark) // retention prune
+            val seen = scala.collection.mutable.HashSet.empty[Long]
+            members.foreach(m => seen += m.id)
+            var size = seen.size
+            val out = List.newBuilder[FpPair]
+            var maxTs = watermark
+            members.foreach(m => if (m.ts.getTime > maxTs) maxTs = m.ts.getTime)
+            it.foreach { d =>
+              if (size < maxBucket && !seen(d.id)) {
+                members.foreach { o =>
+                  val (a, b) = if (o.id < d.id) (o.id, d.id) else (d.id, o.id)
+                  out += FpPair(a, b, fp)
+                }
+                members ::= d
+                seen += d.id
+                size += 1
+              }
+              if (d.ts.getTime > maxTs) maxTs = d.ts.getTime
+            }
+            state.update(members)
+            // erase the bucket once the watermark passes its newest member
+            state.setTimeoutTimestamp(maxTs + 1)
+            out.result().iterator
+          }
+      }
+  }
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                          event_type: String, value: Double)
   final case class UserSession(user_id: Long, session_start: java.sql.Timestamp,

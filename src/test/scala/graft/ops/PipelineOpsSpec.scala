@@ -481,6 +481,41 @@ class PipelineOpsSpec extends SparkSpec {
     assert(recall >= 0.4, s"recall $recall below 0.4")
   }
 
+  test("knownCount threading: dedup driver queries construct without count jobs") {
+    import graft.queries.{Pipeline, Tables}
+    val sf = dir
+    // footer-derived total equals the scanned count, once, cached
+    assert(Tables.rowCount(spark, sf, "embeddings") === embs.count())
+    // warm the fingerprint-keyed caches (first contact may pay one
+    // bounded filtered count — priced and cached)
+    Pipeline.dedupEmbedding(spark, sf)
+    Pipeline.dedupEmbeddingInc(spark, sf)
+
+    val n = embs.count()
+    val callSites = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        callSites.add(Option(js.properties)
+          .map(_.getProperty("callSite.short", "")).getOrElse(""))
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // CONSTRUCTION ONLY — no action on the returned frames
+      Pipeline.dedupEmbedding(spark, sf)
+      Pipeline.dedupEmbeddingInc(spark, sf)
+      Ann.cosinePairsAdaptive(embs, 0.45, knownCount = n)
+      Ann.srpIndex(embs, knownCount = 42L)
+      // the listener bus is async; constructions above are synchronous,
+      // so a short drain window suffices for their job-start events
+      Thread.sleep(1000)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    val counts = callSites.toArray.map(_.toString).filter(_.startsWith("count at"))
+    assert(counts.isEmpty,
+      s"count jobs at construction: ${counts.mkString(", ")}")
+    // the warm inc construction's only jobs are the index checkpoint
+    // materialisation + the 1-row planes lookup, never a count
+  }
+
   test("ivfAdd: add == rebuild-assign at pinned centroids; planted boundary batch fires the alarms") {
     val base = embs.where(col("vec_id") >= 20 && col("vec_id") % 7 =!= 0)
     val batch = embs.where(col("vec_id") >= 20 && col("vec_id") % 7 === 0)

@@ -1181,6 +1181,53 @@ class StreamingSpec extends SparkSpec {
     assert(got === Set((1L, 2L))) // in-window pair found; (1,3)/(2,3) expired
   }
 
+  test("D27b: retained winnow witnesses pair within the window and expire old members") {
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-wnret").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("ts", TimestampType)))
+    def write(name: String, rows: Seq[(Long, String, Long)]): Unit = {
+      rows.toDF("doc_id", "text", "epoch_s")
+        .select(col("doc_id"), col("text"),
+          col("epoch_s").cast("timestamp").as("ts"))
+        .coalesce(1).write.parquet(s"$tmp/$name")
+    }
+    val shared = "the quick brown fox jumps over the lazy dog again and again"
+    val h = 3600L
+    val t0 = 1000000000L
+    write("b1", Seq((1L, shared, t0), (2L, shared, t0)))
+    val src = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .parquet(s"$tmp/*/")
+    val q = Streaming.winnowPairMonitorRetained(src, tsCol = "ts",
+        retention = "1 hour")
+      .writeStream.format("memory").queryName("wn_retained")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // unrelated doc ten days later — advances the watermark far past b1
+      write("b2", Seq((50L, (1 to 30).map(i => s"zq$i").mkString(" "),
+        t0 + 10 * 24 * h)))
+      q.processAllAvailable()
+      // a copy of doc 1's text, but its buddies expired long ago: the
+      // shared fingerprints exist in both, yet no witness may fire
+      write("b3", Seq((3L, shared, t0 + 10 * 24 * h + 60)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("wn_retained").select("a", "b").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 2L))) // in-window witness found; (1,3)/(2,3) expired
+    // within the window the witness contract is D27's: the deduped
+    // witness count for (1,2) equals the batch winnow index self-join
+    val batch = graft.ops.dedup.Dedup.winnowIndex(
+      Seq((1L, shared), (2L, shared)).toDF("doc_id", "text"))
+    val sharedFps = spark.table("wn_retained")
+      .where(col("a") === 1L && col("b") === 2L)
+      .select("fp").distinct().count()
+    val batchShared = batch.where(col("doc_id") === 1L).select("fp").distinct().count()
+    assert(sharedFps === batchShared)
+  }
+
   test("D33: streaming triples->PG upsert converges on batch toPg however batched") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.model.Graph
