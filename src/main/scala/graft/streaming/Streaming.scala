@@ -1713,6 +1713,18 @@ object Streaming {
                       salt: String = ""): DataFrame =
     graft.ops.sample.Sampling.shardStats(docs, idCol, textCol, nShards, salt)
 
+  /** D33 emits `tpe = TombstoneType` when a batch id-deletes an element:
+    * a latest-per-id consumer cannot observe absence through silence, so
+    * the delete is a visible row to filter on. Matches [[graft.etl.PgGraph
+    * .mergeInc]]'s A54 semantics batch-for-batch: an id-level `@delete`
+    * wins over same-batch data triples (delete-then-reinsert takes two
+    * batches) and clears the element's state entirely (residence cost
+    * drops to zero — the one place streaming delete is CHEAPER than
+    * retention); a key-level `@delete` unsets that property key after the
+    * batch's data merges (wins in-batch), siblings untouched.
+    */
+  val TombstoneType = "tombstone"
+
   def pgMergeMonitor(triples: DataFrame): Dataset[PgUpsert] = {
     val spark = triples.sparkSession
     import spark.implicits._
@@ -1724,26 +1736,40 @@ object Streaming {
     in.groupByKey(_.id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (id: String, it: Iterator[TripleIn], state: GroupState[PgState]) =>
-          val s0 = state.getOption.getOrElse(PgState(Nil, null, null, Map.empty))
-          var labels = s0.labels.toSet
-          var from = s0.from
-          var to = s0.to
-          var props = s0.props.map { case (k, v) => k -> v.toSet }
-          it.foreach { t =>
-            t.key match {
-              case graft.model.Graph.TypeKey => labels += t.value
-              case graft.model.Graph.FromKey => from = t.value
-              case graft.model.Graph.ToKey   => to = t.value
-              case k => props = props.updated(k, props.getOrElse(k, Set.empty) + t.value)
+          // materialised: tombstone precedence must not depend on the
+          // iterator's arbitrary cross-partition arrival order
+          val batch = it.toList
+          val (tombs, data) = batch.partition(_.key == graft.model.Graph.DeleteKey)
+          if (tombs.exists(_.value == graft.model.Graph.DeleteAll)) {
+            // id-level delete wins over same-batch data; state cleared so
+            // a future batch rebuilds from empty
+            state.remove()
+            Iterator.single(PgUpsert(id, TombstoneType, Nil, null, null, Map.empty))
+          } else {
+            val s0 = state.getOption.getOrElse(PgState(Nil, null, null, Map.empty))
+            var labels = s0.labels.toSet
+            var from = s0.from
+            var to = s0.to
+            var props = s0.props.map { case (k, v) => k -> v.toSet }
+            data.foreach { t =>
+              t.key match {
+                case graft.model.Graph.TypeKey => labels += t.value
+                case graft.model.Graph.FromKey => from = t.value
+                case graft.model.Graph.ToKey   => to = t.value
+                case k => props = props.updated(k, props.getOrElse(k, Set.empty) + t.value)
+              }
             }
+            // key-level unsets apply AFTER the merge (win in-batch), the
+            // A54 stance; unset of an absent key is a no-op
+            tombs.foreach(t => props = props.removed(t.value))
+            val next = PgState(labels.toSeq.sorted, from, to,
+              props.map { case (k, v) => k -> v.toSeq.sorted })
+            state.update(next)
+            val tpe = if (from != null) graft.model.Graph.EdgeType
+                      else graft.model.Graph.NodeType
+            Iterator.single(
+              PgUpsert(id, tpe, next.labels, next.from, next.to, next.props))
           }
-          val next = PgState(labels.toSeq.sorted, from, to,
-            props.map { case (k, v) => k -> v.toSeq.sorted })
-          state.update(next)
-          val tpe = if (from != null) graft.model.Graph.EdgeType
-                    else graft.model.Graph.NodeType
-          Iterator.single(
-            PgUpsert(id, tpe, next.labels, next.from, next.to, next.props))
       }
   }
 }

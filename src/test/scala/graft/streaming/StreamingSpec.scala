@@ -1286,6 +1286,55 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("D33 tombstones: id delete wins in-batch and clears state; key unset leaves siblings") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.model.Graph
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, String, String)]
+    val q = Streaming.pgMergeMonitor(mem.toDF.toDF("id", "key", "value"))
+      .writeStream.format("memory").queryName("pg_tomb")
+      .outputMode("append").start()
+    def latest() = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("id").orderBy(col("ord").desc)
+      spark.table("pg_tomb").withColumn("ord", monotonically_increasing_id())
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .collect().map { r =>
+          r.getAs[String]("id") -> ((r.getAs[String]("tpe"),
+            r.getAs[Map[String, scala.collection.Seq[String]]]("props")
+              .map { case (k, v) => k -> v.toList },
+            r.getAs[scala.collection.Seq[String]]("labels").toList))
+        }.toMap
+    }
+    try {
+      mem.addData(
+        ("N1", Graph.TypeKey, "Gene"), ("N1", "name", "\"n1\""),
+        ("N1", "score", "\"a\""),
+        ("N2", Graph.TypeKey, "Gene"), ("N2", "name", "\"n2\""))
+      q.processAllAvailable()
+      // batch 2: delete N2 (data triple in the SAME batch must lose);
+      // unset N1.score while upserting a label beside it
+      mem.addData(
+        ("N2", Graph.DeleteKey, Graph.DeleteAll), ("N2", "name", "\"zombie\""),
+        ("N1", Graph.DeleteKey, "score"), ("N1", Graph.TypeKey, "Audited"),
+        ("N1", Graph.DeleteKey, "no_such_key"))
+      q.processAllAvailable()
+      val m1 = latest()
+      assert(m1("N2")._1 === Streaming.TombstoneType)
+      assert(m1("N1")._1 === Graph.NodeType)
+      assert(m1("N1")._2 === Map("name" -> List("\"n1\"")))
+      assert(m1("N1")._3 === List("Audited", "Gene"))
+      // batch 3: N2 rebuilds FROM EMPTY (state was cleared, two-batch
+      // delete-then-reinsert — the A54 mergeInc stance)
+      mem.addData(("N2", Graph.TypeKey, "Fresh"), ("N2", "name", "\"reborn\""))
+      q.processAllAvailable()
+      val m2 = latest()
+      assert(m2("N2")._1 === Graph.NodeType)
+      assert(m2("N2")._3 === List("Fresh")) // no Gene residue
+      assert(m2("N2")._2 === Map("name" -> List("\"reborn\"")))
+    } finally q.stop()
+  }
+
   test("D35: streaming interval overlaps match the batch join, claim once across buckets, expire") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

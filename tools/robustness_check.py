@@ -12,18 +12,35 @@ Found in round 7 (both fixed):
     unicode('') = -1 folds a phantom byte; the engine folds zero bytes).
 
 Usage:
-  python3 tools/robustness_check.py [src_sf_dir]
+  python3 tools/robustness_check.py [src_sf_dir] [--seed N]
   # then: SPARK_GRAFT_CPUS=8 sbt -batch "runMain graft.Verify /tmp/robust_sf /tmp/verify_robust"
   #       python3 tools/check_oracle.py /tmp/robust_sf /tmp/verify_robust
+
+--seed N (r16 verdict #8) additionally injects a REPRODUCIBLE random
+sweep of the degenerate classes the fixed rows pin one-at-a-time:
+random NULL placement, duplicate texts/vectors under fresh ids,
+token-shuffled near-dups, zero-width splits, nanosecond timestamp ties
+at random rows, and decimal-lattice values parked ON 6-dp half
+boundaries (the embed_second_pc tie-rounding class found in r16 by
+composition luck — this hunts it systematically). Same seed, same
+fixture, so any divergence is replayable.
 """
 import glob
 import os
+import random
 import shutil
 import sys
 
 import duckdb
 
-src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+args = sys.argv[1:]
+seed = None
+if "--seed" in args:
+    i = args.index("--seed")
+    seed = int(args[i + 1])
+    del args[i:i + 2]
+src = args[0] if args else "/root/testdata/sf0.001"
+rng = random.Random(seed) if seed is not None else None
 dst = "/tmp/robust_sf"
 
 shutil.rmtree(dst, ignore_errors=True)
@@ -69,6 +86,39 @@ COPY (
   ) t(doc_id, text, lang, source, n_chars)
 ) TO '{dst}/documents.parquet' (FORMAT PARQUET)
 """)
+if rng:
+    # seeded random document rows: duplicates, NULLs, doubled spaces,
+    # zero-width splits, token-shuffled near-dups — placed at random
+    # real rows each seed instead of the same hand-picked spots
+    base_rows = con.execute(
+        f"SELECT text, lang, source FROM read_parquet('{dst}/documents.parquet') "
+        "WHERE text IS NOT NULL AND length(text) > 0 ORDER BY doc_id LIMIT 500"
+    ).fetchall()
+    picks = rng.sample(base_rows, min(8, len(base_rows)))
+    vals = []
+    nid = doc0 + 9
+    for text, lang, srcname in picks:
+        kind = rng.randrange(5)
+        if kind == 0:      # exact duplicate text under a fresh id
+            t = text
+        elif kind == 1:    # random NULL placement
+            t = None
+        elif kind == 2:    # doubled whitespace at a random word gap
+            w = text.split(" ")
+            j = rng.randrange(max(1, len(w) - 1))
+            t = " ".join(w[:j + 1]) + "  " + " ".join(w[j + 1:])
+        elif kind == 3:    # zero-width split, kept short (ASCII-media invariant)
+            t = text.split(" ")[0][:10] + "\u200b" + "zw"
+        else:              # token-shuffled near-dup
+            w = text.split(" ")
+            rng.shuffle(w)
+            t = " ".join(w)
+        vals.append((nid, t, lang, srcname, len(t) if t is not None else 0))
+        nid += 1
+    con.execute(f"CREATE TABLE rdocs AS SELECT * FROM read_parquet('{dst}/documents.parquet')")
+    con.executemany("INSERT INTO rdocs VALUES (?, ?, ?, ?, ?)", vals)
+    con.execute(f"COPY rdocs TO '{dst}/documents.parquet' (FORMAT PARQUET)")
+
 # media-framing invariant (r14 advisor): the frame-dedup oracles (C43/C87)
 # frame by CHARACTERS while the engine frames UTF-8 BYTES of encode(text) —
 # exact only while every doc long enough to emit a frame (>= 64 bytes, the
@@ -96,6 +146,30 @@ COPY (
     FROM read_parquet('{src}/embeddings.parquet') WHERE vec_id = 30
 ) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)
 """)
+if rng:
+    # seeded random embedding rows: duplicate vectors at RANDOM sources
+    # (tie-breaking anywhere, not just vec 30), a NULL-label row, and a
+    # vector of decimal-lattice components parked ON the 6-dp half
+    # boundary (k·1e-6 + 5e-7): sums/means of these park on half
+    # boundaries too — the embed_second_pc rounding class, hunted
+    # systematically instead of found by composition luck
+    dims = con.execute(
+        f"SELECT len(embedding) FROM read_parquet('{dst}/embeddings.parquet') LIMIT 1"
+    ).fetchone()[0]
+    real_ids = [r[0] for r in con.execute(
+        f"SELECT vec_id FROM read_parquet('{src}/embeddings.parquet') "
+        "ORDER BY vec_id LIMIT 500").fetchall()]
+    con.execute(f"CREATE TABLE rembs AS SELECT * FROM read_parquet('{dst}/embeddings.parquet')")
+    nid = vec0 + 2
+    for rv in rng.sample(real_ids, min(4, len(real_ids))):
+        con.execute(
+            f"INSERT INTO rembs SELECT {nid}::BIGINT, embedding, label "
+            f"FROM rembs WHERE vec_id = {rv}")
+        nid += 1
+    parked = [rng.randrange(0, 1000) * 1e-6 + 5e-7 for _ in range(dims)]
+    con.execute(
+        f"INSERT INTO rembs VALUES ({nid}::BIGINT, {parked}::FLOAT[], NULL)")
+    con.execute(f"COPY rembs TO '{dst}/embeddings.parquet' (FORMAT PARQUET)")
 # degenerate events: a tied timestamp (window/funnel/asof tie-breaking), a
 # lone event type with a single hourly bucket (trailing-z null path), and
 # a zero-value event (decimal-sum edge). Written via PYARROW, not a DuckDB
@@ -125,7 +199,25 @@ extra = pa.table({
     "value": pa.array([0.0, 1.0], pa.float64()),
     "props": pa.array(["{}", "{}"], pa.string()),
 }).select([f.name for f in evt.schema]).cast(pa.schema([(f.name, f.type) for f in evt.schema]))
-pq.write_table(pa.concat_tables([evt, extra]), f"{dst}/events.parquet")
+extras = [evt, extra]
+if rng:
+    # seeded random event rows: nanosecond-tied clones of RANDOM rows
+    # (window/asof/funnel tie-breaking at arbitrary positions) with
+    # values parked on the 6-dp half boundary
+    n_real = evt.num_rows
+    idxs = sorted(rng.sample(range(n_real), min(3, n_real)))
+    ts_ns = evt.column("ts").cast(pa.int64())
+    rnd = pa.table({
+        "event_id": pa.array([ev0 + 2 + j for j in range(len(idxs))], pa.int64()),
+        "ts": pa.array([ts_ns[i].as_py() for i in idxs], pa.int64()).cast(ts_type),
+        "user_id": pa.array([evt.column("user_id")[i].as_py() for i in idxs], pa.int64()),
+        "event_type": pa.array([evt.column("event_type")[i].as_py() for i in idxs], pa.string()),
+        "value": pa.array([rng.randrange(0, 1000) * 1e-6 + 5e-7 for _ in idxs], pa.float64()),
+        "props": pa.array(["{}"] * len(idxs), pa.string()),
+    }).select([f.name for f in evt.schema]).cast(
+        pa.schema([(f.name, f.type) for f in evt.schema]))
+    extras.append(rnd)
+pq.write_table(pa.concat_tables(extras), f"{dst}/events.parquet")
 assert pq.read_schema(f"{dst}/events.parquet").field("ts").type == ts_type, \
     "events ts physical type must survive the rewrite (nanosAsLong contract)"
 back = pq.read_table(f"{dst}/events.parquet", filters=[("event_id", "=", ev0)])
@@ -135,6 +227,7 @@ assert back.column("ts").cast(pa.int64())[0].as_py() == first_ts_ns, \
 nd = con.execute(f"SELECT count(*) FROM read_parquet('{dst}/documents.parquet')").fetchone()[0]
 ne = con.execute(f"SELECT count(*) FROM read_parquet('{dst}/embeddings.parquet')").fetchone()[0]
 nv = pq.read_table(f"{dst}/events.parquet").num_rows
-print(f"wrote {dst} ({nd} documents, {ne} embeddings, {nv} events incl. degenerate rows);")
+mode = f"seed={seed} randomized + fixed" if seed is not None else "fixed"
+print(f"wrote {dst} ({nd} documents, {ne} embeddings, {nv} events incl. degenerate rows; {mode});")
 print("now: SPARK_GRAFT_CPUS=8 sbt -batch 'runMain graft.Verify /tmp/robust_sf /tmp/verify_robust'")
 print("     python3 tools/check_oracle.py /tmp/robust_sf /tmp/verify_robust")
