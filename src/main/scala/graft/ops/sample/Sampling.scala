@@ -252,6 +252,38 @@ object Sampling {
       tokens, col("__tw"), totalBudget, salt).drop("__tw")
   }
 
+  /** Per-SOURCE token-budget allocation report — the mixture MATH of a
+    * training run, complementing [[temperatureMix]]'s per-document
+    * selection: temperature-weighted share w_s = round((tok_s/total)^α, 6),
+    * allocated tokens = floor(budget · w_s / Σw), and `epochs` =
+    * allocation / natural tokens — the repetition factor each source
+    * runs at (epochs > 1 = the source is up-sampled/repeated; << 1 =
+    * heavily subsampled), the single number data-mixture design reviews.
+    * Same rounding ladder as [[temperatureMix]] so the two views of one
+    * mixture cannot disagree. Fully relational (two 1-row crossJoin
+    * totals — the broadcast-totals stance), |sources| output rows.
+    */
+  def tokenBudget(df: DataFrame, sourceCol: String, tokens: Column,
+                  alpha: Double, totalBudget: Long): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1] (got $alpha)")
+    require(totalBudget >= 0, "totalBudget must be non-negative")
+    val d = df.where(col(sourceCol).isNotNull)
+      .select(col(sourceCol).as("source"), tokens.cast("long").as("n_tokens"))
+      .where(col("n_tokens").isNotNull)
+    val s = d.groupBy("source").agg(sum("n_tokens").as("natural_tokens"))
+    val tot = s.agg(sum(col("natural_tokens")).cast("double").as("__t"))
+    val w = s.crossJoin(tot)
+      .withColumn("weight",
+        round(pow(col("natural_tokens").cast("double") / col("__t"), alpha), 6))
+    val sw = w.agg(sum("weight").as("__sum_w"))
+    val alloc = floor(lit(totalBudget) * col("weight") / col("__sum_w")).cast("long")
+    w.crossJoin(sw).select(
+        col("source"), col("natural_tokens"), col("weight"),
+        alloc.as("alloc_tokens"),
+        round(alloc.cast("double") / col("natural_tokens"), 6).as("epochs"))
+      .orderBy("source")
+  }
+
   def mixToBudget(df: DataFrame, sourceCol: String, idCol: String,
                   tokens: Column, weight: Column, totalBudget: Long,
                   salt: String = ""): DataFrame = {

@@ -1274,17 +1274,16 @@ object GraphEtl {
       withExact = true)
   }
 
-  val kgAnfSql: String = {
+  /** Shared ANF oracle chain (A50/A56): depth-3 KG edge CTE, seed
+    * registers, 4 max-merge rounds, and the per-k estimate chains
+    * `s0..s4` — one builder, so the two oracles cannot drift.
+    */
+  private val anfChainSql: String = {
     val am2 = (0.7213 / (1.0 + 1.079 / 64)) * 64 * 64 // same Scala double as the engine
     val regIters = (1 to 4).map { i =>
       s"""r$i AS (SELECT node, j, max(mj) AS mj FROM (
          |    SELECT e.src AS node, r.j, r.mj FROM e JOIN r${i - 1} r ON r.node = e.dst
          |    UNION ALL SELECT node, j, mj FROM r${i - 1}) GROUP BY node, j)""".stripMargin
-    }.mkString(",\n")
-    val pairIters = (1 to 4).map { i =>
-      s"""p$i AS (SELECT DISTINCT v, u FROM (
-         |    SELECT p.v, e.dst AS u FROM p${i - 1} p JOIN e ON e.src = p.u
-         |    UNION ALL SELECT v, u FROM p${i - 1}))""".stripMargin
     }.mkString(",\n")
     val ests = (0 to 4).map { k =>
       s"""a$k AS (SELECT node, sum(1.0 / (CAST(1 AS BIGINT) << mj)) + (64 - count(*)) AS s,
@@ -1293,10 +1292,7 @@ object GraphEtl {
          |    THEN 64.0 * ln(64.0 / v) ELSE $am2 / s END, 4) AS est FROM a$k),
          |s$k AS (SELECT round(sum(CAST(est AS DECIMAL(27,10)))::DOUBLE, 4) AS t FROM e$k)""".stripMargin
     }.mkString(",\n")
-    val rows = (0 to 4).map { k =>
-      s"SELECT $k::INT AS k, (SELECT t FROM s$k) AS est_reach, (SELECT count(*) FROM p$k) AS exact_reach"
-    }.mkString("\nUNION ALL ")
-    s"""WITH e AS (
+    s"""e AS (
        |  SELECT 'ord:' || o_orderkey AS src, 'cust:' || o_custkey AS dst
        |    FROM orders WHERE o_orderkey % 97 = 0
        |  UNION ALL
@@ -1308,11 +1304,66 @@ object GraphEtl {
        |r0 AS (SELECT node, (hv % 64)::INT AS j,
        |    (CASE WHEN hv // 64 = 0 THEN 27 ELSE 27 - length(bin(hv // 64)) END)::INT AS mj FROM h),
        |$regIters,
+       |$ests""".stripMargin
+  }
+
+  val kgAnfSql: String = {
+    val pairIters = (1 to 4).map { i =>
+      s"""p$i AS (SELECT DISTINCT v, u FROM (
+         |    SELECT p.v, e.dst AS u FROM p${i - 1} p JOIN e ON e.src = p.u
+         |    UNION ALL SELECT v, u FROM p${i - 1}))""".stripMargin
+    }.mkString(",\n")
+    val rows = (0 to 4).map { k =>
+      s"SELECT $k::INT AS k, (SELECT t FROM s$k) AS est_reach, (SELECT count(*) FROM p$k) AS exact_reach"
+    }.mkString("\nUNION ALL ")
+    s"""WITH $anfChainSql,
        |p0 AS (SELECT node AS v, node AS u FROM nodes),
-       |$pairIters,
-       |$ests
+       |$pairIters
        |$rows
        |ORDER BY k""".stripMargin
+  }
+
+  /** A56: effective diameter of the KG from the SKETCH-ONLY ANF profile
+    * ([[graft.ops.graph.GraphOps.anf]] with the r17 `withExact = false`
+    * DEFAULT — this query puts the flag-off path, the one a 100 TB
+    * caller actually runs, under the driver oracle; A50 checks the
+    * flag-on validation twin): the smallest k whose estimated reach
+    * N(k) covers >= 90% of N(maxK) — the standard HyperANF
+    * effective-diameter readout (Boldi-Rosa-Vigna WWW 2011 sec. 5).
+    * Comparison is on the 4-dp-rounded estimates both engines already
+    * share, scaled by an exact double 0.9 — engine-identical
+    * arithmetic, so the selected k hashes stably.
+    */
+  def kgEffDiameter(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders").where(col("o_orderkey") % 97 === 0)
+    val customer = Tables.load(spark, dir, "customer")
+    val nation = Tables.load(spark, dir, "nation")
+    val triples = Triples.chain(
+      Triples.edges(orders, "placedBy",
+        Triples.wrap(col("o_orderkey"), "ord:"),
+        Triples.wrap(col("o_custkey"), "cust:")),
+      Triples.edges(customer, "inNation",
+        Triples.wrap(col("c_custkey"), "cust:"),
+        Triples.wrap(col("c_nationkey"), "nation:")),
+      Triples.edges(nation, "inRegion",
+        Triples.wrap(col("n_nationkey"), "nation:"),
+        Triples.wrap(col("n_regionkey"), "region:")))
+    val prof = graft.ops.graph.GraphOps.anf(
+      PgGraph.toPg(triples).where(col("type") === Graph.EdgeType))
+    val fin = prof.agg(max(when(col("k") === 4, col("est_reach"))).as("est_final"))
+    prof.crossJoin(fin)
+      .where(col("est_reach") >= lit(0.9) * col("est_final"))
+      .agg(min("k").as("eff_diameter"), max(col("est_final")).as("est_final"))
+  }
+
+  val kgEffDiameterSql: String = {
+    val rows = (0 to 4).map(k => s"SELECT $k::INT AS k, (SELECT t FROM s$k) AS est")
+      .mkString("\nUNION ALL ")
+    s"""WITH $anfChainSql,
+       |curve AS ($rows),
+       |fin AS (SELECT t AS est_final FROM s4)
+       |SELECT min(k)::INT AS eff_diameter, max(est_final) AS est_final
+       |FROM curve CROSS JOIN fin WHERE est >= 0.9 * est_final""".stripMargin
   }
 
   /** A49: personalized PageRank over the supplier→nation→region KG

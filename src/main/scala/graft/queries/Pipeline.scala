@@ -84,6 +84,58 @@ object Pipeline {
 
   val dedupNgramJaccardSql: String = jaccardPairsSql
 
+  /** C104: dedup threshold-sensitivity curve — the C99 impact telemetry
+    * swept across thresholds in ONE pair pass: per threshold in
+    * {0.5..0.9}, the qualifying pair count, the distinct documents in
+    * any qualifying pair, and that as a fraction of the corpus. THE
+    * chart that decides where to SET the dedup threshold (C2/C3 run at a
+    * point; this shows the curve around it — a cliff between 0.6 and
+    * 0.7 means the corpus has a near-dup band there, a flat curve means
+    * the choice is insensitive). Pairs come from the same
+    * already-oracle-checked C2 adaptive chain at the lowest swept
+    * threshold; the sweep itself is one broadcast-joined |pairs|-sized
+    * pass + two keyed counts — negligible beside the pair search.
+    * Jaccard values are exact integer-ratio doubles, so >= comparisons
+    * against the literal thresholds are engine-identical.
+    */
+  def dedupCurve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = Dedup.ngramJaccardAdaptive(docs(spark, dir), minJaccard = 0.5)
+    val th = Seq(0.5, 0.6, 0.7, 0.8, 0.9).toDF("threshold")
+    val joined = th.join(pairs, col("jaccard") >= col("threshold"), "left")
+    val nPairs = joined.groupBy("threshold")
+      .agg(count(col("a")).as("n_pairs"))
+    val nDocs = joined
+      .select(col("threshold"), explode(array(col("a"), col("b"))).as("d"))
+      .groupBy("threshold").agg(countDistinct(col("d")).as("n_dup_docs"))
+    val total = docs(spark, dir).agg(count(lit(1)).as("__n"))
+    th.join(nPairs, Seq("threshold"), "left")
+      .join(nDocs, Seq("threshold"), "left")
+      .crossJoin(total)
+      .select(col("threshold"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_dup_docs"), lit(0L)).as("n_dup_docs"),
+        round(coalesce(col("n_dup_docs"), lit(0L)).cast("double") / col("__n"), 6)
+          .as("dup_frac"))
+      .orderBy("threshold")
+  }
+
+  val dedupCurveSql: String =
+    "WITH " + jaccardCoreSql + """,
+      |pairs AS MATERIALIZED (SELECT a, b, jaccard FROM p WHERE jaccard >= 0.5),
+      |th AS (SELECT unnest([0.5::DOUBLE, 0.6, 0.7, 0.8, 0.9]) AS threshold),
+      |j AS (SELECT t.threshold, pr.a, pr.b
+      |  FROM th t LEFT JOIN pairs pr ON pr.jaccard >= t.threshold),
+      |np AS (SELECT threshold, count(a)::BIGINT AS n_pairs FROM j GROUP BY 1),
+      |nd AS (SELECT threshold, count(DISTINCT d)::BIGINT AS n_dup_docs FROM (
+      |    SELECT threshold, unnest([a, b]) AS d FROM j) GROUP BY 1),
+      |tot AS (SELECT count(*)::DOUBLE AS n FROM documents)
+      |SELECT th.threshold, coalesce(np.n_pairs, 0)::BIGINT AS n_pairs,
+      |  coalesce(nd.n_dup_docs, 0)::BIGINT AS n_dup_docs,
+      |  round(coalesce(nd.n_dup_docs, 0)::DOUBLE / tot.n, 6) AS dup_frac
+      |FROM th LEFT JOIN np USING (threshold) LEFT JOIN nd USING (threshold)
+      |CROSS JOIN tot ORDER BY threshold""".stripMargin
+
   // ---- C2b: PPJoin prefix route under the oracle --------------------------
   // The shipped testdata is DENSE (931-bigram vocab, avg df 275), so the
   // adaptive router never takes the PPJoin branch on it and the prefix
@@ -548,6 +600,32 @@ object Pipeline {
       |FROM r JOIN tg USING (lang)
       |WHERE r.cum_tokens - r.n_tokens < tg.target
       |ORDER BY doc_id""".stripMargin
+
+  /** C105: per-source token-budget allocation
+    * ([[graft.ops.sample.Sampling.tokenBudget]], α = 0.5, budget 1M) —
+    * the mixture MATH beside C49's per-document selection: for each
+    * source its natural token mass, the temperature share, the
+    * allocated tokens, and `epochs` (allocation / natural — the
+    * repetition factor the source trains at; > 1 means up-sampled).
+    * Same rounding ladder as C49 (pow(·, 0.5) rounded 6 dp, floor'd
+    * allocation) so the two views of one mixture cannot disagree.
+    */
+  def corpusTokenBudget(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.sample.Sampling.tokenBudget(docs(spark, dir), "source",
+      size(split(col("text"), " ")), alpha = 0.5, totalBudget = 1000000L)
+
+  val corpusTokenBudgetSql: String =
+    """WITH d AS (SELECT source, len(string_split(text, ' '))::BIGINT AS n_tokens
+      |  FROM documents WHERE source IS NOT NULL AND text IS NOT NULL),
+      |s AS (SELECT source, sum(n_tokens)::BIGINT AS natural_tokens FROM d GROUP BY source),
+      |tot AS (SELECT sum(natural_tokens)::DOUBLE AS t FROM s),
+      |w AS (SELECT source, natural_tokens,
+      |    round(pow(natural_tokens::DOUBLE / (SELECT t FROM tot), 0.5), 6) AS weight FROM s),
+      |sw AS (SELECT sum(weight) AS sum_w FROM w)
+      |SELECT source, natural_tokens, weight,
+      |  floor(1000000 * weight / (SELECT sum_w FROM sw))::BIGINT AS alloc_tokens,
+      |  round(floor(1000000 * weight / (SELECT sum_w FROM sw))::DOUBLE / natural_tokens, 6) AS epochs
+      |FROM w ORDER BY source""".stripMargin
 
   /** C50: distributed BPE merge training ([[graft.ops.text.Bpe.bpeTrain]],
     * k = 6) — tokenizer-vocabulary induction over the corpus: the word-
@@ -1626,7 +1704,7 @@ object Pipeline {
        |sf AS MATERIALIZED (SELECT vec_id, round(sum(CAST(cx * w AS DECIMAL(27,10)))::DOUBLE, 6) AS s
        |  FROM cv JOIN v4 ON v4.dim = cv.dim GROUP BY vec_id)
        |SELECT cv.vec_id, (cv.dim - 1)::INTEGER AS pos,
-       |  round(cv.cx - sf.s * v4.w, 6) AS wx
+       |  round(cv.cx - sf.s * v4.w, 6) + 0.0 AS wx
        |FROM cv JOIN v4 ON v4.dim = cv.dim JOIN sf ON sf.vec_id = cv.vec_id
        |ORDER BY cv.vec_id, pos""".stripMargin
 

@@ -1430,7 +1430,7 @@ object Relational {
       |    ROWS UNBOUNDED PRECEDING) AS sid FROM g)
       |SELECT user_id, epoch_us(min(ts))::BIGINT AS session_start,
       |  epoch_us(max(ts))::BIGINT AS session_end, count(*)::INTEGER AS n_events,
-      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |  CAST(sum(floor(value * 1000000 + 0.5)::BIGINT) AS DOUBLE) / 1000000.0 AS sum_value
       |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
 
   /** B33: key-distribution skew diagnostics — the measurement that decides

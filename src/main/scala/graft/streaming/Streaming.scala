@@ -1566,13 +1566,19 @@ object Streaming {
     val gapMs = gapMinutes * 60 * 1000L
 
     def toSession(userId: Long, es: List[Event]): UserSession = {
-      // per-event 6dp decimal quantisation before summing: the session sum is
-      // then exact and order-independent (a plain double sum would drift from
-      // any engine-independent oracle in the last bits)
-      val sum = es.foldLeft(java.math.BigDecimal.ZERO) { (acc, e) =>
-        acc.add(new java.math.BigDecimal(e.value).setScale(6, java.math.RoundingMode.HALF_UP))
-      }.doubleValue
-      UserSession(userId, es.head.ts, es.last.ts, es.size, sum)
+      // per-event 6dp quantisation via floor(v·1e6 + 0.5) — multiply, add,
+      // floor are each single correctly-rounded IEEE ops, so every engine
+      // derives the IDENTICAL integer unit from the same double, and the
+      // long sum is exact and order-independent. (The previous
+      // new BigDecimal(double) HALF_UP quantised the EXACT binary
+      // expansion, which disagrees with DuckDB's double→decimal cast on
+      // doubles whose shortest representation parks ON the half boundary
+      // — found by the r17 seeded robustness sweep, value 0.0005315:
+      // exact expansion …49999 rounds down, the cast rounds up.)
+      val units = es.foldLeft(0L) { (acc, e) =>
+        acc + math.floor(e.value * 1e6 + 0.5).toLong
+      }
+      UserSession(userId, es.head.ts, es.last.ts, es.size, units / 1e6)
     }
 
     def fn(userId: Long, it: Iterator[Event],

@@ -1684,6 +1684,39 @@ class PipelineOpsSpec extends SparkSpec {
       Sampling.temperatureMix(df, "src", "doc_id", tokens, 1.5, 1200))
   }
 
+  test("tokenBudget: hand arithmetic, epochs read as repetition factors, views of one mixture agree") {
+    import graft.ops.sample.Sampling
+    import spark.implicits._
+    // 16:1 token skew, alpha 0.5 → weight ratio 4:1, shares 0.8/0.2
+    val df = ((0 until 320).map(i => (i.toLong, "big", "t " * 10)) ++
+      (1000 until 1020).map(i => (i.toLong, "small", "t " * 10)))
+      .toDF("doc_id", "src", "text")
+    val tokens = size(split(col("text"), " "))
+    val out = Sampling.tokenBudget(df, "src", tokens, alpha = 0.5, totalBudget = 1100)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4)))).toMap
+    // natural: big = 320·11, small = 20·11 (split of "t "*10 has a
+    // trailing empty token — 11 per doc, both engines agree)
+    assert(out("big")._1 === 3520L && out("small")._1 === 220L)
+    // weights: sqrt(16/17) and sqrt(1/17) rounded 6 dp; shares 4:1
+    assert(math.abs(out("big")._2 / out("small")._2 - 4.0) < 1e-4)
+    // allocation splits the budget by weight share: 880/220
+    assert(out("big")._3 === 879L || out("big")._3 === 880L)
+    assert(out("small")._3 === 219L || out("small")._3 === 220L)
+    // epochs: small is UP-SAMPLED (≈1 epoch), big subsampled (≈0.25)
+    assert(out("small")._4 > 0.9 && out("small")._4 <= 1.05)
+    assert(out("big")._4 < 0.3)
+    // the two views of one mixture agree: per-source selected tokens from
+    // temperatureMix land within one document of tokenBudget's allocation
+    val sel = Sampling.temperatureMix(df, "src", "doc_id", tokens, 0.5, 1100)
+      .groupBy("src").agg(sum("n_tokens").as("tok"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(sel("big") - out("big")._3) <= 11L)
+    assert(math.abs(sel("small") - out("small")._3) <= 11L)
+    assertThrows[IllegalArgumentException](
+      Sampling.tokenBudget(df, "src", tokens, alpha = 0.0, totalBudget = 1100))
+  }
+
   test("annIvf: persisted index is data-fingerprinted, rebuilt on regeneration, " +
       "and equals the self-contained build") {
     import java.nio.file.Files
