@@ -621,6 +621,26 @@ object Stats {
       .agg(min(coalesce(col("c"), lit(0L))).as("est"))
   }
 
+  /** Join-SIZE estimate from two CMS register tables — the
+    * Cormode–Muthukrishnan inner-product estimator (2005 §4.2; lineage
+    * AMS 1996): for each of the d rows, ip_j = Σ_b cA[j][b]·cB[j][b];
+    * every row's inner product ≥ the true join size |A ⋈_k B| =
+    * Σ_k fA(k)·fB(k) (hash collisions only ever ADD cross terms), so the
+    * MIN over rows is the tightest one-sided bound — `est ≥ exact`
+    * always, the [[cmsEstimate]] guarantee lifted to join cardinality.
+    *
+    * THE join-planning primitive at 100 TB: both register tables are d·w
+    * rows persisted at ingest (mergeable by SUM across splits/days), and
+    * the estimate costs a d·w-row join — neither input is scanned and
+    * the join itself never runs. Collision noise adds ≈ |A|·|B|/w per
+    * row, so size w to the table scale (the B70 query uses w = 65536;
+    * 64 is the point-frequency default, far too coarse here).
+    */
+  def cmsJoinSize(regsA: DataFrame, regsB: DataFrame): DataFrame =
+    regsA.join(regsB.withColumnRenamed("c", "cb"), Seq("j", "b"))
+      .groupBy("j").agg(sum(col("c") * col("cb")).as("ip"))
+      .agg(min("ip").as("est_join_size"))
+
   /** Pairwise contingency between binary keep/drop flags — the curation
     * diagnostic that shows which quality filters agree, which are
     * redundant, and which do unique work. For every flag pair: docs

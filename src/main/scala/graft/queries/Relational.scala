@@ -1433,6 +1433,55 @@ object Relational {
       |  CAST(sum(floor(value * 1000000 + 0.5)::BIGINT) AS DOUBLE) / 1000000.0 AS sum_value
       |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
 
+  /** B70: join-size estimation WITHOUT running the join
+    * ([[graft.ops.stats.Stats.cmsJoinSize]] — the Cormode–Muthukrishnan
+    * CMS inner-product estimator, AMS lineage): |lineitem ⋈ orders_F| is
+    * estimated from two d=4 × w=65536 register tables (each persisted-
+    * manifest-sized, mergeable by SUM) against the exact
+    * Σ_k fA(k)·fB(k) ground truth. The planning read at 100 TB: "how big
+    * is this join" answered from ingest-time sketches, no scan of either
+    * side — with the one-sided guarantee est ≥ exact (collisions only
+    * add), which the oracle checks value-exactly along with the priced
+    * relative overcount.
+    */
+  def qJoinCardEst(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.stats.Stats
+    val w = 65536
+    val a = Tables.load(spark, dir, "lineitem").select(col("l_orderkey").as("k"))
+    val b = Tables.load(spark, dir, "orders")
+      .where(col("o_orderstatus") === "F").select(col("o_orderkey").as("k"))
+    val est = Stats.cmsJoinSize(
+      Stats.cmsRegisters(a, col("k"), d = 4, w = w),
+      Stats.cmsRegisters(b, col("k"), d = 4, w = w))
+    val exact = a.groupBy("k").agg(count(lit(1)).as("ca"))
+      .join(b.groupBy("k").agg(count(lit(1)).as("cb")), "k")
+      .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("exact_join_size"))
+    est.crossJoin(exact).select(
+      col("est_join_size"), col("exact_join_size"),
+      round((col("est_join_size") - col("exact_join_size")).cast("double")
+        / col("exact_join_size"), 6).as("rel_overcount"))
+  }
+
+  val qJoinCardEstSql: String =
+    """WITH la AS (SELECT l_orderkey AS k FROM lineitem),
+      |ob AS (SELECT o_orderkey AS k FROM orders WHERE o_orderstatus = 'F'),
+      |ha AS (SELECT j, ('0x' || substring(md5(j::VARCHAR || ':' || k::VARCHAR), 1, 8))::BIGINT % 65536 AS b
+      |  FROM la, range(0, 4) r(j)),
+      |ra AS (SELECT j, b, count(*)::BIGINT AS c FROM ha GROUP BY j, b),
+      |hb AS (SELECT j, ('0x' || substring(md5(j::VARCHAR || ':' || k::VARCHAR), 1, 8))::BIGINT % 65536 AS b
+      |  FROM ob, range(0, 4) r(j)),
+      |rb AS (SELECT j, b, count(*)::BIGINT AS c FROM hb GROUP BY j, b),
+      |ip AS (SELECT ra.j, sum(ra.c * rb.c)::BIGINT AS ip
+      |  FROM ra JOIN rb ON ra.j = rb.j AND ra.b = rb.b GROUP BY ra.j),
+      |est AS (SELECT min(ip)::BIGINT AS est_join_size FROM ip),
+      |xa AS (SELECT k, count(*)::BIGINT AS ca FROM la GROUP BY k),
+      |xb AS (SELECT k, count(*)::BIGINT AS cb FROM ob GROUP BY k),
+      |ex AS (SELECT coalesce(sum(ca * cb), 0)::BIGINT AS exact_join_size
+      |  FROM xa JOIN xb USING (k))
+      |SELECT est_join_size, exact_join_size,
+      |  round((est_join_size - exact_join_size)::DOUBLE / exact_join_size, 6) AS rel_overcount
+      |FROM est CROSS JOIN ex""".stripMargin
+
   /** B33: key-distribution skew diagnostics — the measurement that decides
     * salting/broadcast strategy before a big join (see
     * [[graft.ops.stats.Stats.skewReport]] for the plan shape).

@@ -200,6 +200,32 @@ class StatsSpec extends SparkSpec {
 
   // ---- skewReport ---------------------------------------------------------
 
+  test("cmsJoinSize: one-sided bound, exact at collision-free width, registers merge by SUM") {
+    def regs(keys: Seq[Long], w: Int) =
+      Stats.cmsRegisters(keys.toDF("k"), col("k"), d = 4, w = w)
+    // planted frequencies: A has key i repeated i times, B has 1,1,2
+    val aKeys = (1L to 4L).flatMap(i => Seq.fill(i.toInt)(i))
+    val bKeys = Seq(1L, 1L, 2L)
+    // exact join size = f_A(1)*2 + f_A(2)*1 = 1*2 + 2*1 = 4
+    val exact = 4L
+    def est(w: Int): Long =
+      Stats.cmsJoinSize(regs(aKeys, w), regs(bKeys, w))
+        .collect()(0).getLong(0)
+    // one-sided at ANY width — collisions only add cross terms
+    Seq(2, 4, 64, 65536).foreach { w =>
+      assert(est(w) >= exact, s"w=$w estimate ${est(w)} undercuts exact $exact") }
+    // 4 distinct keys in 65536 buckets: no collisions, the bound is tight
+    assert(est(65536) === exact)
+    // register tables merge by SUM: sketching A in two splits and summing
+    // registers equals sketching A whole — the persist-at-ingest contract
+    val (s1, s2) = aKeys.splitAt(4)
+    val merged = regs(s1, 64).unionByName(regs(s2, 64))
+      .groupBy("j", "b").agg(sum("c").as("c"))
+    val whole = regs(aKeys, 64)
+    assert(Stats.cmsJoinSize(merged, regs(bKeys, 64)).collect()(0).getLong(0)
+      === Stats.cmsJoinSize(whole, regs(bKeys, 64)).collect()(0).getLong(0))
+  }
+
   test("skewReport ranks a planted hot key first with exact share and skew") {
     val df = (Seq.fill(60)("hot") ++ (1 to 40).map(i => s"k$i")).toDF("k")
     val out = Stats.skewReport(df, "k", topK = 3)
