@@ -621,6 +621,58 @@ object Stats {
       .agg(min(coalesce(col("c"), lit(0L))).as("est"))
   }
 
+  /** One-sided CUSUM drift profile per group (Page 1954, the classic
+    * sequential change detector): S_0 = 0, S_i = max(0, S_{i−1} + x_i −
+    * μ − k) with slack k = `slackSds`·σ and alarm threshold h =
+    * `alarmSds`·σ — the SPC chart that catches a SUSTAINED small shift
+    * the per-bucket z-score (B34) and MAD (B69) twins cannot see (each
+    * bucket individually stays inside their bands while the drift
+    * accumulates). Completes the anomaly family: z = how far is THIS
+    * bucket, MAD = robustly, CUSUM = has the LEVEL moved.
+    *
+    * Exactness contract: the recursion runs in 1e6-scaled BIGINT units —
+    * μ6 = (Σx·10⁶) div n (integer floor-div), k6/h6 =
+    * floor(c·σ·10⁶ + 0.5) where σ is one sqrt of exactly-derived
+    * doubles (correctly-rounded IEEE in any engine) — so every S value
+    * is an exact integer any engine reproduces bit-for-bit, and the
+    * oracle unrolls the recursion as a recursive CTE.
+    *
+    * Scale: two keyed aggregates plus ONE per-group sequential fold over
+    * the collected (bucket, x) series — CUSUM is inherently sequential,
+    * and a group's series length is its bucket count (hours of
+    * retention: thousands, not data-sized), the bounded-collect
+    * trained-model stance.
+    */
+  def cusum(counts: DataFrame, groupCol: String, bucketCol: String,
+            valueCol: String, slackSds: Double = 0.5,
+            alarmSds: Double = 4.0): DataFrame = {
+    val meanD = col("__sx").cast("double") / col("__n")
+    val stats = counts.groupBy(groupCol).agg(
+        count(lit(1)).as("__n"), sum(valueCol).as("__sx"),
+        sum(col(valueCol) * col(valueCol)).as("__sxx"))
+      .select(col(groupCol), expr("__sx * 1000000 div __n").as("__mu6"),
+        sqrt(greatest(col("__sxx").cast("double") / col("__n") - meanD * meanD,
+          lit(0.0))).as("__sd"))
+      .select(col(groupCol), col("__mu6"),
+        floor(lit(slackSds) * col("__sd") * 1e6 + 0.5).cast("long").as("__k6"),
+        floor(lit(alarmSds) * col("__sd") * 1e6 + 0.5).cast("long").as("__h6"))
+    val series = counts.groupBy(groupCol).agg(
+      array_sort(collect_list(struct(col(bucketCol).cast("long").as("b"),
+        col(valueCol).cast("long").as("x")))).as("__xs"))
+    series.join(stats, groupCol)
+      .select(col(groupCol), col("__h6"), explode(expr(
+        """aggregate(__xs,
+          |  named_struct('s', cast(0 as bigint),
+          |    'out', cast(array() as array<struct<b:bigint,s6:bigint>>)),
+          |  (acc, e) -> named_struct(
+          |    's', greatest(cast(0 as bigint), acc.s + e.x * 1000000 - __mu6 - __k6),
+          |    'out', array_append(acc.out, named_struct('b', e.b,
+          |      's6', greatest(cast(0 as bigint), acc.s + e.x * 1000000 - __mu6 - __k6)))),
+          |  acc -> acc.out)""".stripMargin)).as("r"))
+      .select(col(groupCol), col("r.b").as(bucketCol),
+        col("r.s6").as("cusum_u6"), (col("r.s6") > col("__h6")).as("alarm"))
+  }
+
   /** Join-SIZE estimate from two CMS register tables — the
     * Cormode–Muthukrishnan inner-product estimator (2005 §4.2; lineage
     * AMS 1996): for each of the d rows, ip_j = Σ_b cA[j][b]·cB[j][b];

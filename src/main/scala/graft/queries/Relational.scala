@@ -270,6 +270,51 @@ object Relational {
       |  coalesce(abs(z) > 2, false) AS is_anomaly
       |FROM z ORDER BY bucket, event_type""".stripMargin
 
+  /** B71: one-sided CUSUM drift detection per event type
+    * ([[graft.ops.stats.Stats.cusum]], Page 1954) over the hourly count
+    * series — the sequential change detector completing the anomaly
+    * family: B34's trailing z and B69's median/MAD score each bucket
+    * alone; CUSUM accumulates (x − μ − 0.5σ)⁺ so a SUSTAINED small
+    * level shift that never trips a per-bucket band still alarms when
+    * the cumulative drift crosses 4σ. Recursion runs in 1e6-scaled
+    * exact BIGINT units (see the op's contract), so the oracle unrolls
+    * it as a recursive CTE joined on the per-type row index.
+    */
+  def eventsCusum(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        unix_micros(date_trunc("hour", col("ts"))).as("bucket"))
+      .agg(count(lit(1)).as("n_events"))
+    graft.ops.stats.Stats.cusum(counts, "event_type", "bucket", "n_events")
+      .orderBy("event_type", "bucket")
+  }
+
+  val eventsCusumSql: String =
+    """WITH RECURSIVE
+      |c AS (SELECT event_type, epoch_us(date_trunc('hour', ts))::BIGINT AS bucket,
+      |    count(*)::BIGINT AS x FROM events GROUP BY 1, 2),
+      |st AS (SELECT event_type, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+      |    sum(x * x)::BIGINT AS sxx FROM c GROUP BY 1),
+      |pa AS (SELECT event_type, (sx * 1000000) // n AS mu6,
+      |    sqrt(greatest(sxx::DOUBLE / n - (sx::DOUBLE / n) * (sx::DOUBLE / n), 0.0)) AS sd
+      |  FROM st),
+      |pb AS (SELECT event_type, mu6, floor(0.5 * sd * 1000000 + 0.5)::BIGINT AS k6,
+      |    floor(4.0 * sd * 1000000 + 0.5)::BIGINT AS h6 FROM pa),
+      |o AS (SELECT event_type, bucket, x,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY bucket) AS i FROM c),
+      |r AS (
+      |  SELECT o.event_type, o.i, o.bucket,
+      |    greatest(0::BIGINT, o.x * 1000000 - pb.mu6 - pb.k6) AS s6
+      |  FROM o JOIN pb USING (event_type) WHERE o.i = 1
+      |  UNION ALL
+      |  SELECT o.event_type, o.i, o.bucket,
+      |    greatest(0::BIGINT, r.s6 + o.x * 1000000 - pb.mu6 - pb.k6)
+      |  FROM r JOIN o ON o.event_type = r.event_type AND o.i = r.i + 1
+      |  JOIN pb ON pb.event_type = o.event_type)
+      |SELECT r.event_type, r.bucket, r.s6 AS cusum_u6, r.s6 > pb.h6 AS alarm
+      |FROM r JOIN pb ON pb.event_type = r.event_type
+      |ORDER BY r.event_type, r.bucket""".stripMargin
+
   /** B69: robust (median/MAD) anomaly profile per event type — the
     * breakdown-resistant twin of B34's trailing z-scores: mean/std are
     * themselves dragged by the outliers they are supposed to flag (one

@@ -200,6 +200,37 @@ class StatsSpec extends SparkSpec {
 
   // ---- skewReport ---------------------------------------------------------
 
+  test("cusum: sustained small shift alarms while every bucket stays inside the 2-sigma band") {
+    // 40 baseline buckets alternating 99/101 (mean 100), then 20 buckets
+    // at 102 — a +2 LEVEL shift no per-bucket detector sees (max |x−μ|
+    // stays ≈ 1.1σ) but whose cumulative drift must cross the 4σ alarm
+    val xs = (0 until 40).map(i => (i.toLong, if (i % 2 == 0) 99L else 101L)) ++
+      (40 until 60).map(i => (i.toLong, 102L))
+    val df = xs.map { case (b, x) => ("t", b, x) }.toDF("g", "b", "x")
+    val out = Stats.cusum(df, "g", "b", "x").collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    // sustained-small by construction: no bucket beyond 2σ of the series
+    val n = xs.size.toDouble
+    val mean = xs.map(_._2).sum / n
+    val sd = math.sqrt(xs.map(t => (t._2 - mean) * (t._2 - mean)).sum / n)
+    assert(xs.forall { case (_, x) => math.abs(x - mean) < 2 * sd })
+    // the drift accumulates: alarm ON by the end of the shifted region,
+    // OFF throughout the baseline
+    assert(out(59L)._2, s"cusum must alarm at the end of the shift (S=${out(59L)._1})")
+    assert((0L until 40L).forall(b => !out(b)._2), "no baseline alarm")
+    // bit-exact hand recursion in the op's 1e6-scaled integer units
+    val sx = xs.map(_._2).sum
+    val sxx = xs.map(t => t._2 * t._2).sum
+    val mu6 = sx * 1000000L / xs.size
+    val sdD = math.sqrt(math.max(sxx.toDouble / n - (sx.toDouble / n) * (sx.toDouble / n), 0.0))
+    val k6 = math.floor(0.5 * sdD * 1e6 + 0.5).toLong
+    var s = 0L
+    xs.foreach { case (b, x) =>
+      s = math.max(0L, s + x * 1000000L - mu6 - k6)
+      assert(out(b)._1 === s, s"bucket $b: op ${out(b)._1} vs hand $s")
+    }
+  }
+
   test("cmsJoinSize: one-sided bound, exact at collision-free width, registers merge by SUM") {
     def regs(keys: Seq[Long], w: Int) =
       Stats.cmsRegisters(keys.toDF("k"), col("k"), d = 4, w = w)
