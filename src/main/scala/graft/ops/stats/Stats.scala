@@ -643,11 +643,16 @@ object Stats {
     * retention: thousands, not data-sized), the bounded-collect
     * trained-model stance.
     */
-  def cusum(counts: DataFrame, groupCol: String, bucketCol: String,
-            valueCol: String, slackSds: Double = 0.5,
-            alarmSds: Double = 4.0): DataFrame = {
+  /** The CUSUM reference parameters per group — μ6/k6/h6 in the 1e6
+    * integer scale (see [[cusum]]'s exactness contract). Factored so the
+    * streaming monitor (D36) trains on the SAME arithmetic the batch op
+    * scores with (the D12 train-batch/score-live pattern — kernels
+    * shared, the twins cannot drift).
+    */
+  def cusumParams(counts: DataFrame, groupCol: String, valueCol: String,
+                  slackSds: Double = 0.5, alarmSds: Double = 4.0): DataFrame = {
     val meanD = col("__sx").cast("double") / col("__n")
-    val stats = counts.groupBy(groupCol).agg(
+    counts.groupBy(groupCol).agg(
         count(lit(1)).as("__n"), sum(valueCol).as("__sx"),
         sum(col(valueCol) * col(valueCol)).as("__sxx"))
       .select(col(groupCol), expr("__sx * 1000000 div __n").as("__mu6"),
@@ -656,6 +661,12 @@ object Stats {
       .select(col(groupCol), col("__mu6"),
         floor(lit(slackSds) * col("__sd") * 1e6 + 0.5).cast("long").as("__k6"),
         floor(lit(alarmSds) * col("__sd") * 1e6 + 0.5).cast("long").as("__h6"))
+  }
+
+  def cusum(counts: DataFrame, groupCol: String, bucketCol: String,
+            valueCol: String, slackSds: Double = 0.5,
+            alarmSds: Double = 4.0): DataFrame = {
+    val stats = cusumParams(counts, groupCol, valueCol, slackSds, alarmSds)
     val series = counts.groupBy(groupCol).agg(
       array_sort(collect_list(struct(col(bucketCol).cast("long").as("b"),
         col(valueCol).cast("long").as("x")))).as("__xs"))

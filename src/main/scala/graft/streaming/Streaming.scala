@@ -1603,6 +1603,62 @@ object Streaming {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
 
+  final case class BucketCount(g: String, b: Long, x: Long)
+  final case class CusumRow(g: String, bucket: Long, cusum_u6: Long, alarm: Boolean)
+
+  /** D36: streaming CUSUM drift monitor — the live twin of B71
+    * (`events_cusum`), the D12 train-batch/score-live pattern: the
+    * reference parameters (μ6, k6, h6 — [[graft.ops.stats.Stats
+    * .cusumParams]], the SAME integer-scaled arithmetic as the batch op)
+    * are frozen from a training window batch-side, and each arriving
+    * CLOSED bucket count folds into the per-group drift statistic S ←
+    * max(0, S + x·10⁶ − μ6 − k6), emitting (bucket, S, alarm). Because
+    * every term is an exact integer, the stream's emissions over an
+    * in-order feed EQUAL the batch recursion row-for-row however the
+    * stream is batched (spec-pinned).
+    *
+    * Input is a closed-bucket count stream (the D13 append-mode windowed
+    * agg shape — each bucket exactly once, watermark-ordered across
+    * batches). Within a batch arrivals are sorted by bucket before
+    * folding; a bucket at or before the last folded one is a LATE
+    * closed bucket (an upstream contract violation — CUSUM is
+    * order-defined) and is skipped rather than corrupting the
+    * statistic. Groups without trained parameters emit nothing (an
+    * unbaselined series has no drift definition). State per group is
+    * two longs — nothing grows.
+    */
+  def cusumMonitor(counts: DataFrame, baseline: Map[String, (Long, Long, Long)],
+                   groupCol: String = "event_type", bucketCol: String = "bucket",
+                   valueCol: String = "n_events"): Dataset[CusumRow] = {
+    val spark = counts.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(baseline)
+    counts
+      .where(col(groupCol).isNotNull)
+      .select(col(groupCol).cast("string").as("g"),
+        col(bucketCol).cast("long").as("b"), col(valueCol).cast("long").as("x"))
+      .as[BucketCount]
+      .groupByKey(_.g)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (g: String, it: Iterator[BucketCount], state: GroupState[(Long, Long)]) =>
+          bc.value.get(g) match {
+            case None => Iterator.empty
+            case Some((mu6, k6, h6)) =>
+              var (s, last) = state.getOption.getOrElse((0L, Long.MinValue))
+              val out = List.newBuilder[CusumRow]
+              it.toList.sortBy(_.b).foreach { d =>
+                if (d.b > last) {
+                  s = math.max(0L, s + d.x * 1000000L - mu6 - k6)
+                  last = d.b
+                  out += CusumRow(g, d.b, s, s > h6)
+                }
+              }
+              state.update((s, last))
+              out.result().iterator
+          }
+      }
+  }
+
   final case class TripleIn(id: String, key: String, value: String)
   final case class PgState(labels: Seq[String], from: String, to: String,
                            props: Map[String, Seq[String]])

@@ -1228,6 +1228,46 @@ class StreamingSpec extends SparkSpec {
     assert(sharedFps === batchShared)
   }
 
+  test("D36: streaming CUSUM equals the batch recursion however batched; late buckets skip; untrained silent") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ops.stats.Stats
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // training window: alternating 99/101 baseline; live window carries a
+    // planted +2 sustained shift (the B71 fixture shape)
+    val train = (0 until 40).map(i => ("t", i.toLong, if (i % 2 == 0) 99L else 101L))
+    val live = (40 until 60).map(i => ("t", i.toLong, 102L)) ++
+      (60 until 64).map(i => ("u", i.toLong, 50L)) // untrained group
+    val baseline = Stats.cusumParams(train.toDF("event_type", "bucket", "n_events"),
+        "event_type", "n_events").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val mem = MemoryStream[(String, Long, Long)]
+    val q = Streaming.cusumMonitor(
+        mem.toDF.toDF("event_type", "bucket", "n_events"), baseline)
+      .writeStream.format("memory").queryName("cusum_mon")
+      .outputMode("append").start()
+    try {
+      // feed the live window in three uneven batches, in bucket order
+      val batches = Seq(live.take(7), live.slice(7, 8), live.drop(8))
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      // a LATE closed bucket (before the fold head) must be skipped
+      mem.addData(("t", 41L, 500L)); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("cusum_mon")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    // batch twin: the SAME recursion seeded by the SAME training params —
+    // Stats.cusum over train++liveT scores the live suffix identically
+    // only when params match, so recompute by hand with the frozen params
+    val (mu6, k6, h6) = baseline("t")
+    var s = 0L
+    (40 until 60).foreach { i =>
+      s = math.max(0L, s + 102L * 1000000L - mu6 - k6)
+      assert(got(("t", i.toLong)) === ((s, s > h6)), s"bucket $i")
+    }
+    // the late re-delivery of bucket 41 did not emit again or corrupt S
+    assert(got.size === 20)
+    assert(got.keys.forall(_._1 == "t"), "untrained group must emit nothing")
+  }
+
   test("D33: streaming triples->PG upsert converges on batch toPg however batched") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.model.Graph
