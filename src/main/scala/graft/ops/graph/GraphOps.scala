@@ -165,6 +165,34 @@ object GraphOps {
       .orderBy("node")
   }
 
+  /** SCC condensation DAG — contract every strongly connected component
+    * of [[stronglyConnected]] to one vertex and keep the cross-component
+    * edges with multiplicity: the PROVABLY ACYCLIC quotient graph
+    * (Tarjan's classic reduction), i.e. the dependency topology a cyclic
+    * KG actually has once its definitional cycles are collapsed — the
+    * structure to schedule loads/propagations over, and the direct
+    * answer to "what does the graph look like ABOVE its cycles".
+    * Returns (src_scc, dst_scc, n_edges) for every inter-component edge
+    * group; self-loops (within-SCC edges) are contracted away by
+    * definition.
+    *
+    * Scale: the SCC labelling plus two node-keyed equi-joins of the edge
+    * set against the |V|-row label table and one keyed count — nothing
+    * beyond [[stronglyConnected]]'s own shape. Convergence stance
+    * inherited (refuses a truncated labelling by default).
+    */
+  def condensation(pgEdges: DataFrame, numIter: Int = 10,
+                   requireConverged: Boolean = true): DataFrame = {
+    val lab = stronglyConnected(pgEdges, numIter, requireConverged)
+      .select(col("node"), col("scc"))
+    endpoints(pgEdges)
+      .join(lab.select(col("node").as("from"), col("scc").as("src_scc")), "from")
+      .join(lab.select(col("node").as("to"), col("scc").as("dst_scc")), "to")
+      .where(col("src_scc") =!= col("dst_scc"))
+      .groupBy("src_scc", "dst_scc").agg(count(lit(1)).as("n_edges"))
+      .orderBy("src_scc", "dst_scc")
+  }
+
   /** HyperANF neighbourhood function (Boldi, Rosa & Vigna, WWW 2011) over
     * a DIRECTED PG edge set: for k = 0..maxK, an HLL-sketched estimate of
     * N(k) = |{(v,u) : dist(v→u) ≤ k}| — the distance distribution of the

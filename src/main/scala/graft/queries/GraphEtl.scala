@@ -1174,8 +1174,12 @@ object GraphEtl {
       PgGraph.toPg(triples).where(col("type") === Graph.EdgeType))
   }
 
-  val kgSccSql: String =
-    """WITH RECURSIVE e AS (
+  /** Shared SCC oracle chain (A53/A57): the planted-cycle edge CTE and
+    * the mutual-reachability labelling `lab` — one builder, the two
+    * oracles cannot drift.
+    */
+  private val sccChainSql: String =
+    """e AS (
       |  SELECT 'sup:' || s_suppkey AS src, 'nation:' || s_nationkey AS dst FROM supplier
       |  UNION ALL
       |  SELECT 'nation:' || n_nationkey, 'region:' || n_regionkey FROM nation
@@ -1190,10 +1194,48 @@ object GraphEtl {
       |mut AS (SELECT a.src AS v, a.dst AS u
       |  FROM reach a JOIN reach b ON b.src = a.dst AND b.dst = a.src),
       |lab AS (SELECT n.node, least(n.node, coalesce(min(m.u), n.node)) AS scc
-      |  FROM nodes n LEFT JOIN mut m ON m.v = n.node GROUP BY n.node),
-      |sz AS (SELECT scc, count(*) AS scc_size FROM lab GROUP BY scc)
-      |SELECT lab.node, lab.scc, sz.scc_size
-      |FROM lab JOIN sz USING (scc) ORDER BY lab.node""".stripMargin
+      |  FROM nodes n LEFT JOIN mut m ON m.v = n.node GROUP BY n.node)""".stripMargin
+
+  val kgSccSql: String =
+    s"""WITH RECURSIVE $sccChainSql,
+       |sz AS (SELECT scc, count(*) AS scc_size FROM lab GROUP BY scc)
+       |SELECT lab.node, lab.scc, sz.scc_size
+       |FROM lab JOIN sz USING (scc) ORDER BY lab.node""".stripMargin
+
+  /** A57: SCC condensation DAG ([[graft.ops.graph.GraphOps.condensation]])
+    * over the A53 planted-cycle KG — the canonical CONSUMER of SCC:
+    * contract every component to one vertex, keep cross-component edges
+    * with multiplicity, and the quotient is provably acyclic (Tarjan) —
+    * the dependency topology the cyclic KG actually has above its
+    * cycles. On this fixture: supplier→{nation-cycle-SCCs, singleton
+    * nations}→{odd regions}; even regions vanish INTO their nation SCCs
+    * (their edges contract away). Oracle joins the shared A53 labelling
+    * onto the edge list and groups — same chain, no drift.
+    */
+  def kgCondensation(spark: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.load(spark, dir, "nation")
+    val supplier = Tables.load(spark, dir, "supplier")
+    val triples = Triples.chain(
+      Triples.edges(supplier, "basedIn",
+        Triples.wrap(col("s_suppkey"), "sup:"),
+        Triples.wrap(col("s_nationkey"), "nation:")),
+      Triples.chain(
+        Triples.edges(nation, "inRegion",
+          Triples.wrap(col("n_nationkey"), "nation:"),
+          Triples.wrap(col("n_regionkey"), "region:")),
+        Triples.edges(nation.where(col("n_regionkey") % 2 === 0), "feeds",
+          Triples.wrap(col("n_regionkey"), "region:"),
+          Triples.wrap(col("n_nationkey"), "nation:"))))
+    graft.ops.graph.GraphOps.condensation(
+      PgGraph.toPg(triples).where(col("type") === Graph.EdgeType))
+  }
+
+  val kgCondensationSql: String =
+    s"""WITH RECURSIVE $sccChainSql
+       |SELECT la.scc AS src_scc, lb.scc AS dst_scc, count(*)::BIGINT AS n_edges
+       |FROM e JOIN lab la ON la.node = e.src JOIN lab lb ON lb.node = e.dst
+       |WHERE la.scc <> lb.scc
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** A52: PG validation report under the driver oracle — promotes the
     * B24 spec-only component to a driver-checked query: the nation PG is

@@ -581,6 +581,25 @@ class GraphOpsSpec extends SparkSpec {
       .count() === 6)
   }
 
+  test("condensation: cycles contract, multiplicity kept, the quotient is a DAG") {
+    // 2-cycle {a,a2} feeding b twice (multiplicity), b -> c -> b cycle
+    // {b,c}, plus a singleton tail c -> d
+    val g = Seq(("a", "a2"), ("a2", "a"), ("a", "b"), ("a2", "b"),
+      ("b", "c"), ("c", "b"), ("c", "d")).toDF("from", "to")
+    val got = GraphOps.condensation(g).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // {a,a2} -> {b,c} with multiplicity 2; {b,c} -> d once; nothing else
+    assert(got === Map(("a", "b") -> 2L, ("b", "d") -> 1L))
+    // quotient is a DAG: no pair appears in both directions
+    assert(got.keys.forall { case (s, d) => !got.contains((d, s)) })
+    // truncated labelling refusal is inherited from stronglyConnected
+    val chain = Seq(("a", "a2"), ("a2", "a"), ("a2", "b"), ("b", "b2"),
+      ("b2", "b"), ("b2", "c"), ("c", "c2"), ("c2", "c")).toDF("from", "to")
+    assertThrows[IllegalStateException] {
+      GraphOps.condensation(chain, numIter = 1).collect()
+    }
+  }
+
   test("anf: exact closure counts on a path+island, sketch saturates with the diameter, layout-invariant") {
     // path a->b->c->d plus island x->y: balls grow for 3 rounds then stop
     val g = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")).toDF("from", "to")
