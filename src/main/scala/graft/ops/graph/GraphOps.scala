@@ -193,6 +193,58 @@ object GraphOps {
       .orderBy("src_scc", "dst_scc")
   }
 
+  /** Longest-path (critical-path) topological levels of a DAG — the
+    * scheduling read of [[condensation]]'s quotient graph: level(v) = 0
+    * for sources, else 1 + max(level(u) : u→v), i.e. the earliest wave a
+    * node can be processed in when every dependency must finish first
+    * (parallel load/propagation scheduling: everything at one level runs
+    * concurrently, levels run in order). Also emits is_source / is_sink
+    * (no incoming / no outgoing edges).
+    *
+    * CYCLE SAFETY: on cyclic input the levels never stabilise, so the op
+    * iterates to a fixed point under a `maxIter` cap and REFUSES if still
+    * moving at the cap — feeding a non-condensed graph (or a too-deep DAG
+    * with a too-small cap) fails loudly instead of returning a truncated
+    * layering (the [[stronglyConnected]] convergence stance; an
+    * unconverged level is not an approximation of anything).
+    *
+    * Scale: per round one keyed join of the edge set against the |V|-row
+    * level table + one max-agg; rounds = longest path length (the
+    * condensation of a real KG is shallow — its depth is the hierarchy
+    * depth, not |V|); lineage localCheckpoint-flattened per round.
+    */
+  def topoLevels(dagEdges: DataFrame, maxIter: Int = 32): DataFrame = {
+    val e = dagEdges.select(col("src"), col("dst")).localCheckpoint()
+    val nodes = e.select(col("src").as("node")).union(e.select(col("dst")))
+      .distinct().localCheckpoint()
+    var levels = nodes.withColumn("level", lit(0L)).localCheckpoint()
+    var moving = true
+    var it = 0
+    while (moving && it < maxIter) {
+      val incoming = e.join(levels.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node")).agg(max(col("level") + 1).as("__lin"))
+      val next = nodes.join(incoming, Seq("node"), "left")
+        .select(col("node"), coalesce(col("__lin"), lit(0L)).as("level"))
+        .localCheckpoint()
+      moving = next.join(levels.withColumnRenamed("level", "__prev"), "node")
+        .where(col("level") =!= col("__prev")).limit(1).count() > 0
+      levels = next
+      it += 1
+    }
+    if (moving) throw new IllegalStateException(
+      s"topoLevels: levels still moving after maxIter=$maxIter rounds — " +
+        "the input has a cycle (condense it first) or the DAG is deeper " +
+        "than the cap; raise maxIter only if acyclicity is known")
+    val sinks = e.select(col("src").as("node")).distinct()
+      .withColumn("__hasOut", lit(true))
+    val sources = e.select(col("dst").as("node")).distinct()
+      .withColumn("__hasIn", lit(true))
+    levels.join(sources, Seq("node"), "left").join(sinks, Seq("node"), "left")
+      .select(col("node"), col("level"),
+        col("__hasIn").isNull.as("is_source"), col("__hasOut").isNull.as("is_sink"))
+      .orderBy("node")
+  }
+
   /** HyperANF neighbourhood function (Boldi, Rosa & Vigna, WWW 2011) over
     * a DIRECTED PG edge set: for k = 0..maxK, an HLL-sketched estimate of
     * N(k) = |{(v,u) : dist(v→u) ≤ k}| — the distance distribution of the

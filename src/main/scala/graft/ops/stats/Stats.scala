@@ -684,6 +684,68 @@ object Stats {
         col("r.s6").as("cusum_u6"), (col("r.s6") > col("__h6")).as("alarm"))
   }
 
+  /** Holt double-exponential smoothing per group (Holt 1957) with
+    * one-step-ahead forecast errors — the FORECASTING member of the
+    * anomaly family: B34/B69 score a bucket against its recent LEVEL and
+    * B71 accumulates level drift, but none of them model a TREND — a
+    * series growing 5%/hour flags every bucket under a level-only model
+    * while a trend-aware forecast tracks it silently and flags only true
+    * breaks. α = β = 1/2 (the dyadic choice that keeps the recursion on
+    * exact halves): l_t = (x_t + l_{t−1} + b_{t−1})/2,
+    * b_t = (l_t − l_{t−1} + b_{t−1})/2, forecast f_t = l_{t−1} + b_{t−1},
+    * error e_t = x_t − f_t, alarm when |e_t| > h = `alarmSds`·σ.
+    *
+    * Exactness contract (the B71 stance): the recursion runs in
+    * 1e6-scaled BIGINT units with each halving defined as
+    * floor(·/2) — floor of an exact small integer over 2 is one
+    * correctly-rounded IEEE step any engine reproduces — so every
+    * (l6, b6, f6, e6) is an exact integer and the oracle unrolls the
+    * recursion as a recursive CTE. h6 reuses [[cusumParams]]'s σ ladder
+    * (one kernel, the thresholds cannot drift).
+    *
+    * Scale: identical to [[cusum]] — two keyed aggregates plus one
+    * per-group sequential fold over the collected bucket series
+    * (inherently sequential; series length = the group's bucket count,
+    * thousands not data-sized — the bounded-collect stance).
+    */
+  def holt(counts: DataFrame, groupCol: String, bucketCol: String,
+           valueCol: String, alarmSds: Double = 3.0): DataFrame = {
+    val stats = cusumParams(counts, groupCol, valueCol,
+        slackSds = 0.0, alarmSds = alarmSds)
+      .select(col(groupCol), col("__h6"))
+    val series = counts.groupBy(groupCol).agg(
+      array_sort(collect_list(struct(col(bucketCol).cast("long").as("b"),
+        col(valueCol).cast("long").as("x")))).as("__xs"))
+    series.join(stats, groupCol)
+      .select(col(groupCol), col("__h6"), explode(expr(
+        """aggregate(__xs,
+          |  named_struct('started', false,
+          |    'l', cast(0 as bigint), 't', cast(0 as bigint),
+          |    'out', cast(array() as array<struct<
+          |      b:bigint,f6:bigint,e6:bigint,l6:bigint,t6:bigint>>)),
+          |  (acc, e) -> CASE WHEN NOT acc.started THEN named_struct(
+          |      'started', true, 'l', e.x * 1000000, 't', cast(0 as bigint),
+          |      'out', array_append(acc.out, named_struct(
+          |        'b', e.b, 'f6', cast(null as bigint), 'e6', cast(null as bigint),
+          |        'l6', e.x * 1000000, 't6', cast(0 as bigint))))
+          |    ELSE named_struct(
+          |      'started', true,
+          |      'l', floor((e.x * 1000000 + acc.l + acc.t) / 2),
+          |      't', floor((floor((e.x * 1000000 + acc.l + acc.t) / 2) - acc.l + acc.t) / 2),
+          |      'out', array_append(acc.out, named_struct(
+          |        'b', e.b,
+          |        'f6', acc.l + acc.t,
+          |        'e6', e.x * 1000000 - (acc.l + acc.t),
+          |        'l6', floor((e.x * 1000000 + acc.l + acc.t) / 2),
+          |        't6', floor((floor((e.x * 1000000 + acc.l + acc.t) / 2) - acc.l + acc.t) / 2))))
+          |    END,
+          |  acc -> acc.out)""".stripMargin)).as("r"))
+      .select(col(groupCol), col("r.b").as(bucketCol),
+        col("r.f6").as("forecast_u6"), col("r.e6").as("err_u6"),
+        col("r.l6").as("level_u6"), col("r.t6").as("trend_u6"),
+        coalesce(abs(col("r.e6")) > col("__h6"), lit(false)).as("alarm"))
+  }
+
   /** Join-SIZE estimate from two CMS register tables — the
     * Cormode–Muthukrishnan inner-product estimator (2005 §4.2; lineage
     * AMS 1996): for each of the d rows, ip_j = Σ_b cA[j][b]·cB[j][b];
@@ -703,6 +765,79 @@ object Stats {
     regsA.join(regsB.withColumnRenamed("c", "cb"), Seq("j", "b"))
       .groupBy("j").agg(sum(col("c") * col("cb")).as("ip"))
       .agg(min("ip").as("est_join_size"))
+
+  /** Closed-form two-feature OLS (normal equations + Cramer's rule) of an
+    * integer-scaled target on two integer features — the LINEAR PROBE you
+    * can afford at 100 TB: no gradient descent, no iterations, just two
+    * corpus scans (one 10-sum aggregate, one residual aggregate against
+    * the broadcast 1-row coefficient result). The curation use: distill
+    * an expensive quality score onto cheap byte-level features and read
+    * R² to learn whether the cheap features carry the signal.
+    *
+    * Exactness contract: inputs are exact integers (x1, x2, y6 — the
+    * target pre-quantized to the 1e6 lattice by the caller), the ten raw
+    * sums are exact BIGINTs, the centered moments and Cramer determinants
+    * exact DECIMAL(38,0) (DuckDB: HUGEINT) — the ladder holds through
+    * ~1e6 docs at typical per-doc feature ranges (≤ ~2k tokens; beyond
+    * that, downscale features or shard the fit — the ceiling is the 38
+    * digits, stated not silent). Coefficients are then derived by the
+    * SAME fixed sequence of correctly-rounded IEEE steps in any engine
+    * (decimal→double casts, one division, the floor(v·1e6+0.5) 6-dp
+    * quantization), residuals re-use the rounded coefficients so
+    * e6 = y6 − ⌊pred+0.5⌋ is integer-exact, and R² = 1 − n·Σe6²/Syy is a
+    * ratio of exact decimals. Singular fits (det = 0: collinear or
+    * constant features) return NULL coefficients rather than ±Inf.
+    *
+    * Output (1 row): n, b0, b1, b2 (y6-units, 6 dp), sse_u (Σe6²), r2.
+    */
+  def ols2(df: DataFrame, x1: Column, x2: Column, y6: Column): DataFrame = {
+    val base = df.select(x1.cast("long").as("__x1"), x2.cast("long").as("__x2"),
+      y6.cast("long").as("__y6"))
+    val sums = base.agg(
+      count(lit(1)).as("__n"),
+      sum("__x1").as("__s1"), sum("__x2").as("__s2"), sum("__y6").as("__sy"),
+      sum(col("__x1") * col("__x1")).as("__s11"),
+      sum(col("__x2") * col("__x2")).as("__s22"),
+      sum(col("__x1") * col("__x2")).as("__s12"),
+      sum(col("__x1") * col("__y6")).as("__s1y"),
+      sum(col("__x2") * col("__y6")).as("__s2y"),
+      sum(col("__y6") * col("__y6")).as("__syy"))
+    def big(c: String): Column = col(c).cast("decimal(38,0)")
+    val centered = sums.select(col("__n"), col("__s1"), col("__s2"), col("__sy"),
+      (big("__n") * big("__s11") - big("__s1") * big("__s1")).as("__c11"),
+      (big("__n") * big("__s22") - big("__s2") * big("__s2")).as("__c22"),
+      (big("__n") * big("__s12") - big("__s1") * big("__s2")).as("__c12"),
+      (big("__n") * big("__s1y") - big("__s1") * big("__sy")).as("__c1y"),
+      (big("__n") * big("__s2y") - big("__s2") * big("__sy")).as("__c2y"),
+      (big("__n") * big("__syy") - big("__sy") * big("__sy")).as("__cyy"))
+    val cramer = centered.select(col("__n"), col("__s1"), col("__s2"),
+      col("__sy"), col("__cyy"),
+      (col("__c11") * col("__c22") - col("__c12") * col("__c12")).as("__det"),
+      (col("__c22") * col("__c1y") - col("__c12") * col("__c2y")).as("__num1"),
+      (col("__c11") * col("__c2y") - col("__c12") * col("__c1y")).as("__num2"))
+    def q6(c: Column): Column = floor(c * lit(1000000) + lit(0.5)) / lit(1e6)
+    val coef = cramer.select(col("__n"), col("__s1"), col("__s2"), col("__sy"),
+        col("__cyy"),
+        when(col("__det") =!= 0,
+          q6(col("__num1").cast("double") / col("__det").cast("double"))).as("b1"),
+        when(col("__det") =!= 0,
+          q6(col("__num2").cast("double") / col("__det").cast("double"))).as("b2"))
+      .withColumn("b0", when(col("b1").isNotNull,
+        q6(col("__sy").cast("double") / col("__n").cast("double")
+          - col("b1") * (col("__s1").cast("double") / col("__n").cast("double"))
+          - col("b2") * (col("__s2").cast("double") / col("__n").cast("double")))))
+      .localCheckpoint() // 1 row — the trained model; broadcast below
+    val resid = base.crossJoin(broadcast(coef))
+      .select((col("__y6") - floor(col("b0") + col("b1") * col("__x1")
+        + col("b2") * col("__x2") + lit(0.5))).as("__e6"))
+      .agg(sum(col("__e6") * col("__e6")).as("__sse"))
+    coef.crossJoin(broadcast(resid))
+      .select(col("__n").as("n"), col("b0"), col("b1"), col("b2"),
+        col("__sse").as("sse_u"),
+        when(col("__cyy") =!= 0 && col("b1").isNotNull,
+          q6(lit(1.0) - (big("__n") * col("__sse").cast("decimal(38,0)"))
+            .cast("double") / col("__cyy").cast("double"))).as("r2"))
+  }
 
   /** Pairwise contingency between binary keep/drop flags — the curation
     * diagnostic that shows which quality filters agree, which are

@@ -1237,6 +1237,60 @@ object GraphEtl {
        |WHERE la.scc <> lb.scc
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** A58: topological levels of the condensation DAG
+    * ([[graft.ops.graph.GraphOps.topoLevels]] over
+    * [[graft.ops.graph.GraphOps.condensation]]) — the SCHEDULING read
+    * completing the A53→A57 chain: once the cyclic KG's definitional
+    * cycles are contracted away, the quotient is a DAG and its
+    * longest-path layering says which loads/propagations can run
+    * concurrently (one level = one parallel wave) and how deep the
+    * dependency chain is (max level = critical path). On the planted
+    * fixture: suppliers are level-0 sources, nation SCCs and singleton
+    * nations level 1, odd regions level-2 sinks. The op REFUSES cyclic
+    * input — running it on the raw (non-condensed) fixture throws, which
+    * the spec pins. Oracle: the shared A53 labelling chain, condensation
+    * edges, and a recursive longest-path walk (terminates because the
+    * quotient is provably acyclic).
+    */
+  def kgTopoLevels(spark: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.load(spark, dir, "nation")
+    val supplier = Tables.load(spark, dir, "supplier")
+    val triples = Triples.chain(
+      Triples.edges(supplier, "basedIn",
+        Triples.wrap(col("s_suppkey"), "sup:"),
+        Triples.wrap(col("s_nationkey"), "nation:")),
+      Triples.chain(
+        Triples.edges(nation, "inRegion",
+          Triples.wrap(col("n_nationkey"), "nation:"),
+          Triples.wrap(col("n_regionkey"), "region:")),
+        Triples.edges(nation.where(col("n_regionkey") % 2 === 0), "feeds",
+          Triples.wrap(col("n_regionkey"), "region:"),
+          Triples.wrap(col("n_nationkey"), "nation:"))))
+    val cond = graft.ops.graph.GraphOps.condensation(
+      PgGraph.toPg(triples).where(col("type") === Graph.EdgeType))
+    graft.ops.graph.GraphOps.topoLevels(
+        cond.select(col("src_scc").as("src"), col("dst_scc").as("dst")))
+      .withColumnRenamed("node", "scc")
+      .orderBy("scc")
+  }
+
+  val kgTopoLevelsSql: String =
+    s"""WITH RECURSIVE $sccChainSql,
+       |cond AS (SELECT DISTINCT la.scc AS src, lb.scc AS dst
+       |  FROM e JOIN lab la ON la.node = e.src JOIN lab lb ON lb.node = e.dst
+       |  WHERE la.scc <> lb.scc),
+       |cn AS (SELECT src AS node FROM cond UNION SELECT dst FROM cond),
+       |walk(node, len) AS (
+       |  SELECT dst, 1::BIGINT FROM cond
+       |  UNION
+       |  SELECT c.dst, w.len + 1 FROM walk w JOIN cond c ON c.src = w.node),
+       |lev AS (SELECT n.node, coalesce(max(w.len), 0)::BIGINT AS level
+       |  FROM cn n LEFT JOIN walk w ON w.node = n.node GROUP BY n.node)
+       |SELECT lev.node AS scc, lev.level,
+       |  lev.node NOT IN (SELECT dst FROM cond) AS is_source,
+       |  lev.node NOT IN (SELECT src FROM cond) AS is_sink
+       |FROM lev ORDER BY scc""".stripMargin
+
   /** A52: PG validation report under the driver oracle — promotes the
     * B24 spec-only component to a driver-checked query: the nation PG is
     * corrupted DETERMINISTICALLY (by the id's last digit: nodes ending

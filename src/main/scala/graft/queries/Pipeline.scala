@@ -2616,6 +2616,70 @@ object Pipeline {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** C106: closed-form OLS quality-score distillation
+    * ([[graft.ops.stats.Stats.ols2]]) — fit the stopword ratio (the C9
+    * quality proxy, 1e6-quantized) on two cheap byte-level features
+    * (token count, punctuation count) by exact normal equations + Cramer,
+    * and read R² to learn how much of the quality signal the cheap
+    * features carry: the LINEAR PROBE beside C42's rule-distillation —
+    * no gradient descent, two corpus scans total (one 10-sum aggregate,
+    * one residual pass against the broadcast 1-row model). All sums are
+    * exact integers/decimals and every double step is the same fixed
+    * correctly-rounded sequence in both engines (the op's exactness
+    * contract), so a 1-row regression over 100 TB reproduces bit-for-bit.
+    */
+  def qualityOls(spark: SparkSession, dir: String): DataFrame = {
+    val ws = TextOps.tokens(col("text"))
+    val en = typedLit(TextOps.LangProfiles.head._2)
+    val feats = docs(spark, dir).select(
+      size(ws).cast("long").as("x1"),
+      (length(col("text")) -
+        length(regexp_replace(col("text"), "[^A-Za-z0-9 ]", "")))
+        .cast("long").as("x2"),
+      floor(size(filter(ws, w => array_contains(en, w))).cast("double")
+        / size(ws) * lit(1000000) + lit(0.5)).cast("long").as("y6"))
+    graft.ops.stats.Stats.ols2(feats, col("x1"), col("x2"), col("y6"))
+      .select(col("n").as("n_docs"), col("b0"), col("b1").as("b_tokens"),
+        col("b2").as("b_punct"), col("sse_u"), col("r2"))
+  }
+
+  val qualityOlsSql: String = {
+    val en = TextOps.LangProfiles.head._2.map(w => s"'$w'").mkString("[", ",", "]")
+    s"""WITH f AS (SELECT
+       |    len(string_split(text, ' '))::BIGINT AS x1,
+       |    (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))::BIGINT AS x2,
+       |    floor(len(list_filter(string_split(text, ' '), w -> list_contains($en, w)))::DOUBLE
+       |      / len(string_split(text, ' ')) * 1000000 + 0.5)::BIGINT AS y6
+       |  FROM documents),
+       |s AS (SELECT count(*)::HUGEINT AS n, sum(x1)::HUGEINT AS s1, sum(x2)::HUGEINT AS s2,
+       |    sum(y6)::HUGEINT AS sy, sum(x1 * x1)::HUGEINT AS s11, sum(x2 * x2)::HUGEINT AS s22,
+       |    sum(x1 * x2)::HUGEINT AS s12, sum(x1 * y6)::HUGEINT AS s1y,
+       |    sum(x2 * y6)::HUGEINT AS s2y, sum(y6 * y6)::HUGEINT AS syy FROM f),
+       |c AS (SELECT n, s1, s2, sy,
+       |    n * s11 - s1 * s1 AS c11, n * s22 - s2 * s2 AS c22, n * s12 - s1 * s2 AS c12,
+       |    n * s1y - s1 * sy AS c1y, n * s2y - s2 * sy AS c2y, n * syy - sy * sy AS cyy
+       |  FROM s),
+       |d AS (SELECT *, c11 * c22 - c12 * c12 AS det,
+       |    c22 * c1y - c12 * c2y AS num1, c11 * c2y - c12 * c1y AS num2 FROM c),
+       |bb AS (SELECT *,
+       |    CASE WHEN det <> 0
+       |      THEN floor(num1::DOUBLE / det::DOUBLE * 1000000 + 0.5) / 1e6 END AS b1,
+       |    CASE WHEN det <> 0
+       |      THEN floor(num2::DOUBLE / det::DOUBLE * 1000000 + 0.5) / 1e6 END AS b2 FROM d),
+       |bz AS (SELECT *, CASE WHEN b1 IS NOT NULL THEN
+       |    floor((sy::DOUBLE / n::DOUBLE - b1 * (s1::DOUBLE / n::DOUBLE)
+       |      - b2 * (s2::DOUBLE / n::DOUBLE)) * 1000000 + 0.5) / 1e6 END AS b0 FROM bb),
+       |e AS (SELECT sum((y6 - floor(bz.b0 + bz.b1 * x1 + bz.b2 * x2 + 0.5))::BIGINT
+       |      * (y6 - floor(bz.b0 + bz.b1 * x1 + bz.b2 * x2 + 0.5))::BIGINT)::BIGINT AS sse
+       |  FROM f, bz)
+       |SELECT bz.n::BIGINT AS n_docs, bz.b0, bz.b1 AS b_tokens, bz.b2 AS b_punct,
+       |  e.sse AS sse_u,
+       |  CASE WHEN cyy <> 0 AND bz.b1 IS NOT NULL THEN
+       |    floor((1.0 - (bz.n * e.sse::HUGEINT)::DOUBLE / cyy::DOUBLE) * 1000000 + 0.5) / 1e6
+       |  END AS r2
+       |FROM bz, e""".stripMargin
+  }
+
   /** C25: repetition signals (duplicate n-gram fractions, top-word share,
     * token entropy) — the Gopher-style repetitious-text filter. Oracle
     * reproduces the list arithmetic (entropy terms sorted before the fold

@@ -315,6 +315,58 @@ object Relational {
       |FROM r JOIN pb ON pb.event_type = r.event_type
       |ORDER BY r.event_type, r.bucket""".stripMargin
 
+  /** B72: Holt trend-aware forecast per event type
+    * ([[graft.ops.stats.Stats.holt]], α = β = ½) over the hourly count
+    * series — the FORECASTING member completing the anomaly family: B34
+    * (trailing z) and B69 (median/MAD) judge a bucket against its recent
+    * LEVEL, B71 (CUSUM) accumulates level drift; none model a TREND, so
+    * a steadily growing series either floods a level-only detector or
+    * hides a real break inside its growth. Holt tracks level+trend and
+    * flags only one-step forecast errors beyond 3σ. The recursion runs
+    * in exact 1e6-scaled BIGINT units with floor-halving (the B71
+    * exactness stance — h6 comes from the SAME cusumParams σ ladder),
+    * so the oracle unrolls it as a recursive CTE on the per-type row
+    * index and every value matches bit-for-bit.
+    */
+  def eventsHolt(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        unix_micros(date_trunc("hour", col("ts"))).as("bucket"))
+      .agg(count(lit(1)).as("n_events"))
+    graft.ops.stats.Stats.holt(counts, "event_type", "bucket", "n_events")
+      .orderBy("event_type", "bucket")
+  }
+
+  val eventsHoltSql: String =
+    """WITH RECURSIVE
+      |c AS (SELECT event_type, epoch_us(date_trunc('hour', ts))::BIGINT AS bucket,
+      |    count(*)::BIGINT AS x FROM events GROUP BY 1, 2),
+      |st AS (SELECT event_type, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+      |    sum(x * x)::BIGINT AS sxx FROM c GROUP BY 1),
+      |pb AS (SELECT event_type,
+      |    floor(3.0 * sqrt(greatest(sxx::DOUBLE / n
+      |      - (sx::DOUBLE / n) * (sx::DOUBLE / n), 0.0)) * 1000000 + 0.5)::BIGINT AS h6
+      |  FROM st),
+      |o AS (SELECT event_type, bucket, x,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY bucket) AS i FROM c),
+      |r AS (
+      |  SELECT event_type, i, bucket, CAST(NULL AS BIGINT) AS f6,
+      |      CAST(NULL AS BIGINT) AS e6, x * 1000000 AS l6, 0::BIGINT AS t6
+      |    FROM o WHERE i = 1
+      |  UNION ALL
+      |  SELECT o.event_type, o.i, o.bucket,
+      |      r.l6 + r.t6,
+      |      o.x * 1000000 - (r.l6 + r.t6),
+      |      floor((o.x * 1000000 + r.l6 + r.t6) / 2)::BIGINT,
+      |      floor((floor((o.x * 1000000 + r.l6 + r.t6) / 2)::BIGINT
+      |        - r.l6 + r.t6) / 2)::BIGINT
+      |    FROM r JOIN o ON o.event_type = r.event_type AND o.i = r.i + 1)
+      |SELECT r.event_type, r.bucket, r.f6 AS forecast_u6, r.e6 AS err_u6,
+      |  r.l6 AS level_u6, r.t6 AS trend_u6,
+      |  coalesce(abs(r.e6) > pb.h6, false) AS alarm
+      |FROM r JOIN pb USING (event_type)
+      |ORDER BY event_type, bucket""".stripMargin
+
   /** B69: robust (median/MAD) anomaly profile per event type — the
     * breakdown-resistant twin of B34's trailing z-scores: mean/std are
     * themselves dragged by the outliers they are supposed to flag (one

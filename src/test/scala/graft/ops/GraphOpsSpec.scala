@@ -600,6 +600,32 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("topoLevels: longest-path layering on a diamond+chain, flags, cycle refusal") {
+    // diamond a->{b,c}->d plus a long tail d->e->f: longest path wins
+    // (b and c both level 1, d level 2 even though a->d would allow 1)
+    val g = Seq(("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("a", "d"),
+      ("d", "e"), ("e", "f")).toDF("src", "dst")
+    val got = GraphOps.topoLevels(g).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2), r.getBoolean(3))))
+      .toMap
+    assert(got === Map(
+      "a" -> ((0L, true, false)), "b" -> ((1L, false, false)),
+      "c" -> ((1L, false, false)), "d" -> ((2L, false, false)),
+      "e" -> ((3L, false, false)), "f" -> ((4L, false, true))))
+    // every edge goes strictly up a level — the topological-order witness
+    val lev = got.map { case (n, (l, _, _)) => n -> l }
+    Seq(("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("a", "d"),
+      ("d", "e"), ("e", "f")).foreach { case (s, d) =>
+      assert(lev(s) < lev(d), s"$s->$d") }
+    // cyclic input refuses loudly instead of returning a truncated layering
+    val cyc = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("src", "dst")
+    assertThrows[IllegalStateException] { GraphOps.topoLevels(cyc).collect() }
+    // a too-small cap on a deep DAG also refuses (depth 4 needs 5 rounds)
+    assertThrows[IllegalStateException] {
+      GraphOps.topoLevels(g, maxIter = 2).collect()
+    }
+  }
+
   test("anf: exact closure counts on a path+island, sketch saturates with the diameter, layout-invariant") {
     // path a->b->c->d plus island x->y: balls grow for 3 rounds then stop
     val g = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")).toDF("from", "to")

@@ -231,6 +231,66 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("holt: a steady trend forecasts silently, a level break alarms, hand recursion is bit-exact") {
+    // linear growth 100 + 5t that a level-only detector would flag
+    // constantly, with one planted +2000 break at t = 40
+    val xs = (0 until 60).map(i =>
+      (i.toLong, 100L + 5L * i + (if (i == 40) 2000L else 0L)))
+    val df = xs.map { case (b, x) => ("t", b, x) }.toDF("g", "b", "x")
+    val out = Stats.holt(df, "g", "b", "x").collect().map(r =>
+      r.getLong(1) -> ((Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        r.getLong(4), r.getLong(5), r.getBoolean(6)))).toMap
+    // first bucket: no forecast yet, level = x·1e6, trend 0, no alarm
+    assert(out(0L) === ((None, None, 100000000L, 0L, false)))
+    // hand recursion in the op's exact integer units, h6 from the series σ
+    val n = xs.size.toDouble
+    val sx = xs.map(_._2).sum
+    val sxx = xs.map(t => t._2 * t._2).sum
+    val sd = math.sqrt(math.max(sxx.toDouble / n - (sx.toDouble / n) * (sx.toDouble / n), 0.0))
+    val h6 = math.floor(3.0 * sd * 1e6 + 0.5).toLong
+    var l = xs.head._2 * 1000000L
+    var t = 0L
+    xs.tail.foreach { case (b, x) =>
+      val f = l + t
+      val e = x * 1000000L - f
+      val lNew = Math.floorDiv(x * 1000000L + l + t, 2L)
+      val tNew = Math.floorDiv(lNew - l + t, 2L)
+      l = lNew; t = tNew
+      assert(out(b) === ((Some(f), Some(e), lNew, tNew, math.abs(e) > h6)),
+        s"bucket $b")
+    }
+    // once the trend is locked (t >= 10), the growth itself never alarms
+    (10L until 40L).foreach(b => assert(!out(b)._5, s"trend bucket $b alarmed"))
+    // the planted break DOES
+    assert(out(40L)._5, s"break bucket must alarm (e=${out(40L)._2})")
+    // and the locked-in forecast error is far below the level deviation
+    // (at t=39 the series sits ~97 above its own mean — trend absorbed)
+    assert(math.abs(out(39L)._2.get) < h6 / 10)
+  }
+
+  test("ols2: recovers a planted linear law exactly, refuses collinear features, layout-invariant") {
+    // noise-free planted law y6 = 10 + 3·x1 + 7·x2 on a non-degenerate grid
+    val grid = for { a <- 1L to 20L; b <- 1L to 5L }
+      yield (a, a * b % 11L, 10L + 3L * a + 7L * (a * b % 11L))
+    val df = grid.toDF("x1", "x2", "y6")
+    val row = Stats.ols2(df, col("x1"), col("x2"), col("y6")).collect()(0)
+    assert(row.getLong(0) === grid.size.toLong)
+    assert(row.getDouble(1) === 10.0, "b0")
+    assert(row.getDouble(2) === 3.0, "b1")
+    assert(row.getDouble(3) === 7.0, "b2")
+    assert(row.getLong(4) === 0L, "sse on a noise-free law")
+    assert(row.getDouble(5) === 1.0, "r2 on a noise-free law")
+    // collinear features: det = 0 -> NULL coefficients, never ±Inf
+    val col2 = grid.map { case (a, _, y) => (a, 2 * a, y) }.toDF("x1", "x2", "y6")
+    val sing = Stats.ols2(col2, col("x1"), col("x2"), col("y6")).collect()(0)
+    assert(sing.isNullAt(1) && sing.isNullAt(2) && sing.isNullAt(3) && sing.isNullAt(5))
+    // exact integer/decimal ladder: partition layout cannot move anything
+    val again = Stats.ols2(df.repartition(7), col("x1"), col("x2"), col("y6"))
+      .collect()(0)
+    assert(again === row)
+  }
+
   test("cmsJoinSize: one-sided bound, exact at collision-free width, registers merge by SUM") {
     def regs(keys: Seq[Long], w: Int) =
       Stats.cmsRegisters(keys.toDF("k"), col("k"), d = 4, w = w)
