@@ -1659,6 +1659,60 @@ object Streaming {
       }
   }
 
+  final case class JoinCardRow(j: Int, ip: Long, n_seen: Long)
+
+  /** D37: streaming join-cardinality monitor — the live twin of B70
+    * (`q_join_card_est`), the D12 train-batch/score-live pattern applied
+    * to JOIN PLANNING: the static side's CMS register table (d·w rows,
+    * [[graft.ops.stats.Stats.cmsRegisters]] — trained-model shape) is
+    * frozen and broadcast, and the STREAMING side's sketch is maintained
+    * in state as values arrive, emitting each sketch row's refreshed
+    * inner product ip_j = Σ_b c_stream[j][b]·c_static[j][b] per batch.
+    * The planning read (min over j of the latest row per j — the B44
+    * latest-state stance) is a LIVE one-sided upper bound on
+    * |stream-so-far ⋈ static|: "how big would the join be if I ran it
+    * NOW", continuously, with neither input ever scanned again — the
+    * ingestion-time capacity gauge for a landing table that will join a
+    * 100 TB fact.
+    *
+    * The (j, b) coordinates come from the SHARED [[graft.ops.stats.Stats
+    * .cmsBuckets]] kernel, so the stream's state is bit-for-bit the batch
+    * register table of everything streamed so far — the monitor's min
+    * EQUALS batch [[graft.ops.stats.Stats.cmsJoinSize]] at every point
+    * (spec-pinned), and one-sidedness (est ≥ exact, collisions only add)
+    * is inherited, not re-proven. Per j the inner product only grows
+    * (counts are monotone, static regs non-negative) — emissions are
+    * monotone per row, so a threshold alarm can never flap. State per
+    * group: w longs + one counter, d groups total — nothing grows with
+    * the stream.
+    */
+  def joinCardMonitor(values: DataFrame, valueCol: String,
+                      staticRegs: Map[(Int, Int), Long],
+                      d: Int = 4, w: Int = 64): Dataset[JoinCardRow] = {
+    val spark = values.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(staticRegs)
+    values.where(col(valueCol).isNotNull)
+      .select(explode(graft.ops.stats.Stats.cmsBuckets(col(valueCol), d, w)).as("jb"))
+      .select(col("jb.j").as("_1"), col("jb.b").as("_2")).as[(Int, Int)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (j: Int, it: Iterator[(Int, Int)], state: GroupState[(Array[Long], Long)]) =>
+          val (counts, seen) = state.getOption.getOrElse((Array.fill(w)(0L), 0L))
+          var n = seen
+          it.foreach { case (_, b) => counts(b) += 1L; n += 1L }
+          state.update((counts, n))
+          val regs = bc.value
+          var ip = 0L
+          var b = 0
+          while (b < w) {
+            ip += counts(b) * regs.getOrElse((j, b), 0L)
+            b += 1
+          }
+          Iterator.single(JoinCardRow(j, ip, n))
+      }
+  }
+
   final case class TripleIn(id: String, key: String, value: String)
   final case class PgState(labels: Seq[String], from: String, to: String,
                            props: Map[String, Seq[String]])

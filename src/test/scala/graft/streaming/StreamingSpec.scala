@@ -1268,6 +1268,52 @@ class StreamingSpec extends SparkSpec {
     assert(got.keys.forall(_._1 == "t"), "untrained group must emit nothing")
   }
 
+  test("D37: streaming join-size estimate equals the batch CMS estimator at every batch, one-sided, monotone") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ops.stats.Stats
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // static side: the frozen dimension sketch (trained-model shape)
+    val static = Seq(1L, 1L, 2L, 5L)
+    val regsBDf = Stats.cmsRegisters(static.toDF("k"), col("k"))
+    val regsB = regsBDf.collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val batches = Seq(Seq(1L, 2L, 2L), Seq(3L, 1L), Seq(2L, 5L, 5L, 9L))
+    val mem = MemoryStream[Long]
+    val q = Streaming.joinCardMonitor(mem.toDF.toDF("k"), "k", regsB)
+      .writeStream.format("memory").queryName("jcard")
+      .outputMode("append").start()
+    try {
+      var fed = Seq.empty[Long]
+      batches.foreach { b =>
+        mem.addData(b: _*); q.processAllAvailable()
+        fed = fed ++ b
+        // latest per j = max ip (emissions are monotone per sketch row)
+        val streamEst = spark.table("jcard").groupBy("j")
+          .agg(max("ip").as("ip")).collect().map(_.getLong(1)).min
+        // the stream's state IS the batch register table of everything
+        // fed so far: the monitor's min equals batch cmsJoinSize exactly
+        val batchEst = Stats.cmsJoinSize(
+            Stats.cmsRegisters(fed.toDF("k"), col("k")), regsBDf)
+          .collect()(0).getLong(0)
+        assert(streamEst === batchEst, s"after ${fed.size} values")
+        // one-sided at every point: never below the exact join size
+        val exact = fed.map(k => static.count(_ == k).toLong).sum
+        assert(streamEst >= exact, s"one-sided after ${fed.size} values")
+      }
+    } finally q.stop()
+    // per sketch row the inner product never decreases across batches —
+    // a threshold alarm downstream can never flap
+    val perJ = spark.table("jcard").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).values
+    assert(perJ.forall { rows =>
+      val ips = rows.sortBy(_._3).map(_._2)
+      ips.zip(ips.tail).forall { case (p, n) => n >= p }
+    })
+    // every batch emitted one refreshed row per sketch row (d = 4)
+    assert(spark.table("jcard").count() === 12)
+  }
+
   test("D33: streaming triples->PG upsert converges on batch toPg however batched") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.model.Graph
