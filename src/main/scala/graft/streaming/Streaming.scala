@@ -1659,6 +1659,69 @@ object Streaming {
       }
   }
 
+  final case class HoltRow(g: String, bucket: Long, forecast_u6: Option[Long],
+                           err_u6: Option[Long], level_u6: Long,
+                           trend_u6: Long, alarm: Boolean)
+
+  /** D38: streaming Holt forecast monitor — the live twin of B72
+    * (`events_holt`), completing the anomaly-family pattern symmetry
+    * (B71↔D36 CUSUM, B70↔D37 join size, B72↔D38 trend forecast): the
+    * alarm threshold h6 is frozen from a training window
+    * ([[graft.ops.stats.Stats.cusumParams]]'s σ ladder at 3σ — the SAME
+    * arithmetic the batch op thresholds with), and each arriving CLOSED
+    * bucket folds the exact integer Holt recursion (l ← ⌊(x6+l+t)/2⌋,
+    * t ← ⌊(l′−l+t)/2⌋), emitting (bucket, forecast, error, level,
+    * trend, alarm). Exact integers ⇒ over an in-order feed the emissions
+    * EQUAL the batch recursion row-for-row however batched (spec-pinned,
+    * the D36 contract). The first bucket a group ever sees initialises
+    * (l = x·10⁶, t = 0) and emits a NULL forecast — exactly the batch
+    * op's first row. Late closed buckets skip (order-defined recursion);
+    * untrained groups emit nothing; state per group = three longs.
+    */
+  def holtMonitor(counts: DataFrame, h6ByGroup: Map[String, Long],
+                  groupCol: String = "event_type", bucketCol: String = "bucket",
+                  valueCol: String = "n_events"): Dataset[HoltRow] = {
+    val spark = counts.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(h6ByGroup)
+    counts
+      .where(col(groupCol).isNotNull)
+      .select(col(groupCol).cast("string").as("g"),
+        col(bucketCol).cast("long").as("b"), col(valueCol).cast("long").as("x"))
+      .as[BucketCount]
+      .groupByKey(_.g)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (g: String, it: Iterator[BucketCount],
+         state: GroupState[(Long, Long, Long, Boolean)]) =>
+          bc.value.get(g) match {
+            case None => Iterator.empty
+            case Some(h6) =>
+              var (l, t, last, started) =
+                state.getOption.getOrElse((0L, 0L, Long.MinValue, false))
+              val out = List.newBuilder[HoltRow]
+              it.toList.sortBy(_.b).foreach { d =>
+                if (d.b > last) {
+                  if (!started) {
+                    l = d.x * 1000000L; t = 0L; started = true
+                    out += HoltRow(g, d.b, None, None, l, t, alarm = false)
+                  } else {
+                    val f = l + t
+                    val e = d.x * 1000000L - f
+                    val lNew = Math.floorDiv(d.x * 1000000L + l + t, 2L)
+                    val tNew = Math.floorDiv(lNew - l + t, 2L)
+                    l = lNew; t = tNew
+                    out += HoltRow(g, d.b, Some(f), Some(e), l, t,
+                      math.abs(e) > h6)
+                  }
+                  last = d.b
+                }
+              }
+              state.update((l, t, last, started))
+              out.result().iterator
+          }
+      }
+  }
+
   final case class JoinCardRow(j: Int, ip: Long, n_seen: Long)
 
   /** D37: streaming join-cardinality monitor — the live twin of B70

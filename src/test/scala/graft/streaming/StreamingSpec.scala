@@ -1268,6 +1268,64 @@ class StreamingSpec extends SparkSpec {
     assert(got.keys.forall(_._1 == "t"), "untrained group must emit nothing")
   }
 
+  test("D38: streaming Holt equals the batch recursion however batched; late buckets skip; untrained silent") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ops.stats.Stats
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the B72 fixture shape: linear growth with one planted break
+    val series = (0 until 60).map(i =>
+      ("t", i.toLong, 100L + 5L * i + (if (i == 40) 2000L else 0L)))
+    val h6 = Stats.cusumParams(series.take(40)
+        .toDF("event_type", "bucket", "n_events"),
+        "event_type", "n_events", slackSds = 0.0, alarmSds = 3.0)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val live = series ++ Seq(("u", 99L, 50L)) // untrained group
+    val mem = MemoryStream[(String, Long, Long)]
+    val q = Streaming.holtMonitor(
+        mem.toDF.toDF("event_type", "bucket", "n_events"), h6)
+      .writeStream.format("memory").queryName("holt_mon")
+      .outputMode("append").start()
+    try {
+      Seq(live.take(13), live.slice(13, 14), live.drop(14)).foreach { b =>
+        mem.addData(b: _*); q.processAllAvailable()
+      }
+      // a LATE closed bucket (already folded) must be skipped
+      mem.addData(("t", 41L, 999L)); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("holt_mon").collect().map(r =>
+      (r.getString(0), r.getLong(1)) ->
+        ((Option(r.get(2)).map(_.asInstanceOf[Long]),
+          Option(r.get(3)).map(_.asInstanceOf[Long]),
+          r.getLong(4), r.getLong(5), r.getBoolean(6)))).toMap
+    // hand recursion with the frozen threshold — bit-exact per bucket
+    val hh = h6("t")
+    var l = series.head._3 * 1000000L
+    var t = 0L
+    assert(got(("t", 0L)) === ((None, None, l, 0L, false)))
+    series.tail.foreach { case (_, b, x) =>
+      val f = l + t
+      val e = x * 1000000L - f
+      val lN = Math.floorDiv(x * 1000000L + l + t, 2L)
+      val tN = Math.floorDiv(lN - l + t, 2L)
+      l = lN; t = tN
+      assert(got(("t", b)) === ((Some(f), Some(e), lN, tN, math.abs(e) > hh)),
+        s"bucket $b")
+    }
+    // late re-delivery emitted nothing, untrained group silent
+    assert(got.size === 60)
+    assert(got.keys.forall(_._1 == "t"))
+    // the value columns equal the batch op's on the same series (alarm
+    // thresholds differ by construction: batch σ covers the break)
+    val batch = Stats.holt(series.toDF("g", "b", "x"), "g", "b", "x")
+      .collect().map(r => r.getLong(1) ->
+        ((Option(r.get(2)).map(_.asInstanceOf[Long]), r.getLong(4), r.getLong(5)))).toMap
+    series.foreach { case (_, b, _) =>
+      val (f, lv, tr) = batch(b)
+      assert(got(("t", b))._1 === f, s"forecast at $b")
+      assert(got(("t", b))._3 === lv && got(("t", b))._4 === tr, s"state at $b")
+    }
+  }
+
   test("D37: streaming join-size estimate equals the batch CMS estimator at every batch, one-sided, monotone") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.ops.stats.Stats
