@@ -244,6 +244,59 @@ object ByteSum64 {
   }
 }
 
+/** Exact integer sample statistics of an unsigned 8-bit PCM buffer as a
+  * native codegen expression — the audio-telemetry primitive beside
+  * [[AudioFp64]]'s fingerprint: one linear pass returning
+  * [n_samples, energy, peak, crossings] where samples centre at 128
+  * (d = s − 128), energy = Σ d² (the loudness integral), peak = max |d|
+  * (clipping detection), crossings = |{i : d_i·d_{i+1} < 0}| (the
+  * classic zero-crossing-rate numerator — a crude pitch/noisiness
+  * proxy). All four are exact integers, so any engine reproduces them
+  * bit-for-bit from the same bytes; an empty buffer returns all zeros.
+  */
+case class AudioStats64(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_audiostats"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.sql}")
+  }
+
+  override def nullSafeEval(bytes: Any): Any =
+    AudioStats64.stats(bytes.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, b => s"graft.functions.AudioStats64.stats($b)")
+
+  override protected def withNewChildInternal(newChild: Expression): AudioStats64 =
+    copy(child = newChild)
+}
+
+object AudioStats64 {
+  def stats(b: Array[Byte]): ArrayData = {
+    var energy = 0L
+    var peak = 0L
+    var crossings = 0L
+    var prev = 0L
+    var i = 0
+    while (i < b.length) {
+      val d = ((b(i) & 0xff) - 128).toLong
+      energy += d * d
+      val a = math.abs(d)
+      if (a > peak) peak = a
+      if (i > 0 && prev * d < 0L) crossings += 1L
+      prev = d
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array(b.length.toLong, energy, peak, crossings))
+  }
+}
+
 /** MinHash signature of a token/shingle array: `numHashes` minima of
   * seeded hashes (FNV-1a base, splitmix64 seed mixing) in one pass —
   * replaces an interpreted `transform(sequence, s -> array_min(transform(…)))`

@@ -564,6 +564,50 @@ object Multimodal {
     }(encoder)
   }
 
+  /** The whole PCM `data` section of each WAV payload as one binary
+    * column — the per-clip twin of [[samplePcmWindows]] (same chunk
+    * walk, no windowing): (id, pcm). Non-WAV and NULL payloads emit
+    * nothing (the C88 door rule).
+    */
+  def pcmBytes(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      df.schema(idCol),
+      StructField("pcm", BinaryType, nullable = false)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        val pcm = if (bytes == null) None else pcmSection(bytes)
+        pcm.iterator.map { case (off, len) =>
+          Row(r.get(idIdx), java.util.Arrays.copyOfRange(bytes, off, off + len))
+        }
+      }
+    }(encoder)
+  }
+
+  /** Exact audio telemetry per WAV clip: n_samples, energy (Σ(s−128)²),
+    * peak |s−128|, zero crossings, and 6-dp RMS — the loudness/clipping/
+    * noisiness read a media-curation pipeline runs before training on
+    * audio (silent clips: energy 0; clipped clips: peak 127; tonal vs
+    * noisy: crossing rate). The container walk is [[pcmSection]] (real
+    * RIFF), the stats one [[graft.functions.AudioStats64]] codegen pass
+    * at scan speed — no shuffle anywhere, integer-exact by construction
+    * (RMS is one sqrt of an exact ratio, floor(v·1e6+0.5)-quantized).
+    */
+  def audioStats(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    pcmBytes(df, idCol, binCol)
+      .select(col(idCol), call_function("graft_audiostats", col("pcm")).as("s"))
+      .select(col(idCol),
+        col("s")(0).as("n_samples"), col("s")(1).as("energy_u"),
+        col("s")(2).as("peak"), col("s")(3).as("crossings"))
+      .withColumn("rms", when(col("n_samples") > 0,
+        floor(sqrt(col("energy_u").cast("double") / col("n_samples"))
+          * lit(1000000) + lit(0.5)) / lit(1e6)))
+  }
+
   /** Perceptual AUDIO near-dup pairs: media pairs sharing ≥ `minShared`
     * near-duplicate PCM windows — [[frameNearDup]]'s C4 machinery over
     * the WAV seam with [[graft.functions.AudioFp64]]'s band-energy

@@ -3136,6 +3136,48 @@ object Pipeline {
       |  CASE WHEN text IS NULL THEN 'img/fake' ELSE 'audio/wav' END AS format
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** C107: exact audio telemetry under the driver oracle
+    * ([[Multimodal.audioStats]]) — the CONTENT read beside C89's
+    * header-only metadata: per clip, the PCM section's sample count,
+    * energy Σ(s−128)², peak amplitude, zero crossings, and 6-dp RMS —
+    * loudness/clipping/noisiness, the audio-curation gate (silent and
+    * clipped clips are dropped before training the same way C26 drops
+    * degenerate text). Payloads ride behind the C88 streaming WAV header;
+    * the text is ASCII-transcoded (non-ASCII → '?') so the oracle's
+    * char-level unicode() arithmetic equals the engine's byte-level walk
+    * EXACTLY (1 char = 1 byte by construction — the transcoding is the
+    * fixture's sample source, not part of the op). NULL texts make NULL
+    * media and drop at the door (the C88 stance). All stats are exact
+    * integers off one codegen pass at scan speed; RMS is one sqrt of an
+    * exact ratio, floor(v·1e6+0.5)-quantized on both sides.
+    */
+  def mediaAudioStats(spark: SparkSession, dir: String): DataFrame = {
+    val media = docs(spark, dir).select(col("doc_id"),
+      concat(lit(Multimodal.wavHeaderStreaming()),
+        encode(regexp_replace(col("text"), "[^\\x20-\\x7E]", "?"), "UTF-8"))
+        .as("media"))
+    Multimodal.audioStats(media, "doc_id", "media").orderBy("doc_id")
+  }
+
+  val mediaAudioStatsSql: String =
+    """WITH sz AS (SELECT doc_id,
+      |    regexp_replace(text, '[^\x20-\x7e]', '?', 'g') AS t
+      |  FROM documents WHERE text IS NOT NULL),
+      |u AS (SELECT doc_id,
+      |    [unicode(c) - 128 FOR c IN list_filter(string_split(t, ''), c -> c <> '')] AS d
+      |  FROM sz),
+      |st AS (SELECT doc_id, len(d)::BIGINT AS n_samples,
+      |    coalesce(list_sum([x * x FOR x IN d]), 0)::BIGINT AS energy_u,
+      |    coalesce(list_max([abs(x) FOR x IN d]), 0)::BIGINT AS peak,
+      |    coalesce(list_sum([CASE WHEN d[i] * d[i + 1] < 0 THEN 1 ELSE 0 END
+      |      FOR i IN range(1, len(d))]), 0)::BIGINT AS crossings
+      |  FROM u)
+      |SELECT doc_id, n_samples, energy_u, peak, crossings,
+      |  CASE WHEN n_samples > 0
+      |    THEN floor(sqrt(energy_u::DOUBLE / n_samples) * 1000000 + 0.5) / 1e6
+      |  END AS rms
+      |FROM st ORDER BY doc_id""".stripMargin
+
   /** C90: REAL image-container metadata decode under the driver oracle —
     * the image counterpart of C89's WAV walk, shrinking the env-blocked
     * media gap to video only: per-doc payloads are genuine BMP files

@@ -720,6 +720,34 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got === Set((1L, 2L)))
   }
 
+  test("audioStats: hand-computed sample stats, silence/clipping reads, door rules") {
+    import spark.implicits._
+    val hdr = Multimodal.wavHeaderStreaming()
+    // hand-checkable clip: samples 128,130,126,128,255,0 centre to
+    // d = 0,2,-2,0,127,-128 — energy 0+4+4+0+16129+16384 = 32521,
+    // peak 128, crossings: (2,-2) and (127,-128) flip sign; zeros at the
+    // boundaries are NOT crossings (0·x = 0, the strict-product rule)
+    val clip = Array(128, 130, 126, 128, 255, 0).map(_.toByte)
+    val silence = Array.fill(10)(128.toByte)
+    val media = Seq(
+      (1L, hdr ++ clip), (2L, hdr ++ silence),
+      (3L, clip ++ clip) /* no RIFF header: dropped at the door */,
+      (4L, null.asInstanceOf[Array[Byte]]))
+      .toDF("doc_id", "media")
+    val got = Multimodal.audioStats(media, "doc_id", "media").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), Option(r.get(5)).map(_.asInstanceOf[Double])))).toMap
+    assert(got.keySet === Set(1L, 2L), "non-WAV and NULL payloads drop")
+    assert(got(1L)._1 === 6L)
+    assert(got(1L)._2 === 32521L, "energy")
+    assert(got(1L)._3 === 128L, "peak (the most negative sample)")
+    assert(got(1L)._4 === 2L, "strict sign flips only")
+    assert(got(1L)._5 === Some(math.floor(
+      math.sqrt(32521.0 / 6) * 1e6 + 0.5) / 1e6))
+    // silence: all zeros, rms 0.0 (defined, not NULL — n > 0)
+    assert(got(2L) === ((10L, 0L, 0L, 0L, Some(0.0))))
+  }
+
   test("fixture invariant: every document long enough to emit a media frame is ASCII") {
     // the C43/C87 oracles frame by CHARACTERS while the engine frames the
     // UTF-8 BYTES of encode(text) — exact only while every doc that can
