@@ -193,6 +193,43 @@ object GraphOps {
       .orderBy("src_scc", "dst_scc")
   }
 
+  /** Per-type edge reciprocity (Newman) of a typed directed edge set:
+    * for each relation type, how many distinct (src, dst) edges have
+    * their reverse (dst, src) present IN THE SAME TYPE, and the ratio —
+    * the "is this relation symmetric in practice" read that decides
+    * whether a KG relation should be loaded as directed or undirected
+    * (a declared-asymmetric type with high reciprocity, or a
+    * declared-symmetric one with low, is a mapping bug surfaced before
+    * load). Multi-edges collapse (reciprocity is about the relation,
+    * not multiplicity); self-loops are excluded (trivially their own
+    * reverse); each direction of a mutual pair counts once, the Newman
+    * convention. The ratio is an exact integer ratio quantized by
+    * floor(v·1e6+0.5) — deterministic cross-engine even when the ratio
+    * is dyadic and parks ON the half boundary (1/128 → 0.007813).
+    *
+    * Scale: one distinct + one self left-semi join on the SAME
+    * (type, src, dst) key shape — co-partitioned, no second shuffle —
+    * and two keyed counts; output is |types| rows.
+    */
+  def reciprocity(edges: DataFrame, srcCol: String = "src",
+                  dstCol: String = "dst", typeCol: String = "etype"): DataFrame = {
+    val e = edges.select(col(typeCol).as("etype"),
+        col(srcCol).as("__s"), col(dstCol).as("__d"))
+      .where(col("__s").isNotNull && col("__d").isNotNull &&
+        col("__s") =!= col("__d"))
+      .distinct()
+    val rev = e.select(col("etype"), col("__d").as("__s"), col("__s").as("__d"))
+    val recip = e.join(rev, Seq("etype", "__s", "__d"), "left_semi")
+    val n = e.groupBy("etype").agg(count(lit(1)).as("n_edges"))
+    val m = recip.groupBy("etype").agg(count(lit(1)).as("n_recip"))
+    n.join(m, Seq("etype"), "left")
+      .select(col("etype"), col("n_edges"),
+        coalesce(col("n_recip"), lit(0L)).as("n_recip"),
+        (floor(coalesce(col("n_recip"), lit(0L)).cast("double") / col("n_edges")
+          * lit(1000000) + lit(0.5)) / lit(1e6)).as("reciprocity"))
+      .orderBy("etype")
+  }
+
   /** Longest-path (critical-path) topological levels of a DAG — the
     * scheduling read of [[condensation]]'s quotient graph: level(v) = 0
     * for sources, else 1 + max(level(u) : u→v), i.e. the earliest wave a

@@ -1291,6 +1291,74 @@ object GraphEtl {
        |  lev.node NOT IN (SELECT src FROM cond) AS is_sink
        |FROM lev ORDER BY scc""".stripMargin
 
+  /** A59: per-type edge reciprocity
+    * ([[graft.ops.graph.GraphOps.reciprocity]]) — the
+    * directed-vs-symmetric audit of a typed KG: a planted `borders`
+    * relation (nation k → k+1 chain, reverse edges only for even k) is
+    * PARTIALLY symmetric, while `inRegion` (nation→region) and `feeds`
+    * (region→nation, even regions) are 0-reciprocal under the same-type
+    * rule even though they reverse each other ACROSS types — exactly the
+    * read that catches a relation mapped directed that the data says is
+    * mutual (load it undirected) or vice versa, before the NeoLoader
+    * phases. A duplicate borders edge is planted to pin multi-edge
+    * collapse. Ratios are exact integer ratios floor(v·1e6+0.5)-quantized
+    * on both sides.
+    */
+  def kgReciprocity(spark: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.load(spark, dir, "nation")
+    val chain = nation.as("a").join(nation.as("b"),
+        col("a.n_nationkey") + 1 === col("b.n_nationkey"))
+      .select(concat(lit("nation:"), col("a.n_nationkey")).as("src"),
+        concat(lit("nation:"), col("b.n_nationkey")).as("dst"),
+        col("a.n_nationkey").as("k"))
+    val borders = chain.select(col("src"), col("dst"), lit("borders").as("etype"))
+    val bordersDup = chain.where(col("k") % 5 === 0)
+      .select(col("src"), col("dst"), lit("borders").as("etype"))
+    val bordersRev = chain.where(col("k") % 2 === 0)
+      .select(col("dst").as("src"), col("src").as("dst"),
+        lit("borders").as("etype"))
+    val inRegion = nation.select(
+      concat(lit("nation:"), col("n_nationkey")).as("src"),
+      concat(lit("region:"), col("n_regionkey")).as("dst"),
+      lit("inRegion").as("etype"))
+    val feeds = nation.where(col("n_regionkey") % 2 === 0).select(
+      concat(lit("region:"), col("n_regionkey")).as("src"),
+      concat(lit("nation:"), col("n_nationkey")).as("dst"),
+      lit("feeds").as("etype"))
+    graft.ops.graph.GraphOps.reciprocity(
+      borders.unionAll(bordersDup).unionAll(bordersRev)
+        .unionAll(inRegion).unionAll(feeds))
+  }
+
+  val kgReciprocitySql: String =
+    """WITH e AS (
+      |  SELECT 'borders' AS t, 'nation:' || a.n_nationkey AS s,
+      |      'nation:' || b.n_nationkey AS d
+      |    FROM nation a JOIN nation b ON a.n_nationkey + 1 = b.n_nationkey
+      |  UNION ALL
+      |  SELECT 'borders', 'nation:' || a.n_nationkey, 'nation:' || b.n_nationkey
+      |    FROM nation a JOIN nation b ON a.n_nationkey + 1 = b.n_nationkey
+      |    WHERE a.n_nationkey % 5 = 0
+      |  UNION ALL
+      |  SELECT 'borders', 'nation:' || b.n_nationkey, 'nation:' || a.n_nationkey
+      |    FROM nation a JOIN nation b ON a.n_nationkey + 1 = b.n_nationkey
+      |    WHERE a.n_nationkey % 2 = 0
+      |  UNION ALL
+      |  SELECT 'inRegion', 'nation:' || n_nationkey, 'region:' || n_regionkey
+      |    FROM nation
+      |  UNION ALL
+      |  SELECT 'feeds', 'region:' || n_regionkey, 'nation:' || n_nationkey
+      |    FROM nation WHERE n_regionkey % 2 = 0),
+      |de AS (SELECT DISTINCT t, s, d FROM e WHERE s <> d),
+      |r AS (SELECT x.t, x.s, x.d FROM de x
+      |  JOIN de y ON y.t = x.t AND y.s = x.d AND y.d = x.s),
+      |n AS (SELECT t, count(*)::BIGINT AS n_edges FROM de GROUP BY t),
+      |m AS (SELECT t, count(*)::BIGINT AS n_recip FROM r GROUP BY t)
+      |SELECT n.t AS etype, n.n_edges, coalesce(m.n_recip, 0)::BIGINT AS n_recip,
+      |  floor(coalesce(m.n_recip, 0)::DOUBLE / n.n_edges * 1000000 + 0.5) / 1e6
+      |    AS reciprocity
+      |FROM n LEFT JOIN m USING (t) ORDER BY etype""".stripMargin
+
   /** A52: PG validation report under the driver oracle — promotes the
     * B24 spec-only component to a driver-checked query: the nation PG is
     * corrupted DETERMINISTICALLY (by the id's last digit: nodes ending

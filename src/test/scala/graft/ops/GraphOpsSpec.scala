@@ -600,6 +600,33 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("reciprocity: per-type same-type reverse ratio, dedup/self-loop rules, dyadic half boundary") {
+    // type f: a<->b mutual, a->c one-way, a->a self-loop (dropped),
+    // duplicate a->b (collapses) => n=3, recip=2 (both mutual directions)
+    // type g: only a->b, but g's reverse exists in f — must NOT count
+    val fg = Seq(
+      ("f", "a", "b"), ("f", "b", "a"), ("f", "a", "c"),
+      ("f", "a", "a"), ("f", "a", "b"),
+      ("g", "b", "a"))
+    // type h: an inexact-ratio sanity row (2/129)
+    val h = (0 until 128).map(i => ("h", s"n$i", s"m$i")) :+ (("h", "m0", "n0"))
+    val got = GraphOps.reciprocity((fg ++ h).toDF("etype", "src", "dst"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got("f") === ((3L, 2L, 0.666667)))
+    assert(got("g") === ((1L, 0L, 0.0)))
+    assert(got("h") === ((129L, 2L, math.floor(2.0 / 129 * 1e6 + 0.5) / 1e6)))
+    // the DYADIC half boundary: 2/256 = 1/128, so ratio·1e6 = 7812.5
+    // parks exactly ON the boundary — floor(v·1e6+0.5) must give
+    // 0.007813 in any engine (a round-half-even engine would say
+    // 0.007812 — the r16 tie-rounding class this quantizer exists for)
+    val h2 = (0 until 255).map(i => ("h2", s"n$i", s"m$i")) :+ (("h2", "m0", "n0"))
+    val b = GraphOps.reciprocity(h2.toDF("etype", "src", "dst"))
+      .collect()(0)
+    assert(b.getLong(1) === 256L && b.getLong(2) === 2L)
+    assert(b.getDouble(3) === 0.007813, "half-boundary quantization")
+  }
+
   test("topoLevels: longest-path layering on a diamond+chain, flags, cycle refusal") {
     // diamond a->{b,c}->d plus a long tail d->e->f: longest path wins
     // (b and c both level 1, d level 2 even though a->d would allow 1)
