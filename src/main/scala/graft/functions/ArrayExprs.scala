@@ -244,6 +244,53 @@ object ByteSum64 {
   }
 }
 
+/** Sum of absolute unsigned-byte differences between two binary payloads
+  * as a native codegen expression — the L1 frame-distance primitive of
+  * the video-motion read (C108): for two raw BI_RGB frames the sum is
+  * the total pixel-channel change, one linear pass at scan speed. Length
+  * mismatch treats missing bytes as 0 (the [[DHash64]] padding stance),
+  * so a truncated tail counts as change, not silence.
+  */
+case class ByteDiff64(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_bytediff"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType == BinaryType)
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two binary arguments, " +
+        s"got ${left.dataType.sql} and ${right.dataType.sql}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ByteDiff64.diff(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.ByteDiff64.diff($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ByteDiff64 =
+    copy(left = newLeft, right = newRight)
+}
+
+object ByteDiff64 {
+  def diff(a: Array[Byte], b: Array[Byte]): Long = {
+    val n = math.max(a.length, b.length)
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val x = if (i < a.length) a(i) & 0xff else 0
+      val y = if (i < b.length) b(i) & 0xff else 0
+      acc += math.abs(x - y)
+      i += 1
+    }
+    acc
+  }
+}
+
 /** Exact integer sample statistics of an unsigned 8-bit PCM buffer as a
   * native codegen expression — the audio-telemetry primitive beside
   * [[AudioFp64]]'s fingerprint: one linear pass returning

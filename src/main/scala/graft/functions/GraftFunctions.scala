@@ -22,6 +22,7 @@ object GraftFunctions {
     "graft_audiofp64" -> { exprs => AudioFp64(exprs(0)) },
     "graft_bytesum" -> { exprs => ByteSum64(exprs(0)) },
     "graft_audiostats" -> { exprs => AudioStats64(exprs(0)) },
+    "graft_bytediff" -> { exprs => ByteDiff64(exprs(0), exprs(1)) },
     "graft_intersect_count" -> { exprs => SortedIntersectCount(exprs(0), exprs(1)) },
     "graft_sorted_bucket" -> { exprs => SortedBucket(exprs(0), exprs(1)) },
     "graft_minhash_codes" -> { exprs =>

@@ -564,6 +564,38 @@ object Multimodal {
     }(encoder)
   }
 
+  /** Per-video motion profile from consecutive decoded frames: n_pairs,
+    * total L1 byte change (Σ over adjacent frame pairs of Σ|a_i − b_i|),
+    * the peak pair change, and the 6-dp mean — the STATIC-VIDEO detector
+    * a media-curation pipeline runs before training (near-zero motion =
+    * a slideshow/still padded into video: dedupe against the image
+    * corpus instead of training as video; a single peak spike = a scene
+    * cut). Frames come from the real [[aviFrames]] container walk; the
+    * pair distance is one [[graft.functions.ByteDiff64]] codegen pass.
+    *
+    * Scale: frames shuffle ONCE on (id, frame_idx) for the
+    * consecutive-pair self-join (equi-join on idx−1 — co-partitioned
+    * with the groupBy after), then a keyed 3-aggregate; videos with
+    * fewer than 2 frames have no motion definition and emit nothing.
+    */
+  def motionProfile(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val fr = aviFrames(df, idCol, binCol)
+      .select(col(idCol), col("frame_idx"), col("frame"))
+    val nxt = fr.select(col(idCol), (col("frame_idx") - 1).as("frame_idx"),
+      col("frame").as("__next"))
+    fr.join(nxt, Seq(idCol, "frame_idx"))
+      .select(col(idCol),
+        call_function("graft_bytediff", col("frame"), col("__next")).as("__m"))
+      .groupBy(idCol).agg(
+        count(lit(1)).as("n_pairs"),
+        sum("__m").as("total_motion"),
+        max("__m").as("peak_motion"))
+      .withColumn("mean_motion",
+        floor(col("total_motion").cast("double") / col("n_pairs")
+          * lit(1000000) + lit(0.5)) / lit(1e6))
+  }
+
   /** The whole PCM `data` section of each WAV payload as one binary
     * column — the per-clip twin of [[samplePcmWindows]] (same chunk
     * walk, no windowing): (id, pcm). Non-WAV and NULL payloads emit

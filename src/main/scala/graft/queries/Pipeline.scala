@@ -3318,6 +3318,41 @@ object Pipeline {
       |  (ds * ((len + idx) % 256))::BIGINT AS byte_sum
       |FROM x ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** C108: per-video motion profile under the driver oracle
+    * ([[Multimodal.motionProfile]]) — the CONTENT read beside C98's
+    * frame extraction, and the video sibling of C107's audio telemetry:
+    * total/peak/mean L1 byte change across consecutive REAL `movi`
+    * frames — the static-video detector (slideshow padded as video →
+    * near-zero motion → route to image dedup instead of video training;
+    * a lone peak = a scene cut). The fixture fills frame f with the
+    * repeating byte (len+f) mod 256, so each pair's distance is
+    * closed-form (frame_len · |fill diff| — 1 per step, 255 at the
+    * wraparound) and the oracle prices the whole profile without
+    * representing bytes in SQL, while the engine diffs the REAL
+    * extracted payloads via the `graft_bytediff` codegen pass — a wrong
+    * chunk walk shifts every distance. Videos with < 2 frames emit
+    * nothing (no motion definition).
+    */
+  def mediaMotion(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.motionProfile(
+        Multimodal.syntheticAvi(docs(spark, dir), "doc_id", "text"),
+        "doc_id", "media")
+      .orderBy("doc_id")
+
+  val mediaMotionSql: String =
+    """WITH b AS (SELECT doc_id, octet_length(encode(text)) AS len
+      |    FROM documents WHERE text IS NOT NULL),
+      |d AS (SELECT doc_id, len, 1 + len % 16 AS w, 1 + (len * 31) % 12 AS h,
+      |        1 + (len * 7) % 8 AS f FROM b),
+      |e AS (SELECT doc_id, len, f, ((3 * w + 3) // 4) * 4 * h AS ds FROM d),
+      |x AS (SELECT doc_id, len, ds, unnest(range(0, f - 1)) AS idx FROM e),
+      |p AS (SELECT doc_id,
+      |    ds * abs(((len + idx + 1) % 256) - ((len + idx) % 256)) AS m FROM x)
+      |SELECT doc_id, count(*)::BIGINT AS n_pairs, sum(m)::BIGINT AS total_motion,
+      |  max(m)::BIGINT AS peak_motion,
+      |  floor(sum(m)::DOUBLE / count(*) * 1000000 + 0.5) / 1e6 AS mean_motion
+      |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** C42: Naive Bayes self-distillation of the Gopher gate (see
     * [[TextOps.nbDistill]]) — the hard rule becomes a continuous
     * token-level quality score, the cheap-classifier curation pattern.

@@ -720,6 +720,34 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got === Set((1L, 2L)))
   }
 
+  test("motionProfile: closed-form pair distances incl. the 255 wraparound, short-video drop") {
+    import spark.implicits._
+    // graft_bytediff: unsigned L1, missing bytes count as change (pad-0)
+    assert(graft.functions.ByteDiff64.diff(
+      Array[Byte](0, 127, -1), Array[Byte](1, 127, 0)) === 256L) // 1+0+255
+    assert(graft.functions.ByteDiff64.diff(
+      Array[Byte](10, 20), Array[Byte](10)) === 20L)
+    // len("ab cd") = 5: w=6, h=12, f=4, ds = ((18+3)//4)*4*12 = 240,
+    // fills 5,6,7,8 -> 3 pairs each |1|·240 = 240
+    // a 253-byte text: fills 253,254,255,0,... includes the 255->0
+    // wraparound pair at distance 255·ds
+    val long253 = "x" * 253 // w = 1+253%16 = 14, h = 1+(253*31)%12 = 8,
+                            // f = 1+(253*7)%8 = 4, ds = ((42+3)//4)*4*8 = 352
+    val df = Seq((1L, Some("ab cd")), (2L, Some(long253)),
+      (3L, None: Option[String])).toDF("doc_id", "text")
+    val got = Multimodal.motionProfile(
+        Multimodal.syntheticAvi(df, "doc_id", "text"), "doc_id", "media")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got(1L) === ((3L, 720L, 240L, 240.0)))
+    // fills 254,255,0,1: pairs |1|,|255|,|1| times ds=352
+    assert(got(2L) === ((3L, 352L + 352L * 255 + 352L, 352L * 255, {
+      val tot = (352L + 352L * 255 + 352L).toDouble
+      math.floor(tot / 3 * 1e6 + 0.5) / 1e6
+    })))
+    assert(!got.contains(3L), "NULL text has no frames, no motion row")
+  }
+
   test("audioStats: hand-computed sample stats, silence/clipping reads, door rules") {
     import spark.implicits._
     val hdr = Multimodal.wavHeaderStreaming()
