@@ -444,4 +444,42 @@ class PlanAuditSpec extends SparkSpec {
     // both join keys participate: salt appears in the join's key expressions
     assert(plan.contains("salt"), plan)
   }
+
+  test("quality_ols reduces both corpus passes map-side; only 1-row models cross") {
+    val plan = planOf("quality_ols")
+    // the 10-sum pass and the residual pass both keep their partial
+    // (map-side) phase — the exchanges carry ONE row each, never docs
+    assert(plan.contains("partial"), plan)
+    // the coefficient/residual attaches are 1-row broadcasts (crossJoin
+    // of a localCheckpointed single row), never a keyed shuffle join
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      plan)
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+  }
+
+  test("media_audio_stats is one narrow scan-speed pass: no join, no keyed shuffle") {
+    val plan = planOf("media_audio_stats")
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    // the stats ride the native codegen expression, not an interpreted HOF
+    assert(plan.contains("graft_audiostats"), plan)
+  }
+
+  test("media_motion pairs frames through a keyed equi-join, never a loop") {
+    val plan = planOf("media_motion")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the profile aggregate keeps its map-side partial phase
+    assert(plan.contains("partial"), plan)
+  }
+
+  test("kg_reciprocity keeps the reverse check a keyed semi-join with map-side counts") {
+    val plan = planOf("kg_reciprocity")
+    assert(plan.contains("LeftSemi"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("partial"), plan)
+  }
 }
