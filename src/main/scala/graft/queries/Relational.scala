@@ -706,6 +706,76 @@ object Relational {
       |  quantile_cont(l_extendedprice, 0.99) AS p99_price
       |FROM lineitem""".stripMargin
 
+  /** B73: RFM (recency / frequency / monetary) customer segmentation —
+    * the product-analytics staple: per customer the last order day,
+    * order count, and exact decimal spend, each scored 1–5 against the
+    * corpus's own exact quintile BOUNDARIES and combined into the
+    * classic 3-digit segment (555 = best). Deliberately NOT ntile():
+    * a global ntile is a single-partition global sort at scale, while
+    * boundary scoring is the 4-cut-row broadcast over one keyed scan —
+    * the [[graft.ops.stats.Stats.percentilesExact]] disc cuts are exact
+    * data values, so scoring is pure integer comparison (ties share a
+    * score — the declared semantic; monetary is compared in CENTS so
+    * nothing is ever FP). Three 1-row boundary attaches cross-join
+    * broadcast; the customer table shuffles once for its aggregate.
+    */
+  def ordersRfm(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.stats.Stats
+    val base = Tables.load(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(unix_date(max(col("o_orderdate")).cast("date")).cast("long").as("recency_day"),
+        count(lit(1)).as("frequency"),
+        (sum(dec(col("o_totalprice"))) * 100).cast("long").as("__mon_c"))
+      .localCheckpoint()
+    def bounds(c: String, p: String) = Stats.percentilesExact(
+        base.withColumn("__all", lit("all")), "__all", col(c),
+        Seq((0.2, s"${p}1"), (0.4, s"${p}2"), (0.6, s"${p}3"), (0.8, s"${p}4")),
+        fewGroupsHint = Some(true), disc = true)
+      .select(s"${p}1", s"${p}2", s"${p}3", s"${p}4")
+    def score(v: org.apache.spark.sql.Column,
+              p: String): org.apache.spark.sql.Column =
+      (lit(1) + (v > col(s"${p}1")).cast("int") + (v > col(s"${p}2")).cast("int")
+        + (v > col(s"${p}3")).cast("int") + (v > col(s"${p}4")).cast("int"))
+    base
+      .crossJoin(broadcast(bounds("recency_day", "__r")))
+      .crossJoin(broadcast(bounds("frequency", "__f")))
+      .crossJoin(broadcast(bounds("__mon_c", "__m")))
+      .select(col("o_custkey"), col("recency_day"), col("frequency"),
+        (col("__mon_c") / lit(100.0)).as("monetary"),
+        score(col("recency_day"), "__r").as("r_score"),
+        score(col("frequency"), "__f").as("f_score"),
+        score(col("__mon_c"), "__m").as("m_score"))
+      .withColumn("segment",
+        col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+      .orderBy("o_custkey")
+  }
+
+  val ordersRfmSql: String =
+    """WITH base AS (SELECT o_custkey,
+      |    (max(o_orderdate)::DATE - DATE '1970-01-01')::BIGINT AS recency_day,
+      |    count(*)::BIGINT AS frequency,
+      |    (sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100)::BIGINT AS mon_c
+      |  FROM orders GROUP BY o_custkey),
+      |b AS (SELECT
+      |    quantile_disc(recency_day, 0.2) AS r1, quantile_disc(recency_day, 0.4) AS r2,
+      |    quantile_disc(recency_day, 0.6) AS r3, quantile_disc(recency_day, 0.8) AS r4,
+      |    quantile_disc(frequency, 0.2) AS f1, quantile_disc(frequency, 0.4) AS f2,
+      |    quantile_disc(frequency, 0.6) AS f3, quantile_disc(frequency, 0.8) AS f4,
+      |    quantile_disc(mon_c, 0.2) AS m1, quantile_disc(mon_c, 0.4) AS m2,
+      |    quantile_disc(mon_c, 0.6) AS m3, quantile_disc(mon_c, 0.8) AS m4
+      |  FROM base),
+      |s AS (SELECT o_custkey, recency_day, frequency, mon_c / 100.0 AS monetary,
+      |    (1 + (recency_day > r1)::INT + (recency_day > r2)::INT
+      |       + (recency_day > r3)::INT + (recency_day > r4)::INT)::INTEGER AS r_score,
+      |    (1 + (frequency > f1)::INT + (frequency > f2)::INT
+      |       + (frequency > f3)::INT + (frequency > f4)::INT)::INTEGER AS f_score,
+      |    (1 + (mon_c > m1)::INT + (mon_c > m2)::INT
+      |       + (mon_c > m3)::INT + (mon_c > m4)::INT)::INTEGER AS m_score
+      |  FROM base, b)
+      |SELECT o_custkey, recency_day, frequency, monetary, r_score, f_score,
+      |  m_score, (r_score * 100 + f_score * 10 + m_score)::INTEGER AS segment
+      |FROM s ORDER BY o_custkey""".stripMargin
+
   /** B62: ANSI PERCENTILE_DISC per group — discrete quantiles of the
     * order-quantity distribution: unlike B14's interpolated CONT these
     * return VALUES THAT EXIST in the data (the smallest value whose

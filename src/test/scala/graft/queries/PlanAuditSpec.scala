@@ -475,6 +475,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("partial"), plan)
   }
 
+  test("orders_rfm scores against broadcast quantile cuts — no ntile Window, no global sort before scoring") {
+    val plan = planOf("orders_rfm")
+    // the whole design point: quintile scoring must NOT be a global
+    // ntile() — that plans a single-partition Window over all customers
+    assert(!plan.contains("ntile"), plan)
+    // the only Windows allowed are percentilesExact's INTERNAL bucket-
+    // partitioned row_numbers (partition spec [__b…] — parallel by
+    // construction); a Window with any other partitioning would be the
+    // global-sort shape this query exists to avoid
+    assert(plan.linesIterator.filter(_.contains("Window ["))
+      .forall(_.contains("], [__b")), plan)
+    // the three 4-cut boundary rows attach as 1-row broadcasts (the
+    // per-customer aggregate itself sits behind a localCheckpoint, so
+    // the scoring plan starts from the compact customer table)
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      plan)
+  }
+
   test("kg_reciprocity keeps the reverse check a keyed semi-join with map-side counts") {
     val plan = planOf("kg_reciprocity")
     assert(plan.contains("LeftSemi"), plan)
