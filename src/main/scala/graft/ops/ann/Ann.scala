@@ -984,6 +984,49 @@ object Ann {
       .orderBy("qid", "rank")
   }
 
+  /** Recall curve over probe depths from ONE scoring pass — the IVF
+    * tuning sweep ([[ivfSearch]] swept over nProbe without re-searching):
+    * cells are ranked per query once at the DEEPEST probe, every
+    * candidate is cosine-scored once carrying the probe rank of the cell
+    * it came from, and each curve point then just re-ranks a filtered
+    * view of the same scores (prank ≤ p). The C104 one-pass-sweep stance
+    * applied to ANN serving: "what does each extra probe buy" is the
+    * chart that sets nProbe, and computing it must not cost
+    * |probes| × searches. Returns per (n_probe, qid) the top-k rows.
+    *
+    * Scale: one broadcast of ≤ maxProbe·|queries| probe rows against the
+    * cell table (the corpus is scanned once), then a bounded
+    * (qid, n_probe)-partitioned rank over candidate rows replicated
+    * |probes| ways — candidates, not corpus.
+    */
+  def ivfProbeCurve(cells: DataFrame, centroids: DataFrame,
+                    queries: DataFrame, k: Int, probes: Seq[Int],
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    require(probes.nonEmpty && probes.forall(_ >= 1),
+      s"ivfProbeCurve: probe depths must be >= 1 (got $probes)")
+    graft.functions.GraftFunctions.register(queries.sparkSession)
+    val q = queries.select(col(idCol).as("qid"), vec(col(vecCol)).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val probed = q.crossJoin(broadcast(centroids))
+      .withColumn("cdist",
+        round(cosine(col("qv"), col("centroid"), col("qn"), norm(col("centroid"))), 6))
+      .withColumn("prank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cdist").desc, col("cell"))))
+      .where(col("prank") <= probes.max)
+      .select("qid", "qv", "qn", "cell", "prank")
+    val cand = cells.join(broadcast(probed), "cell")
+      .select(col("qid"), col("cid"), col("prank"),
+        round(cosine(col("qv"), col("cv"), col("qn"), col("cn")), 6).as("cosine"))
+    val w = Window.partitionBy("qid", "n_probe")
+      .orderBy(col("cosine").desc, col("cid"))
+    cand.withColumn("n_probe", explode(array(probes.map(lit): _*)))
+      .where(col("prank") <= col("n_probe"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("n_probe", "qid", "cid", "cosine", "rank")
+  }
+
   /** Self-contained IVF ANN: [[ivfBuild]] + [[ivfSearch]] in one call. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nCells: Int = 16, nProbe: Int = 4,

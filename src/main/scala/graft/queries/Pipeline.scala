@@ -1309,6 +1309,70 @@ object Pipeline {
        |FROM (SELECT DISTINCT qid FROM bf) q LEFT JOIN h USING (qid)
        |ORDER BY qid""".stripMargin
 
+  /** C109: recall-vs-nProbe curve ([[Ann.ivfProbeCurve]]) — the C97
+    * recall report swept across probe depths {1, 2, 4, 8} from ONE
+    * scoring pass (the C104 one-pass-sweep stance applied to ANN): "what
+    * does each extra probe buy" is THE chart that sets nProbe, turning
+    * C97's single audited point into the whole trade-off — a cliff
+    * between two depths means the quantizer splits true neighbourhoods
+    * there; flat means probes are wasted. Recall is measured against the
+    * C6 brute-force truth; the p = 4 point is exactly C97's
+    * configuration, so the two reports cross-check (spec-pinned). Probe
+    * spine left-joined so a zero-hit depth still appears.
+    */
+  def annProbeCurve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = embs(spark, dir)
+    val queries = e.where(col("vec_id") < 20)
+    val corpus = e.where(col("vec_id") >= 20)
+    val (cells, cents) = Ann.ivfBuild(corpus)
+    val curve = Ann.ivfProbeCurve(cells, cents, queries, k = 5,
+      probes = Seq(1, 2, 4, 8))
+    val bf = annTopK(spark, dir).select(col("qid"), col("cid"))
+    val hits = bf.join(curve.select("n_probe", "qid", "cid"), Seq("qid", "cid"))
+      .groupBy("n_probe").agg(count(lit(1)).as("n_hits"))
+    val nq = bf.agg(countDistinct("qid").as("n_queries"))
+    Seq(1, 2, 4, 8).toDF("n_probe")
+      .join(hits, Seq("n_probe"), "left").crossJoin(broadcast(nq))
+      .select(col("n_probe"), col("n_queries"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double")
+          / (col("n_queries") * 5)).as("recall"))
+      .orderBy("n_probe")
+  }
+
+  lazy val annProbeCurveSql: String = {
+    import IvfSql._
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |c AS (SELECT vec_id AS cid, v, ${nrm("v")} AS nrm FROM e WHERE vec_id >= 20),
+       |q AS (SELECT vec_id AS qid, v, ${nrm("v")} AS nrm FROM e WHERE vec_id < 20),
+       |${seeds(16)},
+       |${lloyd(2)},
+       |${assignCte("af", "cent2")},
+       |pr AS (SELECT qid, qv, qn, cell, rn AS prank FROM (
+       |  SELECT q.qid, q.v AS qv, q.nrm AS qn, ct.cell,
+       |    row_number() OVER (PARTITION BY q.qid
+       |      ORDER BY round(${cos("q.v", "ct.centroid", "q.nrm", nrm("ct.centroid"))}, 6) DESC, ct.cell) AS rn
+       |  FROM q CROSS JOIN cent2 ct) WHERE rn <= 8),
+       |sc AS (SELECT pr.qid, a.cid, pr.prank,
+       |    round(${cos("pr.qv", "a.v", "pr.qn", "a.nrm")}, 6) AS cosine
+       |  FROM pr JOIN af a USING (cell)),
+       |pp AS (SELECT unnest([1, 2, 4, 8]) AS n_probe),
+       |r AS (SELECT pp.n_probe, sc.qid, sc.cid,
+       |    row_number() OVER (PARTITION BY pp.n_probe, sc.qid
+       |      ORDER BY sc.cosine DESC, sc.cid) AS rnk
+       |  FROM sc JOIN pp ON sc.prank <= pp.n_probe),
+       |top AS (SELECT n_probe, qid, cid FROM r WHERE rnk <= 5),
+       |bf AS (SELECT qid, cid FROM ($annTopKSql) t),
+       |nq AS (SELECT count(DISTINCT qid)::BIGINT AS n_queries FROM bf),
+       |h AS (SELECT n_probe, count(*)::BIGINT AS n_hits
+       |  FROM top JOIN bf USING (qid, cid) GROUP BY 1)
+       |SELECT pp.n_probe::INTEGER AS n_probe, nq.n_queries,
+       |  coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+       |  coalesce(h.n_hits, 0)::DOUBLE / (nq.n_queries * 5) AS recall
+       |FROM pp LEFT JOIN h USING (n_probe), nq ORDER BY n_probe""".stripMargin
+  }
+
   /** C100: truncated-dimension recall (the Matryoshka evaluation) —
     * recall@5 of brute-force search over the FIRST HALF of each
     * embedding's dimensions against full-dimension ground truth, per

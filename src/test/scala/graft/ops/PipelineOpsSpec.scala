@@ -720,6 +720,30 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got === Set((1L, 2L)))
   }
 
+  test("ivfProbeCurve: every curve point equals ivfSearch at that depth; recall monotone in probes") {
+    val queries = embs.where(col("vec_id") < 10)
+    val corpus = embs.where(col("vec_id") >= 10)
+    val (cells, cents) = Ann.ivfBuild(corpus)
+    val curve = Ann.ivfProbeCurve(cells, cents, queries, k = 5,
+        probes = Seq(1, 2, 4, 8)).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4)))
+    // the sweep is a VIEW of one scoring pass: each depth's rows must be
+    // bit-identical to an independent ivfSearch at that nProbe
+    Seq(1, 4, 8).foreach { p =>
+      val sw = Ann.ivfSearch(cells, cents, queries, k = 5, nProbe = p)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      val cv = curve.filter(_._1 == p).map(t => (t._2, t._3, t._4, t._5)).toSet
+      assert(cv === sw, s"probe depth $p")
+    }
+    // recall against brute force never decreases with probe depth
+    val truth = Ann.bruteForceTopK(queries, corpus, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recalls = Seq(1, 2, 4, 8).map { p =>
+      curve.filter(_._1 == p).count(t => truth((t._2, t._3)))
+    }
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => b >= a }, recalls)
+  }
+
   test("motionProfile: closed-form pair distances incl. the 255 wraparound, short-video drop") {
     import spark.implicits._
     // graft_bytediff: unsigned L1, missing bytes count as change (pad-0)
