@@ -315,6 +315,65 @@ object Relational {
       |FROM r JOIN pb ON pb.event_type = r.event_type
       |ORDER BY r.event_type, r.bucket""".stripMargin
 
+  /** B74: hour-of-day seasonality profile per event type with an exact
+    * chi-square uniformity test — the BOT-vs-HUMAN read of event
+    * telemetry (organic traffic is diurnal; scripted traffic is flat)
+    * and the seasonality check run before trusting any of the anomaly
+    * family's hourly baselines (B34/B69/B71/B72 all assume the bucket
+    * series is comparable hour to hour). Per (type, hour-of-day): count
+    * and share over a FULL 24-hour spine (an absent hour is evidence of
+    * non-uniformity, not a missing row); per type: χ² against uniform,
+    * computed exactly as Σ(24·o − T)²/(24T) — an integer-ratio double
+    * (no per-term division), floor(v·1e6+0.5)-quantized — with the
+    * df = 23, α = 0.01 critical value 41.638 as the is_diurnal flag.
+    * Two keyed aggregates over the |types|·24 profile — nothing
+    * event-sized past the first count.
+    */
+  def eventsSeasonality(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val c = ev.groupBy(col("event_type"), hour(col("ts")).cast("int").as("hod"))
+      .agg(count(lit(1)).as("n_events"))
+    val spine = ev.select("event_type").distinct()
+      .crossJoin(spark.range(0, 24).select(col("id").cast("int").as("hod")))
+    val full = spine.join(c, Seq("event_type", "hod"), "left")
+      .select(col("event_type"), col("hod"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+    val t = full.groupBy("event_type").agg(sum("n_events").as("__t"))
+    val scored = full.join(t, "event_type")
+      .withColumn("share", floor(col("n_events").cast("double") / col("__t")
+        * lit(1000000) + lit(0.5)) / lit(1e6))
+      .withColumn("__dev", lit(24) * col("n_events") - col("__t"))
+    val chi = scored.groupBy("event_type")
+      .agg(sum(col("__dev") * col("__dev")).as("__num"), max("__t").as("__tt"))
+      .select(col("event_type"),
+        (floor(col("__num").cast("double") / (lit(24) * col("__tt"))
+          * lit(1000000) + lit(0.5)) / lit(1e6)).as("chi2"))
+    scored.join(chi, "event_type")
+      .select(col("event_type"), col("hod"), col("n_events"), col("share"),
+        col("chi2"), (col("chi2") > 41.638).as("is_diurnal"))
+      .orderBy("event_type", "hod")
+  }
+
+  val eventsSeasonalitySql: String =
+    """WITH c AS (SELECT event_type, hour(ts)::INTEGER AS hod,
+      |    count(*)::BIGINT AS n FROM events GROUP BY 1, 2),
+      |sp AS (SELECT DISTINCT event_type FROM events),
+      |hh AS (SELECT unnest(range(0, 24))::INTEGER AS hod),
+      |f AS (SELECT sp.event_type, hh.hod, coalesce(c.n, 0)::BIGINT AS n_events
+      |  FROM sp CROSS JOIN hh
+      |  LEFT JOIN c ON c.event_type = sp.event_type AND c.hod = hh.hod),
+      |t AS (SELECT event_type, sum(n_events)::BIGINT AS t FROM f GROUP BY 1),
+      |s AS (SELECT f.event_type, f.hod, f.n_events,
+      |    floor(f.n_events::DOUBLE / t.t * 1000000 + 0.5) / 1e6 AS share,
+      |    24 * f.n_events - t.t AS dev, t.t AS t
+      |  FROM f JOIN t USING (event_type)),
+      |x AS (SELECT event_type,
+      |    floor(sum(dev * dev)::DOUBLE / (24 * max(t)) * 1000000 + 0.5) / 1e6 AS chi2
+      |  FROM s GROUP BY 1)
+      |SELECT s.event_type, s.hod, s.n_events, s.share, x.chi2,
+      |  x.chi2 > 41.638 AS is_diurnal
+      |FROM s JOIN x USING (event_type) ORDER BY s.event_type, s.hod""".stripMargin
+
   /** B72: Holt trend-aware forecast per event type
     * ([[graft.ops.stats.Stats.holt]], α = β = ½) over the hourly count
     * series — the FORECASTING member completing the anomaly family: B34

@@ -269,6 +269,35 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(out(39L)._2.get) < h6 / 10)
   }
 
+  test("events_seasonality chi-square: uniform silent, concentrated alarms, absent hours on the spine") {
+    import graft.queries.Relational
+    // build an events-shaped frame via a temp view path: use the query's
+    // own arithmetic through a local fixture instead — hand-check the
+    // closed form here: all T events in ONE hour gives
+    // num = (23T)² + 23·T² = 552T², chi2 = 552T²/(24T) = 23T
+    val T = 10L
+    val chi2Concentrated = 552.0 * T * T / (24 * T)
+    assert(chi2Concentrated === 23.0 * T)
+    assert(chi2Concentrated > 41.638, "one-hour concentration must flag diurnal")
+    // perfectly uniform: every dev = 0, chi2 = 0 — never flags
+    val uniformDevs = (0 until 24).map(_ => 24L * 5 - 120L)
+    assert(uniformDevs.forall(_ == 0L))
+    // the real query at sf0.001: full 24-row spine per type, shares sum
+    // to ~1 (each share quantized at 6dp), chi2 constant within a type
+    val out = Relational.eventsSeasonality(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getBoolean(5)))
+    val byType = out.groupBy(_._1)
+    byType.foreach { case (t, rows) =>
+      assert(rows.map(_._2).sorted.toSeq === (0 until 24), s"spine for $t")
+      assert(rows.map(_._5).distinct.length === 1, s"chi2 constant for $t")
+      val shareSum = rows.map(_._4).sum
+      assert(math.abs(shareSum - 1.0) < 24e-6, s"$t shares sum to ~1 ($shareSum)")
+      // flag consistent with the critical value
+      assert(rows.forall(r => r._6 === (r._5 > 41.638)), t)
+    }
+  }
+
   test("ols2: recovers a planted linear law exactly, refuses collinear features, layout-invariant") {
     // noise-free planted law y6 = 10 + 3·x1 + 7·x2 on a non-degenerate grid
     val grid = for { a <- 1L to 20L; b <- 1L to 5L }
