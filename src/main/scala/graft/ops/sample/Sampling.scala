@@ -161,6 +161,55 @@ object Sampling {
         expr("bit_xor(fp)").as("content_fp"))
   }
 
+  /** Shard rebalancing plan WITHOUT iteration — the classic greedy
+    * surplus→deficit transfer schedule derived relationally: per-shard
+    * targets are total div n (+1 for the first total mod n shards in
+    * shard order — exact balance, Σ surplus = Σ deficit by
+    * construction), and the greedy matching "pour surpluses into
+    * deficits, both in shard order" is EXACTLY the interval overlap of
+    * the two cumulative-offset sequences — so the whole plan is one
+    * overlap join of two manifest-sized relations (the B21 range-join
+    * shape), no loop, no driver-side scheduling. Every overlap segment
+    * is one transfer (src, dst, n_move); per-src moves sum to its
+    * surplus and per-dst to its deficit (spec-pinned), and the number of
+    * transfers is ≤ |surplus| + |deficit| − 1, the greedy optimum.
+    *
+    * Scale: windows and the join run over the |shards|-row MANIFEST
+    * (the trained-model/manifest-sized stance — a million-shard plan is
+    * still a million rows, not data); at extreme shard counts the
+    * overlap join buckets like B21. Input: (shard, n) rows — the
+    * [[shardManifest]] output shape.
+    */
+  def rebalancePlan(counts: DataFrame, shardCol: String = "shard",
+                    nCol: String = "n_docs"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.orderBy(col("shard"))
+    val wSum = Window.orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = counts.select(col(shardCol).cast("int").as("shard"),
+      col(nCol).cast("long").as("n"))
+    val tot = base.agg(sum("n").as("__total"),
+      count(lit(1)).cast("long").as("__nsh"))
+    val t = base.crossJoin(broadcast(tot))
+      .withColumn("__rk", row_number().over(wOrd))
+      .withColumn("__target", expr("__total div __nsh")
+        + when(col("__rk") <= expr("__total % __nsh"), 1L).otherwise(0L))
+      .withColumn("__s", col("n") - col("__target"))
+    val sur = t.where(col("__s") > 0)
+      .withColumn("__hi", sum("__s").over(wSum))
+      .select(col("shard").as("src_shard"),
+        (col("__hi") - col("__s")).as("__slo"), col("__hi").as("__shi"))
+    val defi = t.where(col("__s") < 0)
+      .withColumn("__hi", sum(-col("__s")).over(wSum))
+      .select(col("shard").as("dst_shard"),
+        (col("__hi") + col("__s")).as("__dlo"), col("__hi").as("__dhi"))
+    sur.join(defi, col("__slo") < col("__dhi") && col("__dlo") < col("__shi"))
+      .select(col("src_shard"), col("dst_shard"),
+        (least(col("__shi"), col("__dhi"))
+          - greatest(col("__slo"), col("__dlo"))).as("n_move"))
+      .orderBy("src_shard", "dst_shard")
+  }
+
   /** Token-budget domain mixing — the "data mixture" step of a training
     * pipeline: split a global token budget across sources by weight, then
     * greedily take each source's documents in deterministic salted-hash

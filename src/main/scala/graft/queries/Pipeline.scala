@@ -818,6 +818,52 @@ object Pipeline {
       |  min(doc_id) AS min_id, max(doc_id) AS max_id, bit_xor(fp) AS content_fp
       |FROM h GROUP BY shard ORDER BY shard""".stripMargin
 
+  /** C110: shard rebalancing plan ([[graft.ops.sample.Sampling
+    * .rebalancePlan]]) — the OPERATIONS consumer of C96's manifest: given
+    * per-shard counts, the greedy surplus→deficit transfer schedule that
+    * exactly balances the corpus, derived WITHOUT iteration as the
+    * interval overlap of the two cumulative-offset sequences (one
+    * manifest-sized range join — the move plan for a 100 TB reshard is
+    * planned in milliseconds, then executed as data moves). The fixture
+    * shards by doc_id² mod 8 — quadratic residues land everything on
+    * shards {0, 1, 4}, so five shards sit empty and a REAL skewed plan
+    * emerges (an md5 sharding is near-balanced and would make the plan
+    * trivially empty); the 8-shard spine keeps empty shards present as
+    * deficits. Exact integer arithmetic end to end.
+    */
+  def shardRebalance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c0 = docs(spark, dir).where(col("doc_id").isNotNull)
+      .select((col("doc_id") * col("doc_id") % 8).cast("int").as("shard"))
+      .groupBy("shard").agg(count(lit(1)).as("n_docs"))
+    val spine = (0 until 8).toDF("shard")
+    val counts = spine.join(c0, Seq("shard"), "left")
+      .select(col("shard"), coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+    graft.ops.sample.Sampling.rebalancePlan(counts)
+  }
+
+  val shardRebalanceSql: String =
+    """WITH c0 AS (SELECT (doc_id * doc_id) % 8 AS shard, count(*)::BIGINT AS n
+      |    FROM documents WHERE doc_id IS NOT NULL GROUP BY 1),
+      |sp AS (SELECT unnest(range(0, 8))::INT AS shard),
+      |c AS (SELECT sp.shard, coalesce(c0.n, 0)::BIGINT AS n
+      |  FROM sp LEFT JOIN c0 ON c0.shard = sp.shard),
+      |tt AS (SELECT sum(n)::BIGINT AS total, count(*)::BIGINT AS nsh FROM c),
+      |t AS (SELECT c.shard, c.n, row_number() OVER (ORDER BY c.shard) AS rk,
+      |    tt.total, tt.nsh FROM c, tt),
+      |g AS (SELECT shard, n - ((total // nsh)
+      |    + CASE WHEN rk <= total % nsh THEN 1 ELSE 0 END) AS s FROM t),
+      |sur AS (SELECT shard AS src_shard,
+      |    sum(s) OVER (ORDER BY shard) - s AS slo,
+      |    sum(s) OVER (ORDER BY shard) AS shi FROM g WHERE s > 0),
+      |defi AS (SELECT shard AS dst_shard,
+      |    sum(-s) OVER (ORDER BY shard) + s AS dlo,
+      |    sum(-s) OVER (ORDER BY shard) AS dhi FROM g WHERE s < 0)
+      |SELECT src_shard, dst_shard,
+      |  (least(shi, dhi) - greatest(slo, dlo))::BIGINT AS n_move
+      |FROM sur JOIN defi ON slo < dhi AND dlo < shi
+      |ORDER BY src_shard, dst_shard""".stripMargin
+
   /** C45: per-document novelty ([[graft.ops.text.TextOps.novelty]]) —
     * fraction of each document's distinct bigram shingles first seen in
     * that document (first occurrence attributed to the minimum doc_id).

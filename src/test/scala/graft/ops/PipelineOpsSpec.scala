@@ -720,6 +720,43 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got === Set((1L, 2L)))
   }
 
+  test("rebalancePlan: hand case, conservation, greedy transfer bound, already-balanced empties") {
+    import spark.implicits._
+    import graft.ops.sample.Sampling
+    // counts (10, 0, 2, 4) over 4 shards: total 16, targets all 4 ->
+    // surpluses: s0=+6; deficits: s1=-4, s2=-2. Greedy pour in shard
+    // order: 0->1 x4, 0->2 x2.
+    val plan = Sampling.rebalancePlan(
+        Seq((0, 10L), (1, 0L), (2, 2L), (3, 4L)).toDF("shard", "n_docs"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    assert(plan.toSeq === Seq((0, 1, 4L), (0, 2, 2L)))
+    // uneven total: 7 over 3 shards -> targets (3, 2, 2) in shard order
+    val p2 = Sampling.rebalancePlan(
+        Seq((0, 0L), (1, 0L), (2, 7L)).toDF("shard", "n_docs"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    assert(p2.toSeq === Seq((2, 0, 3L), (2, 1, 2L)))
+    // conservation + the greedy bound on a skewed 8-shard manifest
+    val counts = Seq((0, 31L), (1, 1L), (2, 17L), (3, 0L), (4, 9L),
+      (5, 2L), (6, 0L), (7, 4L))
+    val p3 = Sampling.rebalancePlan(counts.toDF("shard", "n_docs"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val total = counts.map(_._2).sum
+    val targets = counts.indices.map(i =>
+      total / 8 + (if (i < total % 8) 1L else 0L))
+    val surplus = counts.map(_._2).zip(targets).map { case (n, t) => n - t }
+    // every src sends exactly its surplus, every dst receives its deficit
+    surplus.zipWithIndex.filter(_._1 > 0).foreach { case (s, i) =>
+      assert(p3.filter(_._1 == i).map(_._3).sum === s, s"src $i") }
+    surplus.zipWithIndex.filter(_._1 < 0).foreach { case (d, i) =>
+      assert(p3.filter(_._2 == i).map(_._3).sum === -d, s"dst $i") }
+    assert(p3.forall(_._3 > 0), "no zero-sized transfers")
+    val nSur = surplus.count(_ > 0); val nDef = surplus.count(_ < 0)
+    assert(p3.length <= nSur + nDef - 1, "greedy transfer-count optimum")
+    // an already-balanced manifest plans nothing
+    assert(Sampling.rebalancePlan(
+      Seq((0, 3L), (1, 3L), (2, 3L)).toDF("shard", "n_docs")).count() === 0L)
+  }
+
   test("ivfProbeCurve: every curve point equals ivfSearch at that depth; recall monotone in probes") {
     val queries = embs.where(col("vec_id") < 10)
     val corpus = embs.where(col("vec_id") >= 10)
