@@ -282,6 +282,63 @@ object GraphOps {
       .orderBy("node")
   }
 
+  /** Source-to-node path counts of a DAG — the other classic DAG DP
+    * beside [[topoLevels]]: n_paths(v) = 1 for sources, else
+    * Σ over predecessors n_paths(u) — how many distinct dependency
+    * chains lead to each node (levels say WHEN a node can run,
+    * path counts say how much upstream multiplicity feeds it — a
+    * provenance/criticality read: a node fed by one chain is fragile,
+    * one fed by thousands is a hub). Iterates the recurrence to a fixed
+    * point (reached at DAG depth) under the [[topoLevels]] cap-and-
+    * refuse stance — cyclic input or a too-small cap fails loudly.
+    * Counts grow combinatorially on wide DAGs; sums run under Spark's
+    * ANSI overflow checking, so an overflowing count REFUSES rather
+    * than wrapping (swap the accumulator to DECIMAL(38,0) for graphs
+    * with > 2⁶³ chains — stated, not silent).
+    *
+    * Scale: identical shape to [[topoLevels]] — one keyed join + sum-agg
+    * per round, rounds = DAG depth, lineage checkpoint-flattened.
+    */
+  def dagPathCounts(dagEdges: DataFrame, maxIter: Int = 32): DataFrame = {
+    val e = dagEdges.select(col("src"), col("dst")).localCheckpoint()
+    val nodes = e.select(col("src").as("node")).union(e.select(col("dst")))
+      .distinct().localCheckpoint()
+    val isSrc = nodes.join(e.select(col("dst").as("node")).distinct(),
+        Seq("node"), "left_anti")
+      .withColumn("__src1", lit(1L))
+    val seeded = nodes.join(isSrc, Seq("node"), "left")
+      .select(col("node"), coalesce(col("__src1"), lit(0L)).as("__base"))
+      .localCheckpoint()
+    var cnt = seeded.withColumnRenamed("__base", "n_paths")
+    var moving = true
+    var it = 0
+    while (moving && it < maxIter) {
+      val in = e.join(cnt.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node")).agg(sum("n_paths").as("__in"))
+      val next = seeded.join(in, Seq("node"), "left")
+        .select(col("node"),
+          (col("__base") + coalesce(col("__in"), lit(0L))).as("n_paths"))
+        .localCheckpoint()
+      moving = next.join(cnt.withColumnRenamed("n_paths", "__prev"), "node")
+        .where(col("n_paths") =!= col("__prev")).limit(1).count() > 0
+      cnt = next
+      it += 1
+    }
+    if (moving) throw new IllegalStateException(
+      s"dagPathCounts: counts still moving after maxIter=$maxIter rounds — " +
+        "the input has a cycle (condense it first) or the DAG is deeper " +
+        "than the cap; raise maxIter only if acyclicity is known")
+    // on a true DAG every node descends from a source, so n_paths >= 1
+    // everywhere; a zero count is PROOF of a source-less cycle (which
+    // converges at the all-zero fixpoint instead of diverging) — refuse
+    // rather than return a silently-meaningless 0
+    if (cnt.where(col("n_paths") === 0).limit(1).count() > 0)
+      throw new IllegalStateException(
+        "dagPathCounts: nodes unreachable from any source — the input " +
+          "contains a source-less cycle (condense it first)")
+    cnt.orderBy("node")
+  }
+
   /** HyperANF neighbourhood function (Boldi, Rosa & Vigna, WWW 2011) over
     * a DIRECTED PG edge set: for k = 0..maxK, an HLL-sketched estimate of
     * N(k) = |{(v,u) : dist(v→u) ≤ k}| — the distance distribution of the

@@ -1291,6 +1291,58 @@ object GraphEtl {
        |  lev.node NOT IN (SELECT src FROM cond) AS is_sink
        |FROM lev ORDER BY scc""".stripMargin
 
+  /** A60: dependency-chain counts on the condensation DAG
+    * ([[graft.ops.graph.GraphOps.dagPathCounts]] over
+    * [[graft.ops.graph.GraphOps.condensation]]) — the third leg of the
+    * A53→A57→A58 chain: A58's levels say WHEN each quotient node can be
+    * processed, this says HOW MANY distinct dependency chains feed it
+    * (sources count 1; downstream nodes sum their predecessors) — the
+    * provenance-multiplicity read that separates fragile single-chain
+    * nodes from hubs. Same planted-cycle fixture, same shared oracle
+    * labelling; the oracle counts paths by recursive enumeration over
+    * the provably-acyclic quotient. Cyclic input refuses (spec-pinned
+    * on the kernel).
+    */
+  def kgPathCount(spark: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.load(spark, dir, "nation")
+    val supplier = Tables.load(spark, dir, "supplier")
+    val triples = Triples.chain(
+      Triples.edges(supplier, "basedIn",
+        Triples.wrap(col("s_suppkey"), "sup:"),
+        Triples.wrap(col("s_nationkey"), "nation:")),
+      Triples.chain(
+        Triples.edges(nation, "inRegion",
+          Triples.wrap(col("n_nationkey"), "nation:"),
+          Triples.wrap(col("n_regionkey"), "region:")),
+        Triples.edges(nation.where(col("n_regionkey") % 2 === 0), "feeds",
+          Triples.wrap(col("n_regionkey"), "region:"),
+          Triples.wrap(col("n_nationkey"), "nation:"))))
+    val cond = graft.ops.graph.GraphOps.condensation(
+      PgGraph.toPg(triples).where(col("type") === Graph.EdgeType))
+    graft.ops.graph.GraphOps.dagPathCounts(
+        cond.select(col("src_scc").as("src"), col("dst_scc").as("dst")))
+      .withColumnRenamed("node", "scc")
+      .orderBy("scc")
+  }
+
+  val kgPathCountSql: String =
+    s"""WITH RECURSIVE $sccChainSql,
+       |cond AS (SELECT DISTINCT la.scc AS src, lb.scc AS dst
+       |  FROM e JOIN lab la ON la.node = e.src JOIN lab lb ON lb.node = e.dst
+       |  WHERE la.scc <> lb.scc),
+       |-- explicit DISTINCT: inside WITH RECURSIVE, DuckDB 1.0 treats a
+       |-- plain UNION CTE as an anchor/step pair and skips the set dedup
+       |cn AS (SELECT DISTINCT node FROM (
+       |  SELECT src AS node FROM cond UNION ALL SELECT dst FROM cond)),
+       |src0 AS (SELECT node FROM cn WHERE node NOT IN (SELECT dst FROM cond)),
+       |walk(node) AS (
+       |  SELECT node FROM src0
+       |  UNION ALL
+       |  SELECT c.dst FROM walk w JOIN cond c ON c.src = w.node)
+       |SELECT cn.node AS scc, count(w.node)::BIGINT AS n_paths
+       |FROM cn LEFT JOIN walk w ON w.node = cn.node
+       |GROUP BY cn.node ORDER BY scc""".stripMargin
+
   /** A59: per-type edge reciprocity
     * ([[graft.ops.graph.GraphOps.reciprocity]]) — the
     * directed-vs-symmetric audit of a typed KG: a planted `borders`

@@ -653,6 +653,24 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("dagPathCounts: diamond multiplicity, two-source merge, cycle refusal") {
+    // a->{b,c}->d->e plus a direct a->d: paths to d = via b + via c +
+    // direct = 3; second source x->e adds an independent chain
+    val g = Seq(("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("a", "d"),
+      ("d", "e"), ("x", "e")).toDF("src", "dst")
+    val got = GraphOps.dagPathCounts(g).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("a" -> 1L, "b" -> 1L, "c" -> 1L, "d" -> 3L,
+      "e" -> 4L, "x" -> 1L))
+    // a cycle REACHABLE from a source diverges -> cap refusal
+    val reach = Seq(("s", "a"), ("a", "b"), ("b", "a")).toDF("src", "dst")
+    assertThrows[IllegalStateException] { GraphOps.dagPathCounts(reach).collect() }
+    // a SOURCE-LESS cycle converges at the all-zero fixpoint — the
+    // zero-count proof check must refuse it, not return meaningless 0s
+    val cyc = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    assertThrows[IllegalStateException] { GraphOps.dagPathCounts(cyc).collect() }
+  }
+
   test("anf: exact closure counts on a path+island, sketch saturates with the diameter, layout-invariant") {
     // path a->b->c->d plus island x->y: balls grow for 3 rounds then stop
     val g = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")).toDF("from", "to")
