@@ -2741,7 +2741,7 @@ object Pipeline {
   def qualityOls(spark: SparkSession, dir: String): DataFrame = {
     val ws = TextOps.tokens(col("text"))
     val en = typedLit(TextOps.LangProfiles.head._2)
-    val feats = docs(spark, dir).select(
+    val feats = docs(spark, dir).where(col("text").isNotNull).select(
       size(ws).cast("long").as("x1"),
       (length(col("text")) -
         length(regexp_replace(col("text"), "[^A-Za-z0-9 ]", "")))
@@ -2760,7 +2760,7 @@ object Pipeline {
        |    (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))::BIGINT AS x2,
        |    floor(len(list_filter(string_split(text, ' '), w -> list_contains($en, w)))::DOUBLE
        |      / len(string_split(text, ' ')) * 1000000 + 0.5)::BIGINT AS y6
-       |  FROM documents),
+       |  FROM documents WHERE text IS NOT NULL),
        |s AS (SELECT count(*)::HUGEINT AS n, sum(x1)::HUGEINT AS s1, sum(x2)::HUGEINT AS s2,
        |    sum(y6)::HUGEINT AS sy, sum(x1 * x1)::HUGEINT AS s11, sum(x2 * x2)::HUGEINT AS s22,
        |    sum(x1 * x2)::HUGEINT AS s12, sum(x1 * y6)::HUGEINT AS s1y,
