@@ -3444,14 +3444,18 @@ object Pipeline {
     * nothing (no motion definition).
     */
   def mediaMotion(spark: SparkSession, dir: String): DataFrame =
+    // NULL ids drop at the door (no pair identity — the C96 stance);
+    // without the explicit filter they would ALSO vanish, but only via
+    // the pair equi-join's NULL semantics, which an oracle can't mirror
     Multimodal.motionProfile(
-        Multimodal.syntheticAvi(docs(spark, dir), "doc_id", "text"),
+        Multimodal.syntheticAvi(docs(spark, dir).where(col("doc_id").isNotNull),
+          "doc_id", "text"),
         "doc_id", "media")
       .orderBy("doc_id")
 
   val mediaMotionSql: String =
     """WITH b AS (SELECT doc_id, octet_length(encode(text)) AS len
-      |    FROM documents WHERE text IS NOT NULL),
+      |    FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL),
       |d AS (SELECT doc_id, len, 1 + len % 16 AS w, 1 + (len * 31) % 12 AS h,
       |        1 + (len * 7) % 8 AS f FROM b),
       |e AS (SELECT doc_id, len, f, ((3 * w + 3) // 4) * 4 * h AS ds FROM d),
