@@ -990,7 +990,7 @@ object Pipeline {
       |       (h, b) -> ((h // 256 * 256 + xor(h % 256, b)) * 1099511628211::HUGEINT)
       |                 % 18446744073709551616::HUGEINT
       |     ) FOR t IN string_split(text, ' ')] AS hlist
-      |  FROM documents),""".stripMargin
+      |  FROM documents WHERE text IS NOT NULL),""".stripMargin
       .replace("UTF8BYTES", utf8BytesSql.replace("TOKEN", "t")) + "\n" +
     """codes AS (
       |  SELECT doc_id,
@@ -1034,7 +1034,7 @@ object Pipeline {
       |       (h, b) -> ((h // 256 * 256 + xor(h % 256, b)) * 1099511628211::HUGEINT)
       |                 % 18446744073709551616::HUGEINT
       |     ) FOR t IN string_split(text, ' ')] AS hlist
-      |  FROM documents),""".stripMargin
+      |  FROM documents WHERE text IS NOT NULL),""".stripMargin
       .replace("UTF8BYTES", utf8BytesSql.replace("TOKEN", "t")) + "\n" +
     """codes AS (
       |  SELECT doc_id, is_new,

@@ -192,12 +192,13 @@ object Relational {
       .groupBy(unix_micros(date_trunc("hour", col("ts"))).as("bucket"),
         col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        sum(dec(col("value"), 6)).cast("double").as("sum_value"))
+        (sum(floor(col("value") * lit(1000000) + lit(0.5)).cast("long"))
+          .cast("double") / lit(1e6)).as("sum_value"))
       .orderBy("bucket", "event_type")
 
   val eventsWindowSql: String =
     """SELECT epoch_us(date_trunc('hour', ts))::BIGINT AS bucket, event_type, count(*) AS n_events,
-      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |  (sum(floor(value * 1000000 + 0.5)::BIGINT)::DOUBLE / 1e6) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin
 
   /** B28: HOPPING (sliding) window aggregation — `window(ts, 15min, 5min)`
@@ -211,7 +212,8 @@ object Relational {
     Tables.events(spark, dir)
       .groupBy(window(col("ts"), "15 minutes", "5 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        sum(dec(col("value"), 6)).cast("double").as("sum_value"))
+        (sum(floor(col("value") * lit(1000000) + lit(0.5)).cast("long"))
+          .cast("double") / lit(1e6)).as("sum_value"))
       .select(unix_micros(col("window.start")).as("bucket"), col("event_type"),
         col("n_events"), col("sum_value"))
       .orderBy("bucket", "event_type")
@@ -221,7 +223,7 @@ object Relational {
       |    AS bucket, event_type, value
       |  FROM events CROSS JOIN (SELECT unnest([0, 1, 2]) AS k))
       |SELECT bucket, event_type, count(*) AS n_events,
-      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |  (sum(floor(value * 1000000 + 0.5)::BIGINT)::DOUBLE / 1e6) AS sum_value
       |FROM w GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin
 
   /** B34: trailing-window anomaly detection — each hourly per-type event
@@ -2000,7 +2002,8 @@ object Relational {
         count(when(col("event_type") === "purchase", 1)).as("n_purchase"),
         unix_micros(min(col("ts"))).as("first_us"),
         unix_micros(max(col("ts"))).as("last_us"),
-        sum(dec(col("value"), 6)).cast("double").as("sum_value"))
+        (sum(floor(col("value") * lit(1000000) + lit(0.5)).cast("long"))
+          .cast("double") / lit(1e6)).as("sum_value"))
       .orderBy("user_id")
 
   val qEventsUserStatsSql: String =
@@ -2010,7 +2013,7 @@ object Relational {
       |  count(*) FILTER (event_type = 'purchase') AS n_purchase,
       |  epoch_us(min(ts))::BIGINT AS first_us,
       |  epoch_us(max(ts))::BIGINT AS last_us,
-      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |  (sum(floor(value * 1000000 + 0.5)::BIGINT)::DOUBLE / 1e6) AS sum_value
       |FROM events WHERE user_id % 50 = 0
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
@@ -2200,7 +2203,8 @@ object Relational {
     Tables.events(spark, dir)
       .groupBy("event_type", "user_id")
       .agg(count(lit(1)).as("n_events"),
-        sum(dec(col("value"), 6)).cast("double").as("sum_value"))
+        (sum(floor(col("value") * lit(1000000) + lit(0.5)).cast("long"))
+          .cast("double") / lit(1e6)).as("sum_value"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= 5)
       .select(col("event_type"), col("rank").cast("long").as("rank"),
@@ -2210,7 +2214,7 @@ object Relational {
 
   val qTopUsersPerTypeSql: String =
     """WITH a AS (SELECT event_type, user_id, count(*) AS n_events,
-      |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |    (sum(floor(value * 1000000 + 0.5)::BIGINT)::DOUBLE / 1e6) AS sum_value
       |  FROM events GROUP BY event_type, user_id),
       |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
       |    ORDER BY n_events DESC, user_id) AS rank FROM a)
