@@ -82,7 +82,8 @@ object Streaming {
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
+        (sum(floor(col("value") * lit(1000000) + lit(0.5)).cast("long"))
+          .cast("double") / lit(1e6)).as("sum_value"))
       .select(col("window.start").as("bucket"), col("event_type"),
         col("n_events"), col("sum_value"))
 
@@ -97,7 +98,8 @@ object Streaming {
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "15 minutes", "5 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
+        (sum(floor(col("value") * lit(1000000) + lit(0.5)).cast("long"))
+          .cast("double") / lit(1e6)).as("sum_value"))
       .select(col("window.start").as("bucket"), col("event_type"),
         col("n_events"), col("sum_value"))
 
@@ -345,7 +347,8 @@ object Streaming {
         count(when(col("event_type") === "purchase", 1)).as("n_purchase"),
         unix_micros(min(col("ts"))).as("first_us"),
         unix_micros(max(col("ts"))).as("last_us"),
-        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
+        (sum(floor(col("value") * lit(1000000) + lit(0.5)).cast("long"))
+          .cast("double") / lit(1e6)).as("sum_value"))
 
   /** Funnel-monitor state: the established stage times plus the pending
     * out-of-order candidates the watermark has not yet retired. All times
