@@ -837,6 +837,132 @@ object Relational {
       |  m_score, (r_score * 100 + f_score * 10 + m_score)::INTEGER AS segment
       |FROM s ORDER BY o_custkey""".stripMargin
 
+  /** B75: cohort retention matrix — the acquisition-quality read every
+    * product/growth pipeline materialises: customers grouped by the month
+    * of their FIRST order (the cohort), each later month scored by how
+    * many of them came back. The spine is triangular, not rectangular —
+    * a cohort's offsets run 0..(frontier month − cohort month), so an
+    * absent cell inside the triangle means 0 retained (evidence, the B74
+    * stance) while cells past the frontier simply don't exist (a future
+    * month is not churn). Month arithmetic is exact integers throughout
+    * (ym = 12·year + month − 1; no months_between floats); retention is
+    * the one division, floor(v·1e6+0.5)-quantized.
+    *
+    * Plan: one keyed aggregate per customer (first ym), one shuffle join
+    * back on custkey, then (custkey, cohort, offset) dedup — everything
+    * past that is |cohorts·offsets| rows; the frontier is a 1-row
+    * broadcast. Nothing order-sized is ever globally sorted.
+    */
+  def ordersCohort(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1).as("ym"))
+    val first = o.groupBy("o_custkey").agg(min("ym").as("__cym"))
+    val active = o.join(first, "o_custkey")
+      .select(col("o_custkey"), col("__cym"),
+        (col("ym") - col("__cym")).cast("int").as("month_offset"))
+      .distinct()
+      .groupBy("__cym", "month_offset").agg(count(lit(1)).as("__n"))
+    val sizes = first.groupBy("__cym").agg(count(lit(1)).as("cohort_size"))
+    val frontier = o.agg(max("ym").as("__maxym"))
+    val spine = sizes.crossJoin(broadcast(frontier))
+      .select(col("__cym"), col("cohort_size"),
+        explode(sequence(lit(0), (col("__maxym") - col("__cym")).cast("int")))
+          .as("month_offset"))
+    spine.join(active, Seq("__cym", "month_offset"), "left")
+      .select(
+        make_date(expr("__cym div 12"), col("__cym") % 12 + 1, lit(1))
+          .as("cohort_month"),
+        col("month_offset"), coalesce(col("__n"), lit(0L)).as("n_active"),
+        col("cohort_size"),
+        (floor(coalesce(col("__n"), lit(0L)).cast("double") / col("cohort_size")
+          * lit(1000000) + lit(0.5)) / lit(1e6)).as("retention"))
+      .orderBy("cohort_month", "month_offset")
+  }
+
+  val ordersCohortSql: String =
+    """WITH o AS (SELECT o_custkey,
+      |    (12 * year(o_orderdate) + month(o_orderdate) - 1)::INTEGER AS ym
+      |  FROM orders),
+      |f AS (SELECT o_custkey, min(ym) AS cym FROM o GROUP BY o_custkey),
+      |a AS (SELECT cym, month_offset, count(*)::BIGINT AS n FROM (
+      |    SELECT DISTINCT o.o_custkey, f.cym, (o.ym - f.cym)::INTEGER AS month_offset
+      |    FROM o JOIN f USING (o_custkey)) s GROUP BY cym, month_offset),
+      |sz AS (SELECT cym, count(*)::BIGINT AS cohort_size FROM f GROUP BY cym),
+      |fr AS (SELECT max(ym) AS maxym FROM o),
+      |sp AS (SELECT sz.cym, sz.cohort_size,
+      |    unnest(range(0, fr.maxym - sz.cym + 1))::INTEGER AS month_offset
+      |  FROM sz CROSS JOIN fr)
+      |SELECT make_date(sp.cym // 12, sp.cym % 12 + 1, 1) AS cohort_month,
+      |  sp.month_offset, coalesce(a.n, 0)::BIGINT AS n_active, sp.cohort_size,
+      |  floor(coalesce(a.n, 0)::DOUBLE / sp.cohort_size * 1000000 + 0.5) / 1e6
+      |    AS retention
+      |FROM sp LEFT JOIN a ON a.cym = sp.cym AND a.month_offset = sp.month_offset
+      |ORDER BY cohort_month, sp.month_offset""".stripMargin
+
+  /** B76: monthly revenue trend with month-over-month and year-over-year
+    * growth — the headline finance/OLAP time series, computed the way it
+    * must be at scale: ONE keyed aggregate collapses the order corpus to
+    * |months| rows (revenue summed in exact decimal cents — never FP),
+    * a generated month spine keeps gap months as explicit zero rows (a
+    * missing month reads as -100% MoM, not as a skipped comparison), and
+    * the MoM/YoY lags attach by self-join on ym−1 / ym−12 — no global
+    * window over order-sized data anywhere, and the spine-sized joins
+    * broadcast. Growth ratios are single divisions of exact integers,
+    * floor(v·1e6+0.5)-quantized, NULL when the base month is zero or
+    * before the data starts.
+    */
+  def ordersGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val m = Tables.load(spark, dir, "orders")
+      .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+        .as("__ym"))
+      .agg(count(lit(1)).as("n_orders"),
+        (sum(dec(col("o_totalprice"))) * 100).cast("long").as("__rev_c"))
+    val bounds = m.agg(min("__ym").as("__lo"), max("__ym").as("__hi"))
+    val spine = broadcast(bounds)
+      .select(explode(sequence(col("__lo"), col("__hi"))).as("__ym"))
+      .join(m, Seq("__ym"), "left")
+      .select(col("__ym"), coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("__rev_c"), lit(0L)).as("__rev_c"))
+    def growth(cur: org.apache.spark.sql.Column,
+               base: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(base > 0, floor((cur - base).cast("double") / base
+        * lit(1000000) + lit(0.5)) / lit(1e6))
+    spine.as("c")
+      .join(spine.as("p"), col("c.__ym") - 1 === col("p.__ym"), "left")
+      .join(spine.as("y"), col("c.__ym") - 12 === col("y.__ym"), "left")
+      .select(
+        make_date(expr("c.__ym div 12"), col("c.__ym") % 12 + 1, lit(1))
+          .as("month"),
+        col("c.n_orders"),
+        (col("c.__rev_c") / lit(100.0)).as("revenue"),
+        growth(col("c.__rev_c"), col("p.__rev_c")).as("mom_growth"),
+        growth(col("c.__rev_c"), col("y.__rev_c")).as("yoy_growth"))
+      .orderBy("month")
+  }
+
+  val ordersGrowthSql: String =
+    """WITH m AS (SELECT (12 * year(o_orderdate) + month(o_orderdate) - 1)::INTEGER AS ym,
+      |    count(*)::BIGINT AS n_orders,
+      |    (sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100)::BIGINT AS rev_c
+      |  FROM orders GROUP BY 1),
+      |b AS (SELECT min(ym) AS lo, max(ym) AS hi FROM m),
+      |sp AS (SELECT unnest(range(b.lo, b.hi + 1))::INTEGER AS ym FROM b),
+      |s AS (SELECT sp.ym, coalesce(m.n_orders, 0)::BIGINT AS n_orders,
+      |    coalesce(m.rev_c, 0)::BIGINT AS rev_c
+      |  FROM sp LEFT JOIN m USING (ym))
+      |SELECT make_date(c.ym // 12, c.ym % 12 + 1, 1) AS month,
+      |  c.n_orders, c.rev_c / 100.0 AS revenue,
+      |  CASE WHEN p.rev_c > 0
+      |    THEN floor((c.rev_c - p.rev_c)::DOUBLE / p.rev_c * 1000000 + 0.5) / 1e6
+      |    END AS mom_growth,
+      |  CASE WHEN y.rev_c > 0
+      |    THEN floor((c.rev_c - y.rev_c)::DOUBLE / y.rev_c * 1000000 + 0.5) / 1e6
+      |    END AS yoy_growth
+      |FROM s c LEFT JOIN s p ON p.ym = c.ym - 1
+      |LEFT JOIN s y ON y.ym = c.ym - 12
+      |ORDER BY month""".stripMargin
+
   /** B62: ANSI PERCENTILE_DISC per group — discrete quantiles of the
     * order-quantity distribution: unlike B14's interpolated CONT these
     * return VALUES THAT EXIST in the data (the smallest value whose
