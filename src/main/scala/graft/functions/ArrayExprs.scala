@@ -699,6 +699,36 @@ object SrpCodes {
   }
 }
 
+/** One splitmix64 finalizer application over a BIGINT ([[SrpCodes.mix64]])
+  * as a codegen'd scalar — the seeded-hash building block exposed at the
+  * Column level so deterministic pseudo-random streams (walk choices,
+  * salted assignment) can be composed from xor + mix64 WITHOUT Column-level
+  * multiply-add (whose 64-bit wraparound ANSI mode rejects); the wraparound
+  * lives inside the expression, where it is the defined semantic. The
+  * DuckDB twin is the shared mix64 CTE chain (HUGEINT mod-2^64), already
+  * bit-verified by the SRP/JL oracle family.
+  */
+case class Mix64Expr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_mix64"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires bigint, got ${other.sql}")
+  }
+
+  override def nullSafeEval(x: Any): Any =
+    SrpCodes.mix64(x.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, x => s"graft.functions.SrpCodes.mix64($x)")
+
+  override protected def withNewChildInternal(newChild: Expression): Mix64Expr =
+    copy(child = newChild)
+}
+
 /** Johnson–Lindenstrauss ±1 sign projection (Achlioptas 2003) of an
   * `array<double>` vector to `dimOut` dimensions: out[j] = (1/√dimOut) ·
   * Σᵢ s(i,j)·v[i], s(i,j) = parity of mix64((j·dimIn + i)·φ + seed)

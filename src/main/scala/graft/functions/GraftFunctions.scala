@@ -18,6 +18,7 @@ object GraftFunctions {
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_dot" -> { exprs => DotProduct(exprs(0), exprs(1)) },
     "graft_simhash64" -> { exprs => SimHash64(exprs(0)) },
+    "graft_mix64" -> { exprs => Mix64Expr(exprs(0)) },
     "graft_dhash64" -> { exprs => DHash64(exprs(0)) },
     "graft_audiofp64" -> { exprs => AudioFp64(exprs(0)) },
     "graft_bytesum" -> { exprs => ByteSum64(exprs(0)) },

@@ -671,6 +671,75 @@ object GraphOps {
       .orderBy("start_node", "end_node")
   }
 
+  /** Deterministic seeded truncated random walks over the directed PG
+    * edge set — the DeepWalk/node2vec-style CORPUS GENERATOR (Perozzi et
+    * al. 2014): `walksPerNode` walks of up to `walkLength` steps from
+    * every node, following out-edges, stopping early at sinks. The walk
+    * corpus is what a graph-embedding trainer consumes, so this is the
+    * KG-to-training-data bridge op.
+    *
+    * Determinism is the contract, not a convenience: the "random" choice
+    * at step s of walk w standing on node v is
+    * `mix64(fnv1a64(v) XOR mix64((seed + s·φ) XOR w)) >>> 1 mod outdeg(v)`
+    * — a pure function of (seed, walk, step, node), so re-running the
+    * plan, recovering a failed stage, or replaying on another cluster
+    * reproduces the identical corpus (RDD lineage recovery would corrupt
+    * a nondeterministic sample), and the DuckDB oracle replays it
+    * bit-for-bit (fnv1a64 = single-token [[graft.functions.SimHash64]];
+    * mix64 = the SRP-verified splitmix64 finalizer; the step salt
+    * `seed + s·φ` wraps in Scala at plan construction — no Column-level
+    * overflow for ANSI mode to reject). Neighbors rank 0..outdeg−1 by
+    * sorted `to` key over the DISTINCT edge set (neighbor SET semantics:
+    * parallel edges don't bias the draw).
+    *
+    * Scale: neighbor ranks are one row_number window partitioned by
+    * `from` (keyed sorted runs over the edge set, no global sort); each
+    * step is two keyed equi-joins (frontier→outdeg, then (node, pick)→
+    * ranked edge) over |nodes|·walksPerNode rows — walkLength·2 joins
+    * total, nothing quadratic, no driver loop over data. Output is one
+    * row per (start_node, walk, step) — the walk corpus in long form.
+    */
+  def randomWalks(pgEdges: DataFrame, walksPerNode: Int = 2,
+                  walkLength: Int = 3, seed: Long = 17L): DataFrame = {
+    require(walksPerNode >= 1 && walkLength >= 1,
+      s"randomWalks: walksPerNode and walkLength must be >= 1 ($walksPerNode, $walkLength)")
+    val spark = pgEdges.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    import org.apache.spark.sql.expressions.Window
+    val GOLD = 0x9E3779B97F4A7C15L
+    val e = endpoints(pgEdges).where(col("from") =!= col("to")).distinct()
+    val ranked = e.select(col("from").as("__cur"),
+      (row_number().over(Window.partitionBy("from").orderBy("to")).cast("long")
+        - 1).as("__pick"),
+      col("to").as("__next"))
+    val deg = e.groupBy(col("from").as("__cur"))
+      .agg(count(lit(1)).as("__deg"))
+    val nodes = e.select(col("from").as("node")).union(e.select(col("to")))
+      .distinct()
+    var frontier = nodes
+      .crossJoin(spark.range(0, walksPerNode)
+        .select(col("id").cast("int").as("walk")))
+      .select(col("node").as("start_node"), col("walk"), col("node").as("__cur"))
+    var acc = frontier.select(col("start_node"), col("walk"),
+      lit(0).as("step"), col("__cur").as("node"))
+    for (s <- 1 to walkLength) {
+      val stepSalt = seed + s.toLong * GOLD // wraps: the mod-2^64 semantic
+      val walkSalt = call_function("graft_mix64",
+        lit(stepSalt).bitwiseXOR(col("walk").cast("long")))
+      val pick = shiftrightunsigned(call_function("graft_mix64",
+        call_function("graft_simhash64", array(col("__cur")))
+          .bitwiseXOR(walkSalt)), 1) % col("__deg")
+      val stepped = frontier.join(deg, Seq("__cur")) // sinks stop here
+        .withColumn("__pick", pick)
+        .join(ranked, Seq("__cur", "__pick"))
+        .select(col("start_node"), col("walk"), col("__next").as("__cur"))
+      acc = acc.unionAll(stepped.select(col("start_node"), col("walk"),
+        lit(s).as("step"), col("__cur").as("node")))
+      frontier = stepped
+    }
+    acc.orderBy("start_node", "walk", "step")
+  }
+
   def bfsDistances(pgEdges: DataFrame, seeds: Seq[String], maxHops: Int = 10): DataFrame = {
     val spark = pgEdges.sparkSession
     import spark.implicits._

@@ -647,6 +647,65 @@ object GraphEtl {
        |SELECT node, dist FROM d4 ORDER BY node""".stripMargin
   }
 
+  /** A61: deterministic seeded random-walk corpus over the KG
+    * ([[graft.ops.graph.GraphOps.randomWalks]]) — the DeepWalk/node2vec
+    * corpus generator bridging the graph block to the training-data
+    * block: 2 walks of up to 3 steps from every node of the
+    * supplier–nation–region graph, following out-edges, stopping at
+    * sinks (regions), each "random" choice a pure function of
+    * (seed, walk, step, node) so the corpus is replay-stable under
+    * stage recovery and reproducible by the oracle bit-for-bit. The
+    * oracle replays the full choice stream in DuckDB: FNV-1a-64 of the
+    * current node (the single-token simhash fold over arithmetic UTF-8
+    * byte expansion), xor the per-(step, walk) salt run through the
+    * shared splitmix64 CTE chain, unsigned-halved, mod out-degree,
+    * joined against the same sorted neighbor ranking.
+    */
+  def kgWalks(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.graph.GraphOps.randomWalks(
+      supRegionEdges(spark, dir, withSupRegion = true),
+      walksPerNode = 2, walkLength = 3, seed = 17L)
+
+  val kgWalksSql: String = {
+    val (walks, len, seed) = (2, 3, 17L)
+    val GOLD = 0x9E3779B97F4A7C15L
+    def u(x: Long) = java.lang.Long.toUnsignedString(x)
+    val fnvFold =
+      """list_reduce(list_prepend(14695981039346656037::HUGEINT, UTF8BYTES),
+        |      (h, b) -> ((h // 256 * 256 + xor(h % 256, b)) * 1099511628211::HUGEINT)
+        |                % 18446744073709551616::HUGEINT)""".stripMargin
+        .replace("UTF8BYTES", Pipeline.utf8BytesSql.replace("TOKEN", "cur"))
+    val steps = (1 to len).map { s =>
+      val salt = u(seed + s.toLong * GOLD)
+      s"""ws${s}0 AS (SELECT walk, xor($salt::HUGEINT, walk::HUGEINT) AS x FROM wk),
+         |${Pipeline.mix64Ctes(s"ws$s", "walk", s"ws${s}0")},
+         |a$s AS (SELECT p.start_node, p.walk, p.cur, dg.deg, $fnvFold AS hv
+         |  FROM s${s - 1} p JOIN dg ON dg.f = p.cur),
+         |x${s}0 AS (SELECT a.start_node, a.walk, a.cur, a.deg, xor(a.hv, w.y) AS x
+         |  FROM a$s a JOIN ws${s}6 w ON w.walk = a.walk),
+         |${Pipeline.mix64Ctes(s"x$s", "start_node, walk, cur, deg", s"x${s}0")},
+         |s$s AS (SELECT m.start_node, m.walk, rk.t AS cur
+         |  FROM x${s}6 m JOIN rk ON rk.f = m.cur AND rk.r = (m.y // 2) % m.deg)""".stripMargin
+    }.mkString(",\n")
+    val union = (0 to len)
+      .map(s => s"SELECT start_node, walk, $s AS step, cur AS node FROM s$s")
+      .mkString("\nUNION ALL ")
+    s"""WITH raw AS (
+       |  SELECT 'nation:' || n_nationkey AS f, 'region:' || n_regionkey AS t FROM nation
+       |  UNION ALL SELECT 'sup:' || s_suppkey, 'nation:' || s_nationkey FROM supplier
+       |  UNION ALL SELECT 'sup:' || s_suppkey, 'region:' || n_regionkey
+       |    FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+       |e AS (SELECT DISTINCT f, t FROM raw WHERE f <> t),
+       |rk AS (SELECT f, t, (row_number() OVER (PARTITION BY f ORDER BY t) - 1)::BIGINT AS r FROM e),
+       |dg AS (SELECT f, count(*)::BIGINT AS deg FROM e GROUP BY f),
+       |nodes AS (SELECT DISTINCT node FROM (SELECT f AS node FROM e UNION ALL SELECT t FROM e) s),
+       |wk AS (SELECT unnest(range(0, $walks))::INTEGER AS walk),
+       |s0 AS (SELECT node AS start_node, walk, node AS cur FROM nodes CROSS JOIN wk),
+       |$steps
+       |$union
+       |ORDER BY start_node, walk, step""".stripMargin
+  }
+
   /** A47: typed k-hop motif traversal ([[graft.ops.graph.GraphOps.motifPaths]])
     * — the KnetMiner gene→pathway→trait staple over the TPC-H containment
     * graph: part —supplied_by→ supplier —located_in→ nation —part_of→

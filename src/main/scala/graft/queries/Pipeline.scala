@@ -973,7 +973,7 @@ object Pipeline {
     * oracle is exact on ANY Unicode text, not just ASCII (the round-12
     * combining-mark fixture rows caught the codepoint shortcut).
     */
-  private val utf8BytesSql: String =
+  private[queries] val utf8BytesSql: String =
     """flatten([CASE
       |          WHEN u < 128 THEN [u]
       |          WHEN u < 2048 THEN [192 + u // 64, 128 + u % 64]
@@ -1067,7 +1067,7 @@ object Pipeline {
     * xorshift-multiply rounds split hi/lo 32 bits for the mod-2^64
     * product, final xorshift).
     */
-  private def mix64Ctes(pfx: String, keys: String, src: String): String =
+  private[queries] def mix64Ctes(pfx: String, keys: String, src: String): String =
     s"""${pfx}1 AS (SELECT $keys, (x + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT AS y FROM $src),
        |${pfx}2 AS (SELECT $keys, xor(y, y >> 30) AS y FROM ${pfx}1),
        |${pfx}3 AS (SELECT $keys, (((y >> 32) * 13787848793156543929::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT + (y % 4294967296::HUGEINT) * 13787848793156543929::HUGEINT) % 18446744073709551616::HUGEINT AS y FROM ${pfx}2),

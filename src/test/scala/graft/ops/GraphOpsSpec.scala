@@ -801,4 +801,52 @@ class GraphOpsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
     assert(skip === Set(("g", "q", 1L)))
   }
+
+  test("randomWalks: edge-valid, sink-stopping, deterministic, and the pick rule is the documented hash") {
+    // a has two out-neighbors (ranks: b=0, c=1); b chains to d; d is a sink
+    val walkEdges = Seq(
+      ("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("a", "b") // dup edge: SET semantics
+    ).toDF("from", "to")
+    val out = GraphOps.randomWalks(walkEdges, walksPerNode = 2,
+      walkLength = 3, seed = 17L).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    val edgeSet = Set(("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"))
+    val byWalk = out.groupBy(t => (t._1, t._2))
+      .map { case (k, rows) => k -> rows.sortBy(_._3).map(_._4).toSeq }
+    // every node starts exactly walksPerNode walks, each beginning at itself
+    assert(byWalk.keySet === Set("a", "b", "c", "d").flatMap(n => Set((n, 0), (n, 1))))
+    byWalk.foreach { case ((s, _), path) => assert(path.head === s) }
+    // consecutive hops are real edges; steps are contiguous from 0
+    byWalk.foreach { case (k, path) =>
+      path.sliding(2).filter(_.size == 2).foreach { p =>
+        assert(edgeSet.contains((p(0), p(1))), s"$k walked a non-edge $p") }
+    }
+    // the sink stops immediately; full-length walks from a end at the sink
+    assert(byWalk(("d", 0)) === Seq("d") && byWalk(("d", 1)) === Seq("d"))
+    // a → {b|c} → d, then the sink truncates: 3 positions, not walkLength+1
+    assert(byWalk(("a", 0)).length === 3 && byWalk(("a", 0)).last === "d")
+    // the choice at (walk w, step s, node v) is EXACTLY the documented
+    // hash — replay step 1 from "a" by hand for both walks
+    import graft.functions.{SimHash64, SrpCodes}
+    import org.apache.spark.unsafe.types.UTF8String
+    val GOLD = 0x9E3779B97F4A7C15L
+    def pick(v: String, w: Long, s: Int, outdeg: Long): Long = {
+      val walkSalt = SrpCodes.mix64((17L + s.toLong * GOLD) ^ w)
+      (SrpCodes.mix64(SimHash64.hash64(UTF8String.fromString(v)) ^ walkSalt)
+        >>> 1) % outdeg
+    }
+    val ranked = Map(0L -> "b", 1L -> "c") // a's neighbors sorted by key
+    assert(byWalk(("a", 0))(1) === ranked(pick("a", 0L, 1, 2L)))
+    assert(byWalk(("a", 1))(1) === ranked(pick("a", 1L, 1, 2L)))
+    // determinism: a second evaluation reproduces the corpus bit-for-bit
+    val again = GraphOps.randomWalks(walkEdges, walksPerNode = 2,
+      walkLength = 3, seed = 17L).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(again.toSeq === out.toSeq)
+    // a different seed moves at least one choice somewhere in the corpus
+    val reseeded = GraphOps.randomWalks(walkEdges, walksPerNode = 2,
+      walkLength = 3, seed = 18L).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(reseeded.toSeq !== out.toSeq)
+  }
 }
