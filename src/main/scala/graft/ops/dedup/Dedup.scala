@@ -1034,6 +1034,76 @@ object Dedup {
       .orderBy("a", "b")
   }
 
+  /** Sign-bit sketch near-dup over EMBEDDING vectors — the 1-bit
+    * quantization rung below int8 (C34) and PQ (C62): code bit i is
+    * `v[i] > 0`, so a 64-dim float vector compresses 256× to one BIGINT
+    * and near-duplicate search becomes Hamming distance on codes
+    * (sign agreement tracks angular similarity: E[hamming]/64 = θ/π for
+    * random rotations — the SRP estimate with the identity projection).
+    * At 100 TB this is the shape that matters: the pair join shuffles
+    * CODES ONLY (8 bytes/vector, never the vectors), and banding is
+    * pigeonhole-LOSSLESS (64/bandBits bands; h ≤ bands − 1 forces ≥ 1
+    * intact shared band) so the exhaustive Hamming join is the exact
+    * reference at every setting.
+    *
+    * `bandBits` is the PRICED recall/volume lever: candidate volume is
+    * ≈ bands · n²/2^bandBits (uniform codes), so the 16-bit default
+    * (h ≤ 3, the near-exact tier) keeps buckets collision-rare at any
+    * corpus size, while small bands (the high-h tier a 64-bit sketch
+    * needs to see moderate angles: h ≤ 15 wants 4-bit bands) buy recall
+    * with quadratic-in-n/2^bandBits candidates — fine at audit scale,
+    * priced and stated, never the 100 TB default.
+    *
+    * Each candidate pair is claimed exactly ONCE at its FIRST shared
+    * band — `band == the lowest zeroed bandBits-wide group of
+    * (ca XOR cb)` is decidable row-locally from the two codes, so there
+    * is NO dropDuplicates/distinct shuffle on the candidate stream (the
+    * intervalOverlapPairs stance, applied to LSH banding). Vectors
+    * longer than 64 dims sketch their first 64 (the Matryoshka-style
+    * truncation C100 measures); NULL ids/vectors drop at the door; an
+    * all-zero vector codes to 0 and pairs with other all-zero vectors —
+    * sign-identical is the declared semantic. Output: (a, b, hamming,
+    * sign_sim) with sign_sim = (64 − 2h)/64 — an exact power-of-two
+    * fraction, bit-identical across engines with no rounding step.
+    */
+  def bitvecPairs(vecs: DataFrame, maxHamming: Int = 3, bandBits: Int = 16,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(bandBits > 0 && 64 % bandBits == 0,
+      s"bitvecPairs: bandBits must divide 64 (got $bandBits)")
+    val nBands = 64 / bandBits
+    require(maxHamming >= 0 && maxHamming < nBands,
+      s"bitvecPairs: ${nBands}x$bandBits-bit banding is lossless only for " +
+        s"maxHamming <= ${nBands - 1} (got $maxHamming)")
+    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
+    val codes = vecs
+      .where(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol).as("id"),
+        expr(s"""aggregate(sequence(0, 63), 0L, (acc, i) ->
+                 |  acc | IF(coalesce(try_element_at($vecCol, i + 1) > 0, false),
+                 |           shiftleft(1L, i), 0L))""".stripMargin).as("code"))
+    val banded = codes.select(col("id"), col("code"),
+      posexplode(array((0 until nBands).map(b =>
+        shiftrightunsigned(col("code"), b * bandBits).bitwiseAND(mask)): _*))
+        .as(Seq("band", "bval")))
+    def group(x: Column, b: Int): Column =
+      shiftrightunsigned(x, b * bandBits).bitwiseAND(mask)
+    val xorC = col("ca").bitwiseXOR(col("cb"))
+    val firstShared = (0 until nBands - 1).foldRight(lit(nBands - 1)) {
+      (b, rest) => when(group(xorC, b) === 0L, b).otherwise(rest)
+    }
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bval") === col("y.bval")
+          && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        col("x.code").as("ca"), col("y.code").as("cb"), col("x.band").as("band"))
+      .where(col("band") === firstShared)
+      .select(col("a"), col("b"),
+        bit_count(xorC).cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .withColumn("sign_sim", (lit(64) - lit(2) * col("hamming")) / lit(64.0))
+      .orderBy("a", "b")
+  }
+
   /** SimHash signature INDEX of a corpus: (id, code64) — the build-once
     * half of INCREMENTAL SimHash dedup, completing the incremental family
     * (minhash C3b, winnow C85, embedding C5b; SimHash was the one member

@@ -956,6 +956,41 @@ object Pipeline {
 
   // ---- C4: SimHash hamming near-dup ---------------------------------------
 
+  /** C112: sign-bit sketch near-dup over the embedding table
+    * ([[graft.ops.dedup.Dedup.bitvecPairs]]) — the 1-bit quantization
+    * dedup rung: 64-dim float vectors compress 256× to one BIGINT code
+    * (bit i = v[i] > 0) and near-dup search is a banded Hamming join
+    * that shuffles codes only, each pair claimed once at its first
+    * shared band with NO distinct. This query runs the high-recall
+    * 4-bit-band tier (h ≤ 15 ≈ angle ≤ 42° — what a 64-bit sketch needs
+    * to see the corpus's closest angular pairs; the fixture's minimum
+    * sign distance IS 15) — banding is pigeonhole-lossless there, so
+    * the oracle is the EXHAUSTIVE Hamming join over the same code
+    * construction — exact integer bit arithmetic end-to-end, and
+    * sign_sim = (64−2h)/64 is an exact power-of-two fraction with no
+    * rounding step for engines to split on. The op's 16-bit default
+    * tier is the collision-rare 100 TB setting (see the op scaladoc's
+    * priced volume lever).
+    */
+  def dedupBitvec(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.dedup.Dedup.bitvecPairs(embs(spark, dir),
+      maxHamming = 15, bandBits = 4)
+
+  val dedupBitvecSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      |  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+      |c AS (SELECT vec_id,
+      |    list_sum([CASE WHEN i + 1 <= len(v) AND v[i + 1] > 0
+      |                   THEN (1::HUGEINT << i) ELSE 0::HUGEINT END
+      |              FOR i IN range(0, 64)]) AS code
+      |  FROM e)
+      |SELECT x.vec_id AS a, y.vec_id AS b,
+      |  bit_count(xor(x.code, y.code))::BIGINT AS hamming,
+      |  (64 - 2 * bit_count(xor(x.code, y.code)))::DOUBLE / 64.0 AS sign_sim
+      |FROM c x JOIN c y ON x.vec_id < y.vec_id
+      |WHERE bit_count(xor(x.code, y.code)) <= 15
+      |ORDER BY a, b""".stripMargin
+
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhash(docs(spark, dir), maxHamming = 3)
 

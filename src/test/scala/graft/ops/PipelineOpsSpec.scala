@@ -2137,4 +2137,33 @@ class PipelineOpsSpec extends SparkSpec {
       assert(self._3 === sorted.head._3, s"query $q: self adc ${self._3} < top ${sorted.head._3}")
     }
   }
+
+  test("bitvecPairs: sign codes, first-shared-band single claim, lossless band tiers") {
+    import spark.implicits._
+    def vec(signs: Int => Float): Array[Float] = Array.tabulate(64)(signs)
+    val fixture = Seq(
+      (1L, vec(_ => 1.0f)),                                  // all-positive
+      (2L, vec(i => if (i == 5 || i == 40) -1.0f else 1.0f)), // hamming 2 from v1
+      (3L, vec(i => if (i % 2 == 0) 1.0f else -1.0f)),        // hamming 32 from v1
+      (4L, vec(_ => 0.0f)),                                   // zero vector -> code 0
+      (5L, vec(_ => -0.0f)),                                  // negative zero == zero
+      (6L, null.asInstanceOf[Array[Float]])                   // dropped at the door
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.bitvecPairs(fixture).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // exactly one row per qualifying pair even though (4,5) share ALL bands
+    // (the first-shared-band filter replaces a distinct)
+    assert(out.toSeq === Seq((1L, 2L, 2L, 60.0 / 64.0), (4L, 5L, 0L, 1.0)))
+    // the 4-bit high-recall tier is a superset whose h<=3 slice is identical
+    val wide = Dedup.bitvecPairs(fixture, maxHamming = 15, bandBits = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(wide.filter(_._3 <= 3).toSeq === out.map(t => (t._1, t._2, t._3)).toSeq)
+    assert(wide.map(t => (t._1, t._2)).toSet ===
+      Set((1L, 2L), (4L, 5L))) // v3 is 32 away from everything sign-structured
+    // lossless banding is enforced, not assumed
+    intercept[IllegalArgumentException] {
+      Dedup.bitvecPairs(fixture, maxHamming = 4, bandBits = 16) }
+    intercept[IllegalArgumentException] {
+      Dedup.bitvecPairs(fixture, maxHamming = 3, bandBits = 7) }
+  }
 }
