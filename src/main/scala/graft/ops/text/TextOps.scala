@@ -330,9 +330,7 @@ object TextOps {
                     idCol: String = "doc_id", textCol: String = "text",
                     partitions: Option[Int] = None)
       : org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions.{col, pmod, lit, size => fsize, spark_partition_id, coalesce, greatest}
-    import org.apache.spark.sql.{Encoders, Row}
-    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions.{col, lit, size => fsize, coalesce, greatest}
     val keyed = docs
       // poison-row stance (the multimodal-seam rule): a NULL text packs as
       // 0 tokens (size(null) is null/-1 by conf — both would corrupt the
@@ -341,6 +339,22 @@ object TextOps {
       .where(col(idCol).isNotNull)
       .select(col(idCol).cast("long").as("id"),
         greatest(lit(0), coalesce(fsize(tokens(col(textCol))), lit(0))).as("n_tokens"))
+    packCounts(keyed, tokenBudget, partitions)
+  }
+
+  /** The packing kernel behind [[packSequences]], taking PRE-COMPUTED
+    * token counts `(id, n_tokens)` — so a caller sweeping a budget grid
+    * (C111 pack_efficiency) tokenizes the corpus ONCE and re-packs the
+    * 16-byte count rows per grid point instead of re-scanning text.
+    */
+  def packCounts(counts: org.apache.spark.sql.DataFrame, tokenBudget: Int,
+                 partitions: Option[Int] = None)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, pmod, lit, spark_partition_id}
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val keyed = counts.select(col("id").cast("long").as("id"),
+      col("n_tokens").cast("int").as("n_tokens"))
     val sized = partitions match {
       case Some(p) =>
         keyed.withColumn("part", pmod(col("id"), lit(p)).cast("int"))

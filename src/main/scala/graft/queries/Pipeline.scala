@@ -4287,6 +4287,77 @@ object Pipeline {
       |  CAST(sum(n) AS BIGINT) AS total_tokens
       |FROM r GROUP BY part, seq ORDER BY part, seq_in_part""".stripMargin
 
+  /** C111: packing-efficiency telemetry across a max_len grid — the
+    * chart that picks the training sequence length: per candidate budget
+    * {128, 256, 512}, how many packed sequences the C16 greedy next-fit
+    * kernel produces, the fill rate (padding waste is 1 − fill), and how
+    * many sequences run OVERFULL (a doc longer than the budget packs
+    * alone and overflows — the docs a chunker must split first). The
+    * corpus is tokenized ONCE ([[graft.ops.text.TextOps.packCounts]]
+    * takes the 16-byte count rows), localCheckpoint-pinned, then
+    * re-packed per grid point — |grid| passes over counts, one over
+    * text. Fill rate is the single floor(v·1e6+0.5)-quantized division;
+    * everything else is exact integers from the SAME fold the C16
+    * oracle verifies.
+    */
+  def packEfficiency(spark: SparkSession, dir: String): DataFrame = {
+    val counts = docs(spark, dir).where(col("doc_id").isNotNull)
+      .select(col("doc_id").cast("long").as("id"),
+        greatest(lit(0), coalesce(size(TextOps.tokens(col("text"))), lit(0)))
+          .as("n_tokens"))
+      .localCheckpoint()
+    Seq(128, 256, 512).map { m =>
+      TextOps.packCounts(counts, m, partitions = Some(8))
+        .agg(count(lit(1)).as("n_seqs"),
+          coalesce(sum("total_tokens"), lit(0L)).as("total_tokens"),
+          coalesce(sum(when(col("total_tokens") > m, 1L).otherwise(0L)), lit(0L))
+            .as("n_overfull"))
+        .select(lit(m).as("max_len"), col("n_seqs"), col("total_tokens"),
+          when(col("n_seqs") > 0,
+            floor(col("total_tokens").cast("double") / (col("n_seqs") * m)
+              * lit(1000000) + lit(0.5)) / lit(1e6)).as("fill_rate"),
+          col("n_overfull"))
+    }.reduce(_ unionAll _).orderBy("max_len")
+  }
+
+  /** Grid twin of the C16 fold: one folded/seq-total/aggregate CTE chain
+    * per budget, generated from the same grid the engine sweeps.
+    */
+  val packEfficiencySql: String = {
+    val grid = Seq(128, 256, 512)
+    val per = grid.map { m =>
+      s"""folded$m AS (SELECT part, ids, ns,
+         |    list_reduce(list_prepend([0::BIGINT, 0::BIGINT], [[x] FOR x IN ns]),
+         |      (acc, e) -> CASE
+         |        WHEN len(acc) = 2 THEN [acc[1], e[1], acc[1]]
+         |        WHEN acc[2] + e[1] > $m
+         |          THEN list_concat([acc[1] + 1, e[1]], list_append(acc[3:], acc[1] + 1))
+         |        ELSE list_concat([acc[1], acc[2] + e[1]], list_append(acc[3:], acc[1]))
+         |      END) AS st
+         |  FROM parts),
+         |r$m AS (SELECT part, unnest(ns) AS n, unnest(st[3:]) AS seq FROM folded$m),
+         |s$m AS (SELECT part, seq, sum(n)::BIGINT AS t FROM r$m GROUP BY part, seq),
+         |a$m AS (SELECT $m AS max_len, count(*)::BIGINT AS n_seqs,
+         |    coalesce(sum(t), 0)::BIGINT AS total_tokens,
+         |    coalesce(sum(CASE WHEN t > $m THEN 1 ELSE 0 END), 0)::BIGINT AS n_overfull
+         |  FROM s$m)""".stripMargin
+    }.mkString(",\n")
+    val union = grid.map(m => s"SELECT * FROM a$m").mkString(" UNION ALL ")
+    s"""WITH d AS (SELECT doc_id,
+       |    coalesce(len(string_split(text, ' ')), 0)::BIGINT AS n,
+       |    (doc_id % 8)::INTEGER AS part FROM documents
+       |  WHERE doc_id IS NOT NULL),
+       |parts AS (SELECT part,
+       |    list(doc_id ORDER BY doc_id) AS ids, list(n ORDER BY doc_id) AS ns
+       |  FROM d GROUP BY part),
+       |$per
+       |SELECT max_len, n_seqs, total_tokens,
+       |  CASE WHEN n_seqs > 0 THEN
+       |    floor(total_tokens::DOUBLE / (n_seqs * max_len) * 1000000 + 0.5) / 1e6
+       |  END AS fill_rate, n_overfull
+       |FROM ($union) ORDER BY max_len""".stripMargin
+  }
+
   /** C21: sliding-window chunking (32-token chunks, stride 16 → 50%
     * overlap); the oracle reproduces the window arithmetic with list
     * slicing.

@@ -2166,4 +2166,22 @@ class PipelineOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Dedup.bitvecPairs(fixture, maxHamming = 3, bandBits = 7) }
   }
+
+  test("pack_efficiency: grid packs from one count pass, overfull docs flagged, exact fill") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-packeff").toString
+    def words(n: Int) = Seq.fill(n)("w").mkString(" ")
+    // ids congruent mod 8 -> one part, packed in id order: 100,100,100,200
+    Seq((0L, words(100)), (8L, words(100)), (16L, words(100)), (24L, words(200)))
+      .toDF("doc_id", "text").write.parquet(s"$tmp/documents.parquet")
+    val out = graft.queries.Pipeline.packEfficiency(spark, tmp).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    // m=128: three singleton bins + the 200-doc alone and OVERFULL
+    // m=256: next-fit gives [100+100], [100], [200]
+    // m=512: everything in one bin
+    assert(out.toSeq === Seq(
+      (128, 4L, 500L, math.floor(500.0 / 512 * 1e6 + 0.5) / 1e6, 1L),
+      (256, 3L, 500L, math.floor(500.0 / 768 * 1e6 + 0.5) / 1e6, 0L),
+      (512, 1L, 500L, math.floor(500.0 / 512 * 1e6 + 0.5) / 1e6, 0L)))
+  }
 }
