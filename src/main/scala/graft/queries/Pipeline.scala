@@ -4358,6 +4358,78 @@ object Pipeline {
        |FROM ($union) ORDER BY max_len""".stripMargin
   }
 
+  /** C113: per-document language-MIXTURE profile — the code-switching /
+    * boilerplate-contamination gate a monolingual training mix needs
+    * beyond C8's whole-document vote (a half-English half-German page
+    * happily argmaxes to one language and slips through): the document
+    * is cut into NON-overlapping 32-token chunks (the C21 kernel at
+    * stride = chunk), each chunk language-ID'd by the C8 stopword
+    * scorer (staged token array, all profiles from one split — the r15
+    * staging rule), then per document: chunk count, majority language
+    * (most chunk votes, first-profile tiebreak matching the C8 argmax),
+    * the floor(v·1e6+0.5)-quantized majority share, and
+    * `is_mixed = share < 0.75`. NULL texts/ids drop at the door.
+    * Scale: chunking is narrow per-row work; everything after the
+    * per-chunk argmax is (doc, lang)-sized keyed aggregation — no
+    * window over chunk-sized data, majority elected by max-count join +
+    * min-lang (deterministic without a sort of the corpus).
+    */
+  def docLangmix(spark: SparkSession, dir: String): DataFrame = {
+    val langs = TextOps.LangProfiles.map(_._1)
+    val scoreCols = TextOps.LangProfiles.map { case (lang, profile) =>
+      TextOps.langScoreTokens(col("__ws"), profile).cast("long").as(s"${lang}_hits")
+    }
+    val chunks = TextOps.chunk(
+      docs(spark, dir).where(col("doc_id").isNotNull),
+      chunkTokens = 32, stride = 32)
+    val preds = chunks
+      .select(col("doc_id"), TextOps.tokens(col("chunk")).as("__ws"))
+      .select(col("doc_id") +: scoreCols: _*)
+      .select(col("doc_id"),
+        TextOps.langArgmax(langs.map(l => l -> col(s"${l}_hits"))).as("pred"))
+    val votes = preds.groupBy("doc_id", "pred").agg(count(lit(1)).as("__c"))
+    val totals = votes.groupBy("doc_id")
+      .agg(sum("__c").as("n_chunks"), max("__c").as("__maxc"))
+    val majority = votes.join(totals, "doc_id")
+      .where(col("__c") === col("__maxc"))
+      .groupBy("doc_id").agg(min("pred").as("majority_lang"))
+    totals.join(majority, "doc_id")
+      .select(col("doc_id"), col("n_chunks"), col("majority_lang"),
+        (floor(col("__maxc").cast("double") / col("n_chunks")
+          * lit(1000000) + lit(0.5)) / lit(1e6)).as("majority_share"))
+      .withColumn("is_mixed", col("majority_share") < 0.75)
+      .orderBy("doc_id")
+  }
+
+  val docLangmixSql: String = {
+    val scores = TextOps.LangProfiles.map { case (lang, profile) =>
+      val list = profile.map(w => s"'$w'").mkString("[", ",", "]")
+      s"len(list_filter(cw, w -> list_contains($list, w)))::BIGINT AS ${lang}_hits"
+    }.mkString(",\n  ")
+    val langs = TextOps.LangProfiles.map(_._1)
+    val greatest = langs.map(l => s"${l}_hits").mkString("greatest(", ", ", ")")
+    val caseChain = langs.map(l => s"WHEN ${l}_hits = g THEN '$l'").mkString(" ")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w,
+       |    len(string_split(text, ' ')) AS n FROM documents
+       |  WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+       |idx AS (SELECT doc_id, w, n,
+       |    unnest(range(0, greatest(ceil((n - 32)::DOUBLE / 32)::BIGINT, 0) + 1)) AS ci
+       |  FROM t),
+       |ch AS (SELECT doc_id, w[ci*32 + 1 : ci*32 + 32] AS cw FROM idx),
+       |s AS (SELECT doc_id, $scores FROM ch),
+       |p AS (SELECT doc_id, CASE $caseChain END AS pred
+       |  FROM (SELECT *, $greatest AS g FROM s)),
+       |c AS (SELECT doc_id, pred, count(*)::BIGINT AS c FROM p GROUP BY 1, 2),
+       |m AS (SELECT doc_id, sum(c)::BIGINT AS n_chunks, max(c)::BIGINT AS maxc
+       |  FROM c GROUP BY 1),
+       |j AS (SELECT c.doc_id, min(c.pred) AS majority_lang
+       |  FROM c JOIN m ON m.doc_id = c.doc_id AND c.c = m.maxc GROUP BY 1)
+       |SELECT m.doc_id, m.n_chunks, j.majority_lang,
+       |  floor(m.maxc::DOUBLE / m.n_chunks * 1000000 + 0.5) / 1e6 AS majority_share,
+       |  floor(m.maxc::DOUBLE / m.n_chunks * 1000000 + 0.5) / 1e6 < 0.75 AS is_mixed
+       |FROM m JOIN j USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
+
   /** C21: sliding-window chunking (32-token chunks, stride 16 → 50%
     * overlap); the oracle reproduces the window arithmetic with list
     * slicing.

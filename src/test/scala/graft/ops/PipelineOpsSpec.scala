@@ -2184,4 +2184,27 @@ class PipelineOpsSpec extends SparkSpec {
       (256, 3L, 500L, math.floor(500.0 / 768 * 1e6 + 0.5) / 1e6, 0L),
       (512, 1L, 500L, math.floor(500.0 / 512 * 1e6 + 0.5) / 1e6, 0L)))
   }
+
+  test("doc_langmix: chunk-level votes catch the code-switched doc the whole-doc argmax misses") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-langmix").toString
+    def block(word: String) = Seq.fill(32)(word).mkString(" ")
+    Seq(
+      // doc 1: 32 English tokens then 32 German — HALF mixed (votes 1/1,
+      // majority tie broken to the lexicographically smaller language)
+      (1L, block("the") + " " + block("und")),
+      // doc 2: pure English across 3 chunks
+      (2L, block("the") + " " + block("of") + " " + block("is")),
+      // doc 3: 3 English chunks, 1 German — 75% share sits exactly ON the
+      // boundary and is NOT mixed (share < 0.75 strict)
+      (3L, block("the") + " " + block("of") + " " + block("is") + " " + block("der")),
+      (4L, null.asInstanceOf[String]) // NULL text: no chunks, no row
+    ).toDF("doc_id", "text").write.parquet(s"$tmp/documents.parquet")
+    val out = graft.queries.Pipeline.docLangmix(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3), r.getBoolean(4)))
+    assert(out.toSeq === Seq(
+      (1L, 2L, "de", 0.5, true),
+      (2L, 3L, "en", 1.0, false),
+      (3L, 4L, "en", 0.75, false)))
+  }
 }
