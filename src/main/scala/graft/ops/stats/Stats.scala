@@ -870,4 +870,27 @@ object Stats {
         round((col("both") + col("neither")).cast("double") /
           (col("both") + col("only_a") + col("only_b") + col("neither")), 6))
   }
+
+  /** The B74 chi-square-against-uniform kernel as a scalar over a 24-slot
+    * hour-of-day count array — shared with the streaming seasonality
+    * monitor (D39) so the live and batch faces compute the IDENTICAL
+    * statistic: χ² = Σ(24·o − T)² / (24T), the integer-ratio form with no
+    * per-term division, floor(v·1e6+0.5)-quantized exactly like the batch
+    * column expression. Overflow REFUSES (Math.*Exact — the ANSI stance
+    * the batch side gets for free) rather than wrapping; an empty profile
+    * scores 0.
+    */
+  def chi2Hod(counts: Array[Long]): (Long, Double) = {
+    require(counts.length == 24, s"chi2Hod: need 24 slots, got ${counts.length}")
+    val t = counts.foldLeft(0L)(Math.addExact)
+    if (t == 0L) (0L, 0.0)
+    else {
+      var num = 0L
+      counts.foreach { o =>
+        val d = Math.subtractExact(Math.multiplyExact(24L, o), t)
+        num = Math.addExact(num, Math.multiplyExact(d, d))
+      }
+      (t, math.floor(num.toDouble / (24L * t).toDouble * 1e6 + 0.5) / 1e6)
+    }
+  }
 }

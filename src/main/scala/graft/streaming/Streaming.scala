@@ -1779,6 +1779,44 @@ object Streaming {
       }
   }
 
+  final case class SeasonRow(event_type: String, n_events: Long,
+                             chi2: Double, is_diurnal: Boolean)
+
+  /** D39: streaming seasonality monitor — the live twin of B74
+    * (`events_seasonality`): per event type a 24-slot hour-of-day count
+    * vector lives in state, each batch folds its arrivals in and emits
+    * the type's refreshed exact χ²-against-uniform
+    * ([[graft.ops.stats.Stats.chi2Hod]] — the SAME integer-ratio,
+    * floor(v·1e6+0.5)-quantized kernel the batch query computes, one
+    * definition, the twins cannot drift) with the df = 23 α = 0.01 flag.
+    * The statistic is a pure function of the commutative count vector,
+    * so UNLIKE the order-defined D36/D38 recursions this monitor needs
+    * no late-bucket guard at all: any arrival order, any batching, any
+    * lateness converges to the identical state and final emission
+    * (spec-pinned). The ingest-time read: a source whose live χ² decays
+    * toward 0 is going scripted/bot-flat; one that grows is
+    * organically diurnal. NULL types/timestamps drop at the door; state
+    * per type = 24 longs, bounded by |types| regardless of stream size.
+    */
+  def seasonalityMonitor(events: DataFrame, tsCol: String = "ts",
+                         typeCol: String = "event_type"): Dataset[SeasonRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .where(col(typeCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(typeCol).cast("string").as("_1"),
+        hour(col(tsCol)).cast("int").as("_2")).as[(String, Int)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (g: String, it: Iterator[(String, Int)], state: GroupState[Array[Long]]) =>
+          val counts = state.getOption.getOrElse(Array.fill(24)(0L))
+          it.foreach { case (_, h) => counts(h) += 1L }
+          state.update(counts)
+          val (total, chi2) = graft.ops.stats.Stats.chi2Hod(counts)
+          Iterator.single(SeasonRow(g, total, chi2, chi2 > 41.638))
+      }
+  }
+
   final case class TripleIn(id: String, key: String, value: String)
   final case class PgState(labels: Seq[String], from: String, to: String,
                            props: Map[String, Seq[String]])

@@ -1668,4 +1668,39 @@ class StreamingSpec extends SparkSpec {
       if (st.nonEmpty) assert(st.map(_.numRowsTotal).sum <= 1)
     } finally q.stop()
   }
+
+  test("D39: streaming seasonality chi2 equals the batch kernel and converges under ANY batching") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:15:00")
+    // "human": all 10 events in hour 9 -> chi2 = 23T = 230, diurnal;
+    // "bot": one event per hour -> chi2 = 0, flat; poison rows drop
+    val human = (0 until 10).map(_ => ("human", ts(9)))
+    val bot = (0 until 24).map(h => ("bot", ts(h)))
+    val poison = Seq((null.asInstanceOf[String], ts(1)),
+      ("human", null.asInstanceOf[java.sql.Timestamp]))
+    def run(name: String, batches: Seq[Seq[(String, java.sql.Timestamp)]])
+        : Map[String, (Long, Double, Boolean)] = {
+      val mem = MemoryStream[(String, java.sql.Timestamp)]
+      val q = Streaming.seasonalityMonitor(
+          mem.toDF.toDF("event_type", "ts"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      finally q.stop()
+      // keep the LAST emission per type (B44 latest-state read)
+      spark.table(name).collect()
+        .map(r => (r.getString(0), (r.getLong(1), r.getDouble(2), r.getBoolean(3))))
+        .foldLeft(Map.empty[String, (Long, Double, Boolean)])((m, kv) => m + kv)
+    }
+    val all = human ++ bot ++ poison
+    val a = run("season_a", Seq(all.take(5), all.slice(5, 6), all.drop(6)))
+    // a radically different batching — including late re-ordered hours —
+    // converges to the identical final state (commutative counts)
+    val b = run("season_b", Seq(all.reverse.take(20), all.reverse.drop(20)))
+    assert(a === b, "batching must not move the final statistic")
+    assert(a("human") === ((10L, 230.0, true)), "one-hour concentration = 23T")
+    assert(a("bot") === ((24L, 0.0, false)), "uniform profile is flat")
+    assert(a.keySet === Set("human", "bot"), "poison rows must drop at the door")
+  }
 }
