@@ -1282,6 +1282,56 @@ object GraphOps {
       .orderBy("node_a", "node_b")
   }
 
+  /** Resource-Allocation link prediction (Zhou/Lü/Zhang 2009) — the
+    * hub-discounting complement of [[nodeSimilarity]]'s Jaccard: a
+    * candidate pair (a, b) scores Σ over shared neighbours z of
+    * 1/deg(z), so an endorsement through a degree-2 connector counts 50
+    * times a degree-100 hub's (Jaccard weighs them equally — on KGs with
+    * containment hubs RA is the stronger missing-edge ranker). Scores
+    * are EXACT integers: each z contributes floor(10¹²/deg(z)) — one
+    * integral division, summed as longs — so ranking is deterministic
+    * under any partitioning/order (a double Σ1/deg would be
+    * order-sensitive in the last ulp) and the oracle reproduces it
+    * verbatim; `ra` is the single closing division by 10¹².
+    *
+    * Hub handling is RA-NATIVE: an intermediate z above `maxHubDegree`
+    * is dropped from the inverted index (its per-path contribution is
+    * ≤ 10¹²/cap — negligible by the op's own weighting, while costing
+    * deg² candidate pairs), but unlike [[nodeSimilarity]]'s vertex
+    * delete the pruned hub can still APPEAR in scored pairs — only its
+    * connector role is priced out. Existing edges drop via one keyed
+    * anti join; top-k via orderBy().limit() (TakeOrderedAndProject
+    * per-partition heaps on the unique (score desc, a, b) total order —
+    * no global sort).
+    */
+  def resourceAllocation(pgEdges: DataFrame, maxHubDegree: Int = 10,
+                         topK: Int = 20): DataFrame = {
+    require(maxHubDegree >= 2, s"resourceAllocation: maxHubDegree >= 2 (got $maxHubDegree)")
+    val e = endpoints(pgEdges)
+    val nb = e.select(col("from").as("n"), col("to").as("m"))
+      .union(e.select(col("to").as("n"), col("from").as("m")))
+      .where(col("n") =!= col("m"))
+      .distinct()
+      .localCheckpoint() // staged: degrees and the pair join both read it
+    val deg = nb.groupBy("n").agg(count(lit(1)).as("d"))
+    val z = nb.join(deg.where(col("d") <= maxHubDegree), "n")
+      .select(col("n").as("z"), col("m").as("nbr"),
+        expr("1000000000000 div d").as("w12"))
+    val scored = z.select(col("z"), col("nbr").as("a"), col("w12"))
+      .join(z.select(col("z"), col("nbr").as("b")), "z")
+      .where(col("a") < col("b"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("n_shared"), sum("w12").as("ra_u12"))
+    val existing = nb.where(col("n") < col("m"))
+      .select(col("n").as("a"), col("m").as("b"))
+    scored.join(existing, Seq("a", "b"), "left_anti")
+      .select(col("a").as("node_a"), col("b").as("node_b"),
+        col("n_shared"), col("ra_u12"),
+        (col("ra_u12") / lit(1e12)).as("ra"))
+      .orderBy(col("ra_u12").desc, col("node_a"), col("node_b"))
+      .limit(topK)
+  }
+
   /** Node degrees of a PG edge set (triples with `@from`/`@to`), via
     * GraphX degree aggregation. Isolated nodes (no edges) are absent, as
     * in GraphX semantics.

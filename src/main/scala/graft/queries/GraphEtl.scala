@@ -647,6 +647,45 @@ object GraphEtl {
        |SELECT node, dist FROM d4 ORDER BY node""".stripMargin
   }
 
+  /** A62: Resource-Allocation link prediction over the KG
+    * ([[graft.ops.graph.GraphOps.resourceAllocation]]) — the
+    * hub-discounting twin of A37's Jaccard ranker: shared neighbours
+    * weight in as floor(10¹²/deg(z)) exact-integer contributions, so a
+    * degree-2 connector endorses 50× a degree-100 hub and the ranking
+    * is deterministic under any partitioning (no order-sensitive double
+    * sums). Hub z's above degree 10 are priced out of the inverted
+    * index (RA-native: their contribution is negligible by the op's own
+    * weighting) while still allowed to appear as pair members — a
+    * different, sharper semantic than A37's vertex delete.
+    */
+  def kgResourceAlloc(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.graph.GraphOps.resourceAllocation(
+      supRegionEdges(spark, dir, withSupRegion = true),
+      maxHubDegree = 10, topK = 20)
+
+  val kgResourceAllocSql: String =
+    """WITH raw AS (
+      |  SELECT 'nation:' || n_nationkey AS f, 'region:' || n_regionkey AS t FROM nation
+      |  UNION ALL SELECT 'sup:' || s_suppkey, 'nation:' || s_nationkey FROM supplier
+      |  UNION ALL SELECT 'sup:' || s_suppkey, 'region:' || n_regionkey
+      |    FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+      |nb AS (SELECT DISTINCT n, m FROM (
+      |  SELECT f AS n, t AS m FROM raw WHERE f <> t
+      |  UNION ALL SELECT t, f FROM raw WHERE f <> t) s),
+      |deg AS (SELECT n, count(*)::BIGINT AS d FROM nb GROUP BY n),
+      |z AS (SELECT nb.n AS z, nb.m AS nbr, (1000000000000 // d)::BIGINT AS w12
+      |  FROM nb JOIN deg ON deg.n = nb.n WHERE deg.d <= 10),
+      |sc AS (SELECT x.nbr AS a, y.nbr AS b,
+      |    count(*)::BIGINT AS n_shared, sum(x.w12)::BIGINT AS ra_u12
+      |  FROM z x JOIN z y ON x.z = y.z AND x.nbr < y.nbr
+      |  GROUP BY x.nbr, y.nbr),
+      |ex AS (SELECT n AS a, m AS b FROM nb WHERE n < m)
+      |SELECT sc.a AS node_a, sc.b AS node_b, sc.n_shared, sc.ra_u12,
+      |  sc.ra_u12 / 1e12 AS ra
+      |FROM sc LEFT JOIN ex ON ex.a = sc.a AND ex.b = sc.b
+      |WHERE ex.a IS NULL
+      |ORDER BY sc.ra_u12 DESC, node_a, node_b LIMIT 20""".stripMargin
+
   /** A61: deterministic seeded random-walk corpus over the KG
     * ([[graft.ops.graph.GraphOps.randomWalks]]) — the DeepWalk/node2vec
     * corpus generator bridging the graph block to the training-data

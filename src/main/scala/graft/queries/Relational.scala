@@ -963,6 +963,60 @@ object Relational {
       |LEFT JOIN s y ON y.ym = c.ym - 12
       |ORDER BY month""".stripMargin
 
+  /** B77: revenue-concentration (Pareto) report — the 80/20 read of the
+    * customer base: what fraction of total revenue the top-10% and
+    * top-1% customers carry, with the cuts as exact `percentilesExact
+    * (disc)` data values (the B73 stance — no global ntile sort), "top"
+    * meaning STRICTLY above the cut so ties at the boundary stay out
+    * (the declared, engine-stable semantic; DuckDB's quantile_disc
+    * bit-matches the verified disc route). Revenue aggregates in exact
+    * decimal CENTS; the shares are the only divisions,
+    * floor(v·1e6+0.5)-quantized. One customer aggregate, one 1-row
+    * broadcast of the two cuts, one final map-combined fold — nothing
+    * order-sized past the first shuffle, nothing sorted.
+    */
+  def ordersPareto(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.stats.Stats
+    val base = Tables.load(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg((sum(dec(col("o_totalprice"))) * 100).cast("long").as("rev_c"))
+      .localCheckpoint()
+    val cuts = Stats.percentilesExact(
+        base.withColumn("__all", lit("all")), "__all", col("rev_c"),
+        Seq((0.9, "c90"), (0.99, "c99")),
+        fewGroupsHint = Some(true), disc = true)
+      .select("c90", "c99")
+    def share(c: org.apache.spark.sql.Column) =
+      floor(c.cast("double") / col("__tot") * lit(1000000) + lit(0.5)) / lit(1e6)
+    base.crossJoin(broadcast(cuts))
+      .agg(count(lit(1)).as("n_customers"),
+        sum("rev_c").as("__tot"),
+        sum(when(col("rev_c") > col("c90"), 1L).otherwise(0L)).as("n_top10"),
+        sum(when(col("rev_c") > col("c90"), col("rev_c")).otherwise(0L)).as("__t90"),
+        sum(when(col("rev_c") > col("c99"), 1L).otherwise(0L)).as("n_top1"),
+        sum(when(col("rev_c") > col("c99"), col("rev_c")).otherwise(0L)).as("__t99"))
+      .select(col("n_customers"), (col("__tot") / lit(100.0)).as("total_revenue"),
+        col("n_top10"), share(col("__t90")).as("share_top10"),
+        col("n_top1"), share(col("__t99")).as("share_top1"))
+  }
+
+  val ordersParetoSql: String =
+    """WITH base AS (SELECT o_custkey,
+      |    (sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100)::BIGINT AS rev_c
+      |  FROM orders GROUP BY o_custkey),
+      |b AS (SELECT quantile_disc(rev_c, 0.9) AS c90,
+      |    quantile_disc(rev_c, 0.99) AS c99 FROM base),
+      |s AS (SELECT count(*)::BIGINT AS n_customers, sum(rev_c)::BIGINT AS tot,
+      |    sum(CASE WHEN rev_c > c90 THEN 1 ELSE 0 END)::BIGINT AS n_top10,
+      |    sum(CASE WHEN rev_c > c90 THEN rev_c ELSE 0 END)::BIGINT AS t90,
+      |    sum(CASE WHEN rev_c > c99 THEN 1 ELSE 0 END)::BIGINT AS n_top1,
+      |    sum(CASE WHEN rev_c > c99 THEN rev_c ELSE 0 END)::BIGINT AS t99
+      |  FROM base, b)
+      |SELECT n_customers, tot / 100.0 AS total_revenue,
+      |  n_top10, floor(t90::DOUBLE / tot * 1000000 + 0.5) / 1e6 AS share_top10,
+      |  n_top1, floor(t99::DOUBLE / tot * 1000000 + 0.5) / 1e6 AS share_top1
+      |FROM s""".stripMargin
+
   /** B62: ANSI PERCENTILE_DISC per group — discrete quantiles of the
     * order-quantity distribution: unlike B14's interpolated CONT these
     * return VALUES THAT EXIST in the data (the smallest value whose

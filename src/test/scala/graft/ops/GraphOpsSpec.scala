@@ -849,4 +849,29 @@ class GraphOpsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getString(3)))
     assert(reseeded.toSeq !== out.toSeq)
   }
+
+  test("resourceAllocation: exact hub-discounted weights; hubs priced out as connectors, kept as members") {
+    val raEdges = Seq(
+      ("z1", "a"), ("z1", "b"),                         // deg z1 = 2 -> w 5e11
+      ("z2", "a"), ("z2", "b"), ("z2", "c"),            // deg z2 = 3 -> w ~3.33e11
+      ("h", "a"), ("h", "b"), ("h", "c"), ("h", "d")    // deg h = 4 > cap: no connector role
+    ).toDF("from", "to")
+    val got = GraphOps.resourceAllocation(raEdges, maxHubDegree = 3, topK = 20)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    val w2 = 500000000000L  // floor(1e12/2)
+    val w3 = 333333333333L  // floor(1e12/3)
+    assert(got === Map(
+      // h never connects anyone (degree above cap), but IS ranked as a member
+      ("h", "z2") -> ((3L, w3 + w3 + w2)), // via a, b (deg 3) and c (deg 2)
+      ("a", "b")  -> ((2L, w2 + w3)),      // via z1 (deg 2) and z2 (deg 3)
+      ("h", "z1") -> ((2L, w3 + w3)),      // via a, b
+      ("z1", "z2") -> ((2L, w3 + w3)),
+      ("a", "c") -> ((1L, w3)), ("b", "c") -> ((1L, w3))))
+    // determinism: the exact-integer scores cannot move across layouts
+    val again = GraphOps.resourceAllocation(raEdges.repartition(7),
+      maxHubDegree = 3, topK = 20).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(3)))
+    assert(again.sorted.toSeq === got.toSeq.map(kv => (kv._1._1, kv._1._2, kv._2._2)).sorted)
+  }
 }

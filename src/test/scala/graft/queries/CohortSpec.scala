@@ -79,4 +79,21 @@ class CohortSpec extends SparkSpec {
     // June's base month is the zero May → growth undefined, NULL not ∞
     assert(byMonth("2024-06-01") === ((1L, 45.0, None, None)))
   }
+
+  test("orders_pareto: strict-above-cut shares, exact cents, boundary ties stay out") {
+    val dir = Files.createTempDirectory("graft-pareto").toString
+    // customers 1..10 with revenue 1..10 dollars
+    (1 to 10).map(i => (i.toLong, ts("2024-01-10"), i.toDouble))
+      .toDF("o_custkey", "o_orderdate", "o_totalprice")
+      .write.parquet(s"$dir/orders.parquet")
+    val r = Relational.ordersPareto(spark, dir).collect()(0)
+    assert(r.getLong(0) === 10L)
+    assert(r.getDouble(1) === 55.0)
+    // disc p90 of 100..1000 cents = 900; strictly above -> only the 1000
+    assert(r.getLong(2) === 1L)
+    assert(r.getDouble(3) === math.floor(1000.0 / 5500 * 1e6 + 0.5) / 1e6)
+    // disc p99 = 1000 itself: the boundary customer is a TIE and stays out
+    assert(r.getLong(4) === 0L)
+    assert(r.getDouble(5) === 0.0)
+  }
 }
