@@ -708,18 +708,23 @@ object GraphOps {
     import org.apache.spark.sql.expressions.Window
     val GOLD = 0x9E3779B97F4A7C15L
     val e = endpoints(pgEdges).where(col("from") =!= col("to")).distinct()
+      .localCheckpoint() // ranks, degrees, and the node set all read it
     val ranked = e.select(col("from").as("__cur"),
       (row_number().over(Window.partitionBy("from").orderBy("to")).cast("long")
         - 1).as("__pick"),
       col("to").as("__next"))
+      .localCheckpoint()
     val deg = e.groupBy(col("from").as("__cur"))
       .agg(count(lit(1)).as("__deg"))
     val nodes = e.select(col("from").as("node")).union(e.select(col("to")))
       .distinct()
+    // flatten lineage per step (the kg_ppr stance): without it every
+    // union branch re-derives ALL prior steps — O(L²) joins in one plan
     var frontier = nodes
       .crossJoin(spark.range(0, walksPerNode)
         .select(col("id").cast("int").as("walk")))
       .select(col("node").as("start_node"), col("walk"), col("node").as("__cur"))
+      .localCheckpoint()
     var acc = frontier.select(col("start_node"), col("walk"),
       lit(0).as("step"), col("__cur").as("node"))
     for (s <- 1 to walkLength) {
@@ -733,6 +738,7 @@ object GraphOps {
         .withColumn("__pick", pick)
         .join(ranked, Seq("__cur", "__pick"))
         .select(col("start_node"), col("walk"), col("__next").as("__cur"))
+        .localCheckpoint()
       acc = acc.unionAll(stepped.select(col("start_node"), col("walk"),
         lit(s).as("step"), col("__cur").as("node")))
       frontier = stepped

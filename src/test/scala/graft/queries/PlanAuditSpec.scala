@@ -501,4 +501,36 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(plan.contains("partial"), plan)
   }
+
+  test("kg_walks returns a flat union of per-step checkpoints — lineage never re-derives a step") {
+    val plan = planOf("kg_walks")
+    // each step is localCheckpoint-flattened (the kg_ppr stance): the
+    // final plan is a union of L+1 materialised step scans, so no union
+    // branch re-derives prior steps (the O(L²) recompute this audit
+    // exists to block) and no join of any kind survives to the read plan
+    assert("Scan ExistingRDD".r.findAllIn(plan).size === 4, plan)
+    assert(plan.contains("Union"), plan)
+    assert(!plan.contains("Join") && !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("dedup_bitvec claims pairs at the first shared band: no Deduplicate, codes-only banding") {
+    val plan = planOf("dedup_bitvec")
+    // the first-shared-band arithmetic replaces dropDuplicates — a
+    // Deduplicate/distinct appearing here means the claim logic regressed
+    assert(!plan.toLowerCase.contains("deduplicate"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // banding posexplodes the packed 64-bit CODE, not the vector — the
+    // pair join's build/stream sides carry (id, code, band, bval) only
+    assert(plan.contains("posexplode(array((shiftrightunsigned(code#"), plan)
+    assert(!plan.contains("Exchange hashpartitioning(embedding"), plan)
+  }
+
+  test("orders_cohort joins on custkey and reduces map-side; frontier is a 1-row broadcast") {
+    val plan = planOf("orders_cohort")
+    assert(plan.contains("partial"), plan)
+    // the only nested-loop is the 1-row frontier crossJoin attach
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 1, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
