@@ -1817,6 +1817,55 @@ object Streaming {
       }
   }
 
+  final case class PackAssign(part: Int, id: Long, n_tokens: Long,
+                              seq: Int, bin_fill: Long)
+
+  /** D40: streaming sequence packer — the ingest-time face of the C16
+    * greedy next-fit kernel ([[graft.ops.text.TextOps.packCounts]]),
+    * assigning each arriving document to its training-sequence bin LIVE
+    * (the 100 TB shape: sequences ship to the trainer as they fill,
+    * no terminal batch repack): per part (pmod(id, partitions), the
+    * batch layout), state is just (current bin, current fill) — two
+    * numbers, regardless of stream size — and each arrival either joins
+    * the open bin or rolls a new one, emitting its (part, id, seq,
+    * fill-after). Docs above the budget open a bin alone and overflow
+    * it, exactly the batch semantic C111 counts.
+    *
+    * Order is the contract's edge: next-fit is order-DEFINED, so within
+    * a micro-batch arrivals fold in id order (the D36 in-batch sort
+    * stance) and across batches in arrival order — an in-id-order feed
+    * therefore reproduces the batch kernel's bins row-for-row however
+    * batched (spec-pinned), while an out-of-order arrival is packed
+    * where it lands (a live packer cannot hold a bin open for stragglers;
+    * the declared ingest semantic). NULL ids/counts drop at the door.
+    */
+  def packMonitor(counts: DataFrame, tokenBudget: Int, partitions: Int,
+                  idCol: String = "id", nCol: String = "n_tokens"): Dataset[PackAssign] = {
+    require(tokenBudget > 0 && partitions > 0,
+      s"packMonitor: tokenBudget and partitions must be positive ($tokenBudget, $partitions)")
+    val spark = counts.sparkSession
+    import spark.implicits._
+    counts
+      .where(col(idCol).isNotNull && col(nCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
+        greatest(lit(0L), col(nCol).cast("long")).as("n"),
+        pmod(col(idCol).cast("long"), lit(partitions.toLong)).cast("int").as("part"))
+      .as[(Long, Long, Int)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (part: Int, it: Iterator[(Long, Long, Int)], state: GroupState[(Int, Long)]) =>
+          var (seq, fill) = state.getOption.getOrElse((0, 0L))
+          val out = List.newBuilder[PackAssign]
+          it.toList.sortBy(_._1).foreach { case (id, n, _) =>
+            if (fill + n > tokenBudget && fill > 0L) { seq += 1; fill = 0L }
+            fill += n
+            out += PackAssign(part, id, n, seq, fill)
+          }
+          state.update((seq, fill))
+          out.result().iterator
+      }
+  }
+
   final case class TripleIn(id: String, key: String, value: String)
   final case class PgState(labels: Seq[String], from: String, to: String,
                            props: Map[String, Seq[String]])

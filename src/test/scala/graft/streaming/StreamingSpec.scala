@@ -1703,4 +1703,40 @@ class StreamingSpec extends SparkSpec {
     assert(a("bot") === ((24L, 0.0, false)), "uniform profile is flat")
     assert(a.keySet === Set("human", "bot"), "poison rows must drop at the door")
   }
+
+  test("D40: streaming packer equals the batch next-fit bins on an in-order feed, however batched") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    // ids 0,8,16,24 land in part 0 (mod 8); counts 100,100,100,200 are the
+    // C111 fixture: budget 256 -> bins [100+100], [100], [200]
+    val docs = Seq((0L, 100L), (8L, 100L), (16L, 100L), (24L, 200L),
+      (3L, 300L)) // part 3: an over-budget doc opens and overflows its own bin
+    val mem = MemoryStream[(Long, Long)]
+    val q = Streaming.packMonitor(
+        mem.toDF.toDF("id", "n_tokens"), tokenBudget = 256, partitions = 8)
+      .writeStream.format("memory").queryName("pack_mon")
+      .outputMode("append").start()
+    try Seq(docs.take(2), docs.slice(2, 3), docs.drop(3)).foreach { b =>
+      mem.addData(b: _*); q.processAllAvailable()
+    } finally q.stop()
+    val live = spark.table("pack_mon").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getLong(4)))
+    // group live assignments into bins and compare against the batch kernel
+    val liveBins = live.groupBy(t => (t._1, t._4)).map { case ((part, seq), rows) =>
+      (part, seq, rows.sortBy(_._2).map(_._2).toSeq, rows.map(_._3).sum)
+    }.toSet
+    val batch = graft.ops.text.TextOps.packCounts(
+        docs.toDF("id", "n_tokens"), tokenBudget = 256, partitions = Some(8))
+      .collect().map(r => (r.getInt(0), r.getInt(1),
+        r.getSeq[Long](2).toSeq, r.getLong(3))).toSet
+    assert(liveBins === batch, "live bins must equal the batch next-fit packing")
+    // the over-budget doc sat alone in its bin and overflowed it
+    assert(live.find(_._2 == 3L).get._5 === 300L)
+    // per-doc fill-after is monotone within a bin (next-fit never reorders)
+    live.groupBy(t => (t._1, t._4)).values.foreach { rows =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._5).toSeq === sorted.map(_._5).sorted.toSeq)
+    }
+  }
 }
