@@ -1065,15 +1065,35 @@ object Dedup {
     * sign-identical is the declared semantic. Output: (a, b, hamming,
     * sign_sim) with sign_sim = (64 − 2h)/64 — an exact power-of-two
     * fraction, bit-identical across engines with no rounding step.
+    *
+    * The volume lever is PRICED, not advisory: expected candidates
+    * ≈ bands·n²/2^(bandBits+1) (uniform codes), checked against
+    * `maxCandidates` before any work launches — above it the op REFUSES
+    * with both outs named (raise bandBits, or own the quadratic with
+    * maxCandidates = 0), the nodeSimilarity refusal stance: a silently
+    * slow audit tier at 100× data is a cluster bill, not an answer.
+    * `knownCount` feeds the estimate count-free (the r16 advisor rule —
+    * pass the catalog row count); only when it is negative AND a budget
+    * is set does the op pay one count job.
     */
   def bitvecPairs(vecs: DataFrame, maxHamming: Int = 3, bandBits: Int = 16,
-                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  maxCandidates: Long = 200000000L, knownCount: Long = -1L): DataFrame = {
     require(bandBits > 0 && 64 % bandBits == 0,
       s"bitvecPairs: bandBits must divide 64 (got $bandBits)")
     val nBands = 64 / bandBits
     require(maxHamming >= 0 && maxHamming < nBands,
       s"bitvecPairs: ${nBands}x$bandBits-bit banding is lossless only for " +
         s"maxHamming <= ${nBands - 1} (got $maxHamming)")
+    if (maxCandidates > 0) {
+      val n = if (knownCount >= 0) knownCount else vecs.count()
+      val est = nBands.toDouble * n * n / math.pow(2.0, bandBits + 1)
+      require(est <= maxCandidates.toDouble,
+        f"bitvecPairs: estimated candidate volume $est%.0f (bands=$nBands, " +
+          f"n=$n, bandBits=$bandBits) exceeds maxCandidates=$maxCandidates — " +
+          "raise bandBits (cheaper buckets, lower recall ceiling) or pass " +
+          "maxCandidates=0 to own the quadratic deliberately")
+    }
     val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
     val codes = vecs
       .where(col(idCol).isNotNull && col(vecCol).isNotNull)

@@ -973,8 +973,11 @@ object Pipeline {
     * priced volume lever).
     */
   def dedupBitvec(spark: SparkSession, dir: String): DataFrame =
+    // knownCount from the parquet footers: the audit-tier volume guard
+    // prices itself with ZERO count jobs (the r16 advisor stance)
     graft.ops.dedup.Dedup.bitvecPairs(embs(spark, dir),
-      maxHamming = 15, bandBits = 4)
+      maxHamming = 15, bandBits = 4,
+      knownCount = Tables.rowCount(spark, dir, "embeddings"))
 
   val dedupBitvecSql: String =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings

@@ -2165,6 +2165,13 @@ class PipelineOpsSpec extends SparkSpec {
       Dedup.bitvecPairs(fixture, maxHamming = 4, bandBits = 16) }
     intercept[IllegalArgumentException] {
       Dedup.bitvecPairs(fixture, maxHamming = 3, bandBits = 7) }
+    // the candidate-volume guard refuses a priced-out audit tier loudly
+    // (count-free via knownCount), and maxCandidates = 0 opts out
+    intercept[IllegalArgumentException] {
+      Dedup.bitvecPairs(fixture, maxHamming = 15, bandBits = 4,
+        knownCount = 1000000L) }
+    assert(Dedup.bitvecPairs(fixture, maxHamming = 15, bandBits = 4,
+      maxCandidates = 0L).collect().nonEmpty)
   }
 
   test("pack_efficiency: grid packs from one count pass, overfull docs flagged, exact fill") {
