@@ -821,6 +821,45 @@ object Ann {
       .orderBy(idCol)
   }
 
+  /** Hard-negative mining for contrastive training — per audit vector,
+    * the top-k nearest CORPUS vectors carrying a DIFFERENT label: the
+    * pairs that sit closest to the decision boundary, which is exactly
+    * the batch a contrastive/metric-learning trainer wants next (random
+    * negatives are trivially separable and teach nothing). The
+    * [[labelNoise]] shape reused with the cross-label filter pushed
+    * BELOW the rank: broadcast(audit) × one corpus scan, cosine at 6 dp,
+    * rank = row_number over (cosine desc, cid) per query — the
+    * TopKPerKey-bounded window, k rows per query out, nothing
+    * corpus-sized retained. NULL labels drop on both sides (an
+    * unlabeled row can neither query nor serve as a negative).
+    */
+  def hardNegatives(audit: DataFrame, corpus: DataFrame, k: Int = 5,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    labelCol: String = "label"): DataFrame = {
+    graft.functions.GraftFunctions.register(audit.sparkSession)
+    val q = broadcast(audit
+      .where(col(labelCol).isNotNull)
+      .select(col(idCol).as("qid"), vec(col(vecCol)).as("qv"),
+        col(labelCol).as("qlabel"))
+      .withColumn("qn", norm(col("qv"))))
+    val c = corpus
+      .where(col(labelCol).isNotNull)
+      .select(col(idCol).as("cid"), vec(col(vecCol)).as("cv"),
+        col(labelCol).as("clabel"))
+      .withColumn("cn", norm(col("cv")))
+    val scored = c.crossJoin(q)
+      .where(col("cid") =!= col("qid") && col("clabel") =!= col("qlabel"))
+      .select(col("qid"), col("qlabel"), col("cid"), col("clabel"),
+        round(cosine(col("qv"), col("cv"), col("qn"), col("cn")), 6).as("cosine"))
+    val nw = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(nw))
+      .where(col("rank") <= k)
+      .select(col("qid").as(idCol), col("qlabel").as(labelCol),
+        col("cid").as("neg_id"), col("clabel").as("neg_label"),
+        col("cosine"), col("rank").cast("int").as("rank"))
+      .orderBy(idCol, "rank")
+  }
+
   /** Sign-random-projection bucket codes, one per band: the native codegen
     * expression graft.functions.SrpCodes (deterministic ±1 hyperplanes from
     * splitmix64 parity). A narrow per-row expression — the index is built

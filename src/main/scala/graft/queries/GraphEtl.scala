@@ -745,6 +745,41 @@ object GraphEtl {
        |ORDER BY start_node, walk, step""".stripMargin
   }
 
+  /** A63: skip-gram co-occurrence pairs from the walk corpus — the
+    * actual DeepWalk TRAINING TABLE: every unordered node pair
+    * co-occurring within a window of 2 steps on some A61 walk, with its
+    * corpus-wide count (the (center, context) frequency a skip-gram /
+    * node-embedding trainer consumes, symmetrized). Self-pairs from
+    * revisits inside the window are excluded (a node is not its own
+    * context). One keyed self-join on (start_node, walk) — per-walk
+    * work is windowed (≤ 2·L pairs per walk), the aggregate is
+    * pair-keyed; the walks themselves come from the checkpointed A61
+    * op, so the corpus is derived once, not per join side.
+    */
+  def kgSkipgram(spark: SparkSession, dir: String): DataFrame = {
+    val w = graft.ops.graph.GraphOps.randomWalks(
+      supRegionEdges(spark, dir, withSupRegion = true),
+      walksPerNode = 2, walkLength = 3, seed = 17L)
+    w.as("x").join(w.as("y"),
+        col("x.start_node") === col("y.start_node")
+          && col("x.walk") === col("y.walk")
+          && col("y.step") > col("x.step")
+          && col("y.step") - col("x.step") <= 2
+          && col("x.node") =!= col("y.node"))
+      .select(least(col("x.node"), col("y.node")).as("node_a"),
+        greatest(col("x.node"), col("y.node")).as("node_b"))
+      .groupBy("node_a", "node_b").agg(count(lit(1)).as("n_cooc"))
+      .orderBy("node_a", "node_b")
+  }
+
+  val kgSkipgramSql: String =
+    s"""WITH w AS (SELECT * FROM ($kgWalksSql)),
+       |p AS (SELECT least(x.node, y.node) AS a, greatest(x.node, y.node) AS b
+       |  FROM w x JOIN w y ON x.start_node = y.start_node AND x.walk = y.walk
+       |    AND y.step > x.step AND y.step - x.step <= 2 AND x.node <> y.node)
+       |SELECT a AS node_a, b AS node_b, count(*)::BIGINT AS n_cooc
+       |FROM p GROUP BY 1, 2 ORDER BY node_a, node_b""".stripMargin
+
   /** A47: typed k-hop motif traversal ([[graft.ops.graph.GraphOps.motifPaths]])
     * — the KnetMiner gene→pathway→trait staple over the TPC-H containment
     * graph: part —supplied_by→ supplier —located_in→ nation —part_of→

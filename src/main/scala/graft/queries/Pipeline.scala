@@ -1358,6 +1358,32 @@ object Pipeline {
       |  cnt AS n_maj, (clabel <> qlabel) AS flagged
       |FROM m WHERE vr = 1 ORDER BY vec_id""".stripMargin
 
+  /** C114: hard-negative mining ([[graft.ops.ann.Ann.hardNegatives]]) —
+    * per audit vector the top-5 nearest corpus vectors with a DIFFERENT
+    * label: the near-boundary pairs a contrastive/metric trainer wants
+    * next (random negatives are trivially separable). The label_noise
+    * broadcast×scan shape with the cross-label filter below the
+    * TopKPerKey-bounded rank; k rows per query out.
+    */
+  def sampleHardneg(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    Ann.hardNegatives(e.where(col("vec_id") < 20), e, k = 5)
+  }
+
+  val sampleHardnegSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v, label FROM embeddings
+      |  WHERE label IS NOT NULL),
+      |n AS (SELECT vec_id, v, label, sqrt(list_sum([x*x for x in v])) nrm FROM e),
+      |s AS (SELECT q.vec_id qid, q.label qlabel, c.vec_id cid, c.label clabel,
+      |  round(CASE WHEN q.nrm*c.nrm > 0 THEN list_sum([pr[1]*pr[2] for pr in list_zip(q.v, c.v)]) / (q.nrm*c.nrm) ELSE 0.0 END, 6) cosine
+      |  FROM n q JOIN n c ON q.vec_id < 20 AND c.vec_id <> q.vec_id
+      |    AND c.label <> q.label),
+      |r AS (SELECT qid, qlabel, cid, clabel, cosine,
+      |  row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) rnk FROM s)
+      |SELECT qid AS vec_id, qlabel AS label, cid AS neg_id, clabel AS neg_label,
+      |  cosine, rnk::INTEGER AS rank
+      |FROM r WHERE rnk <= 5 ORDER BY vec_id, rank""".stripMargin
+
   /** C97: ANN recall report — recall@5 of the IVF path (C7b) against the
     * brute-force ground truth (C6), per query vector: THE tuning
     * telemetry of the ANN family (nCells/nProbe/planes/bands choices are

@@ -874,4 +874,22 @@ class GraphOpsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1), r.getLong(3)))
     assert(again.sorted.toSeq === got.toSeq.map(kv => (kv._1._1, kv._1._2, kv._2._2)).sorted)
   }
+
+  test("kg_skipgram equals the window-2 pairing recomputed from the walk corpus") {
+    val dir = "/root/testdata/sf0.001"
+    val walks = graft.queries.GraphEtl.kgWalks(spark, dir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    // recompute the skip-gram pairs by hand from the walk rows
+    val expected = walks.groupBy(t => (t._1, t._2)).values.flatMap { rows =>
+      val path = rows.sortBy(_._3).map(_._4).toSeq
+      for {
+        i <- path.indices; j <- (i + 1) until math.min(i + 3, path.length)
+        if path(i) != path(j)
+      } yield (Seq(path(i), path(j)).min, Seq(path(i), path(j)).max)
+    }.groupBy(identity).map { case (p, occ) => (p._1, p._2, occ.size.toLong) }.toSet
+    val got = graft.queries.GraphEtl.kgSkipgram(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty, "the sf0.001 walk corpus must produce co-occurrences")
+  }
 }

@@ -2192,6 +2192,23 @@ class PipelineOpsSpec extends SparkSpec {
       (512, 1L, 500L, math.floor(500.0 / 512 * 1e6 + 0.5) / 1e6, 0L)))
   }
 
+  test("hardNegatives: same-label neighbors never rank, nearest cross-label pairs do, NULL labels drop") {
+    import spark.implicits._
+    def v(x: Double, y: Double) = Array(x.toFloat, y.toFloat)
+    val fixture = Seq[(Long, Array[Float], Integer)](
+      (1L, v(1, 0), 0),                    // the query (audit) vector, label 0
+      (2L, v(1, 0.01), 0),                 // nearest of all — but SAME label
+      (3L, v(1, 0.1), 1),                  // nearest cross-label
+      (4L, v(1, 0.5), 1),                  // second cross-label
+      (5L, v(-1, 0), 1),                   // opposite direction, rank 3
+      (6L, v(1, 0.05), null)               // unlabeled: can't serve
+    ).toDF("vec_id", "embedding", "label")
+    val out = Ann.hardNegatives(fixture.where(col("vec_id") === 1), fixture, k = 3)
+      .collect().map(r => (r.getLong(2), r.getInt(5)))
+    // ranks are exactly the cross-label vectors by cosine, nothing else
+    assert(out.toSeq === Seq((3L, 1), (4L, 2), (5L, 3)))
+  }
+
   test("doc_langmix: chunk-level votes catch the code-switched doc the whole-doc argmax misses") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-langmix").toString
