@@ -746,6 +746,98 @@ object GraphOps {
     acc.orderBy("start_node", "walk", "step")
   }
 
+  /** node2vec-style BIASED random walks (Grover & Leskovec 2016) — the
+    * second-order upgrade of [[randomWalks]]: the draw at each step
+    * weights the current node's out-neighbors by where they sit
+    * relative to the PREVIOUS node — `wReturn` for going back to prev,
+    * `wCommon` for a neighbor prev also points to (BFS-ish, stays
+    * local), `wFar` otherwise (DFS-ish, explores) — so one weight
+    * triple tunes the corpus between structural-equivalence and
+    * community flavors, which is the entire point of node2vec over
+    * DeepWalk. Weights are INTEGERS (the exactness stance: the
+    * selection is cumulative-range arithmetic on exact sums, never a
+    * float partition) and the randomness is the [[randomWalks]] stream
+    * (mix64/fnv of (seed, walk, step, node)) reduced mod the row's
+    * total weight — deterministic, replay-stable, oracle-replayable.
+    * Step 1 has no prev and draws uniformly (weight 1 per neighbor).
+    *
+    * Scale: unlike the first-order walk (O(1) join rows per walker per
+    * step), the biased draw must SEE every out-neighbor's class, so a
+    * step costs Σ deg(cur) join rows — one aggregateMessages-round
+    * equivalent per step, the honest price of second-order bias (the
+    * alias-table trick trades the same product for precomputed state).
+    * All joins are keyed (frontier→neighbors on cur; class lookup on
+    * (prev, x) against the edge set; cumulative weights are one window
+    * per walker-step partition). Lineage checkpoint-flattened per step.
+    */
+  def biasedWalks(pgEdges: DataFrame, walksPerNode: Int = 2,
+                  walkLength: Int = 3, seed: Long = 17L,
+                  wReturn: Int = 1, wCommon: Int = 4, wFar: Int = 16): DataFrame = {
+    require(walksPerNode >= 1 && walkLength >= 1,
+      s"biasedWalks: walksPerNode and walkLength must be >= 1 ($walksPerNode, $walkLength)")
+    require(wReturn >= 0 && wCommon >= 0 && wFar >= 0
+        && (wReturn + wCommon + wFar) > 0,
+      s"biasedWalks: weights must be non-negative, not all zero ($wReturn, $wCommon, $wFar)")
+    val spark = pgEdges.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    import org.apache.spark.sql.expressions.Window
+    val GOLD = 0x9E3779B97F4A7C15L
+    val e = endpoints(pgEdges).where(col("from") =!= col("to")).distinct()
+      .localCheckpoint()
+    val ranked = e.select(col("from").as("__cur"),
+      (row_number().over(Window.partitionBy("from").orderBy("to")).cast("long")
+        - 1).as("__rank"),
+      col("to").as("__x"))
+      .localCheckpoint()
+    val edgeSet = e.select(col("from").as("__prev"), col("to").as("__x"),
+      lit(1).as("__has"))
+    val nodes = e.select(col("from").as("node")).union(e.select(col("to")))
+      .distinct()
+    var frontier = nodes
+      .crossJoin(spark.range(0, walksPerNode)
+        .select(col("id").cast("int").as("walk")))
+      .select(col("node").as("start_node"), col("walk"),
+        col("node").as("__prev"), col("node").as("__cur"))
+      .localCheckpoint()
+    var acc = frontier.select(col("start_node"), col("walk"),
+      lit(0).as("step"), col("__cur").as("node"))
+    for (s <- 1 to walkLength) {
+      val stepSalt = seed + s.toLong * GOLD // wraps: the mod-2^64 semantic
+      val walkSalt = call_function("graft_mix64",
+        lit(stepSalt).bitwiseXOR(col("walk").cast("long")))
+      val draw = shiftrightunsigned(call_function("graft_mix64",
+        call_function("graft_simhash64", array(col("__cur")))
+          .bitwiseXOR(walkSalt)), 1)
+      // expand to every out-neighbor, classify against prev, weight
+      val expanded = frontier.join(ranked, Seq("__cur"))
+        .join(edgeSet, Seq("__prev", "__x"), "left")
+        .withColumn("__w",
+          when(lit(s) === 1, lit(1L)) // no prev yet: uniform
+            .when(col("__x") === col("__prev"), lit(wReturn.toLong))
+            .when(col("__has").isNotNull, lit(wCommon.toLong))
+            .otherwise(lit(wFar.toLong)))
+        .where(col("__w") > 0)
+      val ww = Window.partitionBy("start_node", "walk")
+        .orderBy("__rank")
+      val cum = expanded
+        .withColumn("__cum", sum("__w").over(
+          ww.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("__total", sum("__w").over(
+          ww.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      val stepped = cum
+        .withColumn("__r", draw % col("__total"))
+        .where(col("__r") >= col("__cum") - col("__w")
+          && col("__r") < col("__cum"))
+        .select(col("start_node"), col("walk"),
+          col("__cur").as("__prev"), col("__x").as("__cur"))
+        .localCheckpoint()
+      acc = acc.unionAll(stepped.select(col("start_node"), col("walk"),
+        lit(s).as("step"), col("__cur").as("node")))
+      frontier = stepped
+    }
+    acc.orderBy("start_node", "walk", "step")
+  }
+
   def bfsDistances(pgEdges: DataFrame, seeds: Seq[String], maxHops: Int = 10): DataFrame = {
     val spark = pgEdges.sparkSession
     import spark.implicits._

@@ -745,6 +745,83 @@ object GraphEtl {
        |ORDER BY start_node, walk, step""".stripMargin
   }
 
+  /** A64: node2vec-style biased walk corpus over the KG
+    * ([[graft.ops.graph.GraphOps.biasedWalks]]) — the second-order
+    * upgrade of A61: each draw weights the current node's out-neighbors
+    * by their relation to the PREVIOUS node (return 1 / common 4 /
+    * far 16 — a DFS-leaning exploration mix), so the corpus encodes
+    * community structure rather than pure adjacency. All weights are
+    * integers and the selection is cumulative-range arithmetic on the
+    * A61 hash stream reduced mod the row's total weight, so the oracle
+    * replays every draw exactly: per step it expands the frontier to
+    * ranked neighbors, classifies each against prev via one edge
+    * lookup, window-sums the weights, and picks the range containing
+    * the mixed hash.
+    */
+  def kgWalksBiased(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.graph.GraphOps.biasedWalks(
+      supRegionEdges(spark, dir, withSupRegion = true),
+      walksPerNode = 2, walkLength = 3, seed = 17L,
+      wReturn = 1, wCommon = 4, wFar = 16)
+
+  val kgWalksBiasedSql: String = {
+    val (walks, len, seed) = (2, 3, 17L)
+    val (wr, wc, wf) = (1, 4, 16)
+    val GOLD = 0x9E3779B97F4A7C15L
+    def u(x: Long) = java.lang.Long.toUnsignedString(x)
+    val fnvFold =
+      """list_reduce(list_prepend(14695981039346656037::HUGEINT, UTF8BYTES),
+        |      (h, b) -> ((h // 256 * 256 + xor(h % 256, b)) * 1099511628211::HUGEINT)
+        |                % 18446744073709551616::HUGEINT)""".stripMargin
+        .replace("UTF8BYTES", Pipeline.utf8BytesSql.replace("TOKEN", "cur"))
+    val steps = (1 to len).map { s =>
+      val salt = u(seed + s.toLong * GOLD)
+      val wCase =
+        if (s == 1) "1::BIGINT"
+        else s"""CASE WHEN rk.t = p.prev THEN $wr::BIGINT
+                 |         WHEN es.f IS NOT NULL THEN $wc::BIGINT
+                 |         ELSE $wf::BIGINT END""".stripMargin
+      s"""ws${s}0 AS (SELECT walk, xor($salt::HUGEINT, walk::HUGEINT) AS x FROM wk),
+         |${Pipeline.mix64Ctes(s"ws$s", "walk", s"ws${s}0")},
+         |h${s}0 AS (SELECT p.start_node, p.walk, p.cur,
+         |    xor($fnvFold, w.y) AS x
+         |  FROM s${s - 1} p JOIN ws${s}6 w ON w.walk = p.walk),
+         |${Pipeline.mix64Ctes(s"h$s", "start_node, walk, cur", s"h${s}0")},
+         |x$s AS (SELECT p.start_node, p.walk, p.prev, p.cur, rk.r, rk.t,
+         |    $wCase AS w
+         |  FROM s${s - 1} p JOIN rk ON rk.f = p.cur
+         |  LEFT JOIN es ON es.f = p.prev AND es.t = rk.t),
+         |c$s AS (SELECT start_node, walk, prev, cur, r, t, w,
+         |    sum(w) OVER (PARTITION BY start_node, walk ORDER BY r
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |    sum(w) OVER (PARTITION BY start_node, walk) AS total
+         |  FROM x$s WHERE w > 0),
+         |s$s AS (SELECT c.start_node, c.walk, c.cur AS prev, c.t AS cur
+         |  FROM c$s c JOIN h${s}6 h
+         |    ON h.start_node = c.start_node AND h.walk = c.walk
+         |  WHERE (h.y // 2) % c.total >= c.cum - c.w
+         |    AND (h.y // 2) % c.total < c.cum)""".stripMargin
+    }.mkString(",\n")
+    val union = (0 to len)
+      .map(s => s"SELECT start_node, walk, $s AS step, cur AS node FROM s$s")
+      .mkString("\nUNION ALL ")
+    s"""WITH raw AS (
+       |  SELECT 'nation:' || n_nationkey AS f, 'region:' || n_regionkey AS t FROM nation
+       |  UNION ALL SELECT 'sup:' || s_suppkey, 'nation:' || s_nationkey FROM supplier
+       |  UNION ALL SELECT 'sup:' || s_suppkey, 'region:' || n_regionkey
+       |    FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+       |e AS (SELECT DISTINCT f, t FROM raw WHERE f <> t),
+       |rk AS (SELECT f, t, (row_number() OVER (PARTITION BY f ORDER BY t) - 1)::BIGINT AS r FROM e),
+       |es AS (SELECT f, t FROM e),
+       |nodes AS (SELECT DISTINCT node FROM (SELECT f AS node FROM e UNION ALL SELECT t FROM e) s),
+       |wk AS (SELECT unnest(range(0, $walks))::INTEGER AS walk),
+       |s0 AS (SELECT node AS start_node, walk, node AS prev, node AS cur
+       |  FROM nodes CROSS JOIN wk),
+       |$steps
+       |$union
+       |ORDER BY start_node, walk, step""".stripMargin
+  }
+
   /** A63: skip-gram co-occurrence pairs from the walk corpus — the
     * actual DeepWalk TRAINING TABLE: every unordered node pair
     * co-occurring within a window of 2 steps on some A61 walk, with its

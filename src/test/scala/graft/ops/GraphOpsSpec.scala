@@ -875,6 +875,50 @@ class GraphOpsSpec extends SparkSpec {
     assert(again.sorted.toSeq === got.toSeq.map(kv => (kv._1._1, kv._1._2, kv._2._2)).sorted)
   }
 
+  test("biasedWalks: the p/q classification weights the draw exactly; zero weights truncate") {
+    import graft.functions.{SimHash64, SrpCodes}
+    import org.apache.spark.unsafe.types.UTF8String
+    val GOLD = 0x9E3779B97F4A7C15L
+    def draw(v: String, w: Long, s: Int): Long = {
+      val walkSalt = SrpCodes.mix64((17L + s.toLong * GOLD) ^ w)
+      SrpCodes.mix64(SimHash64.hash64(UTF8String.fromString(v)) ^ walkSalt) >>> 1
+    }
+    // from b with prev=a: a is RETURN (w 1), c is COMMON (a->c exists,
+    // w 4), d is FAR (w 16) — ranks a(0), c(1), d(2), cum [1, 5, 21]
+    val edges = Seq(("a", "b"), ("a", "c"),
+      ("b", "a"), ("b", "c"), ("b", "d")).toDF("from", "to")
+    val out = GraphOps.biasedWalks(edges, walksPerNode = 2, walkLength = 2,
+        seed = 17L, wReturn = 1, wCommon = 4, wFar = 16)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    val byWalk = out.groupBy(t => (t._1, t._2))
+      .map { case (k, rows) => k -> rows.sortBy(_._3).map(_._4).toSeq }
+    (0 to 1).foreach { w =>
+      // step 1 from a: uniform over {b, c} (ranks 0, 1)
+      val s1 = Seq("b", "c")((draw("a", w, 1) % 2).toInt)
+      assert(byWalk(("a", w))(1) === s1, s"walk $w step 1")
+      if (s1 == "b") {
+        // step 2 from b with prev=a: pick by cumulative range [1, 5, 21]
+        val r = draw("b", w, 2) % 21
+        val exp = if (r < 1) "a" else if (r < 5) "c" else "d"
+        assert(byWalk(("a", w))(2) === exp, s"walk $w step 2 (r=$r)")
+      }
+    }
+    // every hop is a real edge
+    val edgeSet = Set(("a", "b"), ("a", "c"), ("b", "a"), ("b", "c"), ("b", "d"))
+    byWalk.foreach { case (k, path) =>
+      path.sliding(2).filter(_.size == 2).foreach(p =>
+        assert(edgeSet.contains((p(0), p(1))), s"$k walked a non-edge $p"))
+    }
+    // wReturn = 0 on a pure 2-cycle: the only continuation is the return,
+    // weight 0 filters it, the walk truncates instead of dividing by zero
+    val cyc = Seq(("a", "b"), ("b", "a")).toDF("from", "to")
+    val t = GraphOps.biasedWalks(cyc, walksPerNode = 1, walkLength = 3,
+        seed = 17L, wReturn = 0, wCommon = 4, wFar = 16)
+      .collect().map(r => (r.getString(0), r.getInt(2)))
+    assert(t.count(_._1 == "a") === 2, "a-walk must truncate after one hop")
+    assert(t.count(_._1 == "b") === 2, "b-walk must truncate after one hop")
+  }
+
   test("kg_skipgram equals the window-2 pairing recomputed from the walk corpus") {
     val dir = "/root/testdata/sf0.001"
     val walks = graft.queries.GraphEtl.kgWalks(spark, dir).collect()
