@@ -230,6 +230,45 @@ object GraphOps {
       .orderBy("etype")
   }
 
+  /** Length-2 typed META-PATH census — for every (src_type)−[etype1]→
+    * (mid_type)−[etype2]→(dst_type) schema pattern, the number of
+    * 2-walk INSTANCES and of distinct middle nodes: the schema-level
+    * profile (which typed hops actually compose, and how heavily) that
+    * picks the motifs worth running [[motifPaths]] on and prices them
+    * before any traversal — KnetMiner's semantic-motif design loop.
+    * Counts are WALK counts (src = dst walks included; on typed
+    * hierarchies walks and simple paths coincide because no type ladder
+    * returns to its source).
+    *
+    * Scale: the defining trick is that a census never needs the
+    * instances — #instances through mid = indeg_{t1,src_t}(mid) ×
+    * outdeg_{t2,dst_t}(mid), so the op joins two per-(mid, type, type)
+    * DEGREE tables (each at most edge-sized) on the mid key and sums
+    * the products into a schema-sized result. A hub with 10⁶ in- and
+    * 10⁶ out-edges contributes one multiplication, not 10¹² join rows —
+    * the pair-enumeration formulation dies exactly there.
+    */
+  def metaPathCensus(edges: DataFrame, nodeType: org.apache.spark.sql.Column
+      => org.apache.spark.sql.Column, srcCol: String = "src",
+      dstCol: String = "dst", typeCol: String = "etype"): DataFrame = {
+    val e = edges.select(col(typeCol).as("etype"),
+        col(srcCol).as("__s"), col(dstCol).as("__d"))
+      .where(col("etype").isNotNull && col("__s").isNotNull &&
+        col("__d").isNotNull)
+    val din = e.groupBy(col("__d").as("mid"), col("etype").as("etype1"),
+        nodeType(col("__s")).as("src_type"))
+      .agg(count(lit(1)).as("n_in"))
+    val dout = e.groupBy(col("__s").as("mid"), col("etype").as("etype2"),
+        nodeType(col("__d")).as("dst_type"))
+      .agg(count(lit(1)).as("n_out"))
+    din.join(dout, "mid")
+      .groupBy(col("src_type"), col("etype1"), nodeType(col("mid"))
+        .as("mid_type"), col("etype2"), col("dst_type"))
+      .agg(sum(col("n_in") * col("n_out")).as("n_paths"),
+        count_distinct(col("mid")).as("n_mids"))
+      .orderBy("src_type", "etype1", "mid_type", "etype2", "dst_type")
+  }
+
   /** Longest-path (critical-path) topological levels of a DAG — the
     * scheduling read of [[condensation]]'s quotient graph: level(v) = 0
     * for sources, else 1 + max(level(u) : u→v), i.e. the earliest wave a
@@ -1428,6 +1467,61 @@ object GraphOps {
         (col("ra_u12") / lit(1e12)).as("ra"))
       .orderBy(col("ra_u12").desc, col("node_a"), col("node_b"))
       .limit(topK)
+  }
+
+  /** Rich-club coefficient curve over the canonical simple undirected
+    * graph (a<b, distinct, self-loops dropped — the [[modularity]]
+    * canonicalisation): for each degree threshold k, the number of
+    * nodes with degree > k, the number of edges with BOTH endpoints in
+    * that club, and φ(k) = 2·E_k / (n_k·(n_k−1)) — how much more
+    * densely the hubs wire to EACH OTHER than chance. The KG topology
+    * read that distinguishes a hub-and-spoke ontology (hubs joined only
+    * through leaves, φ flat) from an interconnected core (φ rising with
+    * k) — which decides whether hub-pruning heuristics
+    * ([[nodeSimilarity]]'s guard, [[resourceAllocation]]'s cap) cut
+    * real structure or just fan-out. n_k < 2 yields NULL, not a
+    * division error. φ is floor(v·1e6+0.5)-quantized from exact integer
+    * counts.
+    *
+    * Scale: ALL thresholds ride one edge pass — each endpoint's degree
+    * is attached by a node-keyed join (the same shuffle any |V|-dim
+    * join costs), then every k is a conditional sum over min(d_a, d_b)
+    * in a single map-side-combined aggregate; the node side likewise.
+    * No per-threshold subgraph is ever materialised.
+    */
+  def richClub(pgEdges: DataFrame,
+               thresholds: Seq[Int] = Seq(1, 2, 4, 8, 16)): DataFrame = {
+    require(thresholds.nonEmpty && thresholds == thresholds.sorted,
+      s"richClub: thresholds must be non-empty ascending (got $thresholds)")
+    val canon = endpoints(pgEdges)
+      .where(col("from") =!= col("to"))
+      .select(least(col("from"), col("to")).as("a"),
+        greatest(col("from"), col("to")).as("b"))
+      .distinct()
+    val deg = canon.select(col("a").as("node"))
+      .union(canon.select(col("b")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    val ed = canon
+      .join(deg.select(col("node").as("a"), col("degree").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("degree").as("db")), "b")
+      .select(least(col("da"), col("db")).as("dmin"))
+    val eAggs = thresholds.map(k =>
+      sum(when(col("dmin") > k, 1L).otherwise(0L)).as(s"e$k"))
+    val nAggs = thresholds.map(k =>
+      sum(when(col("degree") > k, 1L).otherwise(0L)).as(s"n$k"))
+    val edAgg = ed.agg(eAggs.head, eAggs.tail: _*)
+    val ndAgg = deg.agg(nAggs.head, nAggs.tail: _*)
+    val stackExpr = s"stack(${thresholds.size}, " +
+      thresholds.map(k => s"$k, n$k, e$k").mkString(", ") +
+      ") as (k, n_nodes, n_edges)"
+    ndAgg.crossJoin(edAgg)
+      .selectExpr(stackExpr)
+      .select(col("k"), col("n_nodes"), col("n_edges"),
+        when(col("n_nodes") < 2, lit(null).cast("double"))
+          .otherwise(floor((lit(2) * col("n_edges")).cast("double")
+            / (col("n_nodes") * (col("n_nodes") - 1))
+            * lit(1000000) + lit(0.5)) / lit(1e6)).as("phi"))
+      .orderBy("k")
   }
 
   /** Node degrees of a PG edge set (triples with `@from`/`@to`), via

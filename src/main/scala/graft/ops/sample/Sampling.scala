@@ -266,6 +266,54 @@ object Sampling {
       .limit(n)
   }
 
+  /** Systematic probability-proportional-to-size (PPS) sampling — k
+    * evenly spaced picks through each stratum's cumulative-weight line:
+    * offsets o_j = ⌊W·(2j+1)/(2k)⌋ for j = 0..k−1 land in [0, W), and a
+    * row owning the cumulative interval [c, c+w) is emitted with
+    * `n_picks` = #offsets inside its interval. Inclusion probability is
+    * ∝ weight with the EVEN-SPREAD guarantee ES top-k sampling
+    * ([[weightedSample]]) does not give (systematic sampling cannot
+    * cluster its picks in one heavy corner), and a row heavier than W/k
+    * is picked with MULTIPLICITY — the with-replacement semantic a
+    * token-budgeted eval set actually wants from a PPS draw.
+    *
+    * Exactness: the whole selection is INTEGER arithmetic — the offset
+    * range inside [c, c+w) is inverted in closed form (ceil-division
+    * bounds on 2j+1, never a float), so any engine reproduces the
+    * sample bit-for-bit; no hash, no transcendental, no rounding knife
+    * edge. Requires Σw·2k < 2⁶³ per stratum (ANSI overflow refuses
+    * loudly past that).
+    *
+    * Scale: one per-stratum prefix-sum window in id order (the
+    * [[mixToBudget]] shape), a |strata|-row total broadcast back, then
+    * pure narrow arithmetic — the offsets are never materialised and
+    * nothing is joined against them.
+    */
+  def ppsSample(df: DataFrame, strataCol: String, idCol: String,
+                weight: Column, k: Int): DataFrame = {
+    require(k > 0, s"ppsSample: k must be positive (got $k)")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(strataCol).orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val base = df
+      .where(col(strataCol).isNotNull && col(idCol).isNotNull &&
+        weight.cast("long") > 0)
+      .withColumn("__w", weight.cast("long"))
+    val cum = base
+      .withColumn("__c", coalesce(sum("__w").over(w), lit(0L)))
+    val tot = base.groupBy(strataCol).agg(sum("__w").as("__tw"))
+    cum.join(broadcast(tot), strataCol)
+      .withColumn("__a", expr(s"(2 * $k * __c + __tw - 1) div __tw"))
+      .withColumn("__b", expr(s"(2 * $k * (__c + __w) + __tw - 1) div __tw"))
+      .withColumn("__jlo", greatest(lit(0L), expr("__a div 2")))
+      .withColumn("__jhi", when(col("__b") < 2, lit(-1L))
+        .otherwise(least(lit(k - 1L), expr("(__b - 2) div 2"))))
+      .withColumn("n_picks", col("__jhi") - col("__jlo") + 1)
+      .where(col("n_picks") > 0)
+      .select(col(strataCol), col(idCol), col("__w").as("weight"),
+        col("n_picks"))
+  }
+
   /** Temperature-flattened domain mixing — the multilingual "alpha
     * sampling" staple (mT5/XLM-R): per-domain weights are the corpus
     * token SHARES raised to `alpha` ∈ (0, 1], so alpha = 1 keeps natural

@@ -893,4 +893,39 @@ object Stats {
       (t, math.floor(num.toDouble / (24L * t).toDouble * 1e6 + 0.5) / 1e6)
     }
   }
+
+  /** Exact autocorrelation profile of a bucket→count map — the scalar
+    * kernel of the D42 live monitor and the arithmetic twin of B80
+    * (`events_autocorr`): the series is zero-filled from the min to the
+    * max bucket (an absent bucket is a real zero), the mean is kept
+    * RATIONAL by multiplying every deviation through by n (num and den
+    * are exact integers — Math.*Exact refuses overflow loudly, the D39
+    * stance), and each lag's single division is floor(v·1e6+0.5)-
+    * quantized exactly like the batch query's. A constant series
+    * (den = 0) yields None per lag, never a division error.
+    */
+  def acfProfile(counts: Map[Long, Long], bucketUs: Long,
+                 maxLag: Int = 6): Seq[(Int, Long, Option[Double])] = {
+    require(counts.nonEmpty, "acfProfile: need at least one bucket")
+    require(bucketUs > 0 && maxLag > 0, "acfProfile: bad parameters")
+    val b0 = counts.keys.min
+    val b1 = counts.keys.max
+    val n = ((b1 - b0) / bucketUs + 1).toInt
+    val xs = Array.tabulate(n)(i => counts.getOrElse(b0 + i * bucketUs, 0L))
+    val sx = xs.foldLeft(0L)(Math.addExact)
+    val dev = xs.map(x => Math.subtractExact(Math.multiplyExact(n.toLong, x), sx))
+    val den = dev.foldLeft(0L)((a, d) =>
+      Math.addExact(a, Math.multiplyExact(d, d)))
+    (1 to maxLag).map { k =>
+      var num = 0L
+      var i = k
+      while (i < n) {
+        num = Math.addExact(num, Math.multiplyExact(dev(i), dev(i - k)))
+        i += 1
+      }
+      val acf = if (den == 0L) None
+        else Some(math.floor(num.toDouble / den * 1e6 + 0.5) / 1e6)
+      (k, n.toLong, acf)
+    }
+  }
 }

@@ -990,6 +990,106 @@ object GraphEtl {
       |  min(pth) AS sample_path
       |FROM allp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** A65: length-2 meta-path census over the typed KG
+    * ([[graft.ops.graph.GraphOps.metaPathCensus]]) — the schema-level
+    * profile of which typed hops COMPOSE (and how heavily) that designs
+    * and prices [[kgMotif]]'s traversals before any path is enumerated:
+    * per (src_type, etype1, mid_type, etype2, dst_type) the 2-walk
+    * instance count and the distinct-middle count. Runs on the A47 edge
+    * set (supplied_by + the returned_by distractor + located_in +
+    * part_of), where the census must report returned_by→located_in as a
+    * SEPARATE meta-path with strictly fewer instances than
+    * supplied_by→located_in — the typing signal itself. Node types are
+    * the id prefixes. Scale: the census never enumerates instances —
+    * two per-(mid, type, type) degree tables joined on the mid key,
+    * products summed into a schema-sized result (a 10⁶-in × 10⁶-out hub
+    * is one multiplication, not 10¹² join rows); the oracle is the
+    * OPPOSITE formulation (the pair join), equal by Σ indeg·outdeg.
+    */
+  def kgMetaPaths(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val edges = li
+      .select(concat(lit("part:"), col("l_partkey")).as("src"),
+        concat(lit("sup:"), col("l_suppkey")).as("dst"),
+        lit("supplied_by").as("etype")).distinct()
+      .unionByName(li.where(col("l_returnflag") === "R")
+        .select(concat(lit("part:"), col("l_partkey")).as("src"),
+          concat(lit("sup:"), col("l_suppkey")).as("dst"),
+          lit("returned_by").as("etype")).distinct())
+      .unionByName(Tables.load(spark, dir, "supplier")
+        .select(concat(lit("sup:"), col("s_suppkey")).as("src"),
+          concat(lit("nation:"), col("s_nationkey")).as("dst"),
+          lit("located_in").as("etype")))
+      .unionByName(Tables.load(spark, dir, "nation")
+        .select(concat(lit("nation:"), col("n_nationkey")).as("src"),
+          concat(lit("region:"), col("n_regionkey")).as("dst"),
+          lit("part_of").as("etype")))
+    graft.ops.graph.GraphOps.metaPathCensus(edges,
+      c => substring_index(c, ":", 1))
+  }
+
+  val kgMetaPathsSql: String =
+    """WITH e AS (
+      |  SELECT DISTINCT 'part:' || l_partkey AS src, 'sup:' || l_suppkey AS dst,
+      |    'supplied_by' AS t FROM lineitem
+      |  UNION ALL
+      |  SELECT DISTINCT 'part:' || l_partkey, 'sup:' || l_suppkey, 'returned_by'
+      |  FROM lineitem WHERE l_returnflag = 'R'
+      |  UNION ALL
+      |  SELECT 'sup:' || s_suppkey, 'nation:' || s_nationkey, 'located_in' FROM supplier
+      |  UNION ALL
+      |  SELECT 'nation:' || n_nationkey, 'region:' || n_regionkey, 'part_of' FROM nation),
+      |p AS (SELECT split_part(a.src, ':', 1) AS src_type, a.t AS etype1,
+      |    split_part(a.dst, ':', 1) AS mid_type, b.t AS etype2,
+      |    split_part(b.dst, ':', 1) AS dst_type, a.dst AS mid
+      |  FROM e a JOIN e b ON b.src = a.dst)
+      |SELECT src_type, etype1, mid_type, etype2, dst_type,
+      |  count(*)::BIGINT AS n_paths, count(DISTINCT mid)::BIGINT AS n_mids
+      |FROM p GROUP BY 1, 2, 3, 4, 5 ORDER BY 1, 2, 3, 4, 5""".stripMargin
+
+  /** A66: rich-club coefficient curve of the supplier–nation–region KG
+    * ([[graft.ops.graph.GraphOps.richClub]]) — for degree thresholds
+    * k ∈ {1,2,4,8,16}: club size, intra-club edge count, and
+    * φ(k) = 2·E_k/(n_k(n_k−1)) over the canonical simple undirected
+    * graph (the A35/A41 canonicalisation). On this containment topology
+    * suppliers (degree ≤ 3) fall out of the club early while nations
+    * and regions stay, so the curve isolates how the hub layer wires to
+    * itself — the read that decides whether hub-pruning heuristics
+    * (A30's guard, A62's cap) cut real structure or just fan-out.
+    * Scale: one degree aggregate, two node-keyed joins attaching
+    * endpoint degrees, then ALL five thresholds as conditional sums in
+    * ONE edge pass + one node pass (1-row tables crossed and stacked) —
+    * no per-threshold subgraph.
+    */
+  def kgRichClub(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.graph.GraphOps.richClub(
+      supRegionEdges(spark, dir, withSupRegion = true))
+
+  val kgRichClubSql: String =
+    """WITH raw AS (
+      |  SELECT 'nation:' || n_nationkey AS f, 'region:' || n_regionkey AS t FROM nation
+      |  UNION ALL SELECT 'sup:' || s_suppkey, 'nation:' || s_nationkey FROM supplier
+      |  UNION ALL SELECT 'sup:' || s_suppkey, 'region:' || n_regionkey
+      |    FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+      |u AS (SELECT DISTINCT least(f, t) AS a, greatest(f, t) AS b FROM raw WHERE f <> t),
+      |d AS (SELECT node, count(*)::BIGINT AS degree FROM (
+      |  SELECT a AS node FROM u UNION ALL SELECT b FROM u) s GROUP BY node),
+      |ed AS (SELECT least(da.degree, db.degree) AS dmin FROM u
+      |  JOIN d da ON da.node = u.a JOIN d db ON db.node = u.b),
+      |ks AS (SELECT unnest([1, 2, 4, 8, 16])::INTEGER AS k),
+      |nn AS (SELECT ks.k,
+      |    sum(CASE WHEN d.degree > ks.k THEN 1 ELSE 0 END)::BIGINT AS n_nodes
+      |  FROM ks, d GROUP BY 1),
+      |ee AS (SELECT ks.k,
+      |    sum(CASE WHEN ed.dmin > ks.k THEN 1 ELSE 0 END)::BIGINT AS n_edges
+      |  FROM ks, ed GROUP BY 1)
+      |SELECT nn.k, nn.n_nodes, coalesce(ee.n_edges, 0)::BIGINT AS n_edges,
+      |  CASE WHEN nn.n_nodes < 2 THEN NULL
+      |    ELSE floor((2 * coalesce(ee.n_edges, 0))::DOUBLE
+      |      / (nn.n_nodes * (nn.n_nodes - 1)) * 1000000 + 0.5) / 1e6
+      |  END AS phi
+      |FROM nn LEFT JOIN ee USING (k) ORDER BY nn.k""".stripMargin
+
   /** A43: landmark harmonic closeness over the containment hierarchy
     * ([[graft.ops.graph.GraphOps.landmarkCloseness]]) — closeness
     * centrality at KG scale: k=8 md5-ordered landmark nodes (a

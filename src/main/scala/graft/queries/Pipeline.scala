@@ -1358,6 +1358,144 @@ object Pipeline {
       |  cnt AS n_maj, (clabel <> qlabel) AS flagged
       |FROM m WHERE vr = 1 ORDER BY vec_id""".stripMargin
 
+  /** C117: per-source boilerplate profile — the CCNet/WET-extraction
+    * hygiene read: a word bigram appearing in at least HALF of a
+    * source's documents (df·2 ≥ n_docs, sources with ≥ 4 docs) is
+    * template text — navigation chrome, license footers, cookie
+    * banners — not content; per document, the fraction of its distinct
+    * bigrams that are template (`boiler_ratio`) and a flag at the exact
+    * integer threshold n_boiler·5 ≥ n_shingles (ratio ≥ 0.2 with NO
+    * float compare — a knife-edge-free flag). The C26-adjacent signal
+    * C26 cannot see: Gopher flags judge a document alone; boilerplate is
+    * only visible ACROSS a source. Shingles are C2's exact bigram
+    * recipe, so the oracle's shingle space is already proven.
+    *
+    * Scale: the bigram arrays are staged ONCE (localCheckpoint — the r5
+    * single-tokenise lesson) and both consumers read the staged rows;
+    * df is a (source, shingle)-keyed count, the template set joins back
+    * on the SAME key (co-partitioned, no second shuffle shape), per-doc
+    * counts map-side combine; the |sources|-row doc-count table rides a
+    * broadcast. Nothing all-pairs, nothing corpus² — boilerplate needs
+    * only df, never pair comparison.
+    */
+  def textBoilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val staged = docs(spark, dir)
+      .where(col("doc_id").isNotNull && col("source").isNotNull &&
+        col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        graft.ops.text.TextOps.bigrams(col("text")).as("sh"))
+      .where(size(col("sh")) > 0)
+      .localCheckpoint()
+    val ex = staged.select(col("source"), col("doc_id"),
+      explode(col("sh")).as("g"))
+    val nd = staged.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val boiler = ex.groupBy("source", "g").agg(count(lit(1)).as("df"))
+      .join(broadcast(nd), "source")
+      .where(col("df") * 2 >= col("n_docs") && col("n_docs") >= 4)
+      .select(col("source"), col("g"))
+    val perDoc = ex.join(boiler, Seq("source", "g"), "left_semi")
+      .groupBy("source", "doc_id").agg(count(lit(1)).as("n_boiler"))
+    staged
+      .select(col("source"), col("doc_id"), size(col("sh")).cast("long")
+        .as("n_shingles"))
+      .join(perDoc, Seq("source", "doc_id"), "left")
+      .select(col("source"), col("doc_id"), col("n_shingles"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+        (floor(coalesce(col("n_boiler"), lit(0L)).cast("double")
+          / col("n_shingles") * lit(1000000) + lit(0.5)) / lit(1e6))
+          .as("boiler_ratio"),
+        (coalesce(col("n_boiler"), lit(0L)) * 5 >= col("n_shingles"))
+          .as("flagged"))
+      .orderBy("source", "doc_id")
+  }
+
+  val textBoilerplateSql: String =
+    """WITH t AS (SELECT doc_id, source, string_split(text, ' ') w
+      |  FROM documents WHERE doc_id IS NOT NULL AND source IS NOT NULL
+      |    AND text IS NOT NULL),
+      |s0 AS (SELECT doc_id, source,
+      |    list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) sh
+      |  FROM t),
+      |s AS MATERIALIZED (SELECT doc_id, source, sh FROM s0 WHERE len(sh) > 0),
+      |ex AS MATERIALIZED (SELECT source, doc_id, unnest(sh) AS g FROM s),
+      |nd AS (SELECT source, count(*)::BIGINT AS n_docs FROM s GROUP BY 1),
+      |dfq AS (SELECT source, g, count(*)::BIGINT AS df FROM ex GROUP BY 1, 2),
+      |bo AS (SELECT dfq.source, dfq.g FROM dfq JOIN nd USING (source)
+      |  WHERE dfq.df * 2 >= nd.n_docs AND nd.n_docs >= 4),
+      |pb AS (SELECT ex.source, ex.doc_id, count(*)::BIGINT AS n_boiler
+      |  FROM ex JOIN bo ON bo.source = ex.source AND bo.g = ex.g
+      |  GROUP BY 1, 2),
+      |base AS (SELECT source, doc_id, len(sh)::BIGINT AS n_shingles FROM s)
+      |SELECT base.source, base.doc_id, base.n_shingles,
+      |  coalesce(pb.n_boiler, 0)::BIGINT AS n_boiler,
+      |  floor(coalesce(pb.n_boiler, 0)::DOUBLE / base.n_shingles
+      |    * 1000000 + 0.5) / 1e6 AS boiler_ratio,
+      |  coalesce(pb.n_boiler, 0) * 5 >= base.n_shingles AS flagged
+      |FROM base LEFT JOIN pb USING (source, doc_id)
+      |ORDER BY source, doc_id""".stripMargin
+
+  /** C116: calibration audit of the kNN self-classifier
+    * ([[graft.ops.ann.Ann.labelNoise]] composed into a reliability
+    * table) — C95 flags WHICH labels look wrong; this asks whether the
+    * classifier's CONFIDENCE means anything: per vote-count bin
+    * n_maj ∈ {1..5} (confidence = n_maj/5 — with k = 5 the confidence
+    * support is exactly these five values, so binning by n_maj IS the
+    * reliability diagram with no arbitrary bin edges), the query count,
+    * how often the majority label matched the given label (acc), the
+    * |acc − conf| gap, and the expected calibration error
+    * ECE = Σ_b (n_b/N)·|acc_b − conf_b| — the one number that says
+    * "trust the vote margin" or "recalibrate before using it to triage
+    * C95's flags". Every ratio is a single floor(v·1e6+0.5)-quantized
+    * division of EXACT integers (ECE multiplied through by 5N — no
+    * per-bin float accumulates). Scale: rides the C95 chain (broadcast
+    * audit × one corpus scan, TopKPerKey-bounded rank); the bin table
+    * is ≤ k rows, the total a 1-row broadcast.
+    */
+  def labelCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    val ln = Ann.labelNoise(e.where(col("vec_id") < 500), e, k = 5)
+    val bins = ln.groupBy("n_maj").agg(count(lit(1)).as("n_queries"),
+      sum(when(col("maj_label") === col("label"), 1L).otherwise(0L))
+        .as("n_correct"))
+    val dev = abs(lit(5) * col("n_correct") - col("n_queries") * col("n_maj"))
+    val tot = bins.agg(sum("n_queries").as("__nn"), sum(dev).as("__dev"))
+    def q6(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1000000) + lit(0.5)) / lit(1e6)
+    bins.crossJoin(broadcast(tot))
+      .select(col("n_maj"), col("n_queries"), col("n_correct"),
+        q6(col("n_maj").cast("double") / 5).as("conf"),
+        q6(col("n_correct").cast("double") / col("n_queries")).as("acc"),
+        q6(dev.cast("double") / (lit(5) * col("n_queries"))).as("gap"),
+        q6(col("__dev").cast("double") / (lit(5) * col("__nn"))).as("ece"))
+      .orderBy("n_maj")
+  }
+
+  val labelCalibrationSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v, label FROM embeddings
+      |  WHERE label IS NOT NULL),
+      |n AS (SELECT vec_id, v, label, sqrt(list_sum([x*x for x in v])) nrm FROM e),
+      |s AS (SELECT q.vec_id qid, q.label qlabel, c.vec_id cid, c.label clabel,
+      |  round(CASE WHEN q.nrm*c.nrm > 0 THEN list_sum([pr[1]*pr[2] for pr in list_zip(q.v, c.v)]) / (q.nrm*c.nrm) ELSE 0.0 END, 6) cosine
+      |  FROM n q JOIN n c ON q.vec_id < 500 AND c.vec_id <> q.vec_id),
+      |r AS (SELECT qid, qlabel, clabel,
+      |  row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) rnk FROM s),
+      |v AS (SELECT qid, qlabel, clabel, count(*) cnt FROM r WHERE rnk <= 5 GROUP BY 1, 2, 3),
+      |m AS (SELECT qid, qlabel, clabel, cnt,
+      |  row_number() OVER (PARTITION BY qid ORDER BY cnt DESC, clabel) vr FROM v),
+      |ln AS (SELECT qid, qlabel, clabel, cnt FROM m WHERE vr = 1),
+      |b AS (SELECT cnt AS n_maj, count(*)::BIGINT AS n_queries,
+      |    sum(CASE WHEN clabel = qlabel THEN 1 ELSE 0 END)::BIGINT AS n_correct
+      |  FROM ln GROUP BY 1),
+      |t AS (SELECT sum(n_queries)::BIGINT AS nn,
+      |    sum(abs(5*n_correct - n_queries*n_maj))::BIGINT AS dev FROM b)
+      |SELECT n_maj, n_queries, n_correct,
+      |  floor(n_maj::DOUBLE / 5 * 1000000 + 0.5) / 1e6 AS conf,
+      |  floor(n_correct::DOUBLE / n_queries * 1000000 + 0.5) / 1e6 AS acc,
+      |  floor(abs(5*n_correct - n_queries*n_maj)::DOUBLE / (5*n_queries)
+      |    * 1000000 + 0.5) / 1e6 AS gap,
+      |  floor(t.dev::DOUBLE / (5*t.nn) * 1000000 + 0.5) / 1e6 AS ece
+      |FROM b, t ORDER BY n_maj""".stripMargin
+
   /** C114: hard-negative mining ([[graft.ops.ann.Ann.hardNegatives]]) —
     * per audit vector the top-5 nearest corpus vectors with a DIFFERENT
     * label: the near-boundary pairs a contrastive/metric trainer wants
@@ -2943,6 +3081,44 @@ object Pipeline {
       |SELECT doc_id, source, n_chars,
       |  CASE WHEN k0 = 0 THEN 0.0 ELSE k0 END AS es_key FROM k
       |ORDER BY es_key DESC, doc_id LIMIT 100""".stripMargin
+
+  /** C115: systematic PPS sampling per source
+    * ([[graft.ops.sample.Sampling.ppsSample]], k = 40, weight =
+    * n_chars) — the EVEN-SPREAD weighted draw beside C54's ES top-k:
+    * 40 offsets march through each source's cumulative-char line at
+    * equal stride, so picks cannot cluster in one heavy corner of the
+    * corpus and a document heavier than W/k is drawn with MULTIPLICITY
+    * (`n_picks` — the with-replacement semantic a token-budgeted eval
+    * set wants). The whole selection is closed-form INTEGER arithmetic
+    * (ceil-division bounds inverting each row's offset range — no hash,
+    * no float, no knife edge), so the oracle reproduces it bit-for-bit
+    * from the same window. NULL ids/sources and non-positive weights
+    * drop at the door.
+    */
+  def samplePps(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.sample.Sampling
+      .ppsSample(docs(spark, dir), "source", "doc_id", col("n_chars"), k = 40)
+      .withColumnRenamed("weight", "n_chars")
+      .orderBy("source", "doc_id")
+
+  val samplePpsSql: String =
+    """WITH b AS (SELECT source, doc_id, n_chars::BIGINT AS w FROM documents
+      |  WHERE source IS NOT NULL AND doc_id IS NOT NULL AND n_chars > 0),
+      |cm AS (SELECT source, doc_id, w,
+      |    coalesce(sum(w) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS c
+      |  FROM b),
+      |t AS (SELECT source, sum(w)::BIGINT AS tw FROM b GROUP BY 1),
+      |j AS (SELECT cm.source, cm.doc_id, cm.w,
+      |    (80 * cm.c + t.tw - 1) // t.tw AS lo,
+      |    (80 * (cm.c + cm.w) + t.tw - 1) // t.tw AS hi
+      |  FROM cm JOIN t USING (source)),
+      |p AS (SELECT source, doc_id, w,
+      |    greatest(0, lo // 2) AS jlo,
+      |    CASE WHEN hi < 2 THEN -1 ELSE least(39, (hi - 2) // 2) END AS jhi
+      |  FROM j)
+      |SELECT source, doc_id, w AS n_chars, (jhi - jlo + 1)::BIGINT AS n_picks
+      |FROM p WHERE jhi - jlo + 1 > 0 ORDER BY source, doc_id""".stripMargin
 
   /** C53: per-source HyperLogLog distinct-token estimate
     * ([[graft.ops.stats.Stats.hllDistinct]], m = 64) alongside the exact

@@ -1017,6 +1017,287 @@ object Relational {
       |  n_top1, floor(t99::DOUBLE / tot * 1000000 + 0.5) / 1e6 AS share_top1
       |FROM s""".stripMargin
 
+  /** B78: market-basket brand affinity — support / confidence / lift for
+    * every unordered brand pair co-purchased within one order: the
+    * association-rule read of the order stream (which brands PULL each
+    * other into a basket, lift > 1) that drives bundling and
+    * recommendation candidates. Counts are over DISTINCT (order, brand)
+    * memberships (multiplicity within an order is basket noise, not
+    * affinity); ratios are floor(v·1e6+0.5)-quantized doubles of exact
+    * integer counts (each a single correctly-rounded division — the
+    * engine-identical idiom).
+    *
+    * Scale: the classic pair-counting trap is the self-join of the
+    * membership table on the order key — an extra shuffle AND a skew
+    * amplifier (a hot order joins with itself quadratically). Here pairs
+    * never touch a join: one groupBy builds each order's sorted distinct
+    * brand set (bounded by order size — single-digit lines per order at
+    * any scale, by schema not by luck), and the pair stream is generated
+    * IN-ROW by a nested array transform (Σ|basket|² map-side work),
+    * feeding one (brand_a, brand_b) keyed count with map-side combine.
+    * Marginals are a |brands|-row broadcast, the basket total a 1-row
+    * broadcast — nothing after the first groupBy is order-sized.
+    */
+  def ordersBasket(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+      .where(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
+    val part = Tables.load(spark, dir, "part")
+      .select(col("p_partkey"), col("p_brand"))
+      .where(col("p_partkey").isNotNull && col("p_brand").isNotNull)
+    val ob = li.join(part, li("l_partkey") === part("p_partkey"))
+      .select(col("l_orderkey").as("okey"), col("p_brand").as("brand"))
+    val baskets = ob.groupBy("okey")
+      .agg(sort_array(collect_set(col("brand"))).as("bs"))
+    val pairs = baskets
+      .select(explode(flatten(transform(col("bs"), (x, i) =>
+        transform(slice(col("bs"), i + lit(2), size(col("bs"))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a").as("brand_a"), col("p.b").as("brand_b"))
+      .groupBy("brand_a", "brand_b")
+      .agg(count(lit(1)).as("n_both"))
+    val marg = baskets.select(explode(col("bs")).as("brand"))
+      .groupBy("brand").agg(count(lit(1)).as("n"))
+    val tot = baskets.agg(count(lit(1)).as("__n_orders"))
+    def q6(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1000000) + lit(0.5)) / lit(1e6)
+    pairs
+      .join(broadcast(marg.select(col("brand").as("brand_a"),
+        col("n").as("n_a"))), "brand_a")
+      .join(broadcast(marg.select(col("brand").as("brand_b"),
+        col("n").as("n_b"))), "brand_b")
+      .crossJoin(broadcast(tot))
+      .select(col("brand_a"), col("brand_b"), col("n_both"),
+        col("n_a"), col("n_b"),
+        q6(col("n_both").cast("double") / col("__n_orders")).as("support"),
+        q6(col("n_both").cast("double") / col("n_a")).as("conf_a_b"),
+        q6(col("n_both").cast("double") / col("n_b")).as("conf_b_a"),
+        q6((col("__n_orders") * col("n_both")).cast("double")
+          / (col("n_a") * col("n_b"))).as("lift"))
+      .orderBy("brand_a", "brand_b")
+  }
+
+  val ordersBasketSql: String =
+    """WITH ob AS (SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+      |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      |  WHERE l.l_orderkey IS NOT NULL AND p.p_brand IS NOT NULL),
+      |t AS (SELECT count(DISTINCT okey)::BIGINT AS n_orders FROM ob),
+      |m AS (SELECT brand, count(*)::BIGINT AS n FROM ob GROUP BY 1),
+      |pr AS (SELECT a.brand AS brand_a, b.brand AS brand_b,
+      |    count(*)::BIGINT AS n_both
+      |  FROM ob a JOIN ob b ON a.okey = b.okey AND a.brand < b.brand
+      |  GROUP BY 1, 2)
+      |SELECT pr.brand_a, pr.brand_b, pr.n_both, ma.n AS n_a, mb.n AS n_b,
+      |  floor(pr.n_both::DOUBLE / t.n_orders * 1000000 + 0.5) / 1e6 AS support,
+      |  floor(pr.n_both::DOUBLE / ma.n * 1000000 + 0.5) / 1e6 AS conf_a_b,
+      |  floor(pr.n_both::DOUBLE / mb.n * 1000000 + 0.5) / 1e6 AS conf_b_a,
+      |  floor((t.n_orders * pr.n_both)::DOUBLE / (ma.n * mb.n) * 1000000 + 0.5)
+      |    / 1e6 AS lift
+      |FROM pr JOIN m ma ON ma.brand = pr.brand_a
+      |  JOIN m mb ON mb.brand = pr.brand_b, t
+      |ORDER BY brand_a, brand_b""".stripMargin
+
+  /** B79: peak session concurrency per hour — how many user sessions are
+    * simultaneously open, hour by hour: the CAPACITY read of the event
+    * stream (connection pools, stateful-shard sizing, licence seats) that
+    * neither B11's per-session rows nor B54's daily-active counts answer.
+    * Sessions are B11's exact definition (per-user 30-min-gap split, the
+    * shared constant); a session [s, e] is INCLUSIVE of its last event,
+    * and at one instant starts are processed before ends, so a session
+    * ending at t and one starting at t count as concurrent (touch =
+    * overlap). Per hour: sessions started/ended, the PEAK of the
+    * concurrency step function over the hour's change points, and the
+    * closing level (quiet hours are omitted; their level is the previous
+    * row's close).
+    *
+    * Scale: the naive formulation sorts every change point through ONE
+    * global running-sum window — a single-partition sort of the whole
+    * delta stream. Here the global prefix is decomposed: change points
+    * group to (distinct-µs, +starts/−ends) rows, each hour computes its
+    * WITHIN-hour running sums under a partitioned window, and the
+    * cross-hour offsets come from an |hours|-row cumulative table (the
+    * only unpartitioned window — calendar-sized, never event-sized)
+    * broadcast back. Exact integer arithmetic end to end.
+    */
+  def eventsConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    val gapUs = 30L * 60 * 1000000L
+    val hourUs = 3600L * 1000000L
+    val ev = Tables.events(spark, dir)
+      .where(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"))
+    val wUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val sess = ev
+      .withColumn("__prev", lag("ts_us", 1).over(wUser))
+      .withColumn("__new", when(col("__prev").isNull
+        || col("ts_us") - col("__prev") > gapUs, 1L).otherwise(0L))
+      .withColumn("__sid", sum("__new").over(wUser))
+      .groupBy("user_id", "__sid")
+      .agg(min("ts_us").as("s_us"), max("ts_us").as("e_us"))
+    val starts = sess.groupBy(col("s_us").as("ts_us"))
+      .agg(count(lit(1)).as("n_start"))
+    val ends = sess.groupBy(col("e_us").as("ts_us"))
+      .agg(count(lit(1)).as("n_end"))
+    val deltas = starts.join(ends, Seq("ts_us"), "full")
+      .select(col("ts_us"),
+        coalesce(col("n_start"), lit(0L)).as("n_start"),
+        coalesce(col("n_end"), lit(0L)).as("n_end"))
+      .withColumn("hour_us", col("ts_us") - (col("ts_us") % hourUs))
+    val wIn = Window.partitionBy("hour_us").orderBy("ts_us")
+    val inb = deltas
+      .withColumn("cs_in", sum("n_start").over(wIn))
+      .withColumn("ce_in", sum("n_end").over(wIn))
+    val wB = Window.orderBy("hour_us")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = deltas.groupBy("hour_us")
+      .agg(sum("n_start").as("bs"), sum("n_end").as("be"))
+      .select(col("hour_us"),
+        coalesce(sum("bs").over(wB), lit(0L)).as("off_s"),
+        coalesce(sum("be").over(wB), lit(0L)).as("off_e"))
+    val scored = inb.join(broadcast(off), "hour_us")
+      .withColumn("cum_s", col("off_s") + col("cs_in"))
+      .withColumn("cum_e", col("off_e") + col("ce_in"))
+      .withColumn("conc_peak", col("cum_s") - col("cum_e") + col("n_end"))
+      .withColumn("conc_close", col("cum_s") - col("cum_e"))
+    scored.groupBy("hour_us")
+      .agg(sum("n_start").as("n_starts"), sum("n_end").as("n_ends"),
+        max("conc_peak").as("peak_concurrency"),
+        max_by(col("conc_close"), col("ts_us")).as("close_concurrency"))
+      .orderBy("hour_us")
+  }
+
+  val eventsConcurrencySql: String =
+    """WITH ev AS (SELECT user_id, epoch_us(ts)::BIGINT AS ts_us, event_id
+      |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      |g AS (SELECT user_id, ts_us,
+      |    sum(CASE WHEN prev IS NULL OR ts_us - prev > 1800000000
+      |      THEN 1 ELSE 0 END) OVER w2 AS sid
+      |  FROM (SELECT user_id, ts_us, event_id,
+      |      lag(ts_us) OVER w1 AS prev
+      |    FROM ev WINDOW w1 AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+      |  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      |s AS (SELECT user_id, sid, min(ts_us) AS s_us, max(ts_us) AS e_us
+      |  FROM g GROUP BY 1, 2),
+      |st AS (SELECT s_us AS ts_us, count(*)::BIGINT AS n_start FROM s GROUP BY 1),
+      |en AS (SELECT e_us AS ts_us, count(*)::BIGINT AS n_end FROM s GROUP BY 1),
+      |d AS (SELECT coalesce(st.ts_us, en.ts_us) AS ts_us,
+      |    coalesce(n_start, 0)::BIGINT AS n_start,
+      |    coalesce(n_end, 0)::BIGINT AS n_end
+      |  FROM st FULL JOIN en ON st.ts_us = en.ts_us),
+      |c AS (SELECT ts_us, ts_us - ts_us % 3600000000 AS hour_us, n_start, n_end,
+      |    (sum(n_start) OVER (ORDER BY ts_us))::BIGINT AS cum_s,
+      |    (sum(n_end) OVER (ORDER BY ts_us))::BIGINT AS cum_e
+      |  FROM d)
+      |SELECT hour_us, sum(n_start)::BIGINT AS n_starts,
+      |  sum(n_end)::BIGINT AS n_ends,
+      |  max(cum_s - cum_e + n_end)::BIGINT AS peak_concurrency,
+      |  arg_max(cum_s - cum_e, ts_us)::BIGINT AS close_concurrency
+      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** B80: autocorrelation profile of the hourly event-count series — ACF
+    * at lags 1..6 per event type over the ZERO-FILLED hour spine (an
+    * absent hour is a real zero, not a missing observation — computing
+    * ACF over only the present buckets would silently splice
+    * non-adjacent hours together): the self-similarity read that tells
+    * an alerting pipeline how long a burst persists (high r₁) and
+    * whether a periodic component survives beyond B74's single 24-h test
+    * (r_k resurging at the period). Exactness: with mean m = sx/n
+    * rational, every term is multiplied through by n² — numerator
+    * Σ(n·x_i − sx)(n·x_{i−k} − sx) and denominator Σ(n·x_i − sx)² are
+    * EXACT integers (ANSI overflow = loud refusal, never silent
+    * wraparound), and the single final division is
+    * floor(v·1e6+0.5)-quantized. A constant series (den = 0) yields NULL,
+    * not a division error.
+    *
+    * Scale: one keyed count, a calendar-sized spine (sequence explode
+    * bounded by the time span, never by event count), ONE window pass
+    * computing all six lags (partitioned by type; series length =
+    * |hours|), one keyed aggregate with map-side combine, and a 6-way
+    * in-row stack. The |types|-row stats table rides a broadcast.
+    */
+  def eventsAutocorr(spark: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val ev = Tables.events(spark, dir)
+      .where(col("event_type").isNotNull && col("ts").isNotNull)
+    val c = ev.groupBy(col("event_type"),
+        unix_micros(date_trunc("hour", col("ts"))).as("bucket"))
+      .agg(count(lit(1)).as("x"))
+    val spine = c.groupBy("event_type")
+      .agg(min("bucket").as("b0"), max("bucket").as("b1"))
+      .select(col("event_type"),
+        explode(sequence(col("b0"), col("b1"), lit(hourUs))).as("bucket"))
+    val full = spine.join(c, Seq("event_type", "bucket"), "left")
+      .select(col("event_type"), col("bucket"),
+        coalesce(col("x"), lit(0L)).as("x"))
+    val stats = full.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"))
+    val w = Window.partitionBy("event_type").orderBy("bucket")
+    val lagged = full.select(
+      col("event_type") +: col("x") +:
+        (1 to 6).map(k => lag("x", k).over(w).as(s"xl$k")): _*)
+    val dev = col("n") * col("x") - col("sx")
+    val aggs: Seq[org.apache.spark.sql.Column] =
+      max("n").as("n") +: sum(dev * dev).as("den") +:
+        (1 to 6).map { k =>
+          val devL = col("n") * col(s"xl$k") - col("sx")
+          sum(when(col(s"xl$k").isNotNull, dev * devL).otherwise(0L))
+            .as(s"num$k")
+        }
+    val agg = lagged.join(broadcast(stats), "event_type")
+      .groupBy("event_type")
+      .agg(aggs.head, aggs.tail: _*)
+    agg.select(col("event_type"), col("n"), col("den"),
+        expr("stack(6, 1, num1, 2, num2, 3, num3, 4, num4, 5, num5, 6, num6)" +
+          " as (lag_k, num)"))
+      .select(col("event_type"), col("lag_k"), col("n"),
+        when(col("den") === 0, lit(null).cast("double"))
+          .otherwise(floor(col("num").cast("double") / col("den")
+            * lit(1000000) + lit(0.5)) / lit(1e6)).as("acf"))
+      .orderBy("event_type", "lag_k")
+  }
+
+  val eventsAutocorrSql: String =
+    """WITH c AS (SELECT event_type,
+      |    epoch_us(date_trunc('hour', ts))::BIGINT AS bucket,
+      |    count(*)::BIGINT AS x
+      |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+      |  GROUP BY 1, 2),
+      |sp AS (SELECT event_type, min(bucket) AS b0, max(bucket) AS b1
+      |  FROM c GROUP BY 1),
+      |h AS (SELECT event_type,
+      |    unnest(range(b0, b1 + 3600000000, 3600000000))::BIGINT AS bucket
+      |  FROM sp),
+      |f AS (SELECT h.event_type, h.bucket, coalesce(c.x, 0)::BIGINT AS x
+      |  FROM h LEFT JOIN c ON c.event_type = h.event_type
+      |    AND c.bucket = h.bucket),
+      |st AS (SELECT event_type, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx
+      |  FROM f GROUP BY 1),
+      |l AS (SELECT f.event_type, f.x, st.n, st.sx,
+      |    lag(f.x, 1) OVER w AS xl1, lag(f.x, 2) OVER w AS xl2,
+      |    lag(f.x, 3) OVER w AS xl3, lag(f.x, 4) OVER w AS xl4,
+      |    lag(f.x, 5) OVER w AS xl5, lag(f.x, 6) OVER w AS xl6
+      |  FROM f JOIN st USING (event_type)
+      |  WINDOW w AS (PARTITION BY f.event_type ORDER BY f.bucket)),
+      |a AS (SELECT event_type, max(n)::BIGINT AS n,
+      |    sum((n*x - sx)*(n*x - sx))::BIGINT AS den,
+      |    sum(CASE WHEN xl1 IS NOT NULL THEN (n*x - sx)*(n*xl1 - sx) ELSE 0 END)::BIGINT AS num1,
+      |    sum(CASE WHEN xl2 IS NOT NULL THEN (n*x - sx)*(n*xl2 - sx) ELSE 0 END)::BIGINT AS num2,
+      |    sum(CASE WHEN xl3 IS NOT NULL THEN (n*x - sx)*(n*xl3 - sx) ELSE 0 END)::BIGINT AS num3,
+      |    sum(CASE WHEN xl4 IS NOT NULL THEN (n*x - sx)*(n*xl4 - sx) ELSE 0 END)::BIGINT AS num4,
+      |    sum(CASE WHEN xl5 IS NOT NULL THEN (n*x - sx)*(n*xl5 - sx) ELSE 0 END)::BIGINT AS num5,
+      |    sum(CASE WHEN xl6 IS NOT NULL THEN (n*x - sx)*(n*xl6 - sx) ELSE 0 END)::BIGINT AS num6
+      |  FROM l GROUP BY 1),
+      |u AS (
+      |  SELECT event_type, n, 1 AS lag_k, num1 AS num, den FROM a
+      |  UNION ALL SELECT event_type, n, 2, num2, den FROM a
+      |  UNION ALL SELECT event_type, n, 3, num3, den FROM a
+      |  UNION ALL SELECT event_type, n, 4, num4, den FROM a
+      |  UNION ALL SELECT event_type, n, 5, num5, den FROM a
+      |  UNION ALL SELECT event_type, n, 6, num6, den FROM a)
+      |SELECT event_type, lag_k, n,
+      |  CASE WHEN den = 0 THEN NULL
+      |    ELSE floor(num::DOUBLE / den * 1000000 + 0.5) / 1e6 END AS acf
+      |FROM u ORDER BY event_type, lag_k""".stripMargin
+
   /** B62: ANSI PERCENTILE_DISC per group — discrete quantiles of the
     * order-quantity distribution: unlike B14's interpolated CONT these
     * return VALUES THAT EXIST in the data (the smallest value whose

@@ -2041,4 +2041,148 @@ object Streaming {
           }
       }
   }
+
+  final case class AcfRow(event_type: String, lag_k: Int, n: Long,
+                          acf: Option[Double])
+
+  /** D42: streaming autocorrelation monitor — the live twin of B80
+    * (`events_autocorr`), completing the time-series family's pattern
+    * symmetry (B74↔D39 seasonality, B71↔D36 CUSUM, B72↔D38 Holt): per
+    * event type a bucket→count map in state, each batch folding arrivals
+    * and emitting the refreshed exact ACF at lags 1..maxLag via the
+    * SHARED [[graft.ops.stats.Stats.acfProfile]] scalar (the same
+    * n²-scaled integer sums and floor(v·1e6+0.5) quantization the batch
+    * query computes — one arithmetic definition, the twins cannot
+    * drift; overflow REFUSES via Math.*Exact). Like D39 the statistic
+    * is a pure function of a commutative count map, so ANY arrival
+    * order / batching / lateness converges to the identical final
+    * emission (spec-pinned against the batch query and a reversed
+    * re-batching) — no late-bucket guard exists or is needed. The
+    * ingest read: live r₁ collapsing toward 0 = a bursty source going
+    * memoryless (scripted), a resurging r_k = a new periodic component.
+    *
+    * State is the type's OBSERVED bucket map — |span hours| longs, the
+    * honest cost of a statistic defined over the whole series (pruning
+    * old buckets would silently change the mean); `maxBuckets` refuses
+    * loudly past the declared span budget instead of degrading. NULL
+    * types/timestamps drop at the door.
+    */
+  def autocorrMonitor(events: DataFrame, tsCol: String = "ts",
+                      typeCol: String = "event_type", maxLag: Int = 6,
+                      maxBuckets: Int = 100000): Dataset[AcfRow] = {
+    require(maxLag > 0 && maxBuckets > 0,
+      s"autocorrMonitor: maxLag/maxBuckets must be positive ($maxLag, $maxBuckets)")
+    val hourUs = 3600L * 1000000L
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .where(col(typeCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(typeCol).cast("string").as("_1"),
+        unix_micros(date_trunc("hour", col(tsCol))).as("_2")).as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (g: String, it: Iterator[(String, Long)],
+         state: GroupState[Map[Long, Long]]) =>
+          var m = state.getOption.getOrElse(Map.empty[Long, Long])
+          it.foreach { case (_, b) => m += b -> (m.getOrElse(b, 0L) + 1L) }
+          if (m.size > maxBuckets) throw new IllegalStateException(
+            s"autocorrMonitor: type '$g' exceeds $maxBuckets observed buckets" +
+              " — the series span is past the declared budget; raise" +
+              " maxBuckets or window the source upstream")
+          state.update(m)
+          graft.ops.stats.Stats.acfProfile(m, hourUs, maxLag)
+            .iterator.map { case (k, n, a) => AcfRow(g, k, n, a) }
+      }
+  }
+
+  final case class ConcRow(bucket: Long, n_starts: Long, n_ends: Long,
+                           peak_concurrency: Long, close_concurrency: Long)
+
+  /** D41: streaming session-concurrency monitor — the live face of B79
+    * (`events_concurrency`): as closed session intervals [s, e] (µs,
+    * INCLUSIVE end — the B79 touch-counts-as-overlap convention) stream
+    * in from an upstream sessionizer (D5), each hour bucket's capacity
+    * row (starts, ends, PEAK simultaneous sessions, closing level)
+    * refreshes live — the gauge a connection-pool/shard-sizing loop
+    * watches during ingest rather than after it.
+    *
+    * The B79 decomposition IS the state layout: a session contributes to
+    * bucket b either as an IN-BUCKET change point (its start/end lands
+    * in b) or as BASE (+1 open-at-bucket-start for every bucket it spans
+    * past) — base is exactly the batch query's cross-hour cumulative
+    * offset, folded here as a single commutative counter. State per
+    * bucket = base + the in-bucket delta map (bounded by the bucket's
+    * distinct change-point µs, never the stream; a b-spanning session
+    * costs one long, not a row). Every term is commutative, so ANY
+    * arrival order / batching converges to the batch row (the D39
+    * stance — spec-pinned with re-batched and reversed feeds); the
+    * LATEST emission per bucket is the batch `events_concurrency` row of
+    * everything streamed so far. Watermark + EventTimeTimeout drop a
+    * bucket's state once it can no longer change (the D7b bound); a
+    * bucket with only base contributions emits nothing, matching the
+    * batch's quiet-hour omission. NULL/inverted intervals drop at the
+    * door.
+    */
+  def concurrencyMonitor(sessions: DataFrame, bucketUs: Long,
+                         tsCol: String = "ts", retention: String = "1 hour",
+                         sCol: String = "s_us", eCol: String = "e_us"): Dataset[ConcRow] = {
+    require(bucketUs > 0,
+      s"concurrencyMonitor: bucketUs must be positive, got $bucketUs")
+    val spark = sessions.sparkSession
+    import spark.implicits._
+    val exploded = sessions
+      .withWatermark(tsCol, retention)
+      .select(col(sCol).cast("long").as("s"), col(eCol).cast("long").as("e"),
+        col(tsCol).as("ts"))
+      .where(col("s").isNotNull && col("e").isNotNull && col("s") <= col("e"))
+      .withColumn("bucket", explode(sequence(
+        expr(s"s div $bucketUs"), expr(s"e div $bucketUs"))))
+      .select(col("bucket"),
+        when(expr(s"s div $bucketUs") === col("bucket"), col("s"))
+          .otherwise(lit(-1L)).as("sin"),
+        when(expr(s"e div $bucketUs") === col("bucket"), col("e"))
+          .otherwise(lit(-1L)).as("ein"),
+        col("ts"))
+      .as[(Long, Long, Long, java.sql.Timestamp)]
+    exploded.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (bucket: Long, it: Iterator[(Long, Long, Long, java.sql.Timestamp)],
+         state: GroupState[(Long, Map[Long, (Long, Long)])]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var (base, deltas) = state.getOption
+              .getOrElse((0L, Map.empty[Long, (Long, Long)]))
+            var maxTs = state.getCurrentWatermarkMs()
+            it.foreach { case (_, sin, ein, ts) =>
+              if (sin >= 0) {
+                val d = deltas.getOrElse(sin, (0L, 0L))
+                deltas += sin -> ((d._1 + 1, d._2))
+              } else base += 1
+              if (ein >= 0) {
+                val d = deltas.getOrElse(ein, (0L, 0L))
+                deltas += ein -> ((d._1, d._2 + 1))
+              }
+              if (ts.getTime > maxTs) maxTs = ts.getTime
+            }
+            state.update((base, deltas))
+            state.setTimeoutTimestamp(maxTs + 1)
+            if (deltas.isEmpty) Iterator.empty
+            else {
+              var cs = 0L; var ce = 0L; var peak = Long.MinValue
+              val sorted = deltas.toSeq.sortBy(_._1)
+              sorted.foreach { case (_, (ns, ne)) =>
+                cs += ns; ce += ne
+                val p = base + cs - ce + ne
+                if (p > peak) peak = p
+              }
+              Iterator.single(ConcRow(bucket,
+                sorted.iterator.map(_._2._1).sum,
+                sorted.iterator.map(_._2._2).sum,
+                peak, base + cs - ce))
+            }
+          }
+      }
+  }
 }

@@ -936,4 +936,53 @@ class GraphOpsSpec extends SparkSpec {
     assert(got === expected)
     assert(got.nonEmpty, "the sf0.001 walk corpus must produce co-occurrences")
   }
+
+  test("metaPathCensus: hub degrees multiply, typing separates, walks counted, NULLs drop") {
+    val edges = Seq(
+      // hub M:1 — 2 in-edges of type e1, 3 out-edges of type e2:
+      // the census must report 2·3 = 6 instances via ONE multiplication
+      ("e1", "A:1", "M:1"), ("e1", "A:2", "M:1"),
+      ("e2", "M:1", "B:1"), ("e2", "M:1", "B:2"), ("e2", "M:1", "B:3"),
+      // a second typed composition through a different mid
+      ("e1", "A:3", "M:2"), ("e3", "M:2", "C:1"),
+      // a mutual pair — the backtracking WALK X→Y→X counts (documented)
+      ("t", "X:1", "Y:1"), ("t", "Y:1", "X:1"),
+      // NULL type / endpoint rows drop at the door
+      (null, "A:4", "M:1"), ("e1", null, "M:1"))
+    val got = GraphOps.metaPathCensus(edges.toDF("etype", "src", "dst"),
+        c => substring_index(c, ":", 1)).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getString(4)) -> ((r.getLong(5), r.getLong(6))))
+      .toMap
+    assert(got(("A", "e1", "M", "e2", "B")) === ((6L, 1L)))
+    assert(got(("A", "e1", "M", "e3", "C")) === ((1L, 1L)))
+    // the mutual pair composes both ways: X→Y→X and Y→X→Y
+    assert(got(("X", "t", "Y", "t", "X")) === ((1L, 1L)))
+    assert(got(("Y", "t", "X", "t", "Y")) === ((1L, 1L)))
+    // nothing else: the e1 edges into M:1 do NOT compose with e3 (wrong mid)
+    assert(got.size === 4)
+  }
+
+  test("richClub: thresholds share one edge pass, canonicalisation, NULL below 2 nodes") {
+    // hub layer: h1–h2–h3 triangle + h4 wired only to leaves
+    // degrees: h1 = 2+7 = 9, h2 = 2+3 = 5, h3 = 2+2 = 4, h4 = 5, leaves 1
+    val hubs = Seq(("h1", "h2"), ("h1", "h3"), ("h2", "h3"))
+    val leaves =
+      (1 to 7).map(i => ("h1", s"a$i")) ++ (1 to 3).map(i => ("h2", s"b$i")) ++
+      (1 to 2).map(i => ("h3", s"c$i")) ++ (1 to 5).map(i => ("h4", s"d$i"))
+    // duplicate, reversed, and self-loop edges must all collapse/drop
+    val noise = Seq(("h1", "h2"), ("h2", "h1"), ("h1", "h1"))
+    val df = (hubs ++ leaves ++ noise).toDF("from", "to")
+    val got = GraphOps.richClub(df, Seq(1, 4, 8)).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else java.lang.Double.valueOf(r.getDouble(3)))))
+      .toMap
+    // k=1: club {h1,h2,h3,h4}, intra edges = the triangle
+    assert(got(1) === ((4L, 3L, java.lang.Double.valueOf(0.5))))
+    // k=4: {h1,h2,h4} — h3 (deg 4) falls out; only h1–h2 survives
+    assert(got(4) === ((3L, 1L, java.lang.Double.valueOf(
+      math.floor(2.0 / 6 * 1e6 + 0.5) / 1e6))))
+    // k=8: {h1} alone — phi undefined, NULL not a division error
+    assert(got(8) === ((1L, 0L, null)))
+  }
 }

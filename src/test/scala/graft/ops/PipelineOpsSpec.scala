@@ -1700,6 +1700,41 @@ class PipelineOpsSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("ppsSample: exact offset intervals, multiplicity, per-stratum k conservation, poison rows drop") {
+    import graft.ops.sample.Sampling
+    import spark.implicits._
+    // one stratum, W = 20, k = 4 -> offsets floor(20(2j+1)/8) = 2, 7, 12, 17
+    // intervals (id order): id1 [0,2) none; id2 [2,6) o0; id3 [6,12) o1;
+    // id4 [12,20) o2+o3
+    val df = Seq(("s", 1L, 2L), ("s", 2L, 4L), ("s", 3L, 6L), ("s", 4L, 8L))
+      .toDF("src", "id", "w")
+    val got = Sampling.ppsSample(df, "src", "id", col("w"), k = 4)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(got === Map(2L -> 1L, 3L -> 1L, 4L -> 2L))
+    // a row heavier than W/k is drawn with multiplicity
+    val heavy = Seq(("s", 1L, 1L), ("s", 2L, 99L)).toDF("src", "id", "w")
+    val h = Sampling.ppsSample(heavy, "src", "id", col("w"), k = 10)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(h === Map(2L -> 10L))
+    // k picks are conserved per stratum, strata are independent, layout-free
+    val multi = ((1 to 37).map(i => ("a", i.toLong, (i * 7 % 13 + 1).toLong)) ++
+      (1 to 23).map(i => ("b", i.toLong, (i * 5 % 11 + 1).toLong)))
+      .toDF("src", "id", "w")
+    val m = Sampling.ppsSample(multi.repartition(7), "src", "id", col("w"), k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    assert(m.filter(_._1 == "a").map(_._3).sum === 5L)
+    assert(m.filter(_._1 == "b").map(_._3).sum === 5L)
+    val m2 = Sampling.ppsSample(multi, "src", "id", col("w"), k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    assert(m.toSet === m2.toSet)
+    // NULL stratum/id and non-positive weights drop at the door
+    val poison = Seq((null, 1L, 5L), ("s", 2L, 0L), ("s", 3L, -4L), ("s", 4L, 5L))
+      .toDF("src", "id", "w")
+    val p = Sampling.ppsSample(poison, "src", "id", col("w"), k = 2)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(p === Map(4L -> 2L))
+  }
+
   test("hllDistinct: within theoretical error of exact, registers merge by max") {
     import graft.ops.stats.Stats
     val t = docs.select(col("source"), explode(split(col("text"), " ")).as("token"))

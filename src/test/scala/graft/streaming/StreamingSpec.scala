@@ -1739,4 +1739,99 @@ class StreamingSpec extends SparkSpec {
       assert(sorted.map(_._5).toSeq === sorted.map(_._5).sorted.toSeq)
     }
   }
+
+  test("D41: live concurrency converges to the batch B79 rows however batched") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import java.sql.Timestamp
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime * 1000L
+    def mn(m: Long) = base + m * 60L * 1000000L
+    // the B79 fixture sessions plus a bucket-SPANNING one [30min, 125min]
+    // (base contribution to hour 1, end point in hour 2)
+    val sessions = Seq(
+      (mn(0), mn(10)), (mn(5), mn(5)), (mn(10), mn(10)), (mn(60), mn(60)),
+      (mn(30), mn(125)))
+      .map { case (s, e) => (s, e, new Timestamp(e / 1000L)) }
+    def run(name: String, batches: Seq[Seq[(Long, Long, Timestamp)]]) = {
+      val mem = MemoryStream[(Long, Long, Timestamp)]
+      // retention far above the span so the reversed feed drops nothing
+      val q = Streaming.concurrencyMonitor(
+          mem.toDF.toDF("s_us", "e_us", "ts"), bucketUs = 3600L * 1000000L,
+          retention = "10 hours")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      finally q.stop()
+      // keep the LAST emission per bucket (the live gauge read)
+      spark.table(name).collect()
+        .map(r => (r.getLong(0),
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+        .foldLeft(Map.empty[Long, (Long, Long, Long, Long)])(_ + _)
+    }
+    val a = run("conc_a", Seq(sessions.take(2), sessions.slice(2, 4), sessions.drop(4)))
+    val b = run("conc_b", Seq(sessions.reverse.take(1), sessions.reverse.drop(1)))
+    assert(a === b, "batching/order must not move the final gauge")
+    // batch twin: the SAME sessions arise from 30-min-gap sessionization of
+    // this events fixture, so eventsConcurrency's rows are the oracle
+    val dir = java.nio.file.Files.createTempDirectory("graft-conc-mon").toString
+    Seq((1L, 10L, 0L), (2L, 10L, 10L), (3L, 20L, 5L), (4L, 30L, 10L),
+      (5L, 40L, 60L),
+      (6L, 50L, 30L), (7L, 50L, 55L), (8L, 50L, 80L), (9L, 50L, 105L),
+      (10L, 50L, 125L))
+      .map { case (id, u, m) => (id, u, new Timestamp(mn(m) / 1000L)) }
+      .toDF("event_id", "user_id", "ts")
+      .write.parquet(s"$dir/events.parquet")
+    val batch = graft.queries.Relational.eventsConcurrency(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0) / (3600L * 1000000L),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // monitor buckets are absolute (µs div bucketUs) indices; the batch
+    // emits the hour-start µs — divide to align
+    assert(a === batch,
+      "latest live emissions must equal the batch events_concurrency rows")
+    // hand values: hour 0 peak 2 (the touch at 00:10), S holds level 1 open
+    assert(a(base / (3600L * 1000000L)) === ((4L, 3L, 2L, 1L)))
+  }
+
+  test("D42: live ACF equals the batch events_autocorr however batched, zero-fill included") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import java.sql.Timestamp
+    def hourTs(h: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:30:00")
+    // type a: the B80 alternator [1,2,1,2,1]; type b: a REAL zero hour
+    val events = (Seq(1, 2, 1, 2, 1).zipWithIndex.flatMap { case (n, h) =>
+      (0 until n).map(_ => ("a", hourTs(h))) } ++
+      Seq(("b", hourTs(0)), ("b", hourTs(0)), ("b", hourTs(2)), ("b", hourTs(2))))
+    def run(name: String, batches: Seq[Seq[(String, Timestamp)]]) = {
+      val mem = MemoryStream[(String, Timestamp)]
+      val q = Streaming.autocorrMonitor(mem.toDF.toDF("event_type", "ts"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      finally q.stop()
+      spark.table(name).collect()
+        .map(r => ((r.getString(0), r.getInt(1)), (r.getLong(2),
+          if (r.isNullAt(3)) null
+          else java.lang.Double.valueOf(r.getDouble(3)))))
+        .foldLeft(Map.empty[(String, Int), (Long, Any)])(_ + _)
+    }
+    val a = run("acf_a", Seq(events.take(4), events.slice(4, 9), events.drop(9)))
+    val b = run("acf_b", Seq(events.reverse))
+    assert(a === b, "batching/order must not move the final ACF")
+    // batch twin on the same data
+    val dir = java.nio.file.Files.createTempDirectory("graft-acf-mon").toString
+    events.zipWithIndex.map { case ((t, ts), i) => (i.toLong, t, ts) }
+      .toDF("event_id", "event_type", "ts")
+      .write.parquet(s"$dir/events.parquet")
+    val batch = graft.queries.Relational.eventsAutocorr(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getInt(1)), (r.getLong(2),
+        if (r.isNullAt(3)) null
+        else java.lang.Double.valueOf(r.getDouble(3))))).toMap
+    assert(a === batch, "latest live ACF must equal the batch query")
+    // the zero hour was filled, not spliced: b lag1 = -16/24 exactly
+    assert(a(("b", 1)) === ((3L,
+      java.lang.Double.valueOf(math.floor(-16.0 / 24 * 1e6 + 0.5) / 1e6))))
+  }
 }
