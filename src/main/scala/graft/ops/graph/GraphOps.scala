@@ -1469,6 +1469,53 @@ object GraphOps {
       .limit(topK)
   }
 
+  /** Local bridges of the canonical simple undirected graph — edges
+    * whose endpoints share NO common neighbour (they sit in no
+    * triangle), i.e. Granovetter's weak ties: the only local conduits
+    * between otherwise-separate neighbourhoods. In a KG these are the
+    * edges whose removal (a mapping change, a retracted cross-reference)
+    * locally DISCONNECTS regions of the graph — the fragility list to
+    * review before deleting relations — where a high-support edge is
+    * redundantly witnessed by its triangles. Emits every canonical edge
+    * with endpoint degrees, the common-neighbour count, and the
+    * is_local_bridge flag.
+    *
+    * Scale: common neighbours are counted by expanding each edge from
+    * its LOWER-degree endpoint only (the classic triangle-counting
+    * delegation — Σ min-degree work, not Σ deg², so a hub edge costs
+    * its leaf side) and semi-joining the wedges back against the
+    * adjacency on the (hi, x) key; everything is node-keyed joins and
+    * one map-combined count. No neighbourhood is ever materialised as
+    * a set.
+    */
+  def localBridges(pgEdges: DataFrame): DataFrame = {
+    val canon = endpoints(pgEdges)
+      .where(col("from") =!= col("to"))
+      .select(least(col("from"), col("to")).as("a"),
+        greatest(col("from"), col("to")).as("b"))
+      .distinct()
+    val nb = canon.select(col("a").as("n"), col("b").as("m"))
+      .union(canon.select(col("b"), col("a")))
+    val deg = nb.groupBy("n").agg(count(lit(1)).as("d"))
+    val withDeg = canon
+      .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
+    val oriented = withDeg.select(col("a"), col("b"),
+      when(col("da") <= col("db"), col("a")).otherwise(col("b")).as("lo"),
+      when(col("da") <= col("db"), col("b")).otherwise(col("a")).as("hi"))
+    val wedges = oriented
+      .join(nb.select(col("n").as("lo"), col("m").as("x")), "lo")
+      .join(nb.select(col("n").as("hi"), col("m").as("x")),
+        Seq("hi", "x"), "left_semi")
+    val common = wedges.groupBy("a", "b").agg(count(lit(1)).as("common"))
+    withDeg.join(common, Seq("a", "b"), "left")
+      .select(col("a").as("node_a"), col("b").as("node_b"),
+        col("da").as("deg_a"), col("db").as("deg_b"),
+        coalesce(col("common"), lit(0L)).as("n_common"),
+        (coalesce(col("common"), lit(0L)) === 0).as("is_local_bridge"))
+      .orderBy("node_a", "node_b")
+  }
+
   /** Rich-club coefficient curve over the canonical simple undirected
     * graph (a<b, distinct, self-loops dropped — the [[modularity]]
     * canonicalisation): for each degree threshold k, the number of

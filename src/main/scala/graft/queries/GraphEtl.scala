@@ -1090,6 +1090,43 @@ object GraphEtl {
       |  END AS phi
       |FROM nn LEFT JOIN ee USING (k) ORDER BY nn.k""".stripMargin
 
+  /** A67: local bridges of the supplier–nation–region KG
+    * ([[graft.ops.graph.GraphOps.localBridges]]) — edges in NO triangle
+    * (zero common neighbours): Granovetter's weak ties, i.e. the
+    * mappings whose removal locally disconnects the graph, the
+    * fragility list to review before retracting a relation (a
+    * triangle-supported edge is redundantly witnessed). On this
+    * topology the servesRegion closure triangulates every supplier
+    * path, so the bridge flags isolate exactly the edges with no such
+    * support. Scale: wedges expand from each edge's LOWER-degree
+    * endpoint only (Σ min-degree, never Σ deg² — a hub edge costs its
+    * leaf side) and semi-join back on the (hi, neighbour) key; the
+    * oracle enumerates common neighbours directly (the opposite
+    * formulation — small-graph exact).
+    */
+  def kgLocalBridges(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.graph.GraphOps.localBridges(
+      supRegionEdges(spark, dir, withSupRegion = true))
+
+  val kgLocalBridgesSql: String =
+    """WITH raw AS (
+      |  SELECT 'nation:' || n_nationkey AS f, 'region:' || n_regionkey AS t FROM nation
+      |  UNION ALL SELECT 'sup:' || s_suppkey, 'nation:' || s_nationkey FROM supplier
+      |  UNION ALL SELECT 'sup:' || s_suppkey, 'region:' || n_regionkey
+      |    FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+      |u AS (SELECT DISTINCT least(f, t) AS a, greatest(f, t) AS b FROM raw WHERE f <> t),
+      |nb AS (SELECT a AS n, b AS m FROM u UNION ALL SELECT b, a FROM u),
+      |d AS (SELECT n, count(*)::BIGINT AS deg FROM nb GROUP BY 1),
+      |cm AS (SELECT u.a, u.b, count(*)::BIGINT AS common
+      |  FROM u JOIN nb x ON x.n = u.a JOIN nb y ON y.n = u.b AND y.m = x.m
+      |  GROUP BY 1, 2)
+      |SELECT u.a AS node_a, u.b AS node_b, da.deg AS deg_a, db.deg AS deg_b,
+      |  coalesce(cm.common, 0)::BIGINT AS n_common,
+      |  coalesce(cm.common, 0) = 0 AS is_local_bridge
+      |FROM u JOIN d da ON da.n = u.a JOIN d db ON db.n = u.b
+      |  LEFT JOIN cm ON cm.a = u.a AND cm.b = u.b
+      |ORDER BY node_a, node_b""".stripMargin
+
   /** A43: landmark harmonic closeness over the containment hierarchy
     * ([[graft.ops.graph.GraphOps.landmarkCloseness]]) — closeness
     * centrality at KG scale: k=8 md5-ordered landmark nodes (a

@@ -1358,6 +1358,79 @@ object Pipeline {
       |  cnt AS n_maj, (clabel <> qlabel) AS flagged
       |FROM m WHERE vr = 1 ORDER BY vec_id""".stripMargin
 
+  /** C118: cross-source near-duplicate audit — C2's pair set cut to
+    * pairs whose documents live in DIFFERENT sources, aggregated per
+    * source pair: which sources COPY FROM EACH OTHER (mirror sites,
+    * syndication, scraped re-posts), the provenance read neither C46
+    * (set diff of ids) nor C13 (profile similarity) gives — C13 says
+    * two sources LOOK alike, this proves document-level duplication
+    * with the verified-pair machinery. Per (source_a, source_b):
+    * qualifying pair count, distinct documents involved, both sources'
+    * total doc counts, and the involved-docs share of the combined
+    * corpus (one quantized division). Pairs come from the SAME
+    * oracle-checked C2 adaptive chain; the source tagging is two
+    * id-keyed joins of the |pairs|-sized result against the
+    * (doc_id, source) projection — negligible beside the pair search;
+    * marginals ride a |sources|-row broadcast.
+    */
+  def dedupCrossSource(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val pairs = Dedup.ngramJaccardAdaptive(d, minJaccard = 0.5)
+    val src = d.where(col("doc_id").isNotNull && col("source").isNotNull)
+      .select(col("doc_id"), col("source"))
+    val tagged = pairs
+      .join(src.select(col("doc_id").as("a"), col("source").as("sa")), "a")
+      .join(src.select(col("doc_id").as("b"), col("source").as("sb")), "b")
+      .where(col("sa") =!= col("sb"))
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"), col("a"), col("b"))
+    val ag = tagged.groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+    val dd = tagged
+      .select(col("source_a"), col("source_b"),
+        explode(array(col("a"), col("b"))).as("d"))
+      .groupBy("source_a", "source_b")
+      .agg(countDistinct(col("d")).as("n_dup_docs"))
+    val nd = src.groupBy("source").agg(count(lit(1)).as("nd"))
+    ag.join(dd, Seq("source_a", "source_b"))
+      .join(broadcast(nd.select(col("source").as("source_a"),
+        col("nd").as("n_docs_a"))), "source_a")
+      .join(broadcast(nd.select(col("source").as("source_b"),
+        col("nd").as("n_docs_b"))), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_pairs"),
+        col("n_dup_docs"), col("n_docs_a"), col("n_docs_b"),
+        (floor(col("n_dup_docs").cast("double")
+          / (col("n_docs_a") + col("n_docs_b")) * lit(1000000) + lit(0.5))
+          / lit(1e6)).as("dup_share"))
+      .orderBy("source_a", "source_b")
+  }
+
+  val dedupCrossSourceSql: String =
+    "WITH " + jaccardCoreSql + """,
+      |pr AS (SELECT a, b FROM p WHERE jaccard >= 0.5),
+      |src AS (SELECT doc_id, source FROM documents
+      |  WHERE doc_id IS NOT NULL AND source IS NOT NULL),
+      |tg AS (SELECT least(x.source, y.source) AS source_a,
+      |    greatest(x.source, y.source) AS source_b, pr.a, pr.b
+      |  FROM pr JOIN src x ON x.doc_id = pr.a
+      |  JOIN src y ON y.doc_id = pr.b
+      |  WHERE x.source <> y.source),
+      |ag AS (SELECT source_a, source_b, count(*)::BIGINT AS n_pairs
+      |  FROM tg GROUP BY 1, 2),
+      |dd AS (SELECT source_a, source_b, count(DISTINCT d)::BIGINT AS n_dup_docs
+      |  FROM (SELECT source_a, source_b, a AS d FROM tg
+      |    UNION ALL SELECT source_a, source_b, b FROM tg)
+      |  GROUP BY 1, 2),
+      |nd AS (SELECT source, count(*)::BIGINT AS n FROM src GROUP BY 1)
+      |SELECT ag.source_a, ag.source_b, ag.n_pairs, dd.n_dup_docs,
+      |  na.n AS n_docs_a, nb.n AS n_docs_b,
+      |  floor(dd.n_dup_docs::DOUBLE / (na.n + nb.n) * 1000000 + 0.5) / 1e6
+      |    AS dup_share
+      |FROM ag JOIN dd USING (source_a, source_b)
+      |  JOIN nd na ON na.source = ag.source_a
+      |  JOIN nd nb ON nb.source = ag.source_b
+      |ORDER BY 1, 2""".stripMargin
+
   /** C117: per-source boilerplate profile — the CCNet/WET-extraction
     * hygiene read: a word bigram appearing in at least HALF of a
     * source's documents (df·2 ≥ n_docs, sources with ≥ 4 docs) is

@@ -1193,6 +1193,101 @@ object Relational {
       |  arg_max(cum_s - cum_e, ts_us)::BIGINT AS close_concurrency
       |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** B81: best single change point of the hourly count series per type —
+    * the OFFLINE split the online detectors can't give: B71's CUSUM
+    * raises a flag while drift accumulates, but postmortems ask WHERE
+    * the level shifted; this finds the hour boundary maximising the
+    * between-segment SSE reduction (binary segmentation's first split,
+    * the classic AMOC formulation): f(i) = S₁²/i + (S−S₁)²/(n−i),
+    * maximised over interior splits of the ZERO-FILLED spine, reduction
+    * = f(i) − S²/n ≥ 0. Determinism without exact rational argmax: both
+    * engines compute f(i) with the IDENTICAL expression shape (cast to
+    * double, square, two divisions, one add — every step correctly
+    * rounded IEEE), so the doubles are bit-equal cross-engine and the
+    * (f desc, bucket) argmax picks the same row; emitted means and the
+    * reduction are floor(v·1e6+0.5)-quantized. Series of length < 2
+    * have no interior split and are absent.
+    *
+    * Scale: one keyed count, the calendar-bounded spine, ONE prefix-sum
+    * window per type (series = |hours|), narrow f arithmetic, and a
+    * TopKPerKey-bounded rank — nothing event-sized past the first
+    * count.
+    */
+  def eventsChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val ev = Tables.events(spark, dir)
+      .where(col("event_type").isNotNull && col("ts").isNotNull)
+    val c = ev.groupBy(col("event_type"),
+        unix_micros(date_trunc("hour", col("ts"))).as("bucket"))
+      .agg(count(lit(1)).as("x"))
+    val spine = c.groupBy("event_type")
+      .agg(min("bucket").as("b0"), max("bucket").as("b1"))
+      .select(col("event_type"),
+        explode(sequence(col("b0"), col("b1"), lit(hourUs))).as("bucket"))
+    val full = spine.join(c, Seq("event_type", "bucket"), "left")
+      .select(col("event_type"), col("bucket"),
+        coalesce(col("x"), lit(0L)).as("x"))
+    val w = Window.partitionBy("event_type").orderBy("bucket")
+    val pre = full
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("s1", sum("x").over(w))
+    val tot = full.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("x").as("s"))
+    val scored = pre.join(broadcast(tot), "event_type")
+      .where(col("i") < col("n"))
+      .withColumn("__s1d", col("s1").cast("double"))
+      .withColumn("__s2d", (col("s") - col("s1")).cast("double"))
+      .withColumn("__f", col("__s1d") * col("__s1d") / col("i")
+        + col("__s2d") * col("__s2d") / (col("n") - col("i")))
+    val rw = Window.partitionBy("event_type")
+      .orderBy(col("__f").desc, col("bucket"))
+    def q6(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1000000) + lit(0.5)) / lit(1e6)
+    scored.withColumn("__r", row_number().over(rw))
+      .where(col("__r") === 1)
+      .select(col("event_type"), col("n"), col("bucket").as("split_after"),
+        col("i").as("n1"), (col("n") - col("i")).as("n2"),
+        q6(col("__s1d") / col("i")).as("mean1"),
+        q6(col("__s2d") / (col("n") - col("i"))).as("mean2"),
+        q6(col("__f") - col("s").cast("double") * col("s").cast("double")
+          / col("n")).as("sse_reduction"))
+      .orderBy("event_type")
+  }
+
+  val eventsChangepointSql: String =
+    """WITH c AS (SELECT event_type,
+      |    epoch_us(date_trunc('hour', ts))::BIGINT AS bucket,
+      |    count(*)::BIGINT AS x
+      |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+      |  GROUP BY 1, 2),
+      |sp AS (SELECT event_type, min(bucket) AS b0, max(bucket) AS b1
+      |  FROM c GROUP BY 1),
+      |h AS (SELECT event_type,
+      |    unnest(range(b0, b1 + 3600000000, 3600000000))::BIGINT AS bucket
+      |  FROM sp),
+      |f AS (SELECT h.event_type, h.bucket, coalesce(c.x, 0)::BIGINT AS x
+      |  FROM h LEFT JOIN c ON c.event_type = h.event_type
+      |    AND c.bucket = h.bucket),
+      |t AS (SELECT event_type, count(*)::BIGINT AS n, sum(x)::BIGINT AS s
+      |  FROM f GROUP BY 1),
+      |p AS (SELECT f.event_type, f.bucket, t.n, t.s,
+      |    (row_number() OVER w)::BIGINT AS i,
+      |    (sum(f.x) OVER w)::BIGINT AS s1
+      |  FROM f JOIN t USING (event_type)
+      |  WINDOW w AS (PARTITION BY f.event_type ORDER BY f.bucket)),
+      |g AS (SELECT event_type, bucket, n, s, i, s1,
+      |    s1::DOUBLE * s1::DOUBLE / i
+      |      + (s - s1)::DOUBLE * (s - s1)::DOUBLE / (n - i) AS fv
+      |  FROM p WHERE i < n),
+      |r AS (SELECT *, row_number() OVER
+      |    (PARTITION BY event_type ORDER BY fv DESC, bucket) AS rk FROM g)
+      |SELECT event_type, n, bucket AS split_after, i AS n1, (n - i) AS n2,
+      |  floor(s1::DOUBLE / i * 1000000 + 0.5) / 1e6 AS mean1,
+      |  floor((s - s1)::DOUBLE / (n - i) * 1000000 + 0.5) / 1e6 AS mean2,
+      |  floor((fv - s::DOUBLE * s::DOUBLE / n) * 1000000 + 0.5) / 1e6
+      |    AS sse_reduction
+      |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin
+
   /** B80: autocorrelation profile of the hourly event-count series — ACF
     * at lags 1..6 per event type over the ZERO-FILLED hour spine (an
     * absent hour is a real zero, not a missing observation — computing

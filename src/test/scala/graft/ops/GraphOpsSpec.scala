@@ -963,6 +963,22 @@ class GraphOpsSpec extends SparkSpec {
     assert(got.size === 4)
   }
 
+  test("localBridges: triangle edges supported, pendant and isolated edges flagged") {
+    // triangle a-b-c, pendant c-d, isolated component e-f
+    val df = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "d"), ("e", "f"),
+      ("b", "a"), ("c", "c")) // reverse dup + self-loop must canonicalise away
+      .toDF("from", "to")
+    val got = GraphOps.localBridges(df).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(got(("a", "b")) === ((2L, 2L, 1L, false))) // common neighbour c
+    assert(got(("a", "c")) === ((2L, 3L, 1L, false)))
+    assert(got(("b", "c")) === ((2L, 3L, 1L, false)))
+    assert(got(("c", "d")) === ((3L, 1L, 0L, true)))  // the weak tie
+    assert(got(("e", "f")) === ((1L, 1L, 0L, true)))
+    assert(got.size === 5)
+  }
+
   test("richClub: thresholds share one edge pass, canonicalisation, NULL below 2 nodes") {
     // hub layer: h1–h2–h3 triangle + h4 wired only to leaves
     // degrees: h1 = 2+7 = 9, h2 = 2+3 = 5, h3 = 2+2 = 4, h4 = 5, leaves 1

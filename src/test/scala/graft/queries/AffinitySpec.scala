@@ -101,6 +101,56 @@ class AffinitySpec extends SparkSpec {
     assert(out.size === 18)
   }
 
+  test("events_changepoint: AMOC split on a level shift, tie breaks to the earliest bucket") {
+    val dir = Files.createTempDirectory("graft-cpt").toString
+    def hour(h: Int) = ts(f"2024-01-01 $h%02d:15:00")
+    // a: [1,1,1,5,5] — the shift after hour 2; b: [2,0,0,2] — symmetric,
+    // f ties at i=1 and i=3, the argmax must break to the EARLIER bucket;
+    // c: [3,3] — constant, reduction exactly 0
+    val ev = Seq(1, 1, 1, 5, 5).zipWithIndex.flatMap { case (n, h) =>
+        (0 until n).map(i => ("a", hour(h))) } ++
+      Seq(("b", hour(0)), ("b", hour(0)), ("b", hour(3)), ("b", hour(3))) ++
+      Seq(("c", hour(0)), ("c", hour(0)), ("c", hour(0)),
+        ("c", hour(1)), ("c", hour(1)), ("c", hour(1)))
+    ev.zipWithIndex.map { case ((t, time), i) => (i.toLong, t, time) }
+      .toDF("event_id", "event_type", "ts")
+      .write.parquet(s"$dir/events.parquet")
+
+    val out = Relational.eventsChangepoint(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6), r.getDouble(7)))).toMap
+    def bucket(h: Int) =
+      Timestamp.valueOf(f"2024-01-01 $h%02d:00:00").getTime * 1000L
+    // a: f(3) = 9/3 + 100/2 = 53, f0 = 169/5 = 33.8
+    assert(out("a") === ((5L, bucket(2), 3L, 2L, 1.0, 5.0,
+      math.floor((53.0 - 33.8) * 1e6 + 0.5) / 1e6)))
+    // b: f(1) = f(3) = 16/3; earliest bucket wins the tie
+    assert(out("b") === ((4L, bucket(0), 1L, 3L, 2.0,
+      math.floor(2.0 / 3 * 1e6 + 0.5) / 1e6,
+      math.floor((4.0 + 4.0 / 3 - 4.0) * 1e6 + 0.5) / 1e6)))
+    // c: constant — the best split exists but buys exactly nothing
+    assert(out("c") === ((2L, bucket(0), 1L, 1L, 3.0, 3.0, 0.0)))
+  }
+
+  test("dedup_cross_source: only cross-source pairs aggregate, marginals count whole sources") {
+    val dir = Files.createTempDirectory("graft-xsrc").toString
+    val dup = "the quick brown fox jumps over the lazy dog again and again"
+    Seq(
+      (1L, "s1", dup),
+      (2L, "s2", dup),                       // cross-source dup with 1 and 5
+      (3L, "s2", "unrelated text entirely about something else whatsoever"),
+      (4L, "s1", "completely different words live here today my friend"),
+      (5L, "s1", dup))                       // in-source dup with 1 (excluded)
+      .toDF("doc_id", "source", "text")
+      .write.parquet(s"$dir/documents.parquet")
+
+    val out = Pipeline.dedupCrossSource(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6)))).toMap
+    // pairs (1,2) and (2,5) cross; (1,5) is s1-internal and must NOT count
+    assert(out === Map(("s1", "s2") -> ((2L, 3L, 3L, 2L, 0.6))))
+  }
+
   test("label_calibration: vote bins are the reliability diagram, exact ECE") {
     val dir = Files.createTempDirectory("graft-calib").toString
     // six identical unit vectors: every query's 5 NN are the other five
