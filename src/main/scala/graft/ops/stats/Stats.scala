@@ -928,4 +928,44 @@ object Stats {
       (k, n.toLong, acf)
     }
   }
+
+  /** Best single change point (AMOC) of a bucket→count map — the scalar
+    * kernel of the D43 live monitor and the arithmetic twin of B81
+    * (`events_changepoint`): over the zero-filled series, maximise
+    * f(i) = S₁²/i + (S−S₁)²/(n−i) at interior splits, ties to the
+    * EARLIEST bucket; f is built with the exact expression shape the
+    * batch query uses (cast→square→divide→add, each correctly-rounded
+    * IEEE — bit-equal cross-engine), means and the reduction
+    * floor(v·1e6+0.5)-quantized. Returns None when the series has no
+    * interior split (n < 2).
+    */
+  def changepoint(counts: Map[Long, Long], bucketUs: Long)
+      : Option[(Long, Long, Long, Long, Double, Double, Double)] = {
+    require(counts.nonEmpty, "changepoint: need at least one bucket")
+    val b0 = counts.keys.min
+    val b1 = counts.keys.max
+    val n = ((b1 - b0) / bucketUs + 1).toInt
+    if (n < 2) return None
+    val xs = Array.tabulate(n)(i => counts.getOrElse(b0 + i * bucketUs, 0L))
+    val s = xs.foldLeft(0L)(Math.addExact)
+    var s1 = 0L
+    var bestF = Double.NegativeInfinity
+    var bestI = -1
+    var bestS1 = 0L
+    var i = 1
+    while (i < n) {
+      s1 += xs(i - 1)
+      val s1d = s1.toDouble
+      val s2d = (s - s1).toDouble
+      val f = s1d * s1d / i + s2d * s2d / (n - i)
+      if (f > bestF) { bestF = f; bestI = i; bestS1 = s1 }
+      i += 1
+    }
+    def q6(v: Double) = math.floor(v * 1e6 + 0.5) / 1e6
+    val sd = s.toDouble
+    Some((n.toLong, b0 + (bestI - 1) * bucketUs, bestI.toLong,
+      (n - bestI).toLong,
+      q6(bestS1.toDouble / bestI), q6((s - bestS1).toDouble / (n - bestI)),
+      q6(bestF - sd * sd / n)))
+  }
 }

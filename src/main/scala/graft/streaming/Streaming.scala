@@ -2095,6 +2095,54 @@ object Streaming {
       }
   }
 
+  final case class CptRow(event_type: String, n: Long, split_after: Long,
+                          n1: Long, n2: Long, mean1: Double, mean2: Double,
+                          sse_reduction: Double)
+
+  /** D43: streaming change-point monitor — the live twin of B81
+    * (`events_changepoint`), closing the time-series family table
+    * (B74↔D39, B71↔D36, B72↔D38, B80↔D42): the same bucket→count state
+    * as D42 (one map per type, commutative folds — any order/batching
+    * converges, the D39 stance), each batch re-emitting the refreshed
+    * best AMOC split via the SHARED [[graft.ops.stats.Stats.changepoint]]
+    * scalar (identical IEEE expression shape and quantization as the
+    * batch query — one definition, the twins cannot drift; earliest-
+    * bucket tie-break preserved). Where D36's CUSUM alarms DURING
+    * drift, this keeps the running best "where did the level shift"
+    * estimate current for the postmortem that follows the alarm.
+    * Series without an interior split emit nothing yet; `maxBuckets`
+    * refuses loudly past the declared span (the D42 bound). NULL
+    * types/timestamps drop at the door.
+    */
+  def changepointMonitor(events: DataFrame, tsCol: String = "ts",
+                         typeCol: String = "event_type",
+                         maxBuckets: Int = 100000): Dataset[CptRow] = {
+    require(maxBuckets > 0,
+      s"changepointMonitor: maxBuckets must be positive ($maxBuckets)")
+    val hourUs = 3600L * 1000000L
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .where(col(typeCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(typeCol).cast("string").as("_1"),
+        unix_micros(date_trunc("hour", col(tsCol))).as("_2")).as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (g: String, it: Iterator[(String, Long)],
+         state: GroupState[Map[Long, Long]]) =>
+          var m = state.getOption.getOrElse(Map.empty[Long, Long])
+          it.foreach { case (_, b) => m += b -> (m.getOrElse(b, 0L) + 1L) }
+          if (m.size > maxBuckets) throw new IllegalStateException(
+            s"changepointMonitor: type '$g' exceeds $maxBuckets observed" +
+              " buckets — raise maxBuckets or window the source upstream")
+          state.update(m)
+          graft.ops.stats.Stats.changepoint(m, hourUs).iterator.map {
+            case (n, sp, n1, n2, m1, m2, red) =>
+              CptRow(g, n, sp, n1, n2, m1, m2, red)
+          }
+      }
+  }
+
   final case class ConcRow(bucket: Long, n_starts: Long, n_ends: Long,
                            peak_concurrency: Long, close_concurrency: Long)
 

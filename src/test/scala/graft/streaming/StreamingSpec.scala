@@ -1834,4 +1834,41 @@ class StreamingSpec extends SparkSpec {
     assert(a(("b", 1)) === ((3L,
       java.lang.Double.valueOf(math.floor(-16.0 / 24 * 1e6 + 0.5) / 1e6))))
   }
+
+  test("D43: live change point equals the batch events_changepoint however batched") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import java.sql.Timestamp
+    def hourTs(h: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:15:00")
+    // the B81 fixtures: a level shift and a symmetric tie
+    val events = Seq(1, 1, 1, 5, 5).zipWithIndex.flatMap { case (n, h) =>
+      (0 until n).map(_ => ("a", hourTs(h))) } ++
+      Seq(("b", hourTs(0)), ("b", hourTs(0)), ("b", hourTs(3)), ("b", hourTs(3)))
+    def run(name: String, batches: Seq[Seq[(String, Timestamp)]]) = {
+      val mem = MemoryStream[(String, Timestamp)]
+      val q = Streaming.changepointMonitor(mem.toDF.toDF("event_type", "ts"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      finally q.stop()
+      spark.table(name).collect()
+        .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getDouble(5), r.getDouble(6), r.getDouble(7))))
+        .foldLeft(Map.empty[String, (Long, Long, Long, Long, Double, Double,
+          Double)])(_ + _)
+    }
+    val a = run("cpt_a", Seq(events.take(5), events.drop(5)))
+    val b = run("cpt_b", Seq(events.reverse))
+    assert(a === b, "batching/order must not move the final split")
+    val dir = java.nio.file.Files.createTempDirectory("graft-cpt-mon").toString
+    events.zipWithIndex.map { case ((t, ts), i) => (i.toLong, t, ts) }
+      .toDF("event_id", "event_type", "ts")
+      .write.parquet(s"$dir/events.parquet")
+    val batch = graft.queries.Relational.eventsChangepoint(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6), r.getDouble(7)))).toMap
+    assert(a === batch, "latest live split must equal the batch query")
+  }
 }
