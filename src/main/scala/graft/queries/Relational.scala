@@ -742,6 +742,77 @@ object Relational {
       |  round(n::DOUBLE / sum(n) OVER (PARTITION BY prev_type), 6) AS p
       |FROM c ORDER BY prev_type, next_type""".stripMargin
 
+  /** B82: Markov transition entropy — per previous type the Shannon
+    * entropy of B66's transition row, H_i = −Σ_j p_ij·ln p_ij, plus the
+    * empirical entropy RATE Σ_i (n_i/N)·H_i on every row: how
+    * PREDICTABLE the event stream is state-by-state (H_i ≈ 0 = scripted
+    * deterministic flow; H_i ≈ ln branching = uniform noise) — the
+    * single-number sequel to B66's full matrix and the sequence-level
+    * cousin of C79's corpus entropy. Transcendental determinism is
+    * C79's stance verbatim: each −p·ln p term is cast to DECIMAL(27,10)
+    * BEFORE summation, so the sum is exact and order-independent and
+    * any ulp-level ln() disagreement is truncated away identically in
+    * both engines; the rate terms get the same treatment. Scale: B66's
+    * one per-user window + one (prev, next)-keyed count; everything
+    * after is |types|-sized with 1-row broadcasts.
+    */
+  def eventsMarkovEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tus"), col("event_id"))
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("tus"), col("event_id"))
+    val c = ev
+      .withColumn("prev_type", lag("event_type", 1).over(byUser))
+      .where(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = c.groupBy("prev_type")
+      .agg(sum("n").as("ni"), count(lit(1)).as("n_next_types"))
+    val nAll = c.agg(sum("n").as("nn"))
+    val per = c.join(tot, "prev_type")
+      .withColumn("__t", ((col("n").cast("double") / col("ni"))
+        * -log(col("n").cast("double") / col("ni")))
+        .cast("decimal(27,10)"))
+      .groupBy("prev_type")
+      .agg(max("ni").as("n_transitions"),
+        max("n_next_types").as("n_next_types"), sum("__t").as("__h"))
+    val withRate = per.crossJoin(broadcast(nAll))
+      .withColumn("__r", ((col("n_transitions").cast("double") / col("nn"))
+        * col("__h").cast("double")).cast("decimal(27,10)"))
+    val rate = withRate.agg(sum("__r").as("__rate"))
+    withRate.crossJoin(broadcast(rate))
+      .select(col("prev_type"), col("n_transitions"), col("n_next_types"),
+        round(col("__h").cast("double"), 6).as("entropy"),
+        round(col("__rate").cast("double"), 6).as("entropy_rate"))
+      .orderBy("prev_type")
+  }
+
+  val eventsMarkovEntropySql: String =
+    """WITH ev AS (SELECT user_id, event_type, epoch_us(ts)::BIGINT AS tus,
+      |    event_id FROM events),
+      |s AS (SELECT event_type AS next_type,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY tus, event_id)
+      |      AS prev_type
+      |  FROM ev),
+      |c AS (SELECT prev_type, next_type, count(*)::BIGINT AS n FROM s
+      |  WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+      |t AS (SELECT prev_type, sum(n)::BIGINT AS ni,
+      |    count(*)::BIGINT AS n_next_types FROM c GROUP BY 1),
+      |na AS (SELECT sum(n)::BIGINT AS nn FROM c),
+      |h AS (SELECT c.prev_type, max(t.ni) AS n_transitions,
+      |    max(t.n_next_types) AS n_next_types,
+      |    sum(CAST((c.n::DOUBLE / t.ni) * -ln(c.n::DOUBLE / t.ni)
+      |      AS DECIMAL(27,10))) AS hh
+      |  FROM c JOIN t USING (prev_type) GROUP BY 1),
+      |wr AS (SELECT h.*, CAST((h.n_transitions::DOUBLE / na.nn) * hh::DOUBLE
+      |    AS DECIMAL(27,10)) AS r FROM h, na),
+      |rt AS (SELECT sum(r) AS rate FROM wr)
+      |SELECT wr.prev_type, wr.n_transitions, wr.n_next_types,
+      |  round(hh::DOUBLE, 6) AS entropy,
+      |  round(rt.rate::DOUBLE, 6) AS entropy_rate
+      |FROM wr, rt ORDER BY wr.prev_type""".stripMargin
+
   /** B61: WHOLE-TABLE exact percentiles — the single-global-group shape
     * that was flatly infeasible with an in-memory percentile aggregate
     * (one reducer buffering every price in the corpus) and that r11's

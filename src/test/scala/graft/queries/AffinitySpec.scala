@@ -151,6 +151,30 @@ class AffinitySpec extends SparkSpec {
     assert(out === Map(("s1", "s2") -> ((2L, 3L, 3L, 2L, 0.6))))
   }
 
+  test("events_markov_entropy: per-state entropy and empirical rate, decimal-term determinism") {
+    val dir = Files.createTempDirectory("graft-ment").toString
+    // u1: a->b, b->a, a->b; u2: a->c  =>  a: {b:2, c:1}, b: {a:1}
+    Seq((1L, 1L, "a", "2024-01-01 00:00:00"), (2L, 1L, "b", "2024-01-01 00:01:00"),
+      (3L, 1L, "a", "2024-01-01 00:02:00"), (4L, 1L, "b", "2024-01-01 00:03:00"),
+      (5L, 2L, "a", "2024-01-01 00:00:00"), (6L, 2L, "c", "2024-01-01 00:01:00"))
+      .map { case (id, u, t, s) => (id, u, t, ts(s)) }
+      .toDF("event_id", "user_id", "event_type", "ts")
+      .write.parquet(s"$dir/events.parquet")
+
+    val out = Relational.eventsMarkovEntropy(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    // mirror the engine's arithmetic: per-term DECIMAL(27,10) then round 6
+    def dec(v: Double) = BigDecimal(v).setScale(10, BigDecimal.RoundingMode.HALF_UP)
+    def r6(v: BigDecimal) = v.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ha = dec(2.0 / 3 * -math.log(2.0 / 3)) + dec(1.0 / 3 * -math.log(1.0 / 3))
+    val rate = dec(3.0 / 4 * ha.toDouble) + dec(1.0 / 4 * 0.0)
+    assert(out("a") === ((3L, 2L, r6(ha), r6(rate))))
+    // a deterministic state: one next type, entropy exactly 0
+    assert(out("b") === ((1L, 1L, 0.0, r6(rate))))
+    assert(out.keySet === Set("a", "b"))
+  }
+
   test("label_calibration: vote bins are the reliability diagram, exact ECE") {
     val dir = Files.createTempDirectory("graft-calib").toString
     // six identical unit vectors: every query's 5 NN are the other five
