@@ -101,7 +101,14 @@ object Ann {
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     def d10(x: Double) =
       BigDecimal(x).setScale(10, BigDecimal.RoundingMode.HALF_UP)
-    val v = emb.select(vec(col(vecCol)).as("v"))
+    // spread before the fit: every pass below (μ, centering, iters+1
+    // explode-aggregates of |rows|·|dim| elements with per-element decimal
+    // casts) inherits THIS partitioning, and a compact parquet source
+    // arrives as a single scan split — one core for the whole fit. A
+    // no-op at real scale; decimal accumulation is associative, so the
+    // repartition cannot change any sum (the contract this kernel is
+    // built on).
+    val v = graft.io.DataFrames.spread(emb.select(vec(col(vecCol)).as("v")))
     val nRows = v.count().toDouble
     require(nRows > 0, "topPrincipalComponent: empty input")
     // μ per dim: exact decimal sums, rounded once — dim rows to the driver
@@ -175,24 +182,29 @@ object Ann {
     * engines. Scale: the fit's iters+2 narrow passes plus one final
     * projection pass; nothing wider than the vector column ever
     * shuffles, and the id join-back is positionless (id rides the frame).
+    * `sorted = false` drops the final presentation orderBy (a full range
+    * shuffle + sort) for composing callers that immediately re-aggregate
+    * the long shape (C101) — row content is identical.
     */
   def allButTop(emb: DataFrame, iters: Int = 4, idCol: String = "vec_id",
-                vecCol: String = "embedding"): DataFrame = {
+                vecCol: String = "embedding", sorted: Boolean = true): DataFrame = {
     val (_, mu, w, _, _) = fitTopPc(emb, iters, vecCol)
     val wLit = typedLit(w)
     val muLit = typedLit(mu)
-    val cvWithId = emb.select(col(idCol),
+    // spread for the same single-split reason as the fit itself: the
+    // projection pass does |dim| decimal casts per row
+    val cvWithId = graft.io.DataFrames.spread(emb).select(col(idCol),
       transform(vec(col(vecCol)), (x, i) => x - element_at(muLit, i + 1)).as("cv"))
     val s = round(aggregate(
       transform(col("cv"), (x, i) =>
         (x * element_at(wLit, i + 1)).cast("decimal(27,10)")),
       lit(java.math.BigDecimal.ZERO).cast("decimal(27,10)"),
       (acc, y) => (acc + y).cast("decimal(27,10)")).cast("double"), 6)
-    cvWithId.select(col(idCol), col("cv"), s.as("s"))
+    val out = cvWithId.select(col(idCol), col("cv"), s.as("s"))
       .select(col(idCol), posexplode(transform(col("cv"),
         (x, i) => round(x - col("s") * element_at(wLit, i + 1), 6)))
         .as(Seq("pos", "wx")))
-      .orderBy(idCol, "pos")
+    if (sorted) out.orderBy(idCol, "pos") else out
   }
 
   /** Per-dimension (position, mean, std) of the embedding cloud — the

@@ -78,7 +78,11 @@ object Dedup {
     * intersect. Candidates are melted to one row per pair SIDE and joined
     * against the sets ONCE — the corpus-sized subtree (shingling + sorting
     * + hashing) is evaluated a single time, and the pivot back to pairs
-    * shuffles only candidate-sized data.
+    * shuffles only candidate-sized data. (r17 measured the "obvious"
+    * alternative — two id-keyed re-attach joins, no first()-pivot — as a
+    * consistent loss on every consumer: the pivot's SortAggregate only
+    * sorts the CANDIDATE-sized stream, while a second join doubles the
+    * probes of the corpus-sized set table.)
     */
   private def verifyPairs(candidates: DataFrame, sets: DataFrame,
                           minJaccard: Double): DataFrame = {

@@ -129,11 +129,11 @@ object GraphOps {
     * color/propagate rounds (≥ the longest cycle's diameter; 10 covers
     * the fixture's 2-cycles with slack — callers with deep cycles raise
     * it). A bound is not a proof: by default (`requireConverged = true`)
-    * the labels are re-derived at `numIter + 1` and compared — any
-    * difference means the cap truncated propagation, and the op REFUSES
-    * with the cap named rather than silently returning wrong components
-    * (an unconverged SCC label is not an approximation of anything).
-    * Callers who have priced the cap themselves can opt out.
+    * the op REFUSES — with the cap named — unless the peel loop
+    * finalised every vertex within the cap (the [[Scc]] runner reports
+    * convergence directly; an unconverged SCC label is not an
+    * approximation of anything). Callers who have priced the cap
+    * themselves can opt out.
     */
   def stronglyConnected(pgEdges: DataFrame, numIter: Int = 10,
                         requireConverged: Boolean = true): DataFrame = {
@@ -142,20 +142,12 @@ object GraphOps {
     val e = endpoints(pgEdges)
     val idx = nodeIndex(e)
     val mapped = mapEdges(e, idx)
-    val scc = XGraph.fromEdges(mapped, ())
-      .stronglyConnectedComponents(numIter).vertices.toDF("vid", "cvid")
-      .localCheckpoint()
-    if (requireConverged) {
-      // fixed point check: one more bounded round must change nothing
-      val next = XGraph.fromEdges(mapped, ())
-        .stronglyConnectedComponents(numIter + 1).vertices.toDF("vid", "cvid")
-      val moved = scc.join(next.withColumnRenamed("cvid", "cvid2"), "vid")
-        .where(col("cvid") =!= col("cvid2")).limit(1).count()
-      if (moved > 0) throw new IllegalStateException(
-        s"stronglyConnected: labels still moving after numIter=$numIter rounds — " +
-          "raise numIter (longest cycle diameter) or pass requireConverged=false " +
-          "to accept a truncated labelling")
-    }
+    val (labels, converged) = Scc.run(XGraph.fromEdges(mapped, ()), numIter)
+    if (requireConverged && !converged) throw new IllegalStateException(
+      s"stronglyConnected: labels still moving after numIter=$numIter rounds — " +
+        "raise numIter (longest cycle diameter) or pass requireConverged=false " +
+        "to accept a truncated labelling")
+    val scc = labels.vertices.toDF("vid", "cvid").localCheckpoint()
     val labelled = scc.join(idx, "vid")
       .join(idx.select(col("vid").as("cvid"), col("node").as("scc")), "cvid")
       .select(col("node"), col("scc"))
@@ -299,12 +291,16 @@ object GraphOps {
     while (moving && it < maxIter) {
       val incoming = e.join(levels.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node")).agg(max(col("level") + 1).as("__lin"))
-      val next = nodes.join(incoming, Seq("node"), "left")
-        .select(col("node"), coalesce(col("__lin"), lit(0L)).as("level"))
+      // previous level rides the step row, so the fixed-point test is a
+      // filter over the just-checkpointed frame rather than a second
+      // full join of two |V|-row tables per round
+      val step = levels.withColumnRenamed("level", "__prev")
+        .join(incoming, Seq("node"), "left")
+        .select(col("node"), coalesce(col("__lin"), lit(0L)).as("level"),
+          col("__prev"))
         .localCheckpoint()
-      moving = next.join(levels.withColumnRenamed("level", "__prev"), "node")
-        .where(col("level") =!= col("__prev")).limit(1).count() > 0
-      levels = next
+      moving = step.where(col("level") =!= col("__prev")).limit(1).count() > 0
+      levels = step.select(col("node"), col("level"))
       it += 1
     }
     if (moving) throw new IllegalStateException(
@@ -348,19 +344,25 @@ object GraphOps {
     val seeded = nodes.join(isSrc, Seq("node"), "left")
       .select(col("node"), coalesce(col("__src1"), lit(0L)).as("__base"))
       .localCheckpoint()
-    var cnt = seeded.withColumnRenamed("__base", "n_paths")
+    var cnt = seeded.select(col("node"), col("__base"),
+      col("__base").as("n_paths"))
     var moving = true
     var it = 0
     while (moving && it < maxIter) {
-      val in = e.join(cnt.withColumnRenamed("node", "src"), "src")
+      val in = e.join(cnt.select(col("node").as("src"), col("n_paths")), "src")
         .groupBy(col("dst").as("node")).agg(sum("n_paths").as("__in"))
-      val next = seeded.join(in, Seq("node"), "left")
-        .select(col("node"),
-          (col("__base") + coalesce(col("__in"), lit(0L))).as("n_paths"))
+      // seed base and previous count ride the step row (the topoLevels
+      // stance): the fixed-point test is a filter over the checkpointed
+      // frame, not a second |V|-row join per round
+      val step = cnt.select(col("node"), col("__base"),
+          col("n_paths").as("__prev"))
+        .join(in, Seq("node"), "left")
+        .select(col("node"), col("__base"),
+          (col("__base") + coalesce(col("__in"), lit(0L))).as("n_paths"),
+          col("__prev"))
         .localCheckpoint()
-      moving = next.join(cnt.withColumnRenamed("n_paths", "__prev"), "node")
-        .where(col("n_paths") =!= col("__prev")).limit(1).count() > 0
-      cnt = next
+      moving = step.where(col("n_paths") =!= col("__prev")).limit(1).count() > 0
+      cnt = step.select(col("node"), col("__base"), col("n_paths"))
       it += 1
     }
     if (moving) throw new IllegalStateException(
@@ -375,7 +377,7 @@ object GraphOps {
       throw new IllegalStateException(
         "dagPathCounts: nodes unreachable from any source — the input " +
           "contains a source-less cycle (condense it first)")
-    cnt.orderBy("node")
+    cnt.select(col("node"), col("n_paths")).orderBy("node")
   }
 
   /** HyperANF neighbourhood function (Boldi, Rosa & Vigna, WWW 2011) over

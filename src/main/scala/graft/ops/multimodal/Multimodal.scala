@@ -46,9 +46,12 @@ object Multimodal {
     */
   def decodeImage(bytes: Array[Byte]): Option[Row] =
     try {
-      // createImageInputStream can itself return null (no stream SPI /
-      // cache trouble) — degrade to None, never let one row fail the query
-      val iis = javax.imageio.ImageIO.createImageInputStream(
+      // a direct memory-cached stream, NOT ImageIO.createImageInputStream:
+      // the factory defaults to a disk-backed cache, which creates and
+      // deletes a temp FILE per payload — pure I/O overhead for bytes that
+      // are already in memory (it also consults the stream SPI registry
+      // per call). Reader behaviour over the stream is identical.
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
       if (iis == null) None
       else try {

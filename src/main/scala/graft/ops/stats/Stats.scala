@@ -601,10 +601,18 @@ object Stats {
     * bit-exactly in any engine. One keyed aggregate with map-side
     * partials; every input row contributes d counter increments.
     */
-  def cmsRegisters(df: DataFrame, value: Column, d: Int = 4, w: Int = 64): DataFrame =
-    df.select(explode(cmsBuckets(value, d, w)).as("jb"))
+  def cmsRegisters(df: DataFrame, value: Column, d: Int = 4, w: Int = 64): DataFrame = {
+    // spread before hashing: d md5 derivations per row are the cost here,
+    // and a compact parquet source arrives as a single scan split, putting
+    // the whole hash pass on one core (measured 2.7 s → 0.4 s on the
+    // sf0.1 lineitem side of q_join_card_est). No-op once the scan has
+    // >= defaultParallelism splits — i.e. at any real scale — and skipped
+    // for streams (a micro-batch plan cannot be probed via .rdd).
+    val base = if (df.isStreaming) df else graft.io.DataFrames.spread(df)
+    base.select(explode(cmsBuckets(value, d, w)).as("jb"))
       .groupBy(col("jb.j").as("j"), col("jb.b").as("b"))
       .agg(count(lit(1)).as("c"))
+  }
 
   /** Point-frequency estimates from a register table: est(v) = min over
     * the d counters at v's coordinates (each counter ≥ true count, so the

@@ -1425,7 +1425,11 @@ object GraphEtl {
       Triples.edges(supplier, "basedIn",
         Triples.wrap(col("s_suppkey"), "sup:"),
         Triples.wrap(col("s_nationkey"), "nation:")))
+    // checkpointed: label propagation AND all three modularity
+    // aggregates (degrees, intra-edges, edge total) consume the edge
+    // set — unstaged, each re-runs the whole triple→PG conversion chain
     val edges = PgGraph.toPg(triples).where(col("type") === Graph.EdgeType)
+      .localCheckpoint()
     graft.ops.graph.GraphOps.modularity(
       edges, graft.ops.graph.GraphOps.labelPropagation(edges, iterations = 5))
   }

@@ -100,7 +100,11 @@ object Pipeline {
     */
   def dedupCurve(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // checkpoint the pair set: the sweep consumes it in TWO aggregations
+    // (pair counts and distinct-doc counts), and without the cut each
+    // branch re-runs the whole adaptive pair search
     val pairs = Dedup.ngramJaccardAdaptive(docs(spark, dir), minJaccard = 0.5)
+      .localCheckpoint()
     val th = Seq(0.5, 0.6, 0.7, 0.8, 0.9).toDF("threshold")
     val joined = th.join(pairs, col("jaccard") >= col("threshold"), "left")
     val nPairs = joined.groupBy("threshold")
@@ -1378,12 +1382,16 @@ object Pipeline {
     val pairs = Dedup.ngramJaccardAdaptive(d, minJaccard = 0.5)
     val src = d.where(col("doc_id").isNotNull && col("source").isNotNull)
       .select(col("doc_id"), col("source"))
+    // checkpointed: the pair-count and distinct-doc aggregations BOTH
+    // consume the tagged pair set — unstaged, each re-runs the whole
+    // adaptive pair search (the dedup_curve fix, same shape)
     val tagged = pairs
       .join(src.select(col("doc_id").as("a"), col("source").as("sa")), "a")
       .join(src.select(col("doc_id").as("b"), col("source").as("sb")), "b")
       .where(col("sa") =!= col("sb"))
       .select(least(col("sa"), col("sb")).as("source_a"),
         greatest(col("sa"), col("sb")).as("source_b"), col("a"), col("b"))
+      .localCheckpoint()
     val ag = tagged.groupBy("source_a", "source_b")
       .agg(count(lit(1)).as("n_pairs"))
     val dd = tagged
@@ -2059,10 +2067,15 @@ object Pipeline {
     * has any new arithmetic to drift.
     */
   def embedSecondPc(spark: SparkSession, dir: String): DataFrame = {
-    val whitened = Ann.allButTop(embs(spark, dir))
+    // checkpoint the deflated cloud: the second fit opens with a count,
+    // a mean pass and a centering pass, and without the cut each of the
+    // three would re-execute the ENTIRE allButTop chain (its own
+    // 4-iteration fit included) from parquet
+    val whitened = Ann.allButTop(embs(spark, dir), sorted = false)
       .groupBy("vec_id")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("wx")))),
         s => s.getField("wx")).as("embedding"))
+      .localCheckpoint()
     Ann.topPrincipalComponent(whitened)
   }
 
@@ -4948,7 +4961,11 @@ object Pipeline {
   def corpusDsir(spark: SparkSession, dir: String): DataFrame = {
     val B = 1024
     val d = docs(spark, dir)
-    val grams = d
+    // spread + checkpoint the bucketed gram table: the tokenise + explode +
+    // per-gram md5 pass is the query's cost, a compact parquet source runs
+    // it on ONE scan split, and BOTH consumers below (bucket counts and the
+    // per-doc weight join) would re-run it without the cut
+    val grams = graft.io.DataFrames.spread(d)
       .select(col("doc_id"), col("source"), TextOps.tokens(col("text")).as("ws"))
       .where(size(col("ws")) >= 2)
       .select(col("doc_id"), col("source"),
@@ -4956,6 +4973,7 @@ object Pipeline {
           slice(col("ws"), lit(2), size(col("ws")) - 1),
           (a, b) => concat(a, lit(" "), b))).as("g"))
       .withColumn("b", conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long") % B)
+      .localCheckpoint()
     val c = grams.groupBy("b").agg(
       count(when(col("source") === "src0", 1)).as("ct"),
       count(when(col("source") =!= "src0", 1)).as("cr"))

@@ -446,10 +446,15 @@ object Relational {
     * first agg.
     */
   def qEventsAnomalyMad(spark: SparkSession, dir: String): DataFrame = {
+    // checkpointed: the bucket table is |hours x types| rows, but BOTH
+    // percentile chains below (median, then MAD) pass over it several
+    // times (sketch, bucket-count, target-rank) — unstaged, every pass
+    // re-runs the full events aggregation
     val counts = Tables.events(spark, dir)
       .groupBy(unix_micros(date_trunc("hour", col("ts"))).as("bucket"),
         col("event_type"))
       .agg(count(lit(1)).as("n_events"))
+      .localCheckpoint()
     val med = graft.ops.stats.Stats.percentilesExact(
       counts, "event_type", col("n_events"), Seq((0.5, "med")),
       fewGroupsHint = Some(true))
@@ -1118,8 +1123,12 @@ object Relational {
       .where(col("p_partkey").isNotNull && col("p_brand").isNotNull)
     val ob = li.join(part, li("l_partkey") === part("p_partkey"))
       .select(col("l_orderkey").as("okey"), col("p_brand").as("brand"))
+    // checkpointed: pair explode, marginals and the order total ALL
+    // consume the basket table — unstaged, each re-runs the
+    // lineitem⋈part join and the collect_set aggregation
     val baskets = ob.groupBy("okey")
       .agg(sort_array(collect_set(col("brand"))).as("bs"))
+      .localCheckpoint()
     val pairs = baskets
       .select(explode(flatten(transform(col("bs"), (x, i) =>
         transform(slice(col("bs"), i + lit(2), size(col("bs"))),
@@ -1990,6 +1999,12 @@ object Relational {
     */
   def qMedian(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(spark, dir, "lineitem")
+    // r17 measured the "obvious" consolidation — stack both metrics as
+    // (flag|metric, v) rows through ONE percentilesExact chain — as a
+    // LOSS (1.90 → 2.12 s; → 2.33 s with the stack checkpointed): the
+    // stacked chain passes over 2x the rows the same number of times, so
+    // total row-passes are unchanged and the explode is pure overhead.
+    // Two independent chains it is; their subtrees share the scan stage.
     val med = graft.ops.stats.Stats.percentilesExact(
       li, "l_returnflag", col("l_quantity"), Seq((0.5, "median_qty")),
       fewGroupsHint = Some(true)) // 3 return flags, statically known

@@ -1001,4 +1001,31 @@ class GraphOpsSpec extends SparkSpec {
     // k=8: {h1} alone — phi undefined, NULL not a division error
     assert(got(8) === ((1L, 0L, null)))
   }
+
+  test("Scc.run labels equal GraphX stronglyConnectedComponents, converged iff work graph drained") {
+    // the r17 single-run convergence port: same colorize-and-peel
+    // algorithm, plus a reported converged flag replacing the old
+    // run-twice-at-numIter+1-and-diff proof. Pin label equality against
+    // the library implementation on a structured mix (cycle + tail +
+    // island 2-cycle + DAG edge, and the chain-of-2-cycles that peels one
+    // condensation level per round), at both a converging and a
+    // truncating cap.
+    import org.apache.spark.graphx.{Edge, Graph => XGraph}
+    def xg(edges: Seq[(Long, Long)]) = XGraph.fromEdges(
+      spark.sparkContext.parallelize(edges.map { case (a, b) => Edge(a, b, ()) }), ())
+    val mixed = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 2L,
+      7L -> 8L, 8L -> 7L, 5L -> 6L)
+    val chain = Seq(1L -> 2L, 2L -> 1L, 2L -> 3L, 3L -> 4L, 4L -> 3L,
+      4L -> 5L, 5L -> 6L, 6L -> 5L)
+    for ((edges, numIter) <- Seq((mixed, 10), (chain, 10), (chain, 1))) {
+      val (got, converged) = graft.ops.graph.Scc.run(xg(edges), numIter)
+      val want = xg(edges).stronglyConnectedComponents(numIter)
+        .vertices.collect().toMap
+      assert(got.vertices.collect().toMap === want,
+        s"labels diverge from GraphX at numIter=$numIter")
+      // converged exactly when the cap sufficed: 10 rounds drain both
+      // graphs, 1 round leaves the chain's cycles unfinalised
+      assert(converged === (numIter == 10))
+    }
+  }
 }
