@@ -243,10 +243,16 @@ object GraphOps {
   def metaPathCensus(edges: DataFrame, nodeType: org.apache.spark.sql.Column
       => org.apache.spark.sql.Column, srcCol: String = "src",
       dstCol: String = "dst", typeCol: String = "etype"): DataFrame = {
+    // checkpointed: the in-star and out-star aggregates BOTH consume the
+    // typed edge set — unstaged, each re-runs whatever union/distinct
+    // chain the caller built it from (kg_meta_paths: 2 lineitem distincts
+    // per side, and the identical subtrees do NOT exchange-reuse across
+    // the two differently-keyed groupBys)
     val e = edges.select(col(typeCol).as("etype"),
         col(srcCol).as("__s"), col(dstCol).as("__d"))
       .where(col("etype").isNotNull && col("__s").isNotNull &&
         col("__d").isNotNull)
+      .localCheckpoint()
     val din = e.groupBy(col("__d").as("mid"), col("etype").as("etype1"),
         nodeType(col("__s")).as("src_type"))
       .agg(count(lit(1)).as("n_in"))

@@ -293,13 +293,19 @@ object TextOps {
                       idCol: String = "doc_id", textCol: String = "text")
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
-    val base = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("ws"))
+    val base = graft.io.DataFrames.spread(docs)
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("ws"))
       .where(size(col("ws")) >= 2)
+    // spread + checkpointed: the bigram table feeds THREE consumers
+    // (bigram counts, head counts, the scoring join) — unstaged, each
+    // re-runs the tokenise + explode pass, on one core for a compact
+    // single-split source
     val pairs = base.select(col("id"), explode(zip_with(
         slice(col("ws"), lit(1), size(col("ws")) - 1),
         slice(col("ws"), lit(2), size(col("ws")) - 1),
         (a, b) => struct(a.as("u"), concat(a, lit(" "), b).as("bg")))).as("p"))
       .select(col("id"), col("p.u").as("u"), col("p.bg").as("bg"))
+      .localCheckpoint()
     val cb = pairs.groupBy("bg").agg(count(lit(1)).as("tf"))
     val ch = pairs.groupBy("u").agg(count(lit(1)).as("hf"))
     val vocab = docs.select(explode(tokens(col(textCol))).as("tok"))
@@ -902,7 +908,13 @@ object TextOps {
     // ids survive — an earlier cast-to-long turned them into nulls that
     // crashed the non-nullable Long encoder at runtime. `extraCols` ride
     // the same opaque path (D27b carries the event-time column through).
-    val pruned = df.select(col(idCol).as("doc_id") +:
+    // spread before the fingerprint pass: one md5 per gram ≈ one per
+    // CHARACTER of the corpus, and a compact parquet source arrives as a
+    // single scan split — the whole pass on one core. No-op at real
+    // scale; skipped for streams (micro-batch plans cannot be .rdd-probed
+    // — D27b consumes this op on a stream).
+    val base = if (df.isStreaming) df else graft.io.DataFrames.spread(df)
+    val pruned = base.select(col(idCol).as("doc_id") +:
         col(textCol).cast("string").as("text") +: extraCols.map(col): _*)
       .where(length(col("text")) >= k + w - 1)
     val outSchema = StructType(Seq(
@@ -987,7 +999,7 @@ object TextOps {
                    textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sw = typedlit(stopwords)
-    val spans = docs
+    val spans = graft.io.DataFrames.spread(docs)
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("ws"))
       .select(col("doc_id"), col("ws"), size(col("ws")).as("n"))
       .where(col("n") >= 1)
@@ -997,10 +1009,14 @@ object TextOps {
       .select(col("doc_id"), col("ws"),
         concat(array(lit(1)), transform(col("bidx"), b => b + 1)).as("starts"),
         concat(transform(col("bidx"), b => b - 1), array(col("n"))).as("ends"))
+    // spread + checkpointed: word scores and distinct phrases BOTH consume
+    // the phrase table — unstaged, each re-runs the tokenise + span
+    // extraction lambdas, on one core for a compact single-split source
     val phrases = spans.select(col("doc_id"),
       explode(filter(zip_with(col("starts"), col("ends"),
           (s, e) => when(e >= s, slice(col("ws"), s, e - s + 1))),
         p => p.isNotNull)).as("pw"))
+      .localCheckpoint()
     val wsc = phrases
       .select(col("doc_id"), size(col("pw")).as("plen"), explode(col("pw")).as("word"))
       .groupBy("doc_id", "word")

@@ -3849,7 +3849,9 @@ object Pipeline {
       lit("."), pmod(col("c_custkey") * 7, lit(256)).cast("string"),
       when(pmod(col("c_custkey"), lit(3)) === 0, lit(" id 123-45-6789")).otherwise(lit("")))
     val cols = TextOps.piiColumns(contact).map { case (n, c) => c.as(n) }
-    Tables.load(spark, dir, "customer")
+    // spread before the scrub: 8 chained regex extract/replace passes per
+    // row, and the compact customer parquet arrives as one scan split
+    graft.io.DataFrames.spread(Tables.load(spark, dir, "customer"))
       .select(col("c_custkey") +: cols: _*).orderBy("c_custkey")
   }
 

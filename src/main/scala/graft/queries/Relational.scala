@@ -2804,11 +2804,15 @@ object Relational {
     */
   def qEventsGapStats(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+    // checkpointed: the percentile chain (sketch, bucket-count,
+    // target-rank) and the max aggregate each consume the gap table —
+    // unstaged, every pass re-runs the full window sort over events
     val gaps = Tables.events(spark, dir)
       .select(col("event_type"), col("ts"), col("event_id"))
       .withColumn("gap_us",
         unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
       .where(col("gap_us").isNotNull)
+      .localCheckpoint()
     val pcts = graft.ops.stats.Stats.percentilesExact(
       gaps, "event_type", col("gap_us"),
       Seq((0.5, "median_gap_us"), (0.95, "p95_gap_us")),
